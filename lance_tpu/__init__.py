@@ -1,0 +1,27 @@
+"""lance_tpu: a TPU-native columnar lakehouse for multimodal AI.
+
+A from-scratch re-design of the capabilities of lancedb/lance (columnar data
+format + versioned ACID tables + vector/scalar secondary indices) built
+TPU-first: the compute path (distance kernels, k-means, PQ, IVF search) is
+JAX/XLA/Pallas over device meshes; the storage/commit engine is host-side.
+"""
+
+__version__ = "0.1.0"
+
+from .errors import (  # noqa: F401
+    CommitConflictError,
+    InvalidInputError,
+    LanceError,
+    NotFoundError,
+    SchemaError,
+)
+from .schema import Field, Schema  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy imports keep `import lance_tpu` light (no jax import until needed).
+    if name in ("dataset", "write_dataset", "LanceDataset"):
+        from . import dataset as _ds
+
+        return getattr(_ds, name)
+    raise AttributeError(name)

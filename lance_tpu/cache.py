@@ -1,0 +1,95 @@
+"""Size-bounded LRU cache keyed by (prefix, key).
+
+Re-design of the reference `LanceCache` (rust/lance-core/src/cache.rs:1-809):
+a capacity cache shared across a Session, with namespaced keys so index
+partitions, file metadata, and manifests coexist in one budget. The reference
+uses moka; we use an OrderedDict LRU with a user-supplied size estimator —
+entries here are host-side objects (numpy buffers, metadata), never device
+arrays (device memory is managed by JAX/XLA, not this cache).
+
+Thread-safe: guarded by a single mutex (cache ops are cheap relative to the
+I/O they save).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from typing import Any, Callable
+
+
+def default_size_of(value: Any) -> int:
+    nbytes = getattr(value, "nbytes", None)
+    if nbytes is not None:
+        return int(nbytes)
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return len(value)
+    return 256  # small-object default
+
+
+class CapacityCache:
+    def __init__(self, capacity_bytes: int, size_of: Callable[[Any], int] = default_size_of):
+        self.capacity = capacity_bytes
+        self._size_of = size_of
+        self._data: OrderedDict[tuple, tuple[Any, int]] = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, prefix: str, key: Any) -> Any | None:
+        k = (prefix, key)
+        with self._lock:
+            ent = self._data.get(k)
+            if ent is None:
+                self.misses += 1
+                return None
+            self._data.move_to_end(k)
+            self.hits += 1
+            return ent[0]
+
+    def put(self, prefix: str, key: Any, value: Any) -> None:
+        k = (prefix, key)
+        sz = self._size_of(value)
+        with self._lock:
+            old = self._data.pop(k, None)
+            if old is not None:
+                self._bytes -= old[1]
+            self._data[k] = (value, sz)
+            self._bytes += sz
+            while self._bytes > self.capacity and len(self._data) > 1:
+                _, (_, esz) = self._data.popitem(last=False)
+                self._bytes -= esz
+
+    def get_or_insert(self, prefix: str, key: Any, loader: Callable[[], Any]) -> Any:
+        got = self.get(prefix, key)
+        if got is not None:
+            return got
+        value = loader()
+        self.put(prefix, key, value)
+        return value
+
+    def evict(self, prefix: str, key: Any) -> None:
+        with self._lock:
+            ent = self._data.pop((prefix, key), None)
+            if ent is not None:
+                self._bytes -= ent[1]
+
+    def evict_prefix(self, prefix: str) -> None:
+        with self._lock:
+            keys = [k for k in self._data if k[0] == prefix]
+            for k in keys:
+                _, sz = self._data.pop(k)
+                self._bytes -= sz
+
+    def clear(self) -> None:
+        with self._lock:
+            self._data.clear()
+            self._bytes = 0
+
+    @property
+    def size_bytes(self) -> int:
+        return self._bytes
+
+    def __len__(self) -> int:
+        return len(self._data)

@@ -1,0 +1,93 @@
+"""Deletion vectors: which row offsets within a fragment are deleted.
+
+Re-design of reference DeletionVector (rust/lance-core/src/utils/deletion.rs:16):
+NoDeletions / Set / Bitmap with promotion at ~5k deletions. We use a sorted
+numpy uint32 offset array below the threshold and a packed numpy bool bitmap
+above it — both convert in O(1)-ish vectorized ops to the dense masks TPU
+kernels consume.
+
+Serialization (stored as `_deletions/{frag}-{read_version}-{suffix}.bin`):
+little-endian header [magic u32 'LDEL', kind u32, count u64, num_rows u64]
+followed by either sorted u32 offsets (kind=1) or packed bitmap (kind=2).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = 0x4C44454C  # 'LDEL'
+_KIND_SET = 1
+_KIND_BITMAP = 2
+BITMAP_THRESHOLD = 5000
+
+
+class DeletionVector:
+    def __init__(self, offsets: np.ndarray | None = None, num_rows: int | None = None):
+        if offsets is None:
+            offsets = np.empty(0, dtype=np.uint32)
+        self.offsets = np.unique(np.asarray(offsets, dtype=np.uint32))
+        self.num_rows = num_rows
+
+    @classmethod
+    def empty(cls) -> "DeletionVector":
+        return cls()
+
+    def __len__(self) -> int:
+        return int(self.offsets.size)
+
+    def is_empty(self) -> bool:
+        return self.offsets.size == 0
+
+    def contains(self, offset: int) -> bool:
+        i = np.searchsorted(self.offsets, offset)
+        return bool(i < self.offsets.size and self.offsets[i] == offset)
+
+    def mask(self, num_rows: int) -> np.ndarray:
+        """Dense bool mask of deleted rows; True = deleted."""
+        m = np.zeros(num_rows, dtype=bool)
+        valid = self.offsets[self.offsets < num_rows]
+        m[valid] = True
+        return m
+
+    def union(self, other: "DeletionVector") -> "DeletionVector":
+        return DeletionVector(np.union1d(self.offsets, other.offsets), self.num_rows)
+
+    def extend(self, offsets: np.ndarray) -> "DeletionVector":
+        return DeletionVector(
+            np.union1d(self.offsets, np.asarray(offsets, dtype=np.uint32)), self.num_rows
+        )
+
+    # -- offset remapping (logical row index <-> physical offset) ------------
+
+    def build_mapper(self, num_rows: int) -> np.ndarray:
+        """physical offsets of surviving rows: mapper[logical] = physical."""
+        alive = ~self.mask(num_rows)
+        return np.flatnonzero(alive).astype(np.uint32)
+
+    # -- serialization --------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        kind = _KIND_BITMAP if self.offsets.size >= BITMAP_THRESHOLD else _KIND_SET
+        num_rows = self.num_rows or (int(self.offsets[-1]) + 1 if self.offsets.size else 0)
+        header = struct.pack("<IIQQ", _MAGIC, kind, self.offsets.size, num_rows)
+        if kind == _KIND_SET:
+            return header + self.offsets.astype("<u4").tobytes()
+        bitmap = np.packbits(self.mask(num_rows))
+        return header + bitmap.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "DeletionVector":
+        magic, kind, count, num_rows = struct.unpack_from("<IIQQ", data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad deletion file magic")
+        body = data[24:]
+        if kind == _KIND_SET:
+            offsets = np.frombuffer(body, dtype="<u4", count=count)
+        elif kind == _KIND_BITMAP:
+            bits = np.unpackbits(np.frombuffer(body, dtype=np.uint8))[:num_rows]
+            offsets = np.flatnonzero(bits).astype(np.uint32)
+        else:
+            raise ValueError(f"bad deletion vector kind {kind}")
+        return cls(offsets, num_rows or None)

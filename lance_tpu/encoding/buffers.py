@@ -1,0 +1,203 @@
+"""Buffer-level codecs for the file format.
+
+Re-design of the reference's physical compressors
+(rust/lance-encoding/src/encodings/physical/, traits at
+src/compression.rs:91): each codec turns a numpy buffer into bytes plus a
+JSON-able descriptor, and back. The set mirrors the reference's zoo —
+value(plain) / bitpacking / RLE / constant / general(zstd) / byte-stream-split
+— but implementations are vectorized numpy (host side; decode feeds aligned
+device buffers). SIMD bitpacking/FSST get C++ implementations as they become
+hot (reference uses dedicated crates: rust/compression/{bitpacking,fsst}).
+
+Descriptor grammar (JSON):
+  {"c": "plain", "dtype": "<f4"}
+  {"c": "bitpack", "bits": 7, "dtype": "<i4", "min": 0}
+  {"c": "rle", "dtype": "<i8", "n": 1234}
+  {"c": "constant", "dtype": "<i4", "value": "<base64 scalar>", "n": 1000}
+  {"c": "zstd", "inner": {...}}
+  {"c": "bss", "dtype": "<f4"}          # byte-stream-split
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import zstandard
+
+_ZSTD_C = zstandard.ZstdCompressor(level=1)
+_ZSTD_D = zstandard.ZstdDecompressor()
+
+
+# ---------------------------------------------------------------------------
+# individual codecs
+# ---------------------------------------------------------------------------
+
+
+def encode_plain(values: np.ndarray) -> tuple[bytes, dict]:
+    values = np.ascontiguousarray(values)
+    dt = values.dtype.newbyteorder("<")
+    return values.astype(dt, copy=False).tobytes(), {"c": "plain", "dtype": dt.str}
+
+
+def decode_plain(data: bytes, desc: dict) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.dtype(desc["dtype"]))
+
+
+def encode_bitpack(values: np.ndarray) -> tuple[bytes, dict] | None:
+    """Frame-of-reference bitpacking for integers; None if not beneficial."""
+    if values.dtype.kind not in "iu" or values.size == 0:
+        return None
+    vmin = int(values.min())
+    vmax = int(values.max())
+    span = vmax - vmin
+    bits = max(int(span).bit_length(), 1)
+    if bits >= values.dtype.itemsize * 8 - 1:
+        return None
+    shifted = (values.astype(np.int64) - vmin).astype(np.uint64)
+    # pack into a flat bit array (vectorized via unpackbits-style expansion)
+    n = values.size
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    # bits little-endian within each value
+    expanded = ((shifted[:, None] >> bit_idx[None, :]) & 1).astype(np.uint8)
+    flat = expanded.reshape(-1)
+    packed = np.packbits(flat, bitorder="little")
+    desc = {"c": "bitpack", "bits": bits, "dtype": values.dtype.newbyteorder("<").str,
+            "min": vmin, "n": n}
+    return packed.tobytes(), desc
+
+
+def decode_bitpack(data: bytes, desc: dict) -> np.ndarray:
+    bits, n, vmin = desc["bits"], desc["n"], desc["min"]
+    flat = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")[: n * bits]
+    expanded = flat.reshape(n, bits).astype(np.uint64)
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    vals = (expanded << bit_idx[None, :]).sum(axis=1).astype(np.int64) + vmin
+    return vals.astype(np.dtype(desc["dtype"]))
+
+
+def encode_rle(values: np.ndarray) -> tuple[bytes, dict] | None:
+    """Run-length encode; None if not beneficial (<4x fewer runs)."""
+    if values.size == 0 or values.dtype.kind not in "iub":
+        return None
+    change = np.empty(values.size, dtype=bool)
+    change[0] = True
+    np.not_equal(values[1:], values[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    if starts.size * 4 > values.size:
+        return None
+    run_values = values[starts]
+    lengths = np.diff(np.append(starts, values.size)).astype(np.uint32)
+    payload = lengths.astype("<u4").tobytes() + np.ascontiguousarray(run_values).astype(
+        run_values.dtype.newbyteorder("<")
+    ).tobytes()
+    desc = {"c": "rle", "dtype": values.dtype.newbyteorder("<").str,
+            "n": int(values.size), "runs": int(starts.size)}
+    return payload, desc
+
+
+def decode_rle(data: bytes, desc: dict) -> np.ndarray:
+    runs = desc["runs"]
+    lengths = np.frombuffer(data, dtype="<u4", count=runs)
+    run_values = np.frombuffer(data, dtype=np.dtype(desc["dtype"]), offset=runs * 4, count=runs)
+    return np.repeat(run_values, lengths)
+
+
+def encode_constant(values: np.ndarray) -> tuple[bytes, dict] | None:
+    if values.size == 0:
+        return None
+    first = values.flat[0]
+    if not np.all(values == first):
+        return None
+    scalar = np.asarray(first, dtype=values.dtype.newbyteorder("<"))
+    desc = {
+        "c": "constant",
+        "dtype": scalar.dtype.str,
+        "value": base64.b64encode(scalar.tobytes()).decode(),
+        "n": int(values.size),
+    }
+    return b"", desc
+
+
+def decode_constant(data: bytes, desc: dict) -> np.ndarray:
+    scalar = np.frombuffer(base64.b64decode(desc["value"]), dtype=np.dtype(desc["dtype"]))[0]
+    return np.full(desc["n"], scalar, dtype=np.dtype(desc["dtype"]))
+
+
+def encode_bss(values: np.ndarray) -> tuple[bytes, dict]:
+    """Byte-stream-split: transpose bytes of each value — floats compress much
+    better under zstd this way (reference: physical/byte_stream_split.rs)."""
+    values = np.ascontiguousarray(values).astype(values.dtype.newbyteorder("<"), copy=False)
+    raw = values.view(np.uint8).reshape(values.size, values.dtype.itemsize)
+    return np.ascontiguousarray(raw.T).tobytes(), {
+        "c": "bss",
+        "dtype": values.dtype.str,
+        "n": int(values.size),
+    }
+
+
+def decode_bss(data: bytes, desc: dict) -> np.ndarray:
+    dt = np.dtype(desc["dtype"])
+    n = desc["n"]
+    raw = np.frombuffer(data, dtype=np.uint8).reshape(dt.itemsize, n)
+    return np.ascontiguousarray(raw.T).reshape(-1).view(dt)
+
+
+def encode_zstd(data: bytes, inner_desc: dict) -> tuple[bytes, dict]:
+    return _ZSTD_C.compress(data), {"c": "zstd", "inner": inner_desc, "raw_len": len(data)}
+
+
+def decode_zstd(data: bytes, desc: dict) -> bytes:
+    return _ZSTD_D.decompress(data, max_output_size=desc["raw_len"])
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def decode_buffer(data: bytes, desc: dict) -> np.ndarray:
+    c = desc["c"]
+    if c == "zstd":
+        return decode_buffer(decode_zstd(data, desc), desc["inner"])
+    if c == "plain":
+        return decode_plain(data, desc)
+    if c == "bitpack":
+        return decode_bitpack(data, desc)
+    if c == "rle":
+        return decode_rle(data, desc)
+    if c == "constant":
+        return decode_constant(data, desc)
+    if c == "bss":
+        return decode_bss(data, desc)
+    raise ValueError(f"unknown codec: {c}")
+
+
+def encode_buffer_auto(
+    values: np.ndarray, compression: str = "auto"
+) -> tuple[bytes, dict]:
+    """Pick the best codec for a numpy buffer.
+
+    Mirrors the reference's encoding-choice heuristics
+    (lance-encoding/src/encoder.rs): constant > RLE > bitpack for ints;
+    byte-stream-split+zstd for floats when `compression != 'none'`.
+    """
+    const = encode_constant(values)
+    if const is not None:
+        return const
+    if values.dtype.kind in "iu":
+        rle = encode_rle(values)
+        if rle is not None:
+            data, desc = rle
+            if compression in ("auto", "zstd") and len(data) > 4096:
+                return encode_zstd(data, desc)
+            return data, desc
+        bp = encode_bitpack(values)
+        if bp is not None:
+            return bp
+    if values.dtype.kind == "f" and compression in ("auto", "zstd") and values.size >= 1024:
+        data, desc = encode_bss(values)
+        zdata, zdesc = encode_zstd(data, desc)
+        if len(zdata) < 0.9 * values.nbytes:
+            return zdata, zdesc
+    return encode_plain(values)

@@ -1,0 +1,328 @@
+"""Structural page encodings: how a column chunk becomes page buffers.
+
+Re-design of the reference's structural encodings
+(rust/lance-encoding/src/encodings/logical/primitive.rs — MiniBlockLayout /
+FullZipLayout / AllNullLayout, protos/encodings_v2_1.proto:77-179), with the
+same design goals: (a) random access without row groups — any row can be
+fetched with 1-2 small ranged reads; (b) compression for scan-heavy columns.
+
+Layouts:
+- "all_null":   no buffers at all.
+- "direct":     fixed-width values stored raw, little-endian, contiguous.
+                Row i lives at exactly `offset + i * stride` — the layout
+                behind the "100x random access" contract and behind zero-copy
+                H2D feeds of vector columns (TPU wants raw contiguous f32/bf16
+                anyway, so the hot vector path is *uncompressed by design*).
+- "miniblock":  rows grouped into chunks of `rows_per_chunk`; each chunk
+                independently compressed (codec chosen per chunk by
+                encode_buffer_auto). Take reads only the chunk(s) covering
+                the requested rows.
+- "varbin":     var-length binary/strings: int64 offsets stored direct +
+                raw bytes buffer. Take row i = read offsets[i..i+2], then the
+                byte range. Bytes optionally zstd'd per-chunk for scans
+                (round 1: raw).
+
+Validity is a separate packed-bitmap buffer (role "validity") present only
+when the chunk has nulls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .buffers import decode_buffer, encode_buffer_auto, encode_plain
+
+DEFAULT_ROWS_PER_CHUNK = 4096
+
+
+# ---------------------------------------------------------------------------
+# in-memory column chunk model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnData:
+    """Decoded representation of a column chunk.
+
+    kind: 'fixed' (numpy primitives; fsl_dim>1 means FixedSizeList rows),
+          'varbin' (strings/binary), 'bool'.
+    values: flat numpy array ('fixed'/'bool') or raw bytes np.uint8 ('varbin').
+    offsets: int64 row offsets into values (varbin only; len = rows+1).
+    validity: bool array per row (True = valid) or None = all valid.
+    """
+
+    kind: str
+    num_rows: int
+    values: np.ndarray
+    offsets: np.ndarray | None = None
+    validity: np.ndarray | None = None
+    fsl_dim: int = 1
+    arrow_type: pa.DataType | None = None
+
+    def slice(self, start: int, length: int) -> "ColumnData":
+        end = start + length
+        if self.kind == "varbin":
+            offs = self.offsets[start : end + 1]
+            vals = self.values[offs[0] : offs[-1]]
+            offs = offs - offs[0]
+        else:
+            vals = self.values[start * self.fsl_dim : end * self.fsl_dim]
+            offs = None
+        val = self.validity[start:end] if self.validity is not None else None
+        return ColumnData(self.kind, length, vals, offs, val, self.fsl_dim, self.arrow_type)
+
+    def take(self, indices: np.ndarray) -> "ColumnData":
+        indices = np.asarray(indices, dtype=np.int64)
+        val = self.validity[indices] if self.validity is not None else None
+        if self.kind == "varbin":
+            starts = self.offsets[indices]
+            ends = self.offsets[indices + 1]
+            lens = ends - starts
+            new_offs = np.zeros(indices.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_offs[1:])
+            out = np.empty(int(new_offs[-1]), dtype=self.values.dtype)
+            for j in range(indices.size):  # small-N host path
+                out[new_offs[j] : new_offs[j + 1]] = self.values[starts[j] : ends[j]]
+            return ColumnData("varbin", indices.size, out, new_offs, val, 1, self.arrow_type)
+        if self.fsl_dim > 1:
+            mat = self.values.reshape(self.num_rows, self.fsl_dim)[indices]
+            return ColumnData("fixed", indices.size, mat.reshape(-1), None, val, self.fsl_dim, self.arrow_type)
+        return ColumnData(self.kind, indices.size, self.values[indices], None, val, 1, self.arrow_type)
+
+    # -- arrow interop --------------------------------------------------------
+
+    @classmethod
+    def from_arrow(cls, arr: pa.Array) -> "ColumnData":
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        validity = None
+        if arr.null_count > 0:
+            validity = np.asarray(arr.is_valid())
+        if pa.types.is_boolean(t):
+            vals = np.asarray(arr.fill_null(False) if arr.null_count else arr)
+            return cls("bool", len(arr), vals, None, validity, 1, t)
+        if pa.types.is_fixed_size_list(t):
+            dim = t.list_size
+            flat = arr.flatten()
+            vals = np.asarray(flat.fill_null(0) if flat.null_count else flat)
+            return cls("fixed", len(arr), vals, None, validity, dim, t)
+        if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+            if pa.types.is_string(t) or pa.types.is_binary(t):
+                buf_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+                offsets = buf_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+            else:
+                buf_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+                offsets = buf_offsets[arr.offset : arr.offset + len(arr) + 1].copy()
+            data_buf = arr.buffers()[2]
+            raw = np.frombuffer(data_buf, dtype=np.uint8, count=int(offsets[-1])) if data_buf else np.empty(0, np.uint8)
+            vals = raw[offsets[0] : offsets[-1]].copy()
+            offsets = offsets - offsets[0]
+            return cls("varbin", len(arr), vals, offsets, validity, 1, t)
+        # primitive numerics / temporal
+        np_arr = np.asarray(arr.fill_null(0) if arr.null_count else arr)
+        return cls("fixed", len(arr), np_arr, None, validity, 1, t)
+
+    def to_arrow(self) -> pa.Array:
+        t = self.arrow_type
+        mask = None if self.validity is None else ~self.validity
+        if self.kind == "bool":
+            return pa.array(self.values.astype(bool), type=t or pa.bool_(), mask=mask)
+        if self.kind == "varbin":
+            t = t or pa.binary()
+            lens = np.diff(self.offsets)
+            py = []
+            valid = self.validity
+            vb = self.values.tobytes()
+            is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+            for i in range(self.num_rows):
+                if valid is not None and not valid[i]:
+                    py.append(None)
+                else:
+                    b = vb[self.offsets[i] : self.offsets[i] + lens[i]]
+                    py.append(b.decode() if is_str else b)
+            return pa.array(py, type=t)
+        if self.fsl_dim > 1:
+            inner = pa.array(self.values)
+            t = t or pa.list_(inner.type, self.fsl_dim)
+            fsl = pa.FixedSizeListArray.from_arrays(inner.cast(t.value_type), self.fsl_dim)
+            if mask is not None:
+                # rebuild with validity
+                fsl = pa.array(
+                    [None if m else v for m, v in zip(mask, fsl.to_pylist())], type=t
+                )
+            return fsl
+        return pa.array(self.values, type=t, mask=mask)
+
+    def to_numpy_matrix(self) -> np.ndarray:
+        """(rows, dim) view for vector columns — the zero-copy device feed."""
+        return self.values.reshape(self.num_rows, self.fsl_dim)
+
+
+def concat_column_data(chunks: list[ColumnData]) -> ColumnData:
+    if len(chunks) == 1:
+        return chunks[0]
+    first = chunks[0]
+    n = sum(c.num_rows for c in chunks)
+    if any(c.validity is not None for c in chunks):
+        validity = np.concatenate(
+            [c.validity if c.validity is not None else np.ones(c.num_rows, bool) for c in chunks]
+        )
+    else:
+        validity = None
+    if first.kind == "varbin":
+        values = np.concatenate([c.values for c in chunks])
+        offs = [chunks[0].offsets]
+        acc = chunks[0].offsets[-1]
+        for c in chunks[1:]:
+            offs.append(c.offsets[1:] + acc)
+            acc = acc + c.offsets[-1]
+        offsets = np.concatenate(offs)
+        return ColumnData("varbin", n, values, offsets, validity, 1, first.arrow_type)
+    values = np.concatenate([c.values for c in chunks])
+    return ColumnData(first.kind, n, values, None, validity, first.fsl_dim, first.arrow_type)
+
+
+# ---------------------------------------------------------------------------
+# page encoding
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EncodedPage:
+    buffers: list[bytes]
+    desc: dict  # layout descriptor; file writer fills buffer offsets
+
+
+def _validity_buffer(col: ColumnData) -> tuple[bytes, dict] | None:
+    if col.validity is None or bool(col.validity.all()):
+        return None
+    packed = np.packbits(col.validity, bitorder="little")
+    return packed.tobytes(), {"c": "plain", "dtype": "|u1"}
+
+
+def encode_page(col: ColumnData, compression: str = "auto",
+                rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> EncodedPage:
+    desc: dict = {"rows": col.num_rows, "kind": col.kind, "fsl_dim": col.fsl_dim}
+    buffers: list[bytes] = []
+    bufdescs: list[dict] = []
+
+    if col.validity is not None and not col.validity.any():
+        desc["layout"] = "all_null"
+        desc["buffers"] = []
+        if col.kind == "fixed":
+            desc["dtype"] = col.values.dtype.newbyteorder("<").str
+        return EncodedPage([], desc)
+
+    vb = _validity_buffer(col)
+    if vb is not None:
+        buffers.append(vb[0])
+        bufdescs.append({"role": "validity", "desc": vb[1], "len": len(vb[0])})
+
+    if col.kind == "bool":
+        packed = np.packbits(col.values.astype(bool), bitorder="little").tobytes()
+        buffers.append(packed)
+        bufdescs.append({"role": "values", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(packed)})
+        desc["layout"] = "bitmap"
+    elif col.kind == "varbin":
+        odata, odesc = encode_plain(col.offsets.astype(np.int64))
+        buffers.append(odata)
+        bufdescs.append({"role": "offsets", "desc": odesc, "len": len(odata)})
+        bdata = col.values.tobytes()
+        buffers.append(bdata)
+        bufdescs.append({"role": "bytes", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(bdata)})
+        desc["layout"] = "varbin"
+    else:  # fixed
+        if compression == "none" or col.values.dtype.kind == "f" and col.fsl_dim > 1:
+            # vector columns stay raw: direct addressing + zero-copy device feed
+            data, d = encode_plain(col.values)
+            buffers.append(data)
+            bufdescs.append({"role": "values", "desc": d, "len": len(data)})
+            desc["layout"] = "direct"
+        else:
+            vals_per_chunk = rows_per_chunk * col.fsl_dim
+            nchunks = max(1, -(-col.values.size // vals_per_chunk))
+            chunk_descs = []
+            compressed = 0
+            for ci in range(nchunks):
+                chunk = col.values[ci * vals_per_chunk : (ci + 1) * vals_per_chunk]
+                data, d = encode_buffer_auto(chunk, compression)
+                compressed += len(data)
+                buffers.append(data)
+                chunk_descs.append({"role": "chunk", "desc": d, "len": len(data)})
+            if compressed >= col.values.nbytes * 0.95:
+                # compression didn't pay — replace with direct layout
+                del buffers[len(bufdescs):]
+                data, d = encode_plain(col.values)
+                buffers.append(data)
+                bufdescs.append({"role": "values", "desc": d, "len": len(data)})
+                desc["layout"] = "direct"
+            else:
+                bufdescs.extend(chunk_descs)
+                desc["layout"] = "miniblock"
+                desc["rows_per_chunk"] = rows_per_chunk
+    desc["buffers"] = bufdescs
+    return EncodedPage(buffers, desc)
+
+
+# ---------------------------------------------------------------------------
+# page decoding (full page; partial take lives in file.reader)
+# ---------------------------------------------------------------------------
+
+
+def _decode_validity(desc: dict, bufs: dict[int, bytes]) -> np.ndarray | None:
+    for i, b in enumerate(desc["buffers"]):
+        if b["role"] == "validity":
+            bits = np.unpackbits(
+                np.frombuffer(bufs[i], dtype=np.uint8), bitorder="little"
+            )[: desc["rows"]]
+            return bits.astype(bool)
+    return None
+
+
+def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None = None) -> ColumnData:
+    rows = desc["rows"]
+    kind = desc["kind"]
+    fsl_dim = desc.get("fsl_dim", 1)
+    layout = desc["layout"]
+    bufs = dict(enumerate(buffers))
+
+    if layout == "all_null":
+        if kind == "varbin":
+            return ColumnData("varbin", rows, np.empty(0, np.uint8),
+                              np.zeros(rows + 1, np.int64), np.zeros(rows, bool), 1, arrow_type)
+        dtype = np.dtype(desc.get("dtype", "<f4"))
+        return ColumnData(kind, rows, np.zeros(rows * fsl_dim, dtype),
+                          None, np.zeros(rows, bool), fsl_dim, arrow_type)
+
+    validity = _decode_validity(desc, bufs)
+
+    if layout == "bitmap":
+        vi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "values")
+        bits = np.unpackbits(np.frombuffer(bufs[vi], dtype=np.uint8), bitorder="little")[:rows]
+        return ColumnData("bool", rows, bits.astype(bool), None, validity, 1, arrow_type)
+
+    if layout == "varbin":
+        oi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "offsets")
+        bi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "bytes")
+        offsets = decode_buffer(bufs[oi], desc["buffers"][oi]["desc"]).astype(np.int64)
+        raw = np.frombuffer(bufs[bi], dtype=np.uint8)
+        return ColumnData("varbin", rows, raw, offsets, validity, 1, arrow_type)
+
+    if layout == "direct":
+        vi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "values")
+        values = decode_buffer(bufs[vi], desc["buffers"][vi]["desc"])
+        return ColumnData("fixed", rows, values, None, validity, fsl_dim, arrow_type)
+
+    if layout == "miniblock":
+        parts = []
+        for i, b in enumerate(desc["buffers"]):
+            if b["role"] == "chunk":
+                parts.append(decode_buffer(bufs[i], b["desc"]))
+        values = np.concatenate(parts) if parts else np.empty(0)
+        return ColumnData("fixed", rows, values, None, validity, fsl_dim, arrow_type)
+
+    raise ValueError(f"unknown page layout: {layout}")

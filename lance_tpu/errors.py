@@ -1,0 +1,61 @@
+"""Unified error types for lance_tpu.
+
+TPU-native re-design of the reference error enum (reference:
+rust/lance-core/src/error.rs:1-462). We keep the same *taxonomy* of failure
+classes (IO / InvalidInput / NotFound / Conflict / Schema / Index / NotSupported)
+so user-facing behavior matches, but implement them as a Python exception
+hierarchy — errors never cross the jit boundary (device code is pure; all
+error paths live on the host side).
+"""
+
+from __future__ import annotations
+
+
+class LanceError(Exception):
+    """Base class for all lance_tpu errors."""
+
+
+class IOError_(LanceError):
+    """Object-store / file I/O failure."""
+
+
+class NotFoundError(LanceError):
+    """Requested object (path, version, index, column) does not exist."""
+
+
+class InvalidInputError(LanceError):
+    """Caller provided invalid arguments."""
+
+
+class SchemaError(LanceError):
+    """Schema mismatch or invalid schema operation."""
+
+
+class CommitConflictError(LanceError):
+    """Optimistic-concurrency commit failed after retries.
+
+    Mirrors reference CommitError::Conflict semantics
+    (rust/lance-table/src/io/commit.rs).
+    """
+
+    def __init__(self, version: int, message: str = ""):
+        super().__init__(
+            f"Commit conflict at version {version}: {message or 'concurrent writer won the race'}"
+        )
+        self.version = version
+
+
+class RetryableCommitConflict(CommitConflictError):
+    """A conflict that may succeed if rebased and retried."""
+
+
+class IndexError_(LanceError):
+    """Index build/load/search failure."""
+
+
+class NotSupportedError(LanceError):
+    """Feature recognized but not supported (yet)."""
+
+
+class VersionConflictError(LanceError):
+    """Dataset was written by a newer writer version than this reader supports."""

@@ -1,0 +1,79 @@
+"""LTPF ("Lance-TPU File") on-disk format: footer + metadata layout.
+
+Re-design of the reference Lance file format v2 (protos/file2.proto,
+docs/src/format/file/index.md): no row groups — every column is a sequence
+of independently-addressable pages; a single metadata block at the end of the
+file describes every page's buffers; the footer is a tiny fixed struct so
+open() costs exactly two ranged reads (footer, then metadata).
+
+Layout:
+    [page buffers ...]
+    [global buffers ...]
+    [metadata: zstd(JSON)]
+    [footer: 40 bytes]
+
+Footer (little-endian):
+    u64 metadata_offset
+    u64 metadata_compressed_len
+    u64 num_rows
+    u16 version_major, u16 version_minor
+    u32 num_columns
+    u32 reserved
+    4s  magic = b"LTPF"
+
+Metadata JSON:
+    {"schema": <schema json>, "num_rows": N,
+     "columns": [{"field_id": i, "name": n, "pages": [<page desc>...]}],
+     "global_buffers": [{"name": s, "off": o, "len": l}],
+     "metadata": {...user kv...}}
+
+Each page-desc buffer entry carries its absolute file offset ("off") and
+length ("len"), so any buffer (or any row of a direct-layout buffer) is one
+ranged read away.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import zstandard
+
+MAGIC = b"LTPF"
+FOOTER_LEN = 40
+VERSION = (0, 1)
+
+_FOOTER_FMT = "<QQQHHII4s"
+assert struct.calcsize(_FOOTER_FMT) == FOOTER_LEN
+
+_zc = zstandard.ZstdCompressor(level=3)
+_zd = zstandard.ZstdDecompressor()
+
+
+def pack_footer(meta_off: int, meta_len: int, num_rows: int, num_columns: int) -> bytes:
+    return struct.pack(
+        _FOOTER_FMT, meta_off, meta_len, num_rows, VERSION[0], VERSION[1], num_columns, 0, MAGIC
+    )
+
+
+def unpack_footer(data: bytes) -> dict:
+    meta_off, meta_len, num_rows, vmaj, vmin, ncols, _r, magic = struct.unpack(
+        _FOOTER_FMT, data[-FOOTER_LEN:]
+    )
+    if magic != MAGIC:
+        raise ValueError(f"not an LTPF file (magic={magic!r})")
+    return {
+        "meta_off": meta_off,
+        "meta_len": meta_len,
+        "num_rows": num_rows,
+        "version": (vmaj, vmin),
+        "num_columns": ncols,
+    }
+
+
+def pack_metadata(meta: dict) -> bytes:
+    return _zc.compress(json.dumps(meta).encode())
+
+
+def unpack_metadata(data: bytes) -> dict:
+    return json.loads(_zd.decompress(data, max_output_size=1 << 31))

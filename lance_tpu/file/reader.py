@@ -1,0 +1,244 @@
+"""LTPF file reader: streaming scans + surgical random access.
+
+Re-design of the reference v2 FileReader (rust/lance-file/src/reader.rs:348):
+open() = 2 ranged reads (footer + metadata, cached); scans schedule page
+reads per column; `take(indices)` reads *only* the bytes covering the
+requested rows — per-value ranged reads for direct-layout pages, per-chunk
+for miniblock, offsets-then-bytes for varbin. This is the property behind the
+reference's "100x faster than parquet for random access" claim
+(docs/src/format/file/encoding.md:36-44) and it also minimizes host->device
+transfer for TPU feeds.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+import numpy as np
+import pyarrow as pa
+
+from ..encoding.buffers import decode_buffer
+from ..encoding.pages import ColumnData, concat_column_data, decode_page
+from ..errors import InvalidInputError, NotFoundError
+from ..io.object_store import ObjectStore
+from ..schema import Schema
+from .format import FOOTER_LEN, unpack_footer, unpack_metadata
+
+_TAKE_FULL_PAGE_FRACTION = 0.25  # read whole page when taking >25% of its rows
+
+
+def _coalesce(ranges: list[tuple[int, int]], gap: int = 4096) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """Merge nearby ranges; returns (merged, per-original (merged_idx, delta))."""
+    order = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
+    merged: list[list[int]] = []
+    mapping: list[tuple[int, int] | None] = [None] * len(ranges)
+    for i in order:
+        start, length = ranges[i]
+        if merged and start <= merged[-1][0] + merged[-1][1] + gap:
+            end = max(merged[-1][0] + merged[-1][1], start + length)
+            merged[-1][1] = end - merged[-1][0]
+        else:
+            merged.append([start, length])
+        mapping[i] = (len(merged) - 1, start - merged[-1][0])
+    return [(s, l) for s, l in merged], mapping  # type: ignore[return-value]
+
+
+class FileReader:
+    def __init__(self, store: ObjectStore, path: str):
+        self.store = store
+        self.path = path
+        size = store.head(path).size
+        if size < FOOTER_LEN:
+            raise InvalidInputError(f"{path}: too small to be an LTPF file")
+        tail_len = min(size, 64 * 1024)
+        tail = store.get_range(path, size - tail_len, tail_len)
+        footer = unpack_footer(tail)
+        self.footer = footer
+        meta_off, meta_len = footer["meta_off"], footer["meta_len"]
+        if meta_off >= size - tail_len:
+            meta_bytes = tail[meta_off - (size - tail_len) : meta_off - (size - tail_len) + meta_len]
+        else:
+            meta_bytes = store.get_range(path, meta_off, meta_len)
+        self.metadata = unpack_metadata(meta_bytes)
+        self.schema = Schema.from_json(self.metadata["schema"])
+        self.num_rows: int = self.metadata["num_rows"]
+        self._columns = {c["name"]: c for c in self.metadata["columns"]}
+        # per column: cumulative row starts of pages
+        self._page_starts: dict[str, list[int]] = {}
+        for name, c in self._columns.items():
+            starts, acc = [], 0
+            for p in c["pages"]:
+                starts.append(acc)
+                acc += p["rows"]
+            self._page_starts[name] = starts
+
+    # -- global buffers ---------------------------------------------------------
+
+    def global_buffer_names(self) -> list[str]:
+        return [g["name"] for g in self.metadata.get("global_buffers", [])]
+
+    def read_global_buffer(self, name: str) -> bytes:
+        for g in self.metadata.get("global_buffers", []):
+            if g["name"] == name:
+                return self.store.get_range(self.path, g["off"], g["len"])
+        raise NotFoundError(f"global buffer {name} in {self.path}")
+
+    # -- full/ranged scans --------------------------------------------------------
+
+    def _read_page(self, desc: dict, arrow_type: pa.DataType | None) -> ColumnData:
+        ranges = [(b["off"], b["len"]) for b in desc["buffers"]]
+        bufs = self.store.get_ranges(self.path, ranges) if ranges else []
+        return decode_page(desc, bufs, arrow_type)
+
+    def read_column(self, name: str, row_start: int = 0, row_count: int | None = None) -> ColumnData:
+        if name not in self._columns:
+            raise NotFoundError(f"column {name} in {self.path}")
+        if row_count is None:
+            row_count = self.num_rows - row_start
+        row_end = row_start + row_count
+        field = self.schema.field(name)
+        pages = self._columns[name]["pages"]
+        starts = self._page_starts[name]
+        out: list[ColumnData] = []
+        for i, p in enumerate(pages):
+            p_start, p_end = starts[i], starts[i] + p["rows"]
+            if p_end <= row_start or p_start >= row_end:
+                continue
+            col = self._read_page(p, field.type)
+            lo = max(row_start, p_start) - p_start
+            hi = min(row_end, p_end) - p_start
+            if lo != 0 or hi != p["rows"]:
+                col = col.slice(lo, hi - lo)
+            out.append(col)
+        if not out:
+            raise InvalidInputError(f"empty range [{row_start}, {row_end})")
+        return concat_column_data(out)
+
+    def read_range(self, row_start: int, row_count: int, columns: list[str] | None = None) -> dict[str, ColumnData]:
+        columns = columns or self.schema.names
+        return {c: self.read_column(c, row_start, row_count) for c in columns}
+
+    def read_table(self, columns: list[str] | None = None, row_start: int = 0,
+                   row_count: int | None = None) -> pa.Table:
+        if row_count is None:
+            row_count = self.num_rows - row_start
+        cols = self.read_range(row_start, row_count, columns)
+        return pa.table({n: c.to_arrow() for n, c in cols.items()})
+
+    def read_stream(self, batch_size: int = 8192, columns: list[str] | None = None):
+        offset = 0
+        while offset < self.num_rows:
+            n = min(batch_size, self.num_rows - offset)
+            cols = self.read_range(offset, n, columns)
+            yield pa.record_batch({k: v.to_arrow() for k, v in cols.items()})
+            offset += n
+
+    # -- random access -------------------------------------------------------------
+
+    def take(self, indices: np.ndarray, columns: list[str] | None = None) -> dict[str, ColumnData]:
+        indices = np.asarray(indices, dtype=np.int64)
+        if indices.size and (indices.min() < 0 or indices.max() >= self.num_rows):
+            raise InvalidInputError("take index out of range")
+        columns = columns or self.schema.names
+        # take must preserve caller order; we process sorted, then unsort
+        order = np.argsort(indices, kind="stable")
+        sorted_idx = indices[order]
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        out: dict[str, ColumnData] = {}
+        for name in columns:
+            col = self._take_column(name, sorted_idx)
+            out[name] = col.take(inv)
+        return out
+
+    def take_table(self, indices: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        cols = self.take(indices, columns)
+        return pa.table({n: c.to_arrow() for n, c in cols.items()})
+
+    def _take_column(self, name: str, sorted_idx: np.ndarray) -> ColumnData:
+        field = self.schema.field(name)
+        pages = self._columns[name]["pages"]
+        starts = self._page_starts[name]
+        parts: list[ColumnData] = []
+        # split indices by page
+        page_of = np.searchsorted(
+            np.asarray(starts + [self.num_rows], dtype=np.int64), sorted_idx, side="right"
+        ) - 1
+        for pi in np.unique(page_of):
+            desc = pages[pi]
+            local = sorted_idx[page_of == pi] - starts[pi]
+            parts.append(self._take_in_page(desc, local, field.type))
+        return concat_column_data(parts)
+
+    def _take_in_page(self, desc: dict, local: np.ndarray, arrow_type) -> ColumnData:
+        layout = desc["layout"]
+        rows = desc["rows"]
+        if local.size > rows * _TAKE_FULL_PAGE_FRACTION or layout in ("all_null", "bitmap"):
+            return self._read_page(desc, arrow_type).take(local)
+
+        validity = self._read_page_validity(desc)
+
+        if layout == "direct":
+            b = next(x for x in desc["buffers"] if x["role"] == "values")
+            dt = np.dtype(b["desc"]["dtype"])
+            stride = dt.itemsize * desc.get("fsl_dim", 1)
+            ranges = [(b["off"] + int(i) * stride, stride) for i in local]
+            merged, mapping = _coalesce(ranges)
+            blobs = self.store.get_ranges(self.path, merged)
+            raw = bytearray()
+            for mi, delta in mapping:
+                raw += blobs[mi][delta : delta + stride]
+            values = np.frombuffer(bytes(raw), dtype=dt)
+            val = validity[local] if validity is not None else None
+            return ColumnData("fixed", local.size, values, None, val,
+                              desc.get("fsl_dim", 1), arrow_type)
+
+        if layout == "miniblock":
+            rpc = desc["rows_per_chunk"]
+            chunk_bufs = [x for x in desc["buffers"] if x["role"] == "chunk"]
+            need = np.unique(local // rpc)
+            ranges = [(chunk_bufs[ci]["off"], chunk_bufs[ci]["len"]) for ci in need]
+            blobs = self.store.get_ranges(self.path, ranges)
+            fsl = desc.get("fsl_dim", 1)
+            parts = []
+            for ci, blob in zip(need, blobs):
+                vals = decode_buffer(blob, chunk_bufs[ci]["desc"])
+                sel = local[(local // rpc) == ci] - ci * rpc
+                parts.append(vals.reshape(-1, fsl)[sel].reshape(-1))
+            values = np.concatenate(parts)
+            val = validity[local] if validity is not None else None
+            return ColumnData("fixed", local.size, values, None, val, fsl, arrow_type)
+
+        if layout == "varbin":
+            ob = next(x for x in desc["buffers"] if x["role"] == "offsets")
+            bb = next(x for x in desc["buffers"] if x["role"] == "bytes")
+            # read offset pairs
+            oranges = [(ob["off"] + int(i) * 8, 16) for i in local]
+            merged, mapping = _coalesce(oranges)
+            blobs = self.store.get_ranges(self.path, merged)
+            pairs = np.empty((local.size, 2), dtype=np.int64)
+            for j, (mi, delta) in enumerate(mapping):
+                pairs[j] = np.frombuffer(blobs[mi][delta : delta + 16], dtype="<i8")
+            branges = [(bb["off"] + int(s), int(e - s)) for s, e in pairs]
+            bmerged, bmapping = _coalesce(branges)
+            bblobs = self.store.get_ranges(self.path, bmerged)
+            lens = (pairs[:, 1] - pairs[:, 0]).astype(np.int64)
+            new_offs = np.zeros(local.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_offs[1:])
+            out = np.empty(int(new_offs[-1]), dtype=np.uint8)
+            for j, (mi, delta) in enumerate(bmapping):
+                out[new_offs[j] : new_offs[j + 1]] = np.frombuffer(
+                    bblobs[mi][delta : delta + lens[j]], dtype=np.uint8
+                )
+            val = validity[local] if validity is not None else None
+            return ColumnData("varbin", local.size, out, new_offs, val, 1, arrow_type)
+
+        return self._read_page(desc, arrow_type).take(local)
+
+    def _read_page_validity(self, desc: dict) -> np.ndarray | None:
+        for b in desc["buffers"]:
+            if b["role"] == "validity":
+                blob = self.store.get_range(self.path, b["off"], b["len"])
+                bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8), bitorder="little")
+                return bits[: desc["rows"]].astype(bool)
+        return None

@@ -1,0 +1,175 @@
+"""LTPF file writer.
+
+Re-design of the reference v2 FileWriter (rust/lance-file/src/writer.rs:103):
+per-column page accumulation until a page-byte budget, independent page
+flushing per column, global buffers, and a finish() that writes the metadata
+block + footer. Column encoders are the structural encoders in
+encoding/pages.py.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Mapping
+
+import numpy as np
+import pyarrow as pa
+
+from ..encoding.pages import ColumnData, EncodedPage, concat_column_data, encode_page
+from ..errors import InvalidInputError
+from ..io.object_store import ObjectStore
+from ..schema import Schema
+from .format import FOOTER_LEN, pack_footer, pack_metadata
+
+DEFAULT_MAX_PAGE_BYTES = int(os.environ.get("LANCE_TPU_MAX_PAGE_BYTES", 8 * 1024 * 1024))
+
+
+class FileWriter:
+    def __init__(
+        self,
+        store: ObjectStore,
+        path: str,
+        schema: Schema,
+        max_page_bytes: int = DEFAULT_MAX_PAGE_BYTES,
+        compression: str = "auto",
+    ):
+        self.store = store
+        self.path = path
+        self.schema = schema
+        self.max_page_bytes = max_page_bytes
+        self.compression = compression
+        self._buf = io.BytesIO()
+        self._num_rows = 0
+        self._finished = False
+        # per top-level field: accumulated chunks + flushed page descs
+        self._pending: dict[str, list[ColumnData]] = {f.name: [] for f in schema.fields}
+        self._pending_bytes: dict[str, int] = {f.name: 0 for f in schema.fields}
+        self._pages: dict[str, list[dict]] = {f.name: [] for f in schema.fields}
+        self._global_buffers: list[dict] = []
+        self._metadata: dict[str, str] = {}
+
+    # -- ingestion -------------------------------------------------------------
+
+    def write_batch(self, batch) -> None:
+        if self._finished:
+            raise InvalidInputError("writer already finished")
+        cols = self._to_columns(batch)
+        n = None
+        for name, col in cols.items():
+            if n is None:
+                n = col.num_rows
+            elif col.num_rows != n:
+                raise InvalidInputError("ragged batch")
+            self._pending[name].append(col)
+            self._pending_bytes[name] += col.values.nbytes + (
+                col.offsets.nbytes if col.offsets is not None else 0
+            )
+            if self._pending_bytes[name] >= self.max_page_bytes:
+                self._flush_column(name)
+        missing = set(self._pending) - set(cols)
+        if missing:
+            raise InvalidInputError(f"batch missing columns: {sorted(missing)}")
+        self._num_rows += n or 0
+
+    def _to_columns(self, batch) -> dict[str, ColumnData]:
+        if isinstance(batch, pa.Table):
+            batch = batch.combine_chunks()
+            return {
+                name: ColumnData.from_arrow(batch.column(name).combine_chunks().chunk(0)
+                                            if batch.column(name).num_chunks else
+                                            pa.array([], type=batch.schema.field(name).type))
+                for name in self._pending
+                if name in batch.column_names
+            }
+        if isinstance(batch, pa.RecordBatch):
+            return {
+                name: ColumnData.from_arrow(batch.column(batch.schema.get_field_index(name)))
+                for name in self._pending
+                if name in batch.schema.names
+            }
+        if isinstance(batch, Mapping):
+            out = {}
+            for name, v in batch.items():
+                if name not in self._pending:
+                    raise InvalidInputError(f"unknown column {name}")
+                if isinstance(v, pa.Array):
+                    out[name] = ColumnData.from_arrow(v)
+                elif isinstance(v, np.ndarray) and v.ndim == 2:
+                    f = self.schema.field(name)
+                    if not pa.types.is_fixed_size_list(f.type):
+                        raise InvalidInputError(f"2-D numpy for non-FSL column {name}")
+                    out[name] = ColumnData(
+                        "fixed", v.shape[0], np.ascontiguousarray(v).reshape(-1),
+                        None, None, v.shape[1], f.type,
+                    )
+                elif isinstance(v, np.ndarray):
+                    f = self.schema.field(name)
+                    kind = "bool" if v.dtype == np.bool_ else "fixed"
+                    out[name] = ColumnData(kind, v.shape[0], v, None, None, 1, f.type)
+                else:
+                    arr = pa.array(v, type=self.schema.field(name).to_arrow().type)
+                    out[name] = ColumnData.from_arrow(arr)
+            return out
+        raise InvalidInputError(f"unsupported batch type {type(batch)}")
+
+    # -- page flushing ----------------------------------------------------------
+
+    def _flush_column(self, name: str) -> None:
+        chunks = self._pending[name]
+        if not chunks:
+            return
+        col = concat_column_data(chunks)
+        page = encode_page(col, self.compression)
+        self._append_page(name, page)
+        self._pending[name] = []
+        self._pending_bytes[name] = 0
+
+    def _append_page(self, name: str, page: EncodedPage) -> None:
+        for buf, bdesc in zip(page.buffers, page.desc["buffers"]):
+            bdesc["off"] = self._buf.tell()
+            self._buf.write(buf)
+        self._pages[name].append(page.desc)
+
+    def add_global_buffer(self, name: str, data: bytes) -> None:
+        off = self._buf.tell()
+        self._buf.write(data)
+        self._global_buffers.append({"name": name, "off": off, "len": len(data)})
+
+    def add_metadata(self, key: str, value: str) -> None:
+        self._metadata[key] = value
+
+    # -- finish ------------------------------------------------------------------
+
+    def finish(self) -> int:
+        """Write metadata + footer and persist; returns total file size."""
+        if self._finished:
+            raise InvalidInputError("writer already finished")
+        for name in list(self._pending):
+            self._flush_column(name)
+        meta = {
+            "schema": self.schema.to_json(),
+            "num_rows": self._num_rows,
+            "columns": [
+                {"field_id": f.id, "name": f.name, "pages": self._pages[f.name]}
+                for f in self.schema.fields
+            ],
+            "global_buffers": self._global_buffers,
+            "metadata": self._metadata,
+        }
+        meta_bytes = pack_metadata(meta)
+        meta_off = self._buf.tell()
+        self._buf.write(meta_bytes)
+        self._buf.write(pack_footer(meta_off, len(meta_bytes), self._num_rows, len(self.schema)))
+        data = self._buf.getvalue()
+        self.store.put(self.path, data)
+        self._finished = True
+        return len(data)
+
+    def abort(self) -> None:
+        self._finished = True
+        self._buf = io.BytesIO()
+
+    @property
+    def num_rows(self) -> int:
+        return self._num_rows

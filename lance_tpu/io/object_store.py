@@ -1,0 +1,310 @@
+"""Object-store abstraction: uri -> provider, with memory:// and file:// backends.
+
+Re-design of the reference ObjectStore (rust/lance-io/src/object_store.rs:1-1194
++ providers/): a registry maps uri schemes to providers; stores expose ranged
+reads, atomic conditional puts (the commit primitive), listing, and deletes.
+
+The conditional-put contract (put_if_not_exists) is what makes multi-writer
+ACID commits work without any coordination service (reference:
+rust/lance-table/src/io/commit.rs ConditionalPutCommitHandler):
+- memory://  : single atomic check-and-insert under a lock
+- file://    : O_CREAT|O_EXCL exclusive create, then atomic rename
+
+Cloud providers (s3/gcs/azure) slot in behind the same interface; they are
+registered lazily and stubbed here (no egress in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Callable, Iterable
+from urllib.parse import urlparse
+
+from ..errors import IOError_, NotFoundError
+
+
+@dataclass
+class ObjectMeta:
+    path: str
+    size: int
+
+
+class ObjectStore:
+    """Abstract object store. Paths are '/'-separated keys relative to root."""
+
+    scheme: str = "?"
+
+    # -- reads ---------------------------------------------------------------
+
+    def get(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        raise NotImplementedError
+
+    def get_ranges(self, path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
+        """Batched ranged reads; providers may coalesce."""
+        return [self.get_range(path, s, l) for s, l in ranges]
+
+    def head(self, path: str) -> ObjectMeta:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.head(path)
+            return True
+        except NotFoundError:
+            return False
+
+    # -- writes ---------------------------------------------------------------
+
+    def put(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        """Atomically create `path` with `data`; False if it already exists."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        raise NotImplementedError
+
+    def copy(self, src: str, dst: str) -> None:
+        self.put(dst, self.get(src))
+
+    # -- tuning ---------------------------------------------------------------
+
+    def io_parallelism(self) -> int:
+        return int(os.environ.get("LANCE_TPU_IO_THREADS", "8"))
+
+    def block_size(self) -> int:
+        return 4096
+
+
+class MemoryStore(ObjectStore):
+    """In-memory store — the standard test double (reference:
+    ObjectStore::memory(), rust/lance-io/src/object_store.rs:438)."""
+
+    scheme = "memory"
+
+    def __init__(self) -> None:
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def get(self, path: str) -> bytes:
+        with self._lock:
+            try:
+                return self._objects[path]
+            except KeyError:
+                raise NotFoundError(path) from None
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        data = self.get(path)
+        return data[start : start + length]
+
+    def head(self, path: str) -> ObjectMeta:
+        with self._lock:
+            if path not in self._objects:
+                raise NotFoundError(path)
+            return ObjectMeta(path, len(self._objects[path]))
+
+    def put(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[path] = bytes(data)
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            if path in self._objects:
+                return False
+            self._objects[path] = bytes(data)
+            return True
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        with self._lock:
+            return sorted(
+                (ObjectMeta(p, len(d)) for p, d in self._objects.items() if p.startswith(prefix)),
+                key=lambda m: m.path,
+            )
+
+    def io_parallelism(self) -> int:
+        return 16
+
+
+class LocalStore(ObjectStore):
+    """Local filesystem store rooted at a directory."""
+
+    scheme = "file"
+
+    def __init__(self, root: str) -> None:
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    def _full(self, path: str) -> str:
+        return os.path.join(self.root, path)
+
+    def get(self, path: str) -> bytes:
+        try:
+            with open(self._full(path), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            raise NotFoundError(path) from None
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        try:
+            with open(self._full(path), "rb") as f:
+                f.seek(start)
+                return f.read(length)
+        except FileNotFoundError:
+            raise NotFoundError(path) from None
+
+    def get_ranges(self, path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
+        try:
+            with open(self._full(path), "rb") as f:
+                out = []
+                for start, length in ranges:
+                    f.seek(start)
+                    out.append(f.read(length))
+                return out
+        except FileNotFoundError:
+            raise NotFoundError(path) from None
+
+    def head(self, path: str) -> ObjectMeta:
+        try:
+            return ObjectMeta(path, os.path.getsize(self._full(path)))
+        except OSError:
+            raise NotFoundError(path) from None
+
+    def put(self, path: str, data: bytes) -> None:
+        full = self._full(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        tmp = f"{full}.tmp-{uuid_mod.uuid4().hex[:12]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, full)  # atomic on POSIX
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        full = self._full(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        try:
+            fd = os.open(full, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+        except BaseException:
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
+            raise
+        return True
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(self._full(path))
+        except FileNotFoundError:
+            pass
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        out = []
+        base = self.root
+        for dirpath, _dirs, files in os.walk(base):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, base).replace(os.sep, "/")
+                if rel.startswith(prefix):
+                    out.append(ObjectMeta(rel, os.path.getsize(full)))
+        return sorted(out, key=lambda m: m.path)
+
+    def io_parallelism(self) -> int:
+        return int(os.environ.get("LANCE_TPU_IO_THREADS", str((os.cpu_count() or 4) * 2)))
+
+
+class ObjectStoreRegistry:
+    """scheme -> provider factory (reference: ObjectStoreRegistry)."""
+
+    def __init__(self) -> None:
+        self._providers: dict[str, Callable[[str], tuple[ObjectStore, str]]] = {}
+        self._memory_stores: dict[str, MemoryStore] = {}
+        self.register("memory", self._memory_provider)
+        self.register("file", self._file_provider)
+
+    def register(self, scheme: str, provider: Callable[[str], tuple[ObjectStore, str]]) -> None:
+        self._providers[scheme] = provider
+
+    def _memory_provider(self, uri: str) -> tuple[ObjectStore, str]:
+        parsed = urlparse(uri)
+        name = parsed.netloc or "default"
+        store = self._memory_stores.setdefault(name, MemoryStore())
+        return store, parsed.path.lstrip("/")
+
+    def _file_provider(self, uri: str) -> tuple[ObjectStore, str]:
+        parsed = urlparse(uri)
+        path = parsed.path if parsed.scheme else uri
+        return LocalStore(path), ""
+
+    def for_uri(self, uri: str) -> tuple[ObjectStore, str]:
+        """Resolve uri -> (store, base_path_within_store)."""
+        parsed = urlparse(uri)
+        scheme = parsed.scheme or "file"
+        if scheme not in self._providers:
+            raise IOError_(f"no object-store provider for scheme '{scheme}'")
+        return self._providers[scheme](uri)
+
+
+DEFAULT_REGISTRY = ObjectStoreRegistry()
+
+
+def store_for_uri(uri: str) -> tuple[ObjectStore, str]:
+    return DEFAULT_REGISTRY.for_uri(uri)
+
+
+class PrefixedStore(ObjectStore):
+    """View of a store under a path prefix (dataset root)."""
+
+    def __init__(self, inner: ObjectStore, prefix: str):
+        self.inner = inner
+        self.prefix = prefix.strip("/")
+
+    def _p(self, path: str) -> str:
+        return f"{self.prefix}/{path}" if self.prefix else path
+
+    def get(self, path: str) -> bytes:
+        return self.inner.get(self._p(path))
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        return self.inner.get_range(self._p(path), start, length)
+
+    def get_ranges(self, path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
+        return self.inner.get_ranges(self._p(path), ranges)
+
+    def head(self, path: str) -> ObjectMeta:
+        m = self.inner.head(self._p(path))
+        return ObjectMeta(path, m.size)
+
+    def put(self, path: str, data: bytes) -> None:
+        self.inner.put(self._p(path), data)
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        return self.inner.put_if_not_exists(self._p(path), data)
+
+    def delete(self, path: str) -> None:
+        self.inner.delete(self._p(path))
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        full_prefix = self._p(prefix)
+        skip = len(self.prefix) + 1 if self.prefix else 0
+        return [ObjectMeta(m.path[skip:], m.size) for m in self.inner.list(full_prefix)]
+
+    def io_parallelism(self) -> int:
+        return self.inner.io_parallelism()

@@ -1,0 +1,163 @@
+"""Priority + backpressure read scheduler.
+
+Re-design of the reference ScanScheduler/FileScheduler
+(rust/lance-io/src/scheduler.rs:591,800): a global priority queue of ranged
+reads served by an I/O thread pool, with backpressure on bytes-in-flight
+(io_buffer_size) and deadlock-avoidance via priority admission — the
+lowest-priority-number (earliest-needed) request is always admitted even if
+the buffer is over budget (reference scheduler.rs:237-256).
+
+On the TPU build this is the host-side half of the host->device pipeline:
+it keeps object-store reads ahead of the decode + H2D stages without
+stalling them. Priorities are (file_seq << 32 | request_seq) like the
+reference, so earlier files/batches decode first and memory stays bounded.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+from .object_store import ObjectStore
+
+DEFAULT_IO_BUFFER_BYTES = 32 * 1024 * 1024
+
+
+@dataclass(order=True)
+class _Request:
+    priority: int
+    seq: int
+    path: str = field(compare=False)
+    ranges: list = field(compare=False)
+    future: Future = field(compare=False)
+    nbytes: int = field(compare=False, default=0)
+
+
+@dataclass
+class ScanStats:
+    iops: int = 0
+    requests: int = 0
+    bytes_read: int = 0
+
+
+class ScanScheduler:
+    """Shared scheduler; create one per scan (or share via Session)."""
+
+    def __init__(
+        self,
+        store: ObjectStore,
+        io_parallelism: int | None = None,
+        io_buffer_bytes: int | None = None,
+    ):
+        self.store = store
+        self.parallelism = io_parallelism or store.io_parallelism()
+        self.io_buffer_bytes = io_buffer_bytes or int(
+            os.environ.get("LANCE_TPU_IO_BUFFER_BYTES", DEFAULT_IO_BUFFER_BYTES)
+        )
+        self.stats = ScanStats()
+        self._queue: list[_Request] = []
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._bytes_in_flight = 0
+        self._min_admitted_priority = None
+        self._seq = 0
+        self._file_seq = 0
+        self._closed = False
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True, name=f"lance-io-{i}")
+            for i in range(self.parallelism)
+        ]
+        for t in self._threads:
+            t.start()
+
+    def open_file(self, path: str) -> "FileScheduler":
+        with self._lock:
+            fs = self._file_seq
+            self._file_seq += 1
+        return FileScheduler(self, path, fs)
+
+    def submit(self, path: str, ranges: list[tuple[int, int]], priority: int) -> Future:
+        fut: Future = Future()
+        nbytes = sum(l for _, l in ranges)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("scheduler closed")
+            req = _Request(priority, self._seq, path, ranges, fut, nbytes)
+            self._seq += 1
+            heapq.heappush(self._queue, req)
+            self.stats.requests += 1
+            self._cv.notify()
+        return fut
+
+    def _admit(self) -> _Request | None:
+        """Pop next request if within budget, or if it is the most urgent."""
+        if not self._queue:
+            return None
+        head = self._queue[0]
+        # Always admit the most-urgent request (deadlock avoidance): if nothing
+        # is in flight, or this request has strictly the smallest priority so
+        # far, it must proceed regardless of the byte budget.
+        if (
+            self._bytes_in_flight == 0
+            or self._bytes_in_flight + head.nbytes <= self.io_buffer_bytes
+        ):
+            return heapq.heappop(self._queue)
+        return None
+
+    def _worker(self) -> None:
+        while True:
+            with self._cv:
+                req = self._admit()
+                while req is None:
+                    if self._closed:
+                        return
+                    self._cv.wait()
+                    req = self._admit()
+                self._bytes_in_flight += req.nbytes
+            try:
+                data = self.store.get_ranges(req.path, req.ranges)
+                with self._lock:
+                    self.stats.iops += len(req.ranges)
+                    self.stats.bytes_read += sum(len(d) for d in data)
+                req.future.set_result(data)
+            except BaseException as e:  # propagate to the consumer
+                req.future.set_exception(e)
+            finally:
+                with self._cv:
+                    self._bytes_in_flight -= req.nbytes
+                    self._cv.notify_all()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FileScheduler:
+    """Per-file handle issuing reads at (file_seq << 32 | submit_seq) priority."""
+
+    def __init__(self, parent: ScanScheduler, path: str, file_seq: int):
+        self.parent = parent
+        self.path = path
+        self.file_seq = file_seq
+        self._req_seq = 0
+        self._lock = threading.Lock()
+
+    def submit_request(self, ranges: list[tuple[int, int]], priority: int | None = None) -> Future:
+        with self._lock:
+            seq = self._req_seq
+            self._req_seq += 1
+        prio = priority if priority is not None else (self.file_seq << 32) | seq
+        return self.parent.submit(self.path, ranges, prio)
+
+    def submit_single(self, start: int, length: int) -> Future:
+        return self.submit_request([(start, length)])

@@ -1,0 +1,87 @@
+"""IOPS/byte-counting store wrapper for tests.
+
+Re-design of the reference's tracking store
+(rust/lance-io/src/utils/tracking_store.rs, 455 LoC) — tests wrap a store in
+this to assert I/O budgets ("take of K rows must issue <= N read requests"),
+which is how the random-access contract is enforced by CI rather than by
+hand-waving.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from .object_store import ObjectMeta, ObjectStore
+
+
+@dataclass
+class IoStats:
+    read_iops: int = 0
+    read_bytes: int = 0
+    write_iops: int = 0
+    write_bytes: int = 0
+    requests: list = field(default_factory=list)
+
+    def reset(self) -> None:
+        self.read_iops = 0
+        self.read_bytes = 0
+        self.write_iops = 0
+        self.write_bytes = 0
+        self.requests.clear()
+
+
+class TrackingStore(ObjectStore):
+    def __init__(self, inner: ObjectStore):
+        self.inner = inner
+        self.stats = IoStats()
+        self._lock = threading.Lock()
+
+    def _record_read(self, path: str, nbytes: int, nreq: int = 1) -> None:
+        with self._lock:
+            self.stats.read_iops += nreq
+            self.stats.read_bytes += nbytes
+            self.stats.requests.append(("read", path, nbytes))
+
+    def _record_write(self, path: str, nbytes: int) -> None:
+        with self._lock:
+            self.stats.write_iops += 1
+            self.stats.write_bytes += nbytes
+            self.stats.requests.append(("write", path, nbytes))
+
+    def get(self, path: str) -> bytes:
+        data = self.inner.get(path)
+        self._record_read(path, len(data))
+        return data
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        data = self.inner.get_range(path, start, length)
+        self._record_read(path, len(data))
+        return data
+
+    def get_ranges(self, path: str, ranges):
+        out = self.inner.get_ranges(path, ranges)
+        self._record_read(path, sum(len(d) for d in out), nreq=len(out))
+        return out
+
+    def head(self, path: str) -> ObjectMeta:
+        return self.inner.head(path)
+
+    def put(self, path: str, data: bytes) -> None:
+        self.inner.put(path, data)
+        self._record_write(path, len(data))
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        ok = self.inner.put_if_not_exists(path, data)
+        if ok:
+            self._record_write(path, len(data))
+        return ok
+
+    def delete(self, path: str) -> None:
+        self.inner.delete(path)
+
+    def list(self, prefix: str = ""):
+        return self.inner.list(prefix)
+
+    def io_parallelism(self) -> int:
+        return self.inner.io_parallelism()

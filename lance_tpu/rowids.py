@@ -1,0 +1,272 @@
+"""Row addresses, row-id sets, and allow/block masks.
+
+Re-design of the reference's row-id machinery:
+- `RowAddress` = fragment_id << 32 | row_offset (reference:
+  rust/lance-core/src/utils/address.rs semantics).
+- `RowIdTreeMap`: a set of u64 row addresses grouped by fragment, with
+  "full fragment" fast paths (reference: lance-core/src/utils/mask.rs
+  RowIdTreeMap over roaring bitmaps). We use sorted numpy uint32 arrays per
+  fragment — vectorized set algebra, and zero-copy handoff to device-side
+  boolean masks at query time (TPU kernels consume dense masks, not roaring).
+- `RowIdMask`: allow/block pair with the same semantics as the reference's
+  (mask.rs:1-1275): None = "everything" for allow, "nothing" for block.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+FRAG_SHIFT = 32
+ROW_MASK = (1 << 32) - 1
+
+# sentinel: whole-fragment membership without materializing offsets
+_FULL = "full"
+
+
+def row_address(fragment_id: int, offset: int) -> int:
+    return (fragment_id << FRAG_SHIFT) | offset
+
+
+def split_address(addr: int) -> tuple[int, int]:
+    return addr >> FRAG_SHIFT, addr & ROW_MASK
+
+
+def split_addresses(addrs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    addrs = np.asarray(addrs, dtype=np.uint64)
+    return (addrs >> np.uint64(FRAG_SHIFT)).astype(np.uint32), (
+        addrs & np.uint64(ROW_MASK)
+    ).astype(np.uint32)
+
+
+class RowIdTreeMap:
+    """Set of 64-bit row addresses, stored per-fragment."""
+
+    def __init__(self) -> None:
+        # frag_id -> sorted np.uint32 offsets, or _FULL
+        self._frags: dict[int, np.ndarray | str] = {}
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_addresses(cls, addrs: Iterable[int] | np.ndarray) -> "RowIdTreeMap":
+        out = cls()
+        arr = np.asarray(list(addrs) if not isinstance(addrs, np.ndarray) else addrs, dtype=np.uint64)
+        if arr.size == 0:
+            return out
+        frags, offs = split_addresses(arr)
+        order = np.argsort(frags, kind="stable")
+        frags, offs = frags[order], offs[order]
+        bounds = np.flatnonzero(np.diff(frags)) + 1
+        for chunk_f, chunk_o in zip(
+            np.split(frags, bounds), np.split(offs, bounds)
+        ):
+            if chunk_f.size:
+                out._frags[int(chunk_f[0])] = np.unique(chunk_o)
+        return out
+
+    def insert_fragment(self, fragment_id: int) -> None:
+        self._frags[fragment_id] = _FULL
+
+    def insert_offsets(self, fragment_id: int, offsets: np.ndarray) -> None:
+        offsets = np.unique(np.asarray(offsets, dtype=np.uint32))
+        cur = self._frags.get(fragment_id)
+        if cur is None:
+            self._frags[fragment_id] = offsets
+        elif isinstance(cur, str):
+            pass  # already full
+        else:
+            self._frags[fragment_id] = np.union1d(cur, offsets)
+
+    # -- queries -------------------------------------------------------------
+
+    def contains(self, addr: int) -> bool:
+        frag, off = split_address(addr)
+        cur = self._frags.get(frag)
+        if cur is None:
+            return False
+        if isinstance(cur, str):
+            return True
+        return bool(np.searchsorted(cur, off) < cur.size and cur[np.searchsorted(cur, off)] == off)
+
+    def contains_many(self, addrs: np.ndarray) -> np.ndarray:
+        """Vectorized membership test -> bool array."""
+        addrs = np.asarray(addrs, dtype=np.uint64)
+        out = np.zeros(addrs.shape, dtype=bool)
+        frags, offs = split_addresses(addrs)
+        for frag in np.unique(frags):
+            cur = self._frags.get(int(frag))
+            if cur is None:
+                continue
+            sel = frags == frag
+            if isinstance(cur, str):
+                out[sel] = True
+            else:
+                pos = np.searchsorted(cur, offs[sel])
+                pos = np.minimum(pos, cur.size - 1) if cur.size else pos
+                if cur.size:
+                    out[sel] = cur[pos] == offs[sel]
+        return out
+
+    def fragment_offsets(self, fragment_id: int, num_rows: int | None = None) -> np.ndarray | None:
+        """Offsets present for a fragment; expands _FULL if num_rows given."""
+        cur = self._frags.get(fragment_id)
+        if cur is None:
+            return None
+        if isinstance(cur, str):
+            if num_rows is None:
+                raise ValueError("full fragment requires num_rows to materialize")
+            return np.arange(num_rows, dtype=np.uint32)
+        return cur
+
+    def fragments(self) -> list[int]:
+        return sorted(self._frags)
+
+    def __len__(self) -> int:
+        n = 0
+        for v in self._frags.values():
+            if isinstance(v, str):
+                raise ValueError("len() undefined with full fragments")
+            n += v.size
+        return n
+
+    def is_empty(self) -> bool:
+        return not self._frags
+
+    def to_addresses(self) -> np.ndarray:
+        parts = []
+        for frag, v in sorted(self._frags.items()):
+            if isinstance(v, str):
+                raise ValueError("cannot materialize full fragment without row count")
+            parts.append((np.uint64(frag) << np.uint64(FRAG_SHIFT)) | v.astype(np.uint64))
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        return np.concatenate(parts)
+
+    # -- set algebra ----------------------------------------------------------
+
+    def union(self, other: "RowIdTreeMap") -> "RowIdTreeMap":
+        out = RowIdTreeMap()
+        for frag in set(self._frags) | set(other._frags):
+            a, b = self._frags.get(frag), other._frags.get(frag)
+            if isinstance(a, str) or isinstance(b, str):
+                out._frags[frag] = _FULL
+            elif a is None:
+                out._frags[frag] = b.copy()
+            elif b is None:
+                out._frags[frag] = a.copy()
+            else:
+                out._frags[frag] = np.union1d(a, b)
+        return out
+
+    def intersection(self, other: "RowIdTreeMap") -> "RowIdTreeMap":
+        out = RowIdTreeMap()
+        for frag in set(self._frags) & set(other._frags):
+            a, b = self._frags[frag], other._frags[frag]
+            if isinstance(a, str) and isinstance(b, str):
+                out._frags[frag] = _FULL
+            elif isinstance(a, str):
+                out._frags[frag] = b.copy()
+            elif isinstance(b, str):
+                out._frags[frag] = a.copy()
+            else:
+                inter = np.intersect1d(a, b)
+                if inter.size:
+                    out._frags[frag] = inter
+        return out
+
+    def difference(self, other: "RowIdTreeMap") -> "RowIdTreeMap":
+        out = RowIdTreeMap()
+        for frag, a in self._frags.items():
+            b = other._frags.get(frag)
+            if b is None:
+                out._frags[frag] = a if isinstance(a, str) else a.copy()
+            elif isinstance(b, str):
+                continue
+            elif isinstance(a, str):
+                raise ValueError("difference of full fragment by offset set needs row count")
+            else:
+                diff = np.setdiff1d(a, b)
+                if diff.size:
+                    out._frags[frag] = diff
+        return out
+
+    def copy(self) -> "RowIdTreeMap":
+        out = RowIdTreeMap()
+        out._frags = {k: (v if isinstance(v, str) else v.copy()) for k, v in self._frags.items()}
+        return out
+
+
+class RowIdMask:
+    """Allow/block mask (reference: lance-core/src/utils/mask.rs RowIdMask).
+
+    allow=None means "allow everything"; block=None means "block nothing".
+    """
+
+    def __init__(self, allow: RowIdTreeMap | None = None, block: RowIdTreeMap | None = None):
+        self.allow = allow
+        self.block = block
+
+    @classmethod
+    def all_rows(cls) -> "RowIdMask":
+        return cls()
+
+    @classmethod
+    def allow_list(cls, m: RowIdTreeMap) -> "RowIdMask":
+        return cls(allow=m)
+
+    @classmethod
+    def block_list(cls, m: RowIdTreeMap) -> "RowIdMask":
+        return cls(block=m)
+
+    def selected(self, addr: int) -> bool:
+        if self.block is not None and self.block.contains(addr):
+            return False
+        if self.allow is not None:
+            return self.allow.contains(addr)
+        return True
+
+    def selected_many(self, addrs: np.ndarray) -> np.ndarray:
+        out = np.ones(len(addrs), dtype=bool)
+        if self.allow is not None:
+            out &= self.allow.contains_many(addrs)
+        if self.block is not None:
+            out &= ~self.block.contains_many(addrs)
+        return out
+
+    def also_block(self, m: RowIdTreeMap) -> "RowIdMask":
+        block = m if self.block is None else self.block.union(m)
+        return RowIdMask(self.allow, block)
+
+    def also_allow(self, m: RowIdTreeMap) -> "RowIdMask":
+        # allow=None means everything is allowed; union keeps everything
+        if self.allow is None:
+            return RowIdMask(None, self.block)
+        return RowIdMask(self.allow.union(m), self.block)
+
+    def __and__(self, other: "RowIdMask") -> "RowIdMask":
+        if self.allow is None:
+            allow = other.allow
+        elif other.allow is None:
+            allow = self.allow
+        else:
+            allow = self.allow.intersection(other.allow)
+        if self.block is None:
+            block = other.block
+        elif other.block is None:
+            block = self.block
+        else:
+            block = self.block.union(other.block)
+        return RowIdMask(allow, block)
+
+    def __or__(self, other: "RowIdMask") -> "RowIdMask":
+        if self.allow is None or other.allow is None:
+            allow = None
+        else:
+            allow = self.allow.union(other.allow)
+        if self.block is None or other.block is None:
+            block = None
+        else:
+            block = self.block.intersection(other.block)
+        return RowIdMask(allow, block)

@@ -1,0 +1,354 @@
+"""Lance-TPU schema: an Arrow schema annotated with stable field ids.
+
+Re-design of the reference's Lance schema (rust/lance-core/src/datatypes/
+schema.rs, field.rs): every field (including nested children) carries a
+dataset-unique integer id so that columns can be added/dropped/renamed
+without rewriting data files, and so data files can store *subsets* of
+columns (column groups / schema evolution).
+
+We represent fields as a flat tree of `Field` nodes and provide the same
+core operations the reference exposes: projection (by name / id), merge,
+intersection, field-id (re)assignment, and max-id tracking.
+
+Arrow interop: `Schema.to_arrow()` / `Schema.from_arrow()` convert to
+`pyarrow.Schema`; logical types are serialized via a compact JSON type
+grammar (see `_type_to_json`), giving us a storage-format contract that
+does not depend on pyarrow wire stability.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field as dc_field
+from typing import Iterable, Sequence
+
+import pyarrow as pa
+
+from .errors import InvalidInputError, SchemaError
+
+# ---------------------------------------------------------------------------
+# Type <-> JSON grammar
+# ---------------------------------------------------------------------------
+
+_PRIMITIVE_NAMES = {
+    "null": pa.null(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float16": pa.float16(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "date32": pa.date32(),
+    "date64": pa.date64(),
+}
+_NAME_BY_TYPE = {v: k for k, v in _PRIMITIVE_NAMES.items()}
+
+
+def _type_to_json(t: pa.DataType) -> dict | str:
+    if t in _NAME_BY_TYPE:
+        return _NAME_BY_TYPE[t]
+    if pa.types.is_fixed_size_list(t):
+        return {
+            "type": "fixed_size_list",
+            "size": t.list_size,
+            "value": _type_to_json(t.value_type),
+        }
+    if pa.types.is_fixed_size_binary(t):
+        return {"type": "fixed_size_binary", "width": t.byte_width}
+    if pa.types.is_list(t):
+        return {"type": "list", "value": _type_to_json(t.value_type)}
+    if pa.types.is_large_list(t):
+        return {"type": "large_list", "value": _type_to_json(t.value_type)}
+    if pa.types.is_struct(t):
+        # children serialized by the Field tree, not here
+        return {"type": "struct"}
+    if pa.types.is_dictionary(t):
+        return {
+            "type": "dictionary",
+            "index": _type_to_json(t.index_type),
+            "value": _type_to_json(t.value_type),
+        }
+    if pa.types.is_timestamp(t):
+        return {"type": "timestamp", "unit": t.unit, "tz": t.tz}
+    if pa.types.is_time32(t):
+        return {"type": "time32", "unit": t.unit}
+    if pa.types.is_time64(t):
+        return {"type": "time64", "unit": t.unit}
+    if pa.types.is_duration(t):
+        return {"type": "duration", "unit": t.unit}
+    if pa.types.is_decimal(t):
+        return {"type": "decimal128", "precision": t.precision, "scale": t.scale}
+    raise SchemaError(f"unsupported arrow type: {t}")
+
+
+def _type_from_json(j: dict | str, children: list[pa.Field] | None = None) -> pa.DataType:
+    if isinstance(j, str):
+        return _PRIMITIVE_NAMES[j]
+    kind = j["type"]
+    if kind == "fixed_size_list":
+        return pa.list_(_type_from_json(j["value"]), j["size"])
+    if kind == "fixed_size_binary":
+        return pa.binary(j["width"])
+    if kind == "list":
+        return pa.list_(_type_from_json(j["value"]))
+    if kind == "large_list":
+        return pa.large_list(_type_from_json(j["value"]))
+    if kind == "struct":
+        return pa.struct(children or [])
+    if kind == "dictionary":
+        return pa.dictionary(_type_from_json(j["index"]), _type_from_json(j["value"]))
+    if kind == "timestamp":
+        return pa.timestamp(j["unit"], tz=j.get("tz"))
+    if kind == "time32":
+        return pa.time32(j["unit"])
+    if kind == "time64":
+        return pa.time64(j["unit"])
+    if kind == "duration":
+        return pa.duration(j["unit"])
+    if kind == "decimal128":
+        return pa.decimal128(j["precision"], j["scale"])
+    raise SchemaError(f"unsupported type json: {j!r}")
+
+
+# ---------------------------------------------------------------------------
+# Field / Schema
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Field:
+    """A named, id-carrying field (reference: lance-core/src/datatypes/field.rs)."""
+
+    name: str
+    type: pa.DataType
+    id: int = -1
+    nullable: bool = True
+    children: list["Field"] = dc_field(default_factory=list)
+    metadata: dict[str, str] = dc_field(default_factory=dict)
+
+    @classmethod
+    def from_arrow(cls, f: pa.Field) -> "Field":
+        children: list[Field] = []
+        t = f.type
+        if pa.types.is_struct(t):
+            children = [cls.from_arrow(t.field(i)) for i in range(t.num_fields)]
+        md = {}
+        if f.metadata:
+            md = {k.decode(): v.decode() for k, v in f.metadata.items()}
+        return cls(name=f.name, type=t, nullable=f.nullable, children=children, metadata=md)
+
+    def to_arrow(self) -> pa.Field:
+        t = self.type
+        if pa.types.is_struct(t):
+            t = pa.struct([c.to_arrow() for c in self.children])
+        md = {k.encode(): v.encode() for k, v in self.metadata.items()} or None
+        return pa.field(self.name, t, nullable=self.nullable, metadata=md)
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "id": self.id,
+            "nullable": self.nullable,
+            "logical_type": _type_to_json(self.type),
+            "children": [c.to_json() for c in self.children],
+            "metadata": self.metadata,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Field":
+        children = [cls.from_json(c) for c in j.get("children", [])]
+        t = _type_from_json(j["logical_type"], [c.to_arrow() for c in children])
+        return cls(
+            name=j["name"],
+            type=t,
+            id=j["id"],
+            nullable=j.get("nullable", True),
+            children=children,
+            metadata=j.get("metadata", {}),
+        )
+
+    def walk(self) -> Iterable["Field"]:
+        yield self
+        for c in self.children:
+            yield from c.walk()
+
+    def copy(self) -> "Field":
+        return Field(
+            name=self.name,
+            type=self.type,
+            id=self.id,
+            nullable=self.nullable,
+            children=[c.copy() for c in self.children],
+            metadata=dict(self.metadata),
+        )
+
+
+class Schema:
+    """Ordered collection of top-level Fields with dataset-unique ids."""
+
+    def __init__(self, fields: Sequence[Field], metadata: dict[str, str] | None = None):
+        self.fields: list[Field] = list(fields)
+        self.metadata: dict[str, str] = dict(metadata or {})
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_arrow(cls, schema: pa.Schema, assign_ids: bool = True) -> "Schema":
+        fields = [Field.from_arrow(schema.field(i)) for i in range(len(schema))]
+        md = {}
+        if schema.metadata:
+            md = {k.decode(): v.decode() for k, v in schema.metadata.items()}
+        out = cls(fields, md)
+        if assign_ids:
+            out.assign_field_ids()
+        return out
+
+    def to_arrow(self) -> pa.Schema:
+        md = {k.encode(): v.encode() for k, v in self.metadata.items()} or None
+        return pa.schema([f.to_arrow() for f in self.fields], metadata=md)
+
+    def to_json(self) -> dict:
+        return {
+            "fields": [f.to_json() for f in self.fields],
+            "metadata": self.metadata,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Schema":
+        return cls([Field.from_json(f) for f in j["fields"]], j.get("metadata", {}))
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_json())
+
+    @classmethod
+    def loads(cls, s: str) -> "Schema":
+        return cls.from_json(json.loads(s))
+
+    # -- field ids ----------------------------------------------------------
+
+    def assign_field_ids(self, start: int = 0) -> int:
+        """Assign sequential ids to every field missing one; returns max id."""
+        nxt = max(self.max_field_id() + 1, start)
+        for f in self._walk():
+            if f.id < 0:
+                f.id = nxt
+                nxt += 1
+        return nxt - 1
+
+    def max_field_id(self) -> int:
+        mx = -1
+        for f in self._walk():
+            mx = max(mx, f.id)
+        return mx
+
+    def _walk(self) -> Iterable[Field]:
+        for f in self.fields:
+            yield from f.walk()
+
+    # -- lookup -------------------------------------------------------------
+
+    def field(self, name: str) -> Field:
+        """Lookup by (possibly dotted nested) name."""
+        parts = name.split(".")
+        scope = self.fields
+        cur: Field | None = None
+        for p in parts:
+            cur = next((f for f in scope if f.name == p), None)
+            if cur is None:
+                raise SchemaError(f"field not found: {name}")
+            scope = cur.children
+        assert cur is not None
+        return cur
+
+    def field_by_id(self, fid: int) -> Field:
+        for f in self._walk():
+            if f.id == fid:
+                return f
+        raise SchemaError(f"field id not found: {fid}")
+
+    def has_field(self, name: str) -> bool:
+        try:
+            self.field(name)
+            return True
+        except SchemaError:
+            return False
+
+    @property
+    def names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def field_ids(self) -> list[int]:
+        return [f.id for f in self._walk()]
+
+    # -- algebra (projection / merge / intersection / exclusion) -------------
+
+    def project(self, names: Sequence[str]) -> "Schema":
+        out = []
+        for n in names:
+            f = self.field(n)  # raises if missing (top-level only for now)
+            if "." in n:
+                raise InvalidInputError("nested projection not yet supported")
+            out.append(f.copy())
+        return Schema(out, dict(self.metadata))
+
+    def project_by_ids(self, ids: Sequence[int]) -> "Schema":
+        idset = set(ids)
+        out = [f.copy() for f in self.fields if f.id in idset]
+        return Schema(out, dict(self.metadata))
+
+    def exclude(self, names: Sequence[str]) -> "Schema":
+        drop = set(names)
+        return Schema([f.copy() for f in self.fields if f.name not in drop], dict(self.metadata))
+
+    def merge(self, other: "Schema") -> "Schema":
+        """Append other's top-level fields that we don't already have."""
+        existing = set(self.names)
+        out = [f.copy() for f in self.fields]
+        for f in other.fields:
+            if f.name not in existing:
+                out.append(f.copy())
+        merged = Schema(out, dict(self.metadata))
+        merged.assign_field_ids()
+        return merged
+
+    def intersection(self, other: "Schema") -> "Schema":
+        names = set(other.names)
+        return Schema([f.copy() for f in self.fields if f.name in names], dict(self.metadata))
+
+    # -- misc ---------------------------------------------------------------
+
+    def validate(self) -> None:
+        seen: set[int] = set()
+        names: set[str] = set()
+        for f in self.fields:
+            if f.name in names:
+                raise SchemaError(f"duplicate field name: {f.name}")
+            names.add(f.name)
+        for f in self._walk():
+            if f.id < 0:
+                raise SchemaError(f"field {f.name} has unassigned id")
+            if f.id in seen:
+                raise SchemaError(f"duplicate field id: {f.id}")
+            seen.add(f.id)
+
+    def __len__(self) -> int:
+        return len(self.fields)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Schema):
+            return NotImplemented
+        return self.to_json() == other.to_json()
+
+    def __repr__(self) -> str:
+        inner = ", ".join(f"{f.name}#{f.id}:{f.type}" for f in self.fields)
+        return f"Schema({inner})"

@@ -1,0 +1,29 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on a forced 8-device CPU backend (the same XLA partitioner runs),
+mirroring how the driver dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count=8".strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def memory_store():
+    from lance_tpu.io.object_store import MemoryStore
+
+    return MemoryStore()

@@ -1,0 +1,202 @@
+"""Core-layer tests: schema, cache, row-id masks, deletion vectors, io."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lance_tpu.cache import CapacityCache
+from lance_tpu.deletion import DeletionVector
+from lance_tpu.errors import NotFoundError, SchemaError
+from lance_tpu.io.object_store import LocalStore, MemoryStore, store_for_uri
+from lance_tpu.io.scheduler import ScanScheduler
+from lance_tpu.io.tracking import TrackingStore
+from lance_tpu.rowids import RowIdMask, RowIdTreeMap, row_address, split_address
+from lance_tpu.schema import Field, Schema
+
+
+# -- schema -------------------------------------------------------------------
+
+
+def test_schema_roundtrip():
+    arrow = pa.schema(
+        [
+            pa.field("id", pa.int64(), nullable=False),
+            pa.field("vec", pa.list_(pa.float32(), 128)),
+            pa.field("text", pa.string()),
+            pa.field("meta", pa.struct([pa.field("a", pa.int32()), pa.field("b", pa.string())])),
+        ]
+    )
+    s = Schema.from_arrow(arrow)
+    s.validate()
+    assert s.max_field_id() >= 3
+    j = s.dumps()
+    s2 = Schema.loads(j)
+    assert s2 == s
+    assert s2.to_arrow().names == arrow.names
+    assert s2.field("vec").type == pa.list_(pa.float32(), 128)
+    assert s2.field("meta.a").type == pa.int32()
+
+
+def test_schema_projection_and_merge():
+    s = Schema.from_arrow(pa.schema([("a", pa.int32()), ("b", pa.float64()), ("c", pa.string())]))
+    p = s.project(["c", "a"])
+    assert p.names == ["c", "a"]
+    assert p.field("a").id == s.field("a").id
+    with pytest.raises(SchemaError):
+        s.field("zz")
+    other = Schema.from_arrow(pa.schema([("d", pa.int8())]), assign_ids=False)
+    merged = s.merge(other)
+    assert merged.names == ["a", "b", "c", "d"]
+    merged.validate()
+    excl = s.exclude(["b"])
+    assert excl.names == ["a", "c"]
+
+
+# -- cache ---------------------------------------------------------------------
+
+
+def test_capacity_cache_eviction():
+    c = CapacityCache(capacity_bytes=1000)
+    a = np.zeros(100, dtype=np.uint8)  # 100 bytes each
+    for i in range(20):
+        c.put("p", i, a)
+    assert c.size_bytes <= 1000
+    assert c.get("p", 19) is not None
+    assert c.get("p", 0) is None  # evicted
+    # LRU: touching an entry protects it
+    c.get("p", 15)
+    for i in range(100, 105):
+        c.put("p", i, a)
+    assert c.get("p", 15) is not None
+
+
+def test_cache_get_or_insert():
+    c = CapacityCache(10_000)
+    calls = []
+    v = c.get_or_insert("x", 1, lambda: calls.append(1) or b"abc")
+    v2 = c.get_or_insert("x", 1, lambda: calls.append(1) or b"abc")
+    assert v == v2 == b"abc"
+    assert len(calls) == 1
+
+
+# -- row ids ---------------------------------------------------------------------
+
+
+def test_row_address():
+    addr = row_address(5, 1234)
+    assert split_address(addr) == (5, 1234)
+
+
+def test_rowid_treemap_algebra():
+    a = RowIdTreeMap.from_addresses([row_address(0, i) for i in range(10)])
+    b = RowIdTreeMap.from_addresses([row_address(0, i) for i in range(5, 15)])
+    assert len(a.union(b)) == 15
+    assert len(a.intersection(b)) == 5
+    assert len(a.difference(b)) == 5
+    assert a.contains(row_address(0, 3))
+    assert not a.contains(row_address(1, 3))
+    full = RowIdTreeMap()
+    full.insert_fragment(2)
+    assert full.contains(row_address(2, 999_999))
+    u = a.union(full)
+    assert u.contains(row_address(2, 1))
+
+
+def test_rowid_mask():
+    allow = RowIdTreeMap.from_addresses([1, 2, 3])
+    block = RowIdTreeMap.from_addresses([2])
+    m = RowIdMask(allow=allow, block=block)
+    assert m.selected(1)
+    assert not m.selected(2)
+    assert not m.selected(99)
+    sel = m.selected_many(np.array([1, 2, 3, 4], dtype=np.uint64))
+    assert sel.tolist() == [True, False, True, False]
+    # & and | semantics
+    m2 = RowIdMask.block_list(RowIdTreeMap.from_addresses([3]))
+    both = m & m2
+    assert not both.selected(3)
+    either = m | RowIdMask.allow_list(RowIdTreeMap.from_addresses([4]))
+    assert either.selected(4) or either.selected(1)
+
+
+# -- deletion vectors --------------------------------------------------------------
+
+
+def test_deletion_vector_roundtrip():
+    dv = DeletionVector(np.array([1, 5, 7], dtype=np.uint32), num_rows=10)
+    assert dv.contains(5) and not dv.contains(4)
+    data = dv.to_bytes()
+    dv2 = DeletionVector.from_bytes(data)
+    assert dv2.offsets.tolist() == [1, 5, 7]
+    mask = dv2.mask(10)
+    assert mask.sum() == 3
+    mapper = dv2.build_mapper(10)
+    assert mapper.tolist() == [0, 2, 3, 4, 6, 8, 9]
+
+
+def test_deletion_vector_bitmap_promotion():
+    offsets = np.arange(0, 20000, 3, dtype=np.uint32)
+    dv = DeletionVector(offsets, num_rows=20000)
+    data = dv.to_bytes()
+    dv2 = DeletionVector.from_bytes(data)
+    np.testing.assert_array_equal(dv2.offsets, offsets)
+
+
+# -- object store --------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["memory", "local"])
+def test_object_store_basics(kind, tmp_path):
+    store = MemoryStore() if kind == "memory" else LocalStore(str(tmp_path))
+    store.put("a/b.bin", b"hello")
+    assert store.get("a/b.bin") == b"hello"
+    assert store.get_range("a/b.bin", 1, 3) == b"ell"
+    assert store.head("a/b.bin").size == 5
+    assert store.exists("a/b.bin")
+    with pytest.raises(NotFoundError):
+        store.get("missing")
+    # conditional put
+    assert store.put_if_not_exists("c", b"1")
+    assert not store.put_if_not_exists("c", b"2")
+    assert store.get("c") == b"1"
+    store.put("a/d.bin", b"x")
+    names = [m.path for m in store.list("a/")]
+    assert names == ["a/b.bin", "a/d.bin"]
+    store.delete("c")
+    assert not store.exists("c")
+
+
+def test_store_for_uri(tmp_path):
+    s1, base = store_for_uri("memory://bucket1/ds1")
+    s2, _ = store_for_uri("memory://bucket1/other")
+    assert s1 is s2
+    assert base == "ds1"
+    s3, _ = store_for_uri(str(tmp_path))
+    s3.put("x", b"1")
+    assert (tmp_path / "x").exists()
+
+
+def test_tracking_store():
+    inner = MemoryStore()
+    store = TrackingStore(inner)
+    store.put("f", b"0123456789")
+    store.get_range("f", 0, 4)
+    store.get_ranges("f", [(0, 2), (5, 2)])
+    assert store.stats.write_iops == 1
+    assert store.stats.read_iops == 3
+    assert store.stats.read_bytes == 8
+
+
+def test_scan_scheduler_priority_and_backpressure():
+    store = MemoryStore()
+    for i in range(10):
+        store.put(f"f{i}", bytes(1000))
+    with ScanScheduler(store, io_parallelism=2, io_buffer_bytes=2000) as sched:
+        futs = []
+        for i in range(10):
+            fs = sched.open_file(f"f{i}")
+            futs.append(fs.submit_request([(0, 1000)]))
+        results = [f.result(timeout=10) for f in futs]
+    assert all(len(r[0]) == 1000 for r in results)
+    assert sched.stats.iops == 10
+    assert sched.stats.bytes_read == 10_000

@@ -1,0 +1,196 @@
+"""File format tests: encode/decode round-trips, random access, IO budgets."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lance_tpu.encoding.buffers import decode_buffer, encode_buffer_auto
+from lance_tpu.encoding.pages import ColumnData, decode_page, encode_page
+from lance_tpu.file.reader import FileReader
+from lance_tpu.file.writer import FileWriter
+from lance_tpu.io.object_store import MemoryStore
+from lance_tpu.io.tracking import TrackingStore
+from lance_tpu.schema import Schema
+
+
+# -- buffer codecs ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.arange(1000, dtype=np.int32),
+        np.arange(1000, dtype=np.int64) * 1000 + 5,
+        np.zeros(500, dtype=np.int16),
+        np.repeat(np.array([3, 7, 3, 9], dtype=np.int32), 200),
+        np.random.default_rng(0).normal(size=5000).astype(np.float32),
+        np.random.default_rng(0).integers(0, 127, 3000).astype(np.uint8),
+        np.array([], dtype=np.float64),
+        np.random.default_rng(0).normal(size=10).astype(np.float16),
+    ],
+    ids=["seq-i32", "strided-i64", "zeros", "rle", "f32", "u8", "empty", "f16"],
+)
+def test_buffer_codec_roundtrip(arr):
+    data, desc = encode_buffer_auto(arr)
+    out = decode_buffer(data, desc)
+    np.testing.assert_array_equal(out, arr)
+    assert out.dtype == arr.dtype
+
+
+def test_bitpack_saves_space():
+    arr = np.random.default_rng(0).integers(0, 100, 10000).astype(np.int64)
+    data, desc = encode_buffer_auto(arr, compression="none")
+    assert len(data) < arr.nbytes / 6
+
+
+# -- page round-trips --------------------------------------------------------------
+
+
+def _roundtrip_arrow(arr: pa.Array) -> pa.Array:
+    col = ColumnData.from_arrow(arr)
+    page = encode_page(col)
+    # simulate file offsets
+    decoded = decode_page(page.desc, page.buffers, arr.type)
+    return decoded.to_arrow()
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        pa.array(np.arange(100, dtype=np.int64)),
+        pa.array([1.5, None, 3.5], type=pa.float32()),
+        pa.array(["hello", None, "", "world"]),
+        pa.array([b"ab", b"", b"xyz"], type=pa.binary()),
+        pa.array([True, False, None, True]),
+        pa.array([None, None], type=pa.int32()),
+        pa.FixedSizeListArray.from_arrays(pa.array(np.arange(12, dtype=np.float32)), 4),
+    ],
+    ids=["i64", "f32-null", "str", "bin", "bool", "allnull", "fsl"],
+)
+def test_page_roundtrip(arr):
+    out = _roundtrip_arrow(arr)
+    assert out.to_pylist() == arr.to_pylist()
+
+
+# -- file writer/reader -------------------------------------------------------------
+
+
+def _schema():
+    return Schema.from_arrow(
+        pa.schema(
+            [
+                ("id", pa.int64()),
+                ("vec", pa.list_(pa.float32(), 8)),
+                ("text", pa.string()),
+                ("score", pa.float64()),
+            ]
+        )
+    )
+
+
+def _write_test_file(store, path="test.ltpf", n=10_000, seed=0):
+    rng = np.random.default_rng(seed)
+    schema = _schema()
+    w = FileWriter(store, path, schema)
+    vecs = rng.normal(size=(n, 8)).astype(np.float32)
+    texts = pa.array([f"row-{i}" for i in range(n)])
+    for start in range(0, n, 2048):
+        end = min(start + 2048, n)
+        w.write_batch(
+            {
+                "id": np.arange(start, end, dtype=np.int64),
+                "vec": vecs[start:end],
+                "text": texts[start:end],
+                "score": rng.normal(size=end - start),
+            }
+        )
+    w.add_global_buffer("extra", b"\x01\x02\x03")
+    w.add_metadata("purpose", "test")
+    size = w.finish()
+    assert size > 0
+    return vecs
+
+
+def test_file_roundtrip(memory_store):
+    vecs = _write_test_file(memory_store, n=5000)
+    r = FileReader(memory_store, "test.ltpf")
+    assert r.num_rows == 5000
+    assert r.schema.names == ["id", "vec", "text", "score"]
+    t = r.read_table()
+    assert t.num_rows == 5000
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(5000))
+    got_vecs = np.stack(t["vec"].to_numpy(zero_copy_only=False))
+    np.testing.assert_allclose(got_vecs, vecs, rtol=1e-6)
+    assert t["text"][17].as_py() == "row-17"
+    assert r.read_global_buffer("extra") == b"\x01\x02\x03"
+    assert r.metadata["metadata"]["purpose"] == "test"
+
+
+def test_file_read_range(memory_store):
+    _write_test_file(memory_store, n=5000)
+    r = FileReader(memory_store, "test.ltpf")
+    t = r.read_table(columns=["id"], row_start=1000, row_count=50)
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(1000, 1050))
+    batches = list(r.read_stream(batch_size=1024, columns=["id"]))
+    assert sum(b.num_rows for b in batches) == 5000
+
+
+def test_file_take_preserves_order(memory_store):
+    _write_test_file(memory_store, n=5000)
+    r = FileReader(memory_store, "test.ltpf")
+    idx = np.array([4000, 17, 2500, 17, 0])
+    t = r.take_table(idx)
+    np.testing.assert_array_equal(np.asarray(t["id"]), idx)
+    assert t["text"][0].as_py() == "row-4000"
+
+
+def test_take_io_budget(memory_store):
+    """Random access must not read the whole file (the '100x vs parquet' contract)."""
+    _write_test_file(memory_store, n=50_000)
+    tracked = TrackingStore(memory_store)
+    r = FileReader(tracked, "test.ltpf")
+    tracked.stats.reset()
+    t = r.take_table(np.array([123, 25_000, 49_999]), columns=["vec", "text"])
+    assert t.num_rows == 3
+    file_size = memory_store.head("test.ltpf").size
+    # should read only a tiny fraction of the file
+    assert tracked.stats.read_bytes < file_size * 0.02, (
+        tracked.stats.read_bytes,
+        file_size,
+    )
+    assert tracked.stats.read_iops < 30
+
+
+def test_file_with_nulls_roundtrip(memory_store):
+    schema = Schema.from_arrow(pa.schema([("a", pa.int32()), ("s", pa.string())]))
+    w = FileWriter(memory_store, "nulls.ltpf", schema)
+    w.write_batch(pa.record_batch({"a": pa.array([1, None, 3]), "s": pa.array(["x", None, "z"])}))
+    w.finish()
+    r = FileReader(memory_store, "nulls.ltpf")
+    t = r.read_table()
+    assert t["a"].to_pylist() == [1, None, 3]
+    assert t["s"].to_pylist() == ["x", None, "z"]
+
+
+def test_fuzz_roundtrip_all_encodings(memory_store, rng):
+    """Round-trip random arrays through the page pipeline (reference:
+    lance-encoding fuzz_tests.rs)."""
+    for trial in range(25):
+        kind = trial % 5
+        n = int(rng.integers(1, 3000))
+        if kind == 0:
+            arr = pa.array(rng.integers(-(2**40), 2**40, n))
+        elif kind == 1:
+            arr = pa.array(rng.normal(size=n).astype(np.float32))
+        elif kind == 2:
+            vals = [None if rng.random() < 0.3 else int(x) for x in rng.integers(0, 100, n)]
+            arr = pa.array(vals, type=pa.int32())
+        elif kind == 3:
+            vals = [
+                None if rng.random() < 0.2 else "s" * int(rng.integers(0, 20)) for _ in range(n)
+            ]
+            arr = pa.array(vals, type=pa.string())
+        else:
+            arr = pa.array(rng.integers(0, 2, n).astype(bool))
+        out = _roundtrip_arrow(arr)
+        assert out.to_pylist() == arr.to_pylist(), f"trial {trial} kind {kind} n {n}"
