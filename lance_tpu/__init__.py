@@ -17,11 +17,14 @@ from .errors import (  # noqa: F401
 )
 from .schema import Field, Schema  # noqa: F401
 
-
-def __getattr__(name):
-    # Lazy imports keep `import lance_tpu` light (no jax import until needed).
-    if name in ("dataset", "write_dataset", "LanceDataset"):
-        from . import dataset as _ds
-
-        return getattr(_ds, name)
-    raise AttributeError(name)
+# Note: `dataset` the function shadows the `lance_tpu.dataset` submodule in
+# the package namespace (submodule stays importable as lance_tpu.dataset).
+# jax is NOT imported here — only when compute paths (indices/ops) are used.
+from .dataset import (  # noqa: F401,E402
+    LanceDataset,
+    Session,
+    WriteParams,
+    dataset,
+    write_dataset,
+)
+from .dataset.write import write_fragments  # noqa: F401,E402

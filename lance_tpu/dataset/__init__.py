@@ -1,0 +1,385 @@
+"""Dataset: versioned, ACID, indexed columnar tables.
+
+Re-design of the reference top-level crate (rust/lance/src/dataset.rs:137
+`Dataset`, open :436, write :782): a Dataset is (object store, manifest @
+version); every mutation builds a Transaction and runs the commit loop.
+
+Usage:
+    import lance_tpu as lt
+    ds = lt.write_dataset(table, "file:///tmp/my.lance")
+    ds = lt.dataset("file:///tmp/my.lance")
+    ds.scanner().filter("a > 5").to_table()
+    ds.create_index("vec", "IVF_PQ", num_partitions=256, num_sub_vectors=16)
+    ds.scanner().nearest("vec", q, k=10).to_table()
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..cache import CapacityCache
+from ..deletion import DeletionVector
+from ..errors import InvalidInputError, NotFoundError
+from ..io.object_store import ObjectStore, PrefixedStore, store_for_uri
+from ..schema import Schema
+from ..table.commit import (
+    CommitHandler,
+    ConditionalPutCommitHandler,
+    commit_transaction,
+    read_manifest,
+)
+from ..table.manifest import (
+    DELETIONS_DIR,
+    DeletionFile,
+    Fragment,
+    IndexMetadata,
+    Manifest,
+    VERSIONS_DIR,
+)
+from ..table.transaction import Operation, Transaction
+from .fragment import FileFragment
+from .scanner import Scanner
+from .write import WriteParams, write_fragments
+
+
+class Session:
+    """Shared caches across datasets (reference: rust/lance/src/session.rs:38)."""
+
+    def __init__(self, index_cache_bytes: int = 6 * 1024**3, metadata_cache_bytes: int = 1024**3):
+        self.index_cache = CapacityCache(index_cache_bytes)
+        self.metadata_cache = CapacityCache(metadata_cache_bytes)
+
+
+_DEFAULT_SESSION: Session | None = None
+
+
+def default_session() -> Session:
+    global _DEFAULT_SESSION
+    if _DEFAULT_SESSION is None:
+        _DEFAULT_SESSION = Session()
+    return _DEFAULT_SESSION
+
+
+class LanceDataset:
+    def __init__(self, store: ObjectStore, uri: str, manifest: Manifest,
+                 session: Session | None = None,
+                 commit_handler: CommitHandler | None = None):
+        self.store = store
+        self.uri = uri
+        self.manifest = manifest
+        self.session = session or default_session()
+        self.commit_handler = commit_handler or ConditionalPutCommitHandler()
+
+    # -- basics ---------------------------------------------------------------------
+
+    @property
+    def schema(self) -> Schema:
+        return self.manifest.schema
+
+    @property
+    def version(self) -> int:
+        return self.manifest.version
+
+    def count_rows(self, filter: str | None = None) -> int:
+        sc = self.scanner()
+        if filter:
+            sc.filter(filter)
+        return sc.count_rows()
+
+    def __len__(self) -> int:
+        return self.manifest.num_rows
+
+    def get_fragments(self) -> list[FileFragment]:
+        return [
+            FileFragment(self.store, f, self.schema, self.session.metadata_cache)
+            for f in self.manifest.fragments
+        ]
+
+    def get_fragment(self, fragment_id: int) -> FileFragment:
+        f = self.manifest.fragment_by_id(fragment_id)
+        if f is None:
+            raise NotFoundError(f"fragment {fragment_id}")
+        return FileFragment(self.store, f, self.schema, self.session.metadata_cache)
+
+    def scanner(self) -> Scanner:
+        return Scanner(self)
+
+    def to_table(self, columns: list[str] | None = None, filter: str | None = None,
+                 limit: int | None = None, offset: int = 0) -> pa.Table:
+        sc = self.scanner()
+        if columns:
+            sc.project(columns)
+        if filter:
+            sc.filter(filter)
+        if limit is not None or offset:
+            sc.limit(limit, offset)
+        return sc.to_table()
+
+    # -- random access -----------------------------------------------------------------
+
+    def take(self, indices: Sequence[int] | np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        """Take by *logical* row index across the dataset (deletions excluded)."""
+        indices = np.asarray(indices, dtype=np.int64)
+        columns = columns or self.schema.names
+        # map logical dataset index -> (fragment, logical row in fragment)
+        bounds = np.cumsum([0] + [f.num_rows for f in self.manifest.fragments])
+        if indices.size and (indices.min() < 0 or indices.max() >= bounds[-1]):
+            raise InvalidInputError("take index out of range")
+        frag_of = np.searchsorted(bounds, indices, side="right") - 1
+        order = np.argsort(indices, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+
+        pieces = []
+        frags = self.get_fragments()
+        sorted_idx = indices[order]
+        sorted_frag = frag_of[order]
+        for fi in np.unique(sorted_frag):
+            local = sorted_idx[sorted_frag == fi] - bounds[fi]
+            data = frags[fi].take_logical(local, columns)
+            pieces.append(pa.table({n: c.to_arrow() for n, c in data.items()}))
+        table = pa.concat_tables(pieces) if pieces else pa.table({})
+        return table.take(pa.array(inv)) if len(table) else table
+
+    def take_rows(self, row_addresses: Sequence[int] | np.ndarray,
+                  columns: list[str] | None = None) -> pa.Table:
+        """Take by physical row address (fragment_id << 32 | offset)."""
+        from ..rowids import split_addresses
+
+        addrs = np.asarray(row_addresses, dtype=np.uint64)
+        columns = columns or self.schema.names
+        frag_ids, offsets = split_addresses(addrs)
+        order = np.argsort(addrs, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        pieces = []
+        for fid in np.unique(frag_ids[order]):
+            sel = frag_ids[order] == fid
+            frag = self.get_fragment(int(fid))
+            data = frag.take_physical(offsets[order][sel].astype(np.int64), columns)
+            pieces.append(pa.table({n: c.to_arrow() for n, c in data.items()}))
+        table = pa.concat_tables(pieces) if pieces else pa.table({})
+        return table.take(pa.array(inv)) if len(table) else table
+
+    # -- mutations ------------------------------------------------------------------------
+
+    def _commit(self, op: Operation) -> "LanceDataset":
+        txn = Transaction(read_version=self.version, operation=op)
+        new_manifest = commit_transaction(self.store, txn, self.manifest, self.commit_handler)
+        return LanceDataset(self.store, self.uri, new_manifest, self.session, self.commit_handler)
+
+    def insert(self, data, mode: str = "append", params: WriteParams | None = None) -> "LanceDataset":
+        params = params or WriteParams()
+        if mode == "append":
+            frags, schema = write_fragments(self.store, data, self.schema, params)
+            if schema.dumps() != self.schema.dumps():
+                # allow matching arrow schema with re-assigned ids
+                if schema.to_arrow() != self.schema.to_arrow():
+                    raise InvalidInputError("appended data schema mismatch")
+            op = Operation("append", fragments=frags)
+        elif mode == "overwrite":
+            frags, schema = write_fragments(self.store, data, None, params)
+            op = Operation("overwrite", fragments=frags, schema=schema)
+        else:
+            raise InvalidInputError(f"bad insert mode {mode}")
+        return self._commit(op)
+
+    def delete(self, predicate: str) -> "LanceDataset":
+        """Delete rows matching a filter predicate."""
+        from .filter import column_views_from_data, evaluate_filter, parse_filter, referenced_columns
+
+        node = parse_filter(predicate)
+        cols = sorted(referenced_columns(node))
+        updated: list[Fragment] = []
+        deleted_ids: list[int] = []
+        for frag in self.get_fragments():
+            n_phys = frag.physical_rows
+            data = frag.read_columns_physical(cols, 0, n_phys)
+            views = column_views_from_data(data)
+            hit = evaluate_filter(node, views)
+            dv = frag.deletion_vector()
+            already = dv.mask(n_phys) if dv is not None else np.zeros(n_phys, bool)
+            new_del = hit & ~already
+            if not new_del.any():
+                continue
+            total = already | new_del
+            if total.all():
+                deleted_ids.append(frag.id)
+                continue
+            new_dv = DeletionVector(np.flatnonzero(total).astype(np.uint32), n_phys)
+            path = f"{DELETIONS_DIR}/{frag.id}-{self.version}-{uuid_mod.uuid4().hex[:12]}.bin"
+            self.store.put(path, new_dv.to_bytes())
+            meta = frag.meta.copy()
+            meta.deletion_file = DeletionFile(path, int(total.sum()), self.version)
+            updated.append(meta)
+        if not updated and not deleted_ids:
+            return self
+        op = Operation("delete", updated_fragments=updated,
+                       deleted_fragment_ids=deleted_ids, predicate=predicate)
+        return self._commit(op)
+
+    def update_config(self, upserts: dict | None = None, deletes: list[str] | None = None) -> "LanceDataset":
+        op = Operation("update_config", config_upserts=upserts or {}, config_deletes=deletes or [])
+        return self._commit(op)
+
+    @property
+    def config(self) -> dict:
+        return dict(self.manifest.config)
+
+    # -- versioning --------------------------------------------------------------------------
+
+    def versions(self) -> list[dict]:
+        metas = self.store.list(f"{VERSIONS_DIR}/")
+        out = []
+        for m in metas:
+            name = m.path.rsplit("/", 1)[-1]
+            if name.endswith(".manifest"):
+                v = int(name[: -len(".manifest")])
+                out.append({"version": v})
+        return sorted(out, key=lambda d: d["version"])
+
+    def latest_version(self) -> int:
+        v = self.commit_handler.latest_version(self.store)
+        if v is None:
+            raise NotFoundError("no versions")
+        return v
+
+    def checkout_version(self, version: int) -> "LanceDataset":
+        m = read_manifest(self.store, version)
+        return LanceDataset(self.store, self.uri, m, self.session, self.commit_handler)
+
+    def restore(self) -> "LanceDataset":
+        """Commit a new version with the content of the currently-checked-out version."""
+        latest = self.latest_version()
+        if self.version == latest:
+            return self
+        op = Operation("restore", restore_version=self.version, restored=self.manifest)
+        txn = Transaction(read_version=latest, operation=op)
+        base = read_manifest(self.store, latest)
+        new_manifest = commit_transaction(self.store, txn, base, self.commit_handler)
+        return LanceDataset(self.store, self.uri, new_manifest, self.session, self.commit_handler)
+
+    # -- indices --------------------------------------------------------------------------------
+
+    def create_index(self, column: str, index_type: str, name: str | None = None,
+                     replace: bool = True, **params) -> "LanceDataset":
+        from ..indices.create import create_index as _create
+
+        return _create(self, column, index_type, name=name, replace=replace, **params)
+
+    def create_scalar_index(self, column: str, index_type: str = "BTREE", name: str | None = None,
+                            **params) -> "LanceDataset":
+        return self.create_index(column, index_type, name=name, **params)
+
+    def list_indices(self) -> list[IndexMetadata]:
+        return list(self.manifest.indices)
+
+    def index_statistics(self, name: str) -> dict:
+        from ..indices.create import index_statistics as _stats
+
+        return _stats(self, name)
+
+    def drop_index(self, name: str) -> "LanceDataset":
+        meta = self.manifest.index_by_name(name)
+        if meta is None:
+            raise NotFoundError(f"index {name}")
+        op = Operation("create_index", new_indices=[], removed_index_uuids=[meta.uuid])
+        ds = self._commit(op)
+        # removal by uuid only; filter out by name too
+        ds.manifest.indices = [i for i in ds.manifest.indices if i.uuid != meta.uuid]
+        return ds
+
+    def _vector_index_for(self, column: str):
+        from ..indices.vector_index import open_vector_index
+
+        fid = self.schema.field(column).id
+        metas = [
+            i for i in self.manifest.indices
+            if fid in i.fields and i.index_type.startswith(("IVF", "HNSW", "FLAT"))
+        ]
+        if not metas:
+            return None
+        return open_vector_index(self, metas[-1])
+
+    # -- schema evolution --------------------------------------------------------------------------
+
+    def add_columns(self, transforms, read_columns: list[str] | None = None) -> "LanceDataset":
+        from .schema_evolution import add_columns as _add
+
+        return _add(self, transforms, read_columns)
+
+    def drop_columns(self, columns: list[str]) -> "LanceDataset":
+        from .schema_evolution import drop_columns as _drop
+
+        return _drop(self, columns)
+
+    def alter_columns(self, *alterations: dict) -> "LanceDataset":
+        from .schema_evolution import alter_columns as _alter
+
+        return _alter(self, list(alterations))
+
+    # -- maintenance -------------------------------------------------------------------------------
+
+    def optimize_compact(self, target_rows_per_fragment: int = 1024 * 1024,
+                         materialize_deletions: bool = True) -> "LanceDataset":
+        from .optimize import compact_files
+
+        return compact_files(self, target_rows_per_fragment, materialize_deletions)
+
+    def cleanup_old_versions(self, keep_latest: int = 1) -> int:
+        from .cleanup import cleanup_old_versions
+
+        return cleanup_old_versions(self, keep_latest)
+
+    def validate(self) -> None:
+        self.schema.validate()
+        seen = set()
+        for f in self.manifest.fragments:
+            if f.id in seen:
+                raise InvalidInputError(f"duplicate fragment id {f.id}")
+            seen.add(f.id)
+            for df in f.files:
+                if not self.store.exists(df.path):
+                    raise InvalidInputError(f"missing data file {df.path}")
+
+
+# -------------------------------------------------------------------------------
+# module-level API
+# -------------------------------------------------------------------------------
+
+
+def dataset(uri: str, version: int | None = None, session: Session | None = None) -> LanceDataset:
+    base_store, base = store_for_uri(uri)
+    store = PrefixedStore(base_store, base) if base else base_store
+    handler = ConditionalPutCommitHandler()
+    v = version if version is not None else handler.latest_version(store)
+    if v is None:
+        raise NotFoundError(f"no dataset at {uri}")
+    manifest = read_manifest(store, v)
+    return LanceDataset(store, uri, manifest, session, handler)
+
+
+def write_dataset(data, uri: str, mode: str = "create", schema: Schema | None = None,
+                  params: WriteParams | None = None, session: Session | None = None) -> LanceDataset:
+    params = params or WriteParams()
+    base_store, base = store_for_uri(uri)
+    store = PrefixedStore(base_store, base) if base else base_store
+    handler = ConditionalPutCommitHandler()
+    existing_version = handler.latest_version(store)
+
+    if mode == "create" and existing_version is not None:
+        raise InvalidInputError(f"dataset already exists at {uri}; use mode='append' or 'overwrite'")
+    if mode == "append" and existing_version is not None:
+        return dataset(uri, session=session).insert(data, "append", params)
+
+    frags, schema = write_fragments(store, data, schema, params)
+    op = Operation("overwrite" if existing_version is not None else "overwrite",
+                   fragments=frags, schema=schema)
+    base_manifest = read_manifest(store, existing_version) if existing_version is not None else None
+    txn = Transaction(read_version=existing_version or 0, operation=op)
+    manifest = commit_transaction(store, txn, base_manifest, handler)
+    return LanceDataset(store, uri, manifest, session, handler)

@@ -1,0 +1,428 @@
+"""SQL-style filter expressions: parser + vectorized evaluator.
+
+Re-design of the reference's filter planning (rust/lance-datafusion/src/
+planner.rs SQL -> DataFusion Expr). We implement a compact recursive-descent
+parser for the SQL expression subset Lance users actually use in `filter=`:
+
+    comparisons:  = != <> < <= > >=
+    boolean:      AND OR NOT
+    null checks:  IS NULL / IS NOT NULL
+    membership:   IN (v1, v2, ...), NOT IN (...)
+    ranges:       BETWEEN a AND b
+    strings:      LIKE 'pat%' (% and _ wildcards)
+    arithmetic:   + - * / %
+    literals:     numbers, 'strings', true/false/null
+    columns:      bare identifiers, dotted paths, `quoted`
+
+Evaluation is vectorized numpy over decoded column chunks (host side — filter
+results become RowIdMasks / boolean masks that gate what reaches the device).
+The expression tree is also consumed by scalar indices (indices/scalar) to
+answer queries without scanning, mirroring reference
+lance-index/src/scalar/expression.rs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from ..errors import InvalidInputError
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Col:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: Any
+
+
+@dataclass
+class BinOp:
+    op: str  # and or = != < <= > >= + - * / %
+    left: Any
+    right: Any
+
+
+@dataclass
+class UnaryOp:
+    op: str  # not, neg
+    operand: Any
+
+
+@dataclass
+class IsNull:
+    operand: Any
+    negate: bool = False
+
+
+@dataclass
+class InList:
+    operand: Any
+    values: list
+    negate: bool = False
+
+
+@dataclass
+class Like:
+    operand: Any
+    pattern: str
+    negate: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<qid>`[^`]+`|"[^"]+")
+  | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\+|-|\*|/|%)
+  | (?P<id>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "is", "null", "in", "between", "like", "true", "false"}
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise InvalidInputError(f"filter parse error at: {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "id" and text.lower() in _KEYWORDS:
+            out.append(("kw", text.lower()))
+        else:
+            out.append((kind, text))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser (precedence climbing)
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> tuple[str, str]:
+        k, t = self.next()
+        if k != kind or (text is not None and t.lower() != text):
+            raise InvalidInputError(f"filter parse error: expected {text or kind}, got {t!r}")
+        return k, t
+
+    def parse(self):
+        e = self.parse_or()
+        if self.peek()[0] != "eof":
+            raise InvalidInputError(f"filter parse error: trailing tokens {self.peek()[1]!r}")
+        return e
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() == ("kw", "or"):
+            self.next()
+            left = BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek() == ("kw", "and"):
+            self.next()
+            left = BinOp("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.peek() == ("kw", "not"):
+            self.next()
+            return UnaryOp("not", self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self):
+        left = self.parse_additive()
+        k, t = self.peek()
+        if k == "op" and t in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            op = "=" if t == "=" else ("!=" if t in ("!=", "<>") else t)
+            return BinOp(op, left, self.parse_additive())
+        if k == "kw" and t == "is":
+            self.next()
+            negate = False
+            if self.peek() == ("kw", "not"):
+                self.next()
+                negate = True
+            self.expect("kw", "null")
+            return IsNull(left, negate)
+        if k == "kw" and t in ("in", "like", "between", "not"):
+            negate = False
+            if t == "not":
+                self.next()
+                k2, t2 = self.peek()
+                if not (k2 == "kw" and t2 in ("in", "like", "between")):
+                    raise InvalidInputError("filter parse error after NOT")
+                t = t2
+                negate = True
+            if t == "in":
+                self.next()
+                self.expect("op", "(")
+                vals = [self._literal_value()]
+                while self.peek() == ("op", ","):
+                    self.next()
+                    vals.append(self._literal_value())
+                self.expect("op", ")")
+                return InList(left, vals, negate)
+            if t == "like":
+                self.next()
+                k2, t2 = self.next()
+                if k2 != "str":
+                    raise InvalidInputError("LIKE requires a string pattern")
+                return Like(left, t2[1:-1].replace("''", "'"), negate)
+            if t == "between":
+                self.next()
+                lo = self.parse_additive()
+                self.expect("kw", "and")
+                hi = self.parse_additive()
+                e = BinOp("and", BinOp(">=", left, lo), BinOp("<=", left, hi))
+                return UnaryOp("not", e) if negate else e
+        return left
+
+    def _literal_value(self):
+        k, t = self.next()
+        if k == "num":
+            return float(t) if ("." in t or "e" in t.lower()) else int(t)
+        if k == "str":
+            return t[1:-1].replace("''", "'")
+        if k == "kw" and t in ("true", "false"):
+            return t == "true"
+        if k == "op" and t == "-":
+            v = self._literal_value()
+            return -v
+        raise InvalidInputError(f"expected literal, got {t!r}")
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            _, op = self.next()
+            left = BinOp(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            _, op = self.next()
+            left = BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        k, t = self.peek()
+        if k == "op" and t == "-":
+            self.next()
+            return UnaryOp("neg", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        k, t = self.next()
+        if k == "op" and t == "(":
+            e = self.parse_or()
+            self.expect("op", ")")
+            return e
+        if k == "num":
+            return Lit(float(t) if ("." in t or "e" in t.lower()) else int(t))
+        if k == "str":
+            return Lit(t[1:-1].replace("''", "'"))
+        if k == "kw" and t in ("true", "false"):
+            return Lit(t == "true")
+        if k == "kw" and t == "null":
+            return Lit(None)
+        if k == "id":
+            return Col(t)
+        if k == "qid":
+            return Col(t[1:-1])
+        raise InvalidInputError(f"filter parse error at {t!r}")
+
+
+def parse_filter(expr: str):
+    return _Parser(_tokenize(expr)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Evaluation over numpy columns
+# ---------------------------------------------------------------------------
+
+
+def referenced_columns(node) -> set[str]:
+    if isinstance(node, Col):
+        return {node.name.split(".")[0]}
+    out: set[str] = set()
+    if isinstance(node, BinOp):
+        out |= referenced_columns(node.left) | referenced_columns(node.right)
+    elif isinstance(node, UnaryOp):
+        out |= referenced_columns(node.operand)
+    elif isinstance(node, (IsNull, InList, Like)):
+        out |= referenced_columns(node.operand)
+    return out
+
+
+def _like_to_regex(pattern: str) -> re.Pattern:
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+class _ColumnView:
+    """values + validity for evaluation; strings become object arrays lazily."""
+
+    def __init__(self, values: np.ndarray, validity: np.ndarray | None):
+        self.values = values
+        self.validity = validity
+
+
+def evaluate_filter(node, columns: dict[str, "_ColumnView"]) -> np.ndarray:
+    """Returns a bool mask; SQL three-valued logic collapses null -> False."""
+    vals, valid = _eval(node, columns)
+    mask = np.asarray(vals, dtype=bool)
+    if valid is not None:
+        mask = mask & valid
+    return mask
+
+
+def _eval(node, cols) -> tuple[np.ndarray, np.ndarray | None]:
+    if isinstance(node, Lit):
+        return np.asarray(node.value), None
+    if isinstance(node, Col):
+        if node.name not in cols:
+            raise InvalidInputError(f"unknown column in filter: {node.name}")
+        cv = cols[node.name]
+        return cv.values, cv.validity
+    if isinstance(node, UnaryOp):
+        v, valid = _eval(node.operand, cols)
+        if node.op == "not":
+            out = ~np.asarray(v, dtype=bool)
+            if valid is not None:
+                out = out & valid  # null -> false
+            return out, None
+        if node.op == "neg":
+            return -v, valid
+    if isinstance(node, IsNull):
+        _v, valid = _eval(node.operand, cols)
+        if valid is None:
+            n = len(_v) if hasattr(_v, "__len__") else 1
+            isnull = np.zeros(n, dtype=bool)
+        else:
+            isnull = ~valid
+        return (~isnull if node.negate else isnull), None
+    if isinstance(node, InList):
+        v, valid = _eval(node.operand, cols)
+        out = np.zeros(v.shape, dtype=bool)
+        for lit in node.values:
+            out |= v == np.asarray(lit)
+        if node.negate:
+            out = ~out
+        return out, valid
+    if isinstance(node, Like):
+        v, valid = _eval(node.operand, cols)
+        rx = _like_to_regex(node.pattern)
+        out = np.fromiter((bool(rx.match(x)) for x in v), dtype=bool, count=len(v))
+        if node.negate:
+            out = ~out
+        return out, valid
+    if isinstance(node, BinOp):
+        lv, lvalid = _eval(node.left, cols)
+        rv, rvalid = _eval(node.right, cols)
+        valid = lvalid
+        if rvalid is not None:
+            valid = rvalid if valid is None else (valid & rvalid)
+        op = node.op
+        if op == "and":
+            lb = np.asarray(lv, dtype=bool)
+            rb = np.asarray(rv, dtype=bool)
+            if lvalid is not None:
+                lb = lb & lvalid
+            if rvalid is not None:
+                rb = rb & rvalid
+            return lb & rb, None
+        if op == "or":
+            lb = np.asarray(lv, dtype=bool)
+            rb = np.asarray(rv, dtype=bool)
+            if lvalid is not None:
+                lb = lb & lvalid
+            if rvalid is not None:
+                rb = rb & rvalid
+            return lb | rb, None
+        if op == "=":
+            return lv == rv, valid
+        if op == "!=":
+            return lv != rv, valid
+        if op == "<":
+            return lv < rv, valid
+        if op == "<=":
+            return lv <= rv, valid
+        if op == ">":
+            return lv > rv, valid
+        if op == ">=":
+            return lv >= rv, valid
+        if op == "+":
+            return lv + rv, valid
+        if op == "-":
+            return lv - rv, valid
+        if op == "*":
+            return lv * rv, valid
+        if op == "/":
+            return lv / rv, valid
+        if op == "%":
+            return lv % rv, valid
+    raise InvalidInputError(f"cannot evaluate filter node {node!r}")
+
+
+def column_views_from_data(data: dict) -> dict[str, _ColumnView]:
+    """Build eval views from {name: ColumnData}."""
+    out = {}
+    for name, col in data.items():
+        if col.kind == "varbin":
+            # materialize strings as object array for comparisons
+            raw = col.values.tobytes()
+            vals = np.array(
+                [raw[col.offsets[i] : col.offsets[i + 1]].decode("utf-8", "replace")
+                 for i in range(col.num_rows)],
+                dtype=object,
+            )
+        else:
+            vals = col.values if col.fsl_dim == 1 else col.values.reshape(col.num_rows, col.fsl_dim)
+        out[name] = _ColumnView(vals, col.validity)
+    return out

@@ -1,0 +1,107 @@
+"""FileFragment: read-side view of one fragment (data files + deletion vector).
+
+Re-design of reference FileFragment (rust/lance/src/dataset/fragment.rs):
+resolves which data file holds each projected column (column groups from
+schema evolution), applies the deletion vector, and exposes scan/take in
+terms of *logical* rows (deleted rows excluded) as well as raw physical
+addressing for index lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..deletion import DeletionVector
+from ..encoding.pages import ColumnData
+from ..errors import NotFoundError
+from ..file.reader import FileReader
+from ..io.object_store import ObjectStore
+from ..schema import Schema
+from ..table.manifest import Fragment
+
+
+class FileFragment:
+    def __init__(self, store: ObjectStore, fragment: Fragment, schema: Schema,
+                 cache=None):
+        self.store = store
+        self.meta = fragment
+        self.schema = schema
+        self._cache = cache
+        self._readers: dict[str, FileReader] = {}
+        self._dv: DeletionVector | None = None
+        self._dv_loaded = False
+
+    @property
+    def id(self) -> int:
+        return self.meta.id
+
+    # -- plumbing ---------------------------------------------------------------
+
+    def _reader_for(self, path: str) -> FileReader:
+        r = self._readers.get(path)
+        if r is None:
+            if self._cache is not None:
+                r = self._cache.get_or_insert("file_reader", path, lambda: FileReader(self.store, path))
+            else:
+                r = FileReader(self.store, path)
+            self._readers[path] = r
+        return r
+
+    def _file_for_field(self, name: str) -> str:
+        fid = self.schema.field(name).id
+        for df in self.meta.files:
+            if fid in df.fields:
+                return df.path
+        raise NotFoundError(f"field {name} (id {fid}) not found in fragment {self.meta.id}")
+
+    def deletion_vector(self) -> DeletionVector | None:
+        if not self._dv_loaded:
+            if self.meta.deletion_file is not None:
+                load = lambda: DeletionVector.from_bytes(self.store.get(self.meta.deletion_file.path))
+                if self._cache is not None:
+                    self._dv = self._cache.get_or_insert("deletion", self.meta.deletion_file.path, load)
+                else:
+                    self._dv = load()
+            self._dv_loaded = True
+        return self._dv
+
+    @property
+    def physical_rows(self) -> int:
+        return self.meta.physical_rows
+
+    @property
+    def num_rows(self) -> int:
+        return self.meta.num_rows
+
+    def alive_offsets(self) -> np.ndarray:
+        """Physical offsets of live (non-deleted) rows, ascending."""
+        dv = self.deletion_vector()
+        if dv is None or dv.is_empty():
+            return np.arange(self.physical_rows, dtype=np.uint32)
+        return dv.build_mapper(self.physical_rows)
+
+    # -- reads ---------------------------------------------------------------------
+
+    def read_columns_physical(self, columns: list[str], row_start: int = 0,
+                              row_count: int | None = None) -> dict[str, ColumnData]:
+        """Read physical rows (deleted rows included)."""
+        out = {}
+        for name in columns:
+            reader = self._reader_for(self._file_for_field(name))
+            out[name] = reader.read_column(name, row_start, row_count)
+        return out
+
+    def take_physical(self, offsets: np.ndarray, columns: list[str]) -> dict[str, ColumnData]:
+        out = {}
+        by_file: dict[str, list[str]] = {}
+        for name in columns:
+            by_file.setdefault(self._file_for_field(name), []).append(name)
+        for path, names in by_file.items():
+            got = self._reader_for(path).take(offsets, names)
+            out.update(got)
+        return out
+
+    def take_logical(self, logical_rows: np.ndarray, columns: list[str]) -> dict[str, ColumnData]:
+        """Take by logical row index (deletions excluded)."""
+        mapper = self.alive_offsets()
+        return self.take_physical(mapper[np.asarray(logical_rows, dtype=np.int64)], columns)

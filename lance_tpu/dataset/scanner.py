@@ -1,0 +1,306 @@
+"""Scanner: fluent query builder + execution over fragments.
+
+Re-design of the reference Scanner (rust/lance/src/dataset/scanner.rs:317,
+create_plan :1782-1944). The reference lowers to a DataFusion plan; our
+execution pipeline is a host-side generator chain with the same stage order:
+
+    source (ANN index | flat KNN | filtered scan | take)
+      -> late-materialized filter (read filter columns first, project later)
+      -> sort / limit / offset
+      -> final projection
+
+Vector search (`nearest`) runs on device: either the IVF-PQ compiled search
+path (indices/vector_index.py) when an index exists, or a flat exact scan
+through ops.distance. Unindexed-fragment tails are combined with index
+results like reference knn_combined (scanner.rs:2907).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow as pa
+
+from ..encoding.pages import ColumnData
+from ..errors import InvalidInputError, NotFoundError
+from ..rowids import row_address
+from .filter import column_views_from_data, evaluate_filter, parse_filter, referenced_columns
+
+ROW_ID_COL = "_rowid"
+ROW_ADDR_COL = "_rowaddr"
+DIST_COL = "_distance"
+SCORE_COL = "_score"
+
+
+@dataclass
+class VectorQuery:
+    column: str
+    q: np.ndarray
+    k: int = 10
+    nprobes: int = 20
+    maximum_nprobes: int | None = None
+    refine_factor: int | None = None
+    metric: str | None = None  # default: index metric or l2
+    use_index: bool = True
+    ef: int | None = None
+
+
+@dataclass
+class FTSQuery:
+    query: str
+    columns: list[str] | None = None
+    k: int = 10
+
+
+class Scanner:
+    def __init__(self, dataset):
+        self.ds = dataset
+        self._columns: list[str] | None = None
+        self._filter = None
+        self._filter_str: str | None = None
+        self._limit: int | None = None
+        self._offset: int = 0
+        self._with_row_id = False
+        self._with_row_address = False
+        self._batch_size = 8192
+        self._nearest: VectorQuery | None = None
+        self._fts: FTSQuery | None = None
+        self._prefilter = False
+        self._fast_search = False
+        self._fragments: list[int] | None = None
+        self._order_by: list[tuple[str, bool]] | None = None
+
+    # -- builder -----------------------------------------------------------------
+
+    def project(self, columns: list[str]) -> "Scanner":
+        self._columns = list(columns)
+        return self
+
+    def filter(self, expr: str) -> "Scanner":
+        self._filter = parse_filter(expr)
+        self._filter_str = expr
+        return self
+
+    def limit(self, n: int | None, offset: int = 0) -> "Scanner":
+        self._limit = n
+        self._offset = offset
+        return self
+
+    def with_row_id(self, v: bool = True) -> "Scanner":
+        self._with_row_id = v
+        return self
+
+    def with_row_address(self, v: bool = True) -> "Scanner":
+        self._with_row_address = v
+        return self
+
+    def batch_size(self, n: int) -> "Scanner":
+        self._batch_size = n
+        return self
+
+    def nearest(self, column: str, q, k: int = 10, nprobes: int = 20,
+                refine_factor: int | None = None, metric: str | None = None,
+                use_index: bool = True, ef: int | None = None,
+                maximum_nprobes: int | None = None) -> "Scanner":
+        q = np.asarray(q, dtype=np.float32)
+        if q.ndim != 1:
+            raise InvalidInputError("query vector must be 1-D")
+        self._nearest = VectorQuery(column, q, k, nprobes, maximum_nprobes,
+                                    refine_factor, metric, use_index, ef)
+        return self
+
+    def full_text_search(self, query: str, columns: list[str] | None = None, k: int = 10) -> "Scanner":
+        self._fts = FTSQuery(query, columns, k)
+        return self
+
+    def prefilter(self, v: bool = True) -> "Scanner":
+        self._prefilter = v
+        return self
+
+    def fast_search(self, v: bool = True) -> "Scanner":
+        self._fast_search = v
+        return self
+
+    def with_fragments(self, fragment_ids: list[int]) -> "Scanner":
+        self._fragments = list(fragment_ids)
+        return self
+
+    def order_by(self, columns) -> "Scanner":
+        out = []
+        for c in columns:
+            if isinstance(c, str):
+                out.append((c, True))
+            else:
+                out.append((c[0], c[1] if len(c) > 1 else True))
+        self._order_by = out
+        return self
+
+    # -- execution ------------------------------------------------------------------
+
+    def to_table(self) -> pa.Table:
+        batches = list(self.to_batches())
+        if not batches:
+            return pa.table({})
+        return pa.Table.from_batches(batches)
+
+    def to_batches(self):
+        if self._nearest is not None:
+            yield from self._execute_vector_search()
+            return
+        if self._fts is not None:
+            yield from self._execute_fts()
+            return
+        yield from self._execute_scan()
+
+    def count_rows(self) -> int:
+        if self._filter is None:
+            return sum(f.num_rows for f in self._iter_fragments())
+        total = 0
+        for batch in self._execute_scan(count_only=True):
+            total += batch
+        return total
+
+    # -- plain scan -------------------------------------------------------------------
+
+    def _iter_fragments(self):
+        for frag in self.ds.get_fragments():
+            if self._fragments is not None and frag.id not in self._fragments:
+                continue
+            yield frag
+
+    def _output_columns(self) -> list[str]:
+        if self._columns is not None:
+            return self._columns
+        return self.ds.schema.names
+
+    def _execute_scan(self, count_only: bool = False):
+        out_cols = self._output_columns()
+        filter_cols = sorted(referenced_columns(self._filter)) if self._filter is not None else []
+        for c in filter_cols + out_cols:
+            if c not in (ROW_ID_COL, ROW_ADDR_COL):
+                self.ds.schema.field(c)  # validate
+        remaining = self._limit
+        to_skip = self._offset
+        collected: list[pa.RecordBatch] = []
+
+        for frag in self._iter_fragments():
+            n_phys = frag.physical_rows
+            dv = frag.deletion_vector()
+            del_mask = dv.mask(n_phys) if dv is not None and not dv.is_empty() else None
+            for start in range(0, n_phys, self._batch_size):
+                count = min(self._batch_size, n_phys - start)
+                keep = np.ones(count, dtype=bool)
+                if del_mask is not None:
+                    keep &= ~del_mask[start : start + count]
+                # late materialization: read filter columns first
+                if self._filter is not None:
+                    fdata = frag.read_columns_physical(
+                        [c for c in filter_cols], start, count
+                    )
+                    views = column_views_from_data(fdata)
+                    keep &= evaluate_filter(self._filter, views)
+                sel = np.flatnonzero(keep)
+                if sel.size == 0:
+                    continue
+                if to_skip:
+                    if sel.size <= to_skip:
+                        to_skip -= sel.size
+                        continue
+                    sel = sel[to_skip:]
+                    to_skip = 0
+                if remaining is not None:
+                    if remaining <= 0:
+                        break
+                    sel = sel[:remaining]
+                    remaining -= sel.size
+                if count_only:
+                    yield int(sel.size)
+                    continue
+                phys_offsets = (start + sel).astype(np.int64)
+                batch = self._materialize(frag, phys_offsets, out_cols)
+                if self._order_by is not None:
+                    collected.append(batch)
+                else:
+                    yield batch
+            if remaining is not None and remaining <= 0 and self._order_by is None:
+                break
+
+        if self._order_by is not None and not count_only and collected:
+            table = pa.Table.from_batches(collected)
+            keys = [(c, "ascending" if asc else "descending") for c, asc in self._order_by]
+            table = table.sort_by(keys)
+            for b in table.to_batches(max_chunksize=self._batch_size):
+                yield b
+
+    def _materialize(self, frag, phys_offsets: np.ndarray, out_cols: list[str]) -> pa.RecordBatch:
+        real_cols = [c for c in out_cols if c not in (ROW_ID_COL, ROW_ADDR_COL)]
+        data = frag.take_physical(phys_offsets, real_cols) if real_cols else {}
+        arrays, names = [], []
+        for c in out_cols:
+            if c in (ROW_ID_COL, ROW_ADDR_COL):
+                continue
+            arrays.append(data[c].to_arrow())
+            names.append(c)
+        addrs = (np.uint64(frag.id) << np.uint64(32)) | phys_offsets.astype(np.uint64)
+        if self._with_row_id or ROW_ID_COL in out_cols:
+            names.append(ROW_ID_COL)
+            arrays.append(pa.array(addrs, type=pa.uint64()))
+        if self._with_row_address or ROW_ADDR_COL in out_cols:
+            names.append(ROW_ADDR_COL)
+            arrays.append(pa.array(addrs, type=pa.uint64()))
+        return pa.record_batch(arrays, names=names)
+
+    # -- vector search -------------------------------------------------------------------
+
+    def _execute_vector_search(self):
+        q = self._nearest
+        assert q is not None
+        from ..indices import search as index_search
+
+        table = index_search.knn(
+            self.ds,
+            q,
+            filter_node=self._filter,
+            prefilter=self._prefilter,
+            fast_search=self._fast_search,
+            output_columns=self._columns,
+            with_row_id=self._with_row_id,
+        )
+        if self._limit is not None:
+            table = table.slice(self._offset, self._limit)
+        for b in table.to_batches(max_chunksize=self._batch_size):
+            yield b
+
+    def _execute_fts(self):
+        fq = self._fts
+        assert fq is not None
+        from ..indices import search as index_search
+
+        table = index_search.fts(
+            self.ds, fq, filter_node=self._filter, prefilter=self._prefilter,
+            output_columns=self._columns, with_row_id=self._with_row_id,
+        )
+        if self._limit is not None:
+            table = table.slice(self._offset, self._limit)
+        for b in table.to_batches(max_chunksize=self._batch_size):
+            yield b
+
+    def explain_plan(self, verbose: bool = False) -> str:
+        stages = []
+        if self._nearest is not None:
+            idx = self.ds._vector_index_for(self._nearest.column) if self._nearest.use_index else None
+            if idx is not None:
+                stages.append(f"ANNIndexScan(index={idx.meta.name}, nprobes={self._nearest.nprobes})")
+            else:
+                stages.append("FlatKNN")
+            if self._filter is not None:
+                stages.append(f"{'Prefilter' if self._prefilter else 'Postfilter'}({self._filter_str})")
+        else:
+            stages.append("FilteredScan" + (f"({self._filter_str})" if self._filter_str else ""))
+        if self._order_by:
+            stages.append(f"Sort({self._order_by})")
+        if self._limit is not None:
+            stages.append(f"Limit({self._limit}, offset={self._offset})")
+        stages.append(f"Projection({self._output_columns()})")
+        return " -> ".join(stages)

@@ -1,0 +1,131 @@
+"""Write paths: batches -> fragment data files -> transaction.
+
+Re-design of the reference write machinery (rust/lance/src/dataset/write/:
+WriteParams write.rs:158-268, InsertBuilder insert.rs, fragment writer
+fragment/write.rs, distributed write protocol
+docs/src/guide/distributed_write.md): data is chunked into fragments of at
+most `max_rows_per_file`, each fragment is one LTPF file written under
+`data/{uuid}.ltpf`, and the resulting FragmentMetadata list is committed as
+one Append/Overwrite transaction. `write_fragments` is exposed standalone so
+N workers (potentially N TPU hosts) can write fragments independently and a
+single coordinator commits them — the format-level distributed-write
+contract, unchanged from the reference by design.
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Mapping
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import InvalidInputError
+from ..file.writer import FileWriter
+from ..io.object_store import ObjectStore
+from ..schema import Schema
+from ..table.manifest import DataFile, Fragment
+
+
+@dataclass
+class WriteParams:
+    max_rows_per_file: int = 1024 * 1024
+    max_rows_per_group: int = 8192  # batch granularity inside a file
+    max_bytes_per_file: int = 90 * 1024**3
+    mode: str = "create"  # create | append | overwrite
+    compression: str = "auto"
+
+
+def _normalize_batches(data, schema: Schema | None) -> tuple[Iterator[pa.RecordBatch], Schema]:
+    """Accept Table / RecordBatch / iterator / dict-of-numpy; infer schema."""
+    if isinstance(data, pa.Table):
+        schema = schema or Schema.from_arrow(data.schema)
+        return iter(data.to_batches(max_chunksize=64 * 1024)), schema
+    if isinstance(data, pa.RecordBatch):
+        schema = schema or Schema.from_arrow(data.schema)
+        return iter([data]), schema
+    if isinstance(data, Mapping):
+        # dict of numpy arrays / lists; 2-D float arrays -> FixedSizeList vectors
+        arrays = {}
+        for name, v in data.items():
+            if isinstance(v, np.ndarray) and v.ndim == 2:
+                inner = pa.array(v.reshape(-1))
+                arrays[name] = pa.FixedSizeListArray.from_arrays(inner, v.shape[1])
+            elif isinstance(v, np.ndarray):
+                arrays[name] = pa.array(v)
+            elif isinstance(v, pa.Array):
+                arrays[name] = v
+            else:
+                arrays[name] = pa.array(v)
+        table = pa.table(arrays)
+        return _normalize_batches(table, schema)
+    if isinstance(data, Iterable):
+        it = iter(data)
+        try:
+            first = next(it)
+        except StopIteration:
+            raise InvalidInputError("empty batch iterator requires explicit schema")
+        if not isinstance(first, pa.RecordBatch):
+            raise InvalidInputError("iterator must yield pyarrow.RecordBatch")
+        schema = schema or Schema.from_arrow(first.schema)
+
+        def chain():
+            yield first
+            yield from it
+
+        return chain(), schema
+    raise InvalidInputError(f"unsupported data type {type(data)}")
+
+
+def write_fragments(
+    store: ObjectStore,
+    data,
+    schema: Schema | None = None,
+    params: WriteParams | None = None,
+) -> tuple[list[Fragment], Schema]:
+    """Write data into fragment files; returns uncommitted Fragment metadata.
+
+    This is the distributed-write building block: call on any worker, then
+    commit the collected fragments in one transaction on the coordinator.
+    """
+    params = params or WriteParams()
+    batches, schema = _normalize_batches(data, schema)
+    schema.validate()
+    field_ids = [f.id for f in schema.fields]
+
+    fragments: list[Fragment] = []
+    writer: FileWriter | None = None
+    cur_path = ""
+    cur_rows = 0
+
+    def finish_current():
+        nonlocal writer, cur_rows
+        if writer is not None and cur_rows > 0:
+            writer.finish()
+            fragments.append(
+                Fragment(
+                    id=0,  # assigned at commit
+                    files=[DataFile(cur_path, field_ids, cur_rows)],
+                    physical_rows=cur_rows,
+                )
+            )
+        writer = None
+        cur_rows = 0
+
+    for batch in batches:
+        offset = 0
+        n = batch.num_rows
+        while offset < n:
+            if writer is None:
+                cur_path = f"data/{uuid_mod.uuid4().hex}.ltpf"
+                writer = FileWriter(store, cur_path, schema, compression=params.compression)
+            room = params.max_rows_per_file - cur_rows
+            step = min(room, n - offset, params.max_rows_per_group)
+            writer.write_batch(batch.slice(offset, step))
+            cur_rows += step
+            offset += step
+            if cur_rows >= params.max_rows_per_file:
+                finish_current()
+    finish_current()
+    return fragments, schema

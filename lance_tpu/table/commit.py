@@ -1,0 +1,130 @@
+"""Commit handlers + the optimistic-concurrency commit loop.
+
+Re-design of the reference commit machinery (rust/lance-table/src/io/
+commit.rs:1-1240 CommitHandler/ConditionalPutCommitHandler; loop at
+rust/lance/src/io/commit.rs:739-860):
+
+  1. write `_transactions/{read_version}-{uuid}.txn`
+  2. build the candidate manifest for version = latest + 1
+  3. conditional-PUT `_versions/{v}.manifest` — atomic publish
+  4. on collision: load the transactions committed since read_version,
+     run the conflict matrix against each, rebase, retry with SlotBackoff.
+
+The storage-based protocol is deliberately kept from the reference: it is
+the one part of a distributed system that *should* stay communication-free
+(multi-host TPU jobs coordinate through it between jobs; collectives over
+ICI handle intra-job parallelism).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+from ..errors import CommitConflictError, NotFoundError
+from ..io.object_store import ObjectStore
+from .manifest import Manifest, manifest_path, VERSIONS_DIR
+from .transaction import FAIL, Transaction, build_manifest, check_conflict
+
+DEFAULT_COMMIT_RETRIES = 20
+
+
+class CommitHandler:
+    """Atomic manifest publication. Subclass for external catalogs/DynamoDB-style locks."""
+
+    def commit(self, store: ObjectStore, version: int, manifest_bytes: bytes) -> bool:
+        raise NotImplementedError
+
+    def latest_version(self, store: ObjectStore) -> int | None:
+        metas = store.list(f"{VERSIONS_DIR}/")
+        versions = []
+        for m in metas:
+            name = m.path.rsplit("/", 1)[-1]
+            if name.endswith(".manifest"):
+                try:
+                    versions.append(int(name[: -len(".manifest")]))
+                except ValueError:
+                    pass
+        return max(versions) if versions else None
+
+
+class ConditionalPutCommitHandler(CommitHandler):
+    """Default handler: relies on the store's atomic put_if_not_exists."""
+
+    def commit(self, store: ObjectStore, version: int, manifest_bytes: bytes) -> bool:
+        return store.put_if_not_exists(manifest_path(version), manifest_bytes)
+
+
+class SlotBackoff:
+    """Jittered slotted backoff for commit contention (reference:
+    lance-core/src/utils/backoff.rs SlotBackoff)."""
+
+    def __init__(self, slot_ms: float = 5.0, max_ms: float = 500.0):
+        self.slot_ms = slot_ms
+        self.max_ms = max_ms
+        self.attempt = 0
+
+    def wait(self) -> None:
+        slots = min(2**self.attempt, self.max_ms / self.slot_ms)
+        time.sleep(random.random() * slots * self.slot_ms / 1000.0)
+        self.attempt += 1
+
+
+def read_manifest(store: ObjectStore, version: int) -> Manifest:
+    try:
+        return Manifest.from_bytes(store.get(manifest_path(version)))
+    except NotFoundError:
+        raise NotFoundError(f"dataset version {version} not found") from None
+
+
+def load_transaction(store: ObjectStore, manifest: Manifest) -> Transaction | None:
+    if not manifest.transaction_file:
+        return None
+    try:
+        return Transaction.from_bytes(store.get(manifest.transaction_file))
+    except NotFoundError:
+        return None
+
+
+def commit_transaction(
+    store: ObjectStore,
+    txn: Transaction,
+    base_manifest: Manifest | None,
+    handler: CommitHandler | None = None,
+    max_retries: int = DEFAULT_COMMIT_RETRIES,
+) -> Manifest:
+    """Run the optimistic-concurrency commit loop; returns the committed manifest."""
+    handler = handler or ConditionalPutCommitHandler()
+    store.put(txn.tx_path(), txn.to_bytes())
+
+    backoff = SlotBackoff()
+    checked_through = txn.read_version
+    current = base_manifest
+
+    for _attempt in range(max_retries):
+        target = (current.version if current else 0) + 1
+        manifest = build_manifest(current, txn, target)
+        if handler.commit(store, target, manifest.to_bytes()):
+            return manifest
+        # lost the race: fetch versions committed since, run conflict checks
+        latest = handler.latest_version(store)
+        if latest is None:
+            raise CommitConflictError(target, "manifest collision but no versions listed")
+        for v in range(checked_through + 1, latest + 1):
+            committed_manifest = read_manifest(store, v)
+            committed_txn = load_transaction(store, committed_manifest)
+            if committed_txn is not None:
+                verdict = check_conflict(txn.operation, committed_txn.operation)
+                if verdict == FAIL:
+                    raise CommitConflictError(
+                        v,
+                        f"{txn.operation.kind} conflicts with concurrently-committed "
+                        f"{committed_txn.operation.kind} at version {v}",
+                    )
+            current = committed_manifest
+        checked_through = latest
+        backoff.wait()
+
+    raise CommitConflictError(
+        (current.version if current else 0) + 1, f"gave up after {max_retries} retries"
+    )

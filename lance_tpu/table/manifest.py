@@ -1,0 +1,196 @@
+"""Table-format metadata: Manifest, Fragment, DataFile, IndexMetadata.
+
+Re-design of the reference table format (rust/lance-table/src/format/
+manifest.rs:35, fragment.rs:1-621, protos/table.proto:36-60):
+
+- A dataset version = one immutable Manifest published at
+  `_versions/{version:020d}.manifest` (zero-padded so lexical listing sorts
+  by version; reference ManifestNamingScheme V2 solves the same problem).
+- A Fragment is a set of rows stored in one or more DataFiles (multiple
+  files = column groups, enabling add_columns without rewrites) plus an
+  optional deletion file.
+- Manifests are JSON + zstd: human-inspectable, versioned, and small.
+
+Directory layout (reference docs/src/format/table/layout.md:18-40):
+    data/*.ltpf            _versions/*.manifest     _transactions/*.txn
+    _deletions/*.bin       _indices/{uuid}/*.idx
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field as dc_field
+
+import zstandard
+
+from ..schema import Schema
+
+_zc = zstandard.ZstdCompressor(level=3)
+_zd = zstandard.ZstdDecompressor()
+
+VERSIONS_DIR = "_versions"
+TX_DIR = "_transactions"
+DELETIONS_DIR = "_deletions"
+INDICES_DIR = "_indices"
+DATA_DIR = "data"
+REFS_DIR = "_refs"
+
+
+def manifest_path(version: int) -> str:
+    return f"{VERSIONS_DIR}/{version:020d}.manifest"
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to dataset root, e.g. "data/{uuid}.ltpf"
+    fields: list[int]  # field ids stored in this file
+    num_rows: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "fields": self.fields, "num_rows": self.num_rows}
+
+    @classmethod
+    def from_json(cls, j: dict) -> "DataFile":
+        return cls(j["path"], j["fields"], j["num_rows"])
+
+
+@dataclass
+class DeletionFile:
+    path: str
+    num_deleted: int
+    read_version: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "num_deleted": self.num_deleted, "read_version": self.read_version}
+
+    @classmethod
+    def from_json(cls, j: dict) -> "DeletionFile":
+        return cls(j["path"], j["num_deleted"], j["read_version"])
+
+
+@dataclass
+class Fragment:
+    id: int
+    files: list[DataFile] = dc_field(default_factory=list)
+    deletion_file: DeletionFile | None = None
+    physical_rows: int = 0
+
+    @property
+    def num_rows(self) -> int:
+        dels = self.deletion_file.num_deleted if self.deletion_file else 0
+        return self.physical_rows - dels
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.id,
+            "files": [f.to_json() for f in self.files],
+            "deletion_file": self.deletion_file.to_json() if self.deletion_file else None,
+            "physical_rows": self.physical_rows,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Fragment":
+        return cls(
+            id=j["id"],
+            files=[DataFile.from_json(f) for f in j["files"]],
+            deletion_file=DeletionFile.from_json(j["deletion_file"]) if j.get("deletion_file") else None,
+            physical_rows=j["physical_rows"],
+        )
+
+    def copy(self) -> "Fragment":
+        return Fragment.from_json(self.to_json())
+
+
+@dataclass
+class IndexMetadata:
+    """One secondary index (reference: lance-table index section of manifest)."""
+
+    uuid: str
+    name: str
+    fields: list[int]  # indexed field ids
+    index_type: str  # e.g. "IVF_PQ", "IVF_FLAT", "BTREE", "INVERTED"
+    fragment_ids: list[int]  # fragments covered (delta indices cover subsets)
+    dataset_version: int  # version at creation
+    params: dict = dc_field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "uuid": self.uuid,
+            "name": self.name,
+            "fields": self.fields,
+            "index_type": self.index_type,
+            "fragment_ids": self.fragment_ids,
+            "dataset_version": self.dataset_version,
+            "params": self.params,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "IndexMetadata":
+        return cls(
+            j["uuid"], j["name"], j["fields"], j["index_type"],
+            j["fragment_ids"], j["dataset_version"], j.get("params", {}),
+        )
+
+
+@dataclass
+class Manifest:
+    schema: Schema
+    version: int = 1
+    fragments: list[Fragment] = dc_field(default_factory=list)
+    indices: list[IndexMetadata] = dc_field(default_factory=list)
+    config: dict = dc_field(default_factory=dict)
+    max_fragment_id: int = -1
+    timestamp: float = 0.0
+    transaction_file: str | None = None
+    writer_version: str = "lance_tpu-0.1.0"
+
+    def __post_init__(self):
+        if self.timestamp == 0.0:
+            self.timestamp = time.time()
+        if self.max_fragment_id < 0 and self.fragments:
+            self.max_fragment_id = max(f.id for f in self.fragments)
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.num_rows for f in self.fragments)
+
+    def fragment_by_id(self, fid: int) -> Fragment | None:
+        return next((f for f in self.fragments if f.id == fid), None)
+
+    def index_by_name(self, name: str) -> IndexMetadata | None:
+        return next((i for i in self.indices if i.name == name), None)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema": self.schema.to_json(),
+            "fragments": [f.to_json() for f in self.fragments],
+            "indices": [i.to_json() for i in self.indices],
+            "config": self.config,
+            "max_fragment_id": self.max_fragment_id,
+            "timestamp": self.timestamp,
+            "transaction_file": self.transaction_file,
+            "writer_version": self.writer_version,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Manifest":
+        return cls(
+            schema=Schema.from_json(j["schema"]),
+            version=j["version"],
+            fragments=[Fragment.from_json(f) for f in j["fragments"]],
+            indices=[IndexMetadata.from_json(i) for i in j.get("indices", [])],
+            config=j.get("config", {}),
+            max_fragment_id=j.get("max_fragment_id", -1),
+            timestamp=j.get("timestamp", 0.0),
+            transaction_file=j.get("transaction_file"),
+            writer_version=j.get("writer_version", "?"),
+        )
+
+    def to_bytes(self) -> bytes:
+        return _zc.compress(json.dumps(self.to_json()).encode())
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Manifest":
+        return cls.from_json(json.loads(_zd.decompress(data, max_output_size=1 << 30)))

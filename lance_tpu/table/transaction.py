@@ -1,0 +1,314 @@
+"""Transactions: operations, conflict matrix, and manifest rebuilding.
+
+Re-design of the reference transaction system (rust/lance/src/dataset/
+transaction.rs:85, Operation enum :145-275, conflict matrix doc :27-46):
+every mutation is expressed as a Transaction{read_version, uuid, operation};
+commit = optimistic concurrency (see table/commit.py). The conflict matrix
+decides, for each pair (my op, concurrently-committed op), whether my
+transaction can be rebased onto the new version or must fail.
+
+Fragment ids are assigned at manifest-build time from max_fragment_id (like
+the reference), which is what makes concurrent Appends trivially rebasable.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as uuid_mod
+from dataclasses import dataclass, field as dc_field
+
+from ..errors import CommitConflictError, NotSupportedError
+from ..schema import Schema
+from .manifest import Fragment, IndexMetadata, Manifest
+
+# conflict verdicts
+COMPATIBLE = "compatible"
+RETRYABLE = "retryable"  # rebase and retry
+FAIL = "fail"  # irreconcilable
+
+
+@dataclass
+class Operation:
+    """Tagged-union operation. `kind` selects which fields are meaningful."""
+
+    kind: str
+    fragments: list[Fragment] = dc_field(default_factory=list)  # Append/Overwrite/Merge new frags
+    schema: Schema | None = None  # Overwrite/Merge/Project
+    updated_fragments: list[Fragment] = dc_field(default_factory=list)  # Delete/Update/DataReplacement
+    deleted_fragment_ids: list[int] = dc_field(default_factory=list)  # Delete
+    predicate: str | None = None  # Delete/Update provenance
+    new_indices: list[IndexMetadata] = dc_field(default_factory=list)  # CreateIndex
+    removed_index_uuids: list[str] = dc_field(default_factory=list)  # CreateIndex
+    groups: list[tuple[list[int], list[Fragment]]] = dc_field(default_factory=list)  # Rewrite: (old ids, new frags)
+    config_upserts: dict = dc_field(default_factory=dict)  # UpdateConfig
+    config_deletes: list[str] = dc_field(default_factory=list)
+    num_fragments: int = 0  # ReserveFragments
+    restore_version: int | None = None  # Restore
+    restored: Manifest | None = None  # Restore payload (target version content)
+
+    # -- serialization --------------------------------------------------------
+
+    def to_json(self) -> dict:
+        return {
+            "kind": self.kind,
+            "fragments": [f.to_json() for f in self.fragments],
+            "schema": self.schema.to_json() if self.schema else None,
+            "updated_fragments": [f.to_json() for f in self.updated_fragments],
+            "deleted_fragment_ids": self.deleted_fragment_ids,
+            "predicate": self.predicate,
+            "new_indices": [i.to_json() for i in self.new_indices],
+            "removed_index_uuids": self.removed_index_uuids,
+            "groups": [[old, [f.to_json() for f in new]] for old, new in self.groups],
+            "config_upserts": self.config_upserts,
+            "config_deletes": self.config_deletes,
+            "num_fragments": self.num_fragments,
+            "restore_version": self.restore_version,
+            "restored": self.restored.to_json() if self.restored else None,
+        }
+
+    @classmethod
+    def from_json(cls, j: dict) -> "Operation":
+        return cls(
+            kind=j["kind"],
+            fragments=[Fragment.from_json(f) for f in j.get("fragments", [])],
+            schema=Schema.from_json(j["schema"]) if j.get("schema") else None,
+            updated_fragments=[Fragment.from_json(f) for f in j.get("updated_fragments", [])],
+            deleted_fragment_ids=j.get("deleted_fragment_ids", []),
+            predicate=j.get("predicate"),
+            new_indices=[IndexMetadata.from_json(i) for i in j.get("new_indices", [])],
+            removed_index_uuids=j.get("removed_index_uuids", []),
+            groups=[(old, [Fragment.from_json(f) for f in new]) for old, new in j.get("groups", [])],
+            config_upserts=j.get("config_upserts", {}),
+            config_deletes=j.get("config_deletes", []),
+            num_fragments=j.get("num_fragments", 0),
+            restore_version=j.get("restore_version"),
+            restored=Manifest.from_json(j["restored"]) if j.get("restored") else None,
+        )
+
+    # -- helpers ----------------------------------------------------------------
+
+    def modified_fragment_ids(self) -> set[int]:
+        ids = set(self.deleted_fragment_ids)
+        ids.update(f.id for f in self.updated_fragments)
+        for old, _new in self.groups:
+            ids.update(old)
+        return ids
+
+
+@dataclass
+class Transaction:
+    read_version: int
+    operation: Operation
+    uuid: str = dc_field(default_factory=lambda: uuid_mod.uuid4().hex)
+    blobs_op: Operation | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "read_version": self.read_version,
+            "uuid": self.uuid,
+            "operation": self.operation.to_json(),
+        }
+
+    def to_bytes(self) -> bytes:
+        return json.dumps(self.to_json()).encode()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Transaction":
+        j = json.loads(data)
+        return cls(j["read_version"], Operation.from_json(j["operation"]), j["uuid"])
+
+    def tx_path(self) -> str:
+        return f"_transactions/{self.read_version}-{self.uuid}.txn"
+
+
+# ---------------------------------------------------------------------------
+# Conflict matrix
+# ---------------------------------------------------------------------------
+
+_STRUCTURAL = {"overwrite", "restore"}  # replace the whole table
+
+
+def check_conflict(mine: Operation, committed: Operation) -> str:
+    """Can `mine` (uncommitted, read an older version) commit after `committed`?
+
+    Mirrors the reference's conflict matrix (transaction.rs:27-46) and
+    TransactionRebase (conflict_resolver.rs).
+    """
+    a, b = mine.kind, committed.kind
+
+    # Structural ops replace the table: anything that read the old table is stale.
+    if b in _STRUCTURAL:
+        return FAIL if a not in _STRUCTURAL else RETRYABLE
+    if a in _STRUCTURAL:
+        # overwriting doesn't care what happened meanwhile
+        return RETRYABLE
+
+    if a == "append":
+        # appends are rebasable over everything non-structural
+        return RETRYABLE
+
+    if a == "reserve_fragments" or b == "reserve_fragments":
+        return RETRYABLE
+
+    if a == "update_config":
+        if b == "update_config":
+            mine_keys = set(mine.config_upserts) | set(mine.config_deletes)
+            their_keys = set(committed.config_upserts) | set(committed.config_deletes)
+            return FAIL if mine_keys & their_keys else RETRYABLE
+        return RETRYABLE
+
+    if a in ("delete", "update"):
+        if b in ("delete", "update", "rewrite", "data_replacement"):
+            if mine.modified_fragment_ids() & committed.modified_fragment_ids():
+                return FAIL
+            return RETRYABLE
+        return RETRYABLE  # append / create_index / update_config are fine
+
+    if a == "create_index":
+        if b == "rewrite":
+            return FAIL  # row addresses moved under the index
+        return RETRYABLE
+
+    if a == "rewrite":
+        if b in ("delete", "update", "rewrite", "data_replacement", "create_index"):
+            if b == "create_index":
+                return FAIL
+            if mine.modified_fragment_ids() & committed.modified_fragment_ids():
+                return FAIL
+            return RETRYABLE
+        return RETRYABLE
+
+    if a == "data_replacement":
+        if b in ("delete", "update", "rewrite", "data_replacement"):
+            if mine.modified_fragment_ids() & committed.modified_fragment_ids():
+                return FAIL
+            return RETRYABLE
+        return RETRYABLE
+
+    if a in ("merge", "project"):
+        # schema-changing ops conflict with everything that changed rows/schema
+        if b in ("merge", "project", "delete", "update", "rewrite"):
+            return FAIL
+        return RETRYABLE
+
+    return FAIL
+
+
+# ---------------------------------------------------------------------------
+# Manifest building
+# ---------------------------------------------------------------------------
+
+
+def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) -> Manifest:
+    """Apply `txn.operation` to `base` producing the manifest for new_version."""
+    op = txn.operation
+    kind = op.kind
+
+    if kind == "overwrite":
+        assert op.schema is not None
+        m = Manifest(schema=op.schema, version=new_version, config=dict(op.config_upserts))
+        if base is not None:
+            m.config = {**base.config, **op.config_upserts}
+            m.max_fragment_id = base.max_fragment_id
+        _assign_fragment_ids(m, op.fragments)
+        m.fragments = [f.copy() for f in op.fragments]
+        m.transaction_file = txn.tx_path()
+        return m
+
+    if base is None:
+        raise CommitConflictError(0, f"operation {kind} requires an existing dataset")
+
+    m = Manifest(
+        schema=base.schema,
+        version=new_version,
+        fragments=[f.copy() for f in base.fragments],
+        indices=list(base.indices),
+        config=dict(base.config),
+        max_fragment_id=base.max_fragment_id,
+    )
+    m.transaction_file = txn.tx_path()
+
+    if kind == "append":
+        _assign_fragment_ids(m, op.fragments)
+        m.fragments.extend(f.copy() for f in op.fragments)
+    elif kind in ("delete", "update"):
+        updated = {f.id: f for f in op.updated_fragments}
+        deleted = set(op.deleted_fragment_ids)
+        m.fragments = [
+            updated.get(f.id, f).copy() for f in m.fragments if f.id not in deleted
+        ]
+        if kind == "update" and op.fragments:
+            _assign_fragment_ids(m, op.fragments)
+            m.fragments.extend(f.copy() for f in op.fragments)
+    elif kind == "create_index":
+        removed = set(op.removed_index_uuids)
+        replaced_names = {i.name for i in op.new_indices}
+        m.indices = [
+            i for i in m.indices if i.uuid not in removed and i.name not in replaced_names
+        ] + list(op.new_indices)
+    elif kind == "rewrite":
+        # replace groups of fragments (compaction)
+        all_old: set[int] = set()
+        new_frags: list[Fragment] = []
+        for old_ids, new in op.groups:
+            all_old.update(old_ids)
+            new_frags.extend(new)
+        _assign_fragment_ids(m, new_frags)
+        # preserve position of first old fragment in each group
+        result = []
+        inserted = False
+        for f in m.fragments:
+            if f.id in all_old:
+                if not inserted:
+                    result.extend(fr.copy() for fr in new_frags)
+                    inserted = True
+            else:
+                result.append(f)
+        if not inserted:
+            result.extend(fr.copy() for fr in new_frags)
+        m.fragments = result
+    elif kind == "reserve_fragments":
+        m.max_fragment_id += op.num_fragments
+    elif kind == "update_config":
+        m.config.update(op.config_upserts)
+        for k in op.config_deletes:
+            m.config.pop(k, None)
+    elif kind == "restore":
+        assert op.restored is not None
+        m.schema = op.restored.schema
+        m.fragments = [f.copy() for f in op.restored.fragments]
+        m.indices = list(op.restored.indices)
+        m.config = dict(op.restored.config)
+        m.max_fragment_id = max(
+            base.max_fragment_id, op.restored.max_fragment_id
+        )
+    elif kind == "merge":
+        assert op.schema is not None
+        m.schema = op.schema
+        updated = {f.id: f for f in op.fragments}
+        m.fragments = [updated.get(f.id, f).copy() for f in m.fragments]
+    elif kind == "project":
+        assert op.schema is not None
+        m.schema = op.schema
+        keep = set(op.schema.field_ids())
+        m.indices = [i for i in m.indices if set(i.fields) <= keep]
+    elif kind == "data_replacement":
+        updated = {f.id: f for f in op.updated_fragments}
+        m.fragments = [updated.get(f.id, f).copy() for f in m.fragments]
+    else:
+        raise NotSupportedError(f"operation kind {kind}")
+
+    # drop indices whose covered fragments all disappeared
+    live = {f.id for f in m.fragments}
+    m.indices = [
+        i for i in m.indices if not i.fragment_ids or set(i.fragment_ids) & live
+    ]
+    return m
+
+
+def _assign_fragment_ids(m: Manifest, fragments: list[Fragment]) -> None:
+    nxt = m.max_fragment_id + 1
+    for f in fragments:
+        f.id = nxt
+        nxt += 1
+    m.max_fragment_id = nxt - 1

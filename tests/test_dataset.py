@@ -1,0 +1,180 @@
+"""Dataset-level functional tests: write/scan/filter/take/delete/versioning."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset import WriteParams
+from lance_tpu.errors import CommitConflictError, InvalidInputError
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://test-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def _table(n=1000, offset=0):
+    rng = np.random.default_rng(7 + offset)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(offset, offset + n, dtype=np.int64)),
+            "x": pa.array(rng.normal(size=n)),
+            "label": pa.array([f"item-{(offset + i) % 7}" for i in range(n)]),
+        }
+    )
+
+
+def test_write_and_read_roundtrip():
+    uri = _uri("basic")
+    ds = lt.write_dataset(_table(500), uri)
+    assert ds.version == 1
+    assert ds.count_rows() == 500
+    t = ds.to_table()
+    assert t.num_rows == 500
+    assert t.column_names == ["id", "x", "label"]
+    ds2 = lt.dataset(uri)
+    assert ds2.count_rows() == 500
+
+
+def test_append_and_overwrite():
+    uri = _uri("modes")
+    ds = lt.write_dataset(_table(100), uri)
+    ds = lt.write_dataset(_table(50, offset=100), uri, mode="append")
+    assert ds.count_rows() == 150
+    assert ds.version == 2
+    ds = lt.write_dataset(_table(10), uri, mode="overwrite")
+    assert ds.count_rows() == 10
+    assert ds.version == 3
+    with pytest.raises(InvalidInputError):
+        lt.write_dataset(_table(10), uri, mode="create")
+
+
+def test_multiple_fragments():
+    uri = _uri("frags")
+    ds = lt.write_dataset(_table(1000), uri, params=WriteParams(max_rows_per_file=300))
+    assert len(ds.manifest.fragments) == 4
+    t = ds.to_table(columns=["id"])
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(1000))
+
+
+def test_filter_and_projection():
+    uri = _uri("filter")
+    ds = lt.write_dataset(_table(1000), uri)
+    t = ds.to_table(columns=["id"], filter="id >= 10 and id < 20")
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(10, 20))
+    t2 = ds.to_table(filter="label = 'item-3' and id < 100")
+    assert all(v == "item-3" for v in t2["label"].to_pylist())
+    assert t2.num_rows == len([i for i in range(100) if i % 7 == 3])
+    assert ds.count_rows("id < 5") == 5
+    t3 = ds.to_table(filter="id in (3, 5, 999)")
+    assert t3.num_rows == 3
+    t4 = ds.to_table(filter="label like 'item-%' and id between 5 and 9")
+    assert t4.num_rows == 5
+
+
+def test_limit_offset():
+    uri = _uri("limit")
+    ds = lt.write_dataset(_table(100), uri, params=WriteParams(max_rows_per_file=30))
+    t = ds.scanner().project(["id"]).limit(10, offset=25).to_table()
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(25, 35))
+
+
+def test_take():
+    uri = _uri("take")
+    ds = lt.write_dataset(_table(1000), uri, params=WriteParams(max_rows_per_file=300))
+    idx = [5, 999, 300, 5]
+    t = ds.take(idx, columns=["id", "label"])
+    assert np.asarray(t["id"]).tolist() == idx
+
+
+def test_row_ids_and_take_rows():
+    uri = _uri("rowids")
+    ds = lt.write_dataset(_table(100), uri, params=WriteParams(max_rows_per_file=40))
+    t = ds.scanner().project(["id"]).with_row_address().to_table()
+    addrs = np.asarray(t["_rowaddr"])
+    ids = np.asarray(t["id"])
+    pick = [3, 77, 50]
+    t2 = ds.take_rows(addrs[pick], columns=["id"])
+    np.testing.assert_array_equal(np.asarray(t2["id"]), ids[pick])
+
+
+def test_delete():
+    uri = _uri("delete")
+    ds = lt.write_dataset(_table(100), uri)
+    ds = ds.delete("id < 10")
+    assert ds.count_rows() == 90
+    t = ds.to_table(columns=["id"])
+    assert np.asarray(t["id"]).min() == 10
+    # delete everything in fragment -> fragment removed
+    ds = ds.delete("id >= 0")
+    assert ds.count_rows() == 0
+    assert len(ds.manifest.fragments) == 0
+
+
+def test_delete_then_take():
+    uri = _uri("deltake")
+    ds = lt.write_dataset(_table(100), uri)
+    ds = ds.delete("id % 2 = 0")
+    assert ds.count_rows() == 50
+    t = ds.take([0, 1, 2], columns=["id"])
+    np.testing.assert_array_equal(np.asarray(t["id"]), [1, 3, 5])
+
+
+def test_versioning_checkout_restore():
+    uri = _uri("versions")
+    ds = lt.write_dataset(_table(10), uri)
+    ds = lt.write_dataset(_table(5, offset=10), uri, mode="append")
+    assert [v["version"] for v in ds.versions()] == [1, 2]
+    old = ds.checkout_version(1)
+    assert old.count_rows() == 10
+    restored = old.restore()
+    assert restored.version == 3
+    assert restored.count_rows() == 10
+    latest = lt.dataset(uri)
+    assert latest.version == 3
+    assert latest.count_rows() == 10
+
+
+def test_update_config():
+    uri = _uri("config")
+    ds = lt.write_dataset(_table(10), uri)
+    ds = ds.update_config({"owner": "me"})
+    assert ds.config["owner"] == "me"
+    ds = ds.update_config(deletes=["owner"])
+    assert "owner" not in ds.config
+
+
+def test_validate():
+    uri = _uri("validate")
+    ds = lt.write_dataset(_table(10), uri)
+    ds.validate()
+
+
+def test_local_filesystem_dataset(tmp_path):
+    ds = lt.write_dataset(_table(100), str(tmp_path / "ds.lance"))
+    assert ds.count_rows() == 100
+    ds2 = lt.dataset(str(tmp_path / "ds.lance"))
+    t = ds2.to_table(filter="id = 42")
+    assert t.num_rows == 1
+
+
+def test_nulls_roundtrip():
+    uri = _uri("nulls")
+    t = pa.table({"a": pa.array([1, None, 3]), "b": pa.array(["x", None, "z"])})
+    ds = lt.write_dataset(t, uri)
+    out = ds.to_table()
+    assert out["a"].to_pylist() == [1, None, 3]
+    assert out["b"].to_pylist() == ["x", None, "z"]
+    # IS NULL filter
+    assert ds.count_rows("a is null") == 1
+    assert ds.count_rows("a is not null and b = 'x'") == 1
+
+
+def test_order_by():
+    uri = _uri("order")
+    ds = lt.write_dataset(_table(100), uri)
+    t = ds.scanner().project(["id"]).order_by([("id", False)]).limit(3).to_table()
+    got = np.asarray(t["id"]).tolist()
+    assert got == sorted(got, reverse=True)

@@ -1,0 +1,142 @@
+"""Table-format tests: manifest round-trip, conflict matrix, commit loop."""
+
+import threading
+
+import pyarrow as pa
+import pytest
+
+from lance_tpu.errors import CommitConflictError
+from lance_tpu.io.object_store import MemoryStore
+from lance_tpu.schema import Schema
+from lance_tpu.table.commit import ConditionalPutCommitHandler, commit_transaction, read_manifest
+from lance_tpu.table.manifest import DataFile, Fragment, IndexMetadata, Manifest
+from lance_tpu.table.transaction import (
+    COMPATIBLE,
+    FAIL,
+    RETRYABLE,
+    Operation,
+    Transaction,
+    build_manifest,
+    check_conflict,
+)
+
+
+def _schema():
+    return Schema.from_arrow(pa.schema([("a", pa.int64())]))
+
+
+def _frag(path="data/x.ltpf", rows=100):
+    return Fragment(id=0, files=[DataFile(path, [0], rows)], physical_rows=rows)
+
+
+def test_manifest_roundtrip():
+    m = Manifest(schema=_schema(), version=3, fragments=[_frag()], config={"k": "v"})
+    m.indices.append(IndexMetadata("u1", "idx", [0], "BTREE", [0], 3))
+    m2 = Manifest.from_bytes(m.to_bytes())
+    assert m2.version == 3
+    assert m2.fragments[0].physical_rows == 100
+    assert m2.config == {"k": "v"}
+    assert m2.indices[0].name == "idx"
+    assert m2.schema == m.schema
+
+
+def test_build_manifest_append_assigns_fragment_ids():
+    base = Manifest(schema=_schema(), version=1, fragments=[_frag()])
+    base.fragments[0].id = 0
+    base.max_fragment_id = 0
+    txn = Transaction(1, Operation("append", fragments=[_frag("data/y.ltpf"), _frag("data/z.ltpf")]))
+    m2 = build_manifest(base, txn, 2)
+    assert [f.id for f in m2.fragments] == [0, 1, 2]
+    assert m2.max_fragment_id == 2
+    assert m2.version == 2
+
+
+def test_conflict_matrix():
+    ap = Operation("append", fragments=[_frag()])
+    ow = Operation("overwrite", fragments=[], schema=_schema())
+    d1 = Operation("delete", deleted_fragment_ids=[1])
+    d2 = Operation("delete", deleted_fragment_ids=[2])
+    d1b = Operation("delete", deleted_fragment_ids=[1])
+    ci = Operation("create_index", new_indices=[])
+    rw = Operation("rewrite", groups=[([1, 2], [_frag()])])
+    cfg_a = Operation("update_config", config_upserts={"x": "1"})
+    cfg_b = Operation("update_config", config_upserts={"y": "2"})
+
+    assert check_conflict(ap, ap) == RETRYABLE
+    assert check_conflict(ap, ow) == FAIL
+    assert check_conflict(d1, d2) == RETRYABLE
+    assert check_conflict(d1, d1b) == FAIL
+    assert check_conflict(d1, ap) == RETRYABLE
+    assert check_conflict(ci, rw) == FAIL
+    assert check_conflict(rw, ci) == FAIL
+    assert check_conflict(ci, ap) == RETRYABLE
+    assert check_conflict(cfg_a, cfg_b) == RETRYABLE
+    assert check_conflict(cfg_a, cfg_a) == FAIL
+    assert check_conflict(ow, ap) == RETRYABLE  # overwrite always wins
+
+
+def test_commit_loop_basic(memory_store):
+    txn = Transaction(0, Operation("overwrite", fragments=[_frag()], schema=_schema()))
+    m = commit_transaction(memory_store, txn, None)
+    assert m.version == 1
+    again = read_manifest(memory_store, 1)
+    assert again.num_rows == 100
+    # append on top
+    txn2 = Transaction(1, Operation("append", fragments=[_frag("data/y.ltpf", 50)]))
+    m2 = commit_transaction(memory_store, txn2, m)
+    assert m2.version == 2
+    assert m2.num_rows == 150
+
+
+def test_commit_conflict_rebase(memory_store):
+    txn = Transaction(0, Operation("overwrite", fragments=[_frag()], schema=_schema()))
+    m1 = commit_transaction(memory_store, txn, None)
+    # two writers both read v1, both append
+    t_a = Transaction(1, Operation("append", fragments=[_frag("data/a.ltpf", 10)]))
+    t_b = Transaction(1, Operation("append", fragments=[_frag("data/b.ltpf", 20)]))
+    m_a = commit_transaction(memory_store, t_a, m1)
+    m_b = commit_transaction(memory_store, t_b, m1)  # must rebase onto v2
+    assert m_a.version == 2
+    assert m_b.version == 3
+    assert m_b.num_rows == 130
+    ids = [f.id for f in m_b.fragments]
+    assert len(ids) == len(set(ids)), "fragment ids must stay unique after rebase"
+
+
+def test_commit_conflict_fail(memory_store):
+    txn = Transaction(0, Operation("overwrite", fragments=[_frag()], schema=_schema()))
+    m1 = commit_transaction(memory_store, txn, None)
+    frag_id = m1.fragments[0].id
+    t_a = Transaction(1, Operation("delete", deleted_fragment_ids=[frag_id]))
+    t_b = Transaction(1, Operation("delete", deleted_fragment_ids=[frag_id]))
+    commit_transaction(memory_store, t_a, m1)
+    with pytest.raises(CommitConflictError):
+        commit_transaction(memory_store, t_b, m1)
+
+
+def test_concurrent_appends_threaded(memory_store):
+    """Many writers race; all must land with unique versions and no lost updates."""
+    txn = Transaction(0, Operation("overwrite", fragments=[], schema=_schema()))
+    m1 = commit_transaction(memory_store, txn, None)
+    n = 8
+    errors = []
+
+    def worker(i):
+        try:
+            t = Transaction(1, Operation("append", fragments=[_frag(f"data/{i}.ltpf", 10)]))
+            commit_transaction(memory_store, t, m1, max_retries=50)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    handler = ConditionalPutCommitHandler()
+    latest = handler.latest_version(memory_store)
+    final = read_manifest(memory_store, latest)
+    assert latest == 1 + n
+    assert final.num_rows == 10 * n
+    assert len({f.id for f in final.fragments}) == n
