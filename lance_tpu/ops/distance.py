@@ -1,0 +1,155 @@
+"""Distance kernels, TPU-first.
+
+Re-design of the reference distance stack (rust/lance-linalg/src/distance/
+l2.rs, dot.rs, cosine.rs + argmin kernels.rs + C fp16 SIMD f16.c): instead of
+per-pair SIMD loops, every metric is expressed as one MXU matmul:
+
+    L2(x, c) = |x|^2 + |c|^2 - 2 x @ c.T
+    dot      = - x @ c.T            (negated so smaller = closer, like ref)
+    cosine   = 1 - x_hat @ c_hat.T  (normalize, then dot)
+
+which turns "N x K distance computations over dim D" into a single
+(N, D) @ (D, K) contraction — exactly what the 128x128 systolic array wants.
+argmin/top-k fuse into the same jit region so XLA keeps the distance matrix
+in registers/VMEM and never materializes it in HBM for large N (we chunk
+over N with lax.map).
+
+All functions are pure and jit-safe (static shapes, no Python branching on
+traced values).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Metric = str  # "l2" | "dot" | "cosine"
+
+_DEF_CHUNK = 8192
+
+
+def normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def preprocess_for_metric(x: jnp.ndarray, metric: Metric) -> jnp.ndarray:
+    """cosine reduces to l2/dot on normalized vectors (reference: cosine->l2
+    transform in vector/transform.rs)."""
+    return normalize(x) if metric == "cosine" else x
+
+
+def pairwise_dist(
+    x: jnp.ndarray,
+    c: jnp.ndarray,
+    metric: Metric = "l2",
+    c_sq_norm: jnp.ndarray | None = None,
+    matmul_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """(N, D), (K, D) -> (N, K) distances (smaller = closer for all metrics)."""
+    if matmul_dtype is not None:
+        xm, cm = x.astype(matmul_dtype), c.astype(matmul_dtype)
+    else:
+        xm, cm = x, c
+    if metric == "cosine":
+        xm = normalize(xm)
+        cm = normalize(cm)
+        sim = jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
+        return 1.0 - sim
+    if metric == "dot":
+        return -jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
+    # l2 (squared, like the reference's L2 which returns squared distances)
+    prod = jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
+    x_sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    if c_sq_norm is None:
+        c_sq_norm = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)
+    d = x_sq + c_sq_norm[None, :] - 2.0 * prod
+    return jnp.maximum(d, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "chunk"))
+def argmin_dist(
+    x: jnp.ndarray, c: jnp.ndarray, metric: Metric = "l2", chunk: int = _DEF_CHUNK
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest centroid per row: (N,) int32 ids + (N,) f32 distances.
+
+    Chunked over N so the (chunk, K) distance tile stays on-chip — the
+    replacement for the reference's rayon-chunked argmin
+    (lance-index/src/vector/kmeans.rs:1251 compute_partitions).
+    """
+    n = x.shape[0]
+    c = preprocess_for_metric(c, metric)
+    c_sq = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1) if metric == "l2" else None
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    xc = xp.reshape(-1, chunk, x.shape[1])
+
+    def body(xi):
+        d = pairwise_dist(preprocess_for_metric(xi, metric), c, metric, c_sq)
+        idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+        return idx, jnp.min(d, axis=1)
+
+    ids, dists = jax.lax.map(body, xc)
+    return ids.reshape(-1)[:n], dists.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def topk_neighbors(
+    q: jnp.ndarray, data: jnp.ndarray, k: int, metric: Metric = "l2", chunk: int = 65536
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact flat KNN: (B, D) queries over (N, D) data -> (B, k) dists, ids.
+
+    Streams `data` in chunks, keeping a running top-k merge — the compiled
+    equivalent of the reference's KNNVectorDistanceExec flat scan
+    (rust/lance/src/io/exec/knn.rs:110) without materializing (B, N).
+    """
+    b = q.shape[0]
+    n = data.shape[0]
+    q = preprocess_for_metric(q, metric)
+    pad = (-n) % chunk
+    dp = jnp.pad(data, ((0, pad), (0, 0)), constant_values=jnp.inf if metric == "l2" else 0)
+    nchunks = dp.shape[0] // chunk
+    dc = dp.reshape(nchunks, chunk, data.shape[1])
+    valid_pad = jnp.arange(chunk)  # used to mask padded tail
+
+    init_d = jnp.full((b, k), jnp.inf, dtype=jnp.float32)
+    init_i = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    def body(carry, ci):
+        best_d, best_i = carry
+        block = dc[ci]
+        d = pairwise_dist(q, preprocess_for_metric(block, metric), metric)
+        # mask padded rows in the final chunk
+        is_last = ci == nchunks - 1
+        limit = jnp.where(is_last, n - ci * chunk, chunk)
+        d = jnp.where(valid_pad[None, :] < limit, d, jnp.inf)
+        ids = (ci * chunk + valid_pad).astype(jnp.int32)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids[None, :], d.shape)], axis=1)
+        neg_d, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg_d, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(body, (init_d, init_i), jnp.arange(nchunks))
+    return best_d, best_i
+
+
+def l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise row-wise squared L2 between equal-shaped batches."""
+    d = x.astype(jnp.float32) - y.astype(jnp.float32)
+    return jnp.sum(d * d, axis=-1)
+
+
+def dot_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32), axis=-1)
+
+
+def cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 - jnp.sum(normalize(x) * normalize(y), axis=-1)
+
+
+def hamming_distance_packed(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Hamming over packed uint8 codes: (N, B) vs (K, B) -> (N, K) popcounts."""
+    xor = jnp.bitwise_xor(x[:, None, :], y[None, :, :])
+    return jnp.sum(jax.lax.population_count(xor), axis=-1).astype(jnp.float32)

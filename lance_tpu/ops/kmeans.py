@@ -1,0 +1,181 @@
+"""K-means training as compiled Lloyd iterations.
+
+Re-design of the reference k-means (rust/lance-index/src/vector/kmeans.rs:
+KMeansParams :60-104, train_kmeans :1309, compute_partitions :1251): the
+assignment step is the distance matmul + argmin from ops.distance; the update
+step is a segment-sum; both fuse into one jit'd `lax.scan` over iterations.
+Empty clusters are reseeded by splitting the largest cluster (the reference
+"redos"/split behavior) — done inside jit with argmax + perturbation, so the
+whole training loop is a single XLA program.
+
+Multi-chip: `train_kmeans_sharded` (parallel/kmeans.py) shards rows over the
+mesh 'dp' axis and all-reduces (sum_x, counts) per iteration — the collective
+replacement for the reference's rayon parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distance import Metric, argmin_dist, preprocess_for_metric
+
+
+@dataclass(frozen=True)
+class KMeansParams:
+    k: int
+    max_iters: int = 50
+    tolerance: float = 1e-4
+    metric: Metric = "l2"
+    seed: int = 42
+    chunk: int = 8192
+
+
+def _init_centroids(data: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Random distinct-sample init (reference kmeans.rs:149 random init)."""
+    rng = np.random.default_rng(seed)
+    n = data.shape[0]
+    if n >= k:
+        idx = rng.choice(n, size=k, replace=False)
+    else:
+        idx = rng.choice(n, size=k, replace=True)
+    return np.ascontiguousarray(data[idx])
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeanspp_init(data: jnp.ndarray, key, k: int) -> jnp.ndarray:
+    """k-means++ seeding on device: O(N*k*D) as k rank-1 distance updates.
+
+    Stronger than the reference's random init + redos (kmeans.rs:149) —
+    avoids the local optima that random seeding falls into, and runs as one
+    compiled fori_loop so seeding cost is negligible next to Lloyd iters.
+    """
+    n, d = data.shape
+    data32 = data.astype(jnp.float32)
+    key, sub = jax.random.split(key)
+    first = data32[jax.random.randint(sub, (), 0, n)]
+    cents = jnp.zeros((k, d), jnp.float32).at[0].set(first)
+    d2 = jnp.sum((data32 - first) ** 2, axis=1)
+
+    def body(i, carry):
+        cents, d2, key = carry
+        key, sub = jax.random.split(key)
+        idx = jax.random.categorical(sub, jnp.log(jnp.maximum(d2, 1e-30)))
+        c = data32[idx]
+        nd = jnp.sum((data32 - c) ** 2, axis=1)
+        return cents.at[i].set(c), jnp.minimum(d2, nd), key
+
+    cents, _, _ = jax.lax.fori_loop(1, k, body, (cents, d2, key))
+    return cents
+
+
+def _lloyd_step(data, centroids, metric: Metric, chunk: int):
+    k = centroids.shape[0]
+    ids, dists = argmin_dist(data, centroids, metric, chunk)
+    one = jnp.ones_like(ids, dtype=jnp.float32)
+    counts = jax.ops.segment_sum(one, ids, num_segments=k)
+    sums = jax.ops.segment_sum(data.astype(jnp.float32), ids, num_segments=k)
+    return ids, dists, sums, counts
+
+
+def _update_centroids(centroids, sums, counts, data, key):
+    """New centroids; empty clusters stolen from the largest cluster."""
+    k, d = centroids.shape
+    safe = jnp.maximum(counts, 1.0)[:, None]
+    new = sums / safe
+    empty = counts < 0.5
+    # split donors: centroid of the largest cluster + small perturbation
+    donor = jnp.argmax(counts)
+    noise = jax.random.normal(key, (k, d), dtype=jnp.float32) * 1e-4
+    stolen = new[donor][None, :] * (1.0 + noise)
+    return jnp.where(empty[:, None], stolen, new)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "metric", "chunk"))
+def _train_jit(data, init_centroids, key, k: int, max_iters: int, metric: Metric,
+               tolerance: float, chunk: int):
+    def body(carry, it):
+        centroids, prev_loss, done = carry
+        ids, dists, sums, counts = _lloyd_step(data, centroids, metric, chunk)
+        loss = jnp.sum(dists)
+        subkey = jax.random.fold_in(key, it)
+        new_centroids = _update_centroids(centroids, sums, counts, data, subkey)
+        new_centroids = preprocess_for_metric(new_centroids, metric) if metric == "cosine" else new_centroids
+        converged = jnp.abs(prev_loss - loss) <= tolerance * jnp.maximum(prev_loss, 1e-20)
+        # freeze once converged (scan has static trip count)
+        out_c = jnp.where(done, centroids, new_centroids)
+        return (out_c, jnp.where(done, prev_loss, loss), done | converged), loss
+
+    init = (init_centroids.astype(jnp.float32), jnp.inf, jnp.bool_(False))
+    (centroids, loss, _), losses = jax.lax.scan(body, init, jnp.arange(max_iters))
+    return centroids, loss, losses
+
+
+class KMeans:
+    """Trained model: centroids + assignment API (mirrors reference KMeans
+    kmeans.rs:537 and python lance.util.KMeans)."""
+
+    def __init__(self, centroids: np.ndarray, metric: Metric = "l2"):
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        self.metric = metric
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[0]
+
+    def compute_partitions(self, data, chunk: int = 8192) -> np.ndarray:
+        ids, _ = argmin_dist(jnp.asarray(data, dtype=jnp.float32),
+                             jnp.asarray(self.centroids), self.metric, chunk)
+        return np.asarray(ids)
+
+    def find_partitions(self, q, nprobes: int) -> np.ndarray:
+        """Top-nprobes nearest centroids per query (reference
+        IvfModel.find_partitions, ivf/storage.rs:107)."""
+        from .distance import pairwise_dist
+
+        q = jnp.atleast_2d(jnp.asarray(q, dtype=jnp.float32))
+        qm = preprocess_for_metric(q, self.metric)
+        cm = preprocess_for_metric(jnp.asarray(self.centroids), self.metric)
+        d = pairwise_dist(qm, cm, self.metric)
+        _, ids = jax.lax.top_k(-d, min(nprobes, self.k))
+        return np.asarray(ids)
+
+
+def train_kmeans(
+    data: np.ndarray,
+    k: int,
+    max_iters: int = 50,
+    metric: Metric = "l2",
+    tolerance: float = 1e-4,
+    seed: int = 42,
+    sample_rate: int = 256,
+    chunk: int = 8192,
+    init_method: str = "kmeans++",
+) -> KMeans:
+    """Train k-means, subsampling to sample_rate*k rows like the reference
+    (maybe_sample_training_data, rust/lance/src/index/vector/utils.rs)."""
+    data = np.asarray(data, dtype=np.float32)
+    max_rows = sample_rate * k
+    if data.shape[0] > max_rows:
+        rng = np.random.default_rng(seed)
+        sel = rng.choice(data.shape[0], size=max_rows, replace=False)
+        data = data[sel]
+    if metric == "cosine":
+        data = np.asarray(preprocess_for_metric(jnp.asarray(data), "cosine"))
+        train_metric: Metric = "l2"
+    else:
+        train_metric = metric
+    key = jax.random.PRNGKey(seed)
+    if init_method == "kmeans++" and data.shape[0] >= k:
+        init = _kmeanspp_init(jnp.asarray(data), key, k)
+    else:
+        init = _init_centroids(data, k, seed)
+    centroids, _loss, _losses = _train_jit(
+        jnp.asarray(data), jnp.asarray(init), key, k, max_iters, train_metric,
+        tolerance, chunk
+    )
+    return KMeans(np.asarray(centroids), metric)

@@ -1,0 +1,210 @@
+"""Product quantization: train / encode / ADC search, TPU-first.
+
+Re-design of the reference PQ stack (rust/lance-index/src/vector/pq/:
+ProductQuantizer pq.rs:42, per-subspace k-means train builder.rs:27-63,
+distance tables pq/distance.rs:24,60, transposed code storage + SIMD ADC
+pq/storage.rs:220-271 and C kernel simd/dist_table.c):
+
+- train: all m subspace codebooks train *simultaneously* as one vmapped
+  Lloyd loop — (m, N, dsub) batched matmuls instead of m sequential k-means.
+- encode: per-subspace argmin, again one batched matmul.
+- search (ADC): per-query lookup tables (m, 2^bits) built with one matmul;
+  the scan gathers LUT entries by code id and sums over m. Codes are kept
+  **transposed** (m, N) like the reference's storage layout — on TPU this
+  makes the gather a per-subspace table lookup over a contiguous lane axis.
+
+All public entry points are numpy-in/numpy-out wrappers over jit'd cores, so
+they run on TPU when present and CPU elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distance import Metric, normalize, pairwise_dist
+
+
+@dataclass(frozen=True)
+class PQParams:
+    num_sub_vectors: int = 16
+    num_bits: int = 8
+    max_iters: int = 50
+    sample_rate: int = 256
+    seed: int = 42
+
+
+# ---------------------------------------------------------------------------
+# training: vmapped per-subspace k-means
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _train_subspaces(data_t: jnp.ndarray, init: jnp.ndarray, k: int, iters: int):
+    """data_t: (m, N, dsub); init: (m, k, dsub) -> codebook (m, k, dsub)."""
+
+    def step(codebook, _):
+        # assignment: (m, N, k) distances via batched matmul
+        d = _sub_dists(data_t, codebook)
+        ids = jnp.argmin(d, axis=-1)  # (m, N)
+        onehot_sum = jax.vmap(
+            lambda x, i: jax.ops.segment_sum(x, i, num_segments=k)
+        )(data_t, ids)  # (m, k, dsub)
+        counts = jax.vmap(
+            lambda i: jax.ops.segment_sum(jnp.ones_like(i, jnp.float32), i, num_segments=k)
+        )(ids)  # (m, k)
+        new = onehot_sum / jnp.maximum(counts, 1.0)[..., None]
+        # keep old centroid when a cluster is empty
+        new = jnp.where((counts < 0.5)[..., None], codebook, new)
+        return new, None
+
+    codebook, _ = jax.lax.scan(step, init.astype(jnp.float32), None, length=iters)
+    return codebook
+
+
+def _sub_dists(data_t: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """(m, N, dsub) x (m, k, dsub) -> (m, N, k) squared L2 via batched matmul."""
+    prod = jnp.einsum(
+        "mnd,mkd->mnk", data_t, codebook, preferred_element_type=jnp.float32
+    )
+    dn = jnp.sum(data_t.astype(jnp.float32) ** 2, axis=-1)  # (m, N)
+    cn = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)  # (m, k)
+    return dn[:, :, None] + cn[:, None, :] - 2.0 * prod
+
+
+class ProductQuantizer:
+    """codebook: (m, 2^bits, dsub) float32."""
+
+    def __init__(self, codebook: np.ndarray, metric: Metric = "l2", num_bits: int = 8):
+        self.codebook = np.asarray(codebook, dtype=np.float32)
+        self.metric = metric
+        self.num_bits = num_bits
+
+    @property
+    def num_sub_vectors(self) -> int:
+        return self.codebook.shape[0]
+
+    @property
+    def k(self) -> int:
+        return 1 << self.num_bits
+
+    @property
+    def dim(self) -> int:
+        return self.codebook.shape[0] * self.codebook.shape[2]
+
+    # -- serialization --------------------------------------------------------
+
+    def to_json(self) -> dict:
+        return {
+            "metric": self.metric,
+            "num_bits": self.num_bits,
+            "shape": list(self.codebook.shape),
+        }
+
+    def codebook_bytes(self) -> bytes:
+        return self.codebook.astype("<f4").tobytes()
+
+    @classmethod
+    def from_parts(cls, j: dict, codebook_data: bytes) -> "ProductQuantizer":
+        cb = np.frombuffer(codebook_data, dtype="<f4").reshape(j["shape"])
+        return cls(cb, j["metric"], j["num_bits"])
+
+
+def train_pq(
+    data: np.ndarray, params: PQParams = PQParams(), metric: Metric = "l2"
+) -> ProductQuantizer:
+    data = np.asarray(data, dtype=np.float32)
+    m = params.num_sub_vectors
+    k = 1 << params.num_bits
+    n, dim = data.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by num_sub_vectors {m}")
+    if metric == "cosine":
+        data = np.asarray(normalize(jnp.asarray(data)))
+    max_rows = params.sample_rate * k
+    if n > max_rows:
+        rng = np.random.default_rng(params.seed)
+        data = data[rng.choice(n, size=max_rows, replace=False)]
+        n = max_rows
+    dsub = dim // m
+    data_t = np.ascontiguousarray(data.reshape(n, m, dsub).transpose(1, 0, 2))
+    rng = np.random.default_rng(params.seed)
+    idx = rng.choice(n, size=k, replace=n < k)
+    init = data_t[:, idx, :]
+    codebook = _train_subspaces(jnp.asarray(data_t), jnp.asarray(init), k, params.max_iters)
+    return ProductQuantizer(np.asarray(codebook), metric, params.num_bits)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _encode_jit(data: jnp.ndarray, codebook: jnp.ndarray, chunk: int = 4096) -> jnp.ndarray:
+    n, dim = data.shape
+    m, k, dsub = codebook.shape
+    pad = (-n) % chunk
+    dp = jnp.pad(data, ((0, pad), (0, 0)))
+    blocks = dp.reshape(-1, chunk, dim)
+
+    def body(block):
+        bt = block.reshape(chunk, m, dsub).transpose(1, 0, 2)  # (m, chunk, dsub)
+        d = _sub_dists(bt, codebook)  # (m, chunk, k)
+        return jnp.argmin(d, axis=-1).astype(jnp.uint8).T  # (chunk, m)
+
+    codes = jax.lax.map(body, blocks).reshape(-1, m)
+    return codes[:n]
+
+
+def pq_encode(pq: ProductQuantizer, data: np.ndarray) -> np.ndarray:
+    """(N, D) -> (N, m) uint8 codes."""
+    data = np.asarray(data, dtype=np.float32)
+    if pq.metric == "cosine":
+        data = np.asarray(normalize(jnp.asarray(data)))
+    return np.asarray(_encode_jit(jnp.asarray(data), jnp.asarray(pq.codebook)))
+
+
+def pq_decode(pq: ProductQuantizer, codes: np.ndarray) -> np.ndarray:
+    """(N, m) codes -> (N, D) reconstructed vectors."""
+    m, _, dsub = pq.codebook.shape
+    parts = [pq.codebook[j][codes[:, j]] for j in range(m)]
+    return np.concatenate(parts, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# ADC search
+# ---------------------------------------------------------------------------
+
+
+def build_distance_tables(pq_codebook: jnp.ndarray, q: jnp.ndarray, metric: Metric) -> jnp.ndarray:
+    """(B, D) queries -> (B, m, k) lookup tables (reference:
+    pq/distance.rs build_distance_table_l2/dot). One batched matmul."""
+    m, k, dsub = pq_codebook.shape
+    b = q.shape[0]
+    qs = q.reshape(b, m, dsub)
+    if metric == "dot":
+        return -jnp.einsum("bmd,mkd->bmk", qs, pq_codebook, preferred_element_type=jnp.float32)
+    # l2 (cosine handled by normalizing q + codebook trained on normalized data)
+    prod = jnp.einsum("bmd,mkd->bmk", qs, pq_codebook, preferred_element_type=jnp.float32)
+    qn = jnp.sum(qs.astype(jnp.float32) ** 2, axis=-1)  # (b, m)
+    cn = jnp.sum(pq_codebook.astype(jnp.float32) ** 2, axis=-1)  # (m, k)
+    return qn[:, :, None] + cn[None, :, :] - 2.0 * prod
+
+
+def adc_scan(luts: jnp.ndarray, codes_t: jnp.ndarray) -> jnp.ndarray:
+    """ADC distances: luts (B, m, k) x transposed codes (m, N) -> (B, N).
+
+    Gather per subspace over the contiguous N axis, accumulate over m.
+    """
+    def per_query(lut):  # (m, k)
+        def per_sub(lut_m, codes_m):
+            return jnp.take(lut_m, codes_m, axis=0)
+
+        return jnp.sum(jax.vmap(per_sub)(lut, codes_t), axis=0)  # (N,)
+
+    return jax.vmap(per_query)(luts)

@@ -7,11 +7,19 @@ mirroring how the driver dry-runs the multi-chip path.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count=8".strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already baked in; env vars alone are too late. Switch
+# the platform through the config API before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,174 @@
+"""Compute kernel tests: distances, k-means, PQ (run on CPU backend in CI)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from lance_tpu.ops.distance import (
+    argmin_dist,
+    cosine_distance,
+    hamming_distance_packed,
+    l2_distance,
+    pairwise_dist,
+    topk_neighbors,
+)
+from lance_tpu.ops.kmeans import KMeans, train_kmeans
+from lance_tpu.ops.pq import (
+    PQParams,
+    ProductQuantizer,
+    adc_scan,
+    build_distance_tables,
+    pq_decode,
+    pq_encode,
+    train_pq,
+)
+
+
+def _np_l2(x, c):
+    return ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+
+
+def test_pairwise_l2_matches_numpy(rng):
+    x = rng.normal(size=(50, 16)).astype(np.float32)
+    c = rng.normal(size=(20, 16)).astype(np.float32)
+    d = np.asarray(pairwise_dist(jnp.asarray(x), jnp.asarray(c), "l2"))
+    np.testing.assert_allclose(d, _np_l2(x, c), rtol=1e-3, atol=1e-3)
+
+
+def test_pairwise_cosine_and_dot(rng):
+    x = rng.normal(size=(10, 8)).astype(np.float32)
+    c = rng.normal(size=(7, 8)).astype(np.float32)
+    d = np.asarray(pairwise_dist(jnp.asarray(x), jnp.asarray(c), "cosine"))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    np.testing.assert_allclose(d, 1 - xn @ cn.T, rtol=1e-4, atol=1e-5)
+    ddot = np.asarray(pairwise_dist(jnp.asarray(x), jnp.asarray(c), "dot"))
+    np.testing.assert_allclose(ddot, -(x @ c.T), rtol=1e-4, atol=1e-5)
+
+
+def test_rowwise_distances(rng):
+    x = rng.normal(size=(5, 4)).astype(np.float32)
+    y = rng.normal(size=(5, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(l2_distance(x, y)), ((x - y) ** 2).sum(-1), rtol=1e-5)
+    got = np.asarray(cosine_distance(x, y))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    yn = y / np.linalg.norm(y, axis=1, keepdims=True)
+    np.testing.assert_allclose(got, 1 - (xn * yn).sum(-1), rtol=1e-4, atol=1e-5)
+
+
+def test_hamming(rng):
+    x = rng.integers(0, 256, (4, 8)).astype(np.uint8)
+    y = rng.integers(0, 256, (3, 8)).astype(np.uint8)
+    got = np.asarray(hamming_distance_packed(jnp.asarray(x), jnp.asarray(y)))
+    want = np.zeros((4, 3))
+    for i in range(4):
+        for j in range(3):
+            want[i, j] = bin(int.from_bytes((x[i] ^ y[j]).tobytes(), "big")).count("1")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_argmin_dist_chunking(rng):
+    x = rng.normal(size=(1000, 8)).astype(np.float32)
+    c = rng.normal(size=(13, 8)).astype(np.float32)
+    ids, dists = argmin_dist(jnp.asarray(x), jnp.asarray(c), "l2", chunk=128)
+    want = _np_l2(x, c).argmin(1)
+    np.testing.assert_array_equal(np.asarray(ids), want)
+    np.testing.assert_allclose(np.asarray(dists), _np_l2(x, c).min(1), rtol=1e-3, atol=1e-3)
+
+
+def test_topk_neighbors_exact(rng):
+    data = rng.normal(size=(500, 16)).astype(np.float32)
+    q = rng.normal(size=(7, 16)).astype(np.float32)
+    d, i = topk_neighbors(jnp.asarray(q), jnp.asarray(data), k=5, metric="l2", chunk=128)
+    full = _np_l2(q, data)
+    want_i = np.argsort(full, axis=1)[:, :5]
+    np.testing.assert_allclose(np.sort(np.asarray(d), 1), np.sort(np.take_along_axis(full, want_i, 1), 1), rtol=1e-3, atol=1e-3)
+    # ids must be the true top-5 sets
+    for r in range(7):
+        assert set(np.asarray(i)[r].tolist()) == set(want_i[r].tolist())
+
+
+def test_kmeans_separated_clusters(rng):
+    # 4 well-separated blobs -> kmeans must find them
+    centers = np.array([[10, 0], [-10, 0], [0, 10], [0, -10]], dtype=np.float32)
+    data = np.concatenate([c + rng.normal(scale=0.3, size=(100, 2)) for c in centers]).astype(np.float32)
+    km = train_kmeans(data, k=4, max_iters=20, seed=0)
+    got = km.centroids
+    # each true center has a learned centroid within 0.5
+    for c in centers:
+        assert np.min(np.linalg.norm(got - c, axis=1)) < 0.5
+    parts = km.compute_partitions(data)
+    assert len(np.unique(parts)) == 4
+    # same blob -> same partition
+    assert len(np.unique(parts[:100])) == 1
+
+
+def test_kmeans_find_partitions(rng):
+    data = rng.normal(size=(500, 8)).astype(np.float32)
+    km = train_kmeans(data, k=16, max_iters=10, seed=1)
+    probes = km.find_partitions(data[:3], nprobes=4)
+    assert probes.shape == (3, 4)
+    top1 = km.compute_partitions(data[:3])
+    np.testing.assert_array_equal(probes[:, 0], top1)
+
+
+def test_kmeans_handles_k_larger_than_unique(rng):
+    data = np.repeat(rng.normal(size=(3, 4)).astype(np.float32), 50, axis=0)
+    km = train_kmeans(data, k=8, max_iters=5, seed=0)
+    assert km.centroids.shape == (8, 4)
+    assert np.isfinite(km.centroids).all()
+
+
+def test_pq_roundtrip_quality(rng):
+    dim, m = 32, 8
+    data = rng.normal(size=(2000, dim)).astype(np.float32)
+    pq = train_pq(data, PQParams(num_sub_vectors=m, num_bits=8, max_iters=15))
+    codes = pq_encode(pq, data)
+    assert codes.shape == (2000, m)
+    assert codes.dtype == np.uint8
+    recon = pq_decode(pq, codes)
+    rel_err = np.linalg.norm(recon - data) / np.linalg.norm(data)
+    assert rel_err < 0.55, rel_err  # 8 bits/subvector on gaussian data
+
+
+def test_adc_matches_exact_on_reconstruction(rng):
+    dim, m = 16, 4
+    data = rng.normal(size=(500, dim)).astype(np.float32)
+    q = rng.normal(size=(3, dim)).astype(np.float32)
+    pq = train_pq(data, PQParams(num_sub_vectors=m, num_bits=8, max_iters=15))
+    codes = pq_encode(pq, data)
+    codes_t = np.ascontiguousarray(codes.T)
+    luts = build_distance_tables(jnp.asarray(pq.codebook), jnp.asarray(q), "l2")
+    d_adc = np.asarray(adc_scan(luts, jnp.asarray(codes_t)))
+    recon = pq_decode(pq, codes)
+    d_exact = _np_l2(q, recon)
+    np.testing.assert_allclose(d_adc, d_exact, rtol=1e-2, atol=1e-2)
+
+
+def test_pq_serialization(rng):
+    data = rng.normal(size=(300, 16)).astype(np.float32)
+    pq = train_pq(data, PQParams(num_sub_vectors=4, num_bits=8, max_iters=5))
+    pq2 = ProductQuantizer.from_parts(pq.to_json(), pq.codebook_bytes())
+    np.testing.assert_array_equal(pq.codebook, pq2.codebook)
+    assert pq2.metric == pq.metric
+
+
+def test_pq_recall_on_clustered_data(rng):
+    """ADC top-k should mostly agree with exact top-k."""
+    dim, m, n = 64, 16, 3000
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    q = data[:5] + rng.normal(scale=0.05, size=(5, dim)).astype(np.float32)
+    pq = train_pq(data, PQParams(num_sub_vectors=m, num_bits=8, max_iters=20))
+    codes_t = np.ascontiguousarray(pq_encode(pq, data).T)
+    luts = build_distance_tables(jnp.asarray(pq.codebook), jnp.asarray(q), "l2")
+    d_adc = np.asarray(adc_scan(luts, jnp.asarray(codes_t)))
+    exact = _np_l2(q, data)
+    recall = 0.0
+    for r in range(5):
+        got = set(np.argsort(d_adc[r])[:10].tolist())
+        want = set(np.argsort(exact[r])[:10].tolist())
+        recall += len(got & want) / 10
+    recall /= 5
+    assert recall >= 0.6, recall  # unrefined ADC recall on gaussian data
