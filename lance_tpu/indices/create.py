@@ -1,0 +1,71 @@
+"""Index creation entry point + statistics.
+
+Re-design of reference CreateIndexBuilder (rust/lance/src/index/create.rs:31)
+and the VectorIndexParams dispatch (rust/lance/src/index/vector.rs:100-266):
+builds the index artifact under _indices/{uuid}/, then commits a CreateIndex
+transaction referencing the fragments covered (delta-index bookkeeping).
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+
+from ..errors import InvalidInputError, NotFoundError
+from ..table.manifest import IndexMetadata
+from ..table.transaction import Operation
+
+VECTOR_TYPES = {"IVF_PQ", "IVF_FLAT", "IVF_SQ", "IVF_HNSW_PQ", "IVF_HNSW_SQ", "IVF_RQ"}
+SCALAR_TYPES = {"BTREE", "BITMAP", "LABEL_LIST", "ZONEMAP", "BLOOMFILTER", "NGRAM", "INVERTED"}
+
+
+def create_index(ds, column: str, index_type: str, name: str | None = None,
+                 replace: bool = True, fragment_ids: list[int] | None = None,
+                 **params):
+    index_type = index_type.upper()
+    field = ds.schema.field(column)
+    name = name or f"{column}_idx"
+    existing = ds.manifest.index_by_name(name)
+    if existing is not None and not replace:
+        raise InvalidInputError(f"index {name} already exists (pass replace=True)")
+
+    uuid = uuid_mod.uuid4().hex
+    covered = fragment_ids if fragment_ids is not None else [f.id for f in ds.manifest.fragments]
+
+    if index_type in VECTOR_TYPES:
+        from .vector_index import build_ivf_index
+
+        stored_params = build_ivf_index(
+            ds, column, index_type, uuid, fragment_ids=fragment_ids, **params
+        )
+    elif index_type in SCALAR_TYPES:
+        from .scalar.build import build_scalar_index
+
+        stored_params = build_scalar_index(ds, column, index_type, uuid, **params)
+    else:
+        raise InvalidInputError(f"unknown index type {index_type}")
+
+    meta = IndexMetadata(
+        uuid=uuid,
+        name=name,
+        fields=[field.id],
+        index_type=index_type,
+        fragment_ids=covered,
+        dataset_version=ds.version,
+        params=stored_params,
+    )
+    removed = [existing.uuid] if existing is not None else []
+    op = Operation("create_index", new_indices=[meta], removed_index_uuids=removed)
+    return ds._commit(op)
+
+
+def index_statistics(ds, name: str) -> dict:
+    meta = ds.manifest.index_by_name(name)
+    if meta is None:
+        raise NotFoundError(f"index {name}")
+    if meta.index_type in VECTOR_TYPES:
+        from .vector_index import open_vector_index
+
+        return open_vector_index(ds, meta).statistics()
+    from .scalar.build import open_scalar_index
+
+    return open_scalar_index(ds, meta).statistics()

@@ -1,0 +1,354 @@
+"""Scalar indices: BTree, Bitmap, Inverted (BM25 FTS).
+
+Re-design of the reference scalar index stack (rust/lance-index/src/scalar/):
+- BTREE  (scalar/btree.rs): sorted (value, rowid) runs; range/eq answered by
+  binary search. Ours stores the sorted arrays in one LTPF file and memory-
+  maps them on open (vectorized searchsorted instead of paged block tree —
+  the dataset scale a single host serves fits RAM; paging can come later).
+- BITMAP (scalar/bitmap.rs): distinct value -> rowid set.
+- INVERTED (scalar/inverted/): tokenized postings + BM25 scoring
+  (builder.rs, wand.rs). Round-1 scoring evaluates BM25 over the union of
+  query-term postings vectorized in numpy (Block-WAND pruning is a later
+  optimization; result order matches exact BM25 by construction).
+
+All indices serialize rowids as uint64 row addresses and answer queries as
+RowIdMask allow-lists, which compose with ANN prefiltering and scans.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ...encoding.pages import ColumnData
+from ...errors import InvalidInputError, NotFoundError
+from ...file.reader import FileReader
+from ...file.writer import FileWriter
+from ...rowids import RowIdMask, RowIdTreeMap
+from ...schema import Schema
+from ...table.manifest import INDICES_DIR, IndexMetadata
+
+SCALAR_FILE = "scalar.idx"
+SCALAR_QUERYABLE = {"BTREE", "BITMAP"}
+
+
+def _read_column_with_rowids(ds, column: str):
+    """(values ColumnData list, rowids) across all live rows."""
+    vals = []
+    rowids = []
+    for frag in ds.get_fragments():
+        alive = frag.alive_offsets()
+        if alive.size == 0:
+            continue
+        data = frag.read_columns_physical([column], 0, frag.physical_rows)
+        col = data[column]
+        if alive.size != frag.physical_rows:
+            col = col.take(alive.astype(np.int64))
+        vals.append(col)
+        rowids.append((np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64))
+    from ...encoding.pages import concat_column_data
+
+    if not vals:
+        raise InvalidInputError("cannot index an empty dataset")
+    return concat_column_data(vals), np.concatenate(rowids)
+
+
+def _to_numpy_values(col: ColumnData):
+    """ColumnData -> (values array usable for sorting, validity)."""
+    if col.kind == "varbin":
+        raw = col.values.tobytes()
+        vals = np.array(
+            [raw[col.offsets[i] : col.offsets[i + 1]].decode("utf-8", "replace")
+             for i in range(col.num_rows)],
+            dtype=object,
+        )
+    else:
+        vals = col.values
+    return vals, col.validity
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+def build_scalar_index(ds, column: str, index_type: str, uuid: str, **params) -> dict:
+    col, rowids = _read_column_with_rowids(ds, column)
+    values, validity = _to_numpy_values(col)
+    store = ds.store
+    path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
+    field = ds.schema.field(column)
+
+    null_rowids = rowids[~validity] if validity is not None else np.empty(0, np.uint64)
+    if validity is not None:
+        values, rowids_v = values[validity], rowids[validity]
+    else:
+        rowids_v = rowids
+
+    if index_type == "BTREE":
+        order = np.argsort(values, kind="stable")
+        svalues, srowids = values[order], rowids_v[order]
+        schema = Schema.from_arrow(pa.schema([("value", field.type), ("_rowid", pa.uint64())]))
+        w = FileWriter(store, path, schema)
+        step = 1 << 18
+        for s in range(0, len(svalues), step):
+            w.write_batch({"value": pa.array(svalues[s:s+step].tolist() if svalues.dtype == object else svalues[s:s+step], type=field.type),
+                           "_rowid": srowids[s:s+step]})
+        w.add_global_buffer("null_rowids", null_rowids.astype("<u8").tobytes())
+        w.finish()
+        return {"rows": int(len(svalues)), "nulls": int(null_rowids.size)}
+
+    if index_type == "BITMAP":
+        uniq, inverse = np.unique(values, return_inverse=True)
+        order = np.argsort(inverse, kind="stable")
+        sorted_rowids = rowids_v[order]
+        counts = np.bincount(inverse, minlength=len(uniq))
+        offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        schema = Schema.from_arrow(pa.schema([("value", field.type)]))
+        w = FileWriter(store, path, schema)
+        w.write_batch({"value": pa.array(uniq.tolist() if uniq.dtype == object else uniq, type=field.type)})
+        w.add_global_buffer("offsets", offsets.astype("<i8").tobytes())
+        w.add_global_buffer("rowids", sorted_rowids.astype("<u8").tobytes())
+        w.add_global_buffer("null_rowids", null_rowids.astype("<u8").tobytes())
+        w.finish()
+        return {"cardinality": int(len(uniq)), "nulls": int(null_rowids.size)}
+
+    if index_type == "INVERTED":
+        return _build_inverted(ds, store, path, values, rowids_v, params)
+
+    raise InvalidInputError(f"scalar index type {index_type} not supported yet")
+
+
+_TOKEN_SPLIT = re.compile(r"[^0-9a-zA-Z_]+")
+
+
+def tokenize(text: str, max_token_len: int = 40) -> list[str]:
+    """Default tokenizer: lowercase, alphanumeric splits (reference:
+    tokenizer.rs 'simple' tokenizer)."""
+    return [t for t in _TOKEN_SPLIT.split(text.lower()) if t and len(t) <= max_token_len]
+
+
+def _build_inverted(ds, store, path, values, rowids, params) -> dict:
+    n = len(values)
+    term_to_id: dict[str, int] = {}
+    doc_postings: list[tuple[int, int, int]] = []  # (term_id, doc_idx, freq)
+    doc_lens = np.zeros(n, dtype=np.int32)
+    for di in range(n):
+        toks = tokenize(values[di] if values[di] is not None else "")
+        doc_lens[di] = len(toks)
+        freqs: dict[str, int] = {}
+        for t in toks:
+            freqs[t] = freqs.get(t, 0) + 1
+        for t, f in freqs.items():
+            tid = term_to_id.setdefault(t, len(term_to_id))
+            doc_postings.append((tid, di, f))
+    # lexically sorted term dictionary (searchsorted lookup at query time)
+    terms = sorted(term_to_id)
+    rank = np.empty(len(terms), dtype=np.int64)
+    for new_id, t in enumerate(terms):
+        rank[term_to_id[t]] = new_id
+    arr = np.array(doc_postings, dtype=np.int64).reshape(-1, 3) if doc_postings else np.empty((0, 3), np.int64)
+    if len(arr):
+        arr[:, 0] = rank[arr[:, 0]]
+    order = np.lexsort((arr[:, 1], arr[:, 0])) if len(arr) else np.empty(0, np.int64)
+    arr = arr[order]
+    counts = np.bincount(arr[:, 0], minlength=len(terms)) if len(arr) else np.zeros(len(terms), np.int64)
+    offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    schema = Schema.from_arrow(pa.schema([("term", pa.string())]))
+    w = FileWriter(store, path, schema)
+    w.write_batch({"term": pa.array(terms, type=pa.string())})
+    w.add_global_buffer("posting_offsets", offsets.astype("<i8").tobytes())
+    w.add_global_buffer("posting_docs", arr[:, 1].astype("<i4").tobytes())
+    w.add_global_buffer("posting_freqs", arr[:, 2].astype("<i4").tobytes())
+    w.add_global_buffer("doc_lens", doc_lens.astype("<i4").tobytes())
+    w.add_global_buffer("doc_rowids", rowids.astype("<u8").tobytes())
+    w.add_global_buffer("stats", json.dumps({
+        "num_docs": n, "avg_doc_len": float(doc_lens.mean()) if n else 0.0,
+    }).encode())
+    w.finish()
+    return {"num_terms": len(terms), "num_docs": n}
+
+
+# ---------------------------------------------------------------------------
+# open + query
+# ---------------------------------------------------------------------------
+
+
+class BTreeIndex:
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        path = f"{INDICES_DIR}/{meta.uuid}/{SCALAR_FILE}"
+        r = FileReader(ds.store, path)
+        values, _ = _to_numpy_values(r.read_column("value"))
+        self.values = values
+        self.rowids = np.asarray(r.read_column("_rowid").values, dtype=np.uint64)
+        self.null_rowids = np.frombuffer(r.read_global_buffer("null_rowids"), dtype="<u8")
+
+    def _mask(self, rowids: np.ndarray) -> RowIdMask:
+        return RowIdMask.allow_list(RowIdTreeMap.from_addresses(rowids))
+
+    def all_rows_mask(self) -> RowIdMask:
+        return self._mask(np.concatenate([self.rowids, self.null_rowids]))
+
+    def sargable_query(self, op: str, lit) -> RowIdMask:
+        v = self.values
+        if op == "=":
+            lo, hi = np.searchsorted(v, lit, "left"), np.searchsorted(v, lit, "right")
+            return self._mask(self.rowids[lo:hi])
+        if op == "!=":
+            lo, hi = np.searchsorted(v, lit, "left"), np.searchsorted(v, lit, "right")
+            return self._mask(np.concatenate([self.rowids[:lo], self.rowids[hi:]]))
+        if op == "<":
+            return self._mask(self.rowids[: np.searchsorted(v, lit, "left")])
+        if op == "<=":
+            return self._mask(self.rowids[: np.searchsorted(v, lit, "right")])
+        if op == ">":
+            return self._mask(self.rowids[np.searchsorted(v, lit, "right"):])
+        if op == ">=":
+            return self._mask(self.rowids[np.searchsorted(v, lit, "left"):])
+        raise InvalidInputError(op)
+
+    def sargable_in(self, lits) -> RowIdMask:
+        parts = []
+        for lit in lits:
+            lo, hi = np.searchsorted(self.values, lit, "left"), np.searchsorted(self.values, lit, "right")
+            parts.append(self.rowids[lo:hi])
+        return self._mask(np.concatenate(parts) if parts else np.empty(0, np.uint64))
+
+    def sargable_is_null(self, negate: bool) -> RowIdMask:
+        return self._mask(self.rowids if negate else self.null_rowids)
+
+    def statistics(self) -> dict:
+        return {"index_type": "BTREE", "num_indexed_rows": int(self.rowids.size),
+                "num_nulls": int(self.null_rowids.size)}
+
+
+class BitmapIndex:
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        path = f"{INDICES_DIR}/{meta.uuid}/{SCALAR_FILE}"
+        r = FileReader(ds.store, path)
+        values, _ = _to_numpy_values(r.read_column("value"))
+        self.values = values
+        self.offsets = np.frombuffer(r.read_global_buffer("offsets"), dtype="<i8")
+        self.rowids = np.frombuffer(r.read_global_buffer("rowids"), dtype="<u8")
+        self.null_rowids = np.frombuffer(r.read_global_buffer("null_rowids"), dtype="<u8")
+
+    def _rows_for_value(self, lit) -> np.ndarray:
+        i = np.searchsorted(self.values, lit)
+        if i < len(self.values) and self.values[i] == lit:
+            return self.rowids[self.offsets[i] : self.offsets[i + 1]]
+        return np.empty(0, np.uint64)
+
+    def _mask(self, rowids: np.ndarray) -> RowIdMask:
+        return RowIdMask.allow_list(RowIdTreeMap.from_addresses(rowids))
+
+    def all_rows_mask(self) -> RowIdMask:
+        return self._mask(np.concatenate([self.rowids, self.null_rowids]))
+
+    def sargable_query(self, op: str, lit) -> RowIdMask:
+        if op == "=":
+            return self._mask(self._rows_for_value(lit))
+        if op == "!=":
+            sel = self.values != lit
+            return self.sargable_in(self.values[sel])
+        # range ops: select matching distinct values
+        if op == "<":
+            sel = self.values < lit
+        elif op == "<=":
+            sel = self.values <= lit
+        elif op == ">":
+            sel = self.values > lit
+        elif op == ">=":
+            sel = self.values >= lit
+        else:
+            raise InvalidInputError(op)
+        return self.sargable_in(self.values[sel])
+
+    def sargable_in(self, lits) -> RowIdMask:
+        parts = [self._rows_for_value(lit) for lit in lits]
+        return self._mask(np.concatenate(parts) if parts else np.empty(0, np.uint64))
+
+    def sargable_is_null(self, negate: bool) -> RowIdMask:
+        return self._mask(self.rowids if negate else self.null_rowids)
+
+    def statistics(self) -> dict:
+        return {"index_type": "BITMAP", "cardinality": int(len(self.values)),
+                "num_indexed_rows": int(self.rowids.size)}
+
+
+class InvertedIndex:
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        path = f"{INDICES_DIR}/{meta.uuid}/{SCALAR_FILE}"
+        r = FileReader(ds.store, path)
+        terms, _ = _to_numpy_values(r.read_column("term"))
+        self.terms = terms
+        self.offsets = np.frombuffer(r.read_global_buffer("posting_offsets"), dtype="<i8")
+        self.docs = np.frombuffer(r.read_global_buffer("posting_docs"), dtype="<i4")
+        self.freqs = np.frombuffer(r.read_global_buffer("posting_freqs"), dtype="<i4")
+        self.doc_lens = np.frombuffer(r.read_global_buffer("doc_lens"), dtype="<i4")
+        self.doc_rowids = np.frombuffer(r.read_global_buffer("doc_rowids"), dtype="<u8")
+        stats = json.loads(r.read_global_buffer("stats"))
+        self.num_docs = stats["num_docs"]
+        self.avg_doc_len = max(stats["avg_doc_len"], 1e-9)
+
+    def bm25_search(self, query: str, k: int, row_mask: RowIdMask | None = None,
+                    k1: float = 1.2, b: float = 0.75) -> tuple[np.ndarray, np.ndarray]:
+        """Exact BM25 over the union of query-term postings (reference: wand.rs
+        scoring formula; Block-WAND pruning is an optimization, not a
+        semantics change)."""
+        toks = tokenize(query)
+        scores = np.zeros(self.num_docs, dtype=np.float32)
+        touched = np.zeros(self.num_docs, dtype=bool)
+        for t in toks:
+            i = np.searchsorted(self.terms, t)
+            if i >= len(self.terms) or self.terms[i] != t:
+                continue
+            lo, hi = self.offsets[i], self.offsets[i + 1]
+            docs, freqs = self.docs[lo:hi], self.freqs[lo:hi].astype(np.float32)
+            df = hi - lo
+            idf = np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
+            dl = self.doc_lens[docs].astype(np.float32)
+            tf = freqs * (k1 + 1.0) / (freqs + k1 * (1.0 - b + b * dl / self.avg_doc_len))
+            scores[docs] += idf * tf
+            touched[docs] = True
+        cand = np.flatnonzero(touched)
+        if row_mask is not None and cand.size:
+            sel = row_mask.selected_many(self.doc_rowids[cand])
+            cand = cand[sel]
+        if cand.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float32)
+        order = cand[np.argsort(-scores[cand], kind="stable")][:k]
+        return self.doc_rowids[order], scores[order]
+
+    def statistics(self) -> dict:
+        return {"index_type": "INVERTED", "num_terms": int(len(self.terms)),
+                "num_docs": int(self.num_docs)}
+
+
+_OPENERS = {"BTREE": BTreeIndex, "BITMAP": BitmapIndex, "INVERTED": InvertedIndex}
+
+
+def open_scalar_index(ds, meta: IndexMetadata):
+    cls = _OPENERS.get(meta.index_type)
+    if cls is None:
+        raise NotFoundError(f"no opener for index type {meta.index_type}")
+    cache = ds.session.index_cache
+    key = (meta.uuid, "scalar")
+    idx = cache.get("scalar_index", key)
+    if idx is None:
+        idx = cls(ds, meta)
+        cache.put("scalar_index", key, idx)
+    else:
+        idx.ds = ds
+    return idx

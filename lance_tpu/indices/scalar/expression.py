@@ -1,0 +1,79 @@
+"""Filter-expression -> scalar-index planning.
+
+Re-design of reference apply_scalar_indices
+(rust/lance-index/src/scalar/expression.rs:33-61,1549): walk the filter AST;
+where an indexed column is compared against literals, answer from the scalar
+index and return a RowIdMask, avoiding the column scan entirely. Conjunctions
+intersect masks; disjunctions union them; unindexable subtrees make the
+result inexact, in which case the caller falls back to scanning (round 1:
+exact-only — any unindexable subtree returns None).
+"""
+
+from __future__ import annotations
+
+from ...dataset.filter import BinOp, Col, InList, IsNull, Lit
+from ...rowids import RowIdMask
+
+
+def _index_for_column(ds, column: str):
+    from .build import open_scalar_index, SCALAR_QUERYABLE
+
+    fid = None
+    try:
+        fid = ds.schema.field(column).id
+    except Exception:
+        return None
+    for meta in ds.manifest.indices:
+        if meta.index_type in SCALAR_QUERYABLE and meta.fields == [fid]:
+            # index must cover all current fragments to answer exactly
+            covered = set(meta.fragment_ids)
+            live = {f.id for f in ds.manifest.fragments}
+            if live <= covered:
+                return open_scalar_index(ds, meta)
+    return None
+
+
+def try_scalar_index_filter(ds, node) -> RowIdMask | None:
+    """Return an exact RowIdMask for `node`, or None if not fully indexable."""
+    if isinstance(node, BinOp):
+        if node.op == "and":
+            left = try_scalar_index_filter(ds, node.left)
+            right = try_scalar_index_filter(ds, node.right)
+            if left is not None and right is not None:
+                return left & right
+            return None
+        if node.op == "or":
+            left = try_scalar_index_filter(ds, node.left)
+            right = try_scalar_index_filter(ds, node.right)
+            if left is not None and right is not None:
+                return left | right
+            return None
+        if node.op in ("=", "!=", "<", "<=", ">", ">="):
+            if isinstance(node.left, Col) and isinstance(node.right, Lit):
+                col, lit, op = node.left.name, node.right.value, node.op
+            elif isinstance(node.right, Col) and isinstance(node.left, Lit):
+                col, lit = node.right.name, node.left.value
+                flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+                op = flip.get(node.op, node.op)
+            else:
+                return None
+            idx = _index_for_column(ds, col)
+            if idx is None:
+                return None
+            return idx.sargable_query(op, lit)
+    if isinstance(node, InList) and isinstance(node.operand, Col):
+        idx = _index_for_column(ds, node.operand.name)
+        if idx is None:
+            return None
+        mask = idx.sargable_in(node.values)
+        if node.negate and mask is not None:
+            full = idx.all_rows_mask()
+            return RowIdMask(allow=full.allow.difference(mask.allow)) if (
+                full.allow is not None and mask.allow is not None) else None
+        return mask
+    if isinstance(node, IsNull) and isinstance(node.operand, Col):
+        idx = _index_for_column(ds, node.operand.name)
+        if idx is None:
+            return None
+        return idx.sargable_is_null(node.negate)
+    return None

@@ -1,0 +1,239 @@
+"""Query-side glue: ANN / flat KNN / FTS entry points used by the Scanner.
+
+Re-design of the reference KNN exec nodes (rust/lance/src/io/exec/knn.rs)
+and the combined plan logic (scanner.rs:2847 vector_search, :2907
+knn_combined): index search over covered fragments + flat search over
+uncovered ("unindexed tail") fragments, pre-/post-filtering via RowIdMask,
+optional exact re-rank, final take of output columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import InvalidInputError, NotSupportedError
+from ..rowids import RowIdMask, RowIdTreeMap
+
+DIST_COL = "_distance"
+SCORE_COL = "_score"
+ROW_ID_COL = "_rowid"
+_INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+
+def _as_array(col) -> pa.Array:
+    """Table column -> single contiguous Array (pyarrow version-proof)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
+        col = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+    return col
+
+
+def _filter_mask(ds, filter_node, use_scalar_indices: bool = True) -> RowIdMask:
+    """Evaluate a filter into a RowIdMask over row addresses.
+
+    Tries scalar indices first (reference: ScalarIndexExec + MaterializeIndexExec,
+    rust/lance/src/io/exec/scalar_index.rs), falling back to a scan of the
+    referenced columns.
+    """
+    if use_scalar_indices:
+        from .scalar.expression import try_scalar_index_filter
+
+        mask = try_scalar_index_filter(ds, filter_node)
+        if mask is not None:
+            return mask
+
+    from ..dataset.filter import column_views_from_data, evaluate_filter, referenced_columns
+
+    cols = sorted(referenced_columns(filter_node))
+    allow = RowIdTreeMap()
+    for frag in ds.get_fragments():
+        data = frag.read_columns_physical(cols, 0, frag.physical_rows)
+        views = column_views_from_data(data)
+        hit = evaluate_filter(filter_node, views)
+        offsets = np.flatnonzero(hit).astype(np.uint32)
+        if offsets.size:
+            allow.insert_offsets(frag.id, offsets)
+    return RowIdMask.allow_list(allow)
+
+
+def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
+        output_columns=None, with_row_id=False) -> pa.Table:
+    column = q.column
+    field = ds.schema.field(column)
+    if not hasattr(field.type, "list_size"):
+        raise InvalidInputError(f"{column} is not a vector column")
+
+    idx = ds._vector_index_for(column) if q.use_index else None
+    metric = q.metric or (idx.metric if idx is not None else "l2")
+
+    row_mask: RowIdMask | None = None
+    if filter_node is not None and prefilter:
+        row_mask = _filter_mask(ds, filter_node)
+
+    qs = np.atleast_2d(np.asarray(q.q, dtype=np.float32))
+    k = q.k
+
+    results: list[tuple[np.ndarray, np.ndarray]] = []  # (dists, rowids) per source
+
+    covered: set[int] = set()
+    if idx is not None:
+        covered = set(idx.meta.fragment_ids) if idx.meta.fragment_ids else {
+            f.id for f in ds.manifest.fragments
+        }
+        selection = idx.deleted_mask()
+        if row_mask is not None:
+            fsel = idx.selection_mask(row_mask)
+            selection = fsel if selection is None else (selection & fsel)
+        sel_arr = selection if selection is not None else None
+        d, rid = idx.search(qs, k, nprobes=q.nprobes, refine_factor=q.refine_factor,
+                            selection=sel_arr)
+        results.append((d, rid))
+
+    # flat search over fragments not covered by the index (or everything if no index)
+    tail_frags = [f for f in ds.get_fragments()
+                  if f.id not in covered and f.num_rows > 0]
+    if tail_frags and not (fast_search and idx is not None):
+        d, rid = _flat_knn(ds, tail_frags, column, qs, k, metric, row_mask)
+        results.append((d, rid))
+
+    if not results:
+        empty = _take_output(ds, np.empty(0, np.uint64), np.empty(0, np.float32),
+                             output_columns, with_row_id)
+        return empty
+
+    # merge top-k across sources
+    all_d = np.concatenate([r[0] for r in results], axis=1)
+    all_r = np.concatenate([r[1] for r in results], axis=1)
+    order = np.argsort(all_d, axis=1, kind="stable")[:, :k]
+    merged_d = np.take_along_axis(all_d, order, axis=1)
+    merged_r = np.take_along_axis(all_r, order, axis=1)
+
+    # flatten batched queries into one table (queries stacked row-major,
+    # matching the reference's single-query Table contract for B=1)
+    flat_d = merged_d.reshape(-1)
+    flat_r = merged_r.reshape(-1)
+    keep = flat_r != _INVALID
+    flat_d, flat_r = flat_d[keep], flat_r[keep]
+
+    table = _take_output(ds, flat_r, flat_d, output_columns, with_row_id)
+
+    if filter_node is not None and not prefilter:
+        # post-filter the k results (reference postfilter semantics)
+        from ..dataset.filter import column_views_from_data, evaluate_filter, referenced_columns
+        from ..encoding.pages import ColumnData
+
+        cols = sorted(referenced_columns(filter_node))
+        fdata = ds.take_rows(flat_r, cols)
+        views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
+        mask = evaluate_filter(filter_node, column_views_from_data(views))
+        table = table.filter(pa.array(mask))
+    return table
+
+
+def _flat_knn(ds, frags, column: str, qs: np.ndarray, k: int, metric: str,
+              row_mask: RowIdMask | None) -> tuple[np.ndarray, np.ndarray]:
+    """Exact search over the given fragments (reference KNNVectorDistanceExec)."""
+    import jax.numpy as jnp
+
+    from ..ops.distance import topk_neighbors
+
+    mats, addrs = [], []
+    for frag in frags:
+        alive = frag.alive_offsets()
+        if alive.size == 0:
+            continue
+        data = frag.read_columns_physical([column], 0, frag.physical_rows)
+        mat = data[column].to_numpy_matrix()
+        if alive.size != frag.physical_rows:
+            mat = mat[alive]
+        addr = (np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64)
+        if row_mask is not None:
+            sel = row_mask.selected_many(addr)
+            mat, addr = mat[sel], addr[sel]
+        if mat.shape[0]:
+            mats.append(np.ascontiguousarray(mat, dtype=np.float32))
+            addrs.append(addr)
+    if not mats:
+        b = qs.shape[0]
+        return (np.full((b, k), np.inf, np.float32),
+                np.full((b, k), _INVALID, np.uint64))
+    vecs = np.concatenate(mats)
+    addr = np.concatenate(addrs)
+    kk = min(k, vecs.shape[0])
+    chunk = min(65536, max(1024, ((vecs.shape[0] + 127) // 128) * 128))
+    d, i = topk_neighbors(jnp.asarray(qs), jnp.asarray(vecs), kk, metric, chunk=chunk)
+    d, i = np.asarray(d), np.asarray(i)
+    valid = i >= 0
+    rid = np.where(valid, addr[np.clip(i, 0, addr.size - 1)], _INVALID)
+    d = np.where(valid, d, np.inf)
+    if kk < k:
+        padw = k - kk
+        d = np.pad(d, ((0, 0), (0, padw)), constant_values=np.inf)
+        rid = np.pad(rid, ((0, 0), (0, padw)), constant_values=_INVALID)
+    return d, rid
+
+
+def _take_output(ds, rowids: np.ndarray, dists: np.ndarray,
+                 output_columns, with_row_id: bool) -> pa.Table:
+    columns = output_columns if output_columns is not None else ds.schema.names
+    real = [c for c in columns if c not in (ROW_ID_COL, DIST_COL)]
+    if rowids.size:
+        table = ds.take_rows(rowids, real) if real else pa.table({})
+    else:
+        table = pa.table({c: pa.array([], type=ds.schema.field(c).to_arrow().type) for c in real})
+    arrays = list(table.columns)
+    names = list(table.column_names)
+    names.append(DIST_COL)
+    arrays.append(pa.array(dists.astype(np.float32)))
+    if with_row_id or ROW_ID_COL in columns:
+        names.append(ROW_ID_COL)
+        arrays.append(pa.array(rowids, type=pa.uint64()))
+    return pa.table(dict(zip(names, arrays)))
+
+
+def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
+        with_row_id=False) -> pa.Table:
+    """BM25 full-text search (reference: exec/fts.rs). Requires an INVERTED index."""
+    from .scalar.build import open_scalar_index
+
+    target_cols = fq.columns
+    meta = None
+    for i in ds.manifest.indices:
+        if i.index_type == "INVERTED":
+            col = ds.schema.field_by_id(i.fields[0]).name
+            if target_cols is None or col in target_cols:
+                meta = i
+                break
+    if meta is None:
+        raise NotSupportedError("full_text_search requires an INVERTED index")
+    idx = open_scalar_index(ds, meta)
+
+    row_mask = _filter_mask(ds, filter_node) if (filter_node is not None and prefilter) else None
+    rowids, scores = idx.bm25_search(fq.query, fq.k, row_mask)
+
+    columns = output_columns if output_columns is not None else ds.schema.names
+    real = [c for c in columns if c not in (ROW_ID_COL, SCORE_COL)]
+    table = ds.take_rows(rowids, real) if rowids.size else pa.table(
+        {c: pa.array([], type=ds.schema.field(c).to_arrow().type) for c in real}
+    )
+    arrays = list(table.columns)
+    names = list(table.column_names)
+    names.append(SCORE_COL)
+    arrays.append(pa.array(scores.astype(np.float32)))
+    if with_row_id or ROW_ID_COL in columns:
+        names.append(ROW_ID_COL)
+        arrays.append(pa.array(rowids, type=pa.uint64()))
+    out = pa.table(dict(zip(names, arrays)))
+    if filter_node is not None and not prefilter:
+        from ..dataset.filter import column_views_from_data, evaluate_filter, referenced_columns
+        from ..encoding.pages import ColumnData
+
+        cols = sorted(referenced_columns(filter_node))
+        fdata = ds.take_rows(rowids, cols)
+        views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
+        mask = evaluate_filter(filter_node, column_views_from_data(views))
+        out = out.filter(pa.array(mask))
+    return out

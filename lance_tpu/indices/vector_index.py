@@ -1,0 +1,478 @@
+"""IVF vector indices: build, storage, and the compiled TPU search pipeline.
+
+Re-design of the reference vector-index stack (north star):
+- build: rust/lance/src/index/vector/builder.rs:236 (train IVF -> train
+  quantizer -> shuffle -> build partitions -> merge into index files)
+- search: rust/lance/src/io/exec/knn.rs ANNIvfPartitionExec (:359) +
+  ANNIvfSubIndexExec (:579) with PQ ADC scan (pq/storage.rs:220-271).
+
+TPU-first redesign decisions:
+- The partition "shuffle" is an argsort by partition id; storage is one
+  partition-sorted array (codes / vectors) + (offset, length) per partition —
+  identical on-disk contract to the reference's auxiliary.idx, but laid out
+  so the *whole* probed-partition scan compiles to dense gathers + matmuls.
+- Search is ONE jit'd function: probe (matmul + top-k) -> candidate ranges
+  (padded to the max partition length; raggedness handled by masking) ->
+  ADC (scan over subspaces, LUT gathers) or exact distances (scan over
+  probes) -> global top-k. No per-partition host loop, no index-node tree.
+- Optional refine re-ranks top k*refine_factor with exact vectors kept
+  device-resident (partition-sorted), replacing the reference's
+  Take-then-rerank plan stage with a single gather + matmul.
+
+Index files (under _indices/{uuid}/): auxiliary.idx is an LTPF file holding
+the storage column(s) + `_rowid`, with the IVF model / quantizer in global
+buffers (reference: docs/src/format/table/index/vector/index.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import IndexError_, InvalidInputError
+from ..file.reader import FileReader
+from ..file.writer import FileWriter
+from ..models.ivf import IvfModel, partition_sort
+from ..schema import Schema
+from ..table.manifest import INDICES_DIR, IndexMetadata
+import pyarrow as pa
+
+AUX_FILE = "auxiliary.idx"
+PQ_CODE_COL = "__pq_code"
+VECTOR_COL = "__vector"
+ROWID_COL = "_rowid"
+
+# query batch buckets: queries are padded up to the next bucket so each
+# (bucket, nprobes, k) combination compiles exactly once.
+_BATCH_BUCKETS = (1, 8, 32, 128, 512)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Build
+# ---------------------------------------------------------------------------
+
+
+def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
+    """Load (vectors, row_addresses) for live rows of the given fragments."""
+    frags = ds.get_fragments()
+    if fragment_ids is not None:
+        fset = set(fragment_ids)
+        frags = [f for f in frags if f.id in fset]
+    mats, addrs = [], []
+    for frag in frags:
+        alive = frag.alive_offsets()
+        if alive.size == 0:
+            continue
+        data = frag.read_columns_physical([column], 0, frag.physical_rows)
+        mat = data[column].to_numpy_matrix()
+        if alive.size != frag.physical_rows:
+            mat = mat[alive]
+        mats.append(np.ascontiguousarray(mat, dtype=np.float32))
+        addrs.append((np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64))
+    if not mats:
+        dim = ds.schema.field(column).type.list_size
+        return np.empty((0, dim), np.float32), np.empty(0, np.uint64)
+    return np.concatenate(mats), np.concatenate(addrs)
+
+
+def build_ivf_index(
+    ds,
+    column: str,
+    index_type: str,
+    uuid: str,
+    num_partitions: int = 256,
+    num_sub_vectors: int = 16,
+    num_bits: int = 8,
+    metric: str = "l2",
+    max_iters: int = 50,
+    sample_rate: int = 256,
+    fragment_ids: list[int] | None = None,
+    ivf_centroids: np.ndarray | None = None,
+    pq_codebook: np.ndarray | None = None,
+) -> dict:
+    """Train + encode + write the index file; returns index params for metadata."""
+    from ..ops.kmeans import KMeans, train_kmeans
+    from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
+
+    vectors, rowids = read_vector_column(ds, column, fragment_ids)
+    n, dim = vectors.shape
+    if n == 0:
+        raise InvalidInputError("cannot index an empty dataset")
+
+    # 1. coarse quantizer (or external centroids for distributed builds)
+    if ivf_centroids is not None:
+        km = KMeans(np.asarray(ivf_centroids, dtype=np.float32), metric)
+        num_partitions = km.k
+    else:
+        num_partitions = min(num_partitions, n)
+        km = train_kmeans(vectors, num_partitions, max_iters=max_iters, metric=metric,
+                          sample_rate=sample_rate)
+
+    # 2. partition assignment + shuffle (argsort by partition)
+    part_ids = km.compute_partitions(vectors)
+    order, offsets, lengths = partition_sort(part_ids, num_partitions)
+    sorted_rowids = rowids[order]
+
+    ivf = IvfModel(km.centroids, offsets, lengths, metric)
+    ivf_header, ivf_payload = ivf.to_parts()
+
+    store = ds.store
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+
+    if index_type in ("IVF_PQ",):
+        if pq_codebook is not None:
+            pq = ProductQuantizer(np.asarray(pq_codebook, np.float32), metric, num_bits)
+        else:
+            pq = train_pq(
+                vectors,
+                PQParams(num_sub_vectors=num_sub_vectors, num_bits=num_bits, max_iters=max_iters,
+                         sample_rate=sample_rate),
+                metric=metric,
+            )
+        codes = pq_encode(pq, vectors)[order]  # (N, m) partition-sorted
+        schema = Schema.from_arrow(
+            pa.schema([
+                (ROWID_COL, pa.uint64()),
+                (PQ_CODE_COL, pa.list_(pa.uint8(), pq.num_sub_vectors)),
+            ])
+        )
+        w = FileWriter(store, path, schema, compression="none")
+        step = 1 << 18
+        for s in range(0, n, step):
+            w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
+                           PQ_CODE_COL: codes[s : s + step]})
+        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+        w.add_global_buffer("ivf_data", ivf_payload)
+        w.add_global_buffer("pq_header", json.dumps(pq.to_json()).encode())
+        w.add_global_buffer("pq_codebook", pq.codebook_bytes())
+        w.finish()
+        return {
+            "metric": metric,
+            "num_partitions": int(num_partitions),
+            "num_sub_vectors": int(pq.num_sub_vectors),
+            "num_bits": int(num_bits),
+            "dim": int(dim),
+        }
+
+    if index_type == "IVF_FLAT":
+        sorted_vectors = vectors[order]
+        schema = Schema.from_arrow(
+            pa.schema([
+                (ROWID_COL, pa.uint64()),
+                (VECTOR_COL, pa.list_(pa.float32(), dim)),
+            ])
+        )
+        w = FileWriter(store, path, schema, compression="none")
+        step = 1 << 17
+        for s in range(0, n, step):
+            w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
+                           VECTOR_COL: sorted_vectors[s : s + step]})
+        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+        w.add_global_buffer("ivf_data", ivf_payload)
+        w.finish()
+        return {"metric": metric, "num_partitions": int(num_partitions), "dim": int(dim)}
+
+    raise InvalidInputError(f"unknown vector index type {index_type}")
+
+
+# ---------------------------------------------------------------------------
+# Open + compiled search
+# ---------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """Device-resident opened index with compiled search."""
+
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        path = f"{INDICES_DIR}/{meta.uuid}/{AUX_FILE}"
+        reader = FileReader(ds.store, path)
+        ivf_header = json.loads(reader.read_global_buffer("ivf_header"))
+        self.ivf = IvfModel.from_parts(ivf_header, reader.read_global_buffer("ivf_data"))
+        self.metric = self.ivf.metric
+        self.num_rows = reader.num_rows
+        self.rowids = np.asarray(
+            reader.read_column(ROWID_COL).values, dtype=np.uint64
+        )
+        self._centroids_dev = jnp.asarray(self.ivf.centroids)
+        self._offsets_dev = jnp.asarray(self.ivf.offsets.astype(np.int32))
+        self._lengths_dev = jnp.asarray(self.ivf.lengths.astype(np.int32))
+        self.max_part_len = max(int(self.ivf.lengths.max()), 1) if self.num_rows else 1
+        self._pad = _round_up(self.max_part_len, 128)
+
+        self.is_pq = "pq_header" in reader.global_buffer_names()
+        if self.is_pq:
+            from ..ops.pq import ProductQuantizer
+
+            pq_header = json.loads(reader.read_global_buffer("pq_header"))
+            self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
+            codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
+            self._codes_t_dev = jnp.asarray(np.ascontiguousarray(codes.T))  # (m, N)
+            self._codebook_dev = jnp.asarray(self.pq.codebook)
+            self._vectors_dev = None  # lazy, for refine
+        else:
+            self.pq = None
+            vecs = reader.read_column(VECTOR_COL).to_numpy_matrix()
+            self._vectors_dev = jnp.asarray(np.ascontiguousarray(vecs))
+
+    # -- prefilter ----------------------------------------------------------------
+
+    def selection_mask(self, row_mask) -> np.ndarray | None:
+        """(N,) bool of index rows passing the RowIdMask (None = all pass)."""
+        if row_mask is None:
+            return None
+        return row_mask.selected_many(self.rowids)
+
+    def deleted_mask(self) -> np.ndarray | None:
+        """Rows deleted since index build -> False entries. Cached per version."""
+        cache = self.ds.session.index_cache
+        key = (self.meta.uuid, self.ds.version, "delmask")
+        cached = cache.get("ivf_delmask", key)
+        if cached is not None:
+            return cached if cached is not False else None
+        from ..rowids import split_addresses
+
+        frag_ids, offsets = split_addresses(self.rowids)
+        ok = np.ones(self.num_rows, dtype=bool)
+        live_frags = {f.id: f for f in self.ds.get_fragments()}
+        any_deletion = False
+        for fid in np.unique(frag_ids):
+            frag = live_frags.get(int(fid))
+            sel = frag_ids == fid
+            if frag is None:
+                ok[sel] = False
+                any_deletion = True
+                continue
+            dv = frag.deletion_vector()
+            if dv is not None and not dv.is_empty():
+                deleted = dv.mask(frag.physical_rows)
+                ok[sel] = ~deleted[offsets[sel]]
+                any_deletion = True
+        result = ok if any_deletion else False
+        cache.put("ivf_delmask", key, result)
+        return ok if any_deletion else None
+
+    # -- search --------------------------------------------------------------------
+
+    def search(
+        self,
+        q: np.ndarray,
+        k: int,
+        nprobes: int = 20,
+        refine_factor: int | None = None,
+        selection: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched ANN search -> (dists (B, k) f32, rowids (B, k) u64).
+
+        Empty slots (fewer than k results) have rowid = UINT64_MAX, dist = inf.
+        """
+        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        b_real = q.shape[0]
+        bucket = next((bb for bb in _BATCH_BUCKETS if bb >= b_real), None)
+        if bucket is None:
+            # split oversize batches
+            outs = [self.search(q[s : s + _BATCH_BUCKETS[-1]], k, nprobes, refine_factor, selection)
+                    for s in range(0, b_real, _BATCH_BUCKETS[-1])]
+            return np.concatenate([o[0] for o in outs]), np.concatenate([o[1] for o in outs])
+        nprobes = min(nprobes, self.ivf.num_partitions)
+        qp = np.pad(q, ((0, bucket - b_real), (0, 0)))
+
+        sel_dev = None
+        if selection is not None:
+            sel_dev = jnp.asarray(selection)
+
+        kk = min(k, self.num_rows)
+        fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
+        if self.is_pq:
+            d, pos = _search_pq(
+                self._codebook_dev, self._centroids_dev, self._codes_t_dev,
+                self._offsets_dev, self._lengths_dev, jnp.asarray(qp),
+                sel_dev, self.metric, nprobes, fetch, self._pad,
+            )
+            d, pos = np.asarray(d), np.asarray(pos)
+            if refine_factor is not None:
+                d, pos = self._refine(qp, pos, kk)
+        else:
+            d, pos = _search_flat(
+                self._vectors_dev, self._centroids_dev,
+                self._offsets_dev, self._lengths_dev, jnp.asarray(qp),
+                sel_dev, self.metric, nprobes, fetch, self._pad,
+            )
+            d, pos = np.asarray(d), np.asarray(pos)
+
+        d, pos = d[:b_real, :k], pos[:b_real, :k]
+        valid = pos >= 0
+        rowids = np.where(valid, self.rowids[np.clip(pos, 0, self.num_rows - 1)],
+                          np.uint64(0xFFFFFFFFFFFFFFFF))
+        d = np.where(valid, d, np.inf)
+        if k > kk:  # pad if dataset smaller than k
+            padw = k - kk
+            d = np.pad(d, ((0, 0), (0, padw)), constant_values=np.inf)
+            rowids = np.pad(rowids, ((0, 0), (0, padw)),
+                            constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
+        return d, rowids
+
+    # -- refine (exact re-rank) ---------------------------------------------------------
+
+    def _ensure_vectors(self):
+        if self._vectors_dev is None:
+            column = self.ds.schema.field_by_id(self.meta.fields[0]).name
+            key = (self.meta.uuid, "refine_vectors")
+            cached = self.ds.session.index_cache.get("ivf_vec", key)
+            if cached is None:
+                vecs, rowids = read_vector_column(self.ds, column, self.meta.fragment_ids or None)
+                # align to index row order via rowid mapping
+                order = np.argsort(rowids, kind="stable")
+                pos = np.searchsorted(rowids[order], self.rowids)
+                cached = np.ascontiguousarray(vecs[order][pos])
+                self.ds.session.index_cache.put("ivf_vec", key, cached)
+            self._vectors_dev = jnp.asarray(cached)
+        return self._vectors_dev
+
+    def _refine(self, qp: np.ndarray, pos: np.ndarray, k: int):
+        vecs = self._ensure_vectors()
+        d, sel = _rerank(vecs, jnp.asarray(qp), jnp.asarray(pos), self.metric, k)
+        return np.asarray(d), np.asarray(sel)
+
+    def statistics(self) -> dict:
+        return {
+            "index_type": self.meta.index_type,
+            "metric": self.metric,
+            "num_partitions": self.ivf.num_partitions,
+            "num_indexed_rows": self.num_rows,
+            "max_partition_length": self.max_part_len,
+            "mean_partition_length": float(self.ivf.lengths.mean()) if self.ivf.num_partitions else 0.0,
+            "sub_index": "PQ" if self.is_pq else "FLAT",
+            **({"num_sub_vectors": self.pq.num_sub_vectors, "num_bits": self.pq.num_bits}
+               if self.pq else {}),
+        }
+
+
+# ---------------------------------------------------------------------------
+# jit'd search cores (module-level so compilation caches across instances)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad"))
+def _search_pq(codebook, centroids, codes_t, offsets, lengths, q, selection,
+               metric, nprobes, k, pad):
+    from ..ops.distance import pairwise_dist, preprocess_for_metric
+    from ..ops.pq import build_distance_tables
+
+    b = q.shape[0]
+    m = codes_t.shape[0]
+    n = codes_t.shape[1]
+    qm = preprocess_for_metric(q, metric)
+    luts = build_distance_tables(codebook, qm, metric)  # (B, m, K)
+
+    pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
+    _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
+    starts = offsets[pids]  # (B, P)
+    lens = lengths[pids]
+    j = jnp.arange(pad, dtype=jnp.int32)
+    cand = (starts[..., None] + j[None, None, :])  # (B, P, pad)
+    valid = j[None, None, :] < lens[..., None]
+    cand = jnp.where(valid, cand, 0).reshape(b, -1)  # (B, J)
+    validf = valid.reshape(b, -1)
+
+    def acc_sub(mi, d):
+        sub_codes = jnp.take(codes_t[mi], cand, axis=0).astype(jnp.int32)  # (B, J)
+        lut_m = luts[:, mi, :]  # (B, K)
+        return d + jnp.take_along_axis(lut_m, sub_codes, axis=1)
+
+    d = jax.lax.fori_loop(0, m, acc_sub, jnp.zeros(cand.shape, jnp.float32))
+    d = jnp.where(validf, d, jnp.inf)
+    if selection is not None:
+        d = jnp.where(jnp.take(selection, cand, axis=0), d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, k)
+    pos = jnp.take_along_axis(cand, sel, axis=1)
+    found = jnp.isfinite(-neg)
+    return jnp.where(found, -neg, jnp.inf), jnp.where(found, pos, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad"))
+def _search_flat(vectors, centroids, offsets, lengths, q, selection,
+                 metric, nprobes, k, pad):
+    from ..ops.distance import pairwise_dist, preprocess_for_metric
+
+    b, dim = q.shape
+    qm = preprocess_for_metric(q, metric)
+    pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
+    _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
+    starts = offsets[pids]
+    lens = lengths[pids]
+    j = jnp.arange(pad, dtype=jnp.int32)
+
+    init_d = jnp.full((b, k), jnp.inf, jnp.float32)
+    init_p = jnp.full((b, k), -1, jnp.int32)
+
+    def body(carry, pi):
+        best_d, best_p = carry
+        cand = starts[:, pi, None] + j[None, :]  # (B, pad)
+        valid = j[None, :] < lens[:, pi, None]
+        cand_s = jnp.where(valid, cand, 0)
+        vec = jnp.take(vectors, cand_s, axis=0)  # (B, pad, D)
+        vm = preprocess_for_metric(vec, metric)
+        if metric == "dot":
+            d = -jnp.einsum("bpd,bd->bp", vm, qm, preferred_element_type=jnp.float32)
+        elif metric == "cosine":
+            d = 1.0 - jnp.einsum("bpd,bd->bp", vm, qm, preferred_element_type=jnp.float32)
+        else:
+            prod = jnp.einsum("bpd,bd->bp", vm, qm, preferred_element_type=jnp.float32)
+            d = (jnp.sum(vm.astype(jnp.float32) ** 2, -1)
+                 + jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True) - 2 * prod)
+        d = jnp.where(valid, d, jnp.inf)
+        if selection is not None:
+            d = jnp.where(jnp.take(selection, cand_s, axis=0), d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_p = jnp.concatenate([best_p, cand_s], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_p, sel, axis=1)), None
+
+    (best_d, best_p), _ = jax.lax.scan(body, (init_d, init_p), jnp.arange(nprobes))
+    found = jnp.isfinite(best_d)
+    return best_d, jnp.where(found, best_p, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _rerank(vectors, q, pos, metric, k):
+    from ..ops.distance import preprocess_for_metric
+
+    qm = preprocess_for_metric(q, metric)
+    safe_pos = jnp.maximum(pos, 0)
+    vec = jnp.take(vectors, safe_pos, axis=0)  # (B, F, D)
+    vm = preprocess_for_metric(vec, metric)
+    if metric == "dot":
+        d = -jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32)
+    elif metric == "cosine":
+        d = 1.0 - jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32)
+    else:
+        prod = jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32)
+        d = (jnp.sum(vm.astype(jnp.float32) ** 2, -1)
+             + jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True) - 2 * prod)
+    d = jnp.where(pos >= 0, d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, k)
+    out_pos = jnp.take_along_axis(pos, sel, axis=1)
+    found = jnp.isfinite(-neg)
+    return jnp.where(found, -neg, jnp.inf), jnp.where(found, out_pos, -1)
+
+
+def open_vector_index(ds, meta: IndexMetadata) -> IvfIndex:
+    key = (meta.uuid, "opened")
+    cache = ds.session.index_cache
+    idx = cache.get("ivf_index", key)
+    if idx is None:
+        idx = IvfIndex(ds, meta)
+        cache.put("ivf_index", key, idx)
+    else:
+        idx.ds = ds  # device arrays are immutable; rebind for version-aware masks
+    return idx

@@ -1,0 +1,86 @@
+"""IVF model: centroids + partition layout.
+
+Re-design of the reference IvfModel (rust/lance-index/src/vector/ivf/
+storage.rs:28) and IvfTransformer (ivf.rs:95): holds the coarse-quantizer
+centroids and the per-partition (offset, length) ranges into the
+partition-sorted storage file. find_partitions is a device matmul + top-k.
+
+Serialization: JSON header + raw little-endian buffers, stored as global
+buffers inside the index file (reference stores these in auxiliary.idx too).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.distance import Metric
+
+
+@dataclass
+class IvfModel:
+    centroids: np.ndarray  # (nlist, dim) f32
+    offsets: np.ndarray  # (nlist,) int64 start row of each partition
+    lengths: np.ndarray  # (nlist,) int64
+    metric: Metric = "l2"
+
+    @property
+    def num_partitions(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.lengths.sum())
+
+    def find_partitions(self, q: np.ndarray, nprobes: int) -> np.ndarray:
+        from ..ops.kmeans import KMeans
+
+        return KMeans(self.centroids, self.metric).find_partitions(q, nprobes)
+
+    # -- serialization ----------------------------------------------------------
+
+    def to_parts(self) -> tuple[dict, bytes]:
+        header = {
+            "num_partitions": self.num_partitions,
+            "dim": self.dim,
+            "metric": self.metric,
+        }
+        payload = (
+            self.centroids.astype("<f4").tobytes()
+            + self.offsets.astype("<i8").tobytes()
+            + self.lengths.astype("<i8").tobytes()
+        )
+        return header, payload
+
+    @classmethod
+    def from_parts(cls, header: dict, payload: bytes) -> "IvfModel":
+        nlist, dim = header["num_partitions"], header["dim"]
+        cb = nlist * dim * 4
+        centroids = np.frombuffer(payload[:cb], dtype="<f4").reshape(nlist, dim)
+        offsets = np.frombuffer(payload[cb : cb + nlist * 8], dtype="<i8")
+        lengths = np.frombuffer(payload[cb + nlist * 8 : cb + nlist * 16], dtype="<i8")
+        return cls(centroids.copy(), offsets.copy(), lengths.copy(), header["metric"])
+
+    def dumps_header(self) -> str:
+        return json.dumps(self.to_parts()[0])
+
+
+def partition_sort(part_ids: np.ndarray, nlist: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort rows by partition id -> (order, offsets, lengths).
+
+    The host-side equivalent of the reference IVF shuffler
+    (rust/lance-index/src/vector/ivf/shuffler.rs) for in-memory builds; the
+    multi-chip path shuffles with an ICI all-to-all instead
+    (parallel/shuffle.py).
+    """
+    order = np.argsort(part_ids, kind="stable")
+    counts = np.bincount(part_ids, minlength=nlist).astype(np.int64)
+    offsets = np.zeros(nlist, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    return order, offsets, counts

@@ -1,0 +1,228 @@
+"""End-to-end vector index tests: build, search, recall, prefilter, deletes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+
+
+def _make_ds(n=2000, dim=32, seed=0, name="vec", extra_cols=True):
+    import uuid
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    cols = {"vec": vecs, "id": np.arange(n, dtype=np.int64)}
+    if extra_cols:
+        cols["category"] = pa.array([f"cat-{i % 5}" for i in range(n)])
+    uri = f"memory://vectest-{uuid.uuid4().hex[:8]}/{name}"
+    ds = lt.write_dataset(cols, uri)
+    return ds, vecs, uri
+
+
+def _gt_topk(vecs, q, k, metric="l2"):
+    if metric == "cosine":
+        v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qq = q / np.linalg.norm(q)
+        d = 1 - v @ qq
+    elif metric == "dot":
+        d = -(vecs @ q)
+    else:
+        d = ((vecs - q) ** 2).sum(1)
+    return np.argsort(d, kind="stable")[:k]
+
+
+def test_flat_knn_no_index():
+    ds, vecs, _ = _make_ds(500, 16)
+    q = vecs[7] + 0.01
+    t = ds.scanner().nearest("vec", q, k=5).to_table()
+    assert t.num_rows == 5
+    assert "_distance" in t.column_names
+    ids = np.asarray(t["id"])
+    gt = _gt_topk(vecs, q, 5)
+    assert set(ids.tolist()) == set(gt.tolist())
+    d = np.asarray(t["_distance"])
+    assert (np.diff(d) >= -1e-5).all()
+
+
+def test_ivf_flat_recall():
+    ds, vecs, _ = _make_ds(3000, 32)
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=32, max_iters=10)
+    assert ds.list_indices()[0].index_type == "IVF_FLAT"
+    rng = np.random.default_rng(1)
+    queries = vecs[rng.choice(3000, 20)] + rng.normal(scale=0.01, size=(20, 32)).astype(np.float32)
+    # full probes -> IVF_FLAT must be EXACT
+    exact = 0.0
+    partial = 0.0
+    for q in queries:
+        want = set(_gt_topk(vecs, q, 10).tolist())
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=32).to_table()
+        exact += len(set(np.asarray(t["id"]).tolist()) & want) / 10
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=16).to_table()
+        partial += len(set(np.asarray(t["id"]).tolist()) & want) / 10
+    assert exact / 20 == 1.0, exact / 20
+    assert partial / 20 >= 0.85, partial / 20  # gaussian data = IVF worst case
+
+
+def test_ivf_pq_recall_with_refine():
+    ds, vecs, _ = _make_ds(5000, 64)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=32, num_sub_vectors=16,
+                         max_iters=15)
+    rng = np.random.default_rng(2)
+    queries = vecs[rng.choice(5000, 20)]
+    full, partial = 0.0, 0.0
+    for q in queries:
+        want = set(_gt_topk(vecs, q, 10).tolist())
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=32, refine_factor=10).to_table()
+        full += len(set(np.asarray(t["id"]).tolist()) & want) / 10
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=16, refine_factor=10).to_table()
+        partial += len(set(np.asarray(t["id"]).tolist()) & want) / 10
+    assert full / 20 >= 0.95, full / 20
+    assert partial / 20 >= 0.8, partial / 20
+
+
+def test_ivf_pq_batched_queries():
+    ds, vecs, _ = _make_ds(2000, 32)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=4, max_iters=8)
+    idx = ds._vector_index_for("vec")
+    q = vecs[:13]
+    d, rid = idx.search(q, k=5, nprobes=16, refine_factor=8)
+    assert d.shape == (13, 5) and rid.shape == (13, 5)
+    # self-match: each query's own row must be top-1 (refined, full probes)
+    from lance_tpu.rowids import split_addresses
+
+    frags, offs = split_addresses(rid[:, 0])
+    t = ds.take_rows(rid[:, 0], ["id"])
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(13))
+
+
+def test_index_cosine_metric():
+    ds, vecs, _ = _make_ds(2000, 32, seed=3)
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=16, metric="cosine", max_iters=8)
+    q = vecs[42]
+    t = ds.scanner().nearest("vec", q, k=5, nprobes=8).to_table()
+    got = np.asarray(t["id"])
+    assert got[0] == 42
+    gt = _gt_topk(vecs, q, 5, "cosine")
+    assert len(set(got.tolist()) & set(gt.tolist())) >= 4
+
+
+def test_search_after_append_combines_unindexed():
+    ds, vecs, uri = _make_ds(1000, 16, seed=4)
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=8)
+    # append new rows after index creation
+    rng = np.random.default_rng(5)
+    new_vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    new_vecs[0] = vecs[0] * 0 + 100.0  # far outlier we can query for
+    ds = lt.write_dataset(
+        {"vec": new_vecs, "id": np.arange(1000, 1200, dtype=np.int64),
+         "category": pa.array([f"cat-{i % 5}" for i in range(200)])},
+        uri, mode="append",
+    )
+    q = np.full(16, 100.0, dtype=np.float32)
+    t = ds.scanner().nearest("vec", q, k=1).to_table()
+    assert np.asarray(t["id"])[0] == 1000  # found in the unindexed tail
+
+
+def test_prefilter_with_filter():
+    ds, vecs, _ = _make_ds(2000, 16, seed=6)
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=8)
+    q = vecs[10]
+    t = (ds.scanner()
+         .nearest("vec", q, k=5, nprobes=8)
+         .filter("category = 'cat-3'")
+         .prefilter()
+         .to_table())
+    assert t.num_rows == 5
+    assert all(c == "cat-3" for c in t["category"].to_pylist())
+    # verify against ground truth restricted to cat-3
+    mask = np.array([i % 5 == 3 for i in range(2000)])
+    sub = np.flatnonzero(mask)
+    d = ((vecs[sub] - q) ** 2).sum(1)
+    want = set(sub[np.argsort(d)[:5]].tolist())
+    got = set(np.asarray(t["id"]).tolist())
+    assert len(got & want) >= 4
+
+
+def test_postfilter():
+    ds, vecs, _ = _make_ds(2000, 16, seed=7)
+    q = vecs[0]
+    t = (ds.scanner()
+         .nearest("vec", q, k=20)
+         .filter("id < 1000")
+         .to_table())
+    assert t.num_rows <= 20
+    assert all(i < 1000 for i in np.asarray(t["id"]).tolist())
+
+
+def test_search_respects_deletes():
+    ds, vecs, _ = _make_ds(1000, 16, seed=8)
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=8)
+    q = vecs[5]
+    t = ds.scanner().nearest("vec", q, k=1, nprobes=8).to_table()
+    assert np.asarray(t["id"])[0] == 5
+    ds = ds.delete("id = 5")
+    t = ds.scanner().nearest("vec", q, k=1, nprobes=8).to_table()
+    assert np.asarray(t["id"])[0] != 5
+
+
+def test_index_statistics_and_drop():
+    ds, vecs, _ = _make_ds(1000, 16, seed=9)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=8, num_sub_vectors=4, max_iters=5,
+                         name="myidx")
+    stats = ds.index_statistics("myidx")
+    assert stats["num_indexed_rows"] == 1000
+    assert stats["num_partitions"] == 8
+    assert stats["sub_index"] == "PQ"
+    ds = ds.drop_index("myidx")
+    assert ds.list_indices() == []
+
+
+def test_scalar_index_btree_prefilter_path():
+    ds, vecs, _ = _make_ds(2000, 16, seed=10)
+    ds = ds.create_index("id", "BTREE")
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=8)
+    q = vecs[100]
+    t = (ds.scanner().nearest("vec", q, k=5, nprobes=8)
+         .filter("id >= 100 and id < 200").prefilter().to_table())
+    assert t.num_rows == 5
+    ids = np.asarray(t["id"])
+    assert ids[0] == 100
+    assert ((ids >= 100) & (ids < 200)).all()
+
+
+def test_scalar_index_scan_filter():
+    ds, vecs, _ = _make_ds(1000, 16, seed=11)
+    ds = ds.create_index("category", "BITMAP")
+    stats = ds.index_statistics("category_idx")
+    assert stats["cardinality"] == 5
+    from lance_tpu.dataset.filter import parse_filter
+    from lance_tpu.indices.scalar.expression import try_scalar_index_filter
+
+    mask = try_scalar_index_filter(ds, parse_filter("category = 'cat-2'"))
+    assert mask is not None
+    assert len(mask.allow) == 200
+
+
+def test_fts_bm25():
+    import uuid
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "a fast auburn fox leaped over a sleepy canine",
+        "completely unrelated text about databases",
+        "lance is a columnar format for machine learning",
+        "the dog sleeps all day long",
+    ]
+    uri = f"memory://fts-{uuid.uuid4().hex[:8]}/d"
+    ds = lt.write_dataset({"text": pa.array(docs), "id": np.arange(5)}, uri)
+    ds = ds.create_index("text", "INVERTED")
+    t = ds.scanner().full_text_search("lazy dog").to_table()
+    assert t.num_rows >= 1
+    top = t["text"][0].as_py()
+    assert "lazy dog" in top
+    assert "_score" in t.column_names
+    # unrelated doc should not appear for fox query
+    t2 = ds.scanner().full_text_search("fox", k=2).to_table()
+    ids = np.asarray(t2["id"]).tolist()
+    assert set(ids) <= {0, 1}
