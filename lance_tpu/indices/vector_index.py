@@ -128,16 +128,33 @@ def build_ivf_index(
     path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
 
     if index_type in ("IVF_PQ",):
+        # Residual quantization for L2/cosine, like the reference
+        # (rust/lance-index/src/vector/pq/builder.rs:66 use_residual,
+        # ivf.rs:222): PQ codes the residual x - centroid[part(x)], which is
+        # far more quantizable than raw clustered vectors.
+        use_residual = metric in ("l2", "cosine")
+        if use_residual:
+            from ..ops.distance import normalize
+            import jax.numpy as _jnp
+
+            base = vectors
+            if metric == "cosine":
+                base = np.asarray(normalize(_jnp.asarray(vectors)))
+            pq_train_data = base - km.centroids[part_ids]
+            pq_metric = "l2"
+        else:
+            pq_train_data = vectors
+            pq_metric = metric
         if pq_codebook is not None:
-            pq = ProductQuantizer(np.asarray(pq_codebook, np.float32), metric, num_bits)
+            pq = ProductQuantizer(np.asarray(pq_codebook, np.float32), pq_metric, num_bits)
         else:
             pq = train_pq(
-                vectors,
+                pq_train_data,
                 PQParams(num_sub_vectors=num_sub_vectors, num_bits=num_bits, max_iters=max_iters,
                          sample_rate=sample_rate),
-                metric=metric,
+                metric=pq_metric,
             )
-        codes = pq_encode(pq, vectors)[order]  # (N, m) partition-sorted
+        codes = pq_encode(pq, pq_train_data)[order]  # (N, m) partition-sorted
         schema = Schema.from_arrow(
             pa.schema([
                 (ROWID_COL, pa.uint64()),
@@ -151,7 +168,10 @@ def build_ivf_index(
                            PQ_CODE_COL: codes[s : s + step]})
         w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
         w.add_global_buffer("ivf_data", ivf_payload)
-        w.add_global_buffer("pq_header", json.dumps(pq.to_json()).encode())
+        pq_header = pq.to_json()
+        pq_header["residual"] = bool(use_residual)
+        pq_header["metric"] = metric  # user-facing metric; ADC runs l2-on-residuals
+        w.add_global_buffer("pq_header", json.dumps(pq_header).encode())
         w.add_global_buffer("pq_codebook", pq.codebook_bytes())
         w.finish()
         return {
@@ -214,6 +234,7 @@ class IvfIndex:
             from ..ops.pq import ProductQuantizer
 
             pq_header = json.loads(reader.read_global_buffer("pq_header"))
+            self.residual = bool(pq_header.get("residual", False))
             self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
             codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
             self._codes_t_dev = jnp.asarray(np.ascontiguousarray(codes.T))  # (m, N)
@@ -221,6 +242,7 @@ class IvfIndex:
             self._vectors_dev = None  # lazy, for refine
         else:
             self.pq = None
+            self.residual = False
             vecs = reader.read_column(VECTOR_COL).to_numpy_matrix()
             self._vectors_dev = jnp.asarray(np.ascontiguousarray(vecs))
 
@@ -296,11 +318,11 @@ class IvfIndex:
             d, pos = _search_pq(
                 self._codebook_dev, self._centroids_dev, self._codes_t_dev,
                 self._offsets_dev, self._lengths_dev, jnp.asarray(qp),
-                sel_dev, self.metric, nprobes, fetch, self._pad,
+                sel_dev, self.metric, nprobes, fetch, self._pad, self.residual,
             )
-            d, pos = np.asarray(d), np.asarray(pos)
             if refine_factor is not None:
-                d, pos = self._refine(qp, pos, kk)
+                d, pos = self._refine(qp, np.asarray(pos), kk)
+            d, pos = np.asarray(d), np.asarray(pos)
         else:
             d, pos = _search_flat(
                 self._vectors_dev, self._centroids_dev,
@@ -362,41 +384,68 @@ class IvfIndex:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad"))
+@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad", "residual"))
 def _search_pq(codebook, centroids, codes_t, offsets, lengths, q, selection,
-               metric, nprobes, k, pad):
+               metric, nprobes, k, pad, residual=False):
+    """ADC scan over probed partitions as a lax.scan over probes.
+
+    Memory is bounded by (B, pad) per step regardless of nprobes — probing
+    more partitions costs time, never HBM (partitions can be arbitrarily
+    unbalanced without exploding the padded candidate tensor).
+
+    With residual=True (L2/cosine, matching the reference), the LUT is built
+    per probe from (q - centroid_p) — one extra tiny matmul per probe step.
+    """
     from ..ops.distance import pairwise_dist, preprocess_for_metric
     from ..ops.pq import build_distance_tables
 
     b = q.shape[0]
     m = codes_t.shape[0]
-    n = codes_t.shape[1]
     qm = preprocess_for_metric(q, metric)
-    luts = build_distance_tables(codebook, qm, metric)  # (B, m, K)
 
     pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
     _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
     starts = offsets[pids]  # (B, P)
     lens = lengths[pids]
     j = jnp.arange(pad, dtype=jnp.int32)
-    cand = (starts[..., None] + j[None, None, :])  # (B, P, pad)
-    valid = j[None, None, :] < lens[..., None]
-    cand = jnp.where(valid, cand, 0).reshape(b, -1)  # (B, J)
-    validf = valid.reshape(b, -1)
 
-    def acc_sub(mi, d):
-        sub_codes = jnp.take(codes_t[mi], cand, axis=0).astype(jnp.int32)  # (B, J)
-        lut_m = luts[:, mi, :]  # (B, K)
-        return d + jnp.take_along_axis(lut_m, sub_codes, axis=1)
+    if not residual:
+        luts = build_distance_tables(codebook, qm, metric)  # (B, m, K)
 
-    d = jax.lax.fori_loop(0, m, acc_sub, jnp.zeros(cand.shape, jnp.float32))
-    d = jnp.where(validf, d, jnp.inf)
-    if selection is not None:
-        d = jnp.where(jnp.take(selection, cand, axis=0), d, jnp.inf)
-    neg, sel = jax.lax.top_k(-d, k)
-    pos = jnp.take_along_axis(cand, sel, axis=1)
-    found = jnp.isfinite(-neg)
-    return jnp.where(found, -neg, jnp.inf), jnp.where(found, pos, -1)
+    init_d = jnp.full((b, k), jnp.inf, jnp.float32)
+    init_p = jnp.full((b, k), -1, jnp.int32)
+
+    def body(carry, pi):
+        best_d, best_p = carry
+        cand = starts[:, pi, None] + j[None, :]  # (B, pad)
+        valid = j[None, :] < lens[:, pi, None]
+        cand_s = jnp.where(valid, cand, 0)
+
+        if residual:
+            c_p = centroids[pids[:, pi]]  # (B, D) raw centroids (as at build)
+            lut = build_distance_tables(codebook, qm - c_p, "l2")
+        else:
+            lut = luts
+
+        def acc_sub(mi, d):
+            sub_codes = jnp.take(codes_t[mi], cand_s, axis=0).astype(jnp.int32)
+            return d + jnp.take_along_axis(lut[:, mi, :], sub_codes, axis=1)
+
+        d = jax.lax.fori_loop(0, m, acc_sub, jnp.zeros(cand_s.shape, jnp.float32))
+        d = jnp.where(valid, d, jnp.inf)
+        if selection is not None:
+            d = jnp.where(jnp.take(selection, cand_s, axis=0), d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_p = jnp.concatenate([best_p, cand_s], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_p, sel, axis=1)), None
+
+    (best_d, best_p), _ = jax.lax.scan(body, (init_d, init_p), jnp.arange(nprobes))
+    if residual and metric == "cosine":
+        # l2^2 on unit vectors = 2 - 2 cos  ->  cosine distance = d / 2
+        best_d = best_d * 0.5
+    found = jnp.isfinite(best_d)
+    return best_d, jnp.where(found, best_p, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad"))

@@ -1,0 +1,130 @@
+"""Multi-chip k-means: Lloyd iterations over a sharded mesh.
+
+The TPU-native replacement for the reference's rayon-parallel
+compute_partitions (kmeans.rs:1251): rows shard over 'dp', the per-iteration
+sufficient statistics (sum_x per cluster, counts) are psum'd over the mesh,
+and every device applies the identical centroid update — so centroids stay
+replicated without any explicit broadcast. Scales to BigANN-100M style
+training on a pod slice (SURVEY §7 step 7).
+
+Optionally the vector dimension shards over 'tp': each device holds a D/tp
+slice of rows AND centroids; L2 distances decompose as a sum over dim slices,
+so the distance matrix is psum('tp') of local partial distances — the
+classic tensor-parallel matmul contraction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.kmeans import KMeans, _kmeanspp_init
+from ..ops.distance import Metric
+from .mesh import pad_rows_to_multiple
+
+
+def _local_stats(local_data, centroids, weights, dp_axes):
+    """One assignment pass on the local shard -> global (sums, counts, loss)."""
+    prod = jnp.dot(local_data, centroids.T, preferred_element_type=jnp.float32)
+    dn = jnp.sum(local_data.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    cn = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+    d = dn + cn[None, :] - 2.0 * prod
+    ids = jnp.argmin(d, axis=1)
+    mind = jnp.min(d, axis=1) * weights
+    k = centroids.shape[0]
+    sums = jax.ops.segment_sum(local_data * weights[:, None], ids, num_segments=k)
+    counts = jax.ops.segment_sum(weights, ids, num_segments=k)
+    sums = jax.lax.psum(sums, dp_axes)
+    counts = jax.lax.psum(counts, dp_axes)
+    loss = jax.lax.psum(jnp.sum(mind), dp_axes)
+    return ids, sums, counts, loss
+
+
+def make_sharded_train_step(mesh: Mesh, dp_axes=("dp",)):
+    """Returns jit'd fn(local rows P(dp), centroids replicated) -> new centroids."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(dp_axes, None), P(None, None), P(dp_axes)),
+        out_specs=(P(None, None), P(None)),
+    )
+    def step(local_data, centroids, weights):
+        _ids, sums, counts, loss = _local_stats(local_data, centroids, weights, dp_axes)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        new = jnp.where((counts < 0.5)[:, None], centroids, new)
+        return new, loss[None]
+
+    return jax.jit(step)
+
+
+def train_kmeans_sharded(
+    data: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    max_iters: int = 50,
+    metric: Metric = "l2",
+    seed: int = 42,
+    dp_axes: tuple[str, ...] = ("dp",),
+) -> KMeans:
+    """Train k-means with rows sharded across the mesh."""
+    data = np.asarray(data, dtype=np.float32)
+    if metric == "cosine":
+        data = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    n_real = data.shape[0]
+    n_shards = int(np.prod([mesh.shape[a] for a in dp_axes]))
+    padded, _ = pad_rows_to_multiple(data, n_shards)
+    weights = np.zeros(padded.shape[0], np.float32)
+    weights[:n_real] = 1.0
+
+    sharding = NamedSharding(mesh, P(dp_axes, None))
+    wsharding = NamedSharding(mesh, P(dp_axes))
+    data_sh = jax.device_put(padded, sharding)
+    weights_sh = jax.device_put(weights, wsharding)
+
+    rng = np.random.default_rng(seed)
+    sample = data[rng.choice(n_real, size=min(n_real, 64 * k), replace=False)]
+    init = _kmeanspp_init(jnp.asarray(sample), jax.random.PRNGKey(seed), k)
+    centroids = jax.device_put(np.asarray(init), NamedSharding(mesh, P(None, None)))
+
+    step = make_sharded_train_step(mesh, dp_axes)
+    prev_loss = np.inf
+    for _ in range(max_iters):
+        centroids, loss = step(data_sh, centroids, weights_sh)
+        cur = float(loss[0])
+        if abs(prev_loss - cur) <= 1e-4 * max(prev_loss, 1e-20):
+            break
+        prev_loss = cur
+    return KMeans(np.asarray(centroids), metric)
+
+
+def make_tp_assign_step(mesh: Mesh, tp_axis: str = "tp", dp_axis: str = "dp"):
+    """Tensor-parallel partition assignment: rows shard over dp, dims over tp.
+
+    distance(x, c) = sum over tp slices of local partial distances — the
+    matmul contraction runs psum over 'tp'; returns partition ids (dp-sharded).
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(dp_axis, tp_axis), P(None, tp_axis)),
+        out_specs=P(dp_axis),
+    )
+    def assign(local_x, local_c):
+        prod = jnp.dot(local_x, local_c.T, preferred_element_type=jnp.float32)
+        xn = jnp.sum(local_x.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        cn = jnp.sum(local_c.astype(jnp.float32) ** 2, axis=1)
+        partial = xn + cn[None, :] - 2.0 * prod
+        d = jax.lax.psum(partial, tp_axis)
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    return jax.jit(assign)

@@ -1,0 +1,49 @@
+"""Device mesh helpers for multi-chip execution.
+
+The reference has no collectives (storage-coordinated only, SURVEY §2.8); on
+TPU we scale *within* a job over ICI with jax.sharding. Axis conventions for
+this workload:
+    dp — data parallel over vectors/rows (k-means, PQ encode, flat scans)
+    ep — "expert"-style sharding of IVF partition lists (search, shuffle)
+    tp — tensor parallel over the vector dimension (distance matmuls)
+Storage-based commits (table/commit.py) remain the coordination mechanism
+*between* jobs/hosts, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axes: dict[str, int] | None = None) -> Mesh:
+    """Build a mesh over the first n devices; axes maps name -> size."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if axes is None:
+        axes = {"dp": n}
+    shape = tuple(axes.values())
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh axes {axes} != {n} devices")
+    return Mesh(devices.reshape(shape), tuple(axes.keys()))
+
+
+def shard_rows(mesh: Mesh, x, axis: str = "dp"):
+    """Place array with rows sharded over `axis`, replicated elsewhere."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(mesh: Mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def pad_rows_to_multiple(x: np.ndarray, m: int) -> tuple[np.ndarray, int]:
+    n = x.shape[0]
+    pad = (-n) % m
+    if pad:
+        x = np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, n

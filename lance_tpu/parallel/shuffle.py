@@ -1,0 +1,110 @@
+"""IVF shuffle as an ICI all-to-all.
+
+The reference shuffles partition-tagged rows through temp files on disk
+(rust/lance-index/src/vector/ivf/shuffler.rs:4-12 "write unsorted buffer ->
+count -> sort/regroup"). Pod-scale TPU builds keep the shuffle on the
+interconnect instead: each device buckets its local rows by destination
+device (owner of the row's IVF partition), pads buckets to a fixed capacity,
+and one lax.all_to_all moves every bucket to its owner. Disk staging remains
+available for beyond-HBM datasets via the host-side partition_sort
+(models/ivf.py) + fragment write protocol.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+def partition_owner(part_ids: jnp.ndarray, num_partitions: int, n_devices: int) -> jnp.ndarray:
+    """Contiguous block ownership: device d owns partitions [d*P/N, (d+1)*P/N)."""
+    per = -(-num_partitions // n_devices)
+    return (part_ids // per).astype(jnp.int32)
+
+
+def make_all_to_all_shuffle(mesh: Mesh, axis: str, cap: int, num_partitions: int):
+    """Returns jit'd fn(local_rows (n,D), local part_ids (n,), local_valid)
+    -> (rows (ndev*cap, D), part_ids, valid mask) after routing each row to
+    the device owning its partition. `cap` is the per-(src,dst) bucket
+    capacity — rows over capacity are dropped (callers size cap with slack;
+    the build path re-balances with balanced k-means)."""
+    ndev = mesh.shape[axis]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+    )
+    def shuffle(local_rows, local_pids, local_valid):
+        n, d = local_rows.shape
+        dest = partition_owner(local_pids, num_partitions, ndev)
+        dest = jnp.where(local_valid > 0, dest, ndev)  # invalid rows -> dropped
+        order = jnp.argsort(dest)
+        s_rows = local_rows[order]
+        s_pids = local_pids[order]
+        s_dest = dest[order]
+        # position within destination bucket
+        counts = jax.ops.segment_sum(jnp.ones(n, jnp.int32), s_dest, num_segments=ndev + 1)
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+        pos = jnp.arange(n, dtype=jnp.int32) - offsets[s_dest]
+        ok = (pos < cap) & (s_dest < ndev)
+        send_rows = jnp.zeros((ndev, cap, d), local_rows.dtype)
+        send_pids = jnp.full((ndev, cap), -1, jnp.int32)
+        send_valid = jnp.zeros((ndev, cap), jnp.int32)
+        dst_idx = jnp.where(ok, s_dest, 0)
+        pos_idx = jnp.where(ok, pos, 0)
+        send_rows = send_rows.at[dst_idx, pos_idx].set(
+            jnp.where(ok[:, None], s_rows, 0.0), mode="drop"
+        )
+        send_pids = send_pids.at[dst_idx, pos_idx].set(
+            jnp.where(ok, s_pids.astype(jnp.int32), -1), mode="drop"
+        )
+        send_valid = send_valid.at[dst_idx, pos_idx].max(
+            jnp.where(ok, 1, 0), mode="drop"
+        )
+        recv_rows = jax.lax.all_to_all(send_rows, axis, split_axis=0, concat_axis=0, tiled=False)
+        recv_pids = jax.lax.all_to_all(send_pids, axis, split_axis=0, concat_axis=0, tiled=False)
+        recv_valid = jax.lax.all_to_all(send_valid, axis, split_axis=0, concat_axis=0, tiled=False)
+        return (recv_rows.reshape(ndev * cap, d),
+                recv_pids.reshape(ndev * cap),
+                recv_valid.reshape(ndev * cap))
+
+    return jax.jit(shuffle)
+
+
+def shuffle_to_partitions(
+    mesh: Mesh,
+    axis: str,
+    rows: np.ndarray,
+    part_ids: np.ndarray,
+    num_partitions: int,
+    slack: float = 2.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-facing wrapper: shards rows over `axis`, runs the all-to-all,
+    returns (rows, part_ids, valid) with rows grouped on their owner device."""
+    ndev = mesh.shape[axis]
+    n = rows.shape[0]
+    pad = (-n) % ndev
+    rows_p = np.pad(rows, ((0, pad), (0, 0)))
+    pids_p = np.pad(part_ids.astype(np.int32), (0, pad))
+    valid = np.zeros(n + pad, np.int32)
+    valid[:n] = 1
+    per_dev = (n + pad) // ndev
+    cap = int(np.ceil(per_dev / ndev * slack)) + 8
+    run = make_all_to_all_shuffle(mesh, axis, cap, num_partitions)
+    sharding = NamedSharding(mesh, P(axis, None))
+    vsharding = NamedSharding(mesh, P(axis))
+    out_rows, out_pids, out_valid = run(
+        jax.device_put(rows_p, sharding),
+        jax.device_put(pids_p, vsharding),
+        jax.device_put(valid, vsharding),
+    )
+    return np.asarray(out_rows), np.asarray(out_pids), np.asarray(out_valid)

@@ -1,0 +1,121 @@
+"""The composite multi-chip index-training step: one jit, all mesh axes.
+
+This is the framework's "training step" analog: one compiled program that
+advances an IVF-PQ index build by one round —
+
+    1. tensor-parallel partition assignment: rows P(('dp','ep'), 'tp') x
+       centroids P(None, 'tp'); distance contraction psums over 'tp'
+    2. k-means sufficient statistics psum over ('dp','ep') -> new centroids
+       (replicated output, no broadcast needed)
+    3. PQ encode of the local shard (pure local compute)
+    4. a query top-k over the globally sharded rows: local top-k, then
+       all_gather over ('dp','ep') + final top-k merge
+
+Pipeline parallelism has no analog here (a data system has no layer
+pipeline; the reference likewise has none — SURVEY §2.8/§5); the meaningful
+axes for this workload are dp (rows), ep (IVF partition/list ownership), and
+tp (vector dimension).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_index_train_step(mesh: Mesh, k_top: int = 4):
+    """jit'd fn(data, centroids, codebook, queries, weights) -> step outputs."""
+
+    row_axes = ("dp", "ep")
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(row_axes, "tp"),  # data rows over dp+ep, dims over tp
+            P(None, "tp"),      # centroids replicated over rows, dims over tp
+            P(None, None, None),  # PQ codebook replicated (m, k, dsub)
+            P(None, None),      # queries replicated
+            P(row_axes),        # row validity weights
+        ),
+        out_specs=(P(None, "tp"), P(None), P(row_axes, None), P(None, None)),
+    )
+    def step(local_data, local_cent, codebook, queries, weights):
+        # -- 1. TP distance contraction + assignment -------------------------
+        prod = jnp.dot(local_data, local_cent.T, preferred_element_type=jnp.float32)
+        xn = jnp.sum(local_data.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        cn = jnp.sum(local_cent.astype(jnp.float32) ** 2, axis=1)
+        d_part = xn + cn[None, :] - 2.0 * prod
+        d = jax.lax.psum(d_part, "tp")  # full distances, rows local
+        ids = jnp.argmin(d, axis=1)
+        loss = jax.lax.psum(jnp.sum(jnp.min(d, axis=1) * weights), row_axes)
+
+        # -- 2. k-means update: psum sufficient statistics --------------------
+        k = local_cent.shape[0]
+        sums = jax.ops.segment_sum(local_data * weights[:, None], ids, num_segments=k)
+        counts = jax.ops.segment_sum(weights, ids, num_segments=k)
+        sums = jax.lax.psum(sums, row_axes)  # (k, local_dim) — dim still tp-sharded
+        counts = jax.lax.psum(counts, row_axes)
+        new_cent = sums / jnp.maximum(counts, 1.0)[:, None]
+        new_cent = jnp.where((counts < 0.5)[:, None], local_cent, new_cent)
+
+        # -- 3. PQ encode the local shard (on tp-complete rows) ---------------
+        full_rows = jax.lax.all_gather(local_data, "tp", axis=1, tiled=True)
+        n_loc, dim = full_rows.shape
+        m, cb_k, dsub = codebook.shape
+        rows_sub = full_rows.reshape(n_loc, m, dsub).transpose(1, 0, 2)
+        cprod = jnp.einsum("mnd,mkd->mnk", rows_sub, codebook,
+                           preferred_element_type=jnp.float32)
+        rn = jnp.sum(rows_sub.astype(jnp.float32) ** 2, axis=-1)
+        cbn = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)
+        sub_d = rn[:, :, None] + cbn[:, None, :] - 2.0 * cprod
+        codes = jnp.argmin(sub_d, axis=-1).astype(jnp.uint8).T  # (n_loc, m)
+
+        # -- 4. query top-k across the global row shards -----------------------
+        qprod = jnp.dot(queries, full_rows.T, preferred_element_type=jnp.float32)
+        qn = jnp.sum(queries.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        rn2 = jnp.sum(full_rows.astype(jnp.float32) ** 2, axis=1)
+        qd = qn + rn2[None, :] - 2.0 * qprod
+        qd = jnp.where(weights[None, :] > 0, qd, jnp.inf)
+        kk = min(k_top, n_loc)
+        neg, li = jax.lax.top_k(-qd, kk)
+        dp_i = jax.lax.axis_index("dp")
+        ep_i = jax.lax.axis_index("ep")
+        shard_i = dp_i * jax.lax.axis_size("ep") + ep_i
+        gi = li.astype(jnp.int32) + shard_i.astype(jnp.int32) * n_loc
+        all_d = jax.lax.all_gather(-neg, row_axes, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, row_axes, axis=1, tiled=True)
+        neg2, sel = jax.lax.top_k(-all_d, min(k_top, all_d.shape[1]))
+        top_ids = jnp.take_along_axis(all_i, sel, axis=1)
+
+        return new_cent, loss[None], codes, top_ids.astype(jnp.int32)
+
+    return jax.jit(step)
+
+
+def run_index_train_step(mesh: Mesh, data: np.ndarray, centroids: np.ndarray,
+                         codebook: np.ndarray, queries: np.ndarray):
+    """Places host arrays with the step's shardings and runs one step."""
+    n_rows = int(mesh.shape["dp"] * mesh.shape["ep"])
+    pad = (-data.shape[0]) % n_rows
+    data_p = np.pad(data, ((0, pad), (0, 0))).astype(np.float32)
+    weights = np.zeros(data_p.shape[0], np.float32)
+    weights[: data.shape[0]] = 1.0
+    step = make_index_train_step(mesh)
+    args = (
+        jax.device_put(data_p, NamedSharding(mesh, P(("dp", "ep"), "tp"))),
+        jax.device_put(centroids.astype(np.float32), NamedSharding(mesh, P(None, "tp"))),
+        jax.device_put(codebook.astype(np.float32), NamedSharding(mesh, P(None, None, None))),
+        jax.device_put(queries.astype(np.float32), NamedSharding(mesh, P(None, None))),
+        jax.device_put(weights, NamedSharding(mesh, P(("dp", "ep")))),
+    )
+    new_cent, loss, codes, top_ids = step(*args)
+    return (np.asarray(new_cent), float(np.asarray(loss)[0]),
+            np.asarray(codes), np.asarray(top_ids))

@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from lance_tpu.parallel.mesh import make_mesh
+from lance_tpu.parallel.kmeans import make_tp_assign_step, train_kmeans_sharded
+from lance_tpu.parallel.search import sharded_flat_search
+from lance_tpu.parallel.shuffle import shuffle_to_partitions
+
+
+@pytest.fixture(scope="module")
+def devices():
+    assert len(jax.devices()) >= 8, "tests require 8 virtual CPU devices"
+    return jax.devices()
+
+
+def test_sharded_kmeans_matches_quality(devices, rng):
+    mesh = make_mesh(8, {"dp": 8})
+    centers = np.array([[10, 0, 0, 0], [-10, 0, 0, 0], [0, 10, 0, 0], [0, -10, 0, 0]],
+                       dtype=np.float32)
+    data = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(200, 4)) for c in centers]
+    ).astype(np.float32)
+    km = train_kmeans_sharded(data, k=4, mesh=mesh, max_iters=20, seed=0)
+    for c in centers:
+        assert np.min(np.linalg.norm(km.centroids - c, axis=1)) < 0.5
+    # uneven row count (tests padding/weights)
+    km2 = train_kmeans_sharded(data[:793], k=4, mesh=mesh, max_iters=20, seed=0)
+    assert np.isfinite(km2.centroids).all()
+
+
+def test_tp_assignment(devices, rng):
+    mesh = make_mesh(8, {"dp": 4, "tp": 2})
+    data = rng.normal(size=(64, 16)).astype(np.float32)
+    centroids = rng.normal(size=(8, 16)).astype(np.float32)
+    assign = make_tp_assign_step(mesh)
+    import jax as j
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ids = assign(
+        j.device_put(data, NamedSharding(mesh, P("dp", "tp"))),
+        j.device_put(centroids, NamedSharding(mesh, P(None, "tp"))),
+    )
+    want = ((data[:, None, :] - centroids[None, :, :]) ** 2).sum(-1).argmin(1)
+    np.testing.assert_array_equal(np.asarray(ids), want)
+
+
+def test_all_to_all_shuffle_routes_to_owner(devices, rng):
+    mesh = make_mesh(8, {"ep": 8})
+    n, d, nlist = 512, 8, 16
+    rows = rng.normal(size=(n, d)).astype(np.float32)
+    pids = rng.integers(0, nlist, n).astype(np.int32)
+    out_rows, out_pids, out_valid = shuffle_to_partitions(
+        mesh, "ep", rows, pids, nlist, slack=4.0
+    )
+    valid = out_valid > 0
+    assert valid.sum() == n, "no rows may be dropped at this slack"
+    # every received row must sit on the device owning its partition
+    ndev = 8
+    per = -(-nlist // ndev)
+    shard_size = out_rows.shape[0] // ndev
+    dev_of_slot = np.arange(out_rows.shape[0]) // shard_size
+    owner = out_pids // per
+    np.testing.assert_array_equal(owner[valid], dev_of_slot[valid])
+    # content preserved: multiset of rows matches
+    got = out_rows[valid]
+    assert got.shape == rows.shape
+    key_in = np.sort(rows.sum(axis=1))
+    key_out = np.sort(got.sum(axis=1))
+    np.testing.assert_allclose(key_out, key_in, rtol=1e-5)
+
+
+def test_sharded_flat_search_exact(devices, rng):
+    mesh = make_mesh(8, {"dp": 2, "ep": 4})
+    data = rng.normal(size=(1000, 16)).astype(np.float32)
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    d, i = sharded_flat_search(mesh, q, data, k=5)
+    full = ((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(full, axis=1)[:, :5]
+    for r in range(6):
+        assert set(i[r].tolist()) == set(want[r].tolist())
