@@ -84,6 +84,7 @@ def main() -> None:
     _log(f"index built in {build_s:.1f}s")
 
     idx = ds._vector_index_for("vec")
+    _log(f"max_part_len={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
 
     def run_recall(nprobes, refine, batch=512):
         hits = 0
@@ -95,11 +96,14 @@ def main() -> None:
                 hits += len(set(ids[r].tolist()) & set(gt_i[s + r].tolist()))
         return hits / (NQ * K)
 
-    # tune nprobes upward until recall target met
+    # tune nprobes upward until recall target met (fixed refine so the rerank
+    # kernel compiles once; each nprobes value compiles one search program)
     chosen = None
-    for nprobes, refine in [(8, 10), (16, 10), (32, 10), (48, 16), (64, 16), (96, 16)]:
+    rec = 0.0
+    for nprobes, refine in [(24, 16), (48, 16), (96, 16)]:
+        t = time.time()
         rec = run_recall(nprobes, refine)
-        _log(f"nprobes={nprobes} refine={refine} recall@10={rec:.4f}")
+        _log(f"nprobes={nprobes} refine={refine} recall@10={rec:.4f} ({time.time()-t:.1f}s incl compile)")
         if rec >= 0.95:
             chosen = (nprobes, refine, rec)
             break
@@ -110,12 +114,13 @@ def main() -> None:
     # throughput: batched queries, steady-state
     batch = 512
     qb = queries[:batch]
-    # warmup (compile)
+    # warmup (already compiled by the sweep)
     idx.search(qb, K, nprobes=nprobes, refine_factor=refine)
     t = time.time()
-    iters = 20
-    for i in range(iters):
+    iters = 0
+    while iters < 50 and (time.time() - t) < 60:
         idx.search(qb, K, nprobes=nprobes, refine_factor=refine)
+        iters += 1
     dt = time.time() - t
     qps = iters * batch / dt
     _log(f"QPS={qps:.0f} at recall@10={recall:.4f} (nprobes={nprobes}, refine={refine})")

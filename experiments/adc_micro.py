@@ -1,0 +1,94 @@
+"""Micro-benchmark: candidate-scoring strategies for IVF search on TPU.
+
+Compares, at SIFT1M-like shapes (B=512 queries, nprobes=24, pad=1536, D=128):
+  A. LUT-gather ADC (current): per-subspace elementwise gathers
+  B. row-gather + int8 matmul: gather candidate rows (contiguous 128-byte
+     rows), score with one einsum on the MXU
+  C. partition-major: scan over partitions, dynamic_slice contiguous rows,
+     dense matmul against the queries probing that partition
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B, P, PAD, D, M, NLIST = 512, 24, 1536, 128, 16, 1024
+N = NLIST * 1000  # ~1M rows
+
+
+def timeit(f, *args, iters=5):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t = time.time()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t) / iters
+
+
+rng = np.random.default_rng(0)
+codes_t = jnp.asarray(rng.integers(0, 256, (M, N)).astype(np.uint8))
+rows_i8 = jnp.asarray(rng.integers(-127, 127, (N, D)).astype(np.int8))
+luts = jnp.asarray(rng.normal(size=(B, M, 256)).astype(np.float32))
+starts = jnp.asarray(rng.integers(0, N - PAD, (B, P)).astype(np.int32))
+q_i8 = jnp.asarray(rng.integers(-127, 127, (B, D)).astype(np.int8))
+j = jnp.arange(PAD, dtype=jnp.int32)
+
+
+@jax.jit
+def adc_gather(luts, codes_t, starts):
+    def body(carry, pi):
+        cand = starts[:, pi, None] + j[None, :]
+
+        def acc(mi, d):
+            sub = jnp.take(codes_t[mi], cand, axis=0).astype(jnp.int32)
+            return d + jnp.take_along_axis(luts[:, mi, :], sub, axis=1)
+
+        d = jax.lax.fori_loop(0, M, acc, jnp.zeros(cand.shape, jnp.float32))
+        neg, _ = jax.lax.top_k(-jnp.concatenate([carry, d], 1), 100)
+        return -neg, None
+
+    out, _ = jax.lax.scan(body, jnp.full((B, 100), jnp.inf), jnp.arange(P))
+    return out
+
+
+@jax.jit
+def rowgather_matmul(q_i8, rows_i8, starts):
+    def body(carry, pi):
+        cand = starts[:, pi, None] + j[None, :]  # (B, PAD)
+        vec = jnp.take(rows_i8, cand, axis=0)  # (B, PAD, D) row gather
+        d = -jnp.einsum("bpd,bd->bp", vec.astype(jnp.bfloat16),
+                        q_i8.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        neg, _ = jax.lax.top_k(-jnp.concatenate([carry, d], 1), 100)
+        return -neg, None
+
+    out, _ = jax.lax.scan(body, jnp.full((B, 100), jnp.inf), jnp.arange(P))
+    return out
+
+
+# C: partition-major. queries-per-partition inverted lists precomputed host-side
+QCAP = 64
+qlists = jnp.asarray(rng.integers(0, B, (NLIST, QCAP)).astype(np.int32))
+pstarts = jnp.asarray((np.arange(NLIST) * 1000).astype(np.int32))
+
+
+@jax.jit
+def partition_major(q_i8, rows_i8, qlists, pstarts):
+    def body(carry, p):
+        rows = jax.lax.dynamic_slice(rows_i8, (pstarts[p], 0), (PAD, D))
+        qp = jnp.take(q_i8, qlists[p], axis=0)  # (QCAP, D)
+        d = jnp.dot(qp.astype(jnp.bfloat16), rows.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)
+        neg, _ = jax.lax.top_k(-d, 100)  # per-partition local topk (merge omitted)
+        return carry + jnp.sum(neg), None
+
+    out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(NLIST))
+    return out
+
+
+print("A lut-gather ADC :", timeit(adc_gather, luts, codes_t, starts), "s")
+print("B rowgather+matmul:", timeit(rowgather_matmul, q_i8, rows_i8, starts), "s")
+print("C partition-major :", timeit(partition_major, q_i8, rows_i8, qlists, pstarts), "s")

@@ -97,8 +97,10 @@ def build_ivf_index(
     fragment_ids: list[int] | None = None,
     ivf_centroids: np.ndarray | None = None,
     pq_codebook: np.ndarray | None = None,
+    balance_factor: float = 1.5,
 ) -> dict:
     """Train + encode + write the index file; returns index params for metadata."""
+    from ..ops.balanced import balanced_assign
     from ..ops.kmeans import KMeans, train_kmeans
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
 
@@ -116,8 +118,24 @@ def build_ivf_index(
         km = train_kmeans(vectors, num_partitions, max_iters=max_iters, metric=metric,
                           sample_rate=sample_rate)
 
-    # 2. partition assignment + shuffle (argsort by partition)
-    part_ids = km.compute_partitions(vectors)
+    # 2. capacity-bounded assignment + shuffle (argsort by partition).
+    # Balance matters doubly on TPU: the dense search scores each partition
+    # padded to the max partition length, so skew taxes every query.
+    if balance_factor and num_partitions > 1:
+        part_ids = balanced_assign(vectors, km.centroids, balance_factor, metric=metric)
+        # Re-center: after capacity reassignment, each partition's true mean
+        # moves; probing with updated centroids targets where members actually
+        # live (recovers the recall lost to balancing).
+        sums = np.zeros_like(km.centroids)
+        np.add.at(sums, part_ids, vectors if metric != "cosine" else
+                  vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12))
+        cnts = np.bincount(part_ids, minlength=num_partitions).astype(np.float32)
+        nonempty = cnts > 0
+        new_centroids = km.centroids.copy()
+        new_centroids[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        km.centroids = new_centroids
+    else:
+        part_ids = km.compute_partitions(vectors)
     order, offsets, lengths = partition_sort(part_ids, num_partitions)
     sorted_rowids = rowids[order]
 
@@ -229,22 +247,54 @@ class IvfIndex:
         self.max_part_len = max(int(self.ivf.lengths.max()), 1) if self.num_rows else 1
         self._pad = _round_up(self.max_part_len, 128)
 
+        # Scoring storage: TPU-native redesign of the reference's ADC scan.
+        # With residual PQ, ||q - (centroid + decode(code))||^2 IS the ADC
+        # distance — so we materialize decoded rows once at load and score
+        # candidates with dense MXU matmuls (partition-major tiles) instead
+        # of LUT gathers, which measure ~90x slower on TPU (see
+        # experiments/adc_micro.py). PQ codes remain the *disk* format.
+        score_f32 = jax.default_backend() == "cpu"  # exactness for CPU tests
         self.is_pq = "pq_header" in reader.global_buffer_names()
         if self.is_pq:
-            from ..ops.pq import ProductQuantizer
+            from ..ops.pq import ProductQuantizer, pq_decode
 
             pq_header = json.loads(reader.read_global_buffer("pq_header"))
             self.residual = bool(pq_header.get("residual", False))
             self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
             codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
-            self._codes_t_dev = jnp.asarray(np.ascontiguousarray(codes.T))  # (m, N)
-            self._codebook_dev = jnp.asarray(self.pq.codebook)
+            rows = pq_decode(self.pq, codes)
+            if self.residual:
+                # decoded residual + its partition centroid = absolute vector
+                part_of_row = np.repeat(
+                    np.arange(self.ivf.num_partitions), self.ivf.lengths
+                )
+                rows = rows + self.ivf.centroids[part_of_row]
+            score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
             self._vectors_dev = None  # lazy, for refine
         else:
             self.pq = None
             self.residual = False
-            vecs = reader.read_column(VECTOR_COL).to_numpy_matrix()
-            self._vectors_dev = jnp.asarray(np.ascontiguousarray(vecs))
+            rows = np.ascontiguousarray(reader.read_column(VECTOR_COL).to_numpy_matrix())
+            if self.metric == "cosine":
+                norms = np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+                rows = rows / norms
+            score_dtype = jnp.float32  # exact scan for IVF_FLAT
+            self._vectors_dev = jnp.asarray(rows)
+        # Block layout (nlist, L, D): every partition padded to L rows so the
+        # whole probed-set scoring is ONE batched einsum — no gathers, no
+        # per-partition scan steps (see _search_dense).
+        L = self._pad
+        nlist = self.ivf.num_partitions
+        lens = self.ivf.lengths.astype(np.int64)
+        gpos = self.ivf.offsets[:, None] + np.arange(L)[None, :]  # (nlist, L)
+        valid = np.arange(L)[None, :] < lens[:, None]
+        gpos = np.where(valid, gpos, self.num_rows)  # sentinel -> zero row
+        rows_sent = np.concatenate([rows, np.zeros((1, rows.shape[1]), rows.dtype)])
+        blocks = rows_sent[gpos]  # (nlist, L, D)
+        sq = (blocks.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        self._blocks_dev = jnp.asarray(blocks, dtype=score_dtype)
+        self._block_sq_dev = jnp.asarray(np.where(valid, sq, np.inf).astype(np.float32))
+        self._gpos_dev = jnp.asarray(gpos.astype(np.int32))  # (nlist, L) global row idx
 
     # -- prefilter ----------------------------------------------------------------
 
@@ -310,26 +360,21 @@ class IvfIndex:
 
         sel_dev = None
         if selection is not None:
-            sel_dev = jnp.asarray(selection)
+            # +1 sentinel slot (False) for padded block positions
+            sel_dev = jnp.asarray(np.append(selection, False))
 
         kk = min(k, self.num_rows)
         fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
-        if self.is_pq:
-            d, pos = _search_pq(
-                self._codebook_dev, self._centroids_dev, self._codes_t_dev,
-                self._offsets_dev, self._lengths_dev, jnp.asarray(qp),
-                sel_dev, self.metric, nprobes, fetch, self._pad, self.residual,
-            )
-            if refine_factor is not None:
-                d, pos = self._refine(qp, np.asarray(pos), kk)
-            d, pos = np.asarray(d), np.asarray(pos)
-        else:
-            d, pos = _search_flat(
-                self._vectors_dev, self._centroids_dev,
-                self._offsets_dev, self._lengths_dev, jnp.asarray(qp),
-                sel_dev, self.metric, nprobes, fetch, self._pad,
-            )
-            d, pos = np.asarray(d), np.asarray(pos)
+        nlist = self.ivf.num_partitions
+        q_cap = _query_cap(bucket, nprobes, nlist)
+        d, pos = _search_dense(
+            self._blocks_dev, self._block_sq_dev, self._gpos_dev,
+            self._centroids_dev, jnp.asarray(qp), sel_dev,
+            self.metric, nprobes, fetch, q_cap,
+        )
+        if self.is_pq and refine_factor is not None:
+            d, pos = self._refine(qp, np.asarray(pos), kk)
+        d, pos = np.asarray(d), np.asarray(pos)
 
         d, pos = d[:b_real, :k], pos[:b_real, :k]
         valid = pos >= 0
@@ -384,112 +429,89 @@ class IvfIndex:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad", "residual"))
-def _search_pq(codebook, centroids, codes_t, offsets, lengths, q, selection,
-               metric, nprobes, k, pad, residual=False):
-    """ADC scan over probed partitions as a lax.scan over probes.
+def _query_cap(b: int, nprobes: int, nlist: int, slack: int = 4) -> int:
+    """Static per-partition query-slot budget: slack x the mean occupancy."""
+    mean = max(1, (b * nprobes + nlist - 1) // nlist)
+    return min(b, max(8, mean * slack))
 
-    Memory is bounded by (B, pad) per step regardless of nprobes — probing
-    more partitions costs time, never HBM (partitions can be arbitrarily
-    unbalanced without exploding the padded candidate tensor).
 
-    With residual=True (L2/cosine, matching the reference), the LUT is built
-    per probe from (q - centroid_p) — one extra tiny matmul per probe step.
+@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap"))
+def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
+                  metric, nprobes, k, q_cap):
+    """Dense partition-major IVF scoring — the TPU-native ADC replacement.
+
+    Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
+    1. probe: query-to-centroid matmul -> top-nprobes partitions per query
+    2. invert (in-jit): each partition gets up to q_cap query slots
+    3. score EVERY (partition, slot) pair with ONE batched einsum
+       ('pqd,pld->pql') — unoccupied slots hold a zero sentinel query, and
+       MXU flops are cheap enough that dense beats gather/scan by >100x
+       (experiments/adc_micro.py; LUT-gather ADC measured 90x slower).
+    4. per query: gather its nprobes result rows, one top-k merge.
+
+    Every HBM access on the hot path is dense/contiguous; the only gathers
+    move k-sized result rows.
     """
-    from ..ops.distance import pairwise_dist, preprocess_for_metric
-    from ..ops.pq import build_distance_tables
-
-    b = q.shape[0]
-    m = codes_t.shape[0]
-    qm = preprocess_for_metric(q, metric)
-
-    pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
-    _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
-    starts = offsets[pids]  # (B, P)
-    lens = lengths[pids]
-    j = jnp.arange(pad, dtype=jnp.int32)
-
-    if not residual:
-        luts = build_distance_tables(codebook, qm, metric)  # (B, m, K)
-
-    init_d = jnp.full((b, k), jnp.inf, jnp.float32)
-    init_p = jnp.full((b, k), -1, jnp.int32)
-
-    def body(carry, pi):
-        best_d, best_p = carry
-        cand = starts[:, pi, None] + j[None, :]  # (B, pad)
-        valid = j[None, :] < lens[:, pi, None]
-        cand_s = jnp.where(valid, cand, 0)
-
-        if residual:
-            c_p = centroids[pids[:, pi]]  # (B, D) raw centroids (as at build)
-            lut = build_distance_tables(codebook, qm - c_p, "l2")
-        else:
-            lut = luts
-
-        def acc_sub(mi, d):
-            sub_codes = jnp.take(codes_t[mi], cand_s, axis=0).astype(jnp.int32)
-            return d + jnp.take_along_axis(lut[:, mi, :], sub_codes, axis=1)
-
-        d = jax.lax.fori_loop(0, m, acc_sub, jnp.zeros(cand_s.shape, jnp.float32))
-        d = jnp.where(valid, d, jnp.inf)
-        if selection is not None:
-            d = jnp.where(jnp.take(selection, cand_s, axis=0), d, jnp.inf)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_p = jnp.concatenate([best_p, cand_s], axis=1)
-        neg, sel = jax.lax.top_k(-cat_d, k)
-        return (-neg, jnp.take_along_axis(cat_p, sel, axis=1)), None
-
-    (best_d, best_p), _ = jax.lax.scan(body, (init_d, init_p), jnp.arange(nprobes))
-    if residual and metric == "cosine":
-        # l2^2 on unit vectors = 2 - 2 cos  ->  cosine distance = d / 2
-        best_d = best_d * 0.5
-    found = jnp.isfinite(best_d)
-    return best_d, jnp.where(found, best_p, -1)
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "pad"))
-def _search_flat(vectors, centroids, offsets, lengths, q, selection,
-                 metric, nprobes, k, pad):
     from ..ops.distance import pairwise_dist, preprocess_for_metric
 
     b, dim = q.shape
+    nlist, L, _ = blocks.shape
     qm = preprocess_for_metric(q, metric)
     pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
     _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
-    starts = offsets[pids]
-    lens = lengths[pids]
-    j = jnp.arange(pad, dtype=jnp.int32)
 
-    init_d = jnp.full((b, k), jnp.inf, jnp.float32)
-    init_p = jnp.full((b, k), -1, jnp.int32)
+    # ---- inversion: partition -> query slots -------------------------------
+    flat_p = pids.reshape(-1).astype(jnp.int32)
+    flat_b = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobes)
+    order = jnp.argsort(flat_p)
+    sp, sb = flat_p[order], flat_b[order]
+    counts = jax.ops.segment_sum(jnp.ones_like(sp), sp, num_segments=nlist)
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    rank = jnp.arange(sp.shape[0], dtype=jnp.int32) - base[sp]
+    ok = rank < q_cap
+    qsel = jnp.full((nlist, q_cap), b, jnp.int32).at[
+        jnp.where(ok, sp, nlist), jnp.where(ok, rank, 0)
+    ].set(sb, mode="drop")
+    # slot of (b, probe j) inside qsel[p]; -1 if dropped by q_cap overflow
+    slot_sorted = jnp.where(ok, rank, -1)
+    inv = jnp.empty_like(order).at[order].set(jnp.arange(order.shape[0]))
+    slot = slot_sorted[inv].reshape(b, nprobes)  # (B, P)
 
-    def body(carry, pi):
-        best_d, best_p = carry
-        cand = starts[:, pi, None] + j[None, :]  # (B, pad)
-        valid = j[None, :] < lens[:, pi, None]
-        cand_s = jnp.where(valid, cand, 0)
-        vec = jnp.take(vectors, cand_s, axis=0)  # (B, pad, D)
-        vm = preprocess_for_metric(vec, metric)
-        if metric == "dot":
-            d = -jnp.einsum("bpd,bd->bp", vm, qm, preferred_element_type=jnp.float32)
-        elif metric == "cosine":
-            d = 1.0 - jnp.einsum("bpd,bd->bp", vm, qm, preferred_element_type=jnp.float32)
-        else:
-            prod = jnp.einsum("bpd,bd->bp", vm, qm, preferred_element_type=jnp.float32)
-            d = (jnp.sum(vm.astype(jnp.float32) ** 2, -1)
-                 + jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True) - 2 * prod)
-        d = jnp.where(valid, d, jnp.inf)
-        if selection is not None:
-            d = jnp.where(jnp.take(selection, cand_s, axis=0), d, jnp.inf)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_p = jnp.concatenate([best_p, cand_s], axis=1)
-        neg, sel = jax.lax.top_k(-cat_d, k)
-        return (-neg, jnp.take_along_axis(cat_p, sel, axis=1)), None
+    # ---- dense scoring ------------------------------------------------------
+    qms = jnp.concatenate([qm, jnp.zeros((1, dim), qm.dtype)], axis=0)
+    qg = qms[qsel].astype(blocks.dtype)  # (nlist, q_cap, D)
+    prod = jnp.einsum("pqd,pld->pql", qg, blocks,
+                      preferred_element_type=jnp.float32)  # MXU
+    if metric == "dot":
+        d = -prod
+    else:
+        qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
+        qn = jnp.concatenate([qn, jnp.zeros(1, jnp.float32)])
+        d = qn[qsel][:, :, None] + block_sq[:, None, :] - 2.0 * prod
+        d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d, jnp.inf)
+    if selection is not None:
+        sel_blocks = jnp.take(selection, gpos, axis=0)  # (nlist, L) bool
+        d = jnp.where(sel_blocks[:, None, :], d, jnp.inf)
 
-    (best_d, best_p), _ = jax.lax.scan(body, (init_d, init_p), jnp.arange(nprobes))
+    # ---- per-query merge -----------------------------------------------------
+    flat_d = d.reshape(nlist * q_cap, L)
+    row_idx = pids * q_cap + jnp.maximum(slot, 0)  # (B, P)
+    mine = jnp.take(flat_d, row_idx.reshape(-1), axis=0).reshape(b, nprobes, L)
+    mine = jnp.where((slot >= 0)[:, :, None], mine, jnp.inf)
+    mine = mine.reshape(b, nprobes * L)
+    cand_pos = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
+    kk = min(k, nprobes * L)
+    neg, sel_i = jax.lax.top_k(-mine, kk)
+    pos = jnp.take_along_axis(cand_pos, sel_i, axis=1)
+    best_d = -neg
+    if kk < k:
+        best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
+    if metric == "cosine":
+        best_d = best_d * 0.5  # l2^2 on unit vectors = 2 - 2 cos
     found = jnp.isfinite(best_d)
-    return best_d, jnp.where(found, best_p, -1)
+    return best_d, jnp.where(found, pos, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
@@ -501,11 +523,11 @@ def _rerank(vectors, q, pos, metric, k):
     vec = jnp.take(vectors, safe_pos, axis=0)  # (B, F, D)
     vm = preprocess_for_metric(vec, metric)
     if metric == "dot":
-        d = -jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32)
+        d = -jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     elif metric == "cosine":
-        d = 1.0 - jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32)
+        d = 1.0 - jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     else:
-        prod = jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32)
+        prod = jnp.einsum("bfd,bd->bf", vm, qm, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         d = (jnp.sum(vm.astype(jnp.float32) ** 2, -1)
              + jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True) - 2 * prod)
     d = jnp.where(pos >= 0, d, jnp.inf)

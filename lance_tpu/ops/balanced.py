@@ -1,0 +1,101 @@
+"""Capacity-bounded partition assignment.
+
+The reference bounds IVF partition skew with balance_factor /
+MAX_PARTITION_SIZE_FACTOR (rust/lance-index/src/vector/kmeans.rs:60-104);
+on TPU this matters twice over: the compiled search pads every probed
+partition to the *maximum* partition length, so one oversized partition
+taxes every query. This module reassigns overflow points to their
+next-nearest centroid with spare capacity.
+
+Algorithm (vectorized, T rounds): compute each point's top-T nearest
+centroids; in round t, unassigned points bid for their t-th choice; each
+partition accepts bids closest-first up to its remaining capacity.
+Leftovers go to the nearest partition with room.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .distance import Metric, preprocess_for_metric, pairwise_dist
+
+
+@functools.partial(jax.jit, static_argnames=("t", "metric", "chunk"))
+def _topt_centroids(x, c, t: int, metric: Metric, chunk: int = 8192):
+    n = x.shape[0]
+    cm = preprocess_for_metric(c, metric)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    blocks = xp.reshape(-1, chunk, x.shape[1])
+
+    def body(xi):
+        d = pairwise_dist(preprocess_for_metric(xi, metric), cm, metric)
+        neg, ids = jax.lax.top_k(-d, t)
+        return ids.astype(jnp.int32), -neg
+
+    ids, dists = jax.lax.map(body, blocks)
+    return ids.reshape(-1, t)[:n], dists.reshape(-1, t)[:n]
+
+
+def balanced_assign(
+    data: np.ndarray,
+    centroids: np.ndarray,
+    balance_factor: float = 1.5,
+    top_t: int = 8,
+    metric: Metric = "l2",
+) -> np.ndarray:
+    """Assign each row to a partition with |partition| <= cap.
+
+    cap = ceil(N / nlist * balance_factor). Returns (N,) int32 part ids.
+    """
+    n = data.shape[0]
+    nlist = centroids.shape[0]
+    top_t = min(top_t, nlist)
+    cap = int(np.ceil(n / nlist * balance_factor))
+    ids, dists = _topt_centroids(jnp.asarray(data, jnp.float32),
+                                 jnp.asarray(centroids, jnp.float32), top_t, metric)
+    ids, dists = np.asarray(ids), np.asarray(dists)
+
+    assign = np.full(n, -1, np.int32)
+    remaining = np.full(nlist, cap, np.int64)
+    unassigned = np.arange(n)
+    for t in range(top_t):
+        if unassigned.size == 0:
+            break
+        pid = ids[unassigned, t]
+        dist_t = dists[unassigned, t]
+        # accept closest-first within each partition up to remaining capacity
+        order = np.lexsort((dist_t, pid))
+        pid_sorted = pid[order]
+        # rank within group
+        group_start = np.zeros(pid_sorted.size, np.int64)
+        new_group = np.empty(pid_sorted.size, bool)
+        if pid_sorted.size:
+            new_group[0] = True
+            new_group[1:] = pid_sorted[1:] != pid_sorted[:-1]
+            starts = np.flatnonzero(new_group)
+            group_start = starts[np.cumsum(new_group) - 1]
+        rank = np.arange(pid_sorted.size) - group_start
+        ok = rank < remaining[pid_sorted]
+        accepted_rows = unassigned[order[ok]]
+        assign[accepted_rows] = pid_sorted[ok]
+        taken = np.bincount(pid_sorted[ok], minlength=nlist)
+        remaining -= taken
+        unassigned = unassigned[order[~ok]]
+    if unassigned.size:
+        # stragglers: nearest partition with room (host loop over leftovers)
+        open_parts = np.flatnonzero(remaining > 0)
+        for row in unassigned:
+            # among open partitions pick nearest by recomputing small distances
+            d = ((centroids[open_parts] - data[row]) ** 2).sum(1)
+            j = int(np.argmin(d))
+            p = open_parts[j]
+            assign[row] = p
+            remaining[p] -= 1
+            if remaining[p] <= 0:
+                open_parts = np.flatnonzero(remaining > 0)
+    return assign

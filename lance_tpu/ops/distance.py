@@ -56,12 +56,18 @@ def pairwise_dist(
     if metric == "cosine":
         xm = normalize(xm)
         cm = normalize(cm)
-        sim = jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
+        sim = jnp.dot(xm, cm.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return 1.0 - sim
     if metric == "dot":
-        return -jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
-    # l2 (squared, like the reference's L2 which returns squared distances)
-    prod = jnp.dot(xm, cm.T, preferred_element_type=jnp.float32)
+        return -jnp.dot(xm, cm.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+    # l2 (squared, like the reference's L2 which returns squared distances).
+    # HIGHEST precision: on TPU the default f32 matmul runs reduced-precision
+    # passes; with large-magnitude data the cancellation in |x|^2+|c|^2-2xc
+    # otherwise swamps true neighbor gaps and recall silently degrades.
+    prod = jnp.dot(xm, cm.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     x_sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     if c_sq_norm is None:
         c_sq_norm = jnp.sum(c.astype(jnp.float32) ** 2, axis=-1)

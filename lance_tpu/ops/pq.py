@@ -69,7 +69,8 @@ def _train_subspaces(data_t: jnp.ndarray, init: jnp.ndarray, k: int, iters: int)
 def _sub_dists(data_t: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     """(m, N, dsub) x (m, k, dsub) -> (m, N, k) squared L2 via batched matmul."""
     prod = jnp.einsum(
-        "mnd,mkd->mnk", data_t, codebook, preferred_element_type=jnp.float32
+        "mnd,mkd->mnk", data_t, codebook, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dn = jnp.sum(data_t.astype(jnp.float32) ** 2, axis=-1)  # (m, N)
     cn = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)  # (m, k)
@@ -188,9 +189,13 @@ def build_distance_tables(pq_codebook: jnp.ndarray, q: jnp.ndarray, metric: Metr
     b = q.shape[0]
     qs = q.reshape(b, m, dsub)
     if metric == "dot":
-        return -jnp.einsum("bmd,mkd->bmk", qs, pq_codebook, preferred_element_type=jnp.float32)
+        return -jnp.einsum("bmd,mkd->bmk", qs, pq_codebook,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     # l2 (cosine handled by normalizing q + codebook trained on normalized data)
-    prod = jnp.einsum("bmd,mkd->bmk", qs, pq_codebook, preferred_element_type=jnp.float32)
+    prod = jnp.einsum("bmd,mkd->bmk", qs, pq_codebook,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     qn = jnp.sum(qs.astype(jnp.float32) ** 2, axis=-1)  # (b, m)
     cn = jnp.sum(pq_codebook.astype(jnp.float32) ** 2, axis=-1)  # (m, k)
     return qn[:, :, None] + cn[None, :, :] - 2.0 * prod
