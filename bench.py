@@ -31,19 +31,26 @@ def generate_sift_like(n: int, dim: int, n_queries: int, seed: int = 0):
     has no rankable NN structure and is unrepresentative). Queries are held
     out from the same distribution, like the SIFT1M query set.
     """
-    rng = np.random.default_rng(seed)
+    import jax
+    import jax.numpy as jnp
+
     n_centers = 4096
     total = n + n_queries
-    centers = rng.uniform(0, 128, (n_centers, dim)).astype(np.float32)
-    assign = rng.integers(0, n_centers, total)
-    out = np.empty((total, dim), np.float32)
-    step = 1 << 18
-    for s in range(0, total, step):
-        e = min(s + step, total)
-        radii = rng.lognormal(mean=0.0, sigma=0.9, size=(e - s, 1)).astype(np.float32)
-        noise = rng.standard_normal((e - s, dim), dtype=np.float32) * 10.0
-        np.clip(centers[assign[s:e]] + radii * noise, 0, 255, out=out[s:e])
-    return out[:n], out[n:]
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        centers = jax.random.uniform(k1, (n_centers, dim), minval=0.0, maxval=128.0)
+        assign = jax.random.randint(k2, (total,), 0, n_centers)
+        radii = jnp.exp(jax.random.normal(k3, (total, 1)) * 0.9)
+        noise = jax.random.normal(k4, (total, dim)) * 10.0
+        return jnp.clip(centers[assign] + radii * noise, 0, 255).astype(jnp.float32)
+
+    # generated + kept ON DEVICE (the tunnel to this dev TPU is slow; the
+    # only full-size transfer is the single download for the write path)
+    all_pts = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(all_pts)
+    return all_pts[:n], all_pts[n:]
 
 
 def main() -> None:
@@ -52,27 +59,28 @@ def main() -> None:
     t0 = time.time()
     N, DIM, NQ, K = 1_000_000, 128, 1024, 10
     _log(f"devices: {jax.devices()}")
-    data, queries = generate_sift_like(N, DIM, NQ)
+    data, queries = generate_sift_like(N, DIM, NQ)  # device-resident
     _log(f"data generated in {time.time()-t0:.1f}s")
 
-    # ground truth (exact, on device)
-    import jax.numpy as jnp
-
+    # ground truth (exact, on device — no transfer)
     from lance_tpu.ops.distance import topk_neighbors
 
     t = time.time()
-    gt_d, gt_i = topk_neighbors(jnp.asarray(queries), jnp.asarray(data), K, "l2",
-                                chunk=131072)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
     gt_i = np.asarray(gt_i)
+    queries = np.asarray(queries)
     _log(f"ground truth in {time.time()-t:.1f}s")
 
     # build dataset + IVF_PQ index through the full framework path
     import lance_tpu as lt
 
     t = time.time()
+    data_host = np.asarray(data)  # the one full-size device->host transfer
+    _log(f"download in {time.time()-t:.1f}s")
+    t = time.time()
     uri = "memory://bench/sift1m"
     ds = lt.write_dataset(
-        {"vec": data, "id": np.arange(N, dtype=np.int64)},
+        {"vec": data_host, "id": np.arange(N, dtype=np.int64)},
         uri,
         params=lt.WriteParams(max_rows_per_file=N, compression="none"),
     )

@@ -108,6 +108,9 @@ def build_ivf_index(
     n, dim = vectors.shape
     if n == 0:
         raise InvalidInputError("cannot index an empty dataset")
+    # ONE host->device upload of the dataset; every training/encoding stage
+    # below consumes the device copy (transfers, not compute, dominate builds)
+    dev_vectors = jnp.asarray(vectors)
 
     # 1. coarse quantizer (or external centroids for distributed builds)
     if ivf_centroids is not None:
@@ -115,14 +118,14 @@ def build_ivf_index(
         num_partitions = km.k
     else:
         num_partitions = min(num_partitions, n)
-        km = train_kmeans(vectors, num_partitions, max_iters=max_iters, metric=metric,
+        km = train_kmeans(dev_vectors, num_partitions, max_iters=max_iters, metric=metric,
                           sample_rate=sample_rate)
 
     # 2. capacity-bounded assignment + shuffle (argsort by partition).
     # Balance matters doubly on TPU: the dense search scores each partition
     # padded to the max partition length, so skew taxes every query.
     if balance_factor and num_partitions > 1:
-        part_ids = balanced_assign(vectors, km.centroids, balance_factor, metric=metric)
+        part_ids = balanced_assign(dev_vectors, km.centroids, balance_factor, metric=metric)
         # Re-center: after capacity reassignment, each partition's true mean
         # moves; probing with updated centroids targets where members actually
         # live (recovers the recall lost to balancing).
@@ -135,7 +138,7 @@ def build_ivf_index(
         new_centroids[nonempty] = sums[nonempty] / cnts[nonempty, None]
         km.centroids = new_centroids
     else:
-        part_ids = km.compute_partitions(vectors)
+        part_ids = km.compute_partitions(dev_vectors)
     order, offsets, lengths = partition_sort(part_ids, num_partitions)
     sorted_rowids = rowids[order]
 
@@ -153,15 +156,13 @@ def build_ivf_index(
         use_residual = metric in ("l2", "cosine")
         if use_residual:
             from ..ops.distance import normalize
-            import jax.numpy as _jnp
 
-            base = vectors
-            if metric == "cosine":
-                base = np.asarray(normalize(_jnp.asarray(vectors)))
-            pq_train_data = base - km.centroids[part_ids]
+            base = dev_vectors if metric != "cosine" else normalize(dev_vectors)
+            cent_dev = jnp.asarray(km.centroids)
+            pq_train_data = base - jnp.take(cent_dev, jnp.asarray(part_ids), axis=0)
             pq_metric = "l2"
         else:
-            pq_train_data = vectors
+            pq_train_data = dev_vectors
             pq_metric = metric
         if pq_codebook is not None:
             pq = ProductQuantizer(np.asarray(pq_codebook, np.float32), pq_metric, num_bits)
@@ -173,6 +174,13 @@ def build_ivf_index(
                 metric=pq_metric,
             )
         codes = pq_encode(pq, pq_train_data)[order]  # (N, m) partition-sorted
+        # seed the refine-vector cache with the device copy we already have
+        # (index row order = partition-sorted) — saves a full re-upload later
+        refine_src = dev_vectors if not (use_residual and metric == "cosine") else base
+        ds.session.index_cache.put(
+            "ivf_vec", (uuid, "refine_vectors"),
+            jnp.take(refine_src, jnp.asarray(order), axis=0),
+        )
         schema = Schema.from_arrow(
             pa.schema([
                 (ROWID_COL, pa.uint64()),
@@ -262,13 +270,21 @@ class IvfIndex:
             self.residual = bool(pq_header.get("residual", False))
             self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
             codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
-            rows = pq_decode(self.pq, codes)
+            # decode ON DEVICE: upload m-byte codes (~N*m), not N*D*4 floats
+            codes_dev = jnp.asarray(np.ascontiguousarray(codes))
+            cb_dev = jnp.asarray(self.pq.codebook)
+            m = self.pq.num_sub_vectors
+            rows = jnp.concatenate(
+                [jnp.take(cb_dev[mi], codes_dev[:, mi].astype(jnp.int32), axis=0)
+                 for mi in range(m)], axis=1,
+            )
             if self.residual:
                 # decoded residual + its partition centroid = absolute vector
                 part_of_row = np.repeat(
                     np.arange(self.ivf.num_partitions), self.ivf.lengths
-                )
-                rows = rows + self.ivf.centroids[part_of_row]
+                ).astype(np.int32)
+                rows = rows + jnp.take(jnp.asarray(self.ivf.centroids),
+                                       jnp.asarray(part_of_row), axis=0)
             score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
             self._vectors_dev = None  # lazy, for refine
         else:
@@ -279,22 +295,25 @@ class IvfIndex:
                 norms = np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
                 rows = rows / norms
             score_dtype = jnp.float32  # exact scan for IVF_FLAT
-            self._vectors_dev = jnp.asarray(rows)
+            rows = jnp.asarray(rows)
+            self._vectors_dev = rows
         # Block layout (nlist, L, D): every partition padded to L rows so the
         # whole probed-set scoring is ONE batched einsum — no gathers, no
-        # per-partition scan steps (see _search_dense).
+        # per-partition scan steps (see _search_dense). Built on device.
         L = self._pad
         nlist = self.ivf.num_partitions
         lens = self.ivf.lengths.astype(np.int64)
         gpos = self.ivf.offsets[:, None] + np.arange(L)[None, :]  # (nlist, L)
         valid = np.arange(L)[None, :] < lens[:, None]
         gpos = np.where(valid, gpos, self.num_rows)  # sentinel -> zero row
-        rows_sent = np.concatenate([rows, np.zeros((1, rows.shape[1]), rows.dtype)])
-        blocks = rows_sent[gpos]  # (nlist, L, D)
-        sq = (blocks.astype(np.float64) ** 2).sum(-1).astype(np.float32)
-        self._blocks_dev = jnp.asarray(blocks, dtype=score_dtype)
-        self._block_sq_dev = jnp.asarray(np.where(valid, sq, np.inf).astype(np.float32))
-        self._gpos_dev = jnp.asarray(gpos.astype(np.int32))  # (nlist, L) global row idx
+        dim = rows.shape[1]
+        rows_sent = jnp.concatenate([rows, jnp.zeros((1, dim), rows.dtype)])
+        gpos_dev = jnp.asarray(gpos.astype(np.int32))
+        blocks = jnp.take(rows_sent, gpos_dev.reshape(-1), axis=0).reshape(nlist, L, dim)
+        sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
+        self._blocks_dev = blocks.astype(score_dtype)
+        self._block_sq_dev = jnp.where(jnp.asarray(valid), sq, jnp.inf)
+        self._gpos_dev = gpos_dev  # (nlist, L) global row idx
 
     # -- prefilter ----------------------------------------------------------------
 
@@ -367,13 +386,14 @@ class IvfIndex:
         fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
         nlist = self.ivf.num_partitions
         q_cap = _query_cap(bucket, nprobes, nlist)
+        do_refine = self.is_pq and refine_factor is not None
         d, pos = _search_dense(
             self._blocks_dev, self._block_sq_dev, self._gpos_dev,
             self._centroids_dev, jnp.asarray(qp), sel_dev,
             self.metric, nprobes, fetch, q_cap,
+            refine_vectors=self._ensure_vectors() if do_refine else None,
+            final_k=kk if do_refine else None,
         )
-        if self.is_pq and refine_factor is not None:
-            d, pos = self._refine(qp, np.asarray(pos), kk)
         d, pos = np.asarray(d), np.asarray(pos)
 
         d, pos = d[:b_real, :k], pos[:b_real, :k]
@@ -435,9 +455,11 @@ def _query_cap(b: int, nprobes: int, nlist: int, slack: int = 4) -> int:
     return min(b, max(8, mean * slack))
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k")
+)
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
-                  metric, nprobes, k, q_cap):
+                  metric, nprobes, k, q_cap, refine_vectors=None, final_k=None):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -508,6 +530,25 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
+
+    if refine_vectors is not None and final_k is not None:
+        # fused exact re-rank: stays in the same compiled program so a full
+        # refined search is ONE device round trip (host<->device latency,
+        # not compute, dominates small-batch serving)
+        safe = jnp.maximum(pos, 0)
+        vec = jnp.take(refine_vectors, safe, axis=0)  # (B, fetch, D)
+        prod = jnp.einsum("bfd,bd->bf", vec, qm, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if metric == "dot":
+            rd = -prod
+        else:
+            vn = jnp.sum(vec.astype(jnp.float32) ** 2, -1)
+            rd = vn + jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True) - 2 * prod
+        rd = jnp.where(pos >= 0, rd, jnp.inf)
+        rneg, rsel = jax.lax.top_k(-rd, final_k)
+        pos = jnp.take_along_axis(pos, rsel, axis=1)
+        best_d = -rneg
+
     if metric == "cosine":
         best_d = best_d * 0.5  # l2^2 on unit vectors = 2 - 2 cos
     found = jnp.isfinite(best_d)

@@ -88,10 +88,11 @@ def balanced_assign(
         unassigned = unassigned[order[~ok]]
     if unassigned.size:
         # stragglers: nearest partition with room (host loop over leftovers)
+        straggler_rows = np.asarray(data[unassigned])  # one small fetch
+        centroids = np.asarray(centroids)
         open_parts = np.flatnonzero(remaining > 0)
-        for row in unassigned:
-            # among open partitions pick nearest by recomputing small distances
-            d = ((centroids[open_parts] - data[row]) ** 2).sum(1)
+        for i, row in enumerate(unassigned):
+            d = ((centroids[open_parts] - straggler_rows[i]) ** 2).sum(1)
             j = int(np.argmin(d))
             p = open_parts[j]
             assign[row] = p

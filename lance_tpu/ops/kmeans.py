@@ -146,7 +146,7 @@ class KMeans:
 
 
 def train_kmeans(
-    data: np.ndarray,
+    data,
     k: int,
     max_iters: int = 50,
     metric: Metric = "l2",
@@ -157,15 +157,22 @@ def train_kmeans(
     init_method: str = "kmeans++",
 ) -> KMeans:
     """Train k-means, subsampling to sample_rate*k rows like the reference
-    (maybe_sample_training_data, rust/lance/src/index/vector/utils.rs)."""
-    data = np.asarray(data, dtype=np.float32)
+    (maybe_sample_training_data, rust/lance/src/index/vector/utils.rs).
+
+    Accepts numpy OR device (jnp) arrays; device inputs stay on device —
+    no host round trips beyond the final centroids.
+    """
+    if not isinstance(data, jnp.ndarray):
+        data = np.asarray(data, dtype=np.float32)
+    elif data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)
     max_rows = sample_rate * k
     if data.shape[0] > max_rows:
         rng = np.random.default_rng(seed)
         sel = rng.choice(data.shape[0], size=max_rows, replace=False)
-        data = data[sel]
+        data = data[sel]  # numpy fancy-index or device gather
     if metric == "cosine":
-        data = np.asarray(preprocess_for_metric(jnp.asarray(data), "cosine"))
+        data = preprocess_for_metric(jnp.asarray(data), "cosine")
         train_metric: Metric = "l2"
     else:
         train_metric = metric
@@ -173,7 +180,7 @@ def train_kmeans(
     if init_method == "kmeans++" and data.shape[0] >= k:
         init = _kmeanspp_init(jnp.asarray(data), key, k)
     else:
-        init = _init_centroids(data, k, seed)
+        init = _init_centroids(np.asarray(data), k, seed)
     centroids, _loss, _losses = _train_jit(
         jnp.asarray(data), jnp.asarray(init), key, k, max_iters, train_metric,
         tolerance, chunk

@@ -116,27 +116,31 @@ class ProductQuantizer:
 
 
 def train_pq(
-    data: np.ndarray, params: PQParams = PQParams(), metric: Metric = "l2"
+    data, params: PQParams = PQParams(), metric: Metric = "l2"
 ) -> ProductQuantizer:
-    data = np.asarray(data, dtype=np.float32)
+    """Accepts numpy or device arrays; device inputs stay on device."""
+    if not isinstance(data, jnp.ndarray):
+        data = np.asarray(data, dtype=np.float32)
+    elif data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)
     m = params.num_sub_vectors
     k = 1 << params.num_bits
     n, dim = data.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by num_sub_vectors {m}")
     if metric == "cosine":
-        data = np.asarray(normalize(jnp.asarray(data)))
+        data = normalize(jnp.asarray(data))
     max_rows = params.sample_rate * k
     if n > max_rows:
         rng = np.random.default_rng(params.seed)
         data = data[rng.choice(n, size=max_rows, replace=False)]
         n = max_rows
     dsub = dim // m
-    data_t = np.ascontiguousarray(data.reshape(n, m, dsub).transpose(1, 0, 2))
+    data_t = jnp.asarray(data).reshape(n, m, dsub).transpose(1, 0, 2)
     rng = np.random.default_rng(params.seed)
     idx = rng.choice(n, size=k, replace=n < k)
     init = data_t[:, idx, :]
-    codebook = _train_subspaces(jnp.asarray(data_t), jnp.asarray(init), k, params.max_iters)
+    codebook = _train_subspaces(data_t, init, k, params.max_iters)
     return ProductQuantizer(np.asarray(codebook), metric, params.num_bits)
 
 
@@ -162,11 +166,14 @@ def _encode_jit(data: jnp.ndarray, codebook: jnp.ndarray, chunk: int = 4096) -> 
     return codes[:n]
 
 
-def pq_encode(pq: ProductQuantizer, data: np.ndarray) -> np.ndarray:
-    """(N, D) -> (N, m) uint8 codes."""
-    data = np.asarray(data, dtype=np.float32)
+def pq_encode(pq: ProductQuantizer, data) -> np.ndarray:
+    """(N, D) -> (N, m) uint8 codes. Accepts numpy or device arrays."""
+    if not isinstance(data, jnp.ndarray):
+        data = np.asarray(data, dtype=np.float32)
+    elif data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)
     if pq.metric == "cosine":
-        data = np.asarray(normalize(jnp.asarray(data)))
+        data = normalize(jnp.asarray(data))
     return np.asarray(_encode_jit(jnp.asarray(data), jnp.asarray(pq.codebook)))
 
 
