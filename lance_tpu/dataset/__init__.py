@@ -222,6 +222,84 @@ class LanceDataset:
                        deleted_fragment_ids=deleted_ids, predicate=predicate)
         return self._commit(op)
 
+    def merge_insert(self, on):
+        """Upsert builder (reference: MergeInsertJob / dataset.merge_insert)."""
+        from .merge_insert import MergeInsertBuilder
+
+        return MergeInsertBuilder(self, on)
+
+    def update(self, updates: dict[str, str], where: str | None = None):
+        """UPDATE col = expr WHERE pred; returns (new_dataset, stats)."""
+        from .update import update as _update
+
+        return _update(self, updates, where)
+
+    def merge(self, right, left_on: str, right_on: str | None = None) -> "LanceDataset":
+        """Add right's columns by joining on a key column (reference:
+        Dataset::merge + hash_joiner.rs)."""
+        import pyarrow as _pa
+
+        right_on = right_on or left_on
+        if isinstance(right, dict):
+            right = _pa.table(right)
+        new_cols = [c for c in right.column_names if c != right_on]
+        lookup = dict(zip(right[right_on].to_pylist(),
+                          zip(*[right[c].to_pylist() for c in new_cols])))
+
+        def join_udf(batch: _pa.RecordBatch):
+            keys = batch.column(0).to_pylist()
+            out = {}
+            for i, c in enumerate(new_cols):
+                vals = [lookup[k][i] if k in lookup else None for k in keys]
+                out[c] = _pa.array(vals, type=right.schema.field(c).type)
+            return out
+
+        ds = self
+        for c in new_cols:
+            field_type = right.schema.field(c).type
+
+            def one_col_udf(batch, _c=c):
+                keys = batch.column(0).to_pylist()
+                idx = new_cols.index(_c)
+                return _pa.array(
+                    [lookup[k][idx] if k in lookup else None for k in keys],
+                    type=field_type,
+                )
+
+            ds = ds.add_columns({c: one_col_udf}, read_columns=[left_on])
+        return ds
+
+    # -- tags ------------------------------------------------------------------------
+
+    @property
+    def tags(self):
+        from . import refs
+
+        ds = self
+
+        class _Tags:
+            def create(self, name, version=None):
+                refs.create_tag(ds, name, version)
+
+            def delete(self, name):
+                refs.delete_tag(ds, name)
+
+            def update(self, name, version):
+                refs.update_tag(ds, name, version)
+
+            def list(self):
+                return refs.list_tags(ds)
+
+            def get_version(self, name):
+                return refs.get_tag_version(ds, name)
+
+        return _Tags()
+
+    def checkout_tag(self, name: str) -> "LanceDataset":
+        from .refs import get_tag_version
+
+        return self.checkout_version(get_tag_version(self, name))
+
     def update_config(self, upserts: dict | None = None, deletes: list[str] | None = None) -> "LanceDataset":
         op = Operation("update_config", config_upserts=upserts or {}, config_deletes=deletes or [])
         return self._commit(op)

@@ -1,0 +1,74 @@
+"""Cleanup / GC: delete files unreferenced by retained versions.
+
+Re-design of reference cleanup.rs (rust/lance/src/dataset/cleanup.rs:1-1593):
+walks retained manifests to build the live-file set, then deletes old
+manifests, orphaned data files, deletion files, index directories, and
+transaction files. Tagged versions are always retained.
+"""
+
+from __future__ import annotations
+
+from ..errors import NotFoundError
+from ..table.commit import read_manifest
+from ..table.manifest import DATA_DIR, DELETIONS_DIR, INDICES_DIR, TX_DIR, VERSIONS_DIR, manifest_path
+
+
+def cleanup_old_versions(ds, keep_latest: int = 1, older_than_seconds: float | None = None) -> int:
+    """Deletes files only referenced by dropped versions; returns #objects removed."""
+    from .refs import list_tags
+
+    store = ds.store
+    versions = [v["version"] for v in ds.versions()]
+    if not versions:
+        return 0
+    keep = set(versions[-max(keep_latest, 1):])
+    try:
+        tagged = {t["version"] for t in list_tags(ds)}
+    except Exception:
+        tagged = set()
+    keep |= tagged
+    keep.add(ds.version)
+
+    live_files: set[str] = set()
+    live_tx: set[str] = set()
+    retained_manifests = []
+    for v in sorted(keep):
+        try:
+            m = read_manifest(store, v)
+        except NotFoundError:
+            continue
+        retained_manifests.append(v)
+        if m.transaction_file:
+            live_tx.add(m.transaction_file)
+        for f in m.fragments:
+            for df in f.files:
+                live_files.add(df.path)
+            if f.deletion_file:
+                live_files.add(f.deletion_file.path)
+        for idx in m.indices:
+            live_files.add(f"{INDICES_DIR}/{idx.uuid}")  # prefix marker
+
+    removed = 0
+    # old manifests
+    for v in versions:
+        if v not in keep:
+            store.delete(manifest_path(v))
+            removed += 1
+    # orphaned data + deletion files
+    for prefix in (f"{DATA_DIR}/", f"{DELETIONS_DIR}/"):
+        for meta in store.list(prefix):
+            if meta.path not in live_files:
+                store.delete(meta.path)
+                removed += 1
+    # orphaned index dirs
+    for meta in store.list(f"{INDICES_DIR}/"):
+        parts = meta.path.split("/")
+        if len(parts) >= 2 and f"{INDICES_DIR}/{parts[1]}" not in live_files:
+            store.delete(meta.path)
+            removed += 1
+    # orphaned transaction files
+    for meta in store.list(f"{TX_DIR}/"):
+        if meta.path not in live_tx:
+            store.delete(meta.path)
+            removed += 1
+    return removed

@@ -54,6 +54,16 @@ class FileFragment:
                 return df.path
         raise NotFoundError(f"field {name} (id {fid}) not found in fragment {self.meta.id}")
 
+    def _name_in_file(self, reader: FileReader, name: str) -> str:
+        """Dataset-schema name -> file column name (field ids are the
+        identity; the dataset name may have been renamed since the file was
+        written — reference: schema evolution keeps files immutable)."""
+        fid = self.schema.field(name).id
+        for f in reader.schema.fields:
+            if f.id == fid:
+                return f.name
+        raise NotFoundError(f"field id {fid} not in file {reader.path}")
+
     def deletion_vector(self) -> DeletionVector | None:
         if not self._dv_loaded:
             if self.meta.deletion_file is not None:
@@ -88,7 +98,7 @@ class FileFragment:
         out = {}
         for name in columns:
             reader = self._reader_for(self._file_for_field(name))
-            out[name] = reader.read_column(name, row_start, row_count)
+            out[name] = reader.read_column(self._name_in_file(reader, name), row_start, row_count)
         return out
 
     def take_physical(self, offsets: np.ndarray, columns: list[str]) -> dict[str, ColumnData]:
@@ -97,8 +107,10 @@ class FileFragment:
         for name in columns:
             by_file.setdefault(self._file_for_field(name), []).append(name)
         for path, names in by_file.items():
-            got = self._reader_for(path).take(offsets, names)
-            out.update(got)
+            reader = self._reader_for(path)
+            file_names = [self._name_in_file(reader, n) for n in names]
+            got = reader.take(offsets, file_names)
+            out.update({n: got[fn] for n, fn in zip(names, file_names)})
         return out
 
     def take_logical(self, logical_rows: np.ndarray, columns: list[str]) -> dict[str, ColumnData]:

@@ -1,0 +1,187 @@
+"""MergeInsert: upsert by key (reference: rust/lance/src/dataset/write/
+merge_insert.rs, python LanceDataset.merge_insert dataset.py).
+
+Semantics mirror the reference builder:
+    ds.merge_insert(on="id")
+      .when_matched_update_all()
+      .when_not_matched_insert_all()
+      .when_not_matched_by_source_delete(optional filter)
+      .execute(new_data)
+
+Execution = hash-join source keys against target keys (reference uses the
+in-memory HashJoiner, dataset/hash_joiner.rs), then one Update transaction:
+matched target rows get deletion-vector entries + their replacement rows are
+appended with the fresh values; unmatched source rows are appended; optional
+not-matched-by-source deletes.
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+
+import numpy as np
+import pyarrow as pa
+
+from ..deletion import DeletionVector
+from ..errors import InvalidInputError
+from ..table.manifest import DELETIONS_DIR, DeletionFile, Fragment
+from ..table.transaction import Operation
+from .write import WriteParams, write_fragments
+
+
+class MergeInsertBuilder:
+    def __init__(self, ds, on: str | list[str]):
+        self.ds = ds
+        self.on = [on] if isinstance(on, str) else list(on)
+        self._update_matched = False
+        self._matched_condition: str | None = None
+        self._insert_unmatched = False
+        self._delete_unmatched_by_source = False
+        self._delete_condition: str | None = None
+
+    def when_matched_update_all(self, condition: str | None = None) -> "MergeInsertBuilder":
+        self._update_matched = True
+        self._matched_condition = condition
+        return self
+
+    def when_not_matched_insert_all(self) -> "MergeInsertBuilder":
+        self._insert_unmatched = True
+        return self
+
+    def when_not_matched_by_source_delete(self, condition: str | None = None) -> "MergeInsertBuilder":
+        self._delete_unmatched_by_source = True
+        self._delete_condition = condition
+        return self
+
+    # -- execution ---------------------------------------------------------------
+
+    def execute(self, data) -> tuple:
+        """Returns (new_dataset, stats dict)."""
+        ds = self.ds
+        if isinstance(data, dict):
+            data = pa.table(data)
+        if isinstance(data, pa.RecordBatch):
+            data = pa.Table.from_batches([data])
+        if not isinstance(data, pa.Table):
+            raise InvalidInputError("merge_insert expects a Table/RecordBatch/dict")
+        for key in self.on:
+            if key not in data.column_names:
+                raise InvalidInputError(f"join key {key} missing from source")
+
+        # hash join: target key -> row address
+        target = ds.scanner().project(self.on).with_row_address().to_table()
+        tkeys = _key_tuples(target, self.on)
+        taddr = np.asarray(target["_rowaddr"])
+        key_to_addr = dict(zip(tkeys, taddr))
+
+        skeys = _key_tuples(data, self.on)
+        matched_rows: list[int] = []
+        matched_addrs: list[int] = []
+        unmatched_rows: list[int] = []
+        for i, k in enumerate(skeys):
+            addr = key_to_addr.get(k)
+            if addr is not None:
+                matched_rows.append(i)
+                matched_addrs.append(int(addr))
+            else:
+                unmatched_rows.append(i)
+
+        stats = {"num_updated_rows": 0, "num_inserted_rows": 0, "num_deleted_rows": 0}
+        to_append_tables = []
+        delete_addrs: list[int] = []
+
+        if self._update_matched and matched_rows:
+            matched_table = data.take(pa.array(matched_rows, type=pa.int64()))
+            if self._matched_condition:
+                from .filter import parse_filter
+
+                node = parse_filter(self._matched_condition)
+                mask = _eval_on_table(node, matched_table)
+                matched_table = matched_table.filter(pa.array(mask))
+                matched_addrs = [a for a, m in zip(matched_addrs, mask) if m]
+            to_append_tables.append(matched_table)
+            delete_addrs.extend(matched_addrs)
+            stats["num_updated_rows"] = matched_table.num_rows
+
+        if self._insert_unmatched and unmatched_rows:
+            ins = data.take(pa.array(unmatched_rows, type=pa.int64()))
+            to_append_tables.append(ins)
+            stats["num_inserted_rows"] = ins.num_rows
+
+        if self._delete_unmatched_by_source:
+            source_keys = set(skeys)
+            stale = [int(a) for k, a in zip(tkeys, taddr) if k not in source_keys]
+            if self._delete_condition:
+                from .filter import parse_filter
+
+                node = parse_filter(self._delete_condition)
+                stale_arr = np.asarray(stale, dtype=np.uint64)
+                cand = ds.take_rows(stale_arr)
+                mask = _eval_on_table(node, cand)
+                stale = [a for a, m in zip(stale, mask) if m]
+            delete_addrs.extend(stale)
+            stats["num_deleted_rows"] = len(stale)
+
+        # build the Update transaction
+        updated_fragments, deleted_fragment_ids = _apply_deletes(ds, delete_addrs)
+        new_frags: list[Fragment] = []
+        if to_append_tables:
+            combined = pa.concat_tables(to_append_tables).select(ds.schema.names)
+            new_frags, _ = write_fragments(ds.store, combined, ds.schema, WriteParams())
+        if not updated_fragments and not deleted_fragment_ids and not new_frags:
+            return ds, stats
+        op = Operation(
+            "update",
+            fragments=new_frags,
+            updated_fragments=updated_fragments,
+            deleted_fragment_ids=deleted_fragment_ids,
+            predicate=f"merge_insert on {self.on}",
+        )
+        return ds._commit(op), stats
+
+
+def _key_tuples(table: pa.Table, on: list[str]):
+    cols = [table[c].to_pylist() for c in on]
+    if len(cols) == 1:
+        return cols[0]
+    return list(zip(*cols))
+
+
+def _eval_on_table(node, table: pa.Table) -> np.ndarray:
+    from ..encoding.pages import ColumnData
+    from .filter import column_views_from_data, evaluate_filter, referenced_columns
+
+    cols = {}
+    for c in sorted(referenced_columns(node)):
+        arr = table[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.chunk(0) if arr.num_chunks else pa.array([], type=arr.type)
+        cols[c] = ColumnData.from_arrow(arr)
+    return evaluate_filter(node, column_views_from_data(cols))
+
+
+def _apply_deletes(ds, delete_addrs: list[int]):
+    """Group row addresses by fragment; write merged deletion vectors."""
+    from ..rowids import split_addresses
+
+    if not delete_addrs:
+        return [], []
+    addrs = np.asarray(sorted(set(delete_addrs)), dtype=np.uint64)
+    frag_ids, offsets = split_addresses(addrs)
+    updated, deleted_ids = [], []
+    for fid in np.unique(frag_ids):
+        frag = ds.get_fragment(int(fid))
+        offs = offsets[frag_ids == fid]
+        dv = frag.deletion_vector() or DeletionVector.empty()
+        new_dv = dv.extend(offs)
+        if len(new_dv) >= frag.physical_rows:
+            deleted_ids.append(int(fid))
+            continue
+        path = f"{DELETIONS_DIR}/{fid}-{ds.version}-{uuid_mod.uuid4().hex[:12]}.bin"
+        ds.store.put(path, new_dv.to_bytes())
+        meta = frag.meta.copy()
+        meta.deletion_file = DeletionFile(path, len(new_dv), ds.version)
+        updated.append(meta)
+    return updated, deleted_ids

@@ -1,0 +1,128 @@
+"""Compaction: merge small fragments, materialize deletions.
+
+Re-design of the reference optimize machinery (rust/lance/src/dataset/
+optimize.rs: plan_compaction :469, CompactionTask, commit_compaction,
+candidates :14-19 small fragments / deletion-heavy fragments). The plan ->
+execute -> commit split is kept so tasks can run distributed (each task is
+independently executable; one coordinator commits the Rewrite transaction),
+exactly like the reference's distributable compaction.
+
+Index interaction: the Rewrite transaction removes rewritten fragments from
+each index's coverage; searches treat rewritten rows as an unindexed tail
+until the index is retrained/remapped (optimize_indices) — conservative but
+always correct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import pyarrow as pa
+
+from ..table.manifest import Fragment
+from ..table.transaction import Operation
+from .write import WriteParams, write_fragments
+
+
+@dataclass
+class CompactionOptions:
+    target_rows_per_fragment: int = 1024 * 1024
+    materialize_deletions: bool = True
+    materialize_deletions_threshold: float = 0.1  # fraction deleted
+    min_fragments_to_compact: int = 2
+
+
+@dataclass
+class CompactionTask:
+    fragment_ids: list[int]
+
+    def execute(self, ds) -> tuple[list[int], list[Fragment]]:
+        """Rewrite the given fragments into fresh files; returns (old ids, new frags)."""
+        frags = [ds.get_fragment(fid) for fid in self.fragment_ids]
+
+        def batches():
+            for frag in frags:
+                alive = frag.alive_offsets()
+                if alive.size == 0:
+                    continue
+                step = 64 * 1024
+                for s in range(0, alive.size, step):
+                    data = frag.take_physical(alive[s : s + step], ds.schema.names)
+                    yield pa.record_batch({n: c.to_arrow() for n, c in data.items()})
+
+        gen = (b for b in batches())
+        try:
+            first = next(gen)
+        except StopIteration:
+            return self.fragment_ids, []
+
+        def chain():
+            yield first
+            yield from gen
+
+        new_frags, _ = write_fragments(
+            ds.store, chain(), ds.schema,
+            WriteParams(max_rows_per_file=CompactionOptions().target_rows_per_fragment),
+        )
+        return self.fragment_ids, new_frags
+
+
+@dataclass
+class CompactionPlan:
+    tasks: list[CompactionTask] = dc_field(default_factory=list)
+
+    @property
+    def num_tasks(self) -> int:
+        return len(self.tasks)
+
+
+def plan_compaction(ds, options: CompactionOptions | None = None) -> CompactionPlan:
+    options = options or CompactionOptions()
+    candidates = []
+    for f in ds.manifest.fragments:
+        deleted = f.deletion_file.num_deleted if f.deletion_file else 0
+        small = f.num_rows < options.target_rows_per_fragment // 2
+        del_heavy = (
+            options.materialize_deletions
+            and f.physical_rows > 0
+            and deleted / f.physical_rows >= options.materialize_deletions_threshold
+        )
+        if small or del_heavy:
+            candidates.append(f)
+
+    plan = CompactionPlan()
+    group: list[int] = []
+    rows = 0
+    for f in candidates:
+        group.append(f.id)
+        rows += f.num_rows
+        if rows >= options.target_rows_per_fragment:
+            plan.tasks.append(CompactionTask(group))
+            group, rows = [], 0
+    if len(group) >= options.min_fragments_to_compact or (
+        group and any(ds.manifest.fragment_by_id(fid).deletion_file for fid in group)
+    ):
+        plan.tasks.append(CompactionTask(group))
+    return plan
+
+
+def commit_compaction(ds, results: list[tuple[list[int], list[Fragment]]]):
+    groups = [(old, new) for old, new in results if old]
+    if not groups:
+        return ds
+    op = Operation("rewrite", groups=groups)
+    return ds._commit(op)
+
+
+def compact_files(ds, target_rows_per_fragment: int = 1024 * 1024,
+                  materialize_deletions: bool = True):
+    """One-shot local compaction (reference compact_files optimize.rs:219)."""
+    options = CompactionOptions(
+        target_rows_per_fragment=target_rows_per_fragment,
+        materialize_deletions=materialize_deletions,
+    )
+    plan = plan_compaction(ds, options)
+    if not plan.tasks:
+        return ds
+    results = [task.execute(ds) for task in plan.tasks]
+    return commit_compaction(ds, results)

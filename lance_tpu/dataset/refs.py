@@ -1,0 +1,57 @@
+"""Tags: named pointers to dataset versions.
+
+Re-design of reference Refs (rust/lance/src/dataset/refs.rs:1-987, layout
+`_refs/tags/{name}.json`). Tags pin versions against cleanup and give
+checkout-by-name. (Branches — reference `tree/` layout — planned.)
+"""
+
+from __future__ import annotations
+
+import json
+
+from ..errors import InvalidInputError, NotFoundError
+from ..table.manifest import REFS_DIR
+
+
+def _tag_path(name: str) -> str:
+    if "/" in name or not name:
+        raise InvalidInputError(f"bad tag name {name!r}")
+    return f"{REFS_DIR}/tags/{name}.json"
+
+
+def create_tag(ds, name: str, version: int | None = None) -> None:
+    v = version if version is not None else ds.version
+    payload = json.dumps({"version": v}).encode()
+    if not ds.store.put_if_not_exists(_tag_path(name), payload):
+        raise InvalidInputError(f"tag {name} already exists")
+
+
+def delete_tag(ds, name: str) -> None:
+    if not ds.store.exists(_tag_path(name)):
+        raise NotFoundError(f"tag {name}")
+    ds.store.delete(_tag_path(name))
+
+
+def update_tag(ds, name: str, version: int) -> None:
+    if not ds.store.exists(_tag_path(name)):
+        raise NotFoundError(f"tag {name}")
+    ds.store.put(_tag_path(name), json.dumps({"version": version}).encode())
+
+
+def get_tag_version(ds, name: str) -> int:
+    try:
+        return json.loads(ds.store.get(_tag_path(name)))["version"]
+    except NotFoundError:
+        raise NotFoundError(f"tag {name}") from None
+
+
+def list_tags(ds) -> list[dict]:
+    out = []
+    for meta in ds.store.list(f"{REFS_DIR}/tags/"):
+        name = meta.path.rsplit("/", 1)[-1]
+        if name.endswith(".json"):
+            out.append({
+                "name": name[:-5],
+                "version": json.loads(ds.store.get(meta.path))["version"],
+            })
+    return sorted(out, key=lambda t: t["name"])

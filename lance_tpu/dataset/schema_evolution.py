@@ -1,0 +1,171 @@
+"""Schema evolution: add / alter / drop columns without rewriting data.
+
+Re-design of reference schema_evolution.rs (rust/lance/src/dataset/
+schema_evolution.rs:1-1803):
+- add_columns: new columns are computed per fragment and written to NEW data
+  files; each fragment then has multiple DataFiles (column groups) — old
+  files untouched. Transforms: SQL expressions, pa.Field all-null backfill,
+  or a python callable(batch: pa.RecordBatch) -> pa.Array.
+- alter_columns: rename (metadata only — field ids are the identity), change
+  nullability, or cast type (column rewrite into a new column-group file).
+- drop_columns: Project transaction — metadata only, data files untouched;
+  space is reclaimed by compaction later.
+"""
+
+from __future__ import annotations
+
+import uuid as uuid_mod
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import InvalidInputError
+from ..file.writer import FileWriter
+from ..schema import Field, Schema
+from ..table.manifest import DataFile
+from ..table.transaction import Operation
+from .filter import column_views_from_data, parse_filter, referenced_columns, _eval
+
+
+def _write_column_group(ds, frag, table: pa.Table, group_schema: Schema) -> DataFile:
+    path = f"data/{uuid_mod.uuid4().hex}.ltpf"
+    w = FileWriter(ds.store, path, group_schema)
+    for batch in table.to_batches(max_chunksize=64 * 1024):
+        w.write_batch(batch)
+    w.finish()
+    return DataFile(path, [f.id for f in group_schema.fields], table.num_rows)
+
+
+def add_columns(ds, transforms, read_columns: list[str] | None = None):
+    """transforms: dict of {name: sql_expr | pa.Field | callable | pa.DataType}."""
+    if not transforms:
+        raise InvalidInputError("no columns to add")
+    new_fields: list[Field] = []
+    specs = []  # (name, kind, payload)
+    for name, t in transforms.items():
+        if ds.schema.has_field(name):
+            raise InvalidInputError(f"column {name} already exists")
+        if isinstance(t, str):
+            specs.append((name, "sql", parse_filter(t)))
+            new_fields.append(None)  # type inferred from first fragment
+        elif isinstance(t, pa.Field):
+            specs.append((name, "null", t.type))
+            new_fields.append(Field(name, t.type, nullable=True))
+        elif isinstance(t, pa.DataType):
+            specs.append((name, "null", t))
+            new_fields.append(Field(name, t, nullable=True))
+        elif callable(t):
+            specs.append((name, "udf", t))
+            new_fields.append(None)
+        else:
+            raise InvalidInputError(f"bad transform for {name}: {t!r}")
+
+    needed: set[str] = set(read_columns or [])
+    for _name, kind, payload in specs:
+        if kind == "sql":
+            needed |= referenced_columns(payload)
+
+    # compute per fragment
+    frag_tables: list[tuple[int, pa.Table]] = []
+    for frag in ds.get_fragments():
+        n_phys = frag.physical_rows
+        cols = {}
+        if needed:
+            data = frag.read_columns_physical(sorted(needed), 0, n_phys)
+            views = column_views_from_data(data)
+        arrays = {}
+        for name, kind, payload in specs:
+            if kind == "sql":
+                vals, valid = _eval(payload, views)
+                mask = None if valid is None else ~valid
+                arrays[name] = pa.array(np.asarray(vals), mask=mask)
+            elif kind == "null":
+                arrays[name] = pa.nulls(n_phys, type=payload)
+            else:  # udf over the read columns
+                batch = pa.record_batch(
+                    {c: data[c].to_arrow() for c in sorted(needed)}
+                ) if needed else pa.record_batch([], names=[])
+                out = payload(batch)
+                if isinstance(out, dict):
+                    out = out[name]
+                arrays[name] = pa.array(out) if not isinstance(out, (pa.Array, pa.ChunkedArray)) else out
+        frag_tables.append((frag.id, pa.table(arrays)))
+
+    # finalize new field types from computed data
+    first_table = frag_tables[0][1] if frag_tables else None
+    final_fields = []
+    for i, (name, kind, payload) in enumerate(specs):
+        f = new_fields[i]
+        if f is None:
+            t = first_table.schema.field(name).type if first_table is not None else pa.null()
+            f = Field(name, t, nullable=True)
+        final_fields.append(f)
+
+    new_schema = Schema(
+        [f.copy() for f in ds.schema.fields] + final_fields, dict(ds.schema.metadata)
+    )
+    new_schema.assign_field_ids()
+    group_schema = Schema([new_schema.field(f.name) for f in final_fields])
+
+    updated = []
+    for fid, table in frag_tables:
+        frag = ds.manifest.fragment_by_id(fid).copy()
+        df = _write_column_group(ds, frag, table, group_schema)
+        frag.files.append(df)
+        updated.append(frag)
+
+    op = Operation("merge", fragments=updated, schema=new_schema)
+    return ds._commit(op)
+
+
+def drop_columns(ds, columns: list[str]):
+    for c in columns:
+        ds.schema.field(c)
+    remaining = ds.schema.exclude(columns)
+    if len(remaining) == 0:
+        raise InvalidInputError("cannot drop all columns")
+    op = Operation("project", schema=remaining)
+    return ds._commit(op)
+
+
+def alter_columns(ds, alterations: list[dict]):
+    """Each alteration: {"path": name, "name": new_name?, "nullable": bool?,
+    "data_type": pa.DataType?}."""
+    new_schema = Schema([f.copy() for f in ds.schema.fields], dict(ds.schema.metadata))
+    casts: list[tuple[str, pa.DataType]] = []
+    for alt in alterations:
+        field = new_schema.field(alt["path"])
+        if "name" in alt:
+            field.name = alt["name"]
+        if "nullable" in alt:
+            field.nullable = alt["nullable"]
+        if "data_type" in alt and alt["data_type"] != field.type:
+            casts.append((field.name, alt["data_type"]))
+            field.type = alt["data_type"]
+
+    if not casts:
+        op = Operation("project", schema=new_schema)
+        return ds._commit(op)
+
+    # type casts: rewrite the cast columns into new column-group files
+    updated = []
+    group_fields = [new_schema.field(n) for n, _t in casts]
+    # cast columns get NEW field ids (old data files keep the old column)
+    max_id = new_schema.max_field_id()
+    old_names = {}
+    for f in group_fields:
+        old_names[f.name] = f.id
+        max_id += 1
+        f.id = max_id
+    group_schema = Schema(group_fields)
+    for frag in ds.get_fragments():
+        arrays = {}
+        data = frag.read_columns_physical([n for n, _ in casts], 0, frag.physical_rows)
+        for name, t in casts:
+            arrays[name] = data[name].to_arrow().cast(t)
+        f_meta = frag.meta.copy()
+        df = _write_column_group(ds, frag, pa.table(arrays), group_schema)
+        f_meta.files.append(df)
+        updated.append(f_meta)
+    op = Operation("merge", fragments=updated, schema=new_schema)
+    return ds._commit(op)

@@ -1,0 +1,92 @@
+"""UPDATE: set columns to expression values on rows matching a predicate.
+
+Re-design of the reference UpdateBuilder (rust/lance/src/dataset/write/
+update.rs; python LanceDataset.update): matching rows are tombstoned via
+deletion vectors and re-appended with the new values in fresh fragments —
+one atomic Update transaction (copy-on-write row movement, same as the
+reference).
+
+Value expressions reuse the SQL expression evaluator (dataset/filter.py), so
+`ds.update({"price": "price * 1.1"}, where="category = 'x'")` works.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import InvalidInputError
+from ..table.transaction import Operation
+from .filter import column_views_from_data, evaluate_filter, parse_filter, referenced_columns
+from .merge_insert import _apply_deletes
+from .write import WriteParams, write_fragments
+
+
+def update(ds, updates: dict[str, str], where: str | None = None):
+    """Returns (new_dataset, stats)."""
+    if not updates:
+        raise InvalidInputError("no update expressions given")
+    for col in updates:
+        ds.schema.field(col)  # validate
+
+    where_node = parse_filter(where) if where else None
+    expr_nodes = {c: parse_filter(e) for c, e in updates.items()}
+
+    needed = set()
+    for node in expr_nodes.values():
+        needed |= referenced_columns(node)
+    if where_node is not None:
+        needed |= referenced_columns(where_node)
+
+    all_cols = ds.schema.names
+    delete_addrs: list[int] = []
+    new_tables: list[pa.Table] = []
+
+    for frag in ds.get_fragments():
+        alive = frag.alive_offsets()
+        if alive.size == 0:
+            continue
+        data = frag.take_physical(alive, sorted(set(all_cols) | needed))
+        if where_node is not None:
+            mask = evaluate_filter(where_node, column_views_from_data(
+                {c: data[c] for c in referenced_columns(where_node)}
+            ))
+        else:
+            mask = np.ones(alive.size, dtype=bool)
+        if not mask.any():
+            continue
+        sel = np.flatnonzero(mask)
+        addrs = (np.uint64(frag.id) << np.uint64(32)) | alive[sel].astype(np.uint64)
+        delete_addrs.extend(int(a) for a in addrs)
+        # compute updated values over the selected rows
+        sub = {c: data[c].take(sel) for c in data}
+        views = column_views_from_data(sub)
+        arrays = {}
+        for c in all_cols:
+            if c in expr_nodes:
+                from .filter import _eval
+
+                vals, _valid = _eval(expr_nodes[c], views)
+                vals = np.asarray(vals)
+                if vals.ndim == 0:  # scalar literal -> broadcast
+                    vals = np.full(sel.size, vals[()])
+                target_type = ds.schema.field(c).to_arrow().type
+                arrays[c] = pa.array(vals).cast(target_type)
+            else:
+                arrays[c] = sub[c].to_arrow()
+        new_tables.append(pa.table(arrays))
+
+    stats = {"num_updated_rows": sum(t.num_rows for t in new_tables)}
+    if not new_tables:
+        return ds, stats
+    updated_fragments, deleted_ids = _apply_deletes(ds, delete_addrs)
+    combined = pa.concat_tables(new_tables)
+    new_frags, _ = write_fragments(ds.store, combined, ds.schema, WriteParams())
+    op = Operation(
+        "update",
+        fragments=new_frags,
+        updated_fragments=updated_fragments,
+        deleted_fragment_ids=deleted_ids,
+        predicate=where,
+    )
+    return ds._commit(op), stats

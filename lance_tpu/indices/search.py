@@ -80,9 +80,7 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
 
     covered: set[int] = set()
     if idx is not None:
-        covered = set(idx.meta.fragment_ids) if idx.meta.fragment_ids else {
-            f.id for f in ds.manifest.fragments
-        }
+        covered = set(idx.meta.fragment_ids)
         selection = idx.deleted_mask()
         if row_mask is not None:
             fsel = idx.selection_mask(row_mask)

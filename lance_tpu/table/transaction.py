@@ -267,6 +267,16 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         if not inserted:
             result.extend(fr.copy() for fr in new_frags)
         m.fragments = result
+        # rewritten rows have new addresses: shrink index coverage so queries
+        # treat them as unindexed tail until the index is rebuilt/remapped
+        m.indices = [
+            IndexMetadata(
+                i.uuid, i.name, i.fields, i.index_type,
+                [fid for fid in i.fragment_ids if fid not in all_old],
+                i.dataset_version, i.params,
+            )
+            for i in m.indices
+        ]
     elif kind == "reserve_fragments":
         m.max_fragment_id += op.num_fragments
     elif kind == "update_config":
@@ -298,10 +308,11 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
     else:
         raise NotSupportedError(f"operation kind {kind}")
 
-    # drop indices whose covered fragments all disappeared
+    # drop indices whose coverage is gone (fragment_ids is always explicit;
+    # an index covering nothing is dead weight and misleads query planning)
     live = {f.id for f in m.fragments}
     m.indices = [
-        i for i in m.indices if not i.fragment_ids or set(i.fragment_ids) & live
+        i for i in m.indices if i.fragment_ids and set(i.fragment_ids) & live
     ]
     return m
 

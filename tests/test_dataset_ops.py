@@ -1,0 +1,257 @@
+"""Dataset mutation ops: compaction, merge_insert, update, schema evolution,
+cleanup, tags."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset import WriteParams
+from lance_tpu.errors import InvalidInputError, NotFoundError
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://ops-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def _table(n=100, offset=0):
+    return pa.table(
+        {
+            "id": pa.array(np.arange(offset, offset + n, dtype=np.int64)),
+            "val": pa.array((np.arange(offset, offset + n) * 1.5)),
+            "tag": pa.array([f"t{(offset + i) % 3}" for i in range(n)]),
+        }
+    )
+
+
+# -- compaction -------------------------------------------------------------------
+
+
+def test_compaction_merges_small_fragments():
+    uri = _uri("compact")
+    ds = lt.write_dataset(_table(300), uri, params=WriteParams(max_rows_per_file=50))
+    assert len(ds.manifest.fragments) == 6
+    ds2 = ds.optimize_compact(target_rows_per_fragment=1000)
+    assert len(ds2.manifest.fragments) == 1
+    t = ds2.to_table(columns=["id"])
+    np.testing.assert_array_equal(np.sort(np.asarray(t["id"])), np.arange(300))
+    # old version still readable
+    old = ds2.checkout_version(ds.version)
+    assert old.count_rows() == 300
+
+
+def test_compaction_materializes_deletions():
+    uri = _uri("compactdel")
+    ds = lt.write_dataset(_table(200), uri, params=WriteParams(max_rows_per_file=100))
+    ds = ds.delete("id < 50")
+    assert ds.manifest.fragments[0].deletion_file is not None
+    ds2 = ds.optimize_compact(target_rows_per_fragment=1000)
+    assert ds2.count_rows() == 150
+    for f in ds2.manifest.fragments:
+        assert f.deletion_file is None
+
+
+def test_compaction_shrinks_index_coverage():
+    uri = _uri("compactidx")
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(300, dtype=np.int64)}, uri,
+                          params=WriteParams(max_rows_per_file=100))
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=5)
+    ds = ds.optimize_compact(target_rows_per_fragment=1000)
+    # index dropped (all covered fragments rewritten) -> flat search still works
+    q = vecs[7]
+    t = ds.scanner().nearest("vec", q, k=3).to_table()
+    assert np.asarray(t["id"])[0] == 7
+
+
+# -- merge_insert --------------------------------------------------------------------
+
+
+def test_merge_insert_upsert():
+    uri = _uri("upsert")
+    ds = lt.write_dataset(_table(10), uri)
+    src = pa.table(
+        {
+            "id": pa.array([5, 6, 100, 101], type=pa.int64()),
+            "val": pa.array([555.0, 666.0, 1.0, 2.0]),
+            "tag": pa.array(["x", "x", "new", "new"]),
+        }
+    )
+    ds2, stats = (
+        ds.merge_insert("id")
+        .when_matched_update_all()
+        .when_not_matched_insert_all()
+        .execute(src)
+    )
+    assert stats["num_updated_rows"] == 2
+    assert stats["num_inserted_rows"] == 2
+    assert ds2.count_rows() == 12
+    t = ds2.to_table(filter="id = 5")
+    assert t["val"][0].as_py() == 555.0
+    assert t["tag"][0].as_py() == "x"
+    t2 = ds2.to_table(filter="id = 100")
+    assert t2.num_rows == 1
+
+
+def test_merge_insert_insert_only():
+    uri = _uri("insonly")
+    ds = lt.write_dataset(_table(10), uri)
+    src = _table(5, offset=5)  # ids 5..9 exist, so nothing inserted
+    ds2, stats = ds.merge_insert("id").when_not_matched_insert_all().execute(src)
+    assert stats["num_inserted_rows"] == 0
+    assert ds2.count_rows() == 10
+    src2 = _table(3, offset=20)
+    ds3, stats = ds2.merge_insert("id").when_not_matched_insert_all().execute(src2)
+    assert stats["num_inserted_rows"] == 3
+    assert ds3.count_rows() == 13
+
+
+def test_merge_insert_delete_not_matched_by_source():
+    uri = _uri("mergedel")
+    ds = lt.write_dataset(_table(10), uri)
+    src = _table(4)  # ids 0..3
+    ds2, stats = (
+        ds.merge_insert("id")
+        .when_matched_update_all()
+        .when_not_matched_by_source_delete()
+        .execute(src)
+    )
+    assert stats["num_deleted_rows"] == 6
+    assert ds2.count_rows() == 4
+    assert sorted(np.asarray(ds2.to_table(columns=["id"])["id"]).tolist()) == [0, 1, 2, 3]
+
+
+# -- update -------------------------------------------------------------------------
+
+
+def test_update_with_expression():
+    uri = _uri("update")
+    ds = lt.write_dataset(_table(20), uri)
+    ds2, stats = ds.update({"val": "val * 2"}, where="id < 5")
+    assert stats["num_updated_rows"] == 5
+    t = ds2.to_table(filter="id = 3")
+    assert t["val"][0].as_py() == 3 * 1.5 * 2
+    t2 = ds2.to_table(filter="id = 10")
+    assert t2["val"][0].as_py() == 15.0
+    assert ds2.count_rows() == 20
+
+
+def test_update_all_rows_constant():
+    uri = _uri("updateall")
+    ds = lt.write_dataset(_table(7), uri)
+    ds2, stats = ds.update({"val": "0"})
+    assert stats["num_updated_rows"] == 7
+    vals = ds2.to_table(columns=["val"])["val"].to_pylist()
+    assert all(v == 0 for v in vals)
+
+
+# -- schema evolution ---------------------------------------------------------------
+
+
+def test_add_columns_sql():
+    uri = _uri("addcol")
+    ds = lt.write_dataset(_table(10), uri)
+    ds2 = ds.add_columns({"doubled": "val * 2"})
+    assert "doubled" in ds2.schema.names
+    t = ds2.to_table(columns=["id", "doubled"], filter="id = 4")
+    assert t["doubled"][0].as_py() == 4 * 1.5 * 2
+    # original files untouched: fragment has 2 data files
+    assert len(ds2.manifest.fragments[0].files) == 2
+
+
+def test_add_columns_null_and_udf():
+    uri = _uri("addcol2")
+    ds = lt.write_dataset(_table(10), uri)
+    ds2 = ds.add_columns({"extra": pa.field("extra", pa.string())})
+    assert ds2.to_table(columns=["extra"])["extra"].null_count == 10
+
+    def udf(batch):
+        return pa.array([v * 10 for v in batch.column(0).to_pylist()])
+
+    ds3 = ds2.add_columns({"tenfold": udf}, read_columns=["id"])
+    t = ds3.to_table(columns=["tenfold"], filter="id = 3")
+    assert t["tenfold"][0].as_py() == 30
+
+
+def test_drop_columns():
+    uri = _uri("dropcol")
+    ds = lt.write_dataset(_table(10), uri)
+    ds2 = ds.drop_columns(["tag"])
+    assert ds2.schema.names == ["id", "val"]
+    assert ds2.to_table().column_names == ["id", "val"]
+    with pytest.raises(Exception):
+        ds2.to_table(columns=["tag"])
+
+
+def test_alter_columns_rename_and_cast():
+    uri = _uri("altercol")
+    ds = lt.write_dataset(_table(10), uri)
+    ds2 = ds.alter_columns({"path": "val", "name": "value"})
+    assert "value" in ds2.schema.names and "val" not in ds2.schema.names
+    t = ds2.to_table(columns=["value"])
+    assert t.num_rows == 10
+    ds3 = ds2.alter_columns({"path": "id", "data_type": pa.int32()})
+    assert ds3.schema.field("id").type == pa.int32()
+    t = ds3.to_table(columns=["id"])
+    assert t["id"].type == pa.int32()
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(10, dtype=np.int32))
+
+
+# -- cleanup --------------------------------------------------------------------------
+
+
+def test_cleanup_old_versions():
+    uri = _uri("cleanup")
+    ds = lt.write_dataset(_table(50), uri, params=WriteParams(max_rows_per_file=25))
+    ds = lt.write_dataset(_table(10, offset=50), uri, mode="append")
+    ds = ds.optimize_compact(target_rows_per_fragment=1000)  # orphans old files
+    n_files_before = len(ds.store.list("data/"))
+    removed = ds.cleanup_old_versions(keep_latest=1)
+    assert removed > 0
+    assert len(ds.store.list("data/")) < n_files_before
+    assert ds.count_rows() == 60  # current version intact
+    with pytest.raises(NotFoundError):
+        ds.checkout_version(1)
+
+
+# -- tags -----------------------------------------------------------------------------
+
+
+def test_tags():
+    uri = _uri("tags")
+    ds = lt.write_dataset(_table(5), uri)
+    ds.tags.create("v1.0")
+    ds2 = lt.write_dataset(_table(5, offset=5), uri, mode="append")
+    assert ds2.tags.list() == [{"name": "v1.0", "version": 1}]
+    old = ds2.checkout_tag("v1.0")
+    assert old.count_rows() == 5
+    with pytest.raises(InvalidInputError):
+        ds2.tags.create("v1.0")
+    ds2.tags.update("v1.0", 2)
+    assert ds2.tags.get_version("v1.0") == 2
+    ds2.tags.delete("v1.0")
+    assert ds2.tags.list() == []
+
+
+def test_tagged_version_survives_cleanup():
+    uri = _uri("tagclean")
+    ds = lt.write_dataset(_table(5), uri)
+    ds.tags.create("keep")
+    ds = lt.write_dataset(_table(5, offset=5), uri, mode="overwrite")
+    ds.cleanup_old_versions(keep_latest=1)
+    old = ds.checkout_tag("keep")
+    assert old.count_rows() == 5
+
+
+def test_merge_join():
+    uri = _uri("merge")
+    ds = lt.write_dataset(_table(5), uri)
+    right = pa.table({"id": pa.array([0, 2, 4], type=pa.int64()),
+                      "extra": pa.array(["a", "b", "c"])})
+    ds2 = ds.merge(right, left_on="id")
+    t = ds2.to_table(columns=["id", "extra"])
+    vals = dict(zip(np.asarray(t["id"]).tolist(), t["extra"].to_pylist()))
+    assert vals[0] == "a" and vals[2] == "b" and vals[1] is None
