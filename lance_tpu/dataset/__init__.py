@@ -356,6 +356,11 @@ class LanceDataset:
     def list_indices(self) -> list[IndexMetadata]:
         return list(self.manifest.indices)
 
+    def optimize_indices(self, names: list[str] | None = None) -> "LanceDataset":
+        from ..indices.create import optimize_indices as _opt
+
+        return _opt(self, names)
+
     def index_statistics(self, name: str) -> dict:
         from ..indices.create import index_statistics as _stats
 

@@ -184,6 +184,14 @@ class Scanner:
         to_skip = self._offset
         collected: list[pa.RecordBatch] = []
 
+        # at-most pruning from zonemap/bloom/ngram indices: skip whole
+        # batches (and their reads) that cannot contain matches
+        prune_mask = None
+        if self._filter is not None:
+            from ..indices.scalar.expression import try_index_pruning
+
+            prune_mask = try_index_pruning(self.ds, self._filter)
+
         for frag in self._iter_fragments():
             n_phys = frag.physical_rows
             dv = frag.deletion_vector()
@@ -191,6 +199,13 @@ class Scanner:
             for start in range(0, n_phys, self._batch_size):
                 count = min(self._batch_size, n_phys - start)
                 keep = np.ones(count, dtype=bool)
+                if prune_mask is not None:
+                    addrs = (np.uint64(frag.id) << np.uint64(32)) | (
+                        np.arange(start, start + count, dtype=np.uint64)
+                    )
+                    keep &= prune_mask.selected_many(addrs)
+                    if not keep.any():
+                        continue
                 if del_mask is not None:
                     keep &= ~del_mask[start : start + count]
                 # late materialization: read filter columns first

@@ -38,9 +38,9 @@ def create_index(ds, column: str, index_type: str, name: str | None = None,
             ds, column, index_type, uuid, fragment_ids=fragment_ids, **params
         )
     elif index_type in SCALAR_TYPES:
-        from .scalar.build import build_scalar_index
+        from .scalar.build import build_scalar_index_dispatch
 
-        stored_params = build_scalar_index(ds, column, index_type, uuid, **params)
+        stored_params = build_scalar_index_dispatch(ds, column, index_type, uuid, **params)
     else:
         raise InvalidInputError(f"unknown index type {index_type}")
 
@@ -56,6 +56,41 @@ def create_index(ds, column: str, index_type: str, name: str | None = None,
     removed = [existing.uuid] if existing is not None else []
     op = Operation("create_index", new_indices=[meta], removed_index_uuids=removed)
     return ds._commit(op)
+
+
+def optimize_indices(ds, names: list[str] | None = None):
+    """Bring stale indices up to date with appended/compacted fragments.
+
+    Re-design of reference merge_indices / optimize_indices
+    (rust/lance/src/index/append.rs:44,62): vector indices are rebuilt over
+    all live fragments but REUSE the trained centroids and codebook (the
+    expensive parts), so optimizing after appends costs assignment + encode
+    only. Scalar indices are rebuilt outright (they are cheap).
+    """
+    live = {f.id for f in ds.manifest.fragments}
+    for meta in list(ds.manifest.indices):
+        if names is not None and meta.name not in names:
+            continue
+        covered = set(meta.fragment_ids)
+        if covered == live:
+            continue
+        column = ds.schema.field_by_id(meta.fields[0]).name
+        if meta.index_type in VECTOR_TYPES:
+            from .vector_index import open_vector_index
+
+            idx = open_vector_index(ds, meta)
+            params = dict(meta.params)
+            params.pop("dim", None)
+            kwargs = {"metric": params.pop("metric", "l2")}
+            if idx.is_pq:
+                kwargs["pq_codebook"] = idx.pq.codebook
+                kwargs["num_bits"] = params.get("num_bits", 8)
+            kwargs["ivf_centroids"] = idx.ivf.centroids
+            ds = create_index(ds, column, meta.index_type, name=meta.name,
+                              replace=True, **kwargs)
+        else:
+            ds = create_index(ds, column, meta.index_type, name=meta.name, replace=True)
+    return ds
 
 
 def index_statistics(ds, name: str) -> dict:

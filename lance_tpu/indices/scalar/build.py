@@ -123,6 +123,19 @@ def build_scalar_index(ds, column: str, index_type: str, uuid: str, **params) ->
     raise InvalidInputError(f"scalar index type {index_type} not supported yet")
 
 
+def build_scalar_index_dispatch(ds, column, index_type, uuid, **params):
+    """Full dispatch incl. pruning indices (zonemap/bloom/ngram)."""
+    from .pruning import build_bloomfilter, build_ngram, build_zonemap
+
+    if index_type == "ZONEMAP":
+        return build_zonemap(ds, column, uuid, **params)
+    if index_type == "BLOOMFILTER":
+        return build_bloomfilter(ds, column, uuid, **params)
+    if index_type == "NGRAM":
+        return build_ngram(ds, column, uuid, **params)
+    return build_scalar_index(ds, column, index_type, uuid, **params)
+
+
 _TOKEN_SPLIT = re.compile(r"[^0-9a-zA-Z_]+")
 
 
@@ -336,11 +349,17 @@ class InvertedIndex:
                 "num_docs": int(self.num_docs)}
 
 
-_OPENERS = {"BTREE": BTreeIndex, "BITMAP": BitmapIndex, "INVERTED": InvertedIndex}
+def _openers():
+    from .pruning import BloomFilterIndex, NGramIndex, ZoneMapIndex
+
+    return {
+        "BTREE": BTreeIndex, "BITMAP": BitmapIndex, "INVERTED": InvertedIndex,
+        "ZONEMAP": ZoneMapIndex, "BLOOMFILTER": BloomFilterIndex, "NGRAM": NGramIndex,
+    }
 
 
 def open_scalar_index(ds, meta: IndexMetadata):
-    cls = _OPENERS.get(meta.index_type)
+    cls = _openers().get(meta.index_type)
     if cls is None:
         raise NotFoundError(f"no opener for index type {meta.index_type}")
     cache = ds.session.index_cache

@@ -11,7 +11,7 @@ exact-only — any unindexable subtree returns None).
 
 from __future__ import annotations
 
-from ...dataset.filter import BinOp, Col, InList, IsNull, Lit
+from ...dataset.filter import BinOp, Col, InList, IsNull, Like, Lit
 from ...rowids import RowIdMask
 
 
@@ -30,6 +30,74 @@ def _index_for_column(ds, column: str):
             live = {f.id for f in ds.manifest.fragments}
             if live <= covered:
                 return open_scalar_index(ds, meta)
+    return None
+
+
+_PRUNING_TYPES = {"ZONEMAP", "BLOOMFILTER", "NGRAM"}
+
+
+def _pruning_indices_for(ds, column: str):
+    from .build import open_scalar_index
+
+    try:
+        fid = ds.schema.field(column).id
+    except Exception:
+        return []
+    out = []
+    for meta in ds.manifest.indices:
+        if meta.index_type in _PRUNING_TYPES and meta.fields == [fid]:
+            covered = set(meta.fragment_ids)
+            live = {f.id for f in ds.manifest.fragments}
+            if live <= covered:
+                out.append(open_scalar_index(ds, meta))
+    return out
+
+
+def try_index_pruning(ds, node) -> RowIdMask | None:
+    """At-most RowIdMask from pruning indices (zonemap/bloom/ngram): rows
+    outside the mask CANNOT match `node`; rows inside must be re-checked.
+    Reference: IndexExprResult::AtMost (scalar/expression.rs:906)."""
+    if isinstance(node, BinOp):
+        if node.op == "and":
+            left = try_index_pruning(ds, node.left)
+            right = try_index_pruning(ds, node.right)
+            if left is not None and right is not None:
+                return left & right
+            return left if left is not None else right
+        if node.op == "or":
+            left = try_index_pruning(ds, node.left)
+            right = try_index_pruning(ds, node.right)
+            # at-most(A or B) needs BOTH sides prunable
+            if left is not None and right is not None:
+                return left | right
+            return None
+        if node.op in ("=", "<", "<=", ">", ">="):
+            if isinstance(node.left, Col) and isinstance(node.right, Lit):
+                col, lit, op = node.left.name, node.right.value, node.op
+            elif isinstance(node.right, Col) and isinstance(node.left, Lit):
+                col, lit = node.right.name, node.left.value
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(node.op, node.op)
+            else:
+                return None
+            masks = [idx.prune(op, lit) for idx in _pruning_indices_for(ds, col)]
+            masks = [m for m in masks if m is not None]
+            out = None
+            for m in masks:
+                out = m if out is None else (out & m)
+            return out
+    if isinstance(node, InList) and isinstance(node.operand, Col) and not node.negate:
+        masks = [idx.prune("in", node.values) for idx in _pruning_indices_for(ds, node.operand.name)]
+        masks = [m for m in masks if m is not None]
+        out = None
+        for m in masks:
+            out = m if out is None else (out & m)
+        return out
+    if isinstance(node, Like) and isinstance(node.operand, Col) and not node.negate:
+        for idx in _pruning_indices_for(ds, node.operand.name):
+            if hasattr(idx, "prune_like"):
+                m = idx.prune_like(node.pattern)
+                if m is not None:
+                    return m
     return None
 
 

@@ -1,0 +1,339 @@
+"""Pruning scalar indices: ZoneMap, BloomFilter, NGram.
+
+These answer queries *approximately* ("at most these rows can match") and are
+used to skip I/O during filtered scans; surviving rows are still re-checked
+exactly. Mirrors the reference's inexact index results
+(rust/lance-index/src/scalar/expression.rs IndexExprResult::AtMost, plus
+scalar/zonemap.rs, scalar/bloomfilter.rs + sbbf.rs, scalar/ngram.rs).
+
+- ZONEMAP: per-zone (fragment, row-range) min/max/null stats.
+- BLOOMFILTER: per-zone membership filter for equality/IN.
+- NGRAM: trigram posting lists answering LIKE '%substr%' and equality.
+
+All three return at-most RowIdMasks composed by AND/OR in
+expression.try_index_pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ...errors import InvalidInputError
+from ...file.reader import FileReader
+from ...file.writer import FileWriter
+from ...rowids import RowIdMask, RowIdTreeMap
+from ...schema import Schema
+from ...table.manifest import INDICES_DIR, IndexMetadata
+
+SCALAR_FILE = "scalar.idx"
+DEFAULT_ZONE_SIZE = 8192
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_HASHES = 6
+
+
+def _iter_fragment_zones(ds, column: str, zone_size: int):
+    """Yields (frag_id, start, length, ColumnData) per zone of physical rows."""
+    for frag in ds.get_fragments():
+        n = frag.physical_rows
+        for start in range(0, n, zone_size):
+            length = min(zone_size, n - start)
+            data = frag.read_columns_physical([column], start, length)
+            yield frag.id, start, length, data[column]
+
+
+def _values_of(col):
+    if col.kind == "varbin":
+        raw = col.values.tobytes()
+        vals = np.array(
+            [raw[col.offsets[i]:col.offsets[i + 1]].decode("utf-8", "replace")
+             for i in range(col.num_rows)], dtype=object)
+    else:
+        vals = col.values
+    return vals, col.validity
+
+
+# ---------------------------------------------------------------------------
+# hashes (stable across processes — python's str hash is randomized)
+# ---------------------------------------------------------------------------
+
+
+def _hash2(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two stable 64-bit hashes per value."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iuf":
+        x = arr.astype(np.float64).view(np.uint64)
+        h1 = (x * np.uint64(0x9E3779B97F4A7C15)) ^ (x >> np.uint64(31))
+        h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) ^ (x >> np.uint64(17)) | np.uint64(1)
+        return h1, h2
+    h1 = np.empty(len(arr), np.uint64)
+    h2 = np.empty(len(arr), np.uint64)
+    for i, v in enumerate(arr):
+        d = hashlib.blake2b(str(v).encode(), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1
+    return h1, h2
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+
+def build_zonemap(ds, column: str, uuid: str, zone_size: int = DEFAULT_ZONE_SIZE) -> dict:
+    field = ds.schema.field(column)
+    frags, starts, lengths, mins, maxs, nulls = [], [], [], [], [], []
+    for fid, start, length, col in _iter_fragment_zones(ds, column, zone_size):
+        vals, validity = _values_of(col)
+        if validity is not None:
+            valid_vals = vals[validity]
+            nnull = int((~validity).sum())
+        else:
+            valid_vals, nnull = vals, 0
+        frags.append(fid)
+        starts.append(start)
+        lengths.append(length)
+        if len(valid_vals):
+            mins.append(valid_vals.min())
+            maxs.append(valid_vals.max())
+        else:
+            mins.append(None)
+            maxs.append(None)
+        nulls.append(nnull)
+    path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
+    schema = Schema.from_arrow(pa.schema([
+        ("frag", pa.int32()), ("start", pa.int64()), ("length", pa.int32()),
+        ("vmin", field.type), ("vmax", field.type), ("nulls", pa.int32()),
+    ]))
+    w = FileWriter(ds.store, path, schema)
+    w.write_batch({
+        "frag": pa.array(frags, pa.int32()), "start": pa.array(starts, pa.int64()),
+        "length": pa.array(lengths, pa.int32()),
+        "vmin": pa.array(mins, field.type), "vmax": pa.array(maxs, field.type),
+        "nulls": pa.array(nulls, pa.int32()),
+    })
+    w.add_metadata("zone_size", str(zone_size))
+    w.finish()
+    return {"zones": len(frags), "zone_size": zone_size}
+
+
+def build_bloomfilter(ds, column: str, uuid: str, zone_size: int = DEFAULT_ZONE_SIZE) -> dict:
+    zones_meta = []
+    blooms = []
+    for fid, start, length, col in _iter_fragment_zones(ds, column, zone_size):
+        vals, validity = _values_of(col)
+        if validity is not None:
+            vals = vals[validity]
+        nbits = max(64, int(len(vals) * _BLOOM_BITS_PER_VALUE))
+        bits = np.zeros(nbits, dtype=bool)
+        if len(vals):
+            h1, h2 = _hash2(vals)
+            for i in range(_BLOOM_HASHES):
+                bits[((h1 + np.uint64(i) * h2) % np.uint64(nbits)).astype(np.int64)] = True
+        packed = np.packbits(bits)
+        zones_meta.append({"frag": fid, "start": start, "length": length, "nbits": nbits,
+                           "nbytes": len(packed)})
+        blooms.append(packed.tobytes())
+    path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
+    schema = Schema.from_arrow(pa.schema([("zone", pa.int32())]))
+    w = FileWriter(ds.store, path, schema)
+    w.write_batch({"zone": pa.array(np.arange(len(zones_meta), dtype=np.int32))})
+    w.add_global_buffer("zones", json.dumps(zones_meta).encode())
+    w.add_global_buffer("blooms", b"".join(blooms))
+    w.finish()
+    return {"zones": len(zones_meta), "zone_size": zone_size}
+
+
+def _trigrams(s: str) -> set[str]:
+    s = s.lower()
+    if len(s) < 3:
+        return {s} if s else set()
+    return {s[i:i + 3] for i in range(len(s) - 2)}
+
+
+def build_ngram(ds, column: str, uuid: str) -> dict:
+    term_to_rows: dict[str, list[int]] = {}
+    rowids_all = []
+    row_counter = 0
+    for frag in ds.get_fragments():
+        data = frag.read_columns_physical([column], 0, frag.physical_rows)
+        vals, validity = _values_of(data[column])
+        addrs = (np.uint64(frag.id) << np.uint64(32)) | np.arange(frag.physical_rows, dtype=np.uint64)
+        rowids_all.append(addrs)
+        for i in range(len(vals)):
+            if validity is not None and not validity[i]:
+                row_counter += 1
+                continue
+            for t in _trigrams(str(vals[i])):
+                term_to_rows.setdefault(t, []).append(row_counter)
+            row_counter += 1
+    rowids = np.concatenate(rowids_all) if rowids_all else np.empty(0, np.uint64)
+    terms = sorted(term_to_rows)
+    offsets = np.zeros(len(terms) + 1, np.int64)
+    posts = []
+    for i, t in enumerate(terms):
+        arr = np.asarray(term_to_rows[t], dtype=np.int64)
+        posts.append(arr)
+        offsets[i + 1] = offsets[i] + arr.size
+    postings = np.concatenate(posts) if posts else np.empty(0, np.int64)
+    path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
+    schema = Schema.from_arrow(pa.schema([("term", pa.string())]))
+    w = FileWriter(ds.store, path, schema)
+    w.write_batch({"term": pa.array(terms, pa.string())})
+    w.add_global_buffer("offsets", offsets.astype("<i8").tobytes())
+    w.add_global_buffer("postings", postings.astype("<i8").tobytes())
+    w.add_global_buffer("rowids", rowids.astype("<u8").tobytes())
+    w.finish()
+    return {"num_terms": len(terms), "num_rows": int(rowids.size)}
+
+
+# ---------------------------------------------------------------------------
+# open + prune
+# ---------------------------------------------------------------------------
+
+
+def _zones_to_mask(frags, starts, lengths, keep: np.ndarray) -> RowIdMask:
+    allow = RowIdTreeMap()
+    for fid, start, length in zip(frags[keep], starts[keep], lengths[keep]):
+        allow.insert_offsets(int(fid), np.arange(start, start + length, dtype=np.uint32))
+    return RowIdMask.allow_list(allow)
+
+
+class ZoneMapIndex:
+    exact = False
+
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        r = FileReader(ds.store, f"{INDICES_DIR}/{meta.uuid}/{SCALAR_FILE}")
+        self.frags = np.asarray(r.read_column("frag").values)
+        self.starts = np.asarray(r.read_column("start").values)
+        self.lengths = np.asarray(r.read_column("length").values)
+        vmin, _ = _values_of(r.read_column("vmin"))
+        vmax, _ = _values_of(r.read_column("vmax"))
+        self.vmin, self.vmax = vmin, vmax
+        self.vmin_valid = r.read_column("vmin").validity
+        self.nulls = np.asarray(r.read_column("nulls").values)
+
+    def prune(self, op: str, lit) -> RowIdMask | None:
+        valid = self.vmin_valid if self.vmin_valid is not None else np.ones(len(self.frags), bool)
+        with np.errstate(invalid="ignore"):
+            if op == "=":
+                keep = valid & (self.vmin <= lit) & (self.vmax >= lit)
+            elif op == "<":
+                keep = valid & (self.vmin < lit)
+            elif op == "<=":
+                keep = valid & (self.vmin <= lit)
+            elif op == ">":
+                keep = valid & (self.vmax > lit)
+            elif op == ">=":
+                keep = valid & (self.vmax >= lit)
+            elif op == "in":
+                keep = np.zeros(len(self.frags), bool)
+                for v in lit:
+                    keep |= valid & (self.vmin <= v) & (self.vmax >= v)
+            elif op == "is_null":
+                keep = self.nulls > 0
+            else:
+                return None
+        return _zones_to_mask(self.frags, self.starts, self.lengths, keep)
+
+    def statistics(self) -> dict:
+        return {"index_type": "ZONEMAP", "zones": int(len(self.frags))}
+
+
+class BloomFilterIndex:
+    exact = False
+
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        r = FileReader(ds.store, f"{INDICES_DIR}/{meta.uuid}/{SCALAR_FILE}")
+        self.zones = json.loads(r.read_global_buffer("zones"))
+        raw = r.read_global_buffer("blooms")
+        self.bits = []
+        off = 0
+        for z in self.zones:
+            packed = np.frombuffer(raw, dtype=np.uint8, count=z["nbytes"], offset=off)
+            self.bits.append(np.unpackbits(packed)[: z["nbits"]].astype(bool))
+            off += z["nbytes"]
+
+    def _maybe_contains(self, zone_idx: int, values) -> bool:
+        bits = self.bits[zone_idx]
+        nbits = np.uint64(bits.size)
+        h1, h2 = _hash2(values)
+        for v1, v2 in zip(h1, h2):
+            ok = True
+            for i in range(_BLOOM_HASHES):
+                if not bits[int((v1 + np.uint64(i) * v2) % nbits)]:
+                    ok = False
+                    break
+            if ok:
+                return True
+        return False
+
+    def prune(self, op: str, lit) -> RowIdMask | None:
+        if op == "=":
+            values = [lit]
+        elif op == "in":
+            values = list(lit)
+        else:
+            return None
+        allow = RowIdTreeMap()
+        for zi, z in enumerate(self.zones):
+            if self._maybe_contains(zi, values):
+                allow.insert_offsets(z["frag"],
+                                     np.arange(z["start"], z["start"] + z["length"], dtype=np.uint32))
+        return RowIdMask.allow_list(allow)
+
+    def statistics(self) -> dict:
+        return {"index_type": "BLOOMFILTER", "zones": len(self.zones)}
+
+
+class NGramIndex:
+    exact = False
+
+    def __init__(self, ds, meta: IndexMetadata):
+        self.ds = ds
+        self.meta = meta
+        r = FileReader(ds.store, f"{INDICES_DIR}/{meta.uuid}/{SCALAR_FILE}")
+        terms, _ = _values_of(r.read_column("term"))
+        self.terms = terms
+        self.offsets = np.frombuffer(r.read_global_buffer("offsets"), dtype="<i8")
+        self.postings = np.frombuffer(r.read_global_buffer("postings"), dtype="<i8")
+        self.rowids = np.frombuffer(r.read_global_buffer("rowids"), dtype="<u8")
+
+    def _rows_for_term(self, t: str) -> np.ndarray | None:
+        i = np.searchsorted(self.terms, t)
+        if i < len(self.terms) and self.terms[i] == t:
+            return self.postings[self.offsets[i]:self.offsets[i + 1]]
+        return None
+
+    def prune_like(self, pattern: str) -> RowIdMask | None:
+        """At-most rows for LIKE: intersect postings of literal trigrams."""
+        literals = [run for run in pattern.replace("_", "%").split("%") if run]
+        grams: set[str] = set()
+        for run in literals:
+            if len(run) >= 3:
+                grams |= _trigrams(run)
+        if not grams:
+            return None  # no selective literal -> cannot prune
+        result: np.ndarray | None = None
+        for g in grams:
+            rows = self._rows_for_term(g)
+            if rows is None:
+                return RowIdMask.allow_list(RowIdTreeMap())  # no match at all
+            result = rows if result is None else np.intersect1d(result, rows)
+        assert result is not None
+        return RowIdMask.allow_list(RowIdTreeMap.from_addresses(self.rowids[result]))
+
+    def prune(self, op: str, lit) -> RowIdMask | None:
+        if op == "=" and isinstance(lit, str):
+            return self.prune_like(lit)  # equality = all trigrams present
+        return None
+
+    def statistics(self) -> dict:
+        return {"index_type": "NGRAM", "num_terms": int(len(self.terms))}

@@ -44,6 +44,7 @@ import pyarrow as pa
 AUX_FILE = "auxiliary.idx"
 PQ_CODE_COL = "__pq_code"
 VECTOR_COL = "__vector"
+SQ_CODE_COL = "__sq_code"
 ROWID_COL = "_rowid"
 
 # query batch buckets: queries are padded up to the next bucket so each
@@ -208,6 +209,36 @@ def build_ivf_index(
             "dim": int(dim),
         }
 
+    if index_type == "IVF_SQ":
+        # scalar quantization: per-dimension uniform u8 over trained bounds
+        # (reference: rust/lance-index/src/vector/sq.rs:33-116)
+        from ..ops.distance import normalize as _normalize
+
+        base = vectors
+        if metric == "cosine":
+            base = np.asarray(_normalize(dev_vectors))
+        lo = base.min(axis=0)
+        hi = base.max(axis=0)
+        scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+        codes = np.clip(np.round((base[order] - lo) / scale * 255.0), 0, 255).astype(np.uint8)
+        schema = Schema.from_arrow(
+            pa.schema([
+                (ROWID_COL, pa.uint64()),
+                (SQ_CODE_COL, pa.list_(pa.uint8(), dim)),
+            ])
+        )
+        w = FileWriter(store, path, schema, compression="none")
+        step = 1 << 17
+        for s in range(0, n, step):
+            w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
+                           SQ_CODE_COL: codes[s : s + step]})
+        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+        w.add_global_buffer("ivf_data", ivf_payload)
+        w.add_global_buffer("sq_bounds", lo.astype("<f4").tobytes() + scale.astype("<f4").tobytes())
+        w.finish()
+        return {"metric": metric, "num_partitions": int(num_partitions),
+                "num_bits": 8, "dim": int(dim)}
+
     if index_type == "IVF_FLAT":
         sorted_vectors = vectors[order]
         schema = Schema.from_arrow(
@@ -262,7 +293,10 @@ class IvfIndex:
         # of LUT gathers, which measure ~90x slower on TPU (see
         # experiments/adc_micro.py). PQ codes remain the *disk* format.
         score_f32 = jax.default_backend() == "cpu"  # exactness for CPU tests
-        self.is_pq = "pq_header" in reader.global_buffer_names()
+        gbufs = reader.global_buffer_names()
+        self.is_pq = "pq_header" in gbufs
+        self.is_sq = "sq_bounds" in gbufs
+        self.is_quantized = self.is_pq or self.is_sq
         if self.is_pq:
             from ..ops.pq import ProductQuantizer, pq_decode
 
@@ -285,6 +319,17 @@ class IvfIndex:
                 ).astype(np.int32)
                 rows = rows + jnp.take(jnp.asarray(self.ivf.centroids),
                                        jnp.asarray(part_of_row), axis=0)
+            score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
+            self._vectors_dev = None  # lazy, for refine
+        elif self.is_sq:
+            self.pq = None
+            self.residual = False
+            bounds = np.frombuffer(reader.read_global_buffer("sq_bounds"), dtype="<f4")
+            dim_sq = bounds.size // 2
+            lo, scale = bounds[:dim_sq], bounds[dim_sq:]
+            codes = reader.read_column(SQ_CODE_COL).to_numpy_matrix()
+            codes_dev = jnp.asarray(np.ascontiguousarray(codes))
+            rows = jnp.asarray(lo) + codes_dev.astype(jnp.float32) * (jnp.asarray(scale) / 255.0)
             score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
             self._vectors_dev = None  # lazy, for refine
         else:
@@ -386,7 +431,7 @@ class IvfIndex:
         fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
         nlist = self.ivf.num_partitions
         q_cap = _query_cap(bucket, nprobes, nlist)
-        do_refine = self.is_pq and refine_factor is not None
+        do_refine = self.is_quantized and refine_factor is not None
         d, pos = _search_dense(
             self._blocks_dev, self._block_sq_dev, self._gpos_dev,
             self._centroids_dev, jnp.asarray(qp), sel_dev,
@@ -423,7 +468,7 @@ class IvfIndex:
         sel_dev = None
         if selection is not None:
             sel_dev = jnp.asarray(np.append(selection, False))
-        do_refine = self.is_pq and refine_factor is not None
+        do_refine = self.is_quantized and refine_factor is not None
         refine_vecs = self._ensure_vectors() if do_refine else None
 
         def run(q_dev):
@@ -469,7 +514,7 @@ class IvfIndex:
             "num_indexed_rows": self.num_rows,
             "max_partition_length": self.max_part_len,
             "mean_partition_length": float(self.ivf.lengths.mean()) if self.ivf.num_partitions else 0.0,
-            "sub_index": "PQ" if self.is_pq else "FLAT",
+            "sub_index": "PQ" if self.is_pq else ("SQ" if self.is_sq else "FLAT"),
             **({"num_sub_vectors": self.pq.num_sub_vectors, "num_bits": self.pq.num_bits}
                if self.pq else {}),
         }

@@ -1,0 +1,129 @@
+"""IVF_SQ, pruning scalar indices (zonemap/bloom/ngram), optimize_indices."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset import WriteParams
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://midx-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def test_ivf_sq_recall():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(3000, 32)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(3000, dtype=np.int64)}, _uri("sq"))
+    ds = ds.create_index("vec", "IVF_SQ", num_partitions=16, max_iters=8)
+    stats = ds.index_statistics("vec_idx")
+    assert stats["sub_index"] == "SQ"
+    recall = 0.0
+    queries = vecs[rng.choice(3000, 10)]
+    for q in queries:
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=16, refine_factor=10).to_table()
+        got = set(np.asarray(t["id"]).tolist())
+        d = ((vecs - q) ** 2).sum(1)
+        want = set(np.argsort(d)[:10].tolist())
+        recall += len(got & want) / 10
+    assert recall / 10 >= 0.95, recall / 10
+
+
+def test_zonemap_pruning():
+    # sorted data -> zones are tight; count reads via tracking store
+    n = 40_000
+    ds = lt.write_dataset(
+        {"id": np.arange(n, dtype=np.int64), "x": np.arange(n, dtype=np.float64)},
+        _uri("zm"),
+    )
+    ds = ds.create_index("id", "ZONEMAP")
+    from lance_tpu.dataset.filter import parse_filter
+    from lance_tpu.indices.scalar.expression import try_index_pruning
+
+    mask = try_index_pruning(ds, parse_filter("id >= 100 and id < 200"))
+    assert mask is not None
+    # at-most: must contain all true rows, and prune most others
+    addrs = np.arange(n, dtype=np.uint64)  # single fragment 0
+    sel = mask.selected_many(addrs)
+    assert sel[100:200].all()
+    assert sel.sum() <= 8192 * 2  # at most 1-2 zones survive
+    # end to end correct
+    t = ds.to_table(columns=["id"], filter="id >= 100 and id < 200")
+    np.testing.assert_array_equal(np.asarray(t["id"]), np.arange(100, 200))
+
+
+def test_zonemap_io_savings():
+    from lance_tpu.io.tracking import TrackingStore
+
+    n = 40_000
+    uri = _uri("zmio")
+    ds = lt.write_dataset(
+        {"id": np.arange(n, dtype=np.int64),
+         "payload": pa.array(["x" * 50] * n)},
+        uri,
+    )
+    ds_no = lt.dataset(uri)
+    ds_zm = ds.create_index("id", "ZONEMAP")
+
+    def measure(d):
+        tracked = TrackingStore(d.store)
+        # fresh session so FileReaders bind to the tracking store
+        d2 = lt.LanceDataset(tracked, d.uri, d.manifest, lt.Session(2**20, 2**20))
+        d2.to_table(filter="id = 12345")
+        return tracked.stats.read_bytes
+
+    saved = measure(ds_zm)
+    full = measure(ds_no)
+    assert saved < full * 0.5, (saved, full)
+
+
+def test_bloomfilter_pruning():
+    n = 20_000
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 10_000_000, n)
+    ds = lt.write_dataset({"v": vals.astype(np.int64)}, _uri("bloom"))
+    ds = ds.create_index("v", "BLOOMFILTER")
+    target = int(vals[12_345])
+    t = ds.to_table(filter=f"v = {target}")
+    assert t.num_rows >= 1
+    assert all(x == target for x in t["v"].to_pylist())
+    # absent value: bloom should prune everything (whp) and return empty
+    t2 = ds.to_table(filter="v = 99999999999")
+    assert t2.num_rows == 0
+
+
+def test_ngram_like():
+    words = ["hello world", "goodbye moon", "hello moon", "worldwide web", "nothing"]
+    ds = lt.write_dataset({"s": pa.array(words * 10), "id": np.arange(50)}, _uri("ngram"))
+    ds = ds.create_index("s", "NGRAM")
+    t = ds.to_table(filter="s like '%world%'")
+    assert set(t["s"].to_pylist()) == {"hello world", "worldwide web"}
+    t2 = ds.to_table(filter="s like 'hello%'")
+    assert set(t2["s"].to_pylist()) == {"hello world", "hello moon"}
+    t3 = ds.to_table(filter="s = 'nothing'")
+    assert set(t3["s"].to_pylist()) == {"nothing"}
+
+
+def test_optimize_indices_after_append():
+    rng = np.random.default_rng(1)
+    uri = _uri("optidx")
+    vecs = rng.normal(size=(1000, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(1000, dtype=np.int64)}, uri)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=8, num_sub_vectors=4, max_iters=5)
+    new = rng.normal(size=(500, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": new, "id": np.arange(1000, 1500, dtype=np.int64)}, uri,
+                          mode="append")
+    meta = ds.list_indices()[0]
+    assert len(meta.fragment_ids) == 1  # stale
+    ds = ds.optimize_indices()
+    meta = ds.list_indices()[0]
+    assert len(meta.fragment_ids) == 2  # covers both fragments now
+    stats = ds.index_statistics(meta.name)
+    assert stats["num_indexed_rows"] == 1500
+    # search hits appended rows through the index (fast_search mode)
+    q = new[7]
+    t = ds.scanner().nearest("vec", q, k=1, nprobes=8).fast_search().to_table()
+    assert np.asarray(t["id"])[0] == 1007
