@@ -1,0 +1,157 @@
+"""Command-line inspector/query tool.
+
+Re-design of the reference CLI surface: `lq` (rust/lance/src/bin/lq.rs:27-60:
+inspect/query/index) and `lance-tools file meta`
+(rust/lance-tools/src/cli.rs:20-50).
+
+Usage:
+    python -m lance_tpu.cli inspect  <uri>
+    python -m lance_tpu.cli versions <uri>
+    python -m lance_tpu.cli query    <uri> [--filter F] [--columns a,b] [--limit N]
+    python -m lance_tpu.cli indices  <uri>
+    python -m lance_tpu.cli file-meta <file-uri-or-path>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_inspect(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri, version=args.version)
+    m = ds.manifest
+    info = {
+        "uri": args.uri,
+        "version": m.version,
+        "num_rows": m.num_rows,
+        "num_fragments": len(m.fragments),
+        "max_fragment_id": m.max_fragment_id,
+        "schema": {f.name: str(f.type) for f in m.schema.fields},
+        "indices": [
+            {"name": i.name, "type": i.index_type, "fragments": len(i.fragment_ids)}
+            for i in m.indices
+        ],
+        "config": m.config,
+        "writer_version": m.writer_version,
+        "fragments": [
+            {"id": f.id, "rows": f.num_rows, "physical_rows": f.physical_rows,
+             "files": [df.path for df in f.files],
+             "deletions": f.deletion_file.num_deleted if f.deletion_file else 0}
+            for f in m.fragments[: args.max_fragments]
+        ],
+    }
+    print(json.dumps(info, indent=2, default=str))
+    return 0
+
+
+def cmd_versions(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri)
+    for v in ds.versions():
+        print(v["version"])
+    return 0
+
+
+def cmd_query(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri, version=args.version)
+    sc = ds.scanner()
+    if args.columns:
+        sc.project(args.columns.split(","))
+    if args.filter:
+        sc.filter(args.filter)
+    sc.limit(args.limit)
+    table = sc.to_table()
+    print(table.to_pandas().to_string() if args.pandas else table)
+    return 0
+
+
+def cmd_indices(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri)
+    for i in ds.list_indices():
+        stats = {}
+        try:
+            stats = ds.index_statistics(i.name)
+        except Exception:
+            pass
+        print(json.dumps({"name": i.name, "uuid": i.uuid, "type": i.index_type,
+                          "fragment_ids": i.fragment_ids, **stats}, default=str))
+    return 0
+
+
+def cmd_file_meta(args) -> int:
+    from urllib.parse import urlparse
+
+    from lance_tpu.file.reader import FileReader
+    from lance_tpu.io.object_store import LocalStore, PrefixedStore, store_for_uri
+
+    if not urlparse(args.path).scheme:
+        import os
+
+        store = LocalStore(os.path.dirname(os.path.abspath(args.path)))
+        path = os.path.basename(args.path)
+    else:
+        store, base = store_for_uri(args.path)
+        slash = base.rfind("/")
+        store, path = PrefixedStore(store, base[:slash]), base[slash + 1 :]
+    r = FileReader(store, path)
+    meta = {
+        "num_rows": r.num_rows,
+        "version": r.footer["version"],
+        "columns": [
+            {"name": c["name"], "field_id": c["field_id"], "num_pages": len(c["pages"]),
+             "encodings": sorted({p["layout"] for p in c["pages"]})}
+            for c in r.metadata["columns"]
+        ],
+        "global_buffers": r.global_buffer_names(),
+        "metadata": r.metadata.get("metadata", {}),
+    }
+    print(json.dumps(meta, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ltq", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("inspect")
+    sp.add_argument("uri")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--max-fragments", type=int, default=20)
+    sp.set_defaults(fn=cmd_inspect)
+
+    sp = sub.add_parser("versions")
+    sp.add_argument("uri")
+    sp.set_defaults(fn=cmd_versions)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("uri")
+    sp.add_argument("--filter", default=None)
+    sp.add_argument("--columns", default=None)
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--pandas", action="store_true")
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("indices")
+    sp.add_argument("uri")
+    sp.set_defaults(fn=cmd_indices)
+
+    sp = sub.add_parser("file-meta")
+    sp.add_argument("path")
+    sp.set_defaults(fn=cmd_file_meta)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,190 @@
+"""Distributed index-build protocol: staged artifacts across workers.
+
+Re-design of the reference IndicesBuilder (python/python/lance/indices/
+builder.py:60-360): the multi-node protocol decomposes an IVF-PQ build into
+independently-runnable stages whose artifacts live in the object store, so N
+workers (N TPU hosts) can split the work with zero communication beyond
+storage:
+
+    coordinator: train_ivf() -> centroids artifact
+                 train_pq()  -> codebook artifact
+    workers:     transform_vectors(frag_subset) -> partition-tagged codes
+    coordinator: load_shuffled_vectors() -> merge + commit CreateIndex
+
+Within one worker, compute runs on its TPU mesh (parallel/kmeans.py etc.);
+*between* workers, coordination is storage-based — the same split as the
+reference (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as uuid_mod
+
+import numpy as np
+
+from ..errors import InvalidInputError
+from ..models.ivf import IvfModel, partition_sort
+from ..table.manifest import INDICES_DIR, IndexMetadata
+from ..table.transaction import Operation
+
+
+class IndicesBuilder:
+    def __init__(self, ds, column: str):
+        self.ds = ds
+        self.column = column
+        self.dim = ds.schema.field(column).type.list_size
+
+    # -- stage 1: coarse quantizer -------------------------------------------------
+
+    def train_ivf(self, num_partitions: int, metric: str = "l2", sample_rate: int = 256,
+                  max_iters: int = 50) -> np.ndarray:
+        from .vector_index import read_vector_column
+        from ..ops.kmeans import train_kmeans
+
+        vectors, _ = read_vector_column(self.ds, self.column)
+        km = train_kmeans(vectors, num_partitions, max_iters=max_iters, metric=metric,
+                          sample_rate=sample_rate)
+        return km.centroids
+
+    # -- stage 2: quantizer ----------------------------------------------------------
+
+    def train_pq(self, ivf_centroids: np.ndarray, num_sub_vectors: int = 16,
+                 num_bits: int = 8, metric: str = "l2", sample_rate: int = 256) -> np.ndarray:
+        from .vector_index import read_vector_column
+        from ..ops.balanced import balanced_assign
+        from ..ops.pq import PQParams, train_pq
+
+        vectors, _ = read_vector_column(self.ds, self.column)
+        part_ids = balanced_assign(vectors, ivf_centroids, metric=metric)
+        if metric in ("l2", "cosine"):
+            base = vectors
+            if metric == "cosine":
+                base = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+            train_data = base - ivf_centroids[part_ids]
+        else:
+            train_data = vectors
+        pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
+                                           num_bits=num_bits, sample_rate=sample_rate),
+                      metric="l2" if metric in ("l2", "cosine") else metric)
+        return pq.codebook
+
+    # -- stage 3 (per worker): assign + encode a fragment subset -----------------------
+
+    def assign_ivf_partitions(self, ivf_centroids: np.ndarray,
+                              fragment_ids: list[int] | None = None,
+                              metric: str = "l2") -> np.ndarray:
+        from .vector_index import read_vector_column
+        from ..ops.balanced import balanced_assign
+
+        vectors, _ = read_vector_column(self.ds, self.column, fragment_ids)
+        return balanced_assign(vectors, np.asarray(ivf_centroids, np.float32), metric=metric)
+
+    def transform_vectors(self, ivf_centroids: np.ndarray, pq_codebook: np.ndarray,
+                          fragment_ids: list[int] | None = None, metric: str = "l2",
+                          artifact_uuid: str | None = None) -> str:
+        """Encode a fragment subset; stages (codes, part_ids, rowids) to storage.
+        Returns the artifact path — workers run this in parallel on disjoint
+        fragment subsets."""
+        from .vector_index import read_vector_column
+        from ..ops.balanced import balanced_assign
+        from ..ops.pq import ProductQuantizer, pq_encode
+
+        vectors, rowids = read_vector_column(self.ds, self.column, fragment_ids)
+        cents = np.asarray(ivf_centroids, np.float32)
+        part_ids = balanced_assign(vectors, cents, metric=metric)
+        base = vectors
+        if metric == "cosine":
+            base = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        if metric in ("l2", "cosine"):
+            data = base - cents[part_ids]
+        else:
+            data = vectors
+        pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
+                              "l2" if metric in ("l2", "cosine") else metric)
+        codes = pq_encode(pq, data)
+        artifact = artifact_uuid or uuid_mod.uuid4().hex
+        path = f"_index_build/{artifact}.part"
+        header = json.dumps({
+            "n": int(codes.shape[0]), "m": int(codes.shape[1]),
+            "fragment_ids": fragment_ids,
+        }).encode()
+        payload = (len(header)).to_bytes(4, "little") + header
+        payload += part_ids.astype("<i4").tobytes()
+        payload += rowids.astype("<u8").tobytes()
+        payload += codes.tobytes()
+        self.ds.store.put(path, payload)
+        return path
+
+    # -- stage 4 (coordinator): merge artifacts + commit --------------------------------
+
+    def load_shuffled_vectors(self, artifact_paths: list[str], ivf_centroids: np.ndarray,
+                              pq_codebook: np.ndarray, metric: str = "l2",
+                              num_bits: int = 8, name: str | None = None):
+        import pyarrow as pa
+
+        from ..file.writer import FileWriter
+        from ..ops.pq import ProductQuantizer
+        from ..schema import Schema
+        from .vector_index import AUX_FILE, PQ_CODE_COL, ROWID_COL
+
+        all_pids, all_rowids, all_codes = [], [], []
+        covered: set[int] = set()
+        for p in artifact_paths:
+            raw = self.ds.store.get(p)
+            hlen = int.from_bytes(raw[:4], "little")
+            header = json.loads(raw[4 : 4 + hlen])
+            n, m = header["n"], header["m"]
+            covered.update(header["fragment_ids"] or
+                           [f.id for f in self.ds.manifest.fragments])
+            off = 4 + hlen
+            all_pids.append(np.frombuffer(raw, dtype="<i4", count=n, offset=off))
+            off += n * 4
+            all_rowids.append(np.frombuffer(raw, dtype="<u8", count=n, offset=off))
+            off += n * 8
+            all_codes.append(np.frombuffer(raw, dtype=np.uint8, count=n * m,
+                                           offset=off).reshape(n, m))
+        part_ids = np.concatenate(all_pids)
+        rowids = np.concatenate(all_rowids)
+        codes = np.concatenate(all_codes)
+        cents = np.asarray(ivf_centroids, np.float32)
+        nlist = cents.shape[0]
+        order, offsets, lengths = partition_sort(part_ids, nlist)
+
+        uuid = uuid_mod.uuid4().hex
+        ivf = IvfModel(cents, offsets, lengths, metric)
+        ivf_header, ivf_payload = ivf.to_parts()
+        pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
+                              "l2" if metric in ("l2", "cosine") else metric, num_bits)
+        path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+        schema = Schema.from_arrow(pa.schema([
+            (ROWID_COL, pa.uint64()),
+            (PQ_CODE_COL, pa.list_(pa.uint8(), pq.num_sub_vectors)),
+        ]))
+        w = FileWriter(self.ds.store, path, schema, compression="none")
+        step = 1 << 18
+        sorted_rowids, sorted_codes = rowids[order], codes[order]
+        for s in range(0, len(order), step):
+            w.write_batch({ROWID_COL: sorted_rowids[s:s+step],
+                           PQ_CODE_COL: sorted_codes[s:s+step]})
+        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+        w.add_global_buffer("ivf_data", ivf_payload)
+        pq_h = pq.to_json()
+        pq_h["residual"] = metric in ("l2", "cosine")
+        pq_h["metric"] = metric
+        w.add_global_buffer("pq_header", json.dumps(pq_h).encode())
+        w.add_global_buffer("pq_codebook", pq.codebook_bytes())
+        w.finish()
+        meta = IndexMetadata(
+            uuid=uuid, name=name or f"{self.column}_idx",
+            fields=[self.ds.schema.field(self.column).id],
+            index_type="IVF_PQ", fragment_ids=sorted(covered),
+            dataset_version=self.ds.version,
+            params={"metric": metric, "num_partitions": int(nlist),
+                    "num_sub_vectors": int(pq.num_sub_vectors),
+                    "num_bits": num_bits, "dim": self.dim},
+        )
+        existing = self.ds.manifest.index_by_name(meta.name)
+        removed = [existing.uuid] if existing else []
+        op = Operation("create_index", new_indices=[meta], removed_index_uuids=removed)
+        return self.ds._commit(op)

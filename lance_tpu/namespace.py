@@ -1,0 +1,80 @@
+"""Namespace / catalog: named tables above datasets.
+
+Re-design of the reference namespace spec + dir implementation
+(rust/lance-namespace/src/namespace.rs LanceNamespace trait;
+rust/lance-namespace-impls/src/dir.rs — a directory of `{table}.lance`
+datasets). REST-backed catalogs implement the same protocol class.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from .errors import InvalidInputError, NotFoundError
+from .io.object_store import store_for_uri
+
+
+class LanceNamespace(Protocol):
+    def list_tables(self) -> list[str]: ...
+
+    def table_uri(self, name: str) -> str: ...
+
+    def create_table(self, name: str, data, **kwargs): ...
+
+    def open_table(self, name: str): ...
+
+    def drop_table(self, name: str) -> None: ...
+
+
+class DirectoryNamespace:
+    """Tables are `{root}/{name}.lance` datasets (reference dir.rs)."""
+
+    SUFFIX = ".lance"
+
+    def __init__(self, root_uri: str):
+        self.root = root_uri.rstrip("/")
+
+    def table_uri(self, name: str) -> str:
+        if "/" in name or not name:
+            raise InvalidInputError(f"bad table name {name!r}")
+        return f"{self.root}/{name}{self.SUFFIX}"
+
+    def list_tables(self) -> list[str]:
+        store, base = store_for_uri(self.root)
+        prefix = f"{base}/" if base else ""
+        names = set()
+        for meta in store.list(prefix):
+            rel = meta.path[len(prefix):]
+            head = rel.split("/", 1)[0]
+            if head.endswith(self.SUFFIX):
+                names.add(head[: -len(self.SUFFIX)])
+        return sorted(names)
+
+    def table_exists(self, name: str) -> bool:
+        return name in self.list_tables()
+
+    def create_table(self, name: str, data, mode: str = "create", **kwargs):
+        import lance_tpu
+
+        return lance_tpu.write_dataset(data, self.table_uri(name), mode=mode, **kwargs)
+
+    def open_table(self, name: str, version: int | None = None):
+        import lance_tpu
+
+        try:
+            return lance_tpu.dataset(self.table_uri(name), version=version)
+        except NotFoundError:
+            raise NotFoundError(f"table {name}") from None
+
+    def drop_table(self, name: str) -> None:
+        store, base = store_for_uri(self.table_uri(name))
+        metas = store.list(base if base else "")
+        if not metas:
+            raise NotFoundError(f"table {name}")
+        for m in metas:
+            store.delete(m.path)
+
+
+def connect(uri: str) -> DirectoryNamespace:
+    """Open a directory namespace (reference: lance.namespace.connect)."""
+    return DirectoryNamespace(uri)

@@ -1,0 +1,109 @@
+"""Seeded test-data generator (reference: rust/lance-datagen/src/generator.rs
+— used across tests and benches for reproducible arbitrary-schema data)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class DataGen:
+    def __init__(self, seed: int = 42):
+        self.rng = np.random.default_rng(seed)
+        self._cols: list[tuple[str, object]] = []
+
+    def col(self, name: str, gen: "ArrayGen") -> "DataGen":
+        self._cols.append((name, gen))
+        return self
+
+    def batch(self, num_rows: int) -> pa.RecordBatch:
+        arrays = {name: gen(self.rng, num_rows) for name, gen in self._cols}
+        return pa.record_batch(arrays)
+
+    def table(self, num_rows: int, batch_size: int = 1 << 20) -> pa.Table:
+        return pa.Table.from_batches(
+            [self.batch(min(batch_size, num_rows - s))
+             for s in range(0, num_rows, batch_size)]
+        )
+
+
+class ArrayGen:
+    def __call__(self, rng: np.random.Generator, n: int) -> pa.Array:
+        raise NotImplementedError
+
+
+class Step(ArrayGen):
+    def __init__(self, start: int = 0, dtype=pa.int64()):
+        self.cur = start
+        self.dtype = dtype
+
+    def __call__(self, rng, n):
+        out = pa.array(np.arange(self.cur, self.cur + n), type=self.dtype)
+        self.cur += n
+        return out
+
+
+class RandomInt(ArrayGen):
+    def __init__(self, lo: int = 0, hi: int = 1 << 31, dtype=pa.int64()):
+        self.lo, self.hi, self.dtype = lo, hi, dtype
+
+    def __call__(self, rng, n):
+        return pa.array(rng.integers(self.lo, self.hi, n), type=self.dtype)
+
+
+class RandomFloat(ArrayGen):
+    def __init__(self, dtype=pa.float64()):
+        self.dtype = dtype
+
+    def __call__(self, rng, n):
+        return pa.array(rng.normal(size=n), type=self.dtype)
+
+
+class RandomVector(ArrayGen):
+    def __init__(self, dim: int, dtype=pa.float32(), clustered: int | None = None):
+        self.dim, self.dtype, self.clustered = dim, dtype, clustered
+        self._centers = None
+
+    def __call__(self, rng, n):
+        if self.clustered:
+            if self._centers is None:
+                self._centers = rng.normal(size=(self.clustered, self.dim)) * 5
+            assign = rng.integers(0, self.clustered, n)
+            data = self._centers[assign] + rng.normal(size=(n, self.dim))
+        else:
+            data = rng.normal(size=(n, self.dim))
+        inner = pa.array(data.astype(np.float32).reshape(-1), type=self.dtype)
+        return pa.FixedSizeListArray.from_arrays(inner, self.dim)
+
+
+class RandomString(ArrayGen):
+    def __init__(self, min_len: int = 4, max_len: int = 16, null_prob: float = 0.0):
+        self.min_len, self.max_len, self.null_prob = min_len, max_len, null_prob
+
+    _ALPHA = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def __call__(self, rng, n):
+        out = []
+        for _ in range(n):
+            if self.null_prob and rng.random() < self.null_prob:
+                out.append(None)
+            else:
+                ln = int(rng.integers(self.min_len, self.max_len + 1))
+                out.append("".join(rng.choice(self._ALPHA, ln)))
+        return pa.array(out, type=pa.string())
+
+
+class RandomBool(ArrayGen):
+    def __call__(self, rng, n):
+        return pa.array(rng.integers(0, 2, n).astype(bool))
+
+
+class Cycle(ArrayGen):
+    def __init__(self, values: list):
+        self.values = values
+        self.pos = 0
+
+    def __call__(self, rng, n):
+        out = [self.values[(self.pos + i) % len(self.values)] for i in range(n)]
+        self.pos += n
+        return pa.array(out)

@@ -1,0 +1,98 @@
+"""Sampling utilities for ML data loading.
+
+Re-design of reference python/python/lance/sampler.py: maybe_sample (:171),
+ShardedFragmentSampler (:330), ShardedBatchSampler (:387) — rank/world
+sharding for multi-host training input pipelines (each TPU host reads a
+disjoint shard; no coordination needed because sharding is deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+
+def maybe_sample(ds, n: int, columns: list[str] | None = None,
+                 seed: int = 42, batch_size: int = 8192) -> pa.Table:
+    """Randomly sample up to n rows (reference sampler.py maybe_sample)."""
+    total = ds.count_rows()
+    if total <= n:
+        return ds.to_table(columns=columns)
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(total, size=n, replace=False))
+    return ds.take(idx, columns=columns)
+
+
+class FragmentSampler:
+    """Base: iterate fragments in an order decided by subclasses."""
+
+    def iter_fragments(self, ds) -> Iterator:
+        raise NotImplementedError
+
+    def __call__(self, ds, columns=None, batch_size: int = 8192,
+                 with_row_id: bool = False) -> Iterator[pa.RecordBatch]:
+        for frag in self.iter_fragments(ds):
+            alive = frag.alive_offsets()
+            for s in range(0, alive.size, batch_size):
+                offs = alive[s : s + batch_size]
+                data = frag.take_physical(offs, columns or ds.schema.names)
+                arrays = {n: c.to_arrow() for n, c in data.items()}
+                if with_row_id:
+                    arrays["_rowid"] = pa.array(
+                        (np.uint64(frag.id) << np.uint64(32)) | offs.astype(np.uint64),
+                        type=pa.uint64())
+                yield pa.record_batch(arrays)
+
+
+class FullScanSampler(FragmentSampler):
+    def iter_fragments(self, ds):
+        yield from ds.get_fragments()
+
+
+class ShardedFragmentSampler(FragmentSampler):
+    """Each rank reads fragments rank, rank+world, rank+2*world, ...
+    (reference sampler.py:330)."""
+
+    def __init__(self, rank: int, world_size: int, randomize: bool = False, seed: int = 0):
+        self.rank = rank
+        self.world_size = world_size
+        self.randomize = randomize
+        self.seed = seed
+
+    def iter_fragments(self, ds):
+        frags = ds.get_fragments()
+        if self.randomize:
+            rng = np.random.default_rng(self.seed)
+            frags = [frags[i] for i in rng.permutation(len(frags))]
+        for i in range(self.rank, len(frags), self.world_size):
+            yield frags[i]
+
+
+class ShardedBatchSampler:
+    """Each rank reads batches rank, rank+world, ... — finer-grained than
+    fragment sharding (reference sampler.py:387)."""
+
+    def __init__(self, rank: int, world_size: int, randomize: bool = False, seed: int = 0):
+        self.rank = rank
+        self.world_size = world_size
+        self.randomize = randomize
+        self.seed = seed
+
+    def __call__(self, ds, columns=None, batch_size: int = 8192) -> Iterator[pa.RecordBatch]:
+        total = ds.count_rows()
+        n_batches = -(-total // batch_size)
+        order = np.arange(n_batches)
+        if self.randomize:
+            order = np.random.default_rng(self.seed).permutation(n_batches)
+        mine = order[self.rank :: self.world_size] if not self.randomize else order[
+            self.rank :: self.world_size
+        ]
+        for b in mine:
+            start = int(b) * batch_size
+            count = min(batch_size, total - start)
+            idx = np.arange(start, start + count)
+            table = ds.take(idx, columns=columns)
+            for rb in table.to_batches():
+                yield rb

@@ -1,0 +1,103 @@
+"""PyTorch data loading (CPU torch; TPU training consumes numpy/jax arrays).
+
+Re-design of reference lance.torch.data (python/python/lance/torch/
+data.py:177 LanceDataset IterableDataset with rank/world sharding, :393
+SafeLanceDataset map-style). Import of torch is deferred so the core
+framework never depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+def _to_tensors(batch, device=None):
+    import torch
+
+    out = {}
+    for name in batch.schema.names:
+        col = batch.column(name)
+        try:
+            np_arr = col.to_numpy(zero_copy_only=False)
+            if np_arr.dtype == object:  # FSL -> stack; strings -> keep list
+                first = np_arr[0] if len(np_arr) else None
+                if isinstance(first, np.ndarray):
+                    np_arr = np.stack(np_arr)
+                else:
+                    out[name] = np_arr.tolist()
+                    continue
+            out[name] = torch.from_numpy(np.ascontiguousarray(np_arr))
+        except Exception:
+            out[name] = col.to_pylist()
+    return out
+
+
+class TorchLanceDataset:
+    """IterableDataset over a lance_tpu dataset (reference torch/data.py:177)."""
+
+    def __init__(self, ds, columns=None, batch_size: int = 1024,
+                 rank: int | None = None, world_size: int | None = None,
+                 shuffle: bool = False, seed: int = 0,
+                 filter: str | None = None, with_row_id: bool = False):
+        self.ds = ds
+        self.columns = columns
+        self.batch_size = batch_size
+        self.rank = rank
+        self.world_size = world_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.filter = filter
+        self.with_row_id = with_row_id
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.filter is not None:
+            sc = self.ds.scanner().batch_size(self.batch_size)
+            if self.columns:
+                sc.project(self.columns)
+            sc.filter(self.filter)
+            if self.with_row_id:
+                sc.with_row_id()
+            for batch in sc.to_batches():
+                yield _to_tensors(batch)
+            return
+        from .sampler import FullScanSampler, ShardedFragmentSampler
+
+        if self.rank is not None and self.world_size is not None:
+            sampler = ShardedFragmentSampler(self.rank, self.world_size,
+                                             randomize=self.shuffle, seed=self.seed)
+        else:
+            sampler = FullScanSampler()
+        for batch in sampler(self.ds, self.columns, self.batch_size, self.with_row_id):
+            yield _to_tensors(batch)
+
+
+class SafeLanceDataset:
+    """Map-style dataset safe across fork-based dataloader workers
+    (reference torch/data.py:393): holds only the uri; opens lazily
+    per-process."""
+
+    def __init__(self, uri: str, columns=None):
+        self.uri = uri
+        self.columns = columns
+        self._ds = None
+        self._len = None
+
+    def _dataset(self):
+        if self._ds is None:
+            import lance_tpu
+
+            self._ds = lance_tpu.dataset(self.uri)
+        return self._ds
+
+    def __len__(self) -> int:
+        if self._len is None:
+            self._len = self._dataset().count_rows()
+        return self._len
+
+    def __getitem__(self, idx):
+        if isinstance(idx, int):
+            idx = [idx]
+        table = self._dataset().take(idx, columns=self.columns)
+        return _to_tensors(table.to_batches()[0])

@@ -1,0 +1,93 @@
+"""Tracing / metrics: spans on hot paths + chrome://tracing export.
+
+Re-design of the reference tracing surface (rust `tracing` spans +
+python/python/lance/tracing.py trace_to_chrome/capture_trace_events, and the
+per-query ScanStats / MetricsCollector in lance-index/src/metrics.rs).
+Python-side spans are cheap (perf_counter pairs); device-side timing is the
+XLA profiler's job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from contextlib import contextmanager
+from typing import Callable
+
+_events: list[dict] = []
+_callbacks: list[Callable[[dict], None]] = []
+_enabled = bool(os.environ.get("LANCE_TPU_TRACE"))
+_lock = threading.Lock()
+
+
+def enable(v: bool = True) -> None:
+    global _enabled
+    _enabled = v
+
+
+@contextmanager
+def span(name: str, **attrs):
+    if not _enabled:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dur = time.perf_counter() - t0
+        ev = {
+            "name": name,
+            "ph": "X",
+            "ts": t0 * 1e6,
+            "dur": dur * 1e6,
+            "pid": os.getpid(),
+            "tid": threading.get_ident() % 100000,
+            "args": attrs,
+        }
+        with _lock:
+            _events.append(ev)
+            for cb in _callbacks:
+                cb(ev)
+
+
+def capture_trace_events(callback: Callable[[dict], None]) -> None:
+    """Register a callback receiving every span event
+    (reference: lance.tracing.capture_trace_events)."""
+    enable(True)
+    with _lock:
+        _callbacks.append(callback)
+
+
+def trace_to_chrome(path: str) -> Callable[[], None]:
+    """Record spans; returns a finish() that writes chrome://tracing JSON
+    (reference: lance.tracing.trace_to_chrome)."""
+    enable(True)
+
+    def finish():
+        with _lock:
+            data = {"traceEvents": list(_events)}
+        with open(path, "w") as f:
+            json.dump(data, f)
+
+    return finish
+
+
+class MetricsCollector:
+    """Per-query search metrics (reference lance-index/src/metrics.rs)."""
+
+    def __init__(self):
+        self.partitions_loaded = 0
+        self.comparisons = 0
+        self.parts_probed = 0
+        self.iops = 0
+
+    def record_part_probed(self, n: int = 1):
+        self.parts_probed += n
+
+    def record_comparisons(self, n: int):
+        self.comparisons += n
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)

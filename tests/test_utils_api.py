@@ -1,0 +1,207 @@
+"""Python API parity: samplers, datagen, tracing, CLI, namespace, distributed
+index build protocol, standalone file API."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.utils.datagen import (
+    Cycle,
+    DataGen,
+    RandomFloat,
+    RandomInt,
+    RandomString,
+    RandomVector,
+    Step,
+)
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://util-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def test_datagen():
+    gen = (DataGen(seed=1)
+           .col("id", Step())
+           .col("x", RandomFloat())
+           .col("v", RandomVector(8, clustered=4))
+           .col("s", RandomString(null_prob=0.2))
+           .col("c", Cycle(["a", "b"])))
+    t = gen.table(100)
+    assert t.num_rows == 100
+    assert np.asarray(t["id"]).tolist() == list(range(100))
+    assert t["v"].type == pa.list_(pa.float32(), 8)
+    assert t["c"].to_pylist()[:4] == ["a", "b", "a", "b"]
+    # deterministic
+    t2 = (DataGen(seed=1).col("id", Step()).col("x", RandomFloat())
+          .col("v", RandomVector(8, clustered=4)).col("s", RandomString(null_prob=0.2))
+          .col("c", Cycle(["a", "b"]))).table(100)
+    assert t.equals(t2)
+
+
+def test_samplers():
+    from lance_tpu.utils.sampler import (
+        FullScanSampler,
+        ShardedBatchSampler,
+        ShardedFragmentSampler,
+        maybe_sample,
+    )
+
+    uri = _uri("sampler")
+    ds = lt.write_dataset(
+        {"id": np.arange(100, dtype=np.int64)}, uri,
+        params=lt.WriteParams(max_rows_per_file=25),
+    )
+    sample = maybe_sample(ds, 10)
+    assert sample.num_rows == 10
+    # rank sharding covers everything exactly once
+    seen = []
+    for rank in range(2):
+        s = ShardedFragmentSampler(rank, 2)
+        for b in s(ds, ["id"], batch_size=10):
+            seen.extend(np.asarray(b["id"]).tolist())
+    assert sorted(seen) == list(range(100))
+    seen2 = []
+    for rank in range(2):
+        s = ShardedBatchSampler(rank, 2)
+        for b in s(ds, ["id"], batch_size=30):
+            seen2.extend(np.asarray(b["id"]).tolist())
+    assert sorted(seen2) == list(range(100))
+    full = FullScanSampler()
+    got = sum(b.num_rows for b in full(ds, ["id"], 33))
+    assert got == 100
+
+
+def test_torch_dataset():
+    torch = pytest.importorskip("torch")
+    from lance_tpu.utils.torch_data import SafeLanceDataset, TorchLanceDataset
+
+    uri = _uri("torch")
+    rng = np.random.default_rng(0)
+    ds = lt.write_dataset(
+        {"vec": rng.normal(size=(50, 4)).astype(np.float32),
+         "label": np.arange(50, dtype=np.int64)}, uri,
+        params=lt.WriteParams(max_rows_per_file=20),
+    )
+    tds = TorchLanceDataset(ds, batch_size=16)
+    batches = list(tds)
+    assert sum(b["label"].shape[0] for b in batches) == 50
+    assert batches[0]["vec"].shape[1] == 4
+    assert batches[0]["vec"].dtype == torch.float32
+    # sharded
+    n = 0
+    for rank in range(2):
+        for b in TorchLanceDataset(ds, rank=rank, world_size=2, batch_size=16):
+            n += b["label"].shape[0]
+    assert n == 50
+    # map-style
+    safe = SafeLanceDataset(uri)
+    assert len(safe) == 50
+    item = safe[7]
+    assert item["label"].item() == 7
+
+
+def test_tracing():
+    from lance_tpu.utils import tracing
+
+    events = []
+    tracing.capture_trace_events(events.append)
+    with tracing.span("unit-test", foo=1):
+        pass
+    assert events and events[-1]["name"] == "unit-test"
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "trace.json")
+    finish = tracing.trace_to_chrome(path)
+    with tracing.span("second"):
+        pass
+    finish()
+    data = json.load(open(path))
+    assert any(e["name"] == "second" for e in data["traceEvents"])
+    tracing.enable(False)
+
+
+def test_cli(capsys, tmp_path):
+    from lance_tpu.cli import main
+
+    uri = str(tmp_path / "clids.lance")
+    ds = lt.write_dataset({"id": np.arange(10, dtype=np.int64),
+                           "s": pa.array([f"r{i}" for i in range(10)])}, uri)
+    assert main(["inspect", uri]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["num_rows"] == 10
+    assert main(["versions", uri]) == 0
+    assert capsys.readouterr().out.strip() == "1"
+    assert main(["query", uri, "--filter", "id = 3", "--columns", "s"]) == 0
+    assert "r3" in capsys.readouterr().out
+    data_file = out["fragments"][0]["files"][0]
+    assert main(["file-meta", f"{uri}/{data_file}"]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["num_rows"] == 10
+
+
+def test_namespace():
+    from lance_tpu.namespace import connect
+
+    ns = connect(_uri("ns"))
+    assert ns.list_tables() == []
+    ns.create_table("t1", {"a": np.arange(5, dtype=np.int64)})
+    ns.create_table("t2", {"b": np.arange(3, dtype=np.int64)})
+    assert ns.list_tables() == ["t1", "t2"]
+    t = ns.open_table("t1")
+    assert t.count_rows() == 5
+    ns.drop_table("t1")
+    assert ns.list_tables() == ["t2"]
+    with pytest.raises(Exception):
+        ns.open_table("t1")
+
+
+def test_distributed_index_build_protocol():
+    from lance_tpu.indices.builder import IndicesBuilder
+
+    rng = np.random.default_rng(0)
+    uri = _uri("dist")
+    vecs = rng.normal(size=(2000, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(2000, dtype=np.int64)}, uri,
+                          params=lt.WriteParams(max_rows_per_file=500))
+    frag_ids = [f.id for f in ds.manifest.fragments]
+    assert len(frag_ids) == 4
+
+    b = IndicesBuilder(ds, "vec")
+    centroids = b.train_ivf(num_partitions=8, max_iters=5)
+    codebook = b.train_pq(centroids, num_sub_vectors=4, num_bits=8)
+    # two "workers" encode disjoint fragment subsets
+    p1 = b.transform_vectors(centroids, codebook, fragment_ids=frag_ids[:2])
+    p2 = b.transform_vectors(centroids, codebook, fragment_ids=frag_ids[2:])
+    ds2 = b.load_shuffled_vectors([p1, p2], centroids, codebook)
+    meta = ds2.list_indices()[0]
+    assert meta.index_type == "IVF_PQ"
+    assert sorted(meta.fragment_ids) == frag_ids
+    # search works with decent quality
+    q = vecs[3]
+    t = ds2.scanner().nearest("vec", q, k=5, nprobes=8, refine_factor=8).to_table()
+    assert np.asarray(t["id"])[0] == 3
+
+
+def test_standalone_file_api(tmp_path):
+    """Reference: python LanceFileReader/Writer (python/python/lance/file.py:54)."""
+    from lance_tpu.file.reader import FileReader
+    from lance_tpu.file.writer import FileWriter
+    from lance_tpu.io.object_store import LocalStore
+    from lance_tpu.schema import Schema
+
+    store = LocalStore(str(tmp_path))
+    schema = Schema.from_arrow(pa.schema([("a", pa.int64()), ("b", pa.string())]))
+    w = FileWriter(store, "standalone.ltpf", schema)
+    w.write_batch({"a": np.arange(100, dtype=np.int64),
+                   "b": pa.array([f"s{i}" for i in range(100)])})
+    w.finish()
+    r = FileReader(store, "standalone.ltpf")
+    assert r.num_rows == 100
+    t = r.take_table(np.array([5, 50]))
+    assert t["b"].to_pylist() == ["s5", "s50"]
