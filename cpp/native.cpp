@@ -1,0 +1,241 @@
+// lance_tpu native kernels: bitpacking, FSST string compression, range gather.
+//
+// Native host-side counterparts of the reference's compression crates
+// (reference: rust/compression/bitpacking — SIMD bit-width packing;
+// rust/compression/fsst — the FSST symbol-table string codec from the
+// "FSST: Fast Random Access String Compression" paper) and the reader's
+// ranged-read assembly. The device compute path is JAX/XLA; these kernels
+// feed it: decode must be fast enough to saturate the H2D pipe.
+//
+// C ABI only (loaded via ctypes). All formats little-endian.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <algorithm>
+#include <map>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// bitpacking: values packed LSB-first at `bits` per value (layout-compatible
+// with numpy packbits(bitorder="little") of the per-value bit expansion).
+// ---------------------------------------------------------------------------
+
+void bitpack_encode_u64(const uint64_t* in, int64_t n, int bits, uint8_t* out) {
+  // out must be zeroed, size >= ceil(n*bits/8)
+  int64_t bitpos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t v = in[i];
+    int64_t byte = bitpos >> 3;
+    int shift = (int)(bitpos & 7);
+    // write up to 64+7 bits: do it in <=9 byte-chunks
+    uint64_t lo = v << shift;
+    out[byte + 0] |= (uint8_t)(lo);
+    out[byte + 1] |= (uint8_t)(lo >> 8);
+    out[byte + 2] |= (uint8_t)(lo >> 16);
+    out[byte + 3] |= (uint8_t)(lo >> 24);
+    out[byte + 4] |= (uint8_t)(lo >> 32);
+    out[byte + 5] |= (uint8_t)(lo >> 40);
+    out[byte + 6] |= (uint8_t)(lo >> 48);
+    out[byte + 7] |= (uint8_t)(lo >> 56);
+    if (shift + bits > 64) {
+      out[byte + 8] |= (uint8_t)(v >> (64 - shift));
+    }
+    bitpos += bits;
+  }
+}
+
+void bitpack_decode_u64(const uint8_t* in, int64_t n, int bits, uint64_t* out) {
+  const uint64_t mask = bits >= 64 ? ~0ULL : ((1ULL << bits) - 1);
+  int64_t bitpos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t byte = bitpos >> 3;
+    int shift = (int)(bitpos & 7);
+    uint64_t lo;
+    std::memcpy(&lo, in + byte, 8);  // callers pad input by 8 bytes
+    uint64_t v = lo >> shift;
+    if (shift + bits > 64) {
+      uint64_t hi = (uint64_t)in[byte + 8];
+      v |= hi << (64 - shift);
+    }
+    out[i] = v & mask;
+    bitpos += bits;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// range gather: assemble dst from (offset, len) slices of src
+// ---------------------------------------------------------------------------
+
+void gather_ranges(const uint8_t* src, const int64_t* offsets, const int64_t* lens,
+                   int64_t n, uint8_t* dst) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; i++) {
+    std::memcpy(dst + pos, src + offsets[i], (size_t)lens[i]);
+    pos += lens[i];
+  }
+}
+
+void gather_fixed_stride(const uint8_t* src, const int64_t* indices, int64_t n,
+                         int64_t stride, uint8_t* dst) {
+  for (int64_t i = 0; i < n; i++) {
+    std::memcpy(dst + i * stride, src + indices[i] * stride, (size_t)stride);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// FSST: symbol-table string compression (up to 255 symbols of 1..8 bytes,
+// byte 255 escapes a literal). Table built by iterative pair-merging over a
+// sample, as in the FSST paper (simplified: fewer iterations, exact greedy
+// encode).
+// ---------------------------------------------------------------------------
+
+struct FsstTable {
+  // symbol i: len[i] bytes at sym[i*8]
+  uint8_t sym[255 * 8];
+  uint8_t len[255];
+  int n_symbols;
+};
+
+// greedy encode using a first-byte bucket index; returns compressed size
+static int64_t fsst_encode_with(const FsstTable& t, const uint8_t* in, int64_t n,
+                                uint8_t* out, int16_t* first_byte_head,
+                                int16_t* next_in_bucket) {
+  int64_t o = 0, i = 0;
+  while (i < n) {
+    int best = -1, best_len = 0;
+    for (int16_t s = first_byte_head[in[i]]; s >= 0; s = next_in_bucket[s]) {
+      int l = t.len[s];
+      if (l > best_len && i + l <= n && std::memcmp(t.sym + s * 8, in + i, l) == 0) {
+        best = s; best_len = l;
+      }
+    }
+    if (best >= 0) {
+      out[o++] = (uint8_t)best;
+      i += best_len;
+    } else {
+      out[o++] = 255;
+      out[o++] = in[i++];
+    }
+  }
+  return o;
+}
+
+static void build_buckets(const FsstTable& t, int16_t* first_byte_head,
+                          int16_t* next_in_bucket) {
+  for (int b = 0; b < 256; b++) first_byte_head[b] = -1;
+  for (int s = 0; s < t.n_symbols; s++) {
+    uint8_t b = t.sym[s * 8];
+    next_in_bucket[s] = first_byte_head[b];
+    first_byte_head[b] = (int16_t)s;
+  }
+}
+
+// Build table from sample. Returns serialized table size.
+// table_out layout: u8 n_symbols, then per symbol: u8 len + len bytes.
+int64_t fsst_train(const uint8_t* sample, int64_t n, uint8_t* table_out) {
+  FsstTable t;
+  t.n_symbols = 0;
+  int16_t head[256], nxt[255];
+
+  for (int iter = 0; iter < 4; iter++) {
+    build_buckets(t, head, nxt);
+    // encode sample with current table, counting symbol + adjacent-pair freq
+    std::map<std::string, int64_t> gain;
+    int64_t i = 0;
+    std::string prev;
+    while (i < n) {
+      int best = -1, best_len = 0;
+      for (int16_t s = head[sample[i]]; s >= 0; s = nxt[s]) {
+        int l = t.len[s];
+        if (l > best_len && i + l <= n &&
+            std::memcmp(t.sym + s * 8, sample + i, l) == 0) {
+          best = s; best_len = l;
+        }
+      }
+      std::string cur;
+      if (best >= 0) {
+        cur.assign((const char*)t.sym + best * 8, t.len[best]);
+      } else {
+        cur.assign((const char*)sample + i, 1);
+        best_len = 1;
+      }
+      // gain of a symbol ~ (len-1) per use; merged pair gains more
+      gain[cur] += (int64_t)cur.size();
+      if (!prev.empty() && prev.size() + cur.size() <= 8) {
+        gain[prev + cur] += (int64_t)(prev.size() + cur.size());
+      }
+      prev = cur;
+      i += best_len;
+    }
+    // pick top-255 by gain*(len) favoring longer symbols
+    std::vector<std::pair<int64_t, std::string>> cand;
+    cand.reserve(gain.size());
+    for (auto& kv : gain) {
+      if (kv.first.size() >= 1)
+        cand.push_back({kv.second * (int64_t)kv.first.size(), kv.first});
+    }
+    std::sort(cand.begin(), cand.end(),
+              [](auto& a, auto& b) { return a.first > b.first; });
+    t.n_symbols = 0;
+    for (auto& c : cand) {
+      if (t.n_symbols >= 255) break;
+      if (c.second.size() > 8) continue;
+      t.len[t.n_symbols] = (uint8_t)c.second.size();
+      std::memcpy(t.sym + t.n_symbols * 8, c.second.data(), c.second.size());
+      t.n_symbols++;
+    }
+  }
+
+  // serialize
+  int64_t o = 0;
+  table_out[o++] = (uint8_t)t.n_symbols;
+  for (int s = 0; s < t.n_symbols; s++) {
+    table_out[o++] = t.len[s];
+    std::memcpy(table_out + o, t.sym + s * 8, t.len[s]);
+    o += t.len[s];
+  }
+  return o;
+}
+
+static FsstTable fsst_load(const uint8_t* table, int64_t* consumed) {
+  FsstTable t;
+  int64_t o = 0;
+  t.n_symbols = table[o++];
+  for (int s = 0; s < t.n_symbols; s++) {
+    t.len[s] = table[o++];
+    std::memcpy(t.sym + s * 8, table + o, t.len[s]);
+    o += t.len[s];
+  }
+  if (consumed) *consumed = o;
+  return t;
+}
+
+// returns compressed size; out must hold 2*n bytes worst case
+int64_t fsst_compress(const uint8_t* table, const uint8_t* in, int64_t n, uint8_t* out) {
+  FsstTable t = fsst_load(table, nullptr);
+  int16_t head[256], nxt[255];
+  build_buckets(t, head, nxt);
+  return fsst_encode_with(t, in, n, out, head, nxt);
+}
+
+// returns decompressed size; out must hold the known raw size
+int64_t fsst_decompress(const uint8_t* table, const uint8_t* in, int64_t n, uint8_t* out) {
+  FsstTable t = fsst_load(table, nullptr);
+  int64_t o = 0, i = 0;
+  while (i < n) {
+    uint8_t c = in[i++];
+    if (c == 255) {
+      out[o++] = in[i++];
+    } else {
+      std::memcpy(out + o, t.sym + (int64_t)c * 8, t.len[c]);
+      o += t.len[c];
+    }
+  }
+  return o;
+}
+
+}  // extern "C"

@@ -45,7 +45,12 @@ def decode_plain(data: bytes, desc: dict) -> np.ndarray:
 
 
 def encode_bitpack(values: np.ndarray) -> tuple[bytes, dict] | None:
-    """Frame-of-reference bitpacking for integers; None if not beneficial."""
+    """Frame-of-reference bitpacking for integers; None if not beneficial.
+
+    Hot loop runs in C++ when available (cpp/native.cpp bitpack_encode_u64,
+    layout-identical to the numpy fallback)."""
+    from .. import native
+
     if values.dtype.kind not in "iu" or values.size == 0:
         return None
     vmin = int(values.min())
@@ -55,24 +60,17 @@ def encode_bitpack(values: np.ndarray) -> tuple[bytes, dict] | None:
     if bits >= values.dtype.itemsize * 8 - 1:
         return None
     shifted = (values.astype(np.int64) - vmin).astype(np.uint64)
-    # pack into a flat bit array (vectorized via unpackbits-style expansion)
-    n = values.size
-    bit_idx = np.arange(bits, dtype=np.uint64)
-    # bits little-endian within each value
-    expanded = ((shifted[:, None] >> bit_idx[None, :]) & 1).astype(np.uint8)
-    flat = expanded.reshape(-1)
-    packed = np.packbits(flat, bitorder="little")
+    data = native.bitpack_encode(shifted, bits)
     desc = {"c": "bitpack", "bits": bits, "dtype": values.dtype.newbyteorder("<").str,
-            "min": vmin, "n": n}
-    return packed.tobytes(), desc
+            "min": vmin, "n": int(values.size)}
+    return data, desc
 
 
 def decode_bitpack(data: bytes, desc: dict) -> np.ndarray:
+    from .. import native
+
     bits, n, vmin = desc["bits"], desc["n"], desc["min"]
-    flat = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")[: n * bits]
-    expanded = flat.reshape(n, bits).astype(np.uint64)
-    bit_idx = np.arange(bits, dtype=np.uint64)
-    vals = (expanded << bit_idx[None, :]).sum(axis=1).astype(np.int64) + vmin
+    vals = native.bitpack_decode(data, n, bits).astype(np.int64) + vmin
     return vals.astype(np.dtype(desc["dtype"]))
 
 
@@ -156,10 +154,33 @@ def decode_zstd(data: bytes, desc: dict) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def encode_fsst(data: bytes) -> tuple[bytes, dict] | None:
+    """FSST string compression (native; reference compression/fsst)."""
+    from .. import native
+
+    if not native.available() or len(data) < 4096:
+        return None
+    table = native.fsst_train(data)
+    comp = native.fsst_compress(table, data)
+    if comp is None or len(comp) + len(table) >= 0.85 * len(data):
+        return None
+    desc = {"c": "fsst", "table": base64.b64encode(table).decode(), "raw_len": len(data)}
+    return comp, desc
+
+
+def decode_fsst(data: bytes, desc: dict) -> bytes:
+    from .. import native
+
+    table = base64.b64decode(desc["table"])
+    return native.fsst_decompress(table, data, desc["raw_len"])
+
+
 def decode_buffer(data: bytes, desc: dict) -> np.ndarray:
     c = desc["c"]
     if c == "zstd":
         return decode_buffer(decode_zstd(data, desc), desc["inner"])
+    if c == "fsst":
+        return np.frombuffer(decode_fsst(data, desc), dtype=np.uint8)
     if c == "plain":
         return decode_plain(data, desc)
     if c == "bitpack":

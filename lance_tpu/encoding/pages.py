@@ -232,8 +232,15 @@ def encode_page(col: ColumnData, compression: str = "auto",
         buffers.append(odata)
         bufdescs.append({"role": "offsets", "desc": odesc, "len": len(odata)})
         bdata = col.values.tobytes()
+        bdesc = {"c": "plain", "dtype": "|u1"}
+        if compression in ("auto", "zstd"):
+            from .buffers import encode_fsst
+
+            fsst = encode_fsst(bdata)
+            if fsst is not None:
+                bdata, bdesc = fsst
         buffers.append(bdata)
-        bufdescs.append({"role": "bytes", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(bdata)})
+        bufdescs.append({"role": "bytes", "desc": bdesc, "len": len(bdata)})
         desc["layout"] = "varbin"
     else:  # fixed
         if compression == "none" or col.values.dtype.kind == "f" and col.fsl_dim > 1:
@@ -309,7 +316,7 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         oi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "offsets")
         bi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "bytes")
         offsets = decode_buffer(bufs[oi], desc["buffers"][oi]["desc"]).astype(np.int64)
-        raw = np.frombuffer(bufs[bi], dtype=np.uint8)
+        raw = decode_buffer(bufs[bi], desc["buffers"][bi]["desc"]).view(np.uint8)
         return ColumnData("varbin", rows, raw, offsets, validity, 1, arrow_type)
 
     if layout == "direct":

@@ -212,6 +212,9 @@ class FileReader:
         if layout == "varbin":
             ob = next(x for x in desc["buffers"] if x["role"] == "offsets")
             bb = next(x for x in desc["buffers"] if x["role"] == "bytes")
+            if bb["desc"].get("c") != "plain":
+                # compressed byte payload (e.g. FSST): no direct addressing
+                return self._read_page(desc, arrow_type).take(local)
             # read offset pairs
             oranges = [(ob["off"] + int(i) * 8, 16) for i in local]
             merged, mapping = _coalesce(oranges)

@@ -1,0 +1,172 @@
+"""ctypes loader for the C++ native kernels (cpp/native.cpp).
+
+Compiles on first use (g++ -O3 -shared) and caches the .so next to the
+source; every entry point has a pure-numpy fallback so the framework works
+without a toolchain. `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+_CPP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cpp")
+_SRC = os.path.join(_CPP_DIR, "native.cpp")
+_SO = os.path.join(_CPP_DIR, "libnative.so")
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                     _SRC, "-o", _SO],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_SO)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            lib.bitpack_encode_u64.argtypes = [u64p, ctypes.c_int64, ctypes.c_int, u8p]
+            lib.bitpack_decode_u64.argtypes = [u8p, ctypes.c_int64, ctypes.c_int, u64p]
+            lib.gather_ranges.argtypes = [u8p, i64p, i64p, ctypes.c_int64, u8p]
+            lib.gather_fixed_stride.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p]
+            lib.fsst_train.argtypes = [u8p, ctypes.c_int64, u8p]
+            lib.fsst_train.restype = ctypes.c_int64
+            lib.fsst_compress.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+            lib.fsst_compress.restype = ctypes.c_int64
+            lib.fsst_decompress.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+            lib.fsst_decompress.restype = ctypes.c_int64
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+# ---------------------------------------------------------------------------
+# bitpacking
+# ---------------------------------------------------------------------------
+
+
+def bitpack_encode(values: np.ndarray, bits: int) -> bytes:
+    """values: uint64 (already frame-of-reference shifted)."""
+    lib = _load()
+    n = values.size
+    nbytes = (n * bits + 7) // 8
+    if lib is not None:
+        values = np.ascontiguousarray(values, dtype=np.uint64)
+        out = np.zeros(nbytes + 9, dtype=np.uint8)  # slack for 8-byte writes
+        lib.bitpack_encode_u64(
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n, bits, _u8(out))
+        return out[:nbytes].tobytes()
+    # numpy fallback
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    expanded = ((values[:, None] >> bit_idx[None, :]) & 1).astype(np.uint8)
+    return np.packbits(expanded.reshape(-1), bitorder="little").tobytes()
+
+
+def bitpack_decode(data: bytes, n: int, bits: int) -> np.ndarray:
+    """-> uint64 values."""
+    lib = _load()
+    if lib is not None:
+        src = np.frombuffer(data, dtype=np.uint8)
+        padded = np.zeros(src.size + 16, dtype=np.uint8)
+        padded[: src.size] = src
+        out = np.empty(n, dtype=np.uint64)
+        lib.bitpack_decode_u64(
+            _u8(padded), n, bits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out
+    flat = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")[: n * bits]
+    expanded = flat.reshape(n, bits).astype(np.uint64)
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    return (expanded << bit_idx[None, :]).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# FSST
+# ---------------------------------------------------------------------------
+
+_FSST_SAMPLE = 1 << 16
+
+
+def fsst_train(data: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        return b""
+    sample = data[:_FSST_SAMPLE]
+    src = np.frombuffer(sample, dtype=np.uint8)
+    table = np.zeros(1 + 255 * 9, dtype=np.uint8)
+    n = lib.fsst_train(_u8(src), src.size, _u8(table))
+    return table[:n].tobytes()
+
+
+def fsst_compress(table: bytes, data: bytes) -> bytes | None:
+    lib = _load()
+    if lib is None or not table:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    tbl = np.frombuffer(table, dtype=np.uint8)
+    out = np.empty(2 * src.size + 16, dtype=np.uint8)
+    n = lib.fsst_compress(_u8(tbl), _u8(src), src.size, _u8(out))
+    return out[:n].tobytes()
+
+
+def fsst_decompress(table: bytes, data: bytes, raw_len: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("fsst decode requires the native library")
+    src = np.frombuffer(data, dtype=np.uint8)
+    tbl = np.frombuffer(table, dtype=np.uint8)
+    out = np.empty(raw_len + 8, dtype=np.uint8)
+    n = lib.fsst_decompress(_u8(tbl), _u8(src), src.size, _u8(out))
+    return out[:n].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# gathers
+# ---------------------------------------------------------------------------
+
+
+def gather_ranges(src: np.ndarray, offsets: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    lib = _load()
+    total = int(lens.sum())
+    if lib is not None:
+        src = np.ascontiguousarray(src.view(np.uint8))
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        out = np.empty(total, dtype=np.uint8)
+        lib.gather_ranges(_u8(src),
+                          offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                          lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                          offsets.size, _u8(out))
+        return out
+    out = np.empty(total, dtype=np.uint8)
+    pos = 0
+    for o, l in zip(offsets, lens):
+        out[pos : pos + l] = src[o : o + l]
+        pos += l
+    return out
