@@ -232,15 +232,46 @@ def encode_page(col: ColumnData, compression: str = "auto",
         buffers.append(odata)
         bufdescs.append({"role": "offsets", "desc": odesc, "len": len(odata)})
         bdata = col.values.tobytes()
-        bdesc = {"c": "plain", "dtype": "|u1"}
-        if compression in ("auto", "zstd"):
-            from .buffers import encode_fsst
+        # FSST with per-chunk compression + a shared symbol table: random
+        # access reads only the chunk(s) covering the requested rows
+        # (reference: FullZip/mini-block structural split for strings)
+        chunked = None
+        if compression in ("auto", "zstd") and len(bdata) >= 8192:
+            from .. import native
 
-            fsst = encode_fsst(bdata)
-            if fsst is not None:
-                bdata, bdesc = fsst
-        buffers.append(bdata)
-        bufdescs.append({"role": "bytes", "desc": bdesc, "len": len(bdata)})
+            if native.available():
+                table = native.fsst_train(bdata)
+                chunk_entries = []
+                comp_total = len(table)
+                rpc = rows_per_chunk // 4 or 1
+                ok = bool(table)
+                for r0 in range(0, col.num_rows, rpc):
+                    r1 = min(r0 + rpc, col.num_rows)
+                    b0, b1 = int(col.offsets[r0]), int(col.offsets[r1])
+                    raw = bdata[b0:b1]
+                    comp = native.fsst_compress(table, raw)
+                    if comp is None:
+                        ok = False
+                        break
+                    chunk_entries.append((comp, r0, b0, len(raw)))
+                    comp_total += len(comp)
+                if ok and comp_total < 0.85 * len(bdata):
+                    chunked = (table, chunk_entries)
+        if chunked is not None:
+            import base64 as _b64
+
+            table, chunk_entries = chunked
+            desc["fsst_table"] = _b64.b64encode(table).decode()
+            for comp, r0, b0, raw_len in chunk_entries:
+                buffers.append(comp)
+                bufdescs.append({
+                    "role": "bytes_chunk", "desc": {"c": "fsst_chunk", "raw_len": raw_len},
+                    "len": len(comp), "row_start": r0, "raw_start": b0,
+                })
+        else:
+            buffers.append(bdata)
+            bufdescs.append({"role": "bytes", "desc": {"c": "plain", "dtype": "|u1"},
+                             "len": len(bdata)})
         desc["layout"] = "varbin"
     else:  # fixed
         if compression == "none" or col.values.dtype.kind == "f" and col.fsl_dim > 1:
@@ -314,9 +345,21 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
 
     if layout == "varbin":
         oi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "offsets")
-        bi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "bytes")
         offsets = decode_buffer(bufs[oi], desc["buffers"][oi]["desc"]).astype(np.int64)
-        raw = decode_buffer(bufs[bi], desc["buffers"][bi]["desc"]).view(np.uint8)
+        if "fsst_table" in desc:
+            import base64 as _b64
+
+            from .. import native
+
+            table = _b64.b64decode(desc["fsst_table"])
+            parts = []
+            for i, b in enumerate(desc["buffers"]):
+                if b["role"] == "bytes_chunk":
+                    parts.append(native.fsst_decompress(table, bufs[i], b["desc"]["raw_len"]))
+            raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        else:
+            bi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "bytes")
+            raw = decode_buffer(bufs[bi], desc["buffers"][bi]["desc"]).view(np.uint8)
         return ColumnData("varbin", rows, raw, offsets, validity, 1, arrow_type)
 
     if layout == "direct":

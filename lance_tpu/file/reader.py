@@ -211,24 +211,45 @@ class FileReader:
 
         if layout == "varbin":
             ob = next(x for x in desc["buffers"] if x["role"] == "offsets")
-            bb = next(x for x in desc["buffers"] if x["role"] == "bytes")
-            if bb["desc"].get("c") != "plain":
-                # compressed byte payload (e.g. FSST): no direct addressing
-                return self._read_page(desc, arrow_type).take(local)
-            # read offset pairs
+            # read offset pairs (always direct-addressed)
             oranges = [(ob["off"] + int(i) * 8, 16) for i in local]
             merged, mapping = _coalesce(oranges)
             blobs = self.store.get_ranges(self.path, merged)
             pairs = np.empty((local.size, 2), dtype=np.int64)
             for j, (mi, delta) in enumerate(mapping):
                 pairs[j] = np.frombuffer(blobs[mi][delta : delta + 16], dtype="<i8")
-            branges = [(bb["off"] + int(s), int(e - s)) for s, e in pairs]
-            bmerged, bmapping = _coalesce(branges)
-            bblobs = self.store.get_ranges(self.path, bmerged)
             lens = (pairs[:, 1] - pairs[:, 0]).astype(np.int64)
             new_offs = np.zeros(local.size + 1, dtype=np.int64)
             np.cumsum(lens, out=new_offs[1:])
             out = np.empty(int(new_offs[-1]), dtype=np.uint8)
+
+            if "fsst_table" in desc:
+                # chunk-compressed bytes: fetch + decompress only the chunks
+                # covering the requested rows
+                import base64 as _b64
+
+                from ..native import fsst_decompress
+
+                table = _b64.b64decode(desc["fsst_table"])
+                chunks = [x for x in desc["buffers"] if x["role"] == "bytes_chunk"]
+                row_starts = np.asarray([c["row_start"] for c in chunks], dtype=np.int64)
+                ci_of = np.searchsorted(row_starts, local, side="right") - 1
+                for ci in np.unique(ci_of):
+                    c = chunks[ci]
+                    blob = self.store.get_range(self.path, c["off"], c["len"])
+                    raw = fsst_decompress(table, blob, c["desc"]["raw_len"])
+                    sel = np.flatnonzero(ci_of == ci)
+                    for j in sel:
+                        s = int(pairs[j, 0] - c["raw_start"])
+                        out[new_offs[j] : new_offs[j + 1]] = np.frombuffer(
+                            raw[s : s + lens[j]], dtype=np.uint8)
+                val = validity[local] if validity is not None else None
+                return ColumnData("varbin", local.size, out, new_offs, val, 1, arrow_type)
+
+            bb = next(x for x in desc["buffers"] if x["role"] == "bytes")
+            branges = [(bb["off"] + int(s), int(e - s)) for s, e in pairs]
+            bmerged, bmapping = _coalesce(branges)
+            bblobs = self.store.get_ranges(self.path, bmerged)
             for j, (mi, delta) in enumerate(bmapping):
                 out[new_offs[j] : new_offs[j + 1]] = np.frombuffer(
                     bblobs[mi][delta : delta + lens[j]], dtype=np.uint8

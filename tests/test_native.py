@@ -68,11 +68,15 @@ def test_fsst_in_file_format(memory_store):
     w.write_batch({"s": pa.array(strings)})
     w.finish()
     r = FileReader(memory_store, "fsst.ltpf")
-    # verify FSST actually kicked in
+    # verify chunked FSST actually kicked in
     page = r.metadata["columns"][0]["pages"][0]
-    bdesc = next(b for b in page["buffers"] if b["role"] == "bytes")
     if native.available():
-        assert bdesc["desc"]["c"] == "fsst", bdesc
+        assert "fsst_table" in page, page.keys()
+        chunks = [b for b in page["buffers"] if b["role"] == "bytes_chunk"]
+        assert len(chunks) > 1
+        comp = sum(c["len"] for c in chunks)
+        raw = chunks[-1]["raw_start"] + chunks[-1]["desc"]["raw_len"]
+        assert comp < raw * 0.85, (comp, raw)
     t = r.read_table()
     assert t["s"].to_pylist() == strings
     # take still works (falls back to page decode for compressed bytes)
