@@ -257,6 +257,54 @@ def build_ivf_index(
         w.finish()
         return {"metric": metric, "num_partitions": int(num_partitions), "dim": int(dim)}
 
+    if index_type in ("IVF_HNSW_SQ", "IVF_HNSW_PQ", "HNSW"):
+        # Graph index: global CAGRA-style graph (TPU re-design of HNSW; see
+        # models/hnsw.py) + quantized storage for beam distances.
+        from ..models.hnsw import HnswParams, build_hnsw
+        from ..ops.distance import normalize as _normalize
+
+        base = vectors
+        if metric == "cosine":
+            base = np.asarray(_normalize(dev_vectors))
+        graph = build_hnsw(base, HnswParams(), metric)
+        g_header, g_payload = graph.to_buffers()
+        if index_type == "IVF_HNSW_PQ":
+            pq = train_pq(base, PQParams(num_sub_vectors=num_sub_vectors,
+                                         num_bits=num_bits, max_iters=max_iters,
+                                         sample_rate=sample_rate),
+                          metric="l2" if metric == "cosine" else metric)
+            codes = pq_encode(pq, base)
+            code_col, code_width = PQ_CODE_COL, pq.num_sub_vectors
+            extra = [("pq_header", json.dumps({**pq.to_json(), "residual": False,
+                                               "metric": metric}).encode()),
+                     ("pq_codebook", pq.codebook_bytes())]
+        else:  # SQ storage (also the HNSW default)
+            lo = base.min(axis=0)
+            hi = base.max(axis=0)
+            scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+            codes = np.clip(np.round((base - lo) / scale * 255.0), 0, 255).astype(np.uint8)
+            code_col, code_width = SQ_CODE_COL, dim
+            extra = [("sq_bounds", lo.astype("<f4").tobytes() + scale.astype("<f4").tobytes())]
+        schema = Schema.from_arrow(pa.schema([
+            (ROWID_COL, pa.uint64()),
+            (code_col, pa.list_(pa.uint8(), code_width)),
+        ]))
+        w = FileWriter(store, path, schema, compression="none")
+        step = 1 << 17
+        for s in range(0, n, step):
+            w.write_batch({ROWID_COL: rowids[s : s + step],
+                           code_col: codes[s : s + step]})
+        w.add_global_buffer("hnsw_header", json.dumps(g_header).encode())
+        w.add_global_buffer("hnsw_data", g_payload)
+        for name_, payload_ in extra:
+            w.add_global_buffer(name_, payload_)
+        w.finish()
+        # refine cache: vectors in index row order (= read order for graphs)
+        ds.session.index_cache.put("ivf_vec", (uuid, "refine_vectors"),
+                                   jnp.asarray(base))
+        return {"metric": metric, "m": graph.deg // 2, "dim": int(dim),
+                "num_bits": num_bits}
+
     raise InvalidInputError(f"unknown vector index type {index_type}")
 
 
@@ -654,12 +702,101 @@ def _rerank(vectors, q, pos, metric, k):
     return jnp.where(found, -neg, jnp.inf), jnp.where(found, out_pos, -1)
 
 
-def open_vector_index(ds, meta: IndexMetadata) -> IvfIndex:
+class HnswIndex:
+    """Opened graph index: device-resident quantized rows + graph beam search.
+
+    Search-interface-compatible with IvfIndex (nprobes maps to beam width)."""
+
+    def __init__(self, ds, meta: IndexMetadata):
+        from ..models.hnsw import HnswGraph
+
+        self.ds = ds
+        self.meta = meta
+        path = f"{INDICES_DIR}/{meta.uuid}/{AUX_FILE}"
+        reader = FileReader(ds.store, path)
+        self.graph = HnswGraph.from_buffers(
+            json.loads(reader.read_global_buffer("hnsw_header")),
+            reader.read_global_buffer("hnsw_data"),
+        )
+        self.metric = self.graph.metric
+        self.num_rows = reader.num_rows
+        self.rowids = np.asarray(reader.read_column(ROWID_COL).values, dtype=np.uint64)
+        gbufs = reader.global_buffer_names()
+        score_f32 = jax.default_backend() == "cpu"
+        score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
+        if "pq_header" in gbufs:
+            from ..ops.pq import ProductQuantizer
+
+            pq_header = json.loads(reader.read_global_buffer("pq_header"))
+            self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
+            codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
+            codes_dev = jnp.asarray(np.ascontiguousarray(codes))
+            cb = jnp.asarray(self.pq.codebook)
+            self._rows_dev = jnp.concatenate(
+                [jnp.take(cb[mi], codes_dev[:, mi].astype(jnp.int32), axis=0)
+                 for mi in range(self.pq.num_sub_vectors)], axis=1).astype(score_dtype)
+        else:
+            self.pq = None
+            bounds = np.frombuffer(reader.read_global_buffer("sq_bounds"), dtype="<f4")
+            d = bounds.size // 2
+            lo, scale = bounds[:d], bounds[d:]
+            codes = reader.read_column(SQ_CODE_COL).to_numpy_matrix()
+            codes_dev = jnp.asarray(np.ascontiguousarray(codes))
+            self._rows_dev = (jnp.asarray(lo) + codes_dev.astype(jnp.float32)
+                              * (jnp.asarray(scale) / 255.0)).astype(score_dtype)
+        self.is_quantized = True
+        self._vectors_dev = None
+        self.max_part_len = self.graph.deg
+
+    # -- same prefilter helpers as IvfIndex ---------------------------------------
+
+    selection_mask = IvfIndex.selection_mask
+    deleted_mask = IvfIndex.deleted_mask
+    _ensure_vectors = IvfIndex._ensure_vectors
+
+    def search(self, q, k, nprobes: int = 20, refine_factor: int | None = None,
+               selection: np.ndarray | None = None, ef: int | None = None):
+        from ..models.hnsw import hnsw_search
+
+        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        ef = ef or max(k * 4, nprobes * 4, 32)
+        fetch = k if refine_factor is None else min(k * refine_factor, self.num_rows)
+        d, pos = hnsw_search(self.graph, self._rows_dev, q, min(fetch, ef), ef=ef,
+                             selection=selection)
+        if refine_factor is not None:
+            qb = q
+            d2, pos2 = _rerank(self._ensure_vectors(), jnp.asarray(qb),
+                               jnp.asarray(pos), self.metric, min(k, pos.shape[1]))
+            d, pos = np.asarray(d2), np.asarray(pos2)
+        d, pos = d[:, :k], pos[:, :k]
+        if d.shape[1] < k:
+            padw = k - d.shape[1]
+            d = np.pad(d, ((0, 0), (0, padw)), constant_values=np.inf)
+            pos = np.pad(pos, ((0, 0), (0, padw)), constant_values=-1)
+        valid = pos >= 0
+        rowids = np.where(valid, self.rowids[np.clip(pos, 0, self.num_rows - 1)],
+                          np.uint64(0xFFFFFFFFFFFFFFFF))
+        return np.where(valid, d, np.inf), rowids
+
+    def statistics(self) -> dict:
+        return {
+            "index_type": self.meta.index_type,
+            "metric": self.metric,
+            "num_indexed_rows": self.num_rows,
+            "graph_degree": self.graph.deg,
+            "num_entry_points": int(self.graph.entries.size),
+            "sub_index": "HNSW",
+            "storage": "PQ" if self.pq is not None else "SQ",
+        }
+
+
+def open_vector_index(ds, meta: IndexMetadata):
     key = (meta.uuid, "opened")
     cache = ds.session.index_cache
     idx = cache.get("ivf_index", key)
     if idx is None:
-        idx = IvfIndex(ds, meta)
+        cls = HnswIndex if "HNSW" in meta.index_type else IvfIndex
+        idx = cls(ds, meta)
         cache.put("ivf_index", key, idx)
     else:
         idx.ds = ds  # device arrays are immutable; rebind for version-aware masks

@@ -1,0 +1,208 @@
+"""Graph vector index: TPU-native re-design of HNSW.
+
+Reference HNSW (rust/lance-index/src/vector/hnsw/: HnswBuildParams
+builder.rs:49-93, serial insert :340, beam search :204) builds by inserting
+points one at a time into a layered graph — inherently sequential and
+gather-divergent, a poor fit for batch hardware. The TPU re-design keeps the
+*contract* (a navigable graph giving sub-linear search with recall knobs
+m / ef) but changes the algorithm to batch-friendly equivalents, the same
+trade CAGRA makes on GPUs:
+
+- build: exact (chunked-matmul) kNN graph + reverse-edge merge + degree
+  pruning — one big batched computation instead of N serial inserts.
+- search: fixed-iteration batched beam: every step expands the whole beam
+  (gather neighbor ids -> gather vectors -> distance matmul -> top-ef merge).
+  A handful of steps converges on kNN-graphs; no visited-set is kept
+  (revisits are wasted-but-correct work, and masking duplicates beats
+  data-dependent control flow on TPU).
+
+Recall parity with the reference is enforced by tests (recall@10 vs brute
+force), not by algorithmic identity — per SURVEY §7 "hard parts" item 3.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import Metric, preprocess_for_metric, topk_neighbors
+
+
+@dataclass(frozen=True)
+class HnswParams:
+    m: int = 16  # half the graph degree (deg = 2m, like reference level-0)
+    ef_construction: int = 64  # neighbors considered while building
+    num_entry_points: int = 16
+    search_iters: int = 6
+
+
+def build_knn_graph(vectors: np.ndarray, deg: int, metric: Metric = "l2",
+                    batch: int = 2048) -> np.ndarray:
+    """Exact kNN graph via chunked matmuls -> (N, deg) int32 (self excluded)."""
+    n = vectors.shape[0]
+    dev = jnp.asarray(vectors)
+    out = np.empty((n, deg), dtype=np.int32)
+    kk = min(deg + 1, n)
+    for s in range(0, n, batch):
+        q = dev[s : s + batch]
+        _, ids = topk_neighbors(q, dev, kk, metric,
+                                chunk=min(65536, max(128, ((n + 127) // 128) * 128)))
+        ids = np.asarray(ids)
+        for r in range(ids.shape[0]):
+            row = ids[r][ids[r] != s + r][:deg]
+            if row.size < deg:  # tiny datasets: pad with wraparound
+                row = np.resize(row, deg)
+            out[s + r] = row
+    return out
+
+
+def add_reverse_edges(graph: np.ndarray, deg: int) -> np.ndarray:
+    """Merge reverse edges (CAGRA-style): half forward + half reverse slots."""
+    n = graph.shape[0]
+    fwd_keep = deg // 2
+    merged = np.empty((n, deg), dtype=np.int32)
+    merged[:, :fwd_keep] = graph[:, :fwd_keep]
+    # reverse edges: for each edge u->v record v<-u
+    rev_lists: list[list[int]] = [[] for _ in range(n)]
+    src = np.repeat(np.arange(n, dtype=np.int32), graph.shape[1])
+    dst = graph.reshape(-1)
+    order = np.argsort(dst, kind="stable")
+    dst_sorted, src_sorted = dst[order], src[order]
+    bounds = np.searchsorted(dst_sorted, np.arange(n + 1))
+    for v in range(n):
+        rev = src_sorted[bounds[v] : bounds[v + 1]][: deg - fwd_keep]
+        slot = fwd_keep
+        for u in rev:
+            merged[v, slot] = u
+            slot += 1
+        while slot < deg:  # fill leftover slots with forward neighbors
+            merged[v, slot] = graph[v, slot - fwd_keep] if slot - fwd_keep < graph.shape[1] else graph[v, 0]
+            slot += 1
+    return merged
+
+
+class HnswGraph:
+    """neighbors: (N, deg) int32; entries: (E,) int32 seeds."""
+
+    def __init__(self, neighbors: np.ndarray, entries: np.ndarray, metric: Metric = "l2"):
+        self.neighbors = np.ascontiguousarray(neighbors, dtype=np.int32)
+        self.entries = np.ascontiguousarray(entries, dtype=np.int32)
+        self.metric = metric
+
+    @property
+    def deg(self) -> int:
+        return self.neighbors.shape[1]
+
+    def to_buffers(self) -> tuple[dict, bytes]:
+        header = {"n": int(self.neighbors.shape[0]), "deg": self.deg,
+                  "entries": int(self.entries.size), "metric": self.metric}
+        return header, self.neighbors.astype("<i4").tobytes() + self.entries.astype("<i4").tobytes()
+
+    @classmethod
+    def from_buffers(cls, header: dict, payload: bytes) -> "HnswGraph":
+        n, deg, e = header["n"], header["deg"], header["entries"]
+        nb = np.frombuffer(payload, dtype="<i4", count=n * deg).reshape(n, deg)
+        entries = np.frombuffer(payload, dtype="<i4", count=e, offset=n * deg * 4)
+        return cls(nb.copy(), entries.copy(), header["metric"])
+
+
+def build_hnsw(vectors: np.ndarray, params: HnswParams = HnswParams(),
+               metric: Metric = "l2") -> HnswGraph:
+    n = vectors.shape[0]
+    deg = min(2 * params.m, max(2, n - 1))
+    if metric == "cosine":
+        vectors = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    graph = build_knn_graph(vectors, deg, "l2" if metric == "cosine" else metric)
+    graph = add_reverse_edges(graph, deg)
+    # entry points: medoid-ish — nearest data points to k-means centroids
+    from ..ops.kmeans import train_kmeans
+
+    e = min(params.num_entry_points, n)
+    if n > e * 4:
+        km = train_kmeans(vectors, e, max_iters=8, metric="l2")
+        _, ids = topk_neighbors(jnp.asarray(km.centroids), jnp.asarray(vectors), 1, "l2")
+        entries = np.unique(np.asarray(ids)[:, 0].astype(np.int32))
+    else:
+        entries = np.arange(min(e, n), dtype=np.int32)
+    return HnswGraph(graph, entries, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "ef", "iters"))
+def _beam_search(vectors, neighbors, entries, q, selection,
+                 metric, k, ef, iters):
+    """Batched beam search. vectors (N, D); neighbors (N, deg); q (B, D)."""
+    b, dim = q.shape
+    n, deg = neighbors.shape
+    qm = preprocess_for_metric(q, metric)
+
+    def dists_to(ids):  # ids (B, C) -> (B, C) distances
+        vec = jnp.take(vectors, jnp.maximum(ids, 0), axis=0)
+        vm = preprocess_for_metric(vec, metric) if metric == "cosine" else vec
+        prod = jnp.einsum("bcd,bd->bc", vm, qm, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if metric == "dot":
+            d = -prod
+        elif metric == "cosine":
+            d = 1.0 - prod
+        else:
+            vn = jnp.sum(vm.astype(jnp.float32) ** 2, -1)
+            qn = jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True)
+            d = vn + qn - 2.0 * prod
+        return jnp.where(ids >= 0, d, jnp.inf)
+
+    init_ids = jnp.broadcast_to(entries[None, :], (b, entries.shape[0])).astype(jnp.int32)
+    init_d = dists_to(init_ids)
+    pad = ef - init_ids.shape[1] % ef if init_ids.shape[1] % ef else 0
+    beam_ids = jnp.pad(init_ids, ((0, 0), (0, max(0, ef - init_ids.shape[1]))),
+                       constant_values=-1)[:, :ef]
+    beam_d = jnp.pad(init_d, ((0, 0), (0, max(0, ef - init_d.shape[1]))),
+                     constant_values=jnp.inf)[:, :ef]
+
+    def body(carry, _):
+        ids, d = carry
+        nbrs = jnp.take(neighbors, jnp.maximum(ids, 0), axis=0)  # (B, ef, deg)
+        nbrs = jnp.where(ids[:, :, None] >= 0, nbrs, -1).reshape(b, ef * deg)
+        nd = dists_to(nbrs)
+        # mask duplicates of current beam (sort-based dedupe of candidates)
+        cat_ids = jnp.concatenate([ids, nbrs], axis=1)
+        cat_d = jnp.concatenate([d, nd], axis=1)
+        # dedupe: sort by id; equal-adjacent -> keep first (others -> inf)
+        order = jnp.argsort(cat_ids, axis=1)
+        sid = jnp.take_along_axis(cat_ids, order, axis=1)
+        sd = jnp.take_along_axis(cat_d, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1)
+        sd = jnp.where(dup, jnp.inf, sd)
+        neg, sel = jax.lax.top_k(-sd, ef)
+        new_ids = jnp.take_along_axis(sid, sel, axis=1)
+        new_d = -neg
+        new_ids = jnp.where(jnp.isfinite(new_d), new_ids, -1)
+        return (new_ids, new_d), None
+
+    (beam_ids, beam_d), _ = jax.lax.scan(body, (beam_ids, beam_d), None, length=iters)
+    if selection is not None:
+        keep = jnp.take(selection, jnp.maximum(beam_ids, 0), axis=0) & (beam_ids >= 0)
+        beam_d = jnp.where(keep, beam_d, jnp.inf)
+    neg, sel = jax.lax.top_k(-beam_d, min(k, ef))
+    out_ids = jnp.take_along_axis(beam_ids, sel, axis=1)
+    out_d = -neg
+    found = jnp.isfinite(out_d)
+    return jnp.where(found, out_d, jnp.inf), jnp.where(found, out_ids, -1)
+
+
+def hnsw_search(graph: HnswGraph, vectors, q: np.ndarray, k: int,
+                ef: int = 64, iters: int | None = None,
+                selection: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+    ef = max(ef, k)
+    iters = iters if iters is not None else HnswParams().search_iters
+    sel_dev = jnp.asarray(selection) if selection is not None else None
+    d, ids = _beam_search(
+        jnp.asarray(vectors), jnp.asarray(graph.neighbors), jnp.asarray(graph.entries),
+        jnp.asarray(q), sel_dev, graph.metric, k, ef, iters,
+    )
+    return np.asarray(d), np.asarray(ids)

@@ -127,3 +127,36 @@ def test_optimize_indices_after_append():
     q = new[7]
     t = ds.scanner().nearest("vec", q, k=1, nprobes=8).fast_search().to_table()
     assert np.asarray(t["id"])[0] == 1007
+
+
+def test_hnsw_sq_recall():
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(3000, 32)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(3000, dtype=np.int64)}, _uri("hnsw"))
+    ds = ds.create_index("vec", "IVF_HNSW_SQ", max_iters=8)
+    stats = ds.index_statistics("vec_idx")
+    assert stats["sub_index"] == "HNSW"
+    assert stats["graph_degree"] >= 16
+    recall = 0.0
+    queries = vecs[rng.choice(3000, 10)]
+    for q in queries:
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=32, refine_factor=4).to_table()
+        got = set(np.asarray(t["id"]).tolist())
+        d = ((vecs - q) ** 2).sum(1)
+        want = set(np.argsort(d)[:10].tolist())
+        recall += len(got & want) / 10
+    assert recall / 10 >= 0.85, recall / 10
+
+
+def test_hnsw_pq_and_deletes():
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(1500, 16)).astype(np.float32)
+    uri = _uri("hnswpq")
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(1500, dtype=np.int64)}, uri)
+    ds = ds.create_index("vec", "IVF_HNSW_PQ", num_sub_vectors=4, max_iters=8)
+    q = vecs[5]
+    t = ds.scanner().nearest("vec", q, k=1, nprobes=16, refine_factor=8).to_table()
+    assert np.asarray(t["id"])[0] == 5
+    ds = ds.delete("id = 5")
+    t = ds.scanner().nearest("vec", q, k=1, nprobes=16, refine_factor=8).to_table()
+    assert np.asarray(t["id"])[0] != 5
