@@ -222,6 +222,11 @@ class LanceDataset:
                        deleted_fragment_ids=deleted_ids, predicate=predicate)
         return self._commit(op)
 
+    def take_blobs(self, indices=None, column: str = None, *, addresses=None):
+        from .blob import take_blobs as _tb
+
+        return _tb(self, indices, column, addresses=addresses)
+
     def merge_insert(self, on):
         """Upsert builder (reference: MergeInsertJob / dataset.merge_insert)."""
         from .merge_insert import MergeInsertBuilder

@@ -1,0 +1,107 @@
+"""Blob columns: lazy file-like handles over large binary values.
+
+Re-design of the reference blob API (rust/lance/src/dataset/blob.rs:1-406
+take_blobs + BlobFile; python lance/blob.py): large binary values are stored
+in the varbin layout (offsets direct-addressed + bytes region), so a blob
+handle is just (file, byte_range) — reads stream straight from the object
+store without materializing the value.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from ..errors import InvalidInputError
+from ..rowids import split_addresses
+
+
+class BlobFile(io.RawIOBase):
+    """Seekable read-only file over one blob value."""
+
+    def __init__(self, store, path: str, offset: int, length: int):
+        self._store = store
+        self._path = path
+        self._offset = offset
+        self._length = length
+        self._pos = 0
+
+    def size(self) -> int:
+        return self._length
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = pos
+        elif whence == 1:
+            self._pos += pos
+        elif whence == 2:
+            self._pos = self._length + pos
+        self._pos = max(0, min(self._pos, self._length))
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n < 0:
+            n = self._length - self._pos
+        n = min(n, self._length - self._pos)
+        if n <= 0:
+            return b""
+        data = self._store.get_range(self._path, self._offset + self._pos, n)
+        self._pos += n
+        return data
+
+    def readall(self) -> bytes:
+        return self.read(-1)
+
+
+def take_blobs(ds, indices=None, column: str = None, *, ids=None, addresses=None):
+    """Lazy blob handles for rows by logical index / row address."""
+    if column is None:
+        raise InvalidInputError("take_blobs requires a column name")
+    field = ds.schema.field(column)
+    import pyarrow as pa
+
+    if not (pa.types.is_binary(field.type) or pa.types.is_large_binary(field.type)
+            or pa.types.is_string(field.type)):
+        raise InvalidInputError(f"{column} is not a binary column")
+
+    if addresses is not None:
+        addrs = np.asarray(addresses, dtype=np.uint64)
+    else:
+        idx = np.asarray(indices if indices is not None else ids, dtype=np.int64)
+        bounds = np.cumsum([0] + [f.num_rows for f in ds.manifest.fragments])
+        frag_of = np.searchsorted(bounds, idx, side="right") - 1
+        addrs = []
+        frags = ds.get_fragments()
+        for i, fi in zip(idx, frag_of):
+            local = int(i - bounds[fi])
+            phys = frags[fi].alive_offsets()[local]
+            addrs.append((np.uint64(frags[fi].id) << np.uint64(32)) | np.uint64(phys))
+        addrs = np.asarray(addrs, dtype=np.uint64)
+
+    out = []
+    frag_ids, offsets = split_addresses(addrs)
+    for fid, off in zip(frag_ids, offsets):
+        frag = ds.get_fragment(int(fid))
+        path = frag._file_for_field(column)
+        reader = frag._reader_for(path)
+        name_in_file = frag._name_in_file(reader, column)
+        rng = reader.varbin_value_range(name_in_file, int(off))
+        if rng is None:
+            # compressed or non-direct layout: materialize eagerly
+            data = reader.take(np.asarray([off]), [name_in_file])[name_in_file]
+            raw = data.values.tobytes()
+            out.append(io.BytesIO(raw))
+        else:
+            file_off, length = rng
+            out.append(BlobFile(ds.store, path, file_off, length))
+    return out

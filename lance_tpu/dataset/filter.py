@@ -79,6 +79,12 @@ class Like:
     negate: bool = False
 
 
+@dataclass
+class Func:
+    name: str
+    args: list
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -265,6 +271,16 @@ class _Parser:
         if k == "kw" and t == "null":
             return Lit(None)
         if k == "id":
+            if self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.parse_or())
+                    while self.peek() == ("op", ","):
+                        self.next()
+                        args.append(self.parse_or())
+                self.expect("op", ")")
+                return Func(t.lower(), args)
             return Col(t)
         if k == "qid":
             return Col(t[1:-1])
@@ -290,6 +306,9 @@ def referenced_columns(node) -> set[str]:
         out |= referenced_columns(node.operand)
     elif isinstance(node, (IsNull, InList, Like)):
         out |= referenced_columns(node.operand)
+    elif isinstance(node, Func):
+        for a in node.args:
+            out |= referenced_columns(a)
     return out
 
 
@@ -308,9 +327,10 @@ def _like_to_regex(pattern: str) -> re.Pattern:
 class _ColumnView:
     """values + validity for evaluation; strings become object arrays lazily."""
 
-    def __init__(self, values: np.ndarray, validity: np.ndarray | None):
+    def __init__(self, values: np.ndarray, validity: np.ndarray | None, coldata=None):
         self.values = values
         self.validity = validity
+        self.coldata = coldata  # original ColumnData (lists need offsets/child)
 
 
 def evaluate_filter(node, columns: dict[str, "_ColumnView"]) -> np.ndarray:
@@ -362,6 +382,35 @@ def _eval(node, cols) -> tuple[np.ndarray, np.ndarray | None]:
         if node.negate:
             out = ~out
         return out, valid
+    if isinstance(node, Func):
+        if node.name in ("contains", "array_contains", "array_has", "list_contains"):
+            col_node, lit_node = node.args
+            if not isinstance(col_node, Col) or not isinstance(lit_node, Lit):
+                raise InvalidInputError(f"{node.name} expects (column, literal)")
+            cv = cols[col_node.name]
+            cd = cv.coldata
+            if cd is None or cd.kind != "list":
+                raise InvalidInputError(f"{col_node.name} is not a list column")
+            child = cd.child
+            if child.kind == "varbin":
+                raw = child.values.tobytes()
+                cvals = np.array(
+                    [raw[child.offsets[i]:child.offsets[i + 1]].decode("utf-8", "replace")
+                     for i in range(child.num_rows)], dtype=object)
+            else:
+                cvals = child.values
+            hit = (cvals == lit_node.value).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(hit)])
+            offs = cd.offsets
+            per_row = (cum[offs[1:]] - cum[offs[:-1]]) > 0
+            return per_row, cv.validity
+        if node.name == "length" and len(node.args) == 1 and isinstance(node.args[0], Col):
+            cv = cols[node.args[0].name]
+            cd = cv.coldata
+            if cd is not None and cd.kind in ("list", "varbin"):
+                return np.diff(cd.offsets), cv.validity
+            raise InvalidInputError("length() expects a list/string column")
+        raise InvalidInputError(f"unknown function {node.name}")
     if isinstance(node, BinOp):
         lv, lvalid = _eval(node.left, cols)
         rv, rvalid = _eval(node.right, cols)
@@ -414,6 +463,9 @@ def column_views_from_data(data: dict) -> dict[str, _ColumnView]:
     """Build eval views from {name: ColumnData}."""
     out = {}
     for name, col in data.items():
+        if col.kind == "list":
+            out[name] = _ColumnView(np.empty(col.num_rows, object), col.validity, col)
+            continue
         if col.kind == "varbin":
             # materialize strings as object array for comparisons
             raw = col.values.tobytes()
@@ -422,7 +474,9 @@ def column_views_from_data(data: dict) -> dict[str, _ColumnView]:
                  for i in range(col.num_rows)],
                 dtype=object,
             )
+            out[name] = _ColumnView(vals, col.validity, col)
+            continue
         else:
             vals = col.values if col.fsl_dim == 1 else col.values.reshape(col.num_rows, col.fsl_dim)
-        out[name] = _ColumnView(vals, col.validity)
+        out[name] = _ColumnView(vals, col.validity, col)
     return out

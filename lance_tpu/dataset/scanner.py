@@ -104,8 +104,10 @@ class Scanner:
                 use_index: bool = True, ef: int | None = None,
                 maximum_nprobes: int | None = None) -> "Scanner":
         q = np.asarray(q, dtype=np.float32)
-        if q.ndim != 1:
-            raise InvalidInputError("query vector must be 1-D")
+        if q.ndim not in (1, 2):
+            raise InvalidInputError(
+                "query must be a vector, or a matrix of query vectors "
+                "for multivector columns")
         self._nearest = VectorQuery(column, q, k, nprobes, maximum_nprobes,
                                     refine_factor, metric, use_index, ef)
         return self

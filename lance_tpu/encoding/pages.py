@@ -61,9 +61,25 @@ class ColumnData:
     validity: np.ndarray | None = None
     fsl_dim: int = 1
     arrow_type: pa.DataType | None = None
+    child: "ColumnData | None" = None  # list columns: element data
+
+    @property
+    def nbytes(self) -> int:
+        n = self.values.nbytes
+        if self.offsets is not None:
+            n += self.offsets.nbytes
+        if self.child is not None:
+            n += self.child.nbytes
+        return n
 
     def slice(self, start: int, length: int) -> "ColumnData":
         end = start + length
+        if self.kind == "list":
+            offs = self.offsets[start : end + 1]
+            child = self.child.slice(int(offs[0]), int(offs[-1] - offs[0]))
+            val = self.validity[start:end] if self.validity is not None else None
+            return ColumnData("list", length, self.values, offs - offs[0], val, 1,
+                              self.arrow_type, child)
         if self.kind == "varbin":
             offs = self.offsets[start : end + 1]
             vals = self.values[offs[0] : offs[-1]]
@@ -77,6 +93,16 @@ class ColumnData:
     def take(self, indices: np.ndarray) -> "ColumnData":
         indices = np.asarray(indices, dtype=np.int64)
         val = self.validity[indices] if self.validity is not None else None
+        if self.kind == "list":
+            lens = (self.offsets[indices + 1] - self.offsets[indices]).astype(np.int64)
+            new_offs = np.zeros(indices.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_offs[1:])
+            child_idx = np.concatenate(
+                [np.arange(self.offsets[i], self.offsets[i + 1]) for i in indices]
+            ) if indices.size else np.empty(0, np.int64)
+            child = self.child.take(child_idx)
+            return ColumnData("list", indices.size, self.values, new_offs, val, 1,
+                              self.arrow_type, child)
         if self.kind == "varbin":
             starts = self.offsets[indices]
             ends = self.offsets[indices + 1]
@@ -110,6 +136,15 @@ class ColumnData:
             flat = arr.flatten()
             vals = np.asarray(flat.fill_null(0) if flat.null_count else flat)
             return cls("fixed", len(arr), vals, None, validity, dim, t)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            off_dt = np.int32 if pa.types.is_list(t) else np.int64
+            buf_offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)
+            offsets = buf_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+            child_arr = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+            offsets = offsets - offsets[0]
+            child = cls.from_arrow(child_arr)
+            return cls("list", len(arr), np.empty(0, np.uint8), offsets, validity,
+                       1, t, child)
         if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
             if pa.types.is_string(t) or pa.types.is_binary(t):
                 buf_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)
@@ -131,6 +166,17 @@ class ColumnData:
         mask = None if self.validity is None else ~self.validity
         if self.kind == "bool":
             return pa.array(self.values.astype(bool), type=t or pa.bool_(), mask=mask)
+        if self.kind == "list":
+            child_arr = self.child.to_arrow()
+            out = pa.ListArray.from_arrays(
+                pa.array(self.offsets.astype(np.int32)), child_arr)
+            if mask is not None:
+                out = pa.array(
+                    [None if m else v for m, v in zip(mask, out.to_pylist())],
+                    type=t or out.type)
+            elif t is not None and out.type != t:
+                out = out.cast(t)
+            return out
         if self.kind == "varbin":
             t = t or pa.binary()
             lens = np.diff(self.offsets)
@@ -182,6 +228,16 @@ def concat_column_data(chunks: list[ColumnData]) -> ColumnData:
             acc = acc + c.offsets[-1]
         offsets = np.concatenate(offs)
         return ColumnData("varbin", n, values, offsets, validity, 1, first.arrow_type)
+    if first.kind == "list":
+        child = concat_column_data([c.child for c in chunks])
+        offs = [chunks[0].offsets]
+        acc = chunks[0].offsets[-1]
+        for c in chunks[1:]:
+            offs.append(c.offsets[1:] + acc)
+            acc = acc + c.offsets[-1]
+        offsets = np.concatenate(offs)
+        return ColumnData("list", n, first.values, offsets, validity, 1,
+                          first.arrow_type, child)
     values = np.concatenate([c.values for c in chunks])
     return ColumnData(first.kind, n, values, None, validity, first.fsl_dim, first.arrow_type)
 
@@ -273,6 +329,18 @@ def encode_page(col: ColumnData, compression: str = "auto",
             bufdescs.append({"role": "bytes", "desc": {"c": "plain", "dtype": "|u1"},
                              "len": len(bdata)})
         desc["layout"] = "varbin"
+    elif col.kind == "list":
+        odata, odesc = encode_plain(col.offsets.astype(np.int64))
+        buffers.append(odata)
+        bufdescs.append({"role": "offsets", "desc": odesc, "len": len(odata)})
+        child_page = encode_page(col.child, compression, rows_per_chunk)
+        desc["layout"] = "list"
+        desc["child"] = child_page.desc
+        desc["child_buf_start"] = len(bufdescs)
+        # alias the child's buffer descriptors into the flat list so the file
+        # writer's offset assignment updates both views
+        buffers.extend(child_page.buffers)
+        bufdescs.extend(child_page.desc["buffers"])
     else:  # fixed
         if compression == "none" or col.values.dtype.kind == "f" and col.fsl_dim > 1:
             # vector columns stay raw: direct addressing + zero-copy device feed
@@ -342,6 +410,18 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         vi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "values")
         bits = np.unpackbits(np.frombuffer(bufs[vi], dtype=np.uint8), bitorder="little")[:rows]
         return ColumnData("bool", rows, bits.astype(bool), None, validity, 1, arrow_type)
+
+    if layout == "list":
+        oi = next(i for i, b in enumerate(desc["buffers"][: desc["child_buf_start"]])
+                  if b["role"] == "offsets")
+        offsets = decode_buffer(bufs[oi], desc["buffers"][oi]["desc"]).astype(np.int64)
+        start = desc["child_buf_start"]
+        child_bufs = [bufs[i] for i in range(start, len(desc["buffers"]))]
+        child_type = arrow_type.value_type if arrow_type is not None and (
+            pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type)) else None
+        child = decode_page(desc["child"], child_bufs, child_type)
+        return ColumnData("list", rows, np.empty(0, np.uint8), offsets, validity, 1,
+                          arrow_type, child)
 
     if layout == "varbin":
         oi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "offsets")

@@ -155,6 +155,22 @@ class FileReader:
         cols = self.take(indices, columns)
         return pa.table({n: c.to_arrow() for n, c in cols.items()})
 
+    def varbin_value_range(self, name: str, row: int) -> tuple[int, int] | None:
+        """(absolute file offset, length) of one varbin value — the zero-copy
+        blob contract. None when the bytes are not direct-addressed."""
+        pages = self._columns[name]["pages"]
+        starts = self._page_starts[name]
+        pi = int(np.searchsorted(np.asarray(starts + [self.num_rows]), row, "right")) - 1
+        desc = pages[pi]
+        if desc["layout"] != "varbin" or "fsst_table" in desc:
+            return None
+        local = row - starts[pi]
+        ob = next(x for x in desc["buffers"] if x["role"] == "offsets")
+        bb = next(x for x in desc["buffers"] if x["role"] == "bytes")
+        pair = np.frombuffer(self.store.get_range(self.path, ob["off"] + local * 8, 16),
+                             dtype="<i8")
+        return bb["off"] + int(pair[0]), int(pair[1] - pair[0])
+
     def _take_column(self, name: str, sorted_idx: np.ndarray) -> ColumnData:
         field = self.schema.field(name)
         pages = self._columns[name]["pages"]

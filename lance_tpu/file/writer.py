@@ -62,9 +62,7 @@ class FileWriter:
             elif col.num_rows != n:
                 raise InvalidInputError("ragged batch")
             self._pending[name].append(col)
-            self._pending_bytes[name] += col.values.nbytes + (
-                col.offsets.nbytes if col.offsets is not None else 0
-            )
+            self._pending_bytes[name] += col.nbytes
             if self._pending_bytes[name] >= self.max_page_bytes:
                 self._flush_column(name)
         missing = set(self._pending) - set(cols)

@@ -77,7 +77,10 @@ def _to_numpy_values(col: ColumnData):
 
 def build_scalar_index(ds, column: str, index_type: str, uuid: str, **params) -> dict:
     col, rowids = _read_column_with_rowids(ds, column)
-    values, validity = _to_numpy_values(col)
+    if col.kind == "list":
+        values, validity = np.empty(col.num_rows, object), col.validity
+    else:
+        values, validity = _to_numpy_values(col)
     store = ds.store
     path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
     field = ds.schema.field(column)
@@ -119,6 +122,30 @@ def build_scalar_index(ds, column: str, index_type: str, uuid: str, **params) ->
 
     if index_type == "INVERTED":
         return _build_inverted(ds, store, path, values, rowids_v, params)
+
+    if index_type == "LABEL_LIST":
+        # explode list rows -> (label -> rowid set); reference scalar/label_list.rs
+        if col.kind != "list":
+            raise InvalidInputError("LABEL_LIST requires a list column")
+        child_vals, _ = _to_numpy_values(col.child)
+        row_of = np.repeat(np.arange(col.num_rows), np.diff(col.offsets))
+        labels = child_vals
+        uniq, inverse = np.unique(labels, return_inverse=True)
+        order2 = np.argsort(inverse, kind="stable")
+        label_rowids = rowids[row_of[order2]]
+        counts2 = np.bincount(inverse, minlength=len(uniq))
+        offsets2 = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts2, out=offsets2[1:])
+        child_field_type = field.to_arrow().type.value_type
+        schema = Schema.from_arrow(pa.schema([("value", child_field_type)]))
+        w = FileWriter(store, path, schema)
+        w.write_batch({"value": pa.array(uniq.tolist() if uniq.dtype == object else uniq,
+                                         type=child_field_type)})
+        w.add_global_buffer("offsets", offsets2.astype("<i8").tobytes())
+        w.add_global_buffer("rowids", label_rowids.astype("<u8").tobytes())
+        w.add_global_buffer("null_rowids", null_rowids.astype("<u8").tobytes())
+        w.finish()
+        return {"cardinality": int(len(uniq))}
 
     raise InvalidInputError(f"scalar index type {index_type} not supported yet")
 
@@ -298,6 +325,17 @@ class BitmapIndex:
                 "num_indexed_rows": int(self.rowids.size)}
 
 
+class LabelListIndex(BitmapIndex):
+    """array-contains via exploded label bitmaps (reference scalar/label_list.rs).
+    Storage layout is identical to BITMAP; queries arrive as contains()."""
+
+    def sargable_contains(self, lit) -> RowIdMask:
+        return self._mask(self._rows_for_value(lit))
+
+    def statistics(self) -> dict:
+        return {"index_type": "LABEL_LIST", "cardinality": int(len(self.values))}
+
+
 class InvertedIndex:
     def __init__(self, ds, meta: IndexMetadata):
         self.ds = ds
@@ -354,6 +392,7 @@ def _openers():
 
     return {
         "BTREE": BTreeIndex, "BITMAP": BitmapIndex, "INVERTED": InvertedIndex,
+        "LABEL_LIST": LabelListIndex,
         "ZONEMAP": ZoneMapIndex, "BLOOMFILTER": BloomFilterIndex, "NGRAM": NGramIndex,
     }
 

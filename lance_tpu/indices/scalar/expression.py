@@ -11,7 +11,7 @@ exact-only — any unindexable subtree returns None).
 
 from __future__ import annotations
 
-from ...dataset.filter import BinOp, Col, InList, IsNull, Like, Lit
+from ...dataset.filter import BinOp, Col, Func, InList, IsNull, Like, Lit
 from ...rowids import RowIdMask
 
 
@@ -144,4 +144,19 @@ def try_scalar_index_filter(ds, node) -> RowIdMask | None:
         if idx is None:
             return None
         return idx.sargable_is_null(node.negate)
+    if (isinstance(node, Func)
+            and node.name in ("contains", "array_contains", "array_has", "list_contains")
+            and len(node.args) == 2 and isinstance(node.args[0], Col)
+            and isinstance(node.args[1], Lit)):
+        from .build import open_scalar_index
+
+        try:
+            fid = ds.schema.field(node.args[0].name).id
+        except Exception:
+            return None
+        live = {f.id for f in ds.manifest.fragments}
+        for meta in ds.manifest.indices:
+            if meta.index_type == "LABEL_LIST" and meta.fields == [fid] and live <= set(meta.fragment_ids):
+                return open_scalar_index(ds, meta).sargable_contains(node.args[1].value)
+        return None
     return None

@@ -63,6 +63,10 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
         output_columns=None, with_row_id=False) -> pa.Table:
     column = q.column
     field = ds.schema.field(column)
+    is_multivector = pa.types.is_list(field.type) and pa.types.is_fixed_size_list(
+        field.type.value_type)
+    if is_multivector:
+        return _maxsim_knn(ds, q, filter_node, prefilter, output_columns, with_row_id)
     if not hasattr(field.type, "list_size"):
         raise InvalidInputError(f"{column} is not a vector column")
 
@@ -125,6 +129,73 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
 
         cols = sorted(referenced_columns(filter_node))
         fdata = ds.take_rows(flat_r, cols)
+        views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
+        mask = evaluate_filter(filter_node, column_views_from_data(views))
+        table = table.filter(pa.array(mask))
+    return table
+
+
+def _maxsim_knn(ds, q, filter_node, prefilter, output_columns, with_row_id) -> pa.Table:
+    """Multivector (e.g. ColBERT) search: score(row) = sum_i max_j sim(q_i, v_j)
+    (reference: MultivectorScoringExec, rust/lance/src/io/exec/knn.rs:1133).
+
+    Flat scan: one matmul of all child vectors against all query vectors, a
+    segment-max per row per query vector, then sum — entirely batched.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.distance import normalize
+
+    qs = np.atleast_2d(np.asarray(q.q, dtype=np.float32))
+    column = q.column
+    row_mask = None
+    if filter_node is not None and prefilter:
+        row_mask = _filter_mask(ds, filter_node)
+
+    child_vecs, row_ids_of_child, row_addrs = [], [], []
+    base = 0
+    for frag in ds.get_fragments():
+        alive = frag.alive_offsets()
+        if alive.size == 0:
+            continue
+        data = frag.take_physical(alive, [column])
+        col = data[column]
+        addrs = (np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64)
+        if row_mask is not None:
+            sel = row_mask.selected_many(addrs)
+            col = col.take(np.flatnonzero(sel))
+            addrs = addrs[sel]
+        if col.num_rows == 0:
+            continue
+        mat = col.child.to_numpy_matrix()
+        lens = np.diff(col.offsets)
+        child_vecs.append(np.ascontiguousarray(mat, np.float32))
+        row_ids_of_child.append(np.repeat(np.arange(base, base + col.num_rows), lens))
+        row_addrs.append(addrs)
+        base += col.num_rows
+    if not child_vecs:
+        return _take_output(ds, np.empty(0, np.uint64), np.empty(0, np.float32),
+                            output_columns, with_row_id)
+    vecs = np.concatenate(child_vecs)
+    seg = np.concatenate(row_ids_of_child).astype(np.int32)
+    addrs = np.concatenate(row_addrs)
+    n_rows = base
+
+    vn = jnp.asarray(normalize(jnp.asarray(vecs)))
+    qn = jnp.asarray(normalize(jnp.asarray(qs)))
+    sim = jnp.dot(vn, qn.T, preferred_element_type=jnp.float32)  # (M, nq)
+    per_row_max = jax.ops.segment_max(sim, jnp.asarray(seg), num_segments=n_rows)
+    scores = np.asarray(jnp.sum(per_row_max, axis=1))
+    k = min(q.k, n_rows)
+    top = np.argsort(-scores, kind="stable")[:k]
+    table = _take_output(ds, addrs[top], -scores[top], output_columns, with_row_id)
+    if filter_node is not None and not prefilter:
+        from ..dataset.filter import column_views_from_data, evaluate_filter, referenced_columns
+        from ..encoding.pages import ColumnData
+
+        cols = sorted(referenced_columns(filter_node))
+        fdata = ds.take_rows(addrs[top], cols)
         views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
         mask = evaluate_filter(filter_node, column_views_from_data(views))
         table = table.filter(pa.array(mask))

@@ -45,6 +45,8 @@ AUX_FILE = "auxiliary.idx"
 PQ_CODE_COL = "__pq_code"
 VECTOR_COL = "__vector"
 SQ_CODE_COL = "__sq_code"
+RQ_CODE_COL = "__rq_code"
+RQ_NORM_COL = "__rq_norm"
 ROWID_COL = "_rowid"
 
 # query batch buckets: queries are padded up to the next bucket so each
@@ -257,6 +259,48 @@ def build_ivf_index(
         w.finish()
         return {"metric": metric, "num_partitions": int(num_partitions), "dim": int(dim)}
 
+    if index_type == "IVF_RQ":
+        # RabitQ-style binary quantization (reference: rust/lance-index/src/
+        # vector/bq/ RabitQuantizer): residuals are randomly rotated and
+        # sign-quantized to 1 bit/dim; the stored per-row norm rescales the
+        # reconstruction. Decoding feeds the same dense-scoring pipeline.
+        from ..ops.distance import normalize as _normalize
+
+        if dim % 8:
+            raise InvalidInputError("IVF_RQ requires dim % 8 == 0")
+        base = dev_vectors if metric != "cosine" else _normalize(dev_vectors)
+        cent_dev = jnp.asarray(km.centroids)
+        resid = base - jnp.take(cent_dev, jnp.asarray(part_ids), axis=0)
+        rq_seed = 1234
+        rot_rng = np.random.default_rng(rq_seed)
+        P, _ = np.linalg.qr(rot_rng.normal(size=(dim, dim)).astype(np.float32))
+        rot = jnp.dot(resid, jnp.asarray(P.T), preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        norms = np.asarray(jnp.linalg.norm(resid, axis=1)).astype(np.float32)
+        sign_bits = np.asarray(rot > 0)
+        codes = np.packbits(sign_bits, axis=1, bitorder="little")  # (N, dim/8)
+        codes, norms = codes[order], norms[order]
+        schema = Schema.from_arrow(pa.schema([
+            (ROWID_COL, pa.uint64()),
+            (RQ_CODE_COL, pa.list_(pa.uint8(), dim // 8)),
+            (RQ_NORM_COL, pa.float32()),
+        ]))
+        w = FileWriter(store, path, schema, compression="none")
+        step = 1 << 17
+        for s in range(0, n, step):
+            w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
+                           RQ_CODE_COL: codes[s : s + step],
+                           RQ_NORM_COL: norms[s : s + step]})
+        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+        w.add_global_buffer("ivf_data", ivf_payload)
+        w.add_global_buffer("rq_header", json.dumps(
+            {"seed": rq_seed, "dim": int(dim), "metric": metric}).encode())
+        w.finish()
+        ds.session.index_cache.put("ivf_vec", (uuid, "refine_vectors"),
+                                   jnp.take(base, jnp.asarray(order), axis=0))
+        return {"metric": metric, "num_partitions": int(num_partitions),
+                "num_bits": 1, "dim": int(dim)}
+
     if index_type in ("IVF_HNSW_SQ", "IVF_HNSW_PQ", "HNSW"):
         # Graph index: global CAGRA-style graph (TPU re-design of HNSW; see
         # models/hnsw.py) + quantized storage for beam distances.
@@ -344,7 +388,8 @@ class IvfIndex:
         gbufs = reader.global_buffer_names()
         self.is_pq = "pq_header" in gbufs
         self.is_sq = "sq_bounds" in gbufs
-        self.is_quantized = self.is_pq or self.is_sq
+        self.is_rq = "rq_header" in gbufs
+        self.is_quantized = self.is_pq or self.is_sq or self.is_rq
         if self.is_pq:
             from ..ops.pq import ProductQuantizer, pq_decode
 
@@ -367,6 +412,26 @@ class IvfIndex:
                 ).astype(np.int32)
                 rows = rows + jnp.take(jnp.asarray(self.ivf.centroids),
                                        jnp.asarray(part_of_row), axis=0)
+            score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
+            self._vectors_dev = None  # lazy, for refine
+        elif "rq_header" in gbufs:
+            self.pq = None
+            self.residual = True
+            rq = json.loads(reader.read_global_buffer("rq_header"))
+            dim_rq = rq["dim"]
+            rot_rng = np.random.default_rng(rq["seed"])
+            P, _ = np.linalg.qr(rot_rng.normal(size=(dim_rq, dim_rq)).astype(np.float32))
+            codes = reader.read_column(RQ_CODE_COL).to_numpy_matrix()
+            norms = np.asarray(reader.read_column(RQ_NORM_COL).values, dtype=np.float32)
+            bits = np.unpackbits(codes, axis=1, bitorder="little")[:, :dim_rq]
+            signs = jnp.asarray(bits.astype(np.float32) * 2.0 - 1.0) / np.sqrt(dim_rq)
+            recon = jnp.dot(signs, jnp.asarray(P), preferred_element_type=jnp.float32)
+            rows = recon * jnp.asarray(norms)[:, None]
+            part_of_row = np.repeat(
+                np.arange(self.ivf.num_partitions), self.ivf.lengths
+            ).astype(np.int32)
+            rows = rows + jnp.take(jnp.asarray(self.ivf.centroids),
+                                   jnp.asarray(part_of_row), axis=0)
             score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
             self._vectors_dev = None  # lazy, for refine
         elif self.is_sq:
@@ -562,7 +627,9 @@ class IvfIndex:
             "num_indexed_rows": self.num_rows,
             "max_partition_length": self.max_part_len,
             "mean_partition_length": float(self.ivf.lengths.mean()) if self.ivf.num_partitions else 0.0,
-            "sub_index": "PQ" if self.is_pq else ("SQ" if self.is_sq else "FLAT"),
+            "sub_index": ("PQ" if self.is_pq else
+                          "RQ" if self.is_rq else
+                          "SQ" if self.is_sq else "FLAT"),
             **({"num_sub_vectors": self.pq.num_sub_vectors, "num_bits": self.pq.num_bits}
                if self.pq else {}),
         }

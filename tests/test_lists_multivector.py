@@ -1,0 +1,85 @@
+"""List columns, contains()/length() filters, LABEL_LIST index, multivector."""
+
+import numpy as np
+import pyarrow as pa
+
+import lance_tpu as lt
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://lists-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def test_list_column_roundtrip():
+    data = pa.table({
+        "id": pa.array(np.arange(5, dtype=np.int64)),
+        "tags": pa.array([["a", "b"], [], ["c"], None, ["d", "e", "f"]],
+                         type=pa.list_(pa.string())),
+        "nums": pa.array([[1, 2], [3], [], [4, 5, 6], [7]], type=pa.list_(pa.int64())),
+        "mv": pa.array([[[1.0] * 4] * 2, [[3.0] * 4], [[4.0] * 4], [[5.0] * 4],
+                        [[6.0] * 4, [7.0] * 4]],
+                       type=pa.list_(pa.list_(pa.float32(), 4))),
+    })
+    ds = lt.write_dataset(data, _uri("rt"))
+    out = ds.to_table()
+    for c in ("tags", "nums", "mv"):
+        assert out[c].to_pylist() == data[c].to_pylist(), c
+    t = ds.take([1, 4], columns=["nums", "mv"])
+    assert t["nums"].to_pylist() == [[3], [7]]
+    assert t["mv"][1].as_py() == [[6.0] * 4, [7.0] * 4]
+
+
+def test_contains_and_length_filters():
+    data = pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "tags": pa.array([["a", "b"], ["c"], [], ["a"]], type=pa.list_(pa.string())),
+    })
+    ds = lt.write_dataset(data, _uri("fn"))
+    t = ds.to_table(filter="contains(tags, 'a')")
+    assert np.asarray(t["id"]).tolist() == [0, 3]
+    t2 = ds.to_table(filter="length(tags) = 2")
+    assert np.asarray(t2["id"]).tolist() == [0]
+    t3 = ds.to_table(filter="length(tags) = 0")
+    assert np.asarray(t3["id"]).tolist() == [2]
+
+
+def test_label_list_index():
+    data = pa.table({
+        "id": pa.array(np.arange(6, dtype=np.int64)),
+        "tags": pa.array([["a", "b"], ["c"], ["a"], [], ["b", "c"], ["a"]],
+                         type=pa.list_(pa.string())),
+    })
+    ds = lt.write_dataset(data, _uri("ll"))
+    ds = ds.create_index("tags", "LABEL_LIST")
+    assert ds.index_statistics("tags_idx")["cardinality"] == 3
+    from lance_tpu.dataset.filter import parse_filter
+    from lance_tpu.indices.scalar.expression import try_scalar_index_filter
+
+    mask = try_scalar_index_filter(ds, parse_filter("contains(tags, 'a')"))
+    assert mask is not None and len(mask.allow) == 3
+    t = ds.to_table(filter="contains(tags, 'b')")
+    assert np.asarray(t["id"]).tolist() == [0, 4]
+
+
+def test_multivector_maxsim():
+    rng = np.random.default_rng(0)
+    docs = [rng.normal(size=(int(rng.integers(2, 5)), 8)).astype(np.float32).tolist()
+            for _ in range(20)]
+    data = pa.table({
+        "id": pa.array(np.arange(20, dtype=np.int64)),
+        "emb": pa.array(docs, type=pa.list_(pa.list_(pa.float32(), 8))),
+    })
+    ds = lt.write_dataset(data, _uri("mv"))
+    q = np.asarray(docs[7], dtype=np.float32) + 0.01
+    t = ds.scanner().nearest("emb", q, k=3).to_table()
+    assert np.asarray(t["id"])[0] == 7
+    assert "_distance" in t.column_names
+    # prefilter interop
+    t2 = (ds.scanner().nearest("emb", q, k=3)
+          .filter("id >= 10").prefilter().to_table())
+    assert all(i >= 10 for i in np.asarray(t2["id"]).tolist())
+    # single query vector also works
+    t3 = ds.scanner().nearest("emb", np.asarray(docs[7][0], dtype=np.float32), k=2).to_table()
+    assert t3.num_rows == 2

@@ -160,3 +160,47 @@ def test_hnsw_pq_and_deletes():
     ds = ds.delete("id = 5")
     t = ds.scanner().nearest("vec", q, k=1, nprobes=16, refine_factor=8).to_table()
     assert np.asarray(t["id"])[0] != 5
+
+
+def test_ivf_rq_recall():
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(3000, 32)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(3000, dtype=np.int64)}, _uri("rq"))
+    ds = ds.create_index("vec", "IVF_RQ", num_partitions=16, max_iters=8)
+    stats = ds.index_statistics("vec_idx")
+    assert stats["sub_index"] == "RQ"
+    recall = 0.0
+    queries = vecs[rng.choice(3000, 10)]
+    for q in queries:
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=16, refine_factor=20).to_table()
+        got = set(np.asarray(t["id"]).tolist())
+        d = ((vecs - q) ** 2).sum(1)
+        want = set(np.argsort(d)[:10].tolist())
+        recall += len(got & want) / 10
+    assert recall / 10 >= 0.8, recall / 10  # 1-bit codes + refine
+
+
+def test_take_blobs():
+    import io
+
+    blobs = [bytes([i]) * (1000 + i) for i in range(20)]
+    uri = _uri("blobs")
+    ds = lt.write_dataset(
+        {"data": pa.array(blobs, type=pa.binary()), "id": np.arange(20, dtype=np.int64)},
+        uri, params=lt.WriteParams(compression="none"))
+    handles = ds.take_blobs([3, 17], column="data")
+    assert len(handles) == 2
+    b = handles[0].read()
+    assert b == blobs[3]
+    # seek/partial read
+    handles[1].seek(10)
+    assert handles[1].read(5) == blobs[17][10:15]
+    # lazy: handle reads only its range
+    from lance_tpu.io.tracking import TrackingStore
+
+    tracked = TrackingStore(ds.store)
+    ds2 = lt.LanceDataset(tracked, ds.uri, ds.manifest, lt.Session(2**20, 2**20))
+    h = ds2.take_blobs([5], column="data")[0]
+    pre = tracked.stats.read_bytes
+    h.read(10)
+    assert tracked.stats.read_bytes - pre <= 64
