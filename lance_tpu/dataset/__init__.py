@@ -410,6 +410,21 @@ class LanceDataset:
 
         return _alter(self, list(alterations))
 
+    def sql(self, query: str) -> pa.Table:
+        from .sql import sql as _sql
+
+        return _sql(self, query)
+
+    def diff(self, from_version: int, to_version: int | None = None) -> dict:
+        from .delta import diff as _diff
+
+        return _diff(self, from_version, to_version)
+
+    def clone_to(self, dest_uri: str, version: int | None = None) -> "LanceDataset":
+        from .delta import clone as _clone
+
+        return _clone(self, dest_uri, version)
+
     # -- maintenance -------------------------------------------------------------------------------
 
     def optimize_compact(self, target_rows_per_fragment: int = 1024 * 1024,

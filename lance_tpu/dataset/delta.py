@@ -1,0 +1,94 @@
+"""Version diff + dataset clone.
+
+Re-design of reference delta.rs (diff between versions) and Operation::Clone
+(transaction.rs:274, dataset.py:3328). diff() summarizes what changed between
+two versions; clone() copies a version of a dataset to a new uri (deep copy —
+every referenced file; shallow base-path clones planned).
+"""
+
+from __future__ import annotations
+
+from ..errors import InvalidInputError
+from ..table.commit import commit_transaction, read_manifest
+from ..table.transaction import Operation, Transaction
+
+
+def diff(ds, from_version: int, to_version: int | None = None) -> dict:
+    to_version = to_version if to_version is not None else ds.version
+    m_from = read_manifest(ds.store, from_version)
+    m_to = read_manifest(ds.store, to_version)
+
+    from_frags = {f.id: f for f in m_from.fragments}
+    to_frags = {f.id: f for f in m_to.fragments}
+    added = sorted(set(to_frags) - set(from_frags))
+    removed = sorted(set(from_frags) - set(to_frags))
+    updated = sorted(
+        fid for fid in set(from_frags) & set(to_frags)
+        if from_frags[fid].to_json() != to_frags[fid].to_json()
+    )
+    txns = []
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            m = read_manifest(ds.store, v)
+        except Exception:
+            continue
+        if m.transaction_file:
+            try:
+                txn = Transaction.from_bytes(ds.store.get(m.transaction_file))
+                txns.append({"version": v, "operation": txn.operation.kind})
+            except Exception:
+                txns.append({"version": v, "operation": "?"})
+    return {
+        "from_version": from_version,
+        "to_version": to_version,
+        "fragments_added": added,
+        "fragments_removed": removed,
+        "fragments_updated": updated,
+        "rows_delta": m_to.num_rows - m_from.num_rows,
+        "schema_changed": m_from.schema.to_json() != m_to.schema.to_json(),
+        "indices_delta": [i.name for i in m_to.indices]
+        != [i.name for i in m_from.indices],
+        "transactions": txns,
+    }
+
+
+def clone(ds, dest_uri: str, version: int | None = None):
+    """Copy one version of the dataset to dest_uri (deep copy)."""
+    import lance_tpu
+    from ..io.object_store import PrefixedStore, store_for_uri
+    from ..table.manifest import INDICES_DIR
+
+    src = ds if version is None or version == ds.version else ds.checkout_version(version)
+    base_store, base = store_for_uri(dest_uri)
+    dest = PrefixedStore(base_store, base) if base else base_store
+    if dest.list(""):
+        raise InvalidInputError(f"destination {dest_uri} is not empty")
+
+    m = src.manifest
+    paths: set[str] = set()
+    for f in m.fragments:
+        for df in f.files:
+            paths.add(df.path)
+        if f.deletion_file:
+            paths.add(f.deletion_file.path)
+    for idx in m.indices:
+        for meta in src.store.list(f"{INDICES_DIR}/{idx.uuid}/"):
+            paths.add(meta.path)
+    for p in sorted(paths):
+        dest.put(p, src.store.get(p))
+
+    # publish the manifest directly: fragment ids MUST be preserved (index
+    # rowids reference them), so this bypasses build_manifest's id assignment
+    from ..table.commit import ConditionalPutCommitHandler
+    from ..table.manifest import Manifest
+
+    new_m = Manifest(
+        schema=m.schema, version=1,
+        fragments=[f.copy() for f in m.fragments],
+        indices=list(m.indices), config=dict(m.config),
+        max_fragment_id=m.max_fragment_id,
+    )
+    handler = ConditionalPutCommitHandler()
+    if not handler.commit(dest, 1, new_m.to_bytes()):
+        raise InvalidInputError(f"destination {dest_uri} already has a version")
+    return lance_tpu.dataset(dest_uri)

@@ -1,0 +1,62 @@
+"""SQL query entry point: SELECT over one dataset.
+
+Re-design of the reference `dataset.sql()` (rust/lance/src/dataset/sql.rs ->
+DataFusion). Ours supports the single-table subset that covers the
+reference's documented usage:
+
+    SELECT <cols | * | count(*)> FROM <name>
+    [WHERE <filter expr>] [ORDER BY col [ASC|DESC], ...]
+    [LIMIT n] [OFFSET m]
+
+WHERE reuses the full filter grammar (dataset/filter.py) including
+contains()/length() and scalar-index acceleration.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..errors import InvalidInputError
+
+_SELECT_RE = re.compile(
+    r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"(?:\s+order\s+by\s+(?P<order>.+?))?"
+    r"(?:\s+limit\s+(?P<limit>\d+))?"
+    r"(?:\s+offset\s+(?P<offset>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sql(ds, query: str) -> pa.Table:
+    m = _SELECT_RE.match(query)
+    if not m:
+        raise InvalidInputError(
+            "unsupported SQL (expected SELECT ... FROM t [WHERE ...] "
+            "[ORDER BY ...] [LIMIT n] [OFFSET m])")
+    cols_raw = m.group("cols").strip()
+    sc = ds.scanner()
+
+    count_only = re.fullmatch(r"count\s*\(\s*\*\s*\)", cols_raw, re.IGNORECASE)
+    if not count_only and cols_raw != "*":
+        sc.project([c.strip().strip('`"') for c in cols_raw.split(",")])
+    if m.group("where"):
+        sc.filter(m.group("where").strip())
+    if m.group("order"):
+        keys = []
+        for part in m.group("order").split(","):
+            toks = part.split()
+            asc = len(toks) < 2 or toks[1].lower() != "desc"
+            keys.append((toks[0].strip('`"'), asc))
+        sc.order_by(keys)
+    limit = int(m.group("limit")) if m.group("limit") else None
+    offset = int(m.group("offset")) if m.group("offset") else 0
+    if limit is not None or offset:
+        sc.limit(limit, offset)
+
+    if count_only:
+        n = sc.count_rows()
+        return pa.table({"count": pa.array([n], type=pa.int64())})
+    return sc.to_table()

@@ -38,6 +38,15 @@ from .buffers import decode_buffer, encode_buffer_auto, encode_plain
 DEFAULT_ROWS_PER_CHUNK = 4096
 
 
+def _dict_worthwhile(col: "ColumnData", sample: int = 512) -> bool:
+    """Cheap cardinality probe: dict-encode when distinct/sampled < 1/4."""
+    n = col.num_rows
+    idx = np.linspace(0, n - 1, min(sample, n)).astype(np.int64)
+    raw = col.values.tobytes()
+    seen = {raw[col.offsets[i]:col.offsets[i + 1]] for i in idx}
+    return len(seen) * 4 <= idx.size
+
+
 # ---------------------------------------------------------------------------
 # in-memory column chunk model
 # ---------------------------------------------------------------------------
@@ -62,6 +71,7 @@ class ColumnData:
     fsl_dim: int = 1
     arrow_type: pa.DataType | None = None
     child: "ColumnData | None" = None  # list columns: element data
+    children: "list[ColumnData] | None" = None  # struct columns: field data
 
     @property
     def nbytes(self) -> int:
@@ -70,10 +80,17 @@ class ColumnData:
             n += self.offsets.nbytes
         if self.child is not None:
             n += self.child.nbytes
+        if self.children is not None:
+            n += sum(c.nbytes for c in self.children)
         return n
 
     def slice(self, start: int, length: int) -> "ColumnData":
         end = start + length
+        if self.kind == "struct":
+            val = self.validity[start:end] if self.validity is not None else None
+            return ColumnData("struct", length, self.values, None, val, 1,
+                              self.arrow_type, None,
+                              [c.slice(start, length) for c in self.children])
         if self.kind == "list":
             offs = self.offsets[start : end + 1]
             child = self.child.slice(int(offs[0]), int(offs[-1] - offs[0]))
@@ -93,6 +110,10 @@ class ColumnData:
     def take(self, indices: np.ndarray) -> "ColumnData":
         indices = np.asarray(indices, dtype=np.int64)
         val = self.validity[indices] if self.validity is not None else None
+        if self.kind == "struct":
+            return ColumnData("struct", indices.size, self.values, None, val, 1,
+                              self.arrow_type, None,
+                              [c.take(indices) for c in self.children])
         if self.kind == "list":
             lens = (self.offsets[indices + 1] - self.offsets[indices]).astype(np.int64)
             new_offs = np.zeros(indices.size + 1, dtype=np.int64)
@@ -136,6 +157,10 @@ class ColumnData:
             flat = arr.flatten()
             vals = np.asarray(flat.fill_null(0) if flat.null_count else flat)
             return cls("fixed", len(arr), vals, None, validity, dim, t)
+        if pa.types.is_struct(t):
+            children = [cls.from_arrow(arr.field(i)) for i in range(t.num_fields)]
+            return cls("struct", len(arr), np.empty(0, np.uint8), None, validity,
+                       1, t, None, children)
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             off_dt = np.int32 if pa.types.is_list(t) else np.int64
             buf_offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)
@@ -166,6 +191,15 @@ class ColumnData:
         mask = None if self.validity is None else ~self.validity
         if self.kind == "bool":
             return pa.array(self.values.astype(bool), type=t or pa.bool_(), mask=mask)
+        if self.kind == "struct":
+            t = t or pa.struct([])
+            arrays = [c.to_arrow() for c in self.children]
+            names = [t.field(i).name for i in range(t.num_fields)]
+            out = pa.StructArray.from_arrays(arrays, names=names)
+            if mask is not None:
+                out = pa.array(
+                    [None if m else v for m, v in zip(mask, out.to_pylist())], type=t)
+            return out
         if self.kind == "list":
             child_arr = self.child.to_arrow()
             out = pa.ListArray.from_arrays(
@@ -228,6 +262,12 @@ def concat_column_data(chunks: list[ColumnData]) -> ColumnData:
             acc = acc + c.offsets[-1]
         offsets = np.concatenate(offs)
         return ColumnData("varbin", n, values, offsets, validity, 1, first.arrow_type)
+    if first.kind == "struct":
+        nchild = len(first.children)
+        children = [concat_column_data([c.children[i] for c in chunks])
+                    for i in range(nchild)]
+        return ColumnData("struct", n, first.values, None, validity, 1,
+                          first.arrow_type, None, children)
     if first.kind == "list":
         child = concat_column_data([c.child for c in chunks])
         offs = [chunks[0].offsets]
@@ -283,6 +323,28 @@ def encode_page(col: ColumnData, compression: str = "auto",
         buffers.append(packed)
         bufdescs.append({"role": "values", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(packed)})
         desc["layout"] = "bitmap"
+    elif col.kind == "varbin" and compression in ("auto", "zstd") and col.num_rows >= 64 and _dict_worthwhile(col):
+        # dictionary encoding for low-cardinality strings (reference:
+        # physical dictionary encoding, encodings/physical/dictionary.rs):
+        # int32 codes direct-addressed + a small dictionary payload
+        raw = col.values.tobytes()
+        strings = [raw[col.offsets[i]:col.offsets[i + 1]] for i in range(col.num_rows)]
+        uniq = sorted(set(strings))
+        lookup = {s: i for i, s in enumerate(uniq)}
+        codes = np.asarray([lookup[s] for s in strings], dtype=np.int32)
+        cdata, cdesc = encode_plain(codes)
+        buffers.append(cdata)
+        bufdescs.append({"role": "codes", "desc": cdesc, "len": len(cdata)})
+        dict_offs = np.zeros(len(uniq) + 1, np.int64)
+        np.cumsum([len(s) for s in uniq], out=dict_offs[1:])
+        ddata, ddesc = encode_plain(dict_offs)
+        buffers.append(ddata)
+        bufdescs.append({"role": "dict_offsets", "desc": ddesc, "len": len(ddata)})
+        dbytes = b"".join(uniq)
+        buffers.append(dbytes)
+        bufdescs.append({"role": "dict_bytes", "desc": {"c": "plain", "dtype": "|u1"},
+                         "len": len(dbytes)})
+        desc["layout"] = "dict"
     elif col.kind == "varbin":
         odata, odesc = encode_plain(col.offsets.astype(np.int64))
         buffers.append(odata)
@@ -329,6 +391,15 @@ def encode_page(col: ColumnData, compression: str = "auto",
             bufdescs.append({"role": "bytes", "desc": {"c": "plain", "dtype": "|u1"},
                              "len": len(bdata)})
         desc["layout"] = "varbin"
+    elif col.kind == "struct":
+        desc["layout"] = "struct"
+        child_meta = []
+        for child in col.children:
+            cp = encode_page(child, compression, rows_per_chunk)
+            child_meta.append({"desc": cp.desc, "buf_start": len(bufdescs)})
+            buffers.extend(cp.buffers)
+            bufdescs.extend(cp.desc["buffers"])
+        desc["struct_children"] = child_meta
     elif col.kind == "list":
         odata, odesc = encode_plain(col.offsets.astype(np.int64))
         buffers.append(odata)
@@ -411,6 +482,18 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         bits = np.unpackbits(np.frombuffer(bufs[vi], dtype=np.uint8), bitorder="little")[:rows]
         return ColumnData("bool", rows, bits.astype(bool), None, validity, 1, arrow_type)
 
+    if layout == "struct":
+        children = []
+        meta = desc["struct_children"]
+        for ci, cm in enumerate(meta):
+            start = cm["buf_start"]
+            end = meta[ci + 1]["buf_start"] if ci + 1 < len(meta) else len(desc["buffers"])
+            child_bufs = [bufs[i] for i in range(start, end)]
+            ct = arrow_type.field(ci).type if arrow_type is not None and pa.types.is_struct(arrow_type) else None
+            children.append(decode_page(cm["desc"], child_bufs, ct))
+        return ColumnData("struct", rows, np.empty(0, np.uint8), None, validity, 1,
+                          arrow_type, None, children)
+
     if layout == "list":
         oi = next(i for i, b in enumerate(desc["buffers"][: desc["child_buf_start"]])
                   if b["role"] == "offsets")
@@ -422,6 +505,22 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         child = decode_page(desc["child"], child_bufs, child_type)
         return ColumnData("list", rows, np.empty(0, np.uint8), offsets, validity, 1,
                           arrow_type, child)
+
+    if layout == "dict":
+        ci = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "codes")
+        oi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "dict_offsets")
+        bi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "dict_bytes")
+        codes = decode_buffer(bufs[ci], desc["buffers"][ci]["desc"]).astype(np.int64)
+        doffs = decode_buffer(bufs[oi], desc["buffers"][oi]["desc"]).astype(np.int64)
+        dbytes = np.frombuffer(bufs[bi], dtype=np.uint8)
+        lens = (doffs[codes + 1] - doffs[codes]).astype(np.int64)
+        offsets = np.zeros(rows + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        out = np.empty(int(offsets[-1]), np.uint8)
+        for i in range(rows):  # host assembly; pages are bounded
+            s = doffs[codes[i]]
+            out[offsets[i]:offsets[i + 1]] = dbytes[s : s + lens[i]]
+        return ColumnData("varbin", rows, out, offsets, validity, 1, arrow_type)
 
     if layout == "varbin":
         oi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "offsets")

@@ -225,6 +225,30 @@ class FileReader:
             val = validity[local] if validity is not None else None
             return ColumnData("fixed", local.size, values, None, val, fsl, arrow_type)
 
+        if layout == "dict":
+            cb = next(x for x in desc["buffers"] if x["role"] == "codes")
+            ob = next(x for x in desc["buffers"] if x["role"] == "dict_offsets")
+            db = next(x for x in desc["buffers"] if x["role"] == "dict_bytes")
+            cranges = [(cb["off"] + int(i) * 4, 4) for i in local]
+            merged, mapping = _coalesce(cranges)
+            blobs = self.store.get_ranges(self.path, merged)
+            codes = np.asarray(
+                [np.frombuffer(blobs[mi][delta:delta + 4], dtype="<i4")[0]
+                 for mi, delta in mapping], dtype=np.int64)
+            doffs = decode_buffer(self.store.get_range(self.path, ob["off"], ob["len"]),
+                                  ob["desc"]).astype(np.int64)
+            dbytes = np.frombuffer(self.store.get_range(self.path, db["off"], db["len"]),
+                                   dtype=np.uint8)
+            lens = (doffs[codes + 1] - doffs[codes]).astype(np.int64)
+            new_offs = np.zeros(local.size + 1, np.int64)
+            np.cumsum(lens, out=new_offs[1:])
+            out = np.empty(int(new_offs[-1]), np.uint8)
+            for j in range(local.size):
+                s = doffs[codes[j]]
+                out[new_offs[j]:new_offs[j + 1]] = dbytes[s : s + lens[j]]
+            val = validity[local] if validity is not None else None
+            return ColumnData("varbin", local.size, out, new_offs, val, 1, arrow_type)
+
         if layout == "varbin":
             ob = next(x for x in desc["buffers"] if x["role"] == "offsets")
             # read offset pairs (always direct-addressed)

@@ -1,0 +1,99 @@
+"""SQL entry, struct/dict columns, diff, clone."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://sqlm-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def _ds(n=100):
+    return lt.write_dataset(
+        {"id": np.arange(n, dtype=np.int64),
+         "x": np.arange(n, dtype=np.float64) * 0.5,
+         "cat": pa.array([f"c{i % 3}" for i in range(n)])},
+        _uri("t"))
+
+
+def test_sql_select():
+    ds = _ds()
+    t = ds.sql("SELECT id, x FROM t WHERE id >= 10 AND id < 15 ORDER BY id DESC")
+    assert t.column_names == ["id", "x"]
+    assert np.asarray(t["id"]).tolist() == [14, 13, 12, 11, 10]
+    t2 = ds.sql("select count(*) from t where cat = 'c1'")
+    assert t2["count"][0].as_py() == 33
+    t3 = ds.sql("SELECT * FROM t LIMIT 3 OFFSET 5")
+    assert np.asarray(t3["id"]).tolist() == [5, 6, 7]
+    with pytest.raises(Exception):
+        ds.sql("DELETE FROM t")
+
+
+def test_struct_roundtrip():
+    data = pa.table({
+        "id": pa.array(np.arange(4, dtype=np.int64)),
+        "meta": pa.array(
+            [{"a": 1, "b": "x"}, {"a": 2, "b": None}, None, {"a": 4, "b": "w"}],
+            type=pa.struct([("a", pa.int32()), ("b", pa.string())])),
+    })
+    ds = lt.write_dataset(data, _uri("struct"))
+    out = ds.to_table()
+    assert out["meta"].to_pylist() == data["meta"].to_pylist()
+    t = ds.take([1, 3], columns=["meta"])
+    assert t["meta"].to_pylist() == [{"a": 2, "b": None}, {"a": 4, "b": "w"}]
+
+
+def test_dictionary_encoding_and_take():
+    vals = [f"cat-{i % 5}" for i in range(10_000)]
+    ds = lt.write_dataset(
+        {"c": pa.array(vals), "id": np.arange(10_000, dtype=np.int64)}, _uri("dict"))
+    frag = ds.get_fragments()[0]
+    r = frag._reader_for(frag._file_for_field("c"))
+    page = r.metadata["columns"][0]["pages"][0]
+    assert page["layout"] == "dict"
+    assert ds.to_table()["c"].to_pylist() == vals
+    t = ds.take([3, 9999], columns=["c"])
+    assert t["c"].to_pylist() == ["cat-3", "cat-4"]
+    # surgical take budget on dict columns
+    from lance_tpu.io.tracking import TrackingStore
+
+    tracked = TrackingStore(ds.store)
+    ds2 = lt.LanceDataset(tracked, ds.uri, ds.manifest, lt.Session(2**20, 2**20))
+    ds2.take([0], columns=["c"])  # warm reader metadata
+    tracked.stats.reset()
+    ds2.take([1234], columns=["c"])
+    assert tracked.stats.read_bytes < 1024, tracked.stats.read_bytes
+
+
+def test_diff():
+    uri = _uri("diff")
+    ds = lt.write_dataset({"id": np.arange(10, dtype=np.int64)}, uri)
+    ds = lt.write_dataset({"id": np.arange(10, 15, dtype=np.int64)}, uri, mode="append")
+    ds = ds.delete("id = 3")
+    d = ds.diff(1)
+    assert d["fragments_added"] == [1]
+    assert d["fragments_updated"] == [0]
+    assert d["rows_delta"] == 4
+    assert [t["operation"] for t in d["transactions"]] == ["append", "delete"]
+
+
+def test_clone():
+    ds = _ds(50)
+    rng = np.random.default_rng(0)
+    uri2 = _uri("clonedst")
+    cloned = ds.clone_to(uri2)
+    assert cloned.count_rows() == 50
+    assert cloned.to_table().equals(ds.to_table())
+    # clone with index preserves search
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    uri3 = _uri("vecsrc")
+    dv = lt.write_dataset({"vec": vecs, "id": np.arange(200, dtype=np.int64)}, uri3)
+    dv = dv.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=5)
+    cloned2 = dv.clone_to(_uri("vecdst"))
+    t = cloned2.scanner().nearest("vec", vecs[7], k=1, nprobes=4).to_table()
+    assert np.asarray(t["id"])[0] == 7
