@@ -115,8 +115,14 @@ def commit_compaction(ds, results: list[tuple[list[int], list[Fragment]]]):
 
 
 def compact_files(ds, target_rows_per_fragment: int = 1024 * 1024,
-                  materialize_deletions: bool = True):
-    """One-shot local compaction (reference compact_files optimize.rs:219)."""
+                  materialize_deletions: bool = True,
+                  rebuild_indices: bool = False):
+    """One-shot local compaction (reference compact_files optimize.rs:219).
+
+    rebuild_indices=True re-covers indices over the rewritten fragments
+    afterwards (reference: index remap via remapping.rs/frag_reuse; ours
+    re-assigns + re-encodes reusing the trained quantizers, which on TPU
+    costs about as much as a remap pass and keeps one code path)."""
     options = CompactionOptions(
         target_rows_per_fragment=target_rows_per_fragment,
         materialize_deletions=materialize_deletions,
@@ -125,4 +131,7 @@ def compact_files(ds, target_rows_per_fragment: int = 1024 * 1024,
     if not plan.tasks:
         return ds
     results = [task.execute(ds) for task in plan.tasks]
-    return commit_compaction(ds, results)
+    ds = commit_compaction(ds, results)
+    if rebuild_indices:
+        ds = ds.optimize_indices()
+    return ds

@@ -1,0 +1,68 @@
+"""External commit handlers: catalog-owned "latest version" pointers.
+
+Re-design of the reference's DynamoDB commit handler + external manifest
+store (rust/lance-table/src/io/commit/{dynamodb.rs,external_manifest.rs}):
+for stores without atomic conditional put, an external coordination service
+owns the latest-version pointer; manifests are still written to the store.
+
+`ExternalManifestStore` is the protocol; `InMemoryManifestStore` is the test
+double (per-process; a DynamoDB/etcd-backed impl plugs in identically).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Protocol
+
+from ..io.object_store import ObjectStore
+from .commit import CommitHandler
+from .manifest import VERSIONS_DIR, manifest_path
+
+
+class ExternalManifestStore(Protocol):
+    def get_latest(self, base_uri: str) -> int | None: ...
+
+    def put_if_version(self, base_uri: str, version: int, expect_prev: int | None) -> bool: ...
+
+
+class InMemoryManifestStore:
+    """Process-local pointer store (test double for DynamoDB/etcd)."""
+
+    def __init__(self) -> None:
+        self._latest: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def get_latest(self, base_uri: str) -> int | None:
+        with self._lock:
+            return self._latest.get(base_uri)
+
+    def put_if_version(self, base_uri: str, version: int, expect_prev: int | None) -> bool:
+        with self._lock:
+            cur = self._latest.get(base_uri)
+            if cur != expect_prev:
+                return False
+            self._latest[base_uri] = version
+            return True
+
+
+class ExternalCommitHandler(CommitHandler):
+    """Commit = CAS the pointer in the external store, then write the
+    manifest object (readers resolve latest through the pointer, so the
+    ordering is safe — reference external_manifest.rs semantics)."""
+
+    def __init__(self, store: ExternalManifestStore, dataset_key: str):
+        self.external = store
+        self.key = dataset_key
+
+    def commit(self, store: ObjectStore, version: int, manifest_bytes: bytes) -> bool:
+        expect_prev = version - 1 if version > 1 else None
+        if not self.external.put_if_version(self.key, version, expect_prev):
+            return False
+        store.put(manifest_path(version), manifest_bytes)
+        return True
+
+    def latest_version(self, store: ObjectStore) -> int | None:
+        v = self.external.get_latest(self.key)
+        if v is not None:
+            return v
+        return super().latest_version(store)

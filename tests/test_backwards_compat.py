@@ -1,0 +1,51 @@
+"""Frozen-corpus compatibility: current code must read files written by
+earlier builds (reference: test_data/{0.5.9..} + test_backwards_compatibility.py).
+
+tests/frozen/v0_1.lance was generated once at format v0.1 and committed as
+binary files; regenerating it on failure is a FORMAT BREAK and needs a
+version bump + migration path instead.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+
+FROZEN = os.path.join(os.path.dirname(__file__), "frozen", "v0_1.lance")
+
+
+@pytest.fixture
+def frozen():
+    if not os.path.exists(FROZEN):
+        pytest.skip("frozen corpus missing")
+    return lt.dataset(FROZEN)
+
+
+def test_read_frozen_dataset(frozen):
+    assert frozen.count_rows() == 490  # 500 - 10 deleted
+    t = frozen.to_table(columns=["id", "cat", "maybe"], filter="id < 10")
+    assert np.asarray(t["id"]).tolist() == list(range(1, 10))  # id=0 deleted
+    assert t["maybe"][6].as_py() is None  # id=7 -> null
+    t2 = frozen.take([0, 100], columns=["meta", "tags"])
+    assert t2["meta"][0].as_py() == {"a": 1, "b": "s1"}
+
+
+def test_frozen_vector_index(frozen):
+    t = frozen.to_table(columns=["vec"], filter="id = 123")
+    q = np.asarray(t["vec"][0].as_py(), dtype=np.float32)
+    hit = frozen.scanner().nearest("vec", q, k=1, nprobes=4, refine_factor=4).to_table()
+    assert np.asarray(hit["id"])[0] == 123
+
+
+def test_frozen_scalar_and_fts(frozen):
+    assert frozen.count_rows("small_int < 50") > 0
+    t = frozen.scanner().full_text_search("quick item", k=5).to_table()
+    assert t.num_rows == 5
+
+
+def test_frozen_time_travel(frozen):
+    v1 = frozen.checkout_version(1)
+    assert v1.count_rows() == 500
+    assert frozen.tags.get_version("frozen") == frozen.latest_version()

@@ -140,3 +140,21 @@ def test_concurrent_appends_threaded(memory_store):
     assert latest == 1 + n
     assert final.num_rows == 10 * n
     assert len({f.id for f in final.fragments}) == n
+
+
+def test_external_commit_handler(memory_store):
+    from lance_tpu.table.external import ExternalCommitHandler, InMemoryManifestStore
+
+    ext = InMemoryManifestStore()
+    handler = ExternalCommitHandler(ext, "ds1")
+    txn = Transaction(0, Operation("overwrite", fragments=[_frag()], schema=_schema()))
+    m1 = commit_transaction(memory_store, txn, None, handler=handler)
+    assert m1.version == 1
+    assert ext.get_latest("ds1") == 1
+    # two racing appends: pointer CAS serializes them
+    t_a = Transaction(1, Operation("append", fragments=[_frag("data/a.ltpf", 5)]))
+    t_b = Transaction(1, Operation("append", fragments=[_frag("data/b.ltpf", 6)]))
+    commit_transaction(memory_store, t_a, m1, handler=handler)
+    m3 = commit_transaction(memory_store, t_b, m1, handler=handler)
+    assert m3.version == 3
+    assert m3.num_rows == 111
