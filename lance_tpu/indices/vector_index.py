@@ -551,6 +551,7 @@ class IvfIndex:
             self.metric, nprobes, fetch, q_cap,
             refine_vectors=self._ensure_vectors() if do_refine else None,
             final_k=kk if do_refine else None,
+            part_offsets=self._offsets_dev,
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -593,6 +594,7 @@ class IvfIndex:
                 self.metric, nprobes, fetch, q_cap,
                 refine_vectors=refine_vecs,
                 final_k=kk if do_refine else None,
+                part_offsets=self._offsets_dev,
             )
 
         return run
@@ -650,7 +652,8 @@ def _query_cap(b: int, nprobes: int, nlist: int, slack: int = 4) -> int:
     jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
-                  metric, nprobes, k, q_cap, refine_vectors=None, final_k=None):
+                  metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
+                  part_offsets=None):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -713,7 +716,14 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     mine = jnp.take(flat_d, row_idx.reshape(-1), axis=0).reshape(b, nprobes, L)
     mine = jnp.where((slot >= 0)[:, :, None], mine, jnp.inf)
     mine = mine.reshape(b, nprobes * L)
-    cand_pos = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
+    if part_offsets is not None:
+        # candidate positions computed arithmetically (start_p + l) instead of
+        # gathering (B, P, L) rows of gpos — out-of-range slots carry inf
+        # distance so their position value is never selected
+        cand_pos = (part_offsets[pids][:, :, None]
+                    + jnp.arange(L, dtype=jnp.int32)[None, None, :]).reshape(b, nprobes * L)
+    else:
+        cand_pos = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
     kk = min(k, nprobes * L)
     neg, sel_i = jax.lax.top_k(-mine, kk)
     pos = jnp.take_along_axis(cand_pos, sel_i, axis=1)
