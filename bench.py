@@ -13,6 +13,7 @@ Baseline target (BASELINE.json): 50,000 QPS per chip at recall@10 >= 0.95.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -128,19 +129,30 @@ def main() -> None:
     # also report single-call end-to-end latency separately
     import jax.numpy as jnp
 
-    batch = 512
-    qb = queries[:batch]
     search_fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=refine)
-    q_dev = jnp.asarray(qb)
-    jax.block_until_ready(search_fn(q_dev))  # warmup/compile
-    t = time.time()
-    iters = 100
-    outs = None
-    for _ in range(iters):
-        outs = search_fn(q_dev)
-    jax.block_until_ready(outs)
-    dt = time.time() - t
-    qps = iters * batch / dt
+
+    def measure(batch, iters):
+        qb = np.tile(queries, (max(1, batch // NQ + 1), 1))[:batch]
+        q_dev = jnp.asarray(qb)
+        jax.block_until_ready(search_fn(q_dev))  # warmup/compile
+        t = time.time()
+        outs = None
+        for _ in range(iters):
+            outs = search_fn(q_dev)
+        jax.block_until_ready(outs)
+        return iters * batch / (time.time() - t)
+
+    qps512 = measure(512, 100)
+    qps = qps512
+    batch = 512
+    # larger batches amortize per-dispatch overhead; skip if out of budget
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    if time.time() - t0 < budget_s * 0.7:
+        qps2048 = measure(2048, 50)
+        _log(f"qps @B=512: {qps512:.0f}  @B=2048: {qps2048:.0f}")
+        if qps2048 > qps:
+            qps, batch = qps2048, 2048
+    q_dev = jnp.asarray(queries[:512])
     t = time.time()
     jax.block_until_ready(search_fn(q_dev))
     lat_ms = (time.time() - t) * 1000

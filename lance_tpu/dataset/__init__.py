@@ -429,11 +429,12 @@ class LanceDataset:
 
     def optimize_compact(self, target_rows_per_fragment: int = 1024 * 1024,
                          materialize_deletions: bool = True,
-                         rebuild_indices: bool = False) -> "LanceDataset":
+                         rebuild_indices: bool = False,
+                         remap_indices: bool = True) -> "LanceDataset":
         from .optimize import compact_files
 
         return compact_files(self, target_rows_per_fragment, materialize_deletions,
-                             rebuild_indices)
+                             rebuild_indices, remap_indices)
 
     def cleanup_old_versions(self, keep_latest: int = 1) -> int:
         from .cleanup import cleanup_old_versions

@@ -36,15 +36,24 @@ class CompactionOptions:
 class CompactionTask:
     fragment_ids: list[int]
 
-    def execute(self, ds) -> tuple[list[int], list[Fragment]]:
-        """Rewrite the given fragments into fresh files; returns (old ids, new frags)."""
+    def execute(self, ds) -> tuple[list[int], list[Fragment], "np.ndarray", "np.ndarray"]:
+        """Rewrite the given fragments into fresh files.
+
+        Returns (old ids, new frags, src_frag_ids, src_offsets) — the latter
+        two give, for each output row in order, its source row address parts
+        (for FragReuse mapping construction)."""
+        import numpy as np
+
         frags = [ds.get_fragment(fid) for fid in self.fragment_ids]
+        src_f, src_o = [], []
 
         def batches():
             for frag in frags:
                 alive = frag.alive_offsets()
                 if alive.size == 0:
                     continue
+                src_f.append(np.full(alive.size, frag.id, np.uint32))
+                src_o.append(alive.astype(np.uint32))
                 step = 64 * 1024
                 for s in range(0, alive.size, step):
                     data = frag.take_physical(alive[s : s + step], ds.schema.names)
@@ -54,7 +63,7 @@ class CompactionTask:
         try:
             first = next(gen)
         except StopIteration:
-            return self.fragment_ids, []
+            return self.fragment_ids, [], np.empty(0, np.uint32), np.empty(0, np.uint32)
 
         def chain():
             yield first
@@ -64,7 +73,8 @@ class CompactionTask:
             ds.store, chain(), ds.schema,
             WriteParams(max_rows_per_file=CompactionOptions().target_rows_per_fragment),
         )
-        return self.fragment_ids, new_frags
+        return (self.fragment_ids, new_frags,
+                np.concatenate(src_f), np.concatenate(src_o))
 
 
 @dataclass
@@ -106,23 +116,68 @@ def plan_compaction(ds, options: CompactionOptions | None = None) -> CompactionP
     return plan
 
 
-def commit_compaction(ds, results: list[tuple[list[int], list[Fragment]]]):
-    groups = [(old, new) for old, new in results if old]
+def commit_compaction(ds, results, remap_indices: bool = False):
+    groups = [(r[0], r[1]) for r in results if r[0]]
     if not groups:
         return ds
-    op = Operation("rewrite", groups=groups)
+    if not remap_indices:
+        op = Operation("rewrite", groups=groups)
+        return ds._commit(op)
+
+    # remapping compaction (reference frag_reuse.md): reserve fragment ids so
+    # the old-address -> new-address mapping is known before the commit
+    import uuid as uuid_mod
+
+    import numpy as np
+
+    from ..models.frag_reuse import FRAG_REUSE_NAME, FRAG_REUSE_TYPE, FragReuseMapping
+    from ..table.manifest import INDICES_DIR, IndexMetadata
+
+    total_new = sum(len(r[1]) for r in results)
+    ds = ds._commit(Operation("reserve_fragments", num_fragments=total_new))
+    first_id = ds.manifest.max_fragment_id - total_new + 1
+
+    mapping = FragReuseMapping()
+    nxt = first_id
+    new_ids = []
+    for old_ids, new_frags, src_f, src_o in results:
+        if not old_ids:
+            continue
+        # rows fill the task's new fragments sequentially
+        bounds = np.cumsum([0] + [f.physical_rows for f in new_frags])
+        new_addrs = np.empty(src_f.size, np.uint64)
+        for j, f in enumerate(new_frags):
+            f.id = nxt
+            new_ids.append(nxt)
+            sl = slice(bounds[j], bounds[j + 1])
+            new_addrs[sl] = ((np.uint64(nxt) << np.uint64(32))
+                             | np.arange(bounds[j + 1] - bounds[j], dtype=np.uint64))
+            nxt += 1
+        for fid in np.unique(src_f):
+            sel = src_f == fid
+            mapping.add(int(fid), src_o[sel], new_addrs[sel])
+
+    reuse_uuid = uuid_mod.uuid4().hex
+    ds.store.put(f"{INDICES_DIR}/{reuse_uuid}/mapping.bin", mapping.to_bytes())
+    reuse_meta = IndexMetadata(
+        uuid=reuse_uuid, name=f"{FRAG_REUSE_NAME}-{reuse_uuid[:8]}", fields=[],
+        index_type=FRAG_REUSE_TYPE, fragment_ids=new_ids,
+        dataset_version=ds.version, params={},
+    )
+    op = Operation("rewrite", groups=groups, new_indices=[reuse_meta])
     return ds._commit(op)
 
 
 def compact_files(ds, target_rows_per_fragment: int = 1024 * 1024,
                   materialize_deletions: bool = True,
-                  rebuild_indices: bool = False):
+                  rebuild_indices: bool = False,
+                  remap_indices: bool = True):
     """One-shot local compaction (reference compact_files optimize.rs:219).
 
-    rebuild_indices=True re-covers indices over the rewritten fragments
-    afterwards (reference: index remap via remapping.rs/frag_reuse; ours
-    re-assigns + re-encodes reusing the trained quantizers, which on TPU
-    costs about as much as a remap pass and keeps one code path)."""
+    remap_indices=True (default) commits a FragReuse mapping with the rewrite
+    so secondary indices keep their coverage and remap rowids lazily at open
+    (reference frag_reuse). rebuild_indices=True instead re-encodes indices
+    eagerly (reusing trained quantizers)."""
     options = CompactionOptions(
         target_rows_per_fragment=target_rows_per_fragment,
         materialize_deletions=materialize_deletions,
@@ -131,7 +186,7 @@ def compact_files(ds, target_rows_per_fragment: int = 1024 * 1024,
     if not plan.tasks:
         return ds
     results = [task.execute(ds) for task in plan.tasks]
-    ds = commit_compaction(ds, results)
+    ds = commit_compaction(ds, results, remap_indices=remap_indices and not rebuild_indices)
     if rebuild_indices:
         ds = ds.optimize_indices()
     return ds

@@ -105,7 +105,7 @@ def write_fragments(
             writer.finish()
             fragments.append(
                 Fragment(
-                    id=0,  # assigned at commit
+                    id=-1,  # assigned at commit (or pre-reserved by caller)
                     files=[DataFile(cur_path, field_ids, cur_rows)],
                     physical_rows=cur_rows,
                 )

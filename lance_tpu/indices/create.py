@@ -71,6 +71,8 @@ def optimize_indices(ds, names: list[str] | None = None):
     for meta in list(ds.manifest.indices):
         if names is not None and meta.name not in names:
             continue
+        if not meta.fields:  # system indices (FRAG_REUSE, MemWAL)
+            continue
         covered = set(meta.fragment_ids)
         if covered == live:
             continue
@@ -97,6 +99,8 @@ def index_statistics(ds, name: str) -> dict:
     meta = ds.manifest.index_by_name(name)
     if meta is None:
         raise NotFoundError(f"index {name}")
+    if meta.index_type == "FRAG_REUSE":
+        return {"index_type": "FRAG_REUSE", "fragments": meta.fragment_ids}
     if meta.index_type in VECTOR_TYPES:
         from .vector_index import open_vector_index
 

@@ -372,6 +372,9 @@ class IvfIndex:
         self.rowids = np.asarray(
             reader.read_column(ROWID_COL).values, dtype=np.uint64
         )
+        from ..models.frag_reuse import remap_rowids
+
+        self.rowids = remap_rowids(ds, self.rowids)  # lazy FragReuse remap
         self._centroids_dev = jnp.asarray(self.ivf.centroids)
         self._offsets_dev = jnp.asarray(self.ivf.offsets.astype(np.int32))
         self._lengths_dev = jnp.asarray(self.ivf.lengths.astype(np.int32))
@@ -716,17 +719,20 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     mine = jnp.take(flat_d, row_idx.reshape(-1), axis=0).reshape(b, nprobes, L)
     mine = jnp.where((slot >= 0)[:, :, None], mine, jnp.inf)
     mine = mine.reshape(b, nprobes * L)
-    if part_offsets is not None:
-        # candidate positions computed arithmetically (start_p + l) instead of
-        # gathering (B, P, L) rows of gpos — out-of-range slots carry inf
-        # distance so their position value is never selected
-        cand_pos = (part_offsets[pids][:, :, None]
-                    + jnp.arange(L, dtype=jnp.int32)[None, None, :]).reshape(b, nprobes * L)
-    else:
-        cand_pos = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
     kk = min(k, nprobes * L)
-    neg, sel_i = jax.lax.top_k(-mine, kk)
-    pos = jnp.take_along_axis(cand_pos, sel_i, axis=1)
+    # two-stage top-k: per-probe partial top-k first (narrow, vectorizes
+    # better than one top-k over nprobes*L), then the global merge
+    k1 = min(kk, L)
+    mine3 = mine.reshape(b, nprobes, L)
+    neg1, sel1 = jax.lax.top_k(-mine3, k1)  # (B, P, k1)
+    if part_offsets is not None:
+        # positions arithmetically: start_p + within-partition index
+        pos1 = part_offsets[pids][:, :, None] + sel1.astype(jnp.int32)
+    else:
+        gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes, L)
+        pos1 = jnp.take_along_axis(gsel, sel1, axis=2)
+    neg, sel_i = jax.lax.top_k(neg1.reshape(b, nprobes * k1), kk)
+    pos = jnp.take_along_axis(pos1.reshape(b, nprobes * k1), sel_i, axis=1)
     best_d = -neg
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
@@ -798,6 +804,9 @@ class HnswIndex:
         self.metric = self.graph.metric
         self.num_rows = reader.num_rows
         self.rowids = np.asarray(reader.read_column(ROWID_COL).values, dtype=np.uint64)
+        from ..models.frag_reuse import remap_rowids
+
+        self.rowids = remap_rowids(ds, self.rowids)
         gbufs = reader.global_buffer_names()
         score_f32 = jax.default_backend() == "cpu"
         score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
@@ -876,5 +885,11 @@ def open_vector_index(ds, meta: IndexMetadata):
         idx = cls(ds, meta)
         cache.put("ivf_index", key, idx)
     else:
+        if idx.ds.version != ds.version:
+            # new compactions may have added FragReuse mappings; re-applying
+            # all mappings is idempotent (fragment ids are never reused)
+            from ..models.frag_reuse import remap_rowids
+
+            idx.rowids = remap_rowids(ds, idx.rowids)
         idx.ds = ds  # device arrays are immutable; rebind for version-aware masks
     return idx

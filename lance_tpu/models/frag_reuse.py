@@ -1,0 +1,107 @@
+"""FragReuse: row-address remaps across compactions.
+
+Re-design of the reference FragReuseIndex (rust/lance-index/src/frag_reuse.rs
+:21-29, docs .../system/frag_reuse.md): a rewrite (compaction) moves rows to
+new addresses; instead of invalidating secondary indices, the rewrite records
+an old-address -> new-address mapping as a system index. Vector indices remap
+their stored rowids lazily at open time, so compaction never forces an index
+rebuild.
+
+The compaction flow reserves fragment ids up front (ReserveFragments) so the
+mapping is computable before the rewrite commits.
+
+Serialization (mapping.bin): u32 n_groups, then per group:
+    u32 old_frag_id, u64 n_rows, n_rows * u32 old_offsets, n_rows * u64 new_addrs
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FRAG_REUSE_NAME = "__frag_reuse"
+FRAG_REUSE_TYPE = "FRAG_REUSE"
+
+
+class FragReuseMapping:
+    def __init__(self) -> None:
+        # old_frag_id -> (sorted old offsets u32, new addresses u64)
+        self.groups: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def add(self, old_frag_id: int, old_offsets: np.ndarray, new_addrs: np.ndarray) -> None:
+        order = np.argsort(old_offsets, kind="stable")
+        self.groups[old_frag_id] = (
+            np.asarray(old_offsets, np.uint32)[order],
+            np.asarray(new_addrs, np.uint64)[order],
+        )
+
+    def to_bytes(self) -> bytes:
+        out = [struct.pack("<I", len(self.groups))]
+        for fid, (offs, addrs) in sorted(self.groups.items()):
+            out.append(struct.pack("<IQ", fid, offs.size))
+            out.append(offs.astype("<u4").tobytes())
+            out.append(addrs.astype("<u8").tobytes())
+        return b"".join(out)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "FragReuseMapping":
+        m = cls()
+        (n,) = struct.unpack_from("<I", data, 0)
+        pos = 4
+        for _ in range(n):
+            fid, cnt = struct.unpack_from("<IQ", data, pos)
+            pos += 12
+            offs = np.frombuffer(data, dtype="<u4", count=cnt, offset=pos)
+            pos += cnt * 4
+            addrs = np.frombuffer(data, dtype="<u8", count=cnt, offset=pos)
+            pos += cnt * 8
+            m.groups[fid] = (offs, addrs)
+        return m
+
+    def remap(self, rowids: np.ndarray) -> tuple[np.ndarray, int]:
+        """Translate addresses whose fragment has a mapping; returns
+        (new rowids, number translated). Unmapped rows pass through."""
+        from ..rowids import split_addresses
+
+        out = rowids.copy()
+        frag_ids, offsets = split_addresses(rowids)
+        translated = 0
+        for fid in np.unique(frag_ids):
+            grp = self.groups.get(int(fid))
+            if grp is None:
+                continue
+            old_offs, new_addrs = grp
+            sel = frag_ids == fid
+            pos = np.searchsorted(old_offs, offsets[sel])
+            pos_c = np.minimum(pos, max(old_offs.size - 1, 0))
+            hit = old_offs.size > 0
+            found = (old_offs[pos_c] == offsets[sel]) if hit else np.zeros(sel.sum(), bool)
+            idx = np.flatnonzero(sel)[found]
+            out[idx] = new_addrs[pos_c[found]]
+            translated += int(found.sum())
+        return out, translated
+
+
+def load_mappings(ds) -> list[FragReuseMapping]:
+    """All frag-reuse mappings in the current manifest, oldest first."""
+    from ..table.manifest import INDICES_DIR
+
+    out = []
+    for meta in ds.manifest.indices:
+        if meta.index_type == FRAG_REUSE_TYPE:
+            try:
+                data = ds.store.get(f"{INDICES_DIR}/{meta.uuid}/mapping.bin")
+                out.append(FragReuseMapping.from_bytes(data))
+            except Exception:
+                continue
+    return out
+
+
+def remap_rowids(ds, rowids: np.ndarray) -> np.ndarray:
+    """Apply all mappings (chained, oldest->newest) to row addresses."""
+    mappings = load_mappings(ds)
+    out = rowids
+    for m in mappings:
+        out, _n = m.remap(out)
+    return out

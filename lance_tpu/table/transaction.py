@@ -210,8 +210,9 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         if base is not None:
             m.config = {**base.config, **op.config_upserts}
             m.max_fragment_id = base.max_fragment_id
-        _assign_fragment_ids(m, op.fragments)
-        m.fragments = [f.copy() for f in op.fragments]
+        frags = [f.copy() for f in op.fragments]
+        _assign_fragment_ids(m, frags)
+        m.fragments = frags
         m.transaction_file = txn.tx_path()
         return m
 
@@ -229,8 +230,9 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
     m.transaction_file = txn.tx_path()
 
     if kind == "append":
-        _assign_fragment_ids(m, op.fragments)
-        m.fragments.extend(f.copy() for f in op.fragments)
+        frags = [f.copy() for f in op.fragments]
+        _assign_fragment_ids(m, frags)
+        m.fragments.extend(frags)
     elif kind in ("delete", "update"):
         updated = {f.id: f for f in op.updated_fragments}
         deleted = set(op.deleted_fragment_ids)
@@ -238,8 +240,9 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
             updated.get(f.id, f).copy() for f in m.fragments if f.id not in deleted
         ]
         if kind == "update" and op.fragments:
-            _assign_fragment_ids(m, op.fragments)
-            m.fragments.extend(f.copy() for f in op.fragments)
+            frags = [f.copy() for f in op.fragments]
+            _assign_fragment_ids(m, frags)
+            m.fragments.extend(frags)
     elif kind == "create_index":
         removed = set(op.removed_index_uuids)
         replaced_names = {i.name for i in op.new_indices}
@@ -252,7 +255,7 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         new_frags: list[Fragment] = []
         for old_ids, new in op.groups:
             all_old.update(old_ids)
-            new_frags.extend(new)
+            new_frags.extend(f.copy() for f in new)
         _assign_fragment_ids(m, new_frags)
         # preserve position of first old fragment in each group
         result = []
@@ -267,16 +270,31 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         if not inserted:
             result.extend(fr.copy() for fr in new_frags)
         m.fragments = result
-        # rewritten rows have new addresses: shrink index coverage so queries
-        # treat them as unindexed tail until the index is rebuilt/remapped
-        m.indices = [
-            IndexMetadata(
-                i.uuid, i.name, i.fields, i.index_type,
-                [fid for fid in i.fragment_ids if fid not in all_old],
-                i.dataset_version, i.params,
-            )
-            for i in m.indices
-        ]
+        new_ids = [f.id for f in new_frags]
+        if op.new_indices:
+            # remapping rewrite: a FRAG_REUSE mapping rides along, so index
+            # coverage MOVES from old to new fragments (rowids remap lazily
+            # at index open; see models/frag_reuse.py)
+            m.indices = [
+                IndexMetadata(
+                    i.uuid, i.name, i.fields, i.index_type,
+                    sorted((set(i.fragment_ids) - all_old) | set(new_ids))
+                    if set(i.fragment_ids) & all_old else i.fragment_ids,
+                    i.dataset_version, i.params,
+                )
+                for i in m.indices
+            ] + list(op.new_indices)
+        else:
+            # plain rewrite: shrink coverage; rewritten rows become an
+            # unindexed tail until the index is rebuilt
+            m.indices = [
+                IndexMetadata(
+                    i.uuid, i.name, i.fields, i.index_type,
+                    [fid for fid in i.fragment_ids if fid not in all_old],
+                    i.dataset_version, i.params,
+                )
+                for i in m.indices
+            ]
     elif kind == "reserve_fragments":
         m.max_fragment_id += op.num_fragments
     elif kind == "update_config":
@@ -318,8 +336,14 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
 
 
 def _assign_fragment_ids(m: Manifest, fragments: list[Fragment]) -> None:
+    """Assign ids to fragments with id < 0; pre-assigned ids (reserved via
+    ReserveFragments, e.g. by remapping compactions) are respected."""
     nxt = m.max_fragment_id + 1
+    mx = m.max_fragment_id
     for f in fragments:
-        f.id = nxt
-        nxt += 1
-    m.max_fragment_id = nxt - 1
+        if f.id < 0:
+            f.id = nxt
+            nxt += 1
+        mx = max(mx, f.id)
+        nxt = max(nxt, mx + 1)
+    m.max_fragment_id = mx

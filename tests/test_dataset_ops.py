@@ -255,3 +255,31 @@ def test_merge_join():
     t = ds2.to_table(columns=["id", "extra"])
     vals = dict(zip(np.asarray(t["id"]).tolist(), t["extra"].to_pylist()))
     assert vals[0] == "a" and vals[2] == "b" and vals[1] is None
+
+
+def test_compaction_with_frag_reuse_remap():
+    """Compaction keeps index coverage via FragReuse lazy rowid remap."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(600, 8)).astype(np.float32)
+    uri = _uri("fragreuse")
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(600, dtype=np.int64)}, uri,
+                          params=WriteParams(max_rows_per_file=200))
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=5)
+    ds = ds.delete("id % 7 = 0")
+    ds = ds.optimize_compact(target_rows_per_fragment=10_000, remap_indices=True)
+    # coverage moved to the new fragments (index NOT dropped)
+    metas = [i for i in ds.list_indices() if i.index_type == "IVF_FLAT"]
+    assert metas, [i.index_type for i in ds.list_indices()]
+    live = {f.id for f in ds.manifest.fragments}
+    assert set(metas[0].fragment_ids) & live
+    sysidx = [i for i in ds.list_indices() if i.index_type == "FRAG_REUSE"]
+    assert sysidx
+    # search goes through the remapped index and returns correct rows
+    ds.session.index_cache.clear()
+    q = vecs[8]
+    t = ds.scanner().nearest("vec", q, k=3, nprobes=4).fast_search().to_table()
+    assert np.asarray(t["id"])[0] == 8
+    # a deleted row stays gone
+    q2 = vecs[7]  # id=7 deleted (7 % 7 == 0)
+    t2 = ds.scanner().nearest("vec", q2, k=1, nprobes=4).to_table()
+    assert np.asarray(t2["id"])[0] != 7

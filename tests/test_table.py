@@ -26,7 +26,7 @@ def _schema():
 
 
 def _frag(path="data/x.ltpf", rows=100):
-    return Fragment(id=0, files=[DataFile(path, [0], rows)], physical_rows=rows)
+    return Fragment(id=-1, files=[DataFile(path, [0], rows)], physical_rows=rows)
 
 
 def test_manifest_roundtrip():
