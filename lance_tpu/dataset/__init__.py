@@ -410,6 +410,12 @@ class LanceDataset:
 
         return _alter(self, list(alterations))
 
+    def memwal(self, region: str = "default"):
+        """Streaming-ingest WAL for this dataset (reference MemWAL)."""
+        from .memwal import MemWal
+
+        return MemWal(self, region)
+
     def sql(self, query: str) -> pa.Table:
         from .sql import sql as _sql
 

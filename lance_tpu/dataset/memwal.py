@@ -1,0 +1,134 @@
+"""MemWAL: write-ahead-logged streaming ingest.
+
+Re-design of the reference MemWAL system index (rust/lance-index/src/
+mem_wal.rs:21-26 states Open/Sealed/Flushed, dataset-side merge
+rust/lance/src/index/mem_wal.rs, spec docs .../system/memwal.md): streaming
+writers append small batches to WAL files under `_wal/` with low latency
+(one object PUT, no manifest commit per batch); a background flush folds
+sealed regions into regular fragments with one Append transaction.
+
+Region state lives in the manifest config under the `memwal:` key-prefix and
+advances via UpdateConfig transactions — the config conflict rule (same-key
+writes conflict) gives single-writer semantics per region for free.
+
+    wal = MemWal(ds, "ingest-1")
+    wal.append(batch)          # low-latency, durable, unindexed
+    wal.read()                 # everything in the WAL (search-before-flush)
+    ds = wal.seal().flush()    # fold into fragments, mark region Flushed
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as uuid_mod
+
+import pyarrow as pa
+
+from ..errors import InvalidInputError
+from ..file.reader import FileReader
+from ..file.writer import FileWriter
+
+WAL_DIR = "_wal"
+OPEN, SEALED, FLUSHED = "open", "sealed", "flushed"
+
+
+def _key(region: str) -> str:
+    return f"memwal:{region}"
+
+
+class MemWal:
+    def __init__(self, ds, region: str):
+        if "/" in region or not region:
+            raise InvalidInputError(f"bad region name {region!r}")
+        self.ds = ds
+        self.region = region
+
+    # -- state -------------------------------------------------------------------
+
+    def state(self) -> dict:
+        raw = self.ds.config.get(_key(self.region))
+        if raw is None:
+            return {"state": OPEN, "entries": [], "generation": 0}
+        return json.loads(raw)
+
+    def _put_state(self, st: dict) -> None:
+        self.ds = self.ds.update_config({_key(self.region): json.dumps(st)})
+
+    # -- append -------------------------------------------------------------------
+
+    def append(self, batch) -> str:
+        """Durably append a batch to the WAL (one PUT + one config commit)."""
+        st = self.state()
+        if st["state"] != OPEN:
+            raise InvalidInputError(f"region {self.region} is {st['state']}")
+        if isinstance(batch, dict):
+            batch = pa.table(batch)
+        if isinstance(batch, pa.RecordBatch):
+            batch = pa.Table.from_batches([batch])
+        from ..schema import Schema
+
+        schema = self.ds.schema if len(self.ds.schema) else Schema.from_arrow(batch.schema)
+        seq = len(st["entries"])
+        path = f"{WAL_DIR}/{self.region}/{seq:08d}-{uuid_mod.uuid4().hex[:8]}.ltpf"
+        w = FileWriter(self.ds.store, path, schema)
+        for rb in batch.to_batches():
+            w.write_batch(rb)
+        w.finish()
+        st["entries"].append({"path": path, "rows": batch.num_rows})
+        self._put_state(st)
+        return path
+
+    # -- read (search-before-flush) --------------------------------------------------
+
+    def read(self) -> pa.Table:
+        st = self.state()
+        tables = []
+        for e in st["entries"]:
+            r = FileReader(self.ds.store, e["path"])
+            tables.append(r.read_table())
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    def num_rows(self) -> int:
+        return sum(e["rows"] for e in self.state()["entries"])
+
+    # -- lifecycle ---------------------------------------------------------------------
+
+    def seal(self) -> "MemWal":
+        st = self.state()
+        if st["state"] != OPEN:
+            raise InvalidInputError(f"region {self.region} is {st['state']}")
+        st["state"] = SEALED
+        self._put_state(st)
+        return self
+
+    def flush(self):
+        """Fold WAL entries into regular fragments (one Append transaction),
+        mark the region Flushed, reset for reuse. Returns the new dataset."""
+        st = self.state()
+        if st["state"] not in (OPEN, SEALED):
+            raise InvalidInputError(f"region {self.region} is {st['state']}")
+        if st["entries"]:
+            table = self.read()
+            ds = self.ds.insert(table, mode="append")
+            # delete consumed WAL files (they are folded into fragments now)
+            for e in st["entries"]:
+                ds.store.delete(e["path"])
+        else:
+            ds = self.ds
+        self.ds = ds
+        self._put_state({"state": OPEN, "entries": [],
+                         "generation": st.get("generation", 0) + 1})
+        return self.ds
+
+
+def list_regions(ds) -> list[dict]:
+    out = []
+    for k, v in ds.config.items():
+        if k.startswith("memwal:"):
+            st = json.loads(v)
+            out.append({"region": k[len("memwal:"):], "state": st["state"],
+                        "entries": len(st["entries"]),
+                        "rows": sum(e["rows"] for e in st["entries"])})
+    return sorted(out, key=lambda d: d["region"])

@@ -283,3 +283,31 @@ def test_compaction_with_frag_reuse_remap():
     q2 = vecs[7]  # id=7 deleted (7 % 7 == 0)
     t2 = ds.scanner().nearest("vec", q2, k=1, nprobes=4).to_table()
     assert np.asarray(t2["id"])[0] != 7
+
+
+def test_memwal_streaming_ingest():
+    from lance_tpu.dataset.memwal import list_regions
+
+    uri = _uri("memwal")
+    ds = lt.write_dataset(_table(10), uri)
+    wal = ds.memwal("stream-1")
+    wal.append(_table(3, offset=100))
+    wal.append(_table(2, offset=103))
+    assert wal.num_rows() == 5
+    # search-before-flush: WAL rows readable without a fragment commit
+    t = wal.read()
+    assert t.num_rows == 5
+    # dataset unchanged until flush
+    assert lt.dataset(uri).count_rows() == 10
+    regions = list_regions(wal.ds)
+    assert regions[0]["state"] == "open" and regions[0]["rows"] == 5
+    wal.seal()
+    with pytest.raises(InvalidInputError):
+        wal.append(_table(1))
+    ds2 = wal.flush()
+    assert ds2.count_rows() == 15
+    assert sorted(np.asarray(ds2.to_table(filter="id >= 100")["id"]).tolist()) == [
+        100, 101, 102, 103, 104]
+    # region reset for reuse; WAL files cleaned
+    assert wal.num_rows() == 0
+    assert not [m for m in ds2.store.list("_wal/") if m.path.endswith(".ltpf")]
