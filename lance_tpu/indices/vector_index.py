@@ -720,20 +720,27 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     mine = jnp.where((slot >= 0)[:, :, None], mine, jnp.inf)
     mine = mine.reshape(b, nprobes * L)
     kk = min(k, nprobes * L)
-    # two-stage top-k: per-probe partial top-k first (narrow, vectorizes
-    # better than one top-k over nprobes*L), then the global merge
-    k1 = min(kk, L)
-    mine3 = mine.reshape(b, nprobes, L)
-    neg1, sel1 = jax.lax.top_k(-mine3, k1)  # (B, P, k1)
+    refining = refine_vectors is not None and final_k is not None
+    if refining:
+        # profile-driven: exact top_k with k>128 lowers to a FULL SORT of the
+        # (B, P*L) candidate matrix — 70%+ of search time. approx_min_k is
+        # the TPU-native partial-reduction top-k; with exact re-rank on top,
+        # end recall is unchanged (the candidate pool is approximate by
+        # construction anyway).
+        vals, sel_i = jax.lax.approx_min_k(mine, kk, recall_target=0.99)
+        best_d = vals
+    else:
+        neg, sel_i = jax.lax.top_k(-mine, kk)
+        best_d = -neg
     if part_offsets is not None:
         # positions arithmetically: start_p + within-partition index
-        pos1 = part_offsets[pids][:, :, None] + sel1.astype(jnp.int32)
+        probe_of = sel_i // L
+        l_of = sel_i % L
+        pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
+        pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
     else:
-        gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes, L)
-        pos1 = jnp.take_along_axis(gsel, sel1, axis=2)
-    neg, sel_i = jax.lax.top_k(neg1.reshape(b, nprobes * k1), kk)
-    pos = jnp.take_along_axis(pos1.reshape(b, nprobes * k1), sel_i, axis=1)
-    best_d = -neg
+        cand_pos = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
+        pos = jnp.take_along_axis(cand_pos, sel_i, axis=1)
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
