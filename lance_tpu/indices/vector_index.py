@@ -723,24 +723,35 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     refining = refine_vectors is not None and final_k is not None
     if refining:
         # profile-driven: exact top_k with k>128 lowers to a FULL SORT of the
-        # (B, P*L) candidate matrix — 70%+ of search time. approx_min_k is
-        # the TPU-native partial-reduction top-k; with exact re-rank on top,
-        # end recall is unchanged (the candidate pool is approximate by
-        # construction anyway).
-        vals, sel_i = jax.lax.approx_min_k(mine, kk, recall_target=0.99)
-        best_d = vals
+        # (B, P*L) candidate matrix — 70%+ of search time. Use the TPU-native
+        # approx_min_k PER PROBE (narrow width -> negligible approximation),
+        # then an exact merge; the exact re-rank on top keeps end recall.
+        k1 = min(max(kk // 2, 32), L)
+        mine3 = mine.reshape(b * nprobes, L)
+        vals1, sel1 = jax.lax.approx_min_k(mine3, k1, recall_target=0.95)
+        vals1 = vals1.reshape(b, nprobes, k1)
+        sel1 = sel1.reshape(b, nprobes, k1)
+        neg, sel2 = jax.lax.top_k(-vals1.reshape(b, nprobes * k1), min(kk, nprobes * k1))
+        best_d = -neg
+        probe_of = sel2 // k1
+        l_of = jnp.take_along_axis(sel1.reshape(b, nprobes * k1), sel2, axis=1)
+        if kk > nprobes * k1:
+            pad = kk - nprobes * k1
+            best_d = jnp.pad(best_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+            probe_of = jnp.pad(probe_of, ((0, 0), (0, pad)))
+            l_of = jnp.pad(l_of, ((0, 0), (0, pad)))
     else:
         neg, sel_i = jax.lax.top_k(-mine, kk)
         best_d = -neg
-    if part_offsets is not None:
-        # positions arithmetically: start_p + within-partition index
         probe_of = sel_i // L
         l_of = sel_i % L
+    if part_offsets is not None:
+        # positions arithmetically: start_p + within-partition index
         pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
         pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
     else:
-        cand_pos = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
-        pos = jnp.take_along_axis(cand_pos, sel_i, axis=1)
+        gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
+        pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
