@@ -721,25 +721,24 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     mine = mine.reshape(b, nprobes * L)
     kk = min(k, nprobes * L)
     refining = refine_vectors is not None and final_k is not None
-    if refining:
-        # profile-driven: exact top_k with k>128 lowers to a FULL SORT of the
-        # (B, P*L) candidate matrix — 70%+ of search time. Use the TPU-native
-        # approx_min_k PER PROBE (narrow width -> negligible approximation),
-        # then an exact merge; the exact re-rank on top keeps end recall.
-        k1 = min(max(kk // 2, 32), L)
-        mine3 = mine.reshape(b * nprobes, L)
-        vals1, sel1 = jax.lax.approx_min_k(mine3, k1, recall_target=0.95)
-        vals1 = vals1.reshape(b, nprobes, k1)
-        sel1 = sel1.reshape(b, nprobes, k1)
-        neg, sel2 = jax.lax.top_k(-vals1.reshape(b, nprobes * k1), min(kk, nprobes * k1))
+    W = nprobes * L
+    group = 8 if (refining and W >= 8 * kk * 4) else 1
+    if group > 1:
+        # profile-driven: ANY top-k (exact or approx) over the (B, P*L)
+        # candidate matrix runs at ~3G elem/s on TPU and dominates search.
+        # Pre-reduce with a min+argmin over groups of `group` adjacent
+        # candidates (cheap VPU reduction): only ADC-near group-mates of a
+        # better candidate are lost, and the exact refine re-ranks the pool
+        # anyway. Then one small exact top-k.
+        ng = W // group
+        g = mine.reshape(b, ng, group)
+        gmin = jnp.min(g, axis=2)
+        garg = jnp.argmin(g, axis=2).astype(jnp.int32)
+        neg, sel_g = jax.lax.top_k(-gmin, min(kk, ng))
         best_d = -neg
-        probe_of = sel2 // k1
-        l_of = jnp.take_along_axis(sel1.reshape(b, nprobes * k1), sel2, axis=1)
-        if kk > nprobes * k1:
-            pad = kk - nprobes * k1
-            best_d = jnp.pad(best_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-            probe_of = jnp.pad(probe_of, ((0, 0), (0, pad)))
-            l_of = jnp.pad(l_of, ((0, 0), (0, pad)))
+        flat_idx = sel_g * group + jnp.take_along_axis(garg, sel_g, axis=1)
+        probe_of = flat_idx // L
+        l_of = flat_idx % L
     else:
         neg, sel_i = jax.lax.top_k(-mine, kk)
         best_d = -neg
