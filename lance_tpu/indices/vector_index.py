@@ -731,12 +731,15 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # better candidate are lost, and the exact refine re-ranks the pool
         # anyway. Then one small exact top-k.
         ng = W // group
-        g = mine.reshape(b, ng, group)
-        gmin = jnp.min(g, axis=2)
-        garg = jnp.argmin(g, axis=2).astype(jnp.int32)
+        # group along the MAJOR axis: a (b, ng, group) reshape would pad the
+        # minor dim 8 -> 128 under TPU tiling (16x memory); (b, group, ng)
+        # keeps the minor dim wide. Group members are strided by ng.
+        g = mine.reshape(b, group, ng)
+        gmin = jnp.min(g, axis=1)
+        garg = jnp.argmin(g, axis=1).astype(jnp.int32)
         neg, sel_g = jax.lax.top_k(-gmin, min(kk, ng))
         best_d = -neg
-        flat_idx = sel_g * group + jnp.take_along_axis(garg, sel_g, axis=1)
+        flat_idx = jnp.take_along_axis(garg, sel_g, axis=1) * ng + sel_g
         probe_of = flat_idx // L
         l_of = flat_idx % L
     else:
