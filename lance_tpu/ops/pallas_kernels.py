@@ -1,0 +1,100 @@
+"""Pallas TPU kernels for the vector-search hot path.
+
+`fused_score_groupmin` fuses the dense partition scoring matmul with the
+group-min candidate reduction (see indices/vector_index._search_dense):
+
+    per partition p (grid step):
+        prod  = qg[p] @ blocks[p].T            # MXU, (q_cap, L)
+        d     = qn[p,:,None] + sq[p,None,:] - 2*prod
+        gmin  = min over groups of `group` strided rows   # VPU
+        garg  = argmin over the same groups
+
+Fusing means the full (nlist, q_cap, L) distance matrix never exists in HBM
+— only the (nlist, q_cap, L/group) reduced candidates are written (group x
+less traffic). Mosaic double-buffers the (L, D) block DMA across grid steps.
+
+The XLA fallback (same math, materialized) runs on CPU and whenever a
+prefilter selection mask must be applied inside the scoring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def _xla_score_groupmin(blocks, block_sq, qg, qn_sel, group, sel_blocks=None):
+    nlist, L, D = blocks.shape
+    q_cap = qg.shape[1]
+    ng = L // group
+    prod = jnp.einsum("pqd,pld->pql", qg, blocks, preferred_element_type=jnp.float32)
+    d = qn_sel[:, :, None] + block_sq[:, None, :] - 2.0 * prod
+    d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d, jnp.inf)
+    if sel_blocks is not None:
+        d = jnp.where(sel_blocks[:, None, :], d, jnp.inf)
+    d4 = d.reshape(nlist, q_cap, group, ng)
+    return jnp.min(d4, axis=2), jnp.argmin(d4, axis=2).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def _pallas_score_groupmin(blocks, block_sq, qg, qn_sel, group):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nlist, L, D = blocks.shape
+    q_cap = qg.shape[1]
+    ng = L // group
+
+    def kernel(qg_ref, blocks_ref, sq_ref, qn_ref, gmin_ref, garg_ref):
+        prod = jnp.dot(qg_ref[0], blocks_ref[0].T, preferred_element_type=jnp.float32)
+        d = qn_ref[0][:, None] + sq_ref[0][None, :] - 2.0 * prod  # (q_cap, L)
+        d3 = d.reshape(q_cap, group, ng)
+        gmin_ref[0] = jnp.min(d3, axis=1)
+        garg_ref[0] = jnp.argmin(d3, axis=1).astype(jnp.int32)
+
+    gmin, garg = pl.pallas_call(
+        kernel,
+        grid=(nlist,),
+        in_specs=[
+            pl.BlockSpec((1, q_cap, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_cap, ng), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_cap, ng), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nlist, q_cap, ng), jnp.float32),
+            jax.ShapeDtypeStruct((nlist, q_cap, ng), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nlist * q_cap * L * D,
+            bytes_accessed=nlist * (L * D * blocks.dtype.itemsize + q_cap * ng * 8),
+            transcendentals=0,
+        ),
+    )(qg, blocks, block_sq, qn_sel)
+    return gmin, garg
+
+
+def score_groupmin(blocks, block_sq, qg, qn_sel, group, sel_blocks=None):
+    """(gmin, garg): per-(partition, query-slot) group-reduced candidates.
+
+    gmin/garg shapes: (nlist, q_cap, L // group); group members are strided
+    by L//group within the partition (flat l = garg * ng + j).
+    Invalid rows must carry +inf in block_sq (handled by the index loader).
+    """
+    if sel_blocks is None and pallas_available():
+        try:
+            return _pallas_score_groupmin(blocks, block_sq, qg, qn_sel, group)
+        except Exception:
+            pass  # Mosaic unavailable on this backend/toolchain: fall through
+    return _xla_score_groupmin(blocks, block_sq, qg, qn_sel, group, sel_blocks)
