@@ -54,10 +54,19 @@ def _pallas_score_groupmin(blocks, block_sq, qg, qn_sel, group):
 
     def kernel(qg_ref, blocks_ref, sq_ref, qn_ref, gmin_ref, garg_ref):
         prod = jnp.dot(qg_ref[0], blocks_ref[0].T, preferred_element_type=jnp.float32)
-        d = qn_ref[0][:, None] + sq_ref[0][None, :] - 2.0 * prod  # (q_cap, L)
-        d3 = d.reshape(q_cap, group, ng)
-        gmin_ref[0] = jnp.min(d3, axis=1)
-        garg_ref[0] = jnp.argmin(d3, axis=1).astype(jnp.int32)
+        d = qn_ref[0, 0][:, None] + sq_ref[0, 0][None, :] - 2.0 * prod  # (q_cap, L)
+        # group-min via static strided slices (Mosaic cannot shape-cast
+        # (q_cap, L) -> (q_cap, group, ng) in registers); group member g of
+        # slot j is d[:, g*ng + j], matching the XLA fallback's reshape
+        gmin = d[:, 0:ng]
+        garg = jnp.zeros((q_cap, ng), jnp.int32)
+        for g in range(1, group):
+            seg = d[:, g * ng:(g + 1) * ng]
+            better = seg < gmin
+            gmin = jnp.where(better, seg, gmin)
+            garg = jnp.where(better, g, garg)
+        gmin_ref[0] = gmin
+        garg_ref[0] = garg
 
     gmin, garg = pl.pallas_call(
         kernel,
@@ -65,8 +74,10 @@ def _pallas_score_groupmin(blocks, block_sq, qg, qn_sel, group):
         in_specs=[
             pl.BlockSpec((1, q_cap, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # small per-partition vectors as (nlist, 1, len) so the block
+            # covers whole dims (TPU tiling constraint on 2-D blocks)
+            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, q_cap, ng), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -81,7 +92,7 @@ def _pallas_score_groupmin(blocks, block_sq, qg, qn_sel, group):
             bytes_accessed=nlist * (L * D * blocks.dtype.itemsize + q_cap * ng * 8),
             transcendentals=0,
         ),
-    )(qg, blocks, block_sq, qn_sel)
+    )(qg, blocks, block_sq.reshape(nlist, 1, L), qn_sel.reshape(nlist, 1, q_cap))
     return gmin, garg
 
 
