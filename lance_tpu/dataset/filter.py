@@ -404,6 +404,28 @@ def _eval(node, cols) -> tuple[np.ndarray, np.ndarray | None]:
             offs = cd.offsets
             per_row = (cum[offs[1:]] - cum[offs[:-1]]) > 0
             return per_row, cv.validity
+        if node.name == "json_extract" and len(node.args) == 2:
+            col_node, path_node = node.args
+            if not isinstance(col_node, Col) or not isinstance(path_node, Lit):
+                raise InvalidInputError("json_extract expects (column, 'path')")
+            import json as _json
+
+            cv = cols[col_node.name]
+            path = str(path_node.value).lstrip("$.").split(".")
+            out = np.empty(len(cv.values), dtype=object)
+            valid = np.ones(len(cv.values), dtype=bool)
+            for i, raw in enumerate(cv.values):
+                try:
+                    v = _json.loads(raw)
+                    for part in path:
+                        v = v[part]
+                    out[i] = v
+                except Exception:
+                    out[i] = None
+                    valid[i] = False
+            if cv.validity is not None:
+                valid &= cv.validity
+            return out, valid
         if node.name == "length" and len(node.args) == 1 and isinstance(node.args[0], Col):
             cv = cols[node.args[0].name]
             cd = cv.coldata

@@ -15,7 +15,7 @@ from ..table.manifest import IndexMetadata
 from ..table.transaction import Operation
 
 VECTOR_TYPES = {"IVF_PQ", "IVF_FLAT", "IVF_SQ", "IVF_HNSW_PQ", "IVF_HNSW_SQ", "IVF_RQ"}
-SCALAR_TYPES = {"BTREE", "BITMAP", "LABEL_LIST", "ZONEMAP", "BLOOMFILTER", "NGRAM", "INVERTED"}
+SCALAR_TYPES = {"BTREE", "BITMAP", "LABEL_LIST", "ZONEMAP", "BLOOMFILTER", "NGRAM", "INVERTED", "JSON"}
 
 
 def create_index(ds, column: str, index_type: str, name: str | None = None,

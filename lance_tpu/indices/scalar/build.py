@@ -150,10 +150,68 @@ def build_scalar_index(ds, column: str, index_type: str, uuid: str, **params) ->
     raise InvalidInputError(f"scalar index type {index_type} not supported yet")
 
 
+def build_json_index(ds, column: str, uuid: str, path: str = "", **params) -> dict:
+    """BTree over values extracted at a JSON path (reference scalar/json.rs +
+    lance-datafusion json UDFs). Queries arrive as
+    json_extract(col, 'path') <op> literal."""
+    import json as _json
+
+    if not path:
+        raise InvalidInputError("JSON index requires path=...")
+    col, rowids = _read_column_with_rowids(ds, column)
+    values, validity = _to_numpy_values(col)
+    parts = path.lstrip("$.").split(".")
+    extracted = np.empty(len(values), dtype=object)
+    valid = np.ones(len(values), dtype=bool)
+    for i, raw in enumerate(values):
+        try:
+            v = _json.loads(raw)
+            for part in parts:
+                v = v[part]
+            extracted[i] = v
+        except Exception:
+            valid[i] = False
+    if validity is not None:
+        valid &= validity
+    null_rowids = rowids[~valid]
+    vals, rows = extracted[valid], rowids[valid]
+    order = np.argsort(vals, kind="stable")
+    svalues, srowids = vals[order], rows[order]
+    store = ds.store
+    out_path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
+    # values stored as JSON strings for type-agnostic ordering at query time
+    schema = Schema.from_arrow(pa.schema([("value", pa.string()), ("_rowid", pa.uint64())]))
+    w = FileWriter(store, out_path, schema)
+    w.write_batch({"value": pa.array([_json.dumps(v) for v in svalues], pa.string()),
+                   "_rowid": srowids})
+    w.add_global_buffer("null_rowids", null_rowids.astype("<u8").tobytes())
+    w.add_metadata("json_path", path)
+    w.finish()
+    return {"rows": int(len(svalues)), "path": path}
+
+
+class JsonIndex(BTreeIndex):
+    """BTree over json-extracted values (values stored as JSON strings)."""
+
+    def __init__(self, ds, meta: IndexMetadata):
+        super().__init__(ds, meta)
+        self.path = meta.params.get("path", "")
+        # decode JSON-string values back to python objects for comparisons
+        import json as _json
+
+        self.values = np.array([_json.loads(v) for v in self.values], dtype=object)
+
+    def statistics(self) -> dict:
+        return {"index_type": "JSON", "path": self.path,
+                "num_indexed_rows": int(self.rowids.size)}
+
+
 def build_scalar_index_dispatch(ds, column, index_type, uuid, **params):
     """Full dispatch incl. pruning indices (zonemap/bloom/ngram)."""
     from .pruning import build_bloomfilter, build_ngram, build_zonemap
 
+    if index_type == "JSON":
+        return build_json_index(ds, column, uuid, **params)
     if index_type == "ZONEMAP":
         return build_zonemap(ds, column, uuid, **params)
     if index_type == "BLOOMFILTER":
@@ -392,7 +450,7 @@ def _openers():
 
     return {
         "BTREE": BTreeIndex, "BITMAP": BitmapIndex, "INVERTED": InvertedIndex,
-        "LABEL_LIST": LabelListIndex,
+        "LABEL_LIST": LabelListIndex, "JSON": JsonIndex,
         "ZONEMAP": ZoneMapIndex, "BLOOMFILTER": BloomFilterIndex, "NGRAM": NGramIndex,
     }
 

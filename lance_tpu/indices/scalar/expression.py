@@ -33,6 +33,23 @@ def _index_for_column(ds, column: str):
     return None
 
 
+def _json_index_for(ds, column: str, path: str):
+    from .build import open_scalar_index
+
+    try:
+        fid = ds.schema.field(column).id
+    except Exception:
+        return None
+    live = {f.id for f in ds.manifest.fragments}
+    norm = path.lstrip("$.")
+    for meta in ds.manifest.indices:
+        if (meta.index_type == "JSON" and meta.fields == [fid]
+                and meta.params.get("path", "").lstrip("$.") == norm
+                and live <= set(meta.fragment_ids)):
+            return open_scalar_index(ds, meta)
+    return None
+
+
 _PRUNING_TYPES = {"ZONEMAP", "BLOOMFILTER", "NGRAM"}
 
 
@@ -117,6 +134,16 @@ def try_scalar_index_filter(ds, node) -> RowIdMask | None:
                 return left | right
             return None
         if node.op in ("=", "!=", "<", "<=", ">", ">="):
+            if (isinstance(node.left, Func) and node.left.name == "json_extract"
+                    and isinstance(node.right, Lit)
+                    and isinstance(node.left.args[0], Col)
+                    and isinstance(node.left.args[1], Lit)):
+                col = node.left.args[0].name
+                path = str(node.left.args[1].value)
+                idx = _json_index_for(ds, col, path)
+                if idx is None:
+                    return None
+                return idx.sargable_query(node.op, node.right.value)
             if isinstance(node.left, Col) and isinstance(node.right, Lit):
                 col, lit, op = node.left.name, node.right.value, node.op
             elif isinstance(node.right, Col) and isinstance(node.left, Lit):

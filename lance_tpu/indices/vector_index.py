@@ -697,61 +697,66 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     inv = jnp.empty_like(order).at[order].set(jnp.arange(order.shape[0]))
     slot = slot_sorted[inv].reshape(b, nprobes)  # (B, P)
 
-    # ---- dense scoring (Pallas fused matmul + group-min; XLA fallback) ------
-    from ..ops.pallas_kernels import score_groupmin
-
+    # ---- dense scoring ------------------------------------------------------
     qms = jnp.concatenate([qm, jnp.zeros((1, dim), qm.dtype)], axis=0)
     qg = qms[qsel].astype(blocks.dtype)  # (nlist, q_cap, D)
-    qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
-    qn = jnp.concatenate([qn, jnp.zeros(1, jnp.float32)])
-    qn_sel = qn[qsel]
+    prod = jnp.einsum("pqd,pld->pql", qg, blocks,
+                      preferred_element_type=jnp.float32)  # MXU
     if metric == "dot":
-        qn_sel = jnp.zeros_like(qn_sel)  # d = -prod via qn=0, sq=0 trick below
-
-    sel_blocks = None
+        d = -prod
+    else:
+        qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
+        qn = jnp.concatenate([qn, jnp.zeros(1, jnp.float32)])
+        d = qn[qsel][:, :, None] + block_sq[:, None, :] - 2.0 * prod
+        d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d, jnp.inf)
     if selection is not None:
         sel_blocks = jnp.take(selection, gpos, axis=0)  # (nlist, L) bool
-
-    kk = min(k, nprobes * L)
-    refining = refine_vectors is not None and final_k is not None
-    group = 8 if (refining and L % 8 == 0 and nprobes * L >= 8 * kk * 4) else 1
-    ng = L // group
-    if metric == "dot":
-        # d = -q.b expressed in the l2 form: qn=0, sq=0(+inf mask), q scaled by 1/2
-        sq_for_score = jnp.where(jnp.isfinite(block_sq), 0.0, jnp.inf)
-        qg = qg * jnp.asarray(0.5, qg.dtype)
-    else:
-        sq_for_score = block_sq
-    gmin, garg = score_groupmin(blocks, sq_for_score, qg, qn_sel, group, sel_blocks)
+        d = jnp.where(sel_blocks[:, None, :], d, jnp.inf)
 
     # ---- per-query merge -----------------------------------------------------
-    flat_g = gmin.reshape(nlist * q_cap, ng)
+    flat_d = d.reshape(nlist * q_cap, L)
     row_idx = pids * q_cap + jnp.maximum(slot, 0)  # (B, P)
-    mine = jnp.take(flat_g, row_idx.reshape(-1), axis=0).reshape(b, nprobes, ng)
-    mine = jnp.where((slot >= 0)[:, :, None], mine, jnp.inf).reshape(b, nprobes * ng)
-    kk2 = min(kk, nprobes * ng)
-    neg, sel_i = jax.lax.top_k(-mine, kk2)
-    best_d = -neg
-    probe_of = sel_i // ng
-    j_of = sel_i % ng
+    mine = jnp.take(flat_d, row_idx.reshape(-1), axis=0).reshape(b, nprobes, L)
+    mine = jnp.where((slot >= 0)[:, :, None], mine, jnp.inf)
+    mine = mine.reshape(b, nprobes * L)
+    kk = min(k, nprobes * L)
+    refining = refine_vectors is not None and final_k is not None
+    W = nprobes * L
+    group = 8 if (refining and W >= 8 * kk * 4) else 1
     if group > 1:
-        garg_flat = jnp.take(garg.reshape(nlist * q_cap, ng), row_idx.reshape(-1),
-                             axis=0).reshape(b, nprobes * ng)
-        g_of = jnp.take_along_axis(garg_flat, sel_i, axis=1)
-        l_of = g_of * ng + j_of
+        # profile-driven: ANY top-k (exact or approx) over the (B, P*L)
+        # candidate matrix runs at ~3G elem/s on TPU and dominates search.
+        # Pre-reduce with a min+argmin over groups of `group` adjacent
+        # candidates (cheap VPU reduction): only ADC-near group-mates of a
+        # better candidate are lost, and the exact refine re-ranks the pool
+        # anyway. Then one small exact top-k.
+        ng = W // group
+        # group along the MAJOR axis: a (b, ng, group) reshape would pad the
+        # minor dim 8 -> 128 under TPU tiling (16x memory); (b, group, ng)
+        # keeps the minor dim wide. Group members are strided by ng.
+        g = mine.reshape(b, group, ng)
+        gmin = jnp.min(g, axis=1)
+        garg = jnp.argmin(g, axis=1).astype(jnp.int32)
+        neg, sel_g = jax.lax.top_k(-gmin, min(kk, ng))
+        best_d = -neg
+        flat_idx = jnp.take_along_axis(garg, sel_g, axis=1) * ng + sel_g
+        probe_of = flat_idx // L
+        l_of = flat_idx % L
     else:
-        l_of = j_of
-    if kk2 < kk:
-        padw = kk - kk2
-        best_d = jnp.pad(best_d, ((0, 0), (0, padw)), constant_values=jnp.inf)
-        probe_of = jnp.pad(probe_of, ((0, 0), (0, padw)))
-        l_of = jnp.pad(l_of, ((0, 0), (0, padw)))
+        neg, sel_i = jax.lax.top_k(-mine, kk)
+        best_d = -neg
+        probe_of = sel_i // L
+        l_of = sel_i % L
     if part_offsets is not None:
+        # positions arithmetically: start_p + within-partition index
         pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
         pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
     else:
         gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
         pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
+    if kk < k:
+        best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
 
     if refine_vectors is not None and final_k is not None:
         # fused exact re-rank: stays in the same compiled program so a full

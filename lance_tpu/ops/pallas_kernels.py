@@ -15,6 +15,14 @@ less traffic). Mosaic double-buffers the (L, D) block DMA across grid steps.
 
 The XLA fallback (same math, materialized) runs on CPU and whenever a
 prefilter selection mask must be applied inside the scoring.
+
+STATUS: parity-verified against the XLA fallback on TPU (exact gmin match,
+argmin agreement 1.0) but NOT wired as the default search path: in-kernel
+grouping is necessarily within-partition, and true neighbors concentrate in
+the query's home partition, so group-slot collisions cost ~9 recall points
+vs the across-candidate-array grouping used by _search_dense (measured on
+the SIFT1M bench: 0.965 -> 0.87). Re-enabling requires a collision-free
+in-kernel reduction (e.g. per-slot top-2) — tracked for the next round.
 """
 
 from __future__ import annotations
