@@ -190,22 +190,6 @@ def build_json_index(ds, column: str, uuid: str, path: str = "", **params) -> di
     return {"rows": int(len(svalues)), "path": path}
 
 
-class JsonIndex(BTreeIndex):
-    """BTree over json-extracted values (values stored as JSON strings)."""
-
-    def __init__(self, ds, meta: IndexMetadata):
-        super().__init__(ds, meta)
-        self.path = meta.params.get("path", "")
-        # decode JSON-string values back to python objects for comparisons
-        import json as _json
-
-        self.values = np.array([_json.loads(v) for v in self.values], dtype=object)
-
-    def statistics(self) -> dict:
-        return {"index_type": "JSON", "path": self.path,
-                "num_indexed_rows": int(self.rowids.size)}
-
-
 def build_scalar_index_dispatch(ds, column, index_type, uuid, **params):
     """Full dispatch incl. pruning indices (zonemap/bloom/ngram)."""
     from .pruning import build_bloomfilter, build_ngram, build_zonemap
@@ -380,6 +364,22 @@ class BitmapIndex:
 
     def statistics(self) -> dict:
         return {"index_type": "BITMAP", "cardinality": int(len(self.values)),
+                "num_indexed_rows": int(self.rowids.size)}
+
+
+class JsonIndex(BTreeIndex):
+    """BTree over json-extracted values (values stored as JSON strings)."""
+
+    def __init__(self, ds, meta: IndexMetadata):
+        super().__init__(ds, meta)
+        self.path = meta.params.get("path", "")
+        # decode JSON-string values back to python objects for comparisons
+        import json as _json
+
+        self.values = np.array([_json.loads(v) for v in self.values], dtype=object)
+
+    def statistics(self) -> dict:
+        return {"index_type": "JSON", "path": self.path,
                 "num_indexed_rows": int(self.rowids.size)}
 
 

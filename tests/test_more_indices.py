@@ -204,3 +204,22 @@ def test_take_blobs():
     pre = tracked.stats.read_bytes
     h.read(10)
     assert tracked.stats.read_bytes - pre <= 64
+
+
+def test_json_filter_and_index():
+    import json
+
+    rows = [json.dumps({"user": {"age": i % 50}, "name": f"n{i}"}) for i in range(200)]
+    ds = lt.write_dataset({"doc": pa.array(rows), "id": np.arange(200, dtype=np.int64)},
+                          _uri("json"))
+    t = ds.to_table(filter="json_extract(doc, 'user.age') = 7")
+    assert t.num_rows == 4
+    ds = ds.create_index("doc", "JSON", path="user.age")
+    assert ds.index_statistics("doc_idx")["path"] == "user.age"
+    from lance_tpu.dataset.filter import parse_filter
+    from lance_tpu.indices.scalar.expression import try_scalar_index_filter
+
+    mask = try_scalar_index_filter(ds, parse_filter("json_extract(doc, 'user.age') = 7"))
+    assert mask is not None and len(mask.allow) == 4
+    t2 = ds.to_table(filter="json_extract(doc, 'user.age') >= 48")
+    assert t2.num_rows == 8
