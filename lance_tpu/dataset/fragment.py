@@ -22,8 +22,9 @@ from ..table.manifest import Fragment
 
 class FileFragment:
     def __init__(self, store: ObjectStore, fragment: Fragment, schema: Schema,
-                 cache=None):
+                 cache=None, scheduler=None):
         self.store = store
+        self.scheduler = scheduler  # optional ScanScheduler for parallel reads
         self.meta = fragment
         self.schema = schema
         self._cache = cache
@@ -40,7 +41,10 @@ class FileFragment:
     def _reader_for(self, path: str) -> FileReader:
         r = self._readers.get(path)
         if r is None:
-            if self._cache is not None:
+            if self.scheduler is not None:
+                # scheduler-bound readers are per-scan (priority ordering)
+                r = FileReader(self.store, path, scheduler=self.scheduler)
+            elif self._cache is not None:
                 r = self._cache.get_or_insert("file_reader", path, lambda: FileReader(self.store, path))
             else:
                 r = FileReader(self.store, path)

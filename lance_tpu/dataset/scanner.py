@@ -165,11 +165,14 @@ class Scanner:
 
     # -- plain scan -------------------------------------------------------------------
 
-    def _iter_fragments(self):
-        for frag in self.ds.get_fragments():
-            if self._fragments is not None and frag.id not in self._fragments:
+    def _iter_fragments(self, scheduler=None):
+        from .fragment import FileFragment
+
+        for meta in self.ds.manifest.fragments:
+            if self._fragments is not None and meta.id not in self._fragments:
                 continue
-            yield frag
+            yield FileFragment(self.ds.store, meta, self.ds.schema,
+                               self.ds.session.metadata_cache, scheduler=scheduler)
 
     def _output_columns(self) -> list[str]:
         if self._columns is not None:
@@ -186,6 +189,21 @@ class Scanner:
         to_skip = self._offset
         collected: list[pa.RecordBatch] = []
 
+        # per-scan IO scheduler: page reads flow through the priority +
+        # backpressure queue (reference ScanScheduler; parallelizes reads on
+        # file/cloud stores, harmless passthrough for memory stores)
+        from ..io.scheduler import ScanScheduler
+
+        scheduler = ScanScheduler(self.ds.store)
+        try:
+            yield from self._scan_with_scheduler(
+                scheduler, out_cols, filter_cols, remaining, to_skip, collected,
+                count_only)
+        finally:
+            scheduler.close()
+
+    def _scan_with_scheduler(self, scheduler, out_cols, filter_cols, remaining,
+                             to_skip, collected, count_only):
         # at-most pruning from zonemap/bloom/ngram indices: skip whole
         # batches (and their reads) that cannot contain matches
         prune_mask = None
@@ -194,7 +212,7 @@ class Scanner:
 
             prune_mask = try_index_pruning(self.ds, self._filter)
 
-        for frag in self._iter_fragments():
+        for frag in self._iter_fragments(scheduler):
             n_phys = frag.physical_rows
             dv = frag.deletion_vector()
             del_mask = dv.mask(n_phys) if dv is not None and not dv.is_empty() else None

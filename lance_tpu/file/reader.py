@@ -44,9 +44,12 @@ def _coalesce(ranges: list[tuple[int, int]], gap: int = 4096) -> tuple[list[tupl
 
 
 class FileReader:
-    def __init__(self, store: ObjectStore, path: str):
+    def __init__(self, store: ObjectStore, path: str, scheduler=None):
         self.store = store
         self.path = path
+        # optional ScanScheduler: page reads flow through the priority +
+        # backpressure IO queue (reference ScanScheduler/FileScheduler)
+        self._file_sched = scheduler.open_file(path) if scheduler is not None else None
         size = store.head(path).size
         if size < FOOTER_LEN:
             raise InvalidInputError(f"{path}: too small to be an LTPF file")
@@ -87,8 +90,27 @@ class FileReader:
 
     def _read_page(self, desc: dict, arrow_type: pa.DataType | None) -> ColumnData:
         ranges = [(b["off"], b["len"]) for b in desc["buffers"]]
-        bufs = self.store.get_ranges(self.path, ranges) if ranges else []
+        if not ranges:
+            bufs = []
+        elif self._file_sched is not None:
+            bufs = self._file_sched.submit_request(ranges).result()
+        else:
+            bufs = self.store.get_ranges(self.path, ranges)
         return decode_page(desc, bufs, arrow_type)
+
+    def prefetch_pages(self, name: str, row_start: int, row_count: int):
+        """Queue page reads ahead of decode (no-op without a scheduler)."""
+        if self._file_sched is None or name not in self._columns:
+            return
+        row_end = row_start + row_count
+        starts = self._page_starts[name]
+        for i, p in enumerate(self._columns[name]["pages"]):
+            p_start, p_end = starts[i], starts[i] + p["rows"]
+            if p_end <= row_start or p_start >= row_end:
+                continue
+            ranges = [(b["off"], b["len"]) for b in p["buffers"]]
+            if ranges:
+                self._file_sched.submit_request(ranges)
 
     def read_column(self, name: str, row_start: int = 0, row_count: int | None = None) -> ColumnData:
         if name not in self._columns:
