@@ -1,0 +1,60 @@
+"""Configuration surface: env vars + typed params objects.
+
+The reference exposes ~40 `LANCE_*` env vars plus typed params structs
+(SURVEY §5 "Config/flag system"). This module is the single place that
+documents ours; call `describe()` for a runtime dump.
+
+Env vars (all optional):
+
+| Variable | Default | Effect |
+|---|---|---|
+| LANCE_TPU_IO_THREADS          | 8 (memory: 16; local: 2x cores) | IO scheduler parallelism |
+| LANCE_TPU_IO_BUFFER_BYTES    | 32 MiB | scheduler backpressure: bytes in flight |
+| LANCE_TPU_MAX_PAGE_BYTES     | 8 MiB  | writer page budget per column |
+| LANCE_TPU_TRACE              | unset  | enable tracing spans (utils/tracing.py) |
+| BENCH_BUDGET_S               | 3000   | bench.py soft time budget |
+| JAX_PLATFORMS / XLA_FLAGS    | -      | device selection (tests force cpu x8) |
+
+Typed params:
+- WriteParams (dataset/write.py): max_rows_per_file=1Mi, max_rows_per_group,
+  max_bytes_per_file, compression ('auto'|'zstd'|'none').
+- Index build kwargs (indices/create.py): num_partitions, num_sub_vectors,
+  num_bits, metric, max_iters, sample_rate, balance_factor, path (JSON).
+- Query knobs (Scanner.nearest): k, nprobes, refine_factor, metric, ef.
+- Session(index_cache_bytes=6GiB, metadata_cache_bytes=1GiB) — reference
+  defaults (rust/lance/src/dataset.rs:129,133).
+
+Dataset-level config lives in the manifest (`ds.config`, UpdateConfig
+transactions) — reference manifest config key-value.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+_ENV_VARS = [
+    ("LANCE_TPU_IO_THREADS", "io scheduler parallelism"),
+    ("LANCE_TPU_IO_BUFFER_BYTES", "io backpressure bytes in flight"),
+    ("LANCE_TPU_MAX_PAGE_BYTES", "writer page budget"),
+    ("LANCE_TPU_TRACE", "enable tracing spans"),
+    ("BENCH_BUDGET_S", "bench soft time budget"),
+    ("JAX_PLATFORMS", "jax device platform"),
+    ("XLA_FLAGS", "xla options (e.g. host device count)"),
+]
+
+
+def describe() -> dict:
+    """Current effective configuration."""
+    from .native import available as native_available
+
+    out = {"env": {k: os.environ.get(k) for k, _ in _ENV_VARS},
+           "native_kernels": native_available()}
+    try:
+        import jax
+
+        out["backend"] = jax.default_backend()
+        out["devices"] = len(jax.devices())
+    except Exception:
+        out["backend"] = None
+    return out

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from ..errors import NotFoundError
 from ..table.commit import read_manifest
-from ..table.manifest import DATA_DIR, DELETIONS_DIR, INDICES_DIR, TX_DIR, VERSIONS_DIR, manifest_path
+from ..table.manifest import DATA_DIR, DELETIONS_DIR, INDICES_DIR, TX_DIR, manifest_path
 
 
 def cleanup_old_versions(ds, keep_latest: int = 1, older_than_seconds: float | None = None) -> int:

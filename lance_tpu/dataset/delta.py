@@ -9,8 +9,8 @@ every referenced file; shallow base-path clones planned).
 from __future__ import annotations
 
 from ..errors import InvalidInputError
-from ..table.commit import commit_transaction, read_manifest
-from ..table.transaction import Operation, Transaction
+from ..table.commit import read_manifest
+from ..table.transaction import Transaction
 
 
 def diff(ds, from_version: int, to_version: int | None = None) -> dict:

@@ -17,14 +17,12 @@ results like reference knn_combined (scanner.rs:2907).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
 
-from ..encoding.pages import ColumnData
-from ..errors import InvalidInputError, NotFoundError
-from ..rowids import row_address
+from ..errors import InvalidInputError
 from .filter import column_views_from_data, evaluate_filter, parse_filter, referenced_columns
 
 ROW_ID_COL = "_rowid"

@@ -12,8 +12,6 @@ transfer for TPU feeds.
 
 from __future__ import annotations
 
-from bisect import bisect_right
-
 import numpy as np
 import pyarrow as pa
 

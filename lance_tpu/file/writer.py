@@ -20,7 +20,7 @@ from ..encoding.pages import ColumnData, EncodedPage, concat_column_data, encode
 from ..errors import InvalidInputError
 from ..io.object_store import ObjectStore
 from ..schema import Schema
-from .format import FOOTER_LEN, pack_footer, pack_metadata
+from .format import pack_footer, pack_metadata
 
 DEFAULT_MAX_PAGE_BYTES = int(os.environ.get("LANCE_TPU_MAX_PAGE_BYTES", 8 * 1024 * 1024))
 

@@ -23,7 +23,6 @@ import uuid as uuid_mod
 
 import numpy as np
 
-from ..errors import InvalidInputError
 from ..models.ivf import IvfModel, partition_sort
 from ..table.manifest import INDICES_DIR, IndexMetadata
 from ..table.transaction import Operation

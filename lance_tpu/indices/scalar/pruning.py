@@ -22,7 +22,6 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from ...errors import InvalidInputError
 from ...file.reader import FileReader
 from ...file.writer import FileWriter
 from ...rowids import RowIdMask, RowIdTreeMap

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import IndexError_, InvalidInputError
+from ..errors import InvalidInputError
 from ..file.reader import FileReader
 from ..file.writer import FileWriter
 from ..models.ivf import IvfModel, partition_sort
@@ -394,7 +394,7 @@ class IvfIndex:
         self.is_rq = "rq_header" in gbufs
         self.is_quantized = self.is_pq or self.is_sq or self.is_rq
         if self.is_pq:
-            from ..ops.pq import ProductQuantizer, pq_decode
+            from ..ops.pq import ProductQuantizer
 
             pq_header = json.loads(reader.read_global_buffer("pq_header"))
             self.residual = bool(pq_header.get("residual", False))

@@ -20,7 +20,7 @@ import os
 import threading
 import uuid as uuid_mod
 from dataclasses import dataclass
-from typing import Callable, Iterable
+from typing import Callable
 from urllib.parse import urlparse
 
 from ..errors import IOError_, NotFoundError

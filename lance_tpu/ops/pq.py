@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .distance import Metric, normalize, pairwise_dist
+from .distance import Metric, normalize
 
 
 @dataclass(frozen=True)

@@ -16,7 +16,7 @@ from typing import Protocol
 
 from ..io.object_store import ObjectStore
 from .commit import CommitHandler
-from .manifest import VERSIONS_DIR, manifest_path
+from .manifest import manifest_path
 
 
 class ExternalManifestStore(Protocol):
