@@ -1,0 +1,24 @@
+"""Flat (exact) search latency sweep (reference benchmarks/flat/)."""
+import json, sys, time
+import numpy as np
+
+def main(n=200_000, dim=128, k=10):
+    import jax, jax.numpy as jnp
+    from lance_tpu.ops.distance import topk_neighbors
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(size=(n, dim)).astype(np.float32))
+    out = []
+    for b in (1, 16, 256):
+        q = jnp.asarray(rng.normal(size=(b, dim)).astype(np.float32))
+        jax.block_until_ready(topk_neighbors(q, data, k, "l2"))
+        t = time.time(); iters = 20
+        for _ in range(iters):
+            r = topk_neighbors(q, data, k, "l2")
+        jax.block_until_ready(r)
+        dt = (time.time() - t) / iters
+        out.append({"batch": b, "ms": round(dt * 1000, 3), "qps": round(b / dt)})
+    print(json.dumps({"metric": "flat_exact_search", "n": n, "dim": dim, "results": out}))
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""BM25 full-text search benchmark (reference benchmarks wiki/inverted)."""
+import json, time
+import numpy as np
+import pyarrow as pa
+
+def main(n_docs=50_000):
+    import lance_tpu as lt
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(5000)]
+    docs = [" ".join(rng.choice(words, size=rng.integers(5, 40))) for _ in range(n_docs)]
+    ds = lt.write_dataset({"text": pa.array(docs), "id": np.arange(n_docs, dtype=np.int64)},
+                          "memory://bench/fts")
+    t = time.time()
+    ds = ds.create_index("text", "INVERTED")
+    build_s = time.time() - t
+    queries = [" ".join(rng.choice(words, size=3)) for _ in range(100)]
+    sc = ds.scanner()
+    t = time.time()
+    for q in queries:
+        ds.scanner().full_text_search(q, k=10).to_table()
+    dt = time.time() - t
+    print(json.dumps({"metric": "bm25_fts", "docs": n_docs,
+                      "build_s": round(build_s, 1), "qps": round(100 / dt, 1)}))
+
+if __name__ == "__main__":
+    main()
