@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +112,16 @@ def build_ivf_index(
     n, dim = vectors.shape
     if n == 0:
         raise InvalidInputError("cannot index an empty dataset")
+    # beyond-HBM datasets stream through the device in chunks (the 100M-row
+    # BigANN-style build); in-HBM datasets upload once and stay resident
+    streaming = vectors.nbytes > int(os.environ.get(
+        "LANCE_TPU_BUILD_DEVICE_BYTES", 4 * 1024**3))
+    if streaming and index_type == "IVF_PQ":
+        return _build_ivf_pq_streaming(
+            ds, vectors, rowids, uuid, num_partitions, num_sub_vectors,
+            num_bits, metric, max_iters, sample_rate, ivf_centroids,
+            pq_codebook, balance_factor, dim,
+        )
     # ONE host->device upload of the dataset; every training/encoding stage
     # below consumes the device copy (transfers, not compute, dominate builds)
     dev_vectors = jnp.asarray(vectors)
@@ -350,6 +361,96 @@ def build_ivf_index(
                 "num_bits": num_bits}
 
     raise InvalidInputError(f"unknown vector index type {index_type}")
+
+
+def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
+                            num_sub_vectors, num_bits, metric, max_iters,
+                            sample_rate, ivf_centroids, pq_codebook,
+                            balance_factor, dim, chunk_rows: int = 1 << 20):
+    """Beyond-HBM IVF-PQ build: train on a subsample, then stream chunks
+    through the device for assignment + residual encoding. Host RAM holds
+    vectors + codes; HBM holds one chunk at a time."""
+    from ..ops.balanced import balanced_assign
+    from ..ops.distance import normalize
+    from ..ops.kmeans import KMeans, train_kmeans
+    from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
+
+    n = vectors.shape[0]
+    rng = np.random.default_rng(42)
+    # 1. train coarse quantizer on a subsample
+    if ivf_centroids is not None:
+        km = KMeans(np.asarray(ivf_centroids, np.float32), metric)
+        num_partitions = km.k
+    else:
+        sample = vectors[rng.choice(n, size=min(n, sample_rate * num_partitions),
+                                    replace=False)]
+        km = train_kmeans(sample, num_partitions, max_iters=max_iters,
+                          metric=metric, sample_rate=sample_rate)
+
+    # 2. chunked capacity-bounded assignment (shared remaining capacity)
+    cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
+    remaining = np.full(num_partitions, cap, np.int64)
+    part_ids = np.empty(n, np.int32)
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        chunk = vectors[s:e]
+        if metric == "cosine":
+            chunk = chunk / np.maximum(np.linalg.norm(chunk, axis=1, keepdims=True), 1e-12)
+        part_ids[s:e] = balanced_assign(chunk, km.centroids, balance_factor,
+                                        metric="l2" if metric == "cosine" else metric,
+                                        remaining=remaining)
+
+    # 3. train PQ on subsampled residuals, then chunked residual encode
+    use_residual = metric in ("l2", "cosine")
+    sel = rng.choice(n, size=min(n, sample_rate * (1 << num_bits)), replace=False)
+    base_sel = vectors[sel]
+    if metric == "cosine":
+        base_sel = base_sel / np.maximum(np.linalg.norm(base_sel, axis=1, keepdims=True), 1e-12)
+    train_data = base_sel - km.centroids[part_ids[sel]] if use_residual else base_sel
+    if pq_codebook is not None:
+        pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
+                              "l2" if use_residual else metric, num_bits)
+    else:
+        pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
+                                           num_bits=num_bits, max_iters=max_iters,
+                                           sample_rate=sample_rate),
+                      metric="l2" if use_residual else metric)
+    codes = np.empty((n, pq.num_sub_vectors), np.uint8)
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        chunk = vectors[s:e]
+        if metric == "cosine":
+            chunk = chunk / np.maximum(np.linalg.norm(chunk, axis=1, keepdims=True), 1e-12)
+        data = chunk - km.centroids[part_ids[s:e]] if use_residual else chunk
+        codes[s:e] = pq_encode(pq, data)
+
+    # 4. shuffle + write (host)
+    order, offsets, lengths = partition_sort(part_ids, num_partitions)
+    sorted_rowids = rowids[order]
+    codes = codes[order]
+    ivf = IvfModel(km.centroids, offsets, lengths, metric)
+    ivf_header, ivf_payload = ivf.to_parts()
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    schema = Schema.from_arrow(pa.schema([
+        (ROWID_COL, pa.uint64()),
+        (PQ_CODE_COL, pa.list_(pa.uint8(), pq.num_sub_vectors)),
+    ]))
+    w = FileWriter(ds.store, path, schema, compression="none")
+    step = 1 << 18
+    for s in range(0, n, step):
+        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
+                       PQ_CODE_COL: codes[s:s + step]})
+    w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+    w.add_global_buffer("ivf_data", ivf_payload)
+    pq_h = pq.to_json()
+    pq_h["residual"] = bool(use_residual)
+    pq_h["metric"] = metric
+    w.add_global_buffer("pq_header", json.dumps(pq_h).encode())
+    w.add_global_buffer("pq_codebook", pq.codebook_bytes())
+    w.finish()
+    return {"metric": metric, "num_partitions": int(num_partitions),
+            "num_sub_vectors": int(pq.num_sub_vectors), "num_bits": int(num_bits),
+            "dim": int(dim), "streaming_build": True}
 
 
 # ---------------------------------------------------------------------------

@@ -47,10 +47,13 @@ def balanced_assign(
     balance_factor: float = 1.5,
     top_t: int = 8,
     metric: Metric = "l2",
+    remaining: np.ndarray | None = None,
 ) -> np.ndarray:
     """Assign each row to a partition with |partition| <= cap.
 
     cap = ceil(N / nlist * balance_factor). Returns (N,) int32 part ids.
+    `remaining` (mutated in place) carries capacity across chunked calls for
+    beyond-HBM streaming builds.
     """
     n = data.shape[0]
     nlist = centroids.shape[0]
@@ -61,7 +64,8 @@ def balanced_assign(
     ids, dists = np.asarray(ids), np.asarray(dists)
 
     assign = np.full(n, -1, np.int32)
-    remaining = np.full(nlist, cap, np.int64)
+    if remaining is None:
+        remaining = np.full(nlist, cap, np.int64)
     unassigned = np.arange(n)
     for t in range(top_t):
         if unassigned.size == 0:

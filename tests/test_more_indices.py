@@ -223,3 +223,23 @@ def test_json_filter_and_index():
     assert mask is not None and len(mask.allow) == 4
     t2 = ds.to_table(filter="json_extract(doc, 'user.age') >= 48")
     assert t2.num_rows == 8
+
+
+def test_streaming_build_path(monkeypatch):
+    """Beyond-HBM chunked build produces an equivalent searchable index."""
+    monkeypatch.setenv("LANCE_TPU_BUILD_DEVICE_BYTES", "100000")  # force streaming
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(2000, 32)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(2000, dtype=np.int64)},
+                          _uri("stream"))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=8,
+                         max_iters=8)
+    assert ds.list_indices()[0].params.get("streaming_build") is True
+    recall = 0.0
+    queries = vecs[rng.choice(2000, 10)]
+    for q in queries:
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=16, refine_factor=10).to_table()
+        got = set(np.asarray(t["id"]).tolist())
+        d = ((vecs - q) ** 2).sum(1)
+        recall += len(got & set(np.argsort(d)[:10].tolist())) / 10
+    assert recall / 10 >= 0.9, recall / 10
