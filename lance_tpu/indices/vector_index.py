@@ -703,6 +703,43 @@ class IvfIndex:
 
         return run
 
+    def sharded_searcher(self, mesh, k: int, nprobes: int = 20,
+                         refine_factor: int | None = None, ep_axis: str = "ep"):
+        """Multi-chip searcher: partition blocks shard over the mesh's
+        `ep_axis` (each chip holds nlist/ep partitions — the memory-scaling
+        axis for beyond-HBM indices); queries and outputs are replicated.
+        XLA's partitioner inserts the cross-chip collectives for the
+        candidate merge (SURVEY §2.8: EP-style sharding of IVF lists)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ep = NamedSharding(mesh, P(ep_axis))
+        ep2 = NamedSharding(mesh, P(ep_axis, None))
+        ep3 = NamedSharding(mesh, P(ep_axis, None, None))
+        rep = NamedSharding(mesh, P())
+        blocks = jax.device_put(self._blocks_dev, ep3)
+        block_sq = jax.device_put(self._block_sq_dev, ep2)
+        gpos = jax.device_put(self._gpos_dev, ep2)
+        cents = jax.device_put(self._centroids_dev, ep2)
+        offsets = jax.device_put(self._offsets_dev, ep)
+        nprobes = min(nprobes, self.ivf.num_partitions)
+        kk = min(k, self.num_rows)
+        fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
+        do_refine = self.is_quantized and refine_factor is not None
+        refine_vecs = jax.device_put(self._ensure_vectors(), rep) if do_refine else None
+
+        def run(q_dev):
+            b = q_dev.shape[0]
+            q_cap = _query_cap(b, nprobes, self.ivf.num_partitions)
+            return _search_dense(
+                blocks, block_sq, gpos, cents, q_dev, None,
+                self.metric, nprobes, fetch, q_cap,
+                refine_vectors=refine_vecs,
+                final_k=kk if do_refine else None,
+                part_offsets=offsets,
+            )
+
+        return run
+
     # -- refine (exact re-rank) ---------------------------------------------------------
 
     def _ensure_vectors(self):

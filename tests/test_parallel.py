@@ -82,3 +82,30 @@ def test_sharded_flat_search_exact(devices, rng):
     want = np.argsort(full, axis=1)[:, :5]
     for r in range(6):
         assert set(i[r].tolist()) == set(want[r].tolist())
+
+
+def test_sharded_index_search(devices, rng):
+    """IVF index blocks sharded over an 8-way 'ep' mesh; results match the
+    single-device search."""
+    import uuid
+
+    import jax
+    import jax.numpy as jnp
+
+    import lance_tpu as lt
+    from lance_tpu.parallel.mesh import make_mesh
+
+    vecs = rng.normal(size=(2000, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(2000, dtype=np.int64)},
+                          f"memory://shardidx-{uuid.uuid4().hex[:6]}/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=4,
+                         max_iters=8)
+    idx = ds._vector_index_for("vec")
+    mesh = make_mesh(8, {"ep": 8})
+    run = idx.sharded_searcher(mesh, k=5, nprobes=16, refine_factor=8)
+    q = jnp.asarray(vecs[:8])
+    d_sh, pos_sh = run(q)
+    d_ref, rid_ref = idx.search(vecs[:8], 5, nprobes=16, refine_factor=8)
+    rid_sh = idx.rowids[np.clip(np.asarray(pos_sh), 0, idx.num_rows - 1)]
+    np.testing.assert_array_equal(rid_sh, rid_ref)
+    np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-4)
