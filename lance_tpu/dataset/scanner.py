@@ -319,6 +319,29 @@ class Scanner:
         for b in table.to_batches(max_chunksize=self._batch_size):
             yield b
 
+    def analyze_plan(self) -> str:
+        """Execute the plan and report stage + IO statistics (reference:
+        Scanner::analyze_plan / AnalyzeExec)."""
+        import time
+
+        from ..io.tracking import TrackingStore
+
+        tracked = TrackingStore(self.ds.store)
+        probe = type(self.ds)(tracked, self.ds.uri, self.ds.manifest,
+                              type(self.ds.session)(2**22, 2**22))
+        sc = Scanner(probe)
+        sc.__dict__.update({k: v for k, v in self.__dict__.items() if k != "ds"})
+        sc.ds = probe
+        t0 = time.time()
+        rows = 0
+        for batch in sc.to_batches():
+            rows += batch.num_rows
+        elapsed = time.time() - t0
+        return (f"{self.explain_plan()}\n"
+                f"rows_out={rows} elapsed={elapsed*1000:.1f}ms "
+                f"read_iops={tracked.stats.read_iops} "
+                f"read_bytes={tracked.stats.read_bytes}")
+
     def explain_plan(self, verbose: bool = False) -> str:
         stages = []
         if self._nearest is not None:

@@ -757,11 +757,6 @@ class IvfIndex:
             self._vectors_dev = jnp.asarray(cached)
         return self._vectors_dev
 
-    def _refine(self, qp: np.ndarray, pos: np.ndarray, k: int):
-        vecs = self._ensure_vectors()
-        d, sel = _rerank(vecs, jnp.asarray(qp), jnp.asarray(pos), self.metric, k)
-        return np.asarray(d), np.asarray(sel)
-
     def statistics(self) -> dict:
         return {
             "index_type": self.meta.index_type,
