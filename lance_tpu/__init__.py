@@ -28,3 +28,5 @@ from .dataset import (  # noqa: F401,E402
     write_dataset,
 )
 from .dataset.write import write_fragments  # noqa: F401,E402
+from . import config  # noqa: F401,E402
+from .namespace import connect  # noqa: F401,E402

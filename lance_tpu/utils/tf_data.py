@@ -1,0 +1,53 @@
+"""TensorFlow data loading (reference: python/lance/tf/data.py from_lance).
+
+TensorFlow is optional; import is deferred and a clear error is raised when
+absent (this environment ships torch-cpu but not tf).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import NotSupportedError
+
+
+def from_lance(ds, columns=None, batch_size: int = 1024,
+               rank: int | None = None, world_size: int | None = None,
+               filter: str | None = None):
+    """-> tf.data.Dataset streaming record batches as dicts of tensors."""
+    try:
+        import tensorflow as tf
+    except ImportError as e:  # pragma: no cover - tf not in this image
+        raise NotSupportedError(
+            "tensorflow is not installed; `pip install tensorflow` to use from_lance"
+        ) from e
+
+    def gen():
+        from .sampler import FullScanSampler, ShardedFragmentSampler
+
+        if filter is not None:
+            sc = ds.scanner().batch_size(batch_size)
+            if columns:
+                sc.project(columns)
+            sc.filter(filter)
+            batches = sc.to_batches()
+        elif rank is not None and world_size is not None:
+            batches = ShardedFragmentSampler(rank, world_size)(ds, columns, batch_size)
+        else:
+            batches = FullScanSampler()(ds, columns, batch_size)
+        for b in batches:
+            out = {}
+            for name in b.schema.names:
+                arr = b.column(name).to_numpy(zero_copy_only=False)
+                if arr.dtype == object and len(arr) and isinstance(arr[0], np.ndarray):
+                    arr = np.stack(arr)
+                out[name] = arr
+            yield out
+
+    first = next(gen())
+    signature = {
+        k: tf.TensorSpec(shape=(None,) + v.shape[1:], dtype=tf.as_dtype(v.dtype)
+                         if v.dtype != object else tf.string)
+        for k, v in first.items()
+    }
+    return tf.data.Dataset.from_generator(gen, output_signature=signature)
