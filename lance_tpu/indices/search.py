@@ -90,8 +90,15 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
             fsel = idx.selection_mask(row_mask)
             selection = fsel if selection is None else (selection & fsel)
         sel_arr = selection if selection is not None else None
-        d, rid = idx.search(qs, k, nprobes=q.nprobes, refine_factor=q.refine_factor,
-                            selection=sel_arr)
+        # maximum_nprobes: static-shape engines cannot ramp probes adaptively;
+        # treat it as the probe budget when given (reference ramps between
+        # minimum_nprobes and maximum_nprobes)
+        nprobes = q.maximum_nprobes or q.nprobes
+        kwargs = {}
+        if q.ef is not None and hasattr(idx, "graph"):
+            kwargs["ef"] = q.ef
+        d, rid = idx.search(qs, k, nprobes=nprobes, refine_factor=q.refine_factor,
+                            selection=sel_arr, **kwargs)
         results.append((d, rid))
 
     # flat search over fragments not covered by the index (or everything if no index)
