@@ -1,0 +1,47 @@
+"""Recall/QPS tradeoff sweep on the SIFT1M-like benchmark dataset."""
+import json, sys, time
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+def main():
+    import jax, jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i); queries_h = np.asarray(queries)
+    data_host = np.asarray(data)
+    ds = lt.write_dataset({"vec": data_host, "id": np.arange(N, dtype=np.int64)},
+                          "memory://sweep/sift1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    idx = ds._vector_index_for("vec")
+    out = []
+    for nprobes in (8, 16, 24, 48):
+        hits = 0
+        for s in range(0, NQ, 512):
+            _, rid = idx.search(queries_h[s:s+512], K, nprobes=nprobes, refine_factor=16)
+            ids = rid.astype(np.int64) & 0xFFFFFFFF
+            for r in range(ids.shape[0]):
+                hits += len(set(ids[r].tolist()) & set(gt_i[s + r].tolist()))
+        rec = hits / (NQ * K)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=16)
+        q_dev = jnp.asarray(queries_h[:512])
+        jax.block_until_ready(fn(q_dev))
+        t = time.time()
+        for _ in range(50):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = 50 * 512 / (time.time() - t)
+        _log(f"nprobes={nprobes}: recall={rec:.4f} qps={qps:.0f}")
+        out.append({"nprobes": nprobes, "recall_at_10": round(rec, 4), "qps": round(qps)})
+    print(json.dumps(out))
+
+if __name__ == "__main__":
+    main()

@@ -158,3 +158,57 @@ def test_external_commit_handler(memory_store):
     m3 = commit_transaction(memory_store, t_b, m1, handler=handler)
     assert m3.version == 3
     assert m3.num_rows == 111
+
+
+def test_conflict_matrix_extended():
+    """More pairs from the reference conflict doc (transaction.rs:27-46)."""
+    ap = Operation("append", fragments=[_frag()])
+    rs = Operation("restore", restore_version=1)
+    up = Operation("update", updated_fragments=[Fragment(1, [], None, 10)])
+    up2 = Operation("update", updated_fragments=[Fragment(2, [], None, 10)])
+    dr = Operation("data_replacement", updated_fragments=[Fragment(1, [], None, 10)])
+    rw1 = Operation("rewrite", groups=[([1], [_frag()])])
+    rw2 = Operation("rewrite", groups=[([2], [_frag()])])
+    mg = Operation("merge", fragments=[], schema=_schema())
+    pj = Operation("project", schema=_schema())
+    rf = Operation("reserve_fragments", num_fragments=3)
+
+    # restore is structural: everything non-structural fails against it
+    assert check_conflict(up, rs) == FAIL
+    assert check_conflict(ap, rs) == FAIL
+    # updates on disjoint fragments rebase; same fragment fails
+    assert check_conflict(up, up2) == RETRYABLE
+    assert check_conflict(up, dr) == FAIL
+    assert check_conflict(dr, up2) == RETRYABLE
+    # rewrites of disjoint groups rebase
+    assert check_conflict(rw1, rw2) == RETRYABLE
+    assert check_conflict(rw1, rw1) == FAIL
+    # schema changers conflict with row/schema changers, rebase over appends
+    assert check_conflict(mg, up) == FAIL
+    assert check_conflict(pj, mg) == FAIL
+    assert check_conflict(mg, ap) == RETRYABLE
+    # reserve_fragments composes with everything
+    assert check_conflict(rf, ap) == RETRYABLE
+    assert check_conflict(up, rf) == RETRYABLE
+
+
+def test_update_config_rebase_applies_both(memory_store):
+    txn = Transaction(0, Operation("overwrite", fragments=[], schema=_schema()))
+    m1 = commit_transaction(memory_store, txn, None)
+    t_a = Transaction(1, Operation("update_config", config_upserts={"a": "1"}))
+    t_b = Transaction(1, Operation("update_config", config_upserts={"b": "2"}))
+    commit_transaction(memory_store, t_a, m1)
+    m3 = commit_transaction(memory_store, t_b, m1)
+    assert m3.config == {"a": "1", "b": "2"}
+
+
+def test_reserve_fragments_monotonic_ids(memory_store):
+    txn = Transaction(0, Operation("overwrite", fragments=[_frag()], schema=_schema()))
+    m1 = commit_transaction(memory_store, txn, None)
+    t_r = Transaction(1, Operation("reserve_fragments", num_fragments=5))
+    m2 = commit_transaction(memory_store, t_r, m1)
+    assert m2.max_fragment_id == m1.max_fragment_id + 5
+    # appends after a reservation never collide with the reserved range
+    t_a = Transaction(2, Operation("append", fragments=[_frag("data/n.ltpf", 1)]))
+    m3 = commit_transaction(memory_store, t_a, m2)
+    assert m3.fragments[-1].id == m2.max_fragment_id + 1
