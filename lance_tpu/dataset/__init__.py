@@ -108,6 +108,9 @@ class LanceDataset:
     def scanner(self) -> Scanner:
         return Scanner(self)
 
+    def head(self, n: int = 10) -> pa.Table:
+        return self.scanner().limit(n).to_table()
+
     def to_table(self, columns: list[str] | None = None, filter: str | None = None,
                  limit: int | None = None, offset: int = 0) -> pa.Table:
         sc = self.scanner()

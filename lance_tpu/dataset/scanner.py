@@ -156,6 +156,22 @@ class Scanner:
     def count_rows(self) -> int:
         if self._filter is None:
             return sum(f.num_rows for f in self._iter_fragments())
+        # exact scalar-index masks answer counts without any scan
+        if self._fragments is None:
+            from ..indices.scalar.expression import try_scalar_index_filter
+
+            mask = try_scalar_index_filter(self.ds, self._filter)
+            if mask is not None and mask.allow is not None:
+                total = 0
+                for frag in self._iter_fragments():
+                    offs = mask.allow.fragment_offsets(frag.id, frag.physical_rows)
+                    if offs is None:
+                        continue
+                    dv = frag.deletion_vector()
+                    if dv is not None and not dv.is_empty():
+                        offs = offs[~dv.mask(frag.physical_rows)[offs]]
+                    total += int(offs.size)
+                return total
         total = 0
         for batch in self._execute_scan(count_only=True):
             total += batch

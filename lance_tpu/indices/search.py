@@ -9,6 +9,8 @@ optional exact re-rank, final take of output columns.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -288,7 +290,22 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
     idx = open_scalar_index(ds, meta)
 
     row_mask = _filter_mask(ds, filter_node) if (filter_node is not None and prefilter) else None
-    rowids, scores = idx.bm25_search(fq.query, fq.k, row_mask)
+    # phrase queries: '"exact phrase"' -> BM25 candidates on the terms, then
+    # exact phrase verification against the stored text (reference: PhraseQuery;
+    # position-less postings verify instead of intersecting position lists)
+    phrases = re.findall(r'"([^"]+)"', fq.query)
+    terms_query = fq.query.replace('"', " ")
+    overfetch = fq.k * 4 if phrases else fq.k
+    rowids, scores = idx.bm25_search(terms_query, overfetch, row_mask)
+    if phrases and rowids.size:
+        col = ds.schema.field_by_id(meta.fields[0]).name
+        texts = ds.take_rows(rowids, [col])[col].to_pylist()
+        keep = np.asarray([
+            all(p.lower() in (t or "").lower() for p in phrases) for t in texts
+        ])
+        rowids, scores = rowids[keep][: fq.k], scores[keep][: fq.k]
+    else:
+        rowids, scores = rowids[: fq.k], scores[: fq.k]
 
     columns = output_columns if output_columns is not None else ds.schema.names
     real = [c for c in columns if c not in (ROW_ID_COL, SCORE_COL)]

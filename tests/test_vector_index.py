@@ -226,3 +226,33 @@ def test_fts_bm25():
     t2 = ds.scanner().full_text_search("fox", k=2).to_table()
     ids = np.asarray(t2["id"]).tolist()
     assert set(ids) <= {0, 1}
+
+
+def test_fts_phrase_query():
+    docs = [
+        "the quick brown fox jumps",
+        "brown quick the fox",          # same terms, different order
+        "a quick brown dog",
+        "unrelated words entirely",
+    ]
+    uri = f"memory://phrase-{__import__('uuid').uuid4().hex[:8]}/d"
+    ds = lt.write_dataset({"text": pa.array(docs), "id": np.arange(4)}, uri)
+    ds = ds.create_index("text", "INVERTED")
+    t = ds.scanner().full_text_search('"quick brown"').to_table()
+    got = set(t["text"].to_pylist())
+    assert got == {"the quick brown fox jumps", "a quick brown dog"}, got
+
+
+def test_count_rows_uses_index():
+    from lance_tpu.io.tracking import TrackingStore
+
+    uri = f"memory://cnt-{__import__('uuid').uuid4().hex[:8]}/d"
+    ds = lt.write_dataset({"id": np.arange(50_000, dtype=np.int64)}, uri)
+    ds = ds.create_index("id", "BTREE")
+    tracked = TrackingStore(ds.store)
+    ds2 = lt.LanceDataset(tracked, ds.uri, ds.manifest, lt.Session(2**22, 2**22))
+    assert ds2.count_rows("id >= 100 and id < 5100") == 5000
+    # the data file itself must not have been scanned
+    data_reads = [r for r in tracked.stats.requests
+                  if r[0] == "read" and r[1].startswith("data/")]
+    assert not data_reads, data_reads[:3]
