@@ -450,8 +450,18 @@ def encode_page(col: ColumnData, compression: str = "auto",
 # ---------------------------------------------------------------------------
 
 
+def _own_buffer_limit(desc: dict) -> int:
+    """Index of the first CHILD buffer in the flattened list (list/struct
+    layouts append child buffers after the parent's own)."""
+    if "child_buf_start" in desc:
+        return desc["child_buf_start"]
+    if "struct_children" in desc and desc["struct_children"]:
+        return desc["struct_children"][0]["buf_start"]
+    return len(desc["buffers"])
+
+
 def _decode_validity(desc: dict, bufs: dict[int, bytes]) -> np.ndarray | None:
-    for i, b in enumerate(desc["buffers"]):
+    for i, b in enumerate(desc["buffers"][: _own_buffer_limit(desc)]):
         if b["role"] == "validity":
             bits = np.unpackbits(
                 np.frombuffer(bufs[i], dtype=np.uint8), bitorder="little"

@@ -320,7 +320,9 @@ class FileReader:
         return self._read_page(desc, arrow_type).take(local)
 
     def _read_page_validity(self, desc: dict) -> np.ndarray | None:
-        for b in desc["buffers"]:
+        from ..encoding.pages import _own_buffer_limit
+
+        for b in desc["buffers"][: _own_buffer_limit(desc)]:
             if b["role"] == "validity":
                 blob = self.store.get_range(self.path, b["off"], b["len"])
                 bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8), bitorder="little")

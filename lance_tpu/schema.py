@@ -70,8 +70,13 @@ def _type_to_json(t: pa.DataType) -> dict | str:
     if pa.types.is_large_list(t):
         return {"type": "large_list", "value": _type_to_json(t.value_type)}
     if pa.types.is_struct(t):
-        # children serialized by the Field tree, not here
-        return {"type": "struct"}
+        # fields serialized inline so struct types survive when nested inside
+        # list/map types (top-level structs also carry a Field-tree copy)
+        return {"type": "struct", "fields": [
+            {"name": t.field(i).name, "nullable": t.field(i).nullable,
+             "value": _type_to_json(t.field(i).type)}
+            for i in range(t.num_fields)
+        ]}
     if pa.types.is_dictionary(t):
         return {
             "type": "dictionary",
@@ -104,7 +109,12 @@ def _type_from_json(j: dict | str, children: list[pa.Field] | None = None) -> pa
     if kind == "large_list":
         return pa.large_list(_type_from_json(j["value"]))
     if kind == "struct":
-        return pa.struct(children or [])
+        if children:  # top-level: Field tree carries ids/metadata
+            return pa.struct(children)
+        return pa.struct([
+            pa.field(f["name"], _type_from_json(f["value"]), nullable=f.get("nullable", True))
+            for f in j.get("fields", [])
+        ])
     if kind == "dictionary":
         return pa.dictionary(_type_from_json(j["index"]), _type_from_json(j["value"]))
     if kind == "timestamp":

@@ -83,3 +83,19 @@ def test_multivector_maxsim():
     # single query vector also works
     t3 = ds.scanner().nearest("emb", np.asarray(docs[7][0], dtype=np.float32), k=2).to_table()
     assert t3.num_rows == 2
+
+
+def test_nested_list_struct_combinations():
+    t1 = pa.array([[{"a": 1, "b": "x"}], [], [{"a": 2, "b": "y"}, {"a": 3, "b": None}]],
+                  type=pa.list_(pa.struct([("a", pa.int32()), ("b", pa.string())])))
+    t2 = pa.array([{"tags": ["p", "q"], "n": 1}, {"tags": [], "n": 2},
+                   {"tags": ["r"], "n": 3}],
+                  type=pa.struct([("tags", pa.list_(pa.string())), ("n", pa.int64())]))
+    data = pa.table({"id": pa.array(np.arange(3, dtype=np.int64)), "ls": t1, "sl": t2})
+    ds = lt.write_dataset(data, _uri("nested"))
+    out = ds.to_table()
+    assert out["ls"].to_pylist() == data["ls"].to_pylist()
+    assert out["sl"].to_pylist() == data["sl"].to_pylist()
+    tk = ds.take([2], columns=["ls", "sl"])
+    assert tk["ls"][0].as_py() == [{"a": 2, "b": "y"}, {"a": 3, "b": None}]
+    assert tk["sl"][0].as_py() == {"tags": ["r"], "n": 3}
