@@ -1,0 +1,58 @@
+"""Scale check: 4M x 128 with the beyond-HBM streaming build path forced,
+end-to-end recall + QPS on the real chip."""
+import json, os, sys, time
+import numpy as np
+
+os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)  # force streaming
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+def main():
+    import jax, jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 4_000_000, 128, 256, 10
+    t0 = time.time()
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _log(f"gen {time.time()-t0:.0f}s")
+    t = time.time()
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i); queries_h = np.asarray(queries)
+    _log(f"gt {time.time()-t:.0f}s")
+    t = time.time()
+    data_host = np.asarray(data)
+    del data, gt_d
+    _log(f"download {time.time()-t:.0f}s")
+    ds = lt.write_dataset({"vec": data_host, "id": np.arange(N, dtype=np.int64)},
+                          "memory://scale/d4m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=4096, num_sub_vectors=16,
+                         num_bits=8, max_iters=10)
+    build_s = time.time() - t
+    meta = ds.list_indices()[0]
+    _log(f"build {build_s:.0f}s streaming={meta.params.get('streaming_build')}")
+    idx = ds._vector_index_for("vec")
+    _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
+    hits = 0
+    _, rid = idx.search(queries_h, K, nprobes=24, refine_factor=16)
+    ids = rid.astype(np.int64) & 0xFFFFFFFF
+    for r in range(NQ):
+        hits += len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+    rec = hits / (NQ * K)
+    fn = idx.compiled_searcher(K, nprobes=24, refine_factor=16)
+    q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
+    jax.block_until_ready(fn(q_dev))
+    t = time.time()
+    for _ in range(30):
+        o = fn(q_dev)
+    jax.block_until_ready(o)
+    qps = 30 * 512 / (time.time() - t)
+    print(json.dumps({"metric": "scale4m_ivfpq", "n": N, "recall_at_10": round(rec, 4),
+                      "qps": round(qps), "build_s": round(build_s, 1),
+                      "streaming_build": True}))
+
+if __name__ == "__main__":
+    main()

@@ -855,7 +855,11 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     kk = min(k, nprobes * L)
     refining = refine_vectors is not None and final_k is not None
     W = nprobes * L
-    group = 8 if (refining and W >= 8 * kk * 4) else 1
+    # group-min pre-reduction guard: group-mates are strided by W/group, so
+    # when group divides nprobes the stride is a multiple of L and rows at
+    # equal intra-partition offsets collide systematically; also require a
+    # candidate pool much larger than the fetch so collisions stay rare.
+    group = 8 if (refining and W >= 8 * kk * 8 and nprobes >= 8) else 1
     if group > 1:
         # profile-driven: ANY top-k (exact or approx) over the (B, P*L)
         # candidate matrix runs at ~3G elem/s on TPU and dominates search.

@@ -1,0 +1,109 @@
+"""Cross-feature robustness: rename x index, concurrent API mutations,
+filter parser edge cases."""
+
+import threading
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset.filter import parse_filter
+from lance_tpu.errors import InvalidInputError
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://rob-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def test_filter_parser_edges():
+    # escaped quotes, quoted identifiers, precedence, unary minus
+    n = parse_filter("`weird name` = 'it''s'")
+    from lance_tpu.dataset.filter import BinOp, Col, Lit
+
+    assert isinstance(n, BinOp) and n.left.name == "weird name"
+    assert n.right.value == "it's"
+    n2 = parse_filter("a + 2 * b >= -3")
+    assert isinstance(n2, BinOp) and n2.op == ">="
+    with pytest.raises(InvalidInputError):
+        parse_filter("a >")
+    with pytest.raises(InvalidInputError):
+        parse_filter("a = 1 extra")
+    # precedence: or binds looser than and
+    n3 = parse_filter("a = 1 or b = 2 and c = 3")
+    assert n3.op == "or"
+
+
+def test_rename_then_filter_and_index():
+    ds = lt.write_dataset(
+        {"val": np.arange(100, dtype=np.int64),
+         "x": np.arange(100, dtype=np.float64)}, _uri("ren"))
+    ds = ds.create_index("val", "BTREE")
+    ds = ds.alter_columns({"path": "val", "name": "value"})
+    # filter by the new name reads old files through field ids
+    t = ds.to_table(filter="value >= 95")
+    assert t.num_rows == 5
+    # the BTree index still answers (field id unchanged)
+    from lance_tpu.indices.scalar.expression import try_scalar_index_filter
+
+    mask = try_scalar_index_filter(ds, parse_filter("value = 7"))
+    assert mask is not None and len(mask.allow) == 1
+
+
+def test_concurrent_dataset_mutations():
+    """Concurrent appends + deletes through the public API all land."""
+    uri = _uri("conc")
+    base = lt.write_dataset({"id": np.arange(100, dtype=np.int64)}, uri)
+    errors = []
+
+    def appender(i):
+        try:
+            lt.dataset(uri).insert(
+                {"id": np.arange(1000 + i * 10, 1010 + i * 10, dtype=np.int64)})
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    final = lt.dataset(uri)
+    assert final.count_rows() == 100 + 60
+    assert final.version == 7
+
+
+def test_empty_and_single_row_datasets():
+    ds = lt.write_dataset({"a": np.array([42], dtype=np.int64)}, _uri("one"))
+    assert ds.count_rows() == 1
+    assert ds.take([0])["a"][0].as_py() == 42
+    ds = ds.delete("a = 42")
+    assert ds.count_rows() == 0
+    assert ds.to_table().num_rows == 0
+    # scans/filters on empty datasets don't explode
+    assert ds.count_rows("a > 0") == 0
+
+
+def test_vector_index_on_tiny_dataset():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(5, dtype=np.int64)}, _uri("tiny"))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=4, num_sub_vectors=2, max_iters=3)
+    t = ds.scanner().nearest("vec", vecs[3], k=10, nprobes=4, refine_factor=2).to_table()
+    assert np.asarray(t["id"])[0] == 3
+    assert t.num_rows == 5  # k > rows: returns what exists
+
+
+def test_update_then_search_consistency():
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    uri = _uri("updsearch")
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(200, dtype=np.int64)}, uri)
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=5)
+    ds, _ = ds.update({"id": "id + 1000"}, where="id < 5")
+    # updated rows moved to a new (uncovered) fragment; still findable
+    t = ds.scanner().nearest("vec", vecs[2], k=1, nprobes=4).to_table()
+    assert np.asarray(t["id"])[0] == 1002
