@@ -458,6 +458,32 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _decode_pq_device(codes, codebook_wide):
+    """Decode PQ codes on device without narrow intermediates.
+
+    codebook_wide: (m, 2^bits, D) where subspace mi's entries occupy columns
+    [mi*dsub, (mi+1)*dsub) and zeros elsewhere — every gather produces full
+    128-lane rows (a (N, dsub=8) intermediate would be tile-padded 16x and
+    OOM at tens of millions of rows). Sequential fori bounds live temps.
+    """
+    n, m = codes.shape
+
+    def body(mi, acc):
+        return acc + jnp.take(codebook_wide[mi], codes[:, mi].astype(jnp.int32), axis=0)
+
+    out = jnp.zeros((n, codebook_wide.shape[2]), jnp.float32)
+    return jax.lax.fori_loop(0, m, body, out)
+
+
+def _widen_codebook(codebook: np.ndarray) -> np.ndarray:
+    m, k, dsub = codebook.shape
+    wide = np.zeros((m, k, m * dsub), np.float32)
+    for mi in range(m):
+        wide[mi, :, mi * dsub:(mi + 1) * dsub] = codebook[mi]
+    return wide
+
+
 class IvfIndex:
     """Device-resident opened index with compiled search."""
 
@@ -503,12 +529,7 @@ class IvfIndex:
             codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
             # decode ON DEVICE: upload m-byte codes (~N*m), not N*D*4 floats
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
-            cb_dev = jnp.asarray(self.pq.codebook)
-            m = self.pq.num_sub_vectors
-            rows = jnp.concatenate(
-                [jnp.take(cb_dev[mi], codes_dev[:, mi].astype(jnp.int32), axis=0)
-                 for mi in range(m)], axis=1,
-            )
+            rows = _decode_pq_device(codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook)))
             if self.residual:
                 # decoded residual + its partition centroid = absolute vector
                 part_of_row = np.repeat(
@@ -974,10 +995,9 @@ class HnswIndex:
             self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
             codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
-            cb = jnp.asarray(self.pq.codebook)
-            self._rows_dev = jnp.concatenate(
-                [jnp.take(cb[mi], codes_dev[:, mi].astype(jnp.int32), axis=0)
-                 for mi in range(self.pq.num_sub_vectors)], axis=1).astype(score_dtype)
+            self._rows_dev = _decode_pq_device(
+                codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook))
+            ).astype(score_dtype)
         else:
             self.pq = None
             bounds = np.frombuffer(reader.read_global_buffer("sq_bounds"), dtype="<f4")
