@@ -148,8 +148,58 @@ class LanceDataset:
         table = pa.concat_tables(pieces) if pieces else pa.table({})
         return table.take(pa.array(inv)) if len(table) else table
 
-    def take_rows(self, row_addresses: Sequence[int] | np.ndarray,
+    @property
+    def stable_row_ids(self) -> bool:
+        """True when move-stable row ids are enabled for this dataset."""
+        return self.manifest.next_row_id is not None
+
+    def row_id_index(self):
+        """Dataset-wide stable-id -> address resolver, cached per version."""
+        from ..table.rowid_seq import RowIdIndex
+
+        key = (self.uri, self.version)
+        build = lambda: RowIdIndex(self.get_fragments())
+        try:
+            return self.session.metadata_cache.get_or_insert("rowid_index", str(key), build)
+        except Exception:
+            return build()
+
+    def addresses_to_row_ids(self, addrs: np.ndarray) -> np.ndarray:
+        """Translate row addresses -> stable row ids (identity when disabled)."""
+        addrs = np.asarray(addrs, dtype=np.uint64)
+        if not self.stable_row_ids:
+            return addrs
+        from ..rowids import split_addresses
+
+        out = addrs.copy()
+        frag_ids, offsets = split_addresses(addrs)
+        for fid in np.unique(frag_ids):
+            meta = self.manifest.fragment_by_id(int(fid))
+            if meta is None:
+                continue
+            frag = self.get_fragment(int(fid))
+            seq = frag.row_id_sequence
+            if seq is not None:
+                sel = frag_ids == fid
+                out[sel] = seq.to_numpy()[offsets[sel].astype(np.int64)]
+        return out
+
+    def take_rows(self, row_ids: Sequence[int] | np.ndarray,
                   columns: list[str] | None = None) -> pa.Table:
+        """Take by row id: the stable id when enabled (reference
+        enable_move_stable_row_ids), else the row address
+        (fragment_id << 32 | offset) — the two coincide when disabled."""
+        row_ids = np.asarray(row_ids, dtype=np.uint64)
+        if self.stable_row_ids:
+            addrs, found = self.row_id_index().resolve(row_ids)
+            if not found.all():
+                missing = row_ids[~found][:3]
+                raise NotFoundError(f"row ids not found: {missing.tolist()}")
+            return self._take_addresses(addrs, columns)
+        return self._take_addresses(row_ids, columns)
+
+    def _take_addresses(self, row_addresses: Sequence[int] | np.ndarray,
+                        columns: list[str] | None = None) -> pa.Table:
         """Take by physical row address (fragment_id << 32 | offset)."""
         from ..rowids import split_addresses
 
@@ -492,8 +542,8 @@ def write_dataset(data, uri: str, mode: str = "create", schema: Schema | None = 
         return dataset(uri, session=session).insert(data, "append", params)
 
     frags, schema = write_fragments(store, data, schema, params)
-    op = Operation("overwrite" if existing_version is not None else "overwrite",
-                   fragments=frags, schema=schema)
+    upserts = {"lance.stable_row_ids": "true"} if params.enable_stable_row_ids else {}
+    op = Operation("overwrite", fragments=frags, schema=schema, config_upserts=upserts)
     base_manifest = read_manifest(store, existing_version) if existing_version is not None else None
     txn = Transaction(read_version=existing_version or 0, operation=op)
     manifest = commit_transaction(store, txn, base_manifest, handler)

@@ -80,6 +80,17 @@ class FileFragment:
         return self._dv
 
     @property
+    def row_id_sequence(self):
+        """Stable row ids in positional order, or None when disabled."""
+        if self.meta.row_id_meta is None:
+            return None
+        if not hasattr(self, "_rowid_seq"):
+            from ..table.rowid_seq import RowIdSequence
+
+            self._rowid_seq = RowIdSequence.from_json(self.meta.row_id_meta)
+        return self._rowid_seq
+
+    @property
     def physical_rows(self) -> int:
         return self.meta.physical_rows
 

@@ -116,7 +116,7 @@ class MergeInsertBuilder:
 
                 node = parse_filter(self._delete_condition)
                 stale_arr = np.asarray(stale, dtype=np.uint64)
-                cand = ds.take_rows(stale_arr)
+                cand = ds._take_addresses(stale_arr)
                 mask = _eval_on_table(node, cand)
                 stale = [a for a, m in zip(stale, mask) if m]
             delete_addrs.extend(stale)

@@ -73,8 +73,22 @@ class CompactionTask:
             ds.store, chain(), ds.schema,
             WriteParams(max_rows_per_file=CompactionOptions().target_rows_per_fragment),
         )
-        return (self.fragment_ids, new_frags,
-                np.concatenate(src_f), np.concatenate(src_o))
+        src_f, src_o = np.concatenate(src_f), np.concatenate(src_o)
+        if ds.stable_row_ids:
+            # moved rows KEEP their stable ids (reference rowids.rs: rewrite
+            # concatenates the surviving slices of source sequences)
+            from ..table.rowid_seq import RowIdSequence
+
+            seq_by_frag = {f.id: f.row_id_sequence.to_numpy() for f in frags}
+            all_ids = np.empty(src_f.size, np.uint64)
+            for fid in np.unique(src_f):
+                sel = src_f == fid
+                all_ids[sel] = seq_by_frag[int(fid)][src_o[sel].astype(np.int64)]
+            bounds = np.cumsum([0] + [f.physical_rows for f in new_frags])
+            for j, f in enumerate(new_frags):
+                f.row_id_meta = RowIdSequence.from_ids(
+                    all_ids[bounds[j]:bounds[j + 1]]).to_json()
+        return self.fragment_ids, new_frags, src_f, src_o
 
 
 @dataclass

@@ -293,8 +293,10 @@ class Scanner:
             names.append(c)
         addrs = (np.uint64(frag.id) << np.uint64(32)) | phys_offsets.astype(np.uint64)
         if self._with_row_id or ROW_ID_COL in out_cols:
+            seq = frag.row_id_sequence
+            rowids = seq.to_numpy()[phys_offsets] if seq is not None else addrs
             names.append(ROW_ID_COL)
-            arrays.append(pa.array(addrs, type=pa.uint64()))
+            arrays.append(pa.array(rowids, type=pa.uint64()))
         if self._with_row_address or ROW_ADDR_COL in out_cols:
             names.append(ROW_ADDR_COL)
             arrays.append(pa.array(addrs, type=pa.uint64()))

@@ -35,6 +35,9 @@ class WriteParams:
     max_bytes_per_file: int = 90 * 1024**3
     mode: str = "create"  # create | append | overwrite
     compression: str = "auto"
+    # move-stable row ids (reference enable_move_stable_row_ids): _rowid is a
+    # stable u64 surviving compaction; only honored at dataset create time
+    enable_stable_row_ids: bool = False
 
 
 def _normalize_batches(data, schema: Schema | None) -> tuple[Iterator[pa.RecordBatch], Schema]:

@@ -137,7 +137,7 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
         from ..encoding.pages import ColumnData
 
         cols = sorted(referenced_columns(filter_node))
-        fdata = ds.take_rows(flat_r, cols)
+        fdata = ds._take_addresses(flat_r, cols)
         views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
         mask = evaluate_filter(filter_node, column_views_from_data(views))
         table = table.filter(pa.array(mask))
@@ -204,7 +204,7 @@ def _maxsim_knn(ds, q, filter_node, prefilter, output_columns, with_row_id) -> p
         from ..encoding.pages import ColumnData
 
         cols = sorted(referenced_columns(filter_node))
-        fdata = ds.take_rows(addrs[top], cols)
+        fdata = ds._take_addresses(addrs[top], cols)
         views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
         mask = evaluate_filter(filter_node, column_views_from_data(views))
         table = table.filter(pa.array(mask))
@@ -259,7 +259,7 @@ def _take_output(ds, rowids: np.ndarray, dists: np.ndarray,
     columns = output_columns if output_columns is not None else ds.schema.names
     real = [c for c in columns if c not in (ROW_ID_COL, DIST_COL)]
     if rowids.size:
-        table = ds.take_rows(rowids, real) if real else pa.table({})
+        table = ds._take_addresses(rowids, real) if real else pa.table({})
     else:
         table = pa.table({c: pa.array([], type=ds.schema.field(c).to_arrow().type) for c in real})
     arrays = list(table.columns)
@@ -268,7 +268,7 @@ def _take_output(ds, rowids: np.ndarray, dists: np.ndarray,
     arrays.append(pa.array(dists.astype(np.float32)))
     if with_row_id or ROW_ID_COL in columns:
         names.append(ROW_ID_COL)
-        arrays.append(pa.array(rowids, type=pa.uint64()))
+        arrays.append(pa.array(ds.addresses_to_row_ids(rowids), type=pa.uint64()))
     return pa.table(dict(zip(names, arrays)))
 
 
@@ -299,7 +299,7 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
     rowids, scores = idx.bm25_search(terms_query, overfetch, row_mask)
     if phrases and rowids.size:
         col = ds.schema.field_by_id(meta.fields[0]).name
-        texts = ds.take_rows(rowids, [col])[col].to_pylist()
+        texts = ds._take_addresses(rowids, [col])[col].to_pylist()
         keep = np.asarray([
             all(p.lower() in (t or "").lower() for p in phrases) for t in texts
         ])
@@ -309,7 +309,7 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
 
     columns = output_columns if output_columns is not None else ds.schema.names
     real = [c for c in columns if c not in (ROW_ID_COL, SCORE_COL)]
-    table = ds.take_rows(rowids, real) if rowids.size else pa.table(
+    table = ds._take_addresses(rowids, real) if rowids.size else pa.table(
         {c: pa.array([], type=ds.schema.field(c).to_arrow().type) for c in real}
     )
     arrays = list(table.columns)
@@ -318,14 +318,14 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
     arrays.append(pa.array(scores.astype(np.float32)))
     if with_row_id or ROW_ID_COL in columns:
         names.append(ROW_ID_COL)
-        arrays.append(pa.array(rowids, type=pa.uint64()))
+        arrays.append(pa.array(ds.addresses_to_row_ids(rowids), type=pa.uint64()))
     out = pa.table(dict(zip(names, arrays)))
     if filter_node is not None and not prefilter:
         from ..dataset.filter import column_views_from_data, evaluate_filter, referenced_columns
         from ..encoding.pages import ColumnData
 
         cols = sorted(referenced_columns(filter_node))
-        fdata = ds.take_rows(rowids, cols)
+        fdata = ds._take_addresses(rowids, cols)
         views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
         mask = evaluate_filter(filter_node, column_views_from_data(views))
         out = out.filter(pa.array(mask))

@@ -75,6 +75,9 @@ class Fragment:
     files: list[DataFile] = dc_field(default_factory=list)
     deletion_file: DeletionFile | None = None
     physical_rows: int = 0
+    # move-stable row ids (reference rust/lance-table/src/rowids.rs): JSON
+    # segments of the fragment's RowIdSequence; None when the feature is off
+    row_id_meta: list | None = None
 
     @property
     def num_rows(self) -> int:
@@ -87,6 +90,7 @@ class Fragment:
             "files": [f.to_json() for f in self.files],
             "deletion_file": self.deletion_file.to_json() if self.deletion_file else None,
             "physical_rows": self.physical_rows,
+            "row_id_meta": self.row_id_meta,
         }
 
     @classmethod
@@ -96,6 +100,7 @@ class Fragment:
             files=[DataFile.from_json(f) for f in j["files"]],
             deletion_file=DeletionFile.from_json(j["deletion_file"]) if j.get("deletion_file") else None,
             physical_rows=j["physical_rows"],
+            row_id_meta=j.get("row_id_meta"),
         )
 
     def copy(self) -> "Fragment":
@@ -143,6 +148,8 @@ class Manifest:
     max_fragment_id: int = -1
     timestamp: float = 0.0
     transaction_file: str | None = None
+    # next stable row id to allocate; None = stable row ids disabled
+    next_row_id: int | None = None
     writer_version: str = "lance_tpu-0.1.0"
 
     def __post_init__(self):
@@ -172,6 +179,7 @@ class Manifest:
             "timestamp": self.timestamp,
             "transaction_file": self.transaction_file,
             "writer_version": self.writer_version,
+            "next_row_id": self.next_row_id,
         }
 
     @classmethod
@@ -186,6 +194,7 @@ class Manifest:
             timestamp=j.get("timestamp", 0.0),
             transaction_file=j.get("transaction_file"),
             writer_version=j.get("writer_version", "?"),
+            next_row_id=j.get("next_row_id"),
         )
 
     def to_bytes(self) -> bytes:

@@ -1,0 +1,132 @@
+"""Move-stable row ids: per-fragment row-id sequences.
+
+Re-design of the reference's stable row-id machinery
+(rust/lance-table/src/rowids.rs, rowids/segment.rs; enabled via
+`enable_move_stable_row_ids` in rust/lance/src/dataset/write.rs): each
+fragment carries a sequence mapping physical position -> stable u64 row id.
+Ids are allocated once at commit time from `Manifest.next_row_id` and are
+preserved when rows *move* (compaction / rewrite). Updated rows get fresh
+ids (move-stable, not update-stable — matching the reference default).
+
+Representation: a list of segments, each either a contiguous range
+(`["r", start, count]`) or an explicit array (`["a", [ids...]]`). Freshly
+written fragments are a single range; compaction concatenates the
+surviving slices of source sequences, re-compressing runs back into
+ranges. This mirrors the reference's U64Segment encodings (range /
+sorted array) in a JSON-friendly form.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class RowIdSequence:
+    """Positional-order stable row ids for one fragment."""
+
+    def __init__(self, segments: list[tuple] | None = None):
+        # segments: ("r", start, count) | ("a", np.ndarray[u64])
+        self.segments: list[tuple] = list(segments or [])
+
+    # -- construction ---------------------------------------------------------
+
+    @classmethod
+    def from_range(cls, start: int, count: int) -> "RowIdSequence":
+        return cls([("r", int(start), int(count))]) if count else cls()
+
+    @classmethod
+    def from_ids(cls, ids: np.ndarray) -> "RowIdSequence":
+        """Build from an explicit id array, compressing runs into ranges."""
+        ids = np.asarray(ids, dtype=np.uint64)
+        if ids.size == 0:
+            return cls()
+        # find breakpoints where ids stop being consecutive
+        breaks = np.flatnonzero(np.diff(ids.astype(np.int64)) != 1) + 1
+        bounds = np.concatenate([[0], breaks, [ids.size]])
+        segs: list[tuple] = []
+        for i in range(bounds.size - 1):
+            s, e = int(bounds[i]), int(bounds[i + 1])
+            if e - s >= 4:  # range pays off
+                segs.append(("r", int(ids[s]), e - s))
+            elif segs and segs[-1][0] == "a":
+                segs[-1] = ("a", np.concatenate([segs[-1][1], ids[s:e]]))
+            else:
+                segs.append(("a", ids[s:e].copy()))
+        return cls(segs)
+
+    # -- core ops -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return sum(s[2] if s[0] == "r" else s[1].size for s in self.segments)
+
+    def to_numpy(self) -> np.ndarray:
+        parts = []
+        for s in self.segments:
+            if s[0] == "r":
+                parts.append(np.arange(s[1], s[1] + s[2], dtype=np.uint64))
+            else:
+                parts.append(s[1])
+        return np.concatenate(parts) if parts else np.empty(0, np.uint64)
+
+    def select(self, positions: np.ndarray) -> "RowIdSequence":
+        """New sequence of the ids at `positions` (e.g. alive offsets)."""
+        return RowIdSequence.from_ids(self.to_numpy()[np.asarray(positions, np.int64)])
+
+    @classmethod
+    def concat(cls, seqs: list["RowIdSequence"]) -> "RowIdSequence":
+        ids = [s.to_numpy() for s in seqs]
+        return cls.from_ids(np.concatenate(ids)) if ids else cls()
+
+    # -- serialization --------------------------------------------------------
+
+    def to_json(self) -> list:
+        return [["r", s[1], s[2]] if s[0] == "r" else ["a", s[1].tolist()]
+                for s in self.segments]
+
+    @classmethod
+    def from_json(cls, j: list) -> "RowIdSequence":
+        segs: list[tuple] = []
+        for s in j:
+            if s[0] == "r":
+                segs.append(("r", int(s[1]), int(s[2])))
+            else:
+                segs.append(("a", np.asarray(s[1], dtype=np.uint64)))
+        return cls(segs)
+
+
+class RowIdIndex:
+    """Dataset-wide id -> row-address resolver (reference rowids/index.rs).
+
+    Built from every fragment's sequence; binary-search over sorted ids.
+    Deleted positions are *kept* (tombstone semantics): resolving the id of
+    a deleted row yields its address, and the deletion vector downstream
+    masks it — same contract as the reference's RowIdIndex.
+    """
+
+    def __init__(self, fragments):
+        ids, addrs = [], []
+        for frag in fragments:
+            seq = frag.row_id_sequence
+            if seq is None:
+                continue
+            fid = np.uint64(frag.id) << np.uint64(32)
+            arr = seq.to_numpy()
+            ids.append(arr)
+            addrs.append(fid | np.arange(arr.size, dtype=np.uint64))
+        if ids:
+            all_ids = np.concatenate(ids)
+            all_addrs = np.concatenate(addrs)
+            order = np.argsort(all_ids, kind="stable")
+            self._ids = all_ids[order]
+            self._addrs = all_addrs[order]
+        else:
+            self._ids = np.empty(0, np.uint64)
+            self._addrs = np.empty(0, np.uint64)
+
+    def resolve(self, row_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (addresses, found_mask) for the given stable row ids."""
+        row_ids = np.asarray(row_ids, dtype=np.uint64)
+        pos = np.searchsorted(self._ids, row_ids)
+        pos_c = np.minimum(pos, max(self._ids.size - 1, 0))
+        found = (self._ids.size > 0) & (self._ids[pos_c] == row_ids)
+        return self._addrs[pos_c], found

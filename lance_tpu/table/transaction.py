@@ -199,6 +199,18 @@ def check_conflict(mine: Operation, committed: Operation) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _allocate_row_ids(m: Manifest, frags: list[Fragment]) -> None:
+    """Assign stable row-id ranges to fragments lacking one (move-stable row
+    ids, reference rust/lance/src/dataset/write.rs enable_move_stable_row_ids:
+    ids allocate once at commit, from the manifest's next_row_id counter)."""
+    if m.next_row_id is None:
+        return
+    for f in frags:
+        if f.row_id_meta is None:
+            f.row_id_meta = [["r", m.next_row_id, f.physical_rows]] if f.physical_rows else []
+            m.next_row_id += f.physical_rows
+
+
 def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) -> Manifest:
     """Apply `txn.operation` to `base` producing the manifest for new_version."""
     op = txn.operation
@@ -210,8 +222,13 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         if base is not None:
             m.config = {**base.config, **op.config_upserts}
             m.max_fragment_id = base.max_fragment_id
+        if base is not None and base.next_row_id is not None:
+            m.next_row_id = base.next_row_id
+        elif m.config.get("lance.stable_row_ids") == "true":
+            m.next_row_id = 0
         frags = [f.copy() for f in op.fragments]
         _assign_fragment_ids(m, frags)
+        _allocate_row_ids(m, frags)
         m.fragments = frags
         m.transaction_file = txn.tx_path()
         return m
@@ -226,12 +243,14 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         indices=list(base.indices),
         config=dict(base.config),
         max_fragment_id=base.max_fragment_id,
+        next_row_id=base.next_row_id,
     )
     m.transaction_file = txn.tx_path()
 
     if kind == "append":
         frags = [f.copy() for f in op.fragments]
         _assign_fragment_ids(m, frags)
+        _allocate_row_ids(m, frags)
         m.fragments.extend(frags)
     elif kind in ("delete", "update"):
         updated = {f.id: f for f in op.updated_fragments}
@@ -242,6 +261,7 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         if kind == "update" and op.fragments:
             frags = [f.copy() for f in op.fragments]
             _assign_fragment_ids(m, frags)
+            _allocate_row_ids(m, frags)  # updated rows get fresh ids (move-stable)
             m.fragments.extend(frags)
     elif kind == "create_index":
         removed = set(op.removed_index_uuids)
@@ -257,6 +277,8 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
             all_old.update(old_ids)
             new_frags.extend(f.copy() for f in new)
         _assign_fragment_ids(m, new_frags)
+        # compaction supplies row_id_meta for moved rows; allocate only if absent
+        _allocate_row_ids(m, new_frags)
         # preserve position of first old fragment in each group
         result = []
         inserted = False

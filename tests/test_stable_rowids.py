@@ -1,0 +1,127 @@
+"""Move-stable row ids: allocation, scan/_rowid, take_rows, compaction survival.
+
+Mirrors the reference's enable_move_stable_row_ids behavior
+(rust/lance/src/dataset/rowids.rs tests): ids allocate at commit, stay
+stable across compaction (moves), and updated rows get fresh ids.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+import lance_tpu as lt
+from lance_tpu.table.rowid_seq import RowIdIndex, RowIdSequence
+
+
+def _uri(name):
+    import uuid
+
+    return f"memory://srid-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def _write(uri, n, start=0, extra=None):
+    cols = {"id": np.arange(start, start + n, dtype=np.int64),
+            "val": np.arange(start, start + n, dtype=np.float64) * 2}
+    if extra:
+        cols.update(extra)
+    mode = "append" if start else "create"
+    return lt.write_dataset(
+        cols, uri, mode=mode,
+        params=lt.WriteParams(enable_stable_row_ids=True, max_rows_per_file=100))
+
+
+def test_sequence_roundtrip_and_select():
+    seq = RowIdSequence.from_range(10, 5)
+    assert len(seq) == 5
+    assert seq.to_numpy().tolist() == [10, 11, 12, 13, 14]
+    sel = seq.select(np.array([0, 2, 3, 4]))
+    assert sel.to_numpy().tolist() == [10, 12, 13, 14]
+    rt = RowIdSequence.from_json(sel.to_json())
+    assert rt.to_numpy().tolist() == [10, 12, 13, 14]
+    # non-contiguous compresses mixed segments
+    ids = np.array([5, 9, 100, 101, 102, 103, 104, 7], dtype=np.uint64)
+    seq2 = RowIdSequence.from_ids(ids)
+    assert seq2.to_numpy().tolist() == ids.tolist()
+    assert len(RowIdSequence.concat([seq, seq2])) == 13
+
+
+def test_allocation_and_scan_rowid():
+    uri = _uri("alloc")
+    ds = _write(uri, 250)  # 3 fragments (100/100/50)
+    assert ds.stable_row_ids
+    assert ds.manifest.next_row_id == 250
+    t = ds.to_table(columns=["id", "_rowid", "_rowaddr"])
+    rowids = np.asarray(t["_rowid"])
+    np.testing.assert_array_equal(rowids, np.arange(250, dtype=np.uint64))
+    # addresses differ from ids beyond the first fragment
+    addrs = np.asarray(t["_rowaddr"])
+    assert (addrs[100:] != rowids[100:]).all()
+    # append continues the counter
+    ds = _write(uri, 30, start=250)
+    assert ds.manifest.next_row_id == 280
+    t = ds.to_table(columns=["_rowid"])
+    np.testing.assert_array_equal(np.asarray(t["_rowid"]), np.arange(280))
+
+
+def test_take_rows_by_stable_id():
+    ds = _write(_uri("take"), 250)
+    t = ds.take_rows(np.array([0, 105, 249], dtype=np.uint64), ["id"])
+    assert np.asarray(t["id"]).tolist() == [0, 105, 249]
+    import pytest
+
+    with pytest.raises(lt.NotFoundError):
+        ds.take_rows([999])
+
+
+def test_stable_across_compaction():
+    uri = _uri("compact")
+    ds = _write(uri, 250)
+    ds = ds.delete("id % 10 = 3")
+    before = ds.to_table(columns=["id", "_rowid"])
+    ds = ds.optimize_compact(target_rows_per_fragment=10_000)
+    assert len(ds.manifest.fragments) == 1
+    after = ds.to_table(columns=["id", "_rowid"])
+    assert before["id"].to_pylist() == after["id"].to_pylist()
+    # THE contract: same rows keep same ids after moving
+    assert before["_rowid"].to_pylist() == after["_rowid"].to_pylist()
+    # take by id still resolves post-move
+    t = ds.take_rows([101], ["id"])
+    assert np.asarray(t["id"])[0] == 101
+
+
+def test_update_assigns_fresh_ids():
+    ds = _write(_uri("upd"), 50)
+    ds, _ = ds.update({"val": "0.0"}, where="id = 7")
+    t = ds.to_table(columns=["id", "_rowid"], filter="id = 7")
+    assert np.asarray(t["_rowid"])[0] >= 50  # fresh id (move-stable, not update-stable)
+    t2 = ds.to_table(columns=["id", "_rowid"], filter="id = 8")
+    assert np.asarray(t2["_rowid"])[0] == 8  # untouched rows keep ids
+
+
+def test_vector_search_emits_stable_ids():
+    import uuid
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(500, 16)).astype(np.float32)
+    uri = f"memory://srid-{uuid.uuid4().hex[:8]}/vec"
+    ds = lt.write_dataset(
+        {"vec": vecs, "id": np.arange(500, dtype=np.int64)}, uri,
+        params=lt.WriteParams(enable_stable_row_ids=True, max_rows_per_file=200))
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=5)
+    ds = ds.optimize_compact(target_rows_per_fragment=10_000)
+    q = vecs[321]
+    t = ds.scanner().nearest("vec", q, k=3, nprobes=8).with_row_id().to_table()
+    assert np.asarray(t["id"])[0] == 321
+    assert np.asarray(t["_rowid"])[0] == 321  # stable id, not post-compaction address
+    # resolving the emitted id returns the row
+    t2 = ds.take_rows([int(np.asarray(t["_rowid"])[0])], ["id"])
+    assert np.asarray(t2["id"])[0] == 321
+
+
+def test_rowid_index_resolve():
+    ds = _write(_uri("ridx"), 120)
+    idx = RowIdIndex(ds.get_fragments())
+    addrs, found = idx.resolve(np.array([0, 99, 100, 119], dtype=np.uint64))
+    assert found.all()
+    assert addrs[2] == (1 << 32) | 0  # second fragment, offset 0
+    _, found2 = idx.resolve(np.array([500], dtype=np.uint64))
+    assert not found2.any()
