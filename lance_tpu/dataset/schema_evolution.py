@@ -41,6 +41,7 @@ def add_columns(ds, transforms, read_columns: list[str] | None = None):
     if not transforms:
         raise InvalidInputError("no columns to add")
     new_fields: list[Field] = []
+    ckpt_key = None
     specs = []  # (name, kind, payload)
     for name, t in transforms.items():
         if ds.schema.has_field(name):
@@ -57,6 +58,10 @@ def add_columns(ds, transforms, read_columns: list[str] | None = None):
         elif callable(t):
             specs.append((name, "udf", t))
             new_fields.append(None)
+            from .udf_checkpoint import BatchUDF
+
+            if isinstance(t, BatchUDF) and t.checkpoint_key:
+                ckpt_key = t.checkpoint_key
         else:
             raise InvalidInputError(f"bad transform for {name}: {t!r}")
 
@@ -65,9 +70,20 @@ def add_columns(ds, transforms, read_columns: list[str] | None = None):
         if kind == "sql":
             needed |= referenced_columns(payload)
 
-    # compute per fragment
+    # compute per fragment; with a checkpoint key, finished fragments are
+    # persisted immediately and skipped on resume (reference BatchUDFCheckpoint)
+    ckpt = None
+    if ckpt_key is not None:
+        from .udf_checkpoint import UDFCheckpointStore
+
+        ckpt = UDFCheckpointStore(ds.store, ckpt_key)
     frag_tables: list[tuple[int, pa.Table]] = []
     for frag in ds.get_fragments():
+        if ckpt is not None:
+            cached = ckpt.get_fragment(frag.id)
+            if cached is not None:
+                frag_tables.append((frag.id, cached))
+                continue
         n_phys = frag.physical_rows
         cols = {}
         if needed:
@@ -89,7 +105,10 @@ def add_columns(ds, transforms, read_columns: list[str] | None = None):
                 if isinstance(out, dict):
                     out = out[name]
                 arrays[name] = pa.array(out) if not isinstance(out, (pa.Array, pa.ChunkedArray)) else out
-        frag_tables.append((frag.id, pa.table(arrays)))
+        table = pa.table(arrays)
+        if ckpt is not None:
+            ckpt.put_fragment(frag.id, table)
+        frag_tables.append((frag.id, table))
 
     # finalize new field types from computed data
     first_table = frag_tables[0][1] if frag_tables else None
@@ -115,7 +134,10 @@ def add_columns(ds, transforms, read_columns: list[str] | None = None):
         updated.append(frag)
 
     op = Operation("merge", fragments=updated, schema=new_schema)
-    return ds._commit(op)
+    out = ds._commit(op)
+    if ckpt is not None:
+        ckpt.cleanup()
+    return out
 
 
 def drop_columns(ds, columns: list[str]):

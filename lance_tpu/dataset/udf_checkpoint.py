@@ -1,0 +1,86 @@
+"""Resumable UDF backfills: per-fragment checkpointing for add_columns.
+
+Re-design of the reference's BatchUDF checkpoint store
+(python/python/lance/udf.py BatchUDFCheckpoint; rust side
+rust/lance/src/dataset/schema_evolution.rs): computing a new column with an
+expensive UDF over a large dataset must survive crashes. Each fragment's
+computed result is persisted as Arrow IPC the moment it finishes; a re-run
+skips fragments with stored results and only computes the remainder. After
+the final commit succeeds the checkpoints are deleted.
+
+Checkpoints live inside the dataset directory under
+`_udf_checkpoints/{key}/{fragment_id}.arrow` so they ride the same object
+store (and the same cleanup path) as everything else.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+
+CHECKPOINT_DIR = "_udf_checkpoints"
+
+
+class UDFCheckpointStore:
+    """Fragment-granular result cache for one named backfill."""
+
+    def __init__(self, store, key: str):
+        self.store = store
+        self.key = key
+
+    def _path(self, fragment_id: int) -> str:
+        return f"{CHECKPOINT_DIR}/{self.key}/{fragment_id}.arrow"
+
+    def get_fragment(self, fragment_id: int) -> pa.Table | None:
+        try:
+            data = self.store.get(self._path(fragment_id))
+        except Exception:
+            return None
+        with pa.ipc.open_stream(io.BytesIO(data)) as rd:
+            return rd.read_all()
+
+    def put_fragment(self, fragment_id: int, table: pa.Table) -> None:
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, table.schema) as w:
+            w.write_table(table)
+        self.store.put(self._path(fragment_id), buf.getvalue())
+
+    def list_done(self) -> list[int]:
+        prefix = f"{CHECKPOINT_DIR}/{self.key}/"
+        out = []
+        for meta in self.store.list(prefix):
+            name = meta.path.rsplit("/", 1)[-1]
+            if name.endswith(".arrow"):
+                out.append(int(name[:-6]))
+        return sorted(out)
+
+    def cleanup(self) -> None:
+        prefix = f"{CHECKPOINT_DIR}/{self.key}/"
+        for meta in list(self.store.list(prefix)):
+            try:
+                self.store.delete(meta.path)
+            except Exception:
+                pass
+
+
+class BatchUDF:
+    """Wrap a batch->column callable with checkpointing metadata.
+
+    Usage (mirrors the reference's `lance.batch_udf`):
+        udf = batch_udf(fn, checkpoint_key="embed-v1")
+        ds.add_columns({"emb": udf}, read_columns=["text"])
+    """
+
+    def __init__(self, func, checkpoint_key: str | None = None):
+        self.func = func
+        self.checkpoint_key = checkpoint_key
+
+    def __call__(self, batch: pa.RecordBatch):
+        return self.func(batch)
+
+
+def batch_udf(func=None, *, checkpoint_key: str | None = None):
+    if func is None:
+        return lambda f: BatchUDF(f, checkpoint_key)
+    return BatchUDF(func, checkpoint_key)

@@ -311,3 +311,39 @@ def test_memwal_streaming_ingest():
     # region reset for reuse; WAL files cleaned
     assert wal.num_rows() == 0
     assert not [m for m in ds2.store.list("_wal/") if m.path.endswith(".ltpf")]
+
+
+def test_udf_checkpoint_resumable_backfill():
+    """Crashing mid-backfill resumes without recomputing finished fragments
+    (reference python/python/lance/udf.py BatchUDFCheckpoint)."""
+    import pyarrow as pa
+
+    from lance_tpu.dataset.udf_checkpoint import UDFCheckpointStore, batch_udf
+
+    uri = _uri("udfckpt")
+    ds = lt.write_dataset(
+        {"x": np.arange(300, dtype=np.int64)}, uri,
+        params=lt.WriteParams(max_rows_per_file=100))
+    calls = []
+
+    def make_udf(fail_after):
+        @batch_udf(checkpoint_key="double-v1")
+        def fn(batch):
+            if len(calls) >= fail_after:
+                raise RuntimeError("simulated crash")
+            calls.append(len(batch))
+            return {"y": pa.array(np.asarray(batch["x"]) * 2)}
+        return fn
+
+    with pytest.raises(RuntimeError):
+        ds.add_columns({"y": make_udf(fail_after=2)}, read_columns=["x"])
+    assert len(calls) == 2  # two fragments computed before the crash
+    done = UDFCheckpointStore(ds.store, "double-v1").list_done()
+    assert len(done) == 2  # ...and both were persisted
+
+    ds2 = ds.add_columns({"y": make_udf(fail_after=10)}, read_columns=["x"])
+    assert len(calls) == 3  # only the remaining fragment was computed
+    out = ds2.to_table(columns=["x", "y"])
+    np.testing.assert_array_equal(np.asarray(out["y"]), np.arange(300) * 2)
+    # checkpoints cleaned up after the successful commit
+    assert UDFCheckpointStore(ds2.store, "double-v1").list_done() == []
