@@ -73,6 +73,7 @@ class LanceDataset:
         self.manifest = manifest
         self.session = session or default_session()
         self.commit_handler = commit_handler or ConditionalPutCommitHandler()
+        self.branch: str | None = getattr(store, "branch", None)
 
     # -- basics ---------------------------------------------------------------------
 
@@ -330,6 +331,54 @@ class LanceDataset:
     # -- tags ------------------------------------------------------------------------
 
     @property
+    def branches(self):
+        from . import refs
+
+        ds = self
+
+        class _Branches:
+            def create(self, name, version=None):
+                return ds.create_branch(name, version)
+
+            def delete(self, name):
+                refs.delete_branch(ds, name)
+
+            def list(self):
+                return refs.list_branches(ds)
+
+        return _Branches()
+
+    def create_branch(self, name: str, version: int | None = None) -> "LanceDataset":
+        """Fork a branch at `version` (default: this dataset's version) and
+        return a dataset checked out on it (reference dataset.rs create_branch;
+        branch manifests live under tree/{name}/_versions)."""
+        from . import refs
+
+        refs.create_branch(self, name, version)
+        return self.checkout_branch(name)
+
+    def checkout_branch(self, name: str) -> "LanceDataset":
+        from ..io.object_store import BranchStore
+
+        from . import refs
+
+        refs.get_branch_meta(self, name)  # raises if missing
+        root = self.store.inner if isinstance(self.store, BranchStore) else self.store
+        store = BranchStore(root, name)
+        handler = self.commit_handler
+        v = handler.latest_version(store)
+        m = read_manifest(store, v)
+        return LanceDataset(store, self.uri, m, self.session, handler)
+
+    def checkout_main(self) -> "LanceDataset":
+        from ..io.object_store import BranchStore
+
+        root = self.store.inner if isinstance(self.store, BranchStore) else self.store
+        handler = self.commit_handler
+        v = handler.latest_version(root)
+        return LanceDataset(root, self.uri, read_manifest(root, v), self.session, handler)
+
+    @property
     def tags(self):
         from . import refs
 
@@ -517,9 +566,14 @@ class LanceDataset:
 # -------------------------------------------------------------------------------
 
 
-def dataset(uri: str, version: int | None = None, session: Session | None = None) -> LanceDataset:
+def dataset(uri: str, version: int | None = None, session: Session | None = None,
+            branch: str | None = None) -> LanceDataset:
     base_store, base = store_for_uri(uri)
     store = PrefixedStore(base_store, base) if base else base_store
+    if branch is not None:
+        from ..io.object_store import BranchStore
+
+        store = BranchStore(store, branch)
     handler = ConditionalPutCommitHandler()
     v = version if version is not None else handler.latest_version(store)
     if v is None:

@@ -32,12 +32,8 @@ def cleanup_old_versions(ds, keep_latest: int = 1, older_than_seconds: float | N
     live_files: set[str] = set()
     live_tx: set[str] = set()
     retained_manifests = []
-    for v in sorted(keep):
-        try:
-            m = read_manifest(store, v)
-        except NotFoundError:
-            continue
-        retained_manifests.append(v)
+
+    def _mark(m):
         if m.transaction_file:
             live_tx.add(m.transaction_file)
         for f in m.fragments:
@@ -47,6 +43,26 @@ def cleanup_old_versions(ds, keep_latest: int = 1, older_than_seconds: float | N
                 live_files.add(f.deletion_file.path)
         for idx in m.indices:
             live_files.add(f"{INDICES_DIR}/{idx.uuid}")  # prefix marker
+
+    for v in sorted(keep):
+        try:
+            m = read_manifest(store, v)
+        except NotFoundError:
+            continue
+        retained_manifests.append(v)
+        _mark(m)
+
+    # branches share data/_deletions/_indices with main (tree/ layout), so
+    # every branch manifest pins its files against GC (reference cleanup.rs
+    # walks all refs the same way)
+    from ..table.manifest import Manifest
+
+    for meta in store.list("tree/"):
+        if meta.path.endswith(".manifest"):
+            try:
+                _mark(Manifest.from_bytes(store.get(meta.path)))
+            except Exception:
+                pass
 
     removed = 0
     # old manifests

@@ -2,7 +2,9 @@
 
 Re-design of reference Refs (rust/lance/src/dataset/refs.rs:1-987, layout
 `_refs/tags/{name}.json`). Tags pin versions against cleanup and give
-checkout-by-name. (Branches — reference `tree/` layout — planned.)
+checkout-by-name. Branches (reference `tree/` layout + branch_location.rs)
+store their metadata at `_refs/branches/{name}.json` and their manifests
+under `tree/{name}/_versions/`.
 """
 
 from __future__ import annotations
@@ -55,3 +57,52 @@ def list_tags(ds) -> list[dict]:
                 "version": json.loads(ds.store.get(meta.path))["version"],
             })
     return sorted(out, key=lambda t: t["name"])
+
+
+# -- branches (reference refs.rs branch API + tree/ layout) -------------------
+
+
+def _branch_path(name: str) -> str:
+    if "/" in name or not name:
+        raise InvalidInputError(f"bad branch name {name!r}")
+    return f"{REFS_DIR}/branches/{name}.json"
+
+
+def create_branch(ds, name: str, version: int | None = None) -> None:
+    """Create branch `name` forking from `version` (default: current)."""
+    v = version if version is not None else ds.version
+    meta = {"parent_branch": ds.branch, "parent_version": v}
+    if not ds.store.put_if_not_exists(_branch_path(name), json.dumps(meta).encode()):
+        raise InvalidInputError(f"branch {name} already exists")
+    # first branch manifest = fork-point manifest republished in the branch's
+    # own version line (version numbering continues from the fork point so
+    # cross-branch diffs stay meaningful)
+    from ..table.manifest import manifest_path
+
+    src = ds.store.get(manifest_path(v))
+    ds.store.put(f"tree/{name}/{manifest_path(v)}", src)
+
+
+def delete_branch(ds, name: str) -> None:
+    if not ds.store.exists(_branch_path(name)):
+        raise NotFoundError(f"branch {name}")
+    ds.store.delete(_branch_path(name))
+    for meta in list(ds.store.list(f"tree/{name}/")):
+        ds.store.delete(meta.path)
+
+
+def get_branch_meta(ds, name: str) -> dict:
+    try:
+        return json.loads(ds.store.get(_branch_path(name)))
+    except NotFoundError:
+        raise NotFoundError(f"branch {name}") from None
+
+
+def list_branches(ds) -> list[dict]:
+    out = []
+    for meta in ds.store.list(f"{REFS_DIR}/branches/"):
+        name = meta.path.rsplit("/", 1)[-1]
+        if name.endswith(".json"):
+            info = json.loads(ds.store.get(meta.path))
+            out.append({"branch": name[:-5], **info})
+    return out

@@ -230,6 +230,59 @@ class LocalStore(ObjectStore):
         return int(os.environ.get("LANCE_TPU_IO_THREADS", str((os.cpu_count() or 4) * 2)))
 
 
+class BranchStore(ObjectStore):
+    """Branch view of a dataset store (reference branch_location.rs: a branch
+    lives at `tree/{name}/` with its own `_versions/`).
+
+    Only the *manifest namespaces* (`_versions/`, `_transactions/`) redirect
+    into the branch directory; `data/`, `_deletions/` and `_indices/` stay
+    shared at the dataset root, so branching is O(1) and branches reference
+    the main tree's files directly (our analogue of the reference's
+    base-path redirection)."""
+
+    _REDIRECT = ("_versions/", "_transactions/")
+
+    def __init__(self, inner: ObjectStore, branch: str):
+        self.inner = inner
+        self.branch = branch
+        self._bp = f"tree/{branch}/"
+
+    def _p(self, path: str) -> str:
+        return self._bp + path if path.startswith(self._REDIRECT) else path
+
+    def get(self, path: str) -> bytes:
+        return self.inner.get(self._p(path))
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        return self.inner.get_range(self._p(path), start, length)
+
+    def get_ranges(self, path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
+        return self.inner.get_ranges(self._p(path), ranges)
+
+    def head(self, path: str) -> ObjectMeta:
+        m = self.inner.head(self._p(path))
+        return ObjectMeta(path, m.size)
+
+    def put(self, path: str, data: bytes) -> None:
+        self.inner.put(self._p(path), data)
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        return self.inner.put_if_not_exists(self._p(path), data)
+
+    def delete(self, path: str) -> None:
+        self.inner.delete(self._p(path))
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        if prefix.startswith(self._REDIRECT):
+            skip = len(self._bp)
+            return [ObjectMeta(m.path[skip:], m.size)
+                    for m in self.inner.list(self._bp + prefix)]
+        return self.inner.list(prefix)
+
+    def io_parallelism(self) -> int:
+        return self.inner.io_parallelism()
+
+
 class ObjectStoreRegistry:
     """scheme -> provider factory (reference: ObjectStoreRegistry)."""
 

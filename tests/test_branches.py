@@ -1,0 +1,99 @@
+"""Branches: fork, diverge, checkout, isolation from main (reference
+rust/lance/src/dataset/branch_location.rs tree/ layout + refs.rs)."""
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.errors import InvalidInputError, NotFoundError
+
+
+def _mk(n=100):
+    import uuid
+
+    uri = f"memory://branch-{uuid.uuid4().hex[:8]}/d"
+    return lt.write_dataset({"id": np.arange(n, dtype=np.int64)}, uri), uri
+
+
+def test_create_and_diverge():
+    ds, uri = _mk()
+    br = ds.create_branch("experiment")
+    assert br.branch == "experiment"
+    assert br.version == ds.version
+    # writes on the branch do not touch main
+    br2 = br.insert({"id": np.arange(100, 150, dtype=np.int64)})
+    assert len(br2) == 150
+    main = lt.dataset(uri)
+    assert main.branch is None
+    assert len(main) == 100
+    # re-open the branch by name
+    again = lt.dataset(uri, branch="experiment")
+    assert len(again) == 150
+    assert again.branch == "experiment"
+    # main keeps evolving independently
+    main2 = main.delete("id < 10")
+    assert len(main2) == 90
+    assert len(lt.dataset(uri, branch="experiment")) == 150
+
+
+def test_branch_listing_and_delete():
+    ds, uri = _mk()
+    ds.create_branch("a")
+    ds.create_branch("b", version=ds.version)
+    names = {b["branch"] for b in ds.branches.list()}
+    assert names == {"a", "b"}
+    meta = [b for b in ds.branches.list() if b["branch"] == "a"][0]
+    assert meta["parent_version"] == ds.version
+    assert meta["parent_branch"] is None
+    with pytest.raises(InvalidInputError):
+        ds.create_branch("a")  # duplicate
+    ds.branches.delete("a")
+    assert {b["branch"] for b in ds.branches.list()} == {"b"}
+    with pytest.raises(NotFoundError):
+        ds.checkout_branch("a")
+
+
+def test_checkout_main_from_branch():
+    ds, uri = _mk()
+    br = ds.create_branch("dev")
+    br = br.insert({"id": np.arange(100, 120, dtype=np.int64)})
+    back = br.checkout_main()
+    assert back.branch is None
+    assert len(back) == 100
+
+
+def test_branch_shares_data_files():
+    """Branching is O(1): no data files are copied."""
+    ds, uri = _mk(1000)
+    n_files_before = len(ds.store.list("data/"))
+    br = ds.create_branch("cheap")
+    assert len(ds.store.list("data/")) == n_files_before
+    np.testing.assert_array_equal(
+        np.asarray(br.to_table()["id"]), np.arange(1000))
+
+
+def test_branch_index_and_search():
+    import uuid
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(500, 16)).astype(np.float32)
+    uri = f"memory://branch-{uuid.uuid4().hex[:8]}/v"
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(500, dtype=np.int64)}, uri)
+    br = ds.create_branch("with-index")
+    br = br.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=5)
+    t = br.scanner().nearest("vec", vecs[3], k=1, nprobes=8).to_table()
+    assert np.asarray(t["id"])[0] == 3
+    # the index exists only on the branch
+    assert lt.dataset(uri).list_indices() == []
+    assert len(lt.dataset(uri, branch="with-index").list_indices()) == 1
+
+
+def test_cleanup_preserves_branch_files():
+    ds, uri = _mk(200)
+    br = ds.create_branch("keepme")
+    # main overwrites everything; old main data now only referenced by branch
+    ds2 = lt.write_dataset({"id": np.arange(5, dtype=np.int64)}, uri, mode="overwrite")
+    removed = ds2.cleanup_old_versions(keep_latest=1)
+    # branch still fully readable
+    t = lt.dataset(uri, branch="keepme").to_table()
+    assert len(t) == 200
