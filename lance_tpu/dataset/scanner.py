@@ -49,6 +49,7 @@ class FTSQuery:
     query: str
     columns: list[str] | None = None
     k: int = 10
+    node: object | None = None  # FTS query AST (indices/scalar/fts_query.py)
 
 
 class Scanner:
@@ -110,8 +111,16 @@ class Scanner:
                                     refine_factor, metric, use_index, ef)
         return self
 
-    def full_text_search(self, query: str, columns: list[str] | None = None, k: int = 10) -> "Scanner":
-        self._fts = FTSQuery(query, columns, k)
+    def full_text_search(self, query, columns: list[str] | None = None, k: int = 10) -> "Scanner":
+        """Accepts a query string or an FTS AST node (MatchQuery, PhraseQuery,
+        BoostQuery, BooleanQuery from lance_tpu.indices.scalar.fts_query)."""
+        from ..indices.scalar.fts_query import FTS_QUERY_TYPES
+
+        if isinstance(query, FTS_QUERY_TYPES):
+            col = getattr(query, "column", None)
+            self._fts = FTSQuery("", [col] if col else columns, k, node=query)
+        else:
+            self._fts = FTSQuery(query, columns, k)
         return self
 
     def prefilter(self, v: bool = True) -> "Scanner":

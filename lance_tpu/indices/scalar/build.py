@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ...encoding.pages import ColumnData
-from ...errors import InvalidInputError, NotFoundError
+from ...errors import InvalidInputError, NotFoundError, NotSupportedError
 from ...file.reader import FileReader
 from ...file.writer import FileWriter
 from ...rowids import RowIdMask, RowIdTreeMap
@@ -250,8 +250,40 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
     w.add_global_buffer("posting_freqs", arr[:, 2].astype("<i4").tobytes())
     w.add_global_buffer("doc_lens", doc_lens.astype("<i4").tobytes())
     w.add_global_buffer("doc_rowids", rowids.astype("<u8").tobytes())
+    # block-max metadata (reference wand.rs Block-WAND): per term, the max
+    # BM25 contribution within each 512-doc block — lets queries skip blocks
+    # whose summed upper bound cannot reach the current top-k threshold
+    BLOCK = 512
+    k1, b = 1.2, 0.75
+    avg_dl = max(float(doc_lens.mean()) if n else 0.0, 1e-9)
+    bm_off = np.zeros(len(terms) + 1, dtype=np.int64)
+    bm_blocks: list[np.ndarray] = []
+    bm_max: list[np.ndarray] = []
+    for i in range(len(terms)):
+        lo, hi = offsets[i], offsets[i + 1]
+        docs_i = arr[lo:hi, 1]
+        f = arr[lo:hi, 2].astype(np.float32)
+        df = hi - lo
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        dl = doc_lens[docs_i].astype(np.float32)
+        sc = idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avg_dl))
+        blk = (docs_i // BLOCK).astype(np.int32)
+        # postings are doc-sorted, so blocks are non-decreasing
+        uniq, starts = np.unique(blk, return_index=True)
+        mx = np.maximum.reduceat(sc, starts) if sc.size else np.empty(0, np.float32)
+        bm_blocks.append(uniq)
+        bm_max.append(mx.astype(np.float32))
+        bm_off[i + 1] = bm_off[i] + uniq.size
+    w.add_global_buffer("blockmax_offsets", bm_off.astype("<i8").tobytes())
+    w.add_global_buffer("blockmax_blocks", (
+        np.concatenate(bm_blocks) if bm_blocks else np.empty(0, np.int32)
+    ).astype("<i4").tobytes())
+    w.add_global_buffer("blockmax_scores", (
+        np.concatenate(bm_max) if bm_max else np.empty(0, np.float32)
+    ).astype("<f4").tobytes())
     w.add_global_buffer("stats", json.dumps({
         "num_docs": n, "avg_doc_len": float(doc_lens.mean()) if n else 0.0,
+        "block": BLOCK,
     }).encode())
     w.finish()
     return {"num_terms": len(terms), "num_docs": n}
@@ -410,28 +442,71 @@ class InvertedIndex:
         stats = json.loads(r.read_global_buffer("stats"))
         self.num_docs = stats["num_docs"]
         self.avg_doc_len = max(stats["avg_doc_len"], 1e-9)
+        self.block = stats.get("block", 512)
+        try:  # block-max buffers (absent in pre-blockmax index files)
+            self.bm_off = np.frombuffer(r.read_global_buffer("blockmax_offsets"), dtype="<i8")
+            self.bm_blocks = np.frombuffer(r.read_global_buffer("blockmax_blocks"), dtype="<i4")
+            self.bm_scores = np.frombuffer(r.read_global_buffer("blockmax_scores"), dtype="<f4")
+        except Exception:
+            self.bm_off = None
+
+    # -- term machinery -------------------------------------------------------
+
+    def _term_index(self, t: str) -> int:
+        i = np.searchsorted(self.terms, t)
+        if i >= len(self.terms) or self.terms[i] != t:
+            return -1
+        return int(i)
+
+    def expand_fuzzy(self, term: str, maxd: int, max_expansions: int = 50) -> list[int]:
+        """Dictionary terms within edit distance maxd (reference query.rs
+        fuzzy expansion; linear scan with banded DP instead of an FST)."""
+        from .fts_query import bounded_levenshtein
+
+        if maxd <= 0:
+            i = self._term_index(term)
+            return [i] if i >= 0 else []
+        lens = np.char.str_len(self.terms.astype(str)) if len(self.terms) else np.empty(0, int)
+        cand = np.flatnonzero(np.abs(lens - len(term)) <= maxd)
+        out = []
+        for i in cand:
+            d = bounded_levenshtein(term, str(self.terms[i]), maxd)
+            if d <= maxd:
+                out.append((d, int(i)))
+        out.sort()
+        return [i for _, i in out[:max_expansions]]
+
+    def _accumulate(self, term_idx: int, scores: np.ndarray, hits: np.ndarray,
+                    weight: float = 1.0, k1: float = 1.2, b: float = 0.75,
+                    block_sel: np.ndarray | None = None) -> None:
+        lo, hi = self.offsets[term_idx], self.offsets[term_idx + 1]
+        docs, freqs = self.docs[lo:hi], self.freqs[lo:hi].astype(np.float32)
+        if block_sel is not None:
+            keep = block_sel[docs // self.block]
+            docs, freqs = docs[keep], freqs[keep]
+        df = hi - lo
+        idf = np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
+        dl = self.doc_lens[docs].astype(np.float32)
+        tf = freqs * (k1 + 1.0) / (freqs + k1 * (1.0 - b + b * dl / self.avg_doc_len))
+        scores[docs] += weight * idf * tf
+        hits[docs] += 1
 
     def bm25_search(self, query: str, k: int, row_mask: RowIdMask | None = None,
                     k1: float = 1.2, b: float = 0.75) -> tuple[np.ndarray, np.ndarray]:
-        """Exact BM25 over the union of query-term postings (reference: wand.rs
-        scoring formula; Block-WAND pruning is an optimization, not a
-        semantics change)."""
+        """BM25 over the union of query-term postings. Large corpora route
+        through block-max pruning (reference wand.rs Block-WAND): blocks are
+        processed in upper-bound order and scoring stops once the running
+        k-th best score dominates every unscored block's bound."""
         toks = tokenize(query)
+        tids = [i for i in (self._term_index(t) for t in toks) if i >= 0]
+        if (self.bm_off is not None and row_mask is None
+                and self.num_docs >= 65536 and tids):
+            return self._bm25_blockmax(tids, k, k1, b)
         scores = np.zeros(self.num_docs, dtype=np.float32)
-        touched = np.zeros(self.num_docs, dtype=bool)
-        for t in toks:
-            i = np.searchsorted(self.terms, t)
-            if i >= len(self.terms) or self.terms[i] != t:
-                continue
-            lo, hi = self.offsets[i], self.offsets[i + 1]
-            docs, freqs = self.docs[lo:hi], self.freqs[lo:hi].astype(np.float32)
-            df = hi - lo
-            idf = np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
-            dl = self.doc_lens[docs].astype(np.float32)
-            tf = freqs * (k1 + 1.0) / (freqs + k1 * (1.0 - b + b * dl / self.avg_doc_len))
-            scores[docs] += idf * tf
-            touched[docs] = True
-        cand = np.flatnonzero(touched)
+        hits = np.zeros(self.num_docs, dtype=np.int32)
+        for i in tids:
+            self._accumulate(i, scores, hits, 1.0, k1, b)
+        cand = np.flatnonzero(hits > 0)
         if row_mask is not None and cand.size:
             sel = row_mask.selected_many(self.doc_rowids[cand])
             cand = cand[sel]
@@ -439,6 +514,110 @@ class InvertedIndex:
             return np.empty(0, np.uint64), np.empty(0, np.float32)
         order = cand[np.argsort(-scores[cand], kind="stable")][:k]
         return self.doc_rowids[order], scores[order]
+
+    def _bm25_blockmax(self, tids: list[int], k: int, k1: float, b: float
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        nblocks = (self.num_docs + self.block - 1) // self.block
+        ub = np.zeros(nblocks, dtype=np.float32)
+        for i in tids:
+            lo, hi = self.bm_off[i], self.bm_off[i + 1]
+            np.add.at(ub, self.bm_blocks[lo:hi], self.bm_scores[lo:hi])
+        order = np.argsort(-ub, kind="stable")
+        order = order[ub[order] > 0]
+        scores = np.zeros(self.num_docs, dtype=np.float32)
+        hits = np.zeros(self.num_docs, dtype=np.int32)
+        block_sel = np.zeros(nblocks, dtype=bool)
+        best: np.ndarray | None = None
+        step = max(64, (4 * k) // self.block + 1)
+        pos = 0
+        while pos < order.size:
+            batch = order[pos:pos + step]
+            pos += batch.size
+            block_sel[:] = False
+            block_sel[batch] = True
+            for i in tids:
+                self._accumulate(i, scores, hits, 1.0, k1, b, block_sel)
+            cand = np.flatnonzero(hits > 0)
+            if cand.size >= k or pos >= order.size:
+                top = cand[np.argsort(-scores[cand], kind="stable")][:k]
+                theta = scores[top[-1]] if top.size >= k else 0.0
+                if pos >= order.size or theta >= ub[order[pos]]:
+                    best = top
+                    break
+        if best is None or best.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float32)
+        return self.doc_rowids[best], scores[best]
+
+    def execute_query(self, q, k: int, row_mask: RowIdMask | None = None,
+                      text_of=None) -> tuple[np.ndarray, np.ndarray]:
+        """Evaluate an FTS query AST (fts_query.py) to top-k (rowids, scores)."""
+        scores, mask = self._eval_node(q, text_of)
+        cand = np.flatnonzero(mask)
+        if row_mask is not None and cand.size:
+            sel = row_mask.selected_many(self.doc_rowids[cand])
+            cand = cand[sel]
+        if cand.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float32)
+        order = cand[np.argsort(-scores[cand], kind="stable")][:k]
+        return self.doc_rowids[order], scores[order]
+
+    def _eval_node(self, q, text_of) -> tuple[np.ndarray, np.ndarray]:
+        from .fts_query import (BooleanQuery, BoostQuery, MatchQuery,
+                                PhraseQuery, auto_fuzziness)
+
+        if isinstance(q, MatchQuery):
+            toks = tokenize(q.query)
+            scores = np.zeros(self.num_docs, dtype=np.float32)
+            hits = np.zeros(self.num_docs, dtype=np.int32)
+            matched_terms = 0
+            for t in toks:
+                fz = q.fuzziness if q.fuzziness is not None else auto_fuzziness(t)
+                tids = self.expand_fuzzy(t, fz, q.max_expansions)
+                if not tids:
+                    continue
+                matched_terms += 1
+                term_hits = np.zeros(self.num_docs, dtype=np.int32)
+                for i in tids:  # expansions of one term count once for AND
+                    self._accumulate(i, scores, term_hits, q.boost)
+                hits += (term_hits > 0).astype(np.int32)
+            if q.operator == "AND":
+                need = len(toks)
+                mask = hits >= need if matched_terms == need else np.zeros(self.num_docs, bool)
+            else:
+                mask = hits > 0
+            return scores, mask
+        if isinstance(q, PhraseQuery):
+            inner = MatchQuery(q.query, operator="AND")
+            scores, mask = self._eval_node(inner, text_of)
+            if text_of is not None:
+                cand = np.flatnonzero(mask)
+                if cand.size:
+                    texts = text_of(self.doc_rowids[cand])
+                    ok = np.asarray([q.query.lower() in (t or "").lower() for t in texts])
+                    mask = np.zeros(self.num_docs, bool)
+                    mask[cand[ok]] = True
+            return scores, mask
+        if isinstance(q, BoostQuery):
+            ps, pm = self._eval_node(q.positive, text_of)
+            ns, _nm = self._eval_node(q.negative, text_of)
+            return ps - q.negative_boost * ns, pm
+        if isinstance(q, BooleanQuery):
+            scores = np.zeros(self.num_docs, dtype=np.float32)
+            mask = np.ones(self.num_docs, bool) if q.must else np.zeros(self.num_docs, bool)
+            for sub in q.must:
+                s, m = self._eval_node(sub, text_of)
+                scores += s
+                mask &= m
+            for sub in q.should:
+                s, m = self._eval_node(sub, text_of)
+                scores += s
+                if not q.must:
+                    mask |= m
+            for sub in q.must_not:
+                _s, m = self._eval_node(sub, text_of)
+                mask &= ~m
+            return scores, mask
+        raise NotSupportedError(f"unsupported FTS query node: {type(q).__name__}")
 
     def statistics(self) -> dict:
         return {"index_type": "INVERTED", "num_terms": int(len(self.terms)),

@@ -1,0 +1,91 @@
+"""Full-text-search query AST.
+
+Re-design of the reference FTS query model
+(rust/lance-index/src/scalar/inverted/query.rs: MatchQuery, PhraseQuery,
+BoostQuery, BooleanQuery; fuzziness semantics follow its
+`fuzziness: Option<u32>` with 0 = exact, None = auto by term length).
+
+Queries compose into a tree; `InvertedIndex.execute_query` evaluates the
+tree bottom-up over vectorized posting scores (scalar/build.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from ...errors import InvalidInputError
+
+
+@dataclass
+class MatchQuery:
+    """Match any/all terms in `query` with BM25 scoring.
+
+    operator: "OR" (any term, default) | "AND" (all terms must be present)
+    fuzziness: max edit distance per term (0 = exact; None = auto: 0 for
+        len<3, 1 for len<6, else 2 — reference query.rs auto fuzziness)
+    max_expansions: cap on fuzzy-expanded terms per query term
+    """
+
+    query: str
+    column: str | None = None
+    boost: float = 1.0
+    fuzziness: int | None = 0
+    max_expansions: int = 50
+    operator: str = "OR"
+
+    def __post_init__(self):
+        if self.operator not in ("OR", "AND"):
+            raise InvalidInputError(f"bad operator {self.operator!r}")
+
+
+@dataclass
+class PhraseQuery:
+    """Exact phrase match (terms in order). slop reserved for future use."""
+
+    query: str
+    column: str | None = None
+    slop: int = 0
+
+
+@dataclass
+class BoostQuery:
+    """Score = positive - negative_boost * negative (reference BoostQuery)."""
+
+    positive: object
+    negative: object
+    negative_boost: float = 0.5
+
+
+@dataclass
+class BooleanQuery:
+    """must: all required (scores sum); should: optional (scores add);
+    must_not: excluded."""
+
+    must: list = dc_field(default_factory=list)
+    should: list = dc_field(default_factory=list)
+    must_not: list = dc_field(default_factory=list)
+
+
+FTS_QUERY_TYPES = (MatchQuery, PhraseQuery, BoostQuery, BooleanQuery)
+
+
+def auto_fuzziness(term: str) -> int:
+    n = len(term)
+    return 0 if n < 3 else (1 if n < 6 else 2)
+
+
+def bounded_levenshtein(a: str, b: str, maxd: int) -> int:
+    """Edit distance, early-exit above maxd (banded DP)."""
+    if abs(len(a) - len(b)) > maxd:
+        return maxd + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = maxd + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > maxd:
+            return maxd + 1
+        prev = cur
+    return prev[-1]

@@ -290,6 +290,13 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
     idx = open_scalar_index(ds, meta)
 
     row_mask = _filter_mask(ds, filter_node) if (filter_node is not None and prefilter) else None
+    if fq.node is not None:
+        # AST path (MatchQuery/PhraseQuery/BoostQuery/BooleanQuery)
+        col = ds.schema.field_by_id(meta.fields[0]).name
+        text_of = lambda rids: ds._take_addresses(rids, [col])[col].to_pylist()
+        rowids, scores = idx.execute_query(fq.node, fq.k, row_mask, text_of=text_of)
+        return _fts_output(ds, rowids, scores, output_columns, with_row_id,
+                           filter_node, prefilter)
     # phrase queries: '"exact phrase"' -> BM25 candidates on the terms, then
     # exact phrase verification against the stored text (reference: PhraseQuery;
     # position-less postings verify instead of intersecting position lists)
@@ -307,6 +314,12 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
     else:
         rowids, scores = rowids[: fq.k], scores[: fq.k]
 
+    return _fts_output(ds, rowids, scores, output_columns, with_row_id,
+                       filter_node, prefilter)
+
+
+def _fts_output(ds, rowids, scores, output_columns, with_row_id,
+                filter_node, prefilter) -> pa.Table:
     columns = output_columns if output_columns is not None else ds.schema.names
     real = [c for c in columns if c not in (ROW_ID_COL, SCORE_COL)]
     table = ds._take_addresses(rowids, real) if rowids.size else pa.table(

@@ -1,0 +1,130 @@
+"""FTS query AST (match/phrase/boost/boolean/fuzzy) + block-max BM25.
+
+Mirrors reference rust/lance-index/src/scalar/inverted/query.rs semantics.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.indices.scalar.fts_query import (
+    BooleanQuery,
+    BoostQuery,
+    MatchQuery,
+    PhraseQuery,
+    bounded_levenshtein,
+)
+
+
+def _ds(docs):
+    import uuid
+
+    uri = f"memory://ftsq-{uuid.uuid4().hex[:8]}/d"
+    ds = lt.write_dataset(
+        {"text": pa.array(docs), "id": np.arange(len(docs), dtype=np.int64)}, uri)
+    return ds.create_index("text", "INVERTED")
+
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",   # 0
+    "a fast auburn fox leaped over a sleepy canine",  # 1
+    "completely unrelated text about databases",      # 2
+    "lance is a columnar format for machine learning",  # 3
+    "the dog sleeps all day long",                    # 4
+    "quick dogs and quick foxes",                     # 5
+]
+
+
+def _ids(t):
+    return set(np.asarray(t["id"]).tolist())
+
+
+def test_match_query_or_and():
+    ds = _ds(DOCS)
+    t = ds.scanner().full_text_search(MatchQuery("quick dog"), k=10).to_table()
+    assert _ids(t) == {0, 4, 5}  # OR: any term
+    t = ds.scanner().full_text_search(
+        MatchQuery("quick dog", operator="AND"), k=10).to_table()
+    assert _ids(t) == {0}  # both terms required ("dogs" != "dog")
+    # AND with a term absent from the corpus matches nothing
+    t = ds.scanner().full_text_search(
+        MatchQuery("quick zebra", operator="AND"), k=10).to_table()
+    assert t.num_rows == 0
+
+
+def test_fuzzy_match():
+    ds = _ds(DOCS)
+    # "quik" is 1 edit from "quick"
+    t = ds.scanner().full_text_search(MatchQuery("quik", fuzziness=1), k=10).to_table()
+    assert {0, 5} <= _ids(t)
+    # fuzziness=0 finds nothing
+    t = ds.scanner().full_text_search(MatchQuery("quik", fuzziness=0), k=10).to_table()
+    assert t.num_rows == 0
+    # auto fuzziness (None) also recovers the typo
+    t = ds.scanner().full_text_search(MatchQuery("quik", fuzziness=None), k=10).to_table()
+    assert {0, 5} <= _ids(t)
+
+
+def test_phrase_query_ast():
+    ds = _ds(DOCS)
+    t = ds.scanner().full_text_search(PhraseQuery("lazy dog"), k=10).to_table()
+    assert _ids(t) == {0}
+    # same terms, not adjacent/ordered -> no match
+    t = ds.scanner().full_text_search(PhraseQuery("dog lazy"), k=10).to_table()
+    assert t.num_rows == 0
+
+
+def test_boost_query():
+    ds = _ds(DOCS)
+    q = BoostQuery(MatchQuery("fox"), MatchQuery("lazy"), negative_boost=5.0)
+    t = ds.scanner().full_text_search(q, k=10).with_row_id().to_table()
+    ids = np.asarray(t["id"]).tolist()
+    assert set(ids) == {0, 1}
+    assert ids[0] == 1  # doc 0 demoted by 'lazy' penalty
+    scores = np.asarray(t["_score"])
+    assert scores[0] > scores[1]
+
+
+def test_boolean_query():
+    ds = _ds(DOCS)
+    q = BooleanQuery(must=[MatchQuery("fox")], must_not=[MatchQuery("lazy")])
+    t = ds.scanner().full_text_search(q, k=10).to_table()
+    assert _ids(t) == {1}  # doc 0 has 'fox' but is excluded by 'lazy'
+    q = BooleanQuery(must=[MatchQuery("fox", fuzziness=2)],
+                     must_not=[MatchQuery("lazy")])
+    t = ds.scanner().full_text_search(q, k=10).to_table()
+    assert 5 in _ids(t)  # fuzzy reaches 'foxes' (edit distance 2)
+    q = BooleanQuery(must=[MatchQuery("quick")], should=[MatchQuery("dogs")])
+    t = ds.scanner().full_text_search(q, k=10).to_table()
+    ids = np.asarray(t["id"]).tolist()
+    assert set(ids) == {0, 5}
+    assert ids[0] == 5  # 'dogs' boost ranks doc 5 first
+
+
+def test_bounded_levenshtein():
+    assert bounded_levenshtein("quick", "quik", 2) == 1
+    assert bounded_levenshtein("quick", "quick", 2) == 0
+    assert bounded_levenshtein("quick", "zebra", 2) == 3  # capped at maxd+1
+    assert bounded_levenshtein("ab", "abcdef", 1) == 2  # length gap early-exit
+
+
+def test_blockmax_matches_dense():
+    """Block-max pruned BM25 returns exactly the dense top-k on a corpus big
+    enough to trigger the pruned path."""
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = [" ".join(rng.choice(vocab, size=8)) for _ in range(2000)]
+    docs[1234] = "needle haystack needle"
+    docs[77] = "needle alone"
+    ds = _ds(docs)
+    idx_meta = ds.list_indices()[0]
+    from lance_tpu.indices.scalar.build import open_scalar_index
+
+    idx = open_scalar_index(ds, idx_meta)
+    assert idx.bm_off is not None
+    r_dense, s_dense = idx.bm25_search("needle haystack w3", 10, None)
+    tids = [idx._term_index(t) for t in ("needle", "haystack", "w3")]
+    r_bm, s_bm = idx._bm25_blockmax([i for i in tids if i >= 0], 10, 1.2, 0.75)
+    np.testing.assert_array_equal(r_dense, r_bm)
+    np.testing.assert_allclose(s_dense, s_bm, rtol=1e-5)
