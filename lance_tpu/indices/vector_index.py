@@ -195,17 +195,20 @@ def build_ivf_index(
             "ivf_vec", (uuid, "refine_vectors"),
             jnp.take(refine_src, jnp.asarray(order), axis=0),
         )
+        from ..ops.pq import pack_codes
+
+        stored = pack_codes(codes, pq.num_bits)  # 4-bit: two codes per byte
         schema = Schema.from_arrow(
             pa.schema([
                 (ROWID_COL, pa.uint64()),
-                (PQ_CODE_COL, pa.list_(pa.uint8(), pq.num_sub_vectors)),
+                (PQ_CODE_COL, pa.list_(pa.uint8(), stored.shape[1])),
             ])
         )
         w = FileWriter(store, path, schema, compression="none")
         step = 1 << 18
         for s in range(0, n, step):
             w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
-                           PQ_CODE_COL: codes[s : s + step]})
+                           PQ_CODE_COL: stored[s : s + step]})
         w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
         w.add_global_buffer("ivf_data", ivf_payload)
         pq_header = pq.to_json()
@@ -431,15 +434,18 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     ivf = IvfModel(km.centroids, offsets, lengths, metric)
     ivf_header, ivf_payload = ivf.to_parts()
     path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    from ..ops.pq import pack_codes
+
+    stored = pack_codes(codes, pq.num_bits)
     schema = Schema.from_arrow(pa.schema([
         (ROWID_COL, pa.uint64()),
-        (PQ_CODE_COL, pa.list_(pa.uint8(), pq.num_sub_vectors)),
+        (PQ_CODE_COL, pa.list_(pa.uint8(), stored.shape[1])),
     ]))
     w = FileWriter(ds.store, path, schema, compression="none")
     step = 1 << 18
     for s in range(0, n, step):
         w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
-                       PQ_CODE_COL: codes[s:s + step]})
+                       PQ_CODE_COL: stored[s:s + step]})
     w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
     w.add_global_buffer("ivf_data", ivf_payload)
     pq_h = pq.to_json()
@@ -526,7 +532,10 @@ class IvfIndex:
             pq_header = json.loads(reader.read_global_buffer("pq_header"))
             self.residual = bool(pq_header.get("residual", False))
             self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
-            codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
+            from ..ops.pq import unpack_codes
+
+            codes = unpack_codes(reader.read_column(PQ_CODE_COL).to_numpy_matrix(),
+                                 self.pq.num_bits, self.pq.num_sub_vectors)
             # decode ON DEVICE: upload m-byte codes (~N*m), not N*D*4 floats
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
             rows = _decode_pq_device(codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook)))
@@ -993,7 +1002,10 @@ class HnswIndex:
 
             pq_header = json.loads(reader.read_global_buffer("pq_header"))
             self.pq = ProductQuantizer.from_parts(pq_header, reader.read_global_buffer("pq_codebook"))
-            codes = reader.read_column(PQ_CODE_COL).to_numpy_matrix()
+            from ..ops.pq import unpack_codes
+
+            codes = unpack_codes(reader.read_column(PQ_CODE_COL).to_numpy_matrix(),
+                                 self.pq.num_bits, self.pq.num_sub_vectors)
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
             self._rows_dev = _decode_pq_device(
                 codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook))

@@ -220,3 +220,26 @@ def adc_scan(luts: jnp.ndarray, codes_t: jnp.ndarray) -> jnp.ndarray:
         return jnp.sum(jax.vmap(per_sub)(lut, codes_t), axis=0)  # (N,)
 
     return jax.vmap(per_query)(luts)
+
+
+def pack_codes(codes: np.ndarray, num_bits: int) -> np.ndarray:
+    """Pack PQ codes for storage: 4-bit codes store two per byte (reference
+    rust/lance-index/src/vector/pq/storage.rs 4-bit packing). 8-bit is
+    identity. Requires an even num_sub_vectors for 4-bit."""
+    if num_bits != 4:
+        return codes
+    if codes.shape[1] % 2:
+        return codes  # odd m: stored unpacked (width distinguishes at read)
+    lo = codes[:, 0::2].astype(np.uint8)
+    hi = codes[:, 1::2].astype(np.uint8)
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def unpack_codes(stored: np.ndarray, num_bits: int, num_sub_vectors: int) -> np.ndarray:
+    """Inverse of pack_codes; no-op when stored width == num_sub_vectors."""
+    if num_bits != 4 or stored.shape[1] == num_sub_vectors:
+        return stored
+    out = np.empty((stored.shape[0], num_sub_vectors), np.uint8)
+    out[:, 0::2] = stored & 0x0F
+    out[:, 1::2] = stored >> 4
+    return out

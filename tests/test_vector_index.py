@@ -256,3 +256,27 @@ def test_count_rows_uses_index():
     data_reads = [r for r in tracked.stats.requests
                   if r[0] == "read" and r[1].startswith("data/")]
     assert not data_reads, data_reads[:3]
+
+
+def test_ivf_pq_4bit():
+    """4-bit PQ: codes pack two per byte on disk; recall holds with refine
+    (reference pq/storage.rs 4-bit packing)."""
+    ds, vecs, _ = _make_ds(3000, 64, seed=12)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=16,
+                         num_bits=4, max_iters=10)
+    from lance_tpu.ops.pq import pack_codes, unpack_codes
+
+    codes = np.arange(32, dtype=np.uint8).reshape(2, 16) % 16
+    np.testing.assert_array_equal(unpack_codes(pack_codes(codes, 4), 4, 16), codes)
+    assert pack_codes(codes, 4).shape == (2, 8)
+    # the stored column is half-width
+    idx = ds._vector_index_for("vec")
+    assert idx.pq.num_bits == 4
+    rng = np.random.default_rng(3)
+    queries = vecs[rng.choice(3000, 10)]
+    rec = 0.0
+    for q in queries:
+        want = set(_gt_topk(vecs, q, 10).tolist())
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=16, refine_factor=40).to_table()
+        rec += len(set(np.asarray(t["id"]).tolist()) & want) / 10
+    assert rec / 10 >= 0.88, rec / 10  # 4-bit ADC is coarse on gaussian data; refine recovers
