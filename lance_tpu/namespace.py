@@ -75,6 +75,11 @@ class DirectoryNamespace:
             store.delete(m.path)
 
 
-def connect(uri: str) -> DirectoryNamespace:
-    """Open a directory namespace (reference: lance.namespace.connect)."""
+def connect(uri: str):
+    """Open a namespace: http(s):// -> REST catalog, else directory
+    (reference: lance.namespace.connect dispatch)."""
+    if uri.startswith(("http://", "https://")):
+        from .namespace_rest import RestNamespace
+
+        return RestNamespace(uri)
     return DirectoryNamespace(uri)

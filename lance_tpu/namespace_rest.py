@@ -1,0 +1,211 @@
+"""REST namespace: HTTP catalog implementing the LanceNamespace protocol.
+
+Re-design of the reference REST namespace (lance-namespace spec: the
+`rust/lance-namespace` trait's REST binding — ListTables / DescribeTable /
+RegisterTable / DeregisterTable / CreateTable / DropTable). The catalog
+holds *locations*; data IO always goes directly to object storage — the
+server never proxies table bytes except for the optional create-with-data
+convenience endpoint (Arrow IPC request body).
+
+Endpoints (JSON unless noted):
+    GET    /v1/namespaces                  -> {"namespaces": [...]}
+    GET    /v1/tables                      -> {"tables": [...]}
+    GET    /v1/table/{name}                -> {"name", "location", "version"}
+    POST   /v1/table/{name}/register       <- {"location": uri}
+    DELETE /v1/table/{name}                (deregister; drops dir-backed data)
+    POST   /v1/table/{name}/create         <- Arrow IPC stream body
+
+Server is stdlib http.server (threaded) — suitable for tests and
+single-cluster catalogs; the client is stdlib urllib (zero-egress safe:
+point it at localhost).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib import error as urlerror
+from urllib import request as urlrequest
+
+import pyarrow as pa
+
+from .errors import InvalidInputError, NotFoundError
+from .namespace import DirectoryNamespace
+
+
+class RestNamespaceServer:
+    """Serve a backing namespace (DirectoryNamespace by default) over HTTP."""
+
+    def __init__(self, backing, host: str = "127.0.0.1", port: int = 0):
+        self.backing = backing
+        self.registry: dict[str, str] = {}  # externally registered tables
+        ns = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length", "0"))
+                return self.rfile.read(n)
+
+            def do_GET(self):
+                if self.path == "/v1/namespaces":
+                    return self._json(200, {"namespaces": ["default"]})
+                if self.path == "/v1/tables":
+                    names = sorted(set(ns.backing.list_tables()) | set(ns.registry))
+                    return self._json(200, {"tables": names})
+                if self.path.startswith("/v1/table/"):
+                    name = self.path.split("/")[3]
+                    try:
+                        loc = ns._location(name)
+                        import lance_tpu
+
+                        try:
+                            v = lance_tpu.dataset(loc).version
+                        except Exception:
+                            v = None
+                        return self._json(200, {"name": name, "location": loc,
+                                                "version": v})
+                    except NotFoundError:
+                        return self._json(404, {"error": f"table {name} not found"})
+                return self._json(404, {"error": "unknown endpoint"})
+
+            def do_POST(self):
+                parts = self.path.split("/")
+                if len(parts) == 5 and parts[1] == "v1" and parts[2] == "table":
+                    name, action = parts[3], parts[4]
+                    if action == "register":
+                        req = json.loads(self._body() or b"{}")
+                        loc = req.get("location")
+                        if not loc:
+                            return self._json(400, {"error": "location required"})
+                        if name in ns.registry or name in ns.backing.list_tables():
+                            return self._json(409, {"error": f"table {name} exists"})
+                        ns.registry[name] = loc
+                        return self._json(200, {"name": name, "location": loc})
+                    if action == "create":
+                        mode = self.headers.get("X-Lance-Mode", "create")
+                        try:
+                            with pa.ipc.open_stream(io.BytesIO(self._body())) as rd:
+                                table = rd.read_all()
+                            ds = ns.backing.create_table(name, table, mode=mode)
+                            return self._json(200, {
+                                "name": name,
+                                "location": ns.backing.table_uri(name),
+                                "version": ds.version,
+                            })
+                        except InvalidInputError as e:
+                            return self._json(409, {"error": str(e)})
+                return self._json(404, {"error": "unknown endpoint"})
+
+            def do_DELETE(self):
+                if self.path.startswith("/v1/table/"):
+                    name = self.path.split("/")[3]
+                    if name in ns.registry:
+                        del ns.registry[name]
+                        return self._json(200, {"deregistered": name})
+                    try:
+                        ns.backing.drop_table(name)
+                        return self._json(200, {"dropped": name})
+                    except NotFoundError:
+                        return self._json(404, {"error": f"table {name} not found"})
+                return self._json(404, {"error": "unknown endpoint"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self.url = f"http://{self.host}:{self.port}"
+        self._thread: threading.Thread | None = None
+
+    def _location(self, name: str) -> str:
+        if name in self.registry:
+            return self.registry[name]
+        if name in self.backing.list_tables():
+            return self.backing.table_uri(name)
+        raise NotFoundError(name)
+
+    def start(self) -> "RestNamespaceServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+class RestNamespace:
+    """Client side of the REST catalog; implements LanceNamespace."""
+
+    def __init__(self, base_url: str):
+        self.base = base_url.rstrip("/")
+
+    def _call(self, method: str, path: str, body: bytes | None = None,
+              headers: dict | None = None) -> dict:
+        req = urlrequest.Request(f"{self.base}{path}", data=body, method=method,
+                                 headers=headers or {})
+        try:
+            with urlrequest.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read())
+        except urlerror.HTTPError as e:
+            payload = {}
+            try:
+                payload = json.loads(e.read())
+            except Exception:
+                pass
+            msg = payload.get("error", str(e))
+            if e.code == 404:
+                raise NotFoundError(msg) from None
+            raise InvalidInputError(msg) from None
+
+    def list_tables(self) -> list[str]:
+        return self._call("GET", "/v1/tables")["tables"]
+
+    def table_exists(self, name: str) -> bool:
+        return name in self.list_tables()
+
+    def table_uri(self, name: str) -> str:
+        return self._call("GET", f"/v1/table/{name}")["location"]
+
+    def describe_table(self, name: str) -> dict:
+        return self._call("GET", f"/v1/table/{name}")
+
+    def register_table(self, name: str, location: str) -> dict:
+        return self._call("POST", f"/v1/table/{name}/register",
+                          json.dumps({"location": location}).encode())
+
+    def deregister_table(self, name: str) -> dict:
+        return self._call("DELETE", f"/v1/table/{name}")
+
+    def create_table(self, name: str, data, mode: str = "create", **kwargs):
+        if not isinstance(data, pa.Table):
+            import lance_tpu
+            from .dataset.write import _normalize_batches
+
+            batches, _schema = _normalize_batches(data, None)
+            data = pa.Table.from_batches(list(batches))
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, data.schema) as w:
+            w.write_table(data)
+        self._call("POST", f"/v1/table/{name}/create", buf.getvalue(),
+                   {"X-Lance-Mode": mode})
+        return self.open_table(name)
+
+    def open_table(self, name: str, version: int | None = None):
+        import lance_tpu
+
+        return lance_tpu.dataset(self.table_uri(name), version=version)
+
+    def drop_table(self, name: str) -> None:
+        self._call("DELETE", f"/v1/table/{name}")

@@ -1,0 +1,58 @@
+"""REST namespace: server + client round trips (reference lance-namespace
+REST binding semantics)."""
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.errors import InvalidInputError, NotFoundError
+from lance_tpu.namespace import DirectoryNamespace
+from lance_tpu.namespace_rest import RestNamespaceServer
+
+
+@pytest.fixture()
+def server():
+    import uuid
+
+    backing = DirectoryNamespace(f"memory://restns-{uuid.uuid4().hex[:8]}")
+    srv = RestNamespaceServer(backing).start()
+    yield srv
+    srv.stop()
+
+
+def test_rest_create_list_open_drop(server):
+    ns = lt.connect(server.url)
+    assert ns.list_tables() == []
+    t = ns.create_table("users", {"id": np.arange(10, dtype=np.int64)})
+    assert len(t) == 10
+    assert ns.list_tables() == ["users"]
+    assert ns.table_exists("users")
+    info = ns.describe_table("users")
+    assert info["version"] == 1
+    ds = ns.open_table("users")
+    assert np.asarray(ds.to_table()["id"]).tolist() == list(range(10))
+    with pytest.raises(InvalidInputError):
+        ns.create_table("users", {"id": np.arange(3, dtype=np.int64)})
+    ns.drop_table("users")
+    assert ns.list_tables() == []
+    with pytest.raises(NotFoundError):
+        ns.open_table("users")
+
+
+def test_rest_register_external_table(server):
+    import uuid
+
+    ns = lt.connect(server.url)
+    ext_uri = f"memory://ext-{uuid.uuid4().hex[:8]}/t"
+    lt.write_dataset({"v": np.arange(5, dtype=np.int64)}, ext_uri)
+    ns.register_table("external", ext_uri)
+    assert "external" in ns.list_tables()
+    assert ns.table_uri("external") == ext_uri
+    ds = ns.open_table("external")
+    assert len(ds) == 5
+    with pytest.raises(InvalidInputError):
+        ns.register_table("external", ext_uri)  # duplicate
+    ns.deregister_table("external")
+    assert "external" not in ns.list_tables()
+    # deregistering does NOT delete the data
+    assert len(lt.dataset(ext_uri)) == 5
