@@ -1,0 +1,72 @@
+"""Profile the compiled IVF-PQ search step on the real chip: build the
+SIFT1M-like index, trace N iterations, report the top ops by self-time."""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+
+def top_ops(trace_dir, n=18):
+    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        return []
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        tr = json.load(f)
+    durs = {}
+    for ev in tr.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            name = ev.get("name", "?")
+            cat = ev.get("cat", "")
+            if "XLA" in cat or "tensorflow" in cat or True:
+                durs[name] = durs.get(name, 0) + ev["dur"]
+    return sorted(durs.items(), key=lambda kv: -kv[1])[:n]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+
+    N, DIM, NQ = 1_000_000, 128, 256
+    data, queries = generate_sift_like(N, DIM, NQ)
+    data_host = np.asarray(data)
+    queries_h = np.asarray(queries)
+    ds = lt.write_dataset({"vec": data_host, "id": np.arange(N, dtype=np.int64)},
+                          "memory://prof/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=10)
+    _log(f"build {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    fn = idx.compiled_searcher(10, nprobes=16, refine_factor=16)
+    q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
+    jax.block_until_ready(fn(q_dev))
+    t = time.time()
+    for _ in range(20):
+        o = fn(q_dev)
+    jax.block_until_ready(o)
+    dt = time.time() - t
+    _log(f"qps {20*512/dt:.0f}")
+
+    trace_dir = "/root/repo/.prof_trace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(10):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+    for name, dur in top_ops(trace_dir):
+        _log(f"{dur/10:>10.0f} us  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

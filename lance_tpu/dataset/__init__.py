@@ -468,6 +468,57 @@ class LanceDataset:
 
         return _opt(self, names)
 
+    @property
+    def stats(self):
+        """Statistics namespace (reference python LanceStats:
+        dataset_stats() and data_stats())."""
+        ds = self
+
+        class _Stats:
+            def dataset_stats(self, max_rows_per_group: int = 1024 * 1024) -> dict:
+                frags = ds.manifest.fragments
+                small = sum(1 for f in frags if f.num_rows < max_rows_per_group // 2)
+                return {
+                    "num_deleted_rows": sum(
+                        f.deletion_file.num_deleted if f.deletion_file else 0
+                        for f in frags),
+                    "num_fragments": len(frags),
+                    "num_small_files": small,
+                }
+
+            def data_stats(self, fields: list[str] | None = None) -> dict:
+                """Per-field on-disk bytes / pages / encodings across all
+                fragments (aggregated from file page metadata)."""
+                from ..file.reader import FileReader
+
+                want = set(fields) if fields else None
+                agg: dict[str, dict] = {}
+                for frag in ds.get_fragments():
+                    for df in frag.meta.files:
+                        r = frag._reader_for(df.path)
+                        for name, st in r.statistics().items():
+                            fid = st["field_id"]
+                            try:
+                                live = ds.schema.field_by_id(fid).name
+                            except Exception:
+                                continue  # dropped column group
+                            if want is not None and live not in want:
+                                continue
+                            a = agg.setdefault(live, {
+                                "field_id": fid, "bytes_on_disk": 0,
+                                "num_pages": 0, "layouts": set(), "codecs": set()})
+                            a["bytes_on_disk"] += st["bytes_on_disk"]
+                            a["num_pages"] += st["num_pages"]
+                            a["layouts"] |= set(st["layouts"])
+                            a["codecs"] |= set(st["codecs"])
+                return {"fields": {
+                    n: {**a, "layouts": sorted(a["layouts"]),
+                        "codecs": sorted(a["codecs"])}
+                    for n, a in agg.items()
+                }}
+
+        return _Stats()
+
     def index_statistics(self, name: str) -> dict:
         from ..indices.create import index_statistics as _stats
 

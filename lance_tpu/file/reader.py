@@ -78,6 +78,29 @@ class FileReader:
     def global_buffer_names(self) -> list[str]:
         return [g["name"] for g in self.metadata.get("global_buffers", [])]
 
+    def statistics(self) -> dict:
+        """Per-column encoding statistics (reference: file statistics API,
+        rust/lance-file page-level metadata): pages, encoded bytes, layouts,
+        codecs."""
+        out = {}
+        for name, col in self._columns.items():
+            layouts, codecs, total = set(), set(), 0
+            for pg in col["pages"]:
+                layouts.add(pg.get("layout", "?"))
+                for buf in pg.get("buffers", []):
+                    total += buf["len"]
+                    c = buf.get("desc", {}).get("c")
+                    if c:
+                        codecs.add(c)
+            out[name] = {
+                "field_id": col["field_id"],
+                "num_pages": len(col["pages"]),
+                "bytes_on_disk": total,
+                "layouts": sorted(layouts),
+                "codecs": sorted(codecs),
+            }
+        return out
+
     def read_global_buffer(self, name: str) -> bytes:
         for g in self.metadata.get("global_buffers", []):
             if g["name"] == name:

@@ -347,3 +347,25 @@ def test_udf_checkpoint_resumable_backfill():
     np.testing.assert_array_equal(np.asarray(out["y"]), np.arange(300) * 2)
     # checkpoints cleaned up after the successful commit
     assert UDFCheckpointStore(ds2.store, "double-v1").list_done() == []
+
+
+def test_stats_api():
+    """dataset_stats/data_stats (reference python LanceStats)."""
+    uri = _uri("stats")
+    ds = lt.write_dataset(
+        {"a": np.arange(1000, dtype=np.int64),
+         "b": np.array([f"s{i%7}" for i in range(1000)])},
+        uri, params=lt.WriteParams(max_rows_per_file=400))
+    ds = ds.delete("a < 50")
+    st = ds.stats.dataset_stats()
+    assert st["num_fragments"] == 3
+    assert st["num_deleted_rows"] == 50
+    assert st["num_small_files"] == 3
+    data = ds.stats.data_stats()["fields"]
+    assert set(data) == {"a", "b"}
+    assert data["a"]["bytes_on_disk"] > 0
+    assert data["a"]["num_pages"] == 3
+    assert "bitpack" in data["a"]["codecs"]
+    assert "dict" in data["b"]["layouts"]
+    only_b = ds.stats.data_stats(["b"])["fields"]
+    assert set(only_b) == {"b"}
