@@ -1,0 +1,59 @@
+"""On-chip sweep of search-path knobs: dist_bf16 x qcap slack.
+Builds the SIFT1M-like index once, then measures recall@10 + QPS per config."""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 512, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt = np.asarray(gt_i)
+    queries_h = np.asarray(queries)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://opt/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=10)
+    _log(f"build {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+
+    for bf16 in ("0", "1"):
+        for slack in ("4", "3", "2"):
+            os.environ["LANCE_TPU_DIST_BF16"] = bf16
+            os.environ["LANCE_TPU_QCAP_SLACK"] = slack
+            _, rid = idx.search(queries_h, K, nprobes=16, refine_factor=16)
+            ids = rid.astype(np.int64) & 0xFFFFFFFF
+            hits = sum(len(set(ids[r].tolist()) & set(gt[r].tolist()))
+                       for r in range(NQ))
+            rec = hits / (NQ * K)
+            fn = idx.compiled_searcher(K, nprobes=16, refine_factor=16)
+            q_dev = jnp.asarray(queries_h[:512])
+            jax.block_until_ready(fn(q_dev))
+            t = time.time()
+            for _ in range(30):
+                o = fn(q_dev)
+            jax.block_until_ready(o)
+            qps = 30 * 512 / (time.time() - t)
+            print(json.dumps({"dist_bf16": bf16, "slack": slack,
+                              "recall": round(rec, 4), "qps": round(qps)}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,15 @@ class Scanner:
         self._filter_str = expr
         return self
 
+    def filter_substrait(self, expr) -> "Scanner":
+        """Filter from a substrait ExtendedExpression (protobuf-JSON dict/str/
+        bytes, or binary when a substrait runtime is available)."""
+        from .substrait import filter_from_substrait
+
+        self._filter = filter_from_substrait(expr, self.ds.schema.names)
+        self._filter_str = "<substrait>"
+        return self
+
     def limit(self, n: int | None, offset: int = 0) -> "Scanner":
         self._limit = n
         self._offset = offset

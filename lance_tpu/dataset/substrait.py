@@ -1,0 +1,138 @@
+"""Substrait ExtendedExpression -> lance_tpu filter AST.
+
+Re-design of the reference substrait filter path
+(rust/lance-datafusion/src/substrait.rs parse_substrait: an
+ExtendedExpression carrying one filter over the dataset's base schema).
+We consume the *protobuf-JSON* form of the message (every substrait
+producer can emit it; python's `substrait` package converts binary to it
+via MessageToJson). Binary protobuf input is accepted too when a substrait
+runtime is importable; otherwise it raises NotSupportedError with guidance.
+
+Supported expression nodes: scalarFunction (comparison ops, and/or/not,
+is_null/is_not_null), selection (direct struct-field reference into the
+base schema), literal (bool/int/float/string/null).
+"""
+
+from __future__ import annotations
+
+import json
+
+from ..errors import InvalidInputError, NotSupportedError
+from .filter import BinOp, Col, IsNull, Lit, UnaryOp
+
+# substrait function name (before the ':' signature suffix) -> our BinOp op
+_FN_MAP = {
+    "equal": "=",
+    "not_equal": "!=",
+    "lt": "<",
+    "lte": "<=",
+    "gt": ">",
+    "gte": ">=",
+    "and": "and",
+    "or": "or",
+    "add": "+",
+    "subtract": "-",
+    "multiply": "*",
+    "divide": "/",
+    "modulus": "%",
+}
+
+_LITERAL_KEYS = ("boolean", "i8", "i16", "i32", "i64", "fp32", "fp64",
+                 "string", "date", "binary")
+
+
+def filter_from_substrait(expr, base_columns: list[str] | None = None):
+    """Convert a substrait ExtendedExpression (dict, JSON str/bytes, or
+    binary protobuf) into a filter AST node usable by Scanner.filter()."""
+    msg = _load(expr)
+    names = base_columns
+    if names is None:
+        names = list(msg.get("baseSchema", {}).get("names", []))
+    referred = msg.get("referredExpr") or msg.get("referred_expr") or []
+    if not referred:
+        raise InvalidInputError("ExtendedExpression has no referredExpr")
+    if len(referred) > 1:
+        raise NotSupportedError("multiple referred expressions")
+    fn_names = _function_names(msg)
+    root = referred[0].get("expression")
+    if root is None:
+        raise NotSupportedError("referredExpr is not an expression (measure?)")
+    return _convert(root, names, fn_names)
+
+
+def _load(expr) -> dict:
+    if isinstance(expr, dict):
+        return expr
+    if isinstance(expr, str):
+        return json.loads(expr)
+    if isinstance(expr, (bytes, bytearray)):
+        try:
+            return json.loads(expr)
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            pass
+        try:  # binary protobuf: needs a substrait runtime to decode
+            from google.protobuf.json_format import MessageToDict
+            from substrait.gen.proto.extended_expression_pb2 import ExtendedExpression
+
+            m = ExtendedExpression()
+            m.ParseFromString(bytes(expr))
+            return MessageToDict(m)
+        except ImportError:
+            raise NotSupportedError(
+                "binary substrait requires the 'substrait' package; pass the "
+                "protobuf-JSON form instead") from None
+    raise InvalidInputError(f"cannot interpret substrait input: {type(expr)}")
+
+
+def _function_names(msg: dict) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for ext in msg.get("extensions", []):
+        f = ext.get("extensionFunction") or ext.get("extension_function")
+        if f:
+            name = f.get("name", "")
+            out[int(f.get("functionAnchor", f.get("function_anchor", 0)))] = (
+                name.split(":", 1)[0])
+    return out
+
+
+def _convert(node: dict, names: list[str], fns: dict[int, str]):
+    if "literal" in node:
+        return _literal(node["literal"])
+    if "selection" in node:
+        ref = node["selection"].get("directReference", {}).get("structField", {})
+        idx = int(ref.get("field", 0))
+        if idx >= len(names):
+            raise InvalidInputError(f"substrait field index {idx} out of range")
+        return Col(names[idx])
+    if "scalarFunction" in node:
+        sf = node["scalarFunction"]
+        anchor = int(sf.get("functionReference", sf.get("function_reference", 0)))
+        name = fns.get(anchor)
+        if name is None:
+            raise NotSupportedError(f"substrait function anchor {anchor} undeclared")
+        args = [a.get("value") for a in sf.get("arguments", [])]
+        conv = [_convert(a, names, fns) for a in args if a is not None]
+        if name in ("is_null", "is_not_null"):
+            return IsNull(conv[0], negate=(name == "is_not_null"))
+        if name == "not":
+            return UnaryOp("not", conv[0])
+        if name in _FN_MAP:
+            op = _FN_MAP[name]
+            out = conv[0]
+            for nxt in conv[1:]:
+                out = BinOp(op, out, nxt)
+            return out
+        raise NotSupportedError(f"substrait function '{name}' not supported")
+    raise NotSupportedError(f"substrait expression node {list(node)!r} not supported")
+
+
+def _literal(lit: dict):
+    if lit.get("null") is not None or "null" in lit:
+        return Lit(None)
+    for k in _LITERAL_KEYS:
+        if k in lit:
+            v = lit[k]
+            if k.startswith(("i", "fp")) and isinstance(v, str):
+                v = float(v) if k.startswith("fp") else int(v)
+            return Lit(v)
+    raise NotSupportedError(f"substrait literal {list(lit)!r} not supported")

@@ -686,6 +686,7 @@ class IvfIndex:
             refine_vectors=self._ensure_vectors() if do_refine else None,
             final_k=kk if do_refine else None,
             part_offsets=self._offsets_dev,
+            dist_bf16=_dist_bf16(),
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -729,6 +730,7 @@ class IvfIndex:
                 refine_vectors=refine_vecs,
                 final_k=kk if do_refine else None,
                 part_offsets=self._offsets_dev,
+                dist_bf16=_dist_bf16(),
             )
 
         return run
@@ -808,18 +810,33 @@ class IvfIndex:
 # ---------------------------------------------------------------------------
 
 
-def _query_cap(b: int, nprobes: int, nlist: int, slack: int = 4) -> int:
-    """Static per-partition query-slot budget: slack x the mean occupancy."""
+def _dist_bf16() -> bool:
+    """bf16 score tensors: on by default on TPU (refine re-ranks exactly);
+    forced off on CPU so tests stay bit-exact. Override LANCE_TPU_DIST_BF16."""
+    env = os.environ.get("LANCE_TPU_DIST_BF16")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() not in ("cpu",)
+
+
+def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> int:
+    """Static per-partition query-slot budget: slack x the mean occupancy.
+    Lower slack shrinks the dominant (nlist, q_cap, L) score tensors but
+    drops probes on partitions hotter than the budget (slight recall cost
+    on skewed query loads)."""
+    if slack is None:
+        slack = int(os.environ.get("LANCE_TPU_QCAP_SLACK", "4"))
     mean = max(1, (b * nprobes + nlist - 1) // nlist)
     return min(b, max(8, mean * slack))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k")
+    jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k",
+                              "dist_bf16")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
-                  part_offsets=None):
+                  part_offsets=None, dist_bf16=False):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -863,15 +880,24 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     # ---- dense scoring ------------------------------------------------------
     qms = jnp.concatenate([qm, jnp.zeros((1, dim), qm.dtype)], axis=0)
     qg = qms[qsel].astype(blocks.dtype)  # (nlist, q_cap, D)
+    # dist_bf16: halve HBM traffic of the (nlist, q_cap, L) score tensors.
+    # The per-query ||q||^2 term is DEFERRED past top-k (it is constant along
+    # the candidate axis, so per-query ordering is unchanged) — adding it
+    # upfront in bf16 would catastrophically cancel against -2<q,r>.
+    acc_t = jnp.bfloat16 if dist_bf16 else jnp.float32
     prod = jnp.einsum("pqd,pld->pql", qg, blocks,
-                      preferred_element_type=jnp.float32)  # MXU
+                      preferred_element_type=acc_t)  # MXU, f32 accumulate
     if metric == "dot":
         d = -prod
     else:
-        qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
-        qn = jnp.concatenate([qn, jnp.zeros(1, jnp.float32)])
-        d = qn[qsel][:, :, None] + block_sq[:, None, :] - 2.0 * prod
-        d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d, jnp.inf)
+        if dist_bf16:
+            d = block_sq.astype(acc_t)[:, None, :] - 2.0 * prod
+        else:
+            qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
+            qn = jnp.concatenate([qn, jnp.zeros(1, jnp.float32)])
+            d = qn[qsel][:, :, None] + block_sq[:, None, :] - 2.0 * prod
+        d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d,
+                      jnp.asarray(jnp.inf, acc_t))
     if selection is not None:
         sel_blocks = jnp.take(selection, gpos, axis=0)  # (nlist, L) bool
         d = jnp.where(sel_blocks[:, None, :], d, jnp.inf)
@@ -921,6 +947,10 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     else:
         gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
         pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
+    if dist_bf16 and metric != "dot":
+        # restore true squared distances: add back the deferred ||q||^2
+        best_d = best_d.astype(jnp.float32) + jnp.sum(
+            qm.astype(jnp.float32) ** 2, axis=1, keepdims=True)
     if kk < k:
         best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
         pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)

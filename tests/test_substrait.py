@@ -1,0 +1,85 @@
+"""Substrait ExtendedExpression filters (protobuf-JSON form), mirroring
+reference rust/lance-datafusion/src/substrait.rs parse_substrait."""
+
+import json
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset.substrait import filter_from_substrait
+from lance_tpu.errors import NotSupportedError
+
+
+def _ext_expr(expression, names, functions):
+    return {
+        "extensions": [
+            {"extensionFunction": {"functionAnchor": a, "name": n}}
+            for a, n in functions.items()
+        ],
+        "referredExpr": [{"expression": expression}],
+        "baseSchema": {"names": names},
+    }
+
+
+def _field(i):
+    return {"selection": {"directReference": {"structField": {"field": i}}}}
+
+
+def _fn(anchor, *args):
+    return {"scalarFunction": {
+        "functionReference": anchor,
+        "arguments": [{"value": a} for a in args],
+    }}
+
+
+def _ds():
+    import uuid
+
+    uri = f"memory://subst-{uuid.uuid4().hex[:8]}/d"
+    return lt.write_dataset({
+        "id": np.arange(100, dtype=np.int64),
+        "score": np.linspace(0.0, 1.0, 100).astype(np.float64),
+    }, uri)
+
+
+def test_substrait_comparison_and_logic():
+    ds = _ds()
+    # id >= 10 AND score < 0.5
+    expr = _ext_expr(
+        _fn(2, _fn(0, _field(0), {"literal": {"i64": "10"}}),
+            _fn(1, _field(1), {"literal": {"fp64": 0.5}})),
+        ["id", "score"],
+        {0: "gte:any_any", 1: "lt:any_any", 2: "and:bool"},
+    )
+    t = ds.scanner().filter_substrait(expr).to_table()
+    ids = np.asarray(t["id"])
+    assert ids.min() == 10
+    assert (np.asarray(t["score"]) < 0.5).all()
+    # JSON string input works too
+    t2 = ds.scanner().filter_substrait(json.dumps(expr)).to_table()
+    assert t2.num_rows == t.num_rows
+
+
+def test_substrait_is_null_and_not():
+    ds = _ds()
+    expr = _ext_expr(
+        _fn(1, _fn(0, _field(0), {"literal": {"i64": "50"}})),
+        ["id", "score"], {0: "lt:any_any", 1: "not:bool"})
+    t = ds.scanner().filter_substrait(expr).to_table()
+    assert np.asarray(t["id"]).min() == 50
+    expr = _ext_expr(
+        {"scalarFunction": {"functionReference": 0,
+                            "arguments": [{"value": _field(0)}]}},
+        ["id", "score"], {0: "is_not_null:any"})
+    t = ds.scanner().filter_substrait(expr).to_table()
+    assert t.num_rows == 100
+
+
+def test_substrait_unsupported():
+    with pytest.raises(NotSupportedError):
+        filter_from_substrait(_ext_expr(
+            _fn(0, _field(0)), ["id"], {0: "exotic_fn:any"}))
+    # binary protobuf without a substrait runtime
+    with pytest.raises(NotSupportedError):
+        filter_from_substrait(b"\x0a\x03\x08\x01\x02")
