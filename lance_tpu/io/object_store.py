@@ -291,6 +291,7 @@ class ObjectStoreRegistry:
         self._memory_stores: dict[str, MemoryStore] = {}
         self.register("memory", self._memory_provider)
         self.register("file", self._file_provider)
+        self.register("s3", self._s3_provider)
 
     def register(self, scheme: str, provider: Callable[[str], tuple[ObjectStore, str]]) -> None:
         self._providers[scheme] = provider
@@ -300,6 +301,12 @@ class ObjectStoreRegistry:
         name = parsed.netloc or "default"
         store = self._memory_stores.setdefault(name, MemoryStore())
         return store, parsed.path.lstrip("/")
+
+    def _s3_provider(self, uri: str) -> tuple[ObjectStore, str]:
+        from .s3 import S3Store
+
+        parsed = urlparse(uri)
+        return S3Store(parsed.netloc), parsed.path.lstrip("/")
 
     def _file_provider(self, uri: str) -> tuple[ObjectStore, str]:
         parsed = urlparse(uri)

@@ -1,0 +1,210 @@
+"""S3 object-store provider: stdlib-only REST client with SigV4 signing.
+
+Re-design of the reference's S3 provider (rust/lance-io/src/object_store/
+providers/aws.rs over the object_store crate): ranged reads, listing
+(ListObjectsV2), deletes, and — the commit primitive — conditional PUT via
+`If-None-Match: *` (S3 conditional writes), which maps 1:1 onto
+put_if_not_exists so the storage-based commit protocol works unchanged on
+S3. Compatible endpoints (MinIO, GCS-interop, R2) work via endpoint_url.
+
+No SDK dependency: SigV4 is implemented here and verified in tests against
+the AWS-documented example signatures (the signing algorithm is fully
+specified; see tests/test_s3_sigv4.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import os
+import urllib.parse
+import xml.etree.ElementTree as ET
+from urllib import error as urlerror
+from urllib import request as urlrequest
+
+from ..errors import IOError_, NotFoundError
+from .object_store import ObjectMeta, ObjectStore
+
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _uri_encode(s: str, encode_slash: bool = True) -> str:
+    safe = "-._~" + ("" if encode_slash else "/")
+    return urllib.parse.quote(s, safe=safe)
+
+
+def sigv4_headers(method: str, url: str, region: str, service: str,
+                  access_key: str, secret_key: str,
+                  headers: dict[str, str] | None = None,
+                  payload: bytes = b"",
+                  session_token: str | None = None,
+                  now: datetime.datetime | None = None) -> dict[str, str]:
+    """AWS Signature Version 4 for a single-chunk request.
+
+    Pure function of its inputs (pass `now` for deterministic tests);
+    implements the canonical-request / string-to-sign / signing-key chain
+    exactly as specified by AWS.
+    """
+    parsed = urllib.parse.urlsplit(url)
+    host = parsed.netloc
+    path = parsed.path or "/"
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = now.strftime("%Y%m%d")
+    payload_hash = hashlib.sha256(payload).hexdigest() if payload else _EMPTY_SHA256
+
+    hdrs = {k.lower(): v.strip() for k, v in (headers or {}).items()}
+    hdrs["host"] = host
+    hdrs["x-amz-date"] = amz_date
+    hdrs["x-amz-content-sha256"] = payload_hash
+    if session_token:
+        hdrs["x-amz-security-token"] = session_token
+
+    # canonical query: sorted, uri-encoded key=value
+    q = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
+    canon_query = "&".join(
+        f"{_uri_encode(k)}={_uri_encode(v)}" for k, v in sorted(q))
+    signed = ";".join(sorted(hdrs))
+    canon_headers = "".join(f"{k}:{hdrs[k]}\n" for k in sorted(hdrs))
+    # S3 canonical URI = the path exactly as sent on the wire (keys are
+    # percent-encoded once by the caller; re-encoding here would double-encode)
+    canon_req = "\n".join([
+        method, path, canon_query,
+        canon_headers, signed, payload_hash,
+    ])
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    to_sign = "\n".join([
+        "AWS4-HMAC-SHA256", amz_date, scope,
+        hashlib.sha256(canon_req.encode()).hexdigest(),
+    ])
+
+    def _hmac(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hmac(f"AWS4{secret_key}".encode(), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    k = _hmac(k, "aws4_request")
+    signature = hmac.new(k, to_sign.encode(), hashlib.sha256).hexdigest()
+
+    out = dict(hdrs)
+    out["authorization"] = (
+        f"AWS4-HMAC-SHA256 Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={signature}")
+    out.pop("host")  # urllib sets it
+    return out
+
+
+class S3Store(ObjectStore):
+    """S3 (and S3-compatible) store for one bucket."""
+
+    scheme = "s3"
+
+    def __init__(self, bucket: str, region: str | None = None,
+                 endpoint_url: str | None = None,
+                 access_key: str | None = None, secret_key: str | None = None,
+                 session_token: str | None = None):
+        self.bucket = bucket
+        self.region = region or os.environ.get("AWS_REGION", "us-east-1")
+        self.endpoint = (endpoint_url or os.environ.get("AWS_ENDPOINT_URL")
+                         or f"https://{bucket}.s3.{self.region}.amazonaws.com")
+        self.path_style = endpoint_url is not None or "AWS_ENDPOINT_URL" in os.environ
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        self.session_token = session_token or os.environ.get("AWS_SESSION_TOKEN")
+        if not self.access_key or not self.secret_key:
+            raise IOError_("s3: AWS credentials not configured "
+                           "(AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY)")
+
+    def _url(self, path: str, query: str = "") -> str:
+        key = _uri_encode(path, encode_slash=False)
+        base = (f"{self.endpoint}/{self.bucket}/{key}" if self.path_style
+                else f"{self.endpoint}/{key}")
+        return f"{base}?{query}" if query else base
+
+    def _request(self, method: str, url: str, payload: bytes = b"",
+                 extra: dict[str, str] | None = None) -> tuple[int, bytes, dict]:
+        headers = sigv4_headers(method, url, self.region, "s3",
+                                self.access_key, self.secret_key,
+                                extra, payload, self.session_token)
+        req = urlrequest.Request(url, data=payload or None, method=method,
+                                 headers=headers)
+        try:
+            with urlrequest.urlopen(req, timeout=60) as resp:
+                return resp.status, resp.read(), dict(resp.headers)
+        except urlerror.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    def get(self, path: str) -> bytes:
+        code, body, _ = self._request("GET", self._url(path))
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"s3 get {path}: HTTP {code}: {body[:200]!r}")
+        return body
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        code, body, _ = self._request(
+            "GET", self._url(path),
+            extra={"Range": f"bytes={start}-{start + length - 1}"})
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"s3 get_range {path}: HTTP {code}")
+        return body
+
+    def head(self, path: str) -> ObjectMeta:
+        code, _, hdrs = self._request("HEAD", self._url(path))
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"s3 head {path}: HTTP {code}")
+        return ObjectMeta(path, int(hdrs.get("Content-Length", 0)))
+
+    def put(self, path: str, data: bytes) -> None:
+        code, body, _ = self._request("PUT", self._url(path), payload=data)
+        if code >= 300:
+            raise IOError_(f"s3 put {path}: HTTP {code}: {body[:200]!r}")
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        # S3 conditional writes: If-None-Match: * fails with 412 when the
+        # object exists — the commit primitive (reference aws.rs uses the
+        # same header through the object_store crate)
+        code, body, _ = self._request("PUT", self._url(path), payload=data,
+                                      extra={"If-None-Match": "*"})
+        if code in (412, 409):
+            return False
+        if code >= 300:
+            raise IOError_(f"s3 conditional put {path}: HTTP {code}: {body[:200]!r}")
+        return True
+
+    def delete(self, path: str) -> None:
+        code, body, _ = self._request("DELETE", self._url(path))
+        if code >= 300 and code != 404:
+            raise IOError_(f"s3 delete {path}: HTTP {code}")
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        out: list[ObjectMeta] = []
+        token: str | None = None
+        while True:
+            q = f"list-type=2&prefix={_uri_encode(prefix)}"
+            if token:
+                q += f"&continuation-token={_uri_encode(token)}"
+            url = (f"{self.endpoint}/{self.bucket}?{q}" if self.path_style
+                   else f"{self.endpoint}/?{q}")
+            code, body, _ = self._request("GET", url)
+            if code >= 300:
+                raise IOError_(f"s3 list: HTTP {code}: {body[:200]!r}")
+            ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+            root = ET.fromstring(body)
+            for c in root.findall(f"{ns}Contents"):
+                out.append(ObjectMeta(c.findtext(f"{ns}Key", ""),
+                                      int(c.findtext(f"{ns}Size", "0"))))
+            token = root.findtext(f"{ns}NextContinuationToken")
+            if not token:
+                break
+        return out
+
+    def io_parallelism(self) -> int:
+        return 64
