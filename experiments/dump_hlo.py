@@ -1,0 +1,63 @@
+"""Dump the compiled HLO of the search program and summarize each large
+fusion's root ops, to map profiler `fusion.N` names to actual work."""
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.indices.vector_index import _search_dense, _query_cap, _dist_bf16
+
+    N, DIM = 1_000_000, 128
+    data, queries = generate_sift_like(N, DIM, 8)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://hlo/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=4)
+    _log(f"build {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    b, k, nprobes, rf = 512, 10, 16, 16
+    fetch = min(k * rf, idx.num_rows)
+    q_cap = _query_cap(b, nprobes, idx.ivf.num_partitions)
+    qp = jnp.zeros((b, DIM), jnp.float32)
+    lowered = _search_dense.lower(
+        idx._blocks_dev, idx._block_sq_dev, idx._gpos_dev, idx._centroids_dev,
+        qp, None, idx.metric, nprobes, fetch, q_cap,
+        refine_vectors=idx._ensure_vectors(), final_k=k,
+        part_offsets=idx._offsets_dev, dist_bf16=_dist_bf16())
+    txt = lowered.compile().as_text()
+    # print each fusion computation's signature + the ops inside it
+    for m in re.finditer(r"^(%?fused_computation[^\s]*|.*fusion[^\s=]*) .*?{", txt, re.M):
+        pass
+    # simpler: list fusion instructions with their shapes and called computation
+    for line in txt.splitlines():
+        ls = line.strip()
+        if re.match(r"%?fusion[\.\w]* = ", ls) or " = fusion(" in ls:
+            _log(ls[:300])
+    # also dump each fused computation's op histogram
+    blocks = re.split(r"\n(?=%fused_computation)", txt)
+    for blk in blocks:
+        if not blk.startswith("%fused_computation"):
+            continue
+        name = blk.split(" ", 1)[0]
+        ops = re.findall(r"= \S+? (\w+)\(", blk)
+        from collections import Counter
+
+        hist = Counter(o for o in ops if o not in ("parameter",))
+        _log(f"{name}: {dict(hist.most_common(8))}")
+
+
+if __name__ == "__main__":
+    main()
