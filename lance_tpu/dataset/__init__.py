@@ -595,10 +595,11 @@ class LanceDataset:
         return compact_files(self, target_rows_per_fragment, materialize_deletions,
                              rebuild_indices, remap_indices)
 
-    def cleanup_old_versions(self, keep_latest: int = 1) -> int:
+    def cleanup_old_versions(self, keep_latest: int = 1,
+                             older_than_seconds: float | None = None) -> int:
         from .cleanup import cleanup_old_versions
 
-        return cleanup_old_versions(self, keep_latest)
+        return cleanup_old_versions(self, keep_latest, older_than_seconds)
 
     def validate(self) -> None:
         self.schema.validate()

@@ -22,6 +22,18 @@ def cleanup_old_versions(ds, keep_latest: int = 1, older_than_seconds: float | N
     if not versions:
         return 0
     keep = set(versions[-max(keep_latest, 1):])
+    if older_than_seconds is not None:
+        # age-based retention (reference cleanup.rs): versions newer than the
+        # cutoff are kept regardless of keep_latest
+        import time as _time
+
+        cutoff = _time.time() - older_than_seconds
+        for v in versions:
+            try:
+                if read_manifest(store, v).timestamp >= cutoff:
+                    keep.add(v)
+            except NotFoundError:
+                pass
     try:
         tagged = {t["version"] for t in list_tags(ds)}
     except Exception:

@@ -72,9 +72,13 @@ class SlotBackoff:
 
 def read_manifest(store: ObjectStore, version: int) -> Manifest:
     try:
-        return Manifest.from_bytes(store.get(manifest_path(version)))
+        m = Manifest.from_bytes(store.get(manifest_path(version)))
     except NotFoundError:
         raise NotFoundError(f"dataset version {version} not found") from None
+    from .feature_flags import check_read
+
+    check_read(m)
+    return m
 
 
 def load_transaction(store: ObjectStore, manifest: Manifest) -> Transaction | None:
@@ -101,10 +105,16 @@ def commit_transaction(
     checked_through = txn.read_version
     current = base_manifest
 
+    from .feature_flags import apply_feature_flags, check_write
+
+    if base_manifest is not None:
+        check_write(base_manifest)  # refuse to modify unknown-feature datasets
     for _attempt in range(max_retries):
         target = (current.version if current else 0) + 1
         manifest = build_manifest(current, txn, target)
+        apply_feature_flags(manifest)
         if handler.commit(store, target, manifest.to_bytes()):
+            _auto_cleanup(store, manifest)
             return manifest
         # lost the race: fetch versions committed since, run conflict checks
         latest = handler.latest_version(store)
@@ -128,3 +138,22 @@ def commit_transaction(
     raise CommitConflictError(
         (current.version if current else 0) + 1, f"gave up after {max_retries} retries"
     )
+
+
+def _auto_cleanup(store: ObjectStore, manifest: Manifest) -> None:
+    """Auto-cleanup hook (reference cleanup.rs auto_cleanup_hook): when the
+    table config sets lance.auto_cleanup.interval, run cleanup_old_versions
+    every `interval` commits, retaining lance.auto_cleanup.older_than_seconds
+    (default 14 days) of history. Best-effort: failures never fail a commit."""
+    try:
+        interval = int(manifest.config.get("lance.auto_cleanup.interval", 0))
+        if interval <= 0 or manifest.version % interval != 0:
+            return
+        older = float(manifest.config.get(
+            "lance.auto_cleanup.older_than_seconds", 14 * 86400))
+        from ..dataset import LanceDataset
+
+        ds = LanceDataset(store, "<auto-cleanup>", manifest)
+        ds.cleanup_old_versions(keep_latest=1, older_than_seconds=older)
+    except Exception:
+        pass

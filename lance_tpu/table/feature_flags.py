@@ -1,0 +1,50 @@
+"""Reader/writer feature-flag gating.
+
+Re-design of reference feature_flags.rs (rust/lance-table/src/
+feature_flags.rs:13-90): manifests record which format features they use;
+readers refuse datasets using features they do not understand (forward
+compatibility), writers refuse to modify datasets with unknown writer
+flags (so an old writer cannot corrupt a new feature's invariants).
+"""
+
+from __future__ import annotations
+
+from ..errors import NotSupportedError
+
+FLAG_DELETION_FILES = 1
+FLAG_STABLE_ROW_IDS = 2
+FLAG_TABLE_CONFIG = 8
+
+KNOWN_READER_FLAGS = FLAG_DELETION_FILES | FLAG_STABLE_ROW_IDS | FLAG_TABLE_CONFIG
+KNOWN_WRITER_FLAGS = KNOWN_READER_FLAGS
+
+
+def apply_feature_flags(manifest) -> None:
+    """Recompute the manifest's flags from its actual contents."""
+    r = w = 0
+    if any(f.deletion_file is not None for f in manifest.fragments):
+        r |= FLAG_DELETION_FILES
+        w |= FLAG_DELETION_FILES
+    if manifest.next_row_id is not None:
+        r |= FLAG_STABLE_ROW_IDS
+        w |= FLAG_STABLE_ROW_IDS
+    if manifest.config:
+        w |= FLAG_TABLE_CONFIG
+    manifest.reader_feature_flags = r
+    manifest.writer_feature_flags = w
+
+
+def check_read(manifest) -> None:
+    unknown = manifest.reader_feature_flags & ~KNOWN_READER_FLAGS
+    if unknown:
+        raise NotSupportedError(
+            f"dataset requires unknown reader features (flags {unknown:#x}); "
+            "upgrade lance_tpu to read it")
+
+
+def check_write(manifest) -> None:
+    unknown = manifest.writer_feature_flags & ~KNOWN_WRITER_FLAGS
+    if unknown:
+        raise NotSupportedError(
+            f"dataset uses unknown writer features (flags {unknown:#x}); "
+            "refusing to modify it with this version")

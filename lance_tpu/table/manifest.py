@@ -150,6 +150,9 @@ class Manifest:
     transaction_file: str | None = None
     # next stable row id to allocate; None = stable row ids disabled
     next_row_id: int | None = None
+    # feature gating (table/feature_flags.py)
+    reader_feature_flags: int = 0
+    writer_feature_flags: int = 0
     writer_version: str = "lance_tpu-0.1.0"
 
     def __post_init__(self):
@@ -180,6 +183,8 @@ class Manifest:
             "transaction_file": self.transaction_file,
             "writer_version": self.writer_version,
             "next_row_id": self.next_row_id,
+            "reader_feature_flags": self.reader_feature_flags,
+            "writer_feature_flags": self.writer_feature_flags,
         }
 
     @classmethod
@@ -195,6 +200,8 @@ class Manifest:
             transaction_file=j.get("transaction_file"),
             writer_version=j.get("writer_version", "?"),
             next_row_id=j.get("next_row_id"),
+            reader_feature_flags=j.get("reader_feature_flags", 0),
+            writer_feature_flags=j.get("writer_feature_flags", 0),
         )
 
     def to_bytes(self) -> bytes:

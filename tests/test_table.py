@@ -212,3 +212,53 @@ def test_reserve_fragments_monotonic_ids(memory_store):
     t_a = Transaction(2, Operation("append", fragments=[_frag("data/n.ltpf", 1)]))
     m3 = commit_transaction(memory_store, t_a, m2)
     assert m3.fragments[-1].id == m2.max_fragment_id + 1
+
+
+def test_feature_flags_gating():
+    """Manifests record feature flags; readers/writers refuse unknown flags
+    (reference feature_flags.rs)."""
+    import numpy as np
+
+    import lance_tpu as lt
+    from lance_tpu.errors import NotSupportedError
+    from lance_tpu.table.commit import read_manifest
+    from lance_tpu.table.feature_flags import (
+        FLAG_DELETION_FILES, FLAG_STABLE_ROW_IDS, check_write)
+    from lance_tpu.table.manifest import manifest_path
+
+    uri = f"memory://ff-{__import__('uuid').uuid4().hex[:8]}/d"
+    ds = lt.write_dataset({"id": np.arange(10, dtype=np.int64)}, uri,
+                          params=lt.WriteParams(enable_stable_row_ids=True))
+    assert ds.manifest.reader_feature_flags & FLAG_STABLE_ROW_IDS
+    ds = ds.delete("id = 3")
+    assert ds.manifest.reader_feature_flags & FLAG_DELETION_FILES
+    # simulate a future-format manifest: unknown reader flag -> open refuses
+    m = ds.manifest
+    m.reader_feature_flags |= 1 << 20
+    m.writer_feature_flags |= 1 << 21
+    ds.store.put(manifest_path(m.version + 1), m.to_bytes())
+    import pytest
+
+    with pytest.raises(NotSupportedError):
+        read_manifest(ds.store, m.version + 1)
+    with pytest.raises(NotSupportedError):
+        check_write(m)
+
+
+def test_auto_cleanup_hook():
+    """lance.auto_cleanup.interval triggers GC inside commits
+    (reference cleanup.rs auto_cleanup_hook)."""
+    import numpy as np
+
+    import lance_tpu as lt
+
+    uri = f"memory://ac-{__import__('uuid').uuid4().hex[:8]}/d"
+    ds = lt.write_dataset({"id": np.arange(10, dtype=np.int64)}, uri)
+    ds = ds.update_config({"lance.auto_cleanup.interval": "2",
+                           "lance.auto_cleanup.older_than_seconds": "0"})
+    for i in range(4):
+        ds = ds.insert({"id": np.arange(10, dtype=np.int64)})
+    # old manifests beyond the latest should have been GC'd by the hook
+    manifests = [m.path for m in ds.store.list("_versions/")]
+    assert len(manifests) == 1, manifests
+    assert ds.to_table().num_rows == 50
