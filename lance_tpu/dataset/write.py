@@ -53,8 +53,13 @@ def _normalize_batches(data, schema: Schema | None) -> tuple[Iterator[pa.RecordB
         arrays = {}
         for name, v in data.items():
             if isinstance(v, np.ndarray) and v.ndim == 2:
-                inner = pa.array(v.reshape(-1))
-                arrays[name] = pa.FixedSizeListArray.from_arrays(inner, v.shape[1])
+                if v.dtype.name == "bfloat16":
+                    from ..bf16 import bf16_fixed_size_list
+
+                    arrays[name] = bf16_fixed_size_list(v)
+                else:
+                    inner = pa.array(v.reshape(-1))
+                    arrays[name] = pa.FixedSizeListArray.from_arrays(inner, v.shape[1])
             elif isinstance(v, np.ndarray):
                 arrays[name] = pa.array(v)
             elif isinstance(v, pa.Array):

@@ -149,12 +149,19 @@ class ColumnData:
         validity = None
         if arr.null_count > 0:
             validity = np.asarray(arr.is_valid())
+        from ..bf16 import is_bfloat16
+
+        if is_bfloat16(t):
+            vals = np.asarray(arr.storage.fill_null(0) if arr.null_count else arr.storage)
+            return cls("fixed", len(arr), vals, None, validity, 1, t)
         if pa.types.is_boolean(t):
             vals = np.asarray(arr.fill_null(False) if arr.null_count else arr)
             return cls("bool", len(arr), vals, None, validity, 1, t)
         if pa.types.is_fixed_size_list(t):
             dim = t.list_size
             flat = arr.flatten()
+            if is_bfloat16(t.value_type):
+                flat = flat.storage
             vals = np.asarray(flat.fill_null(0) if flat.null_count else flat)
             return cls("fixed", len(arr), vals, None, validity, dim, t)
         if pa.types.is_struct(t):
@@ -226,6 +233,15 @@ class ColumnData:
                     py.append(b.decode() if is_str else b)
             return pa.array(py, type=t)
         if self.fsl_dim > 1:
+            from ..bf16 import is_bfloat16
+
+            if t is not None and is_bfloat16(t.value_type):
+                storage = pa.array(self.values.view(np.uint16), type=pa.uint16())
+                inner = pa.ExtensionArray.from_storage(t.value_type, storage)
+                fsl = pa.FixedSizeListArray.from_arrays(inner, self.fsl_dim)
+                if mask is not None:
+                    raise NotImplementedError("nullable bf16 vectors")
+                return fsl
             inner = pa.array(self.values)
             t = t or pa.list_(inner.type, self.fsl_dim)
             fsl = pa.FixedSizeListArray.from_arrays(inner.cast(t.value_type), self.fsl_dim)
@@ -235,11 +251,26 @@ class ColumnData:
                     [None if m else v for m, v in zip(mask, fsl.to_pylist())], type=t
                 )
             return fsl
+        from ..bf16 import is_bfloat16 as _isbf
+
+        if t is not None and _isbf(t):
+            storage = pa.array(self.values.view(np.uint16), type=pa.uint16())
+            out = pa.ExtensionArray.from_storage(t, storage)
+            if mask is not None:
+                raise NotImplementedError("nullable bf16 columns")
+            return out
         return pa.array(self.values, type=t, mask=mask)
 
     def to_numpy_matrix(self) -> np.ndarray:
         """(rows, dim) view for vector columns — the zero-copy device feed."""
-        return self.values.reshape(self.num_rows, self.fsl_dim)
+        vals = self.values
+        t = self.arrow_type
+        if t is not None and pa.types.is_fixed_size_list(t):
+            from ..bf16 import bits_to_bf16, is_bfloat16
+
+            if is_bfloat16(t.value_type):
+                vals = bits_to_bf16(vals)
+        return vals.reshape(self.num_rows, self.fsl_dim)
 
 
 def concat_column_data(chunks: list[ColumnData]) -> ColumnData:

@@ -55,6 +55,10 @@ _NAME_BY_TYPE = {v: k for k, v in _PRIMITIVE_NAMES.items()}
 
 
 def _type_to_json(t: pa.DataType) -> dict | str:
+    from .bf16 import is_bfloat16
+
+    if is_bfloat16(t):
+        return "bfloat16"
     if t in _NAME_BY_TYPE:
         return _NAME_BY_TYPE[t]
     if pa.types.is_fixed_size_list(t):
@@ -98,6 +102,10 @@ def _type_to_json(t: pa.DataType) -> dict | str:
 
 def _type_from_json(j: dict | str, children: list[pa.Field] | None = None) -> pa.DataType:
     if isinstance(j, str):
+        if j == "bfloat16":
+            from .bf16 import BFLOAT16
+
+            return BFLOAT16
         return _PRIMITIVE_NAMES[j]
     kind = j["type"]
     if kind == "fixed_size_list":

@@ -1,0 +1,65 @@
+"""bfloat16 extension columns: storage round trip, vector search on bf16
+(reference rust/lance-arrow/src/bfloat16.rs lance.bfloat16 extension)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.bf16 import (
+    BFLOAT16,
+    bf16_array,
+    bf16_dtype,
+    bf16_fixed_size_list,
+    bits_to_bf16,
+    is_bfloat16,
+)
+
+
+def _uri(n):
+    import uuid
+
+    return f"memory://bf16-{uuid.uuid4().hex[:8]}/{n}"
+
+
+def test_bf16_array_roundtrip():
+    x = np.linspace(-3, 3, 64, dtype=np.float32)
+    arr = bf16_array(x)
+    assert is_bfloat16(arr.type)
+    back = bits_to_bf16(np.asarray(arr.storage))
+    np.testing.assert_allclose(back.astype(np.float32), x, rtol=1e-2)
+
+
+def test_bf16_dataset_roundtrip():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32).astype(bf16_dtype())
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(200, dtype=np.int64)},
+                          _uri("rt"))
+    f = ds.schema.field("vec")
+    assert pa.types.is_fixed_size_list(f.type) and is_bfloat16(f.type.value_type)
+    out = ds.to_table()
+    got = out["vec"]
+    assert is_bfloat16(got.type.value_type)
+    flat = bits_to_bf16(np.asarray(got.combine_chunks().flatten().storage))
+    np.testing.assert_array_equal(flat.view(np.uint16),
+                                  vecs.reshape(-1).view(np.uint16))
+    # take + persistence through a reopen
+    t = ds.take([3, 7], columns=["vec"])
+    assert t.num_rows == 2
+    ds2 = lt.dataset(ds.uri)
+    assert is_bfloat16(ds2.schema.field("vec").type.value_type)
+
+
+def test_bf16_vector_search():
+    rng = np.random.default_rng(1)
+    vecs32 = rng.normal(size=(1000, 32)).astype(np.float32)
+    vecs = vecs32.astype(bf16_dtype())
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(1000, dtype=np.int64)},
+                          _uri("knn"))
+    # flat knn on a bf16 column
+    t = ds.scanner().nearest("vec", vecs32[17], k=3).to_table()
+    assert np.asarray(t["id"])[0] == 17
+    # indexed search on a bf16 column
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=5)
+    t = ds.scanner().nearest("vec", vecs32[123], k=3, nprobes=8).to_table()
+    assert np.asarray(t["id"])[0] == 123
