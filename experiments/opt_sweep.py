@@ -33,11 +33,16 @@ def main():
     _log(f"build {time.time()-t:.0f}s")
     idx = ds._vector_index_for("vec")
 
-    for bf16, slack, rbf16 in (("1", "4", "0"), ("1", "4", "1")):
+    for bf16, slack, rbf16, i8 in (("1", "4", "0", "0"), ("1", "4", "0", "1")):
             os.environ["LANCE_TPU_DIST_BF16"] = bf16
             os.environ["LANCE_TPU_QCAP_SLACK"] = slack
             os.environ["LANCE_TPU_REFINE_BF16"] = rbf16
+            os.environ["LANCE_TPU_SCORE_INT8"] = i8
             idx._vectors_dev = None  # re-upload at the new dtype
+            # rebuild blocks at the new storage dtype
+            from lance_tpu.indices.vector_index import IvfIndex
+
+            idx = IvfIndex(ds, idx.meta)
             _, rid = idx.search(queries_h, K, nprobes=16, refine_factor=16)
             ids = rid.astype(np.int64) & 0xFFFFFFFF
             hits = sum(len(set(ids[r].tolist()) & set(gt[r].tolist()))
@@ -52,7 +57,7 @@ def main():
             jax.block_until_ready(o)
             qps = 30 * 512 / (time.time() - t)
             print(json.dumps({"dist_bf16": bf16, "slack": slack,
-                              "refine_bf16": rbf16,
+                              "refine_bf16": rbf16, "int8": i8,
                               "recall": round(rec, 4), "qps": round(qps)}),
                   flush=True)
 

@@ -603,7 +603,19 @@ class IvfIndex:
         gpos_dev = jnp.asarray(gpos.astype(np.int32))
         blocks = jnp.take(rows_sent, gpos_dev.reshape(-1), axis=0).reshape(nlist, L, dim)
         sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
-        self._blocks_dev = blocks.astype(score_dtype)
+        if _score_int8() and self.is_quantized:
+            # int8 block storage: the cross term 2<q,r> is computed on the
+            # MXU int8 path with per-partition symmetric scales; ||r||^2
+            # stays exact f32, and the exact refine re-ranks the pool.
+            # Halves block-read HBM traffic vs bf16 (the scoring bottleneck).
+            bf = blocks.astype(jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(bf), axis=(1, 2)), 1e-12) / 127.0
+            self._blocks_dev = jnp.clip(
+                jnp.round(bf / scale[:, None, None]), -127, 127).astype(jnp.int8)
+            self._block_scale_dev = scale  # (nlist,)
+        else:
+            self._blocks_dev = blocks.astype(score_dtype)
+            self._block_scale_dev = None
         self._block_sq_dev = jnp.where(jnp.asarray(valid), sq, jnp.inf)
         self._gpos_dev = gpos_dev  # (nlist, L) global row idx
 
@@ -687,6 +699,7 @@ class IvfIndex:
             final_k=kk if do_refine else None,
             part_offsets=self._offsets_dev,
             dist_bf16=_dist_bf16(),
+            block_scale=self._block_scale_dev,
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -731,6 +744,7 @@ class IvfIndex:
                 final_k=kk if do_refine else None,
                 part_offsets=self._offsets_dev,
                 dist_bf16=_dist_bf16(),
+                block_scale=self._block_scale_dev,
             )
 
         return run
@@ -811,6 +825,12 @@ class IvfIndex:
 # ---------------------------------------------------------------------------
 
 
+def _score_int8() -> bool:
+    """int8 coarse scoring (quantized indices only). Experimental; opt in
+    with LANCE_TPU_SCORE_INT8=1."""
+    return os.environ.get("LANCE_TPU_SCORE_INT8", "0") not in ("0", "false", "")
+
+
 def _refine_bf16() -> bool:
     """bf16 refine vectors halve the re-rank gather's HBM traffic at ~0.1%
     distance error. Default OFF (refine is the exactness backstop);
@@ -844,7 +864,7 @@ def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> in
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
-                  part_offsets=None, dist_bf16=False):
+                  part_offsets=None, dist_bf16=False, block_scale=None):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -887,18 +907,31 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
 
     # ---- dense scoring ------------------------------------------------------
     qms = jnp.concatenate([qm, jnp.zeros((1, dim), qm.dtype)], axis=0)
-    qg = qms[qsel].astype(blocks.dtype)  # (nlist, q_cap, D)
+    qg = None if block_scale is not None else qms[qsel].astype(blocks.dtype)
     # dist_bf16: halve HBM traffic of the (nlist, q_cap, L) score tensors.
     # The per-query ||q||^2 term is DEFERRED past top-k (it is constant along
     # the candidate axis, so per-query ordering is unchanged) — adding it
     # upfront in bf16 would catastrophically cancel against -2<q,r>.
     acc_t = jnp.bfloat16 if dist_bf16 else jnp.float32
-    prod = jnp.einsum("pqd,pld->pql", qg, blocks,
-                      preferred_element_type=acc_t)  # MXU, f32 accumulate
+    if block_scale is not None:
+        # int8 path: quantize queries per-row, score on the MXU int8 pipe,
+        # rescale in the einsum epilogue (||q||^2 deferred as in dist_bf16)
+        qs = jnp.maximum(jnp.max(jnp.abs(qm), axis=1), 1e-12) / 127.0
+        qs = jnp.concatenate([qs, jnp.ones(1, jnp.float32)])
+        qmi = jnp.clip(jnp.round(qm / qs[:-1, None]), -127, 127).astype(jnp.int8)
+        qmi = jnp.concatenate([qmi, jnp.zeros((1, dim), jnp.int8)], axis=0)
+        qg_i = qmi[qsel]  # (nlist, q_cap, D) int8
+        prod_i = jnp.einsum("pqd,pld->pql", qg_i, blocks,
+                            preferred_element_type=jnp.int32)
+        rescale = (qs[qsel][:, :, None] * block_scale[:, None, None]).astype(acc_t)
+        prod = prod_i.astype(acc_t) * rescale
+    else:
+        prod = jnp.einsum("pqd,pld->pql", qg, blocks,
+                          preferred_element_type=acc_t)  # MXU, f32 accumulate
     if metric == "dot":
         d = -prod
     else:
-        if dist_bf16:
+        if dist_bf16 or block_scale is not None:
             d = block_sq.astype(acc_t)[:, None, :] - 2.0 * prod
         else:
             qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
@@ -955,7 +988,7 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     else:
         gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
         pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
-    if dist_bf16 and metric != "dot":
+    if (dist_bf16 or block_scale is not None) and metric != "dot":
         # restore true squared distances: add back the deferred ||q||^2
         best_d = best_d.astype(jnp.float32) + jnp.sum(
             qm.astype(jnp.float32) ** 2, axis=1, keepdims=True)
