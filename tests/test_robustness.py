@@ -107,3 +107,66 @@ def test_update_then_search_consistency():
     # updated rows moved to a new (uncovered) fragment; still findable
     t = ds.scanner().nearest("vec", vecs[2], k=1, nprobes=4).to_table()
     assert np.asarray(t["id"])[0] == 1002
+
+
+def test_random_op_sequence_stable_rowid_invariants():
+    """Fuzz a mixed op sequence (append/delete/update/compact/add-column) and
+    check the move-stable row-id contract after every step: ids are unique,
+    ids of untouched rows never change, and take_rows(id) returns the row."""
+    import numpy as np
+
+    import lance_tpu as lt
+
+    rng = np.random.default_rng(7)
+    uri = f"memory://fuzz-{__import__('uuid').uuid4().hex[:8]}/d"
+    ds = lt.write_dataset(
+        {"k": np.arange(40, dtype=np.int64), "v": np.zeros(40)},
+        uri, params=lt.WriteParams(enable_stable_row_ids=True,
+                                   max_rows_per_file=16))
+    next_k = 40
+
+    def snapshot(d):
+        t = d.to_table(columns=["k", "_rowid"])
+        return dict(zip(np.asarray(t["k"]).tolist(),
+                        np.asarray(t["_rowid"]).tolist()))
+
+    prev = snapshot(ds)
+    touched: set[int] = set()
+    for step in range(12):
+        op = rng.integers(0, 5)
+        touched = set()
+        if op == 0:  # append (must match the full evolved schema)
+            n = int(rng.integers(1, 20))
+            cols = {"k": np.arange(next_k, next_k + n, dtype=np.int64),
+                    "v": np.zeros(n)}
+            import pyarrow as pa
+
+            for f in ds.schema.fields:
+                if f.name not in cols:
+                    cols[f.name] = pa.nulls(n, type=f.to_arrow().type)
+            ds = ds.insert(cols)
+            next_k += n
+        elif op == 1 and len(ds) > 5:  # delete
+            kd = int(rng.choice(list(prev)))
+            ds = ds.delete(f"k = {kd}")
+            touched = {kd}
+        elif op == 2 and len(ds) > 5:  # update (fresh ids expected)
+            ku = int(rng.choice(list(prev)))
+            ds, _ = ds.update({"v": "v + 1"}, where=f"k = {ku}")
+            touched = {ku}
+        elif op == 3:  # compact (ids must NOT change)
+            ds = ds.optimize_compact(target_rows_per_fragment=1000)
+        else:  # add a column
+            name = f"c{step}"
+            ds = ds.add_columns({name: "k * 2"})
+        cur = snapshot(ds)
+        ids = list(cur.values())
+        assert len(ids) == len(set(ids)), f"duplicate row ids at step {step}"
+        for k, rid in prev.items():
+            if k in cur and k not in touched:
+                assert cur[k] == rid, f"id of untouched row {k} moved at step {step} (op {op})"
+        # spot-check resolution
+        some = rng.choice(list(cur), size=min(5, len(cur)), replace=False)
+        got = ds.take_rows([cur[int(k)] for k in some], ["k"])
+        assert np.asarray(got["k"]).tolist() == [int(k) for k in some]
+        prev = cur
