@@ -634,6 +634,23 @@ def _openers():
     }
 
 
+_ROWID_ATTRS = ("rowids", "null_rowids", "doc_rowids")
+
+
+def _remap_scalar_rowids(idx, ds) -> None:
+    """Remapping compaction (FragReuse) moves rows to new addresses; scalar
+    index coverage moves with it, so stored row ids must be remapped lazily
+    at open — same contract as the vector indices (models/frag_reuse.py)."""
+    from ...models.frag_reuse import load_mappings, remap_rowids
+
+    if not load_mappings(ds):
+        return
+    for attr in _ROWID_ATTRS:
+        arr = getattr(idx, attr, None)
+        if arr is not None and getattr(arr, "size", 0):
+            setattr(idx, attr, remap_rowids(ds, np.asarray(arr, dtype=np.uint64)))
+
+
 def open_scalar_index(ds, meta: IndexMetadata):
     cls = _openers().get(meta.index_type)
     if cls is None:
@@ -643,7 +660,14 @@ def open_scalar_index(ds, meta: IndexMetadata):
     idx = cache.get("scalar_index", key)
     if idx is None:
         idx = cls(ds, meta)
+        _remap_scalar_rowids(idx, ds)
+        idx._remap_version = ds.version
         cache.put("scalar_index", key, idx)
     else:
+        if getattr(idx, "_remap_version", None) != ds.version:
+            # idempotent: fragment ids are never reused, so re-applying all
+            # mappings only moves still-stale addresses
+            _remap_scalar_rowids(idx, ds)
+            idx._remap_version = ds.version
         idx.ds = ds
     return idx

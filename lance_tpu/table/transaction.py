@@ -296,14 +296,22 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         if op.new_indices:
             # remapping rewrite: a FRAG_REUSE mapping rides along, so index
             # coverage MOVES from old to new fragments (rowids remap lazily
-            # at index open; see models/frag_reuse.py)
+            # at index open; see models/frag_reuse.py). EXCEPT zone/range
+            # based pruning indices: their payload is (fragment, row-range)
+            # stats that cannot be row-remapped — shrink their coverage so
+            # they safely deactivate until optimize_indices rebuilds them.
+            _RANGE_BASED = {"ZONEMAP", "BLOOMFILTER", "NGRAM"}
+
+            def _new_cov(i):
+                if not (set(i.fragment_ids) & all_old):
+                    return i.fragment_ids
+                if i.index_type in _RANGE_BASED:
+                    return [fid for fid in i.fragment_ids if fid not in all_old]
+                return sorted((set(i.fragment_ids) - all_old) | set(new_ids))
+
             m.indices = [
-                IndexMetadata(
-                    i.uuid, i.name, i.fields, i.index_type,
-                    sorted((set(i.fragment_ids) - all_old) | set(new_ids))
-                    if set(i.fragment_ids) & all_old else i.fragment_ids,
-                    i.dataset_version, i.params,
-                )
+                IndexMetadata(i.uuid, i.name, i.fields, i.index_type,
+                              _new_cov(i), i.dataset_version, i.params)
                 for i in m.indices
             ] + list(op.new_indices)
         else:

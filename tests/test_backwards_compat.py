@@ -49,3 +49,48 @@ def test_frozen_time_travel(frozen):
     v1 = frozen.checkout_version(1)
     assert v1.count_rows() == 500
     assert frozen.tags.get_version("frozen") == frozen.latest_version()
+
+
+# ---- v0.2 corpus: stable row ids, bf16 vectors, branches, 4-bit PQ ----
+
+FROZEN_V02 = os.path.join(os.path.dirname(__file__), "frozen", "v0_2.lance")
+
+
+@pytest.fixture
+def frozen_v02():
+    if not os.path.exists(FROZEN_V02):
+        pytest.skip("frozen v0.2 corpus missing")
+    return lt.dataset(FROZEN_V02)
+
+
+def test_v02_stable_rowids_and_compaction(frozen_v02):
+    ds = frozen_v02
+    assert ds.stable_row_ids
+    assert ds.count_rows() == 288  # 300 - 12 deleted
+    t = ds.to_table(columns=["id", "_rowid"], filter="id = 200")
+    assert np.asarray(t["_rowid"])[0] == 200  # survived the frozen compaction
+    got = ds.take_rows([200], ["id"])
+    assert np.asarray(got["id"])[0] == 200
+
+
+def test_v02_bf16_and_4bit_pq(frozen_v02):
+    from lance_tpu.bf16 import is_bfloat16
+
+    ds = frozen_v02
+    assert is_bfloat16(ds.schema.field("bvec").type.value_type)
+    t = ds.to_table(columns=["vec"], filter="id = 77")
+    q = np.asarray(t["vec"][0].as_py(), dtype=np.float32)
+    hit = ds.scanner().nearest("vec", q, k=1, nprobes=8, refine_factor=8).to_table()
+    assert np.asarray(hit["id"])[0] == 77
+    idx = ds._vector_index_for("vec")
+    assert idx.pq.num_bits == 4
+
+
+def test_v02_branch_and_fts(frozen_v02):
+    ds = frozen_v02
+    assert [b["branch"] for b in ds.branches.list()] == ["frozen-branch"]
+    br = ds.checkout_branch("frozen-branch")
+    assert br.count_rows() == 298
+    t = ds.scanner().full_text_search("quick item", k=3).to_table()
+    assert t.num_rows == 3
+    assert ds.tags.get_version("frozen") == ds.version

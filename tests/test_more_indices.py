@@ -243,3 +243,39 @@ def test_streaming_build_path(monkeypatch):
         d = ((vecs - q) ** 2).sum(1)
         recall += len(got & set(np.argsort(d)[:10].tolist())) / 10
     assert recall / 10 >= 0.9, recall / 10
+
+
+def test_indices_survive_remap_compaction():
+    """Remapping compaction must keep row-level indices correct (rowids
+    remapped at open) and safely deactivate range-based pruning indices."""
+    import uuid as uuid_mod
+
+    uri = f"memory://remap-{uuid_mod.uuid4().hex[:8]}/d"
+    n = 600
+    ds = lt.write_dataset(
+        {"id": np.arange(n, dtype=np.int64),
+         "text": pa.array([f"doc {i} alpha w{i%7}" for i in range(n)]),
+         "val": np.arange(n, dtype=np.float64)},
+        uri, params=lt.WriteParams(max_rows_per_file=200))
+    ds = ds.create_index("id", "BTREE")
+    ds = ds.create_index("text", "INVERTED")
+    ds = ds.create_index("val", "ZONEMAP", zone_size=64)
+    ds = ds.delete("id % 50 = 7")
+    ds = ds.optimize_compact(target_rows_per_fragment=10_000, remap_indices=True)
+    assert len(ds.manifest.fragments) == 1
+    # BTree: still exact after remap
+    from lance_tpu.dataset.filter import parse_filter
+    from lance_tpu.indices.scalar.expression import (
+        try_index_pruning, try_scalar_index_filter)
+
+    mask = try_scalar_index_filter(ds, parse_filter("id >= 100 and id < 110"))
+    assert mask is not None
+    t = ds.to_table(filter="id >= 100 and id < 110")
+    assert np.asarray(t["id"]).tolist() == [100, 101, 102, 103, 104, 105, 106, 108, 109]
+    # FTS: searchable, addresses valid
+    hits = ds.scanner().full_text_search("alpha", k=5).to_table()
+    assert hits.num_rows == 5
+    # ZoneMap: must be DEACTIVATED (returns None), never wrong
+    assert try_index_pruning(ds, parse_filter("val < 100")) is None
+    t2 = ds.to_table(filter="val < 100")
+    assert t2.num_rows == 98  # 100 - two deleted (7, 57)
