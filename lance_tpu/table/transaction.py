@@ -356,12 +356,19 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
     else:
         raise NotSupportedError(f"operation kind {kind}")
 
-    # drop indices whose coverage is gone (fragment_ids is always explicit;
-    # an index covering nothing is dead weight and misleads query planning)
+    # prune dead coverage. USER indices (fields non-empty) survive with empty
+    # coverage — they deactivate for planning but keep their definition so
+    # optimize_indices can rebuild them (reference keeps index meta through
+    # compaction). System indices (FRAG_REUSE etc.) drop when coverage dies.
     live = {f.id for f in m.fragments}
-    m.indices = [
-        i for i in m.indices if i.fragment_ids and set(i.fragment_ids) & live
-    ]
+    kept = []
+    for i in m.indices:
+        cov = sorted(set(i.fragment_ids) & live)
+        if not cov and not i.fields:
+            continue  # dead system index
+        kept.append(IndexMetadata(i.uuid, i.name, i.fields, i.index_type,
+                                  cov, i.dataset_version, i.params))
+    m.indices = kept
     return m
 
 

@@ -279,3 +279,8 @@ def test_indices_survive_remap_compaction():
     assert try_index_pruning(ds, parse_filter("val < 100")) is None
     t2 = ds.to_table(filter="val < 100")
     assert t2.num_rows == 98  # 100 - two deleted (7, 57)
+    # optimize_indices rebuilds it over the live fragments
+    ds = ds.optimize_indices()
+    m2 = try_index_pruning(ds, parse_filter("val < 100"))
+    assert m2 is not None
+    assert ds.to_table(filter="val < 100").num_rows == 98
