@@ -118,6 +118,43 @@ def cmd_file_meta(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri, version=args.version)
+    out = {"dataset": ds.stats.dataset_stats(), "fields": ds.stats.data_stats()["fields"]}
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_refs(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri)
+    print(json.dumps({"tags": ds.tags.list(), "branches": ds.branches.list()},
+                     indent=2))
+    return 0
+
+
+def cmd_cleanup(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri)
+    removed = ds.cleanup_old_versions(keep_latest=args.keep_latest,
+                                      older_than_seconds=args.older_than)
+    print(json.dumps({"removed": removed}))
+    return 0
+
+
+def cmd_fts(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri)
+    t = ds.scanner().full_text_search(args.query, k=args.k).to_table()
+    print(t.to_pandas().to_string() if args.pandas else t)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ltq", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -148,6 +185,28 @@ def main(argv=None) -> int:
     sp = sub.add_parser("file-meta")
     sp.add_argument("path")
     sp.set_defaults(fn=cmd_file_meta)
+
+    sp = sub.add_parser("stats")
+    sp.add_argument("uri")
+    sp.add_argument("--version", type=int, default=None)
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("refs")
+    sp.add_argument("uri")
+    sp.set_defaults(fn=cmd_refs)
+
+    sp = sub.add_parser("cleanup")
+    sp.add_argument("uri")
+    sp.add_argument("--keep-latest", type=int, default=1)
+    sp.add_argument("--older-than", type=float, default=None)
+    sp.set_defaults(fn=cmd_cleanup)
+
+    sp = sub.add_parser("fts")
+    sp.add_argument("uri")
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--pandas", action="store_true")
+    sp.set_defaults(fn=cmd_fts)
 
     args = p.parse_args(argv)
     return args.fn(args)

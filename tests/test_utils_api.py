@@ -143,6 +143,20 @@ def test_cli(capsys, tmp_path):
     assert main(["file-meta", f"{uri}/{data_file}"]) == 0
     meta = json.loads(capsys.readouterr().out)
     assert meta["num_rows"] == 10
+    assert main(["stats", uri]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["dataset"]["num_fragments"] == 1 and "id" in st["fields"]
+    ds.tags.create("v1-tag")
+    ds.create_branch("b1")
+    assert main(["refs", uri]) == 0
+    refs = json.loads(capsys.readouterr().out)
+    assert refs["tags"][0]["tag"] == "v1-tag" if refs["tags"] and "tag" in refs["tags"][0] else refs["tags"]
+    assert [b["branch"] for b in refs["branches"]] == ["b1"]
+    ds = ds.create_index("s", "INVERTED")
+    assert main(["fts", uri, "r3", "-k", "2"]) == 0
+    assert "r3" in capsys.readouterr().out
+    assert main(["cleanup", uri, "--keep-latest", "5"]) == 0
+    assert "removed" in capsys.readouterr().out
 
 
 def test_namespace():
