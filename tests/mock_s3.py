@@ -1,0 +1,103 @@
+"""Minimal in-process S3 REST server for provider tests: path-style bucket
+addressing, ranged GET, conditional PUT (If-None-Match: *), ListObjectsV2.
+No auth validation — signature correctness is covered by test_s3_sigv4.py
+against the AWS documented vectors."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlsplit
+
+
+class MockS3:
+    def __init__(self):
+        self.objects: dict[str, bytes] = {}  # "bucket/key" -> bytes
+        self.lock = threading.Lock()
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _key(self):
+                return unquote(urlsplit(self.path).path.lstrip("/"))
+
+            def _send(self, code, body=b"", headers=None):
+                self.send_response(code)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(n)
+                key = self._key()
+                with srv.lock:
+                    if self.headers.get("If-None-Match") == "*" and key in srv.objects:
+                        return self._send(412)
+                    srv.objects[key] = data
+                self._send(200)
+
+            def do_GET(self):
+                split = urlsplit(self.path)
+                q = parse_qs(split.query)
+                if "list-type" in q:  # ListObjectsV2 on /bucket
+                    bucket = unquote(split.path.lstrip("/"))
+                    prefix = q.get("prefix", [""])[0]
+                    with srv.lock:
+                        items = sorted(
+                            (k[len(bucket) + 1:], len(v))
+                            for k, v in srv.objects.items()
+                            if k.startswith(f"{bucket}/{prefix}"))
+                    xml = ['<?xml version="1.0"?>'
+                           '<ListBucketResult xmlns='
+                           '"http://s3.amazonaws.com/doc/2006-03-01/">']
+                    for k, size in items:
+                        xml.append(f"<Contents><Key>{k}</Key>"
+                                   f"<Size>{size}</Size></Contents>")
+                    xml.append("</ListBucketResult>")
+                    return self._send(200, "".join(xml).encode())
+                key = self._key()
+                with srv.lock:
+                    data = srv.objects.get(key)
+                if data is None:
+                    return self._send(404)
+                rng = self.headers.get("Range")
+                if rng and rng.startswith("bytes="):
+                    a, b = rng[6:].split("-")
+                    lo, hi = int(a), int(b)
+                    return self._send(206, data[lo:hi + 1])
+                self._send(200, data)
+
+            def do_HEAD(self):
+                key = self._key()
+                with srv.lock:
+                    data = srv.objects.get(key)
+                if data is None:
+                    return self._send(404)
+                # HEAD: real Content-Length, no body
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+
+            def do_DELETE(self):
+                with srv.lock:
+                    srv.objects.pop(self._key(), None)
+                self._send(204)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self.thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.thread.join(timeout=5)
