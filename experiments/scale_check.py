@@ -38,24 +38,26 @@ def main():
     _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
     q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
     curve = []
-    for nprobes, rf in ((24, 16), (48, 16), (96, 32), (160, 32)):
-        _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
-        ids = rid.astype(np.int64) & 0xFFFFFFFF
-        hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
-                   for r in range(NQ))
-        rec = hits / (NQ * K)
-        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
-        jax.block_until_ready(fn(q_dev))
-        t = time.time()
-        for _ in range(30):
-            o = fn(q_dev)
-        jax.block_until_ready(o)
-        qps = 30 * 512 / (time.time() - t)
-        curve.append({"nprobes": nprobes, "refine": rf,
-                      "recall_at_10": round(rec, 4), "qps": round(qps)})
-        _log(json.dumps(curve[-1]))
+    for bf16 in ("1", "0"):
+      os.environ["LANCE_TPU_DIST_BF16"] = bf16
+      for nprobes, rf in ((24, 16), (48, 16), (96, 32)):
+          _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
+          ids = rid.astype(np.int64) & 0xFFFFFFFF
+          hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                     for r in range(NQ))
+          rec = hits / (NQ * K)
+          fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+          jax.block_until_ready(fn(q_dev))
+          t = time.time()
+          for _ in range(30):
+              o = fn(q_dev)
+          jax.block_until_ready(o)
+          qps = 30 * 512 / (time.time() - t)
+          curve.append({"bf16": bf16, "nprobes": nprobes, "refine": rf,
+                        "recall_at_10": round(rec, 4), "qps": round(qps)})
+          _log(json.dumps(curve[-1]))
     best = max((c for c in curve if c["recall_at_10"] >= 0.9),
-               key=lambda c: c["qps"], default=curve[-1])
+               key=lambda c: c["qps"], default=max(curve, key=lambda c: c["recall_at_10"]))
     print(json.dumps({"metric": "scale4m_ivfpq", "n": N,
                       "recall_at_10": best["recall_at_10"], "qps": best["qps"],
                       "nprobes": best["nprobes"], "build_s": round(build_s, 1),

@@ -700,6 +700,7 @@ class IvfIndex:
             part_offsets=self._offsets_dev,
             dist_bf16=_dist_bf16(),
             block_scale=self._block_scale_dev,
+            n_real=jnp.asarray(b_real, jnp.int32),
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -864,7 +865,8 @@ def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> in
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
-                  part_offsets=None, dist_bf16=False, block_scale=None):
+                  part_offsets=None, dist_bf16=False, block_scale=None,
+                  n_real=None):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -890,13 +892,18 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     # ---- inversion: partition -> query slots -------------------------------
     flat_p = pids.reshape(-1).astype(jnp.int32)
     flat_b = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobes)
+    if n_real is not None:
+        # bucket-padding queries must NOT occupy q_cap slots: identical pad
+        # queries all probe the same partitions and would evict real probes
+        # (measured as a recall cliff on partially-filled batches)
+        flat_p = jnp.where(flat_b < n_real, flat_p, nlist)
     order = jnp.argsort(flat_p)
     sp, sb = flat_p[order], flat_b[order]
     counts = jax.ops.segment_sum(jnp.ones_like(sp), sp, num_segments=nlist)
     base = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(sp.shape[0], dtype=jnp.int32) - base[sp]
-    ok = rank < q_cap
+    rank = jnp.arange(sp.shape[0], dtype=jnp.int32) - base[jnp.minimum(sp, nlist - 1)]
+    ok = (rank < q_cap) & (sp < nlist)
     qsel = jnp.full((nlist, q_cap), b, jnp.int32).at[
         jnp.where(ok, sp, nlist), jnp.where(ok, rank, 0)
     ].set(sb, mode="drop")
