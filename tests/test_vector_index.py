@@ -280,3 +280,18 @@ def test_ivf_pq_4bit():
         t = ds.scanner().nearest("vec", q, k=10, nprobes=16, refine_factor=40).to_table()
         rec += len(set(np.asarray(t["id"]).tolist()) & want) / 10
     assert rec / 10 >= 0.88, rec / 10  # 4-bit ADC is coarse on gaussian data; refine recovers
+
+
+def test_partial_batch_matches_full_batch():
+    """A query must return the same neighbors whether searched alone (batch
+    padded to a bucket) or in a full batch — pad queries must not steal
+    per-partition query slots (regression: recall cliff on partial batches)."""
+    ds, vecs, _ = _make_ds(4000, 32, seed=13)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=64, num_sub_vectors=8,
+                         max_iters=8)
+    idx = ds._vector_index_for("vec")
+    qs = vecs[:32]
+    d_full, r_full = idx.search(qs, 10, nprobes=16, refine_factor=8)
+    for i in (0, 7, 31):
+        d_one, r_one = idx.search(qs[i:i + 1], 10, nprobes=16, refine_factor=8)
+        np.testing.assert_array_equal(r_one[0], r_full[i])
