@@ -897,7 +897,11 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # queries all probe the same partitions and would evict real probes
         # (measured as a recall cliff on partially-filled batches)
         flat_p = jnp.where(flat_b < n_real, flat_p, nlist)
-    order = jnp.argsort(flat_p)
+    # slot priority: when a partition's q_cap overflows under query skew,
+    # keep the CLOSEST-centroid probes (low probe rank) and drop the tail —
+    # sorting by (partition, probe_rank) makes slot ranking value-ordered
+    flat_j = jnp.tile(jnp.arange(nprobes, dtype=jnp.int32), b)
+    order = jnp.argsort(flat_p * jnp.int32(nprobes) + flat_j)
     sp, sb = flat_p[order], flat_b[order]
     counts = jax.ops.segment_sum(jnp.ones_like(sp), sp, num_segments=nlist)
     base = jnp.concatenate([jnp.zeros(1, jnp.int32),
