@@ -61,6 +61,7 @@ class Scanner:
         self._limit: int | None = None
         self._offset: int = 0
         self._with_row_id = False
+        self._metrics = None
         self._with_row_address = False
         self._batch_size = 8192
         self._nearest: VectorQuery | None = None
@@ -93,6 +94,12 @@ class Scanner:
     def limit(self, n: int | None, offset: int = 0) -> "Scanner":
         self._limit = n
         self._offset = offset
+        return self
+
+    def with_metrics(self, collector) -> "Scanner":
+        """Thread a MetricsCollector (utils/tracing.py) through the search
+        (reference lance-index/src/metrics.rs threading)."""
+        self._metrics = collector
         return self
 
     def with_row_id(self, v: bool = True) -> "Scanner":
@@ -335,6 +342,7 @@ class Scanner:
             fast_search=self._fast_search,
             output_columns=self._columns,
             with_row_id=self._with_row_id,
+            metrics=self._metrics,
         )
         if self._limit is not None:
             table = table.slice(self._offset, self._limit)

@@ -62,7 +62,7 @@ def _filter_mask(ds, filter_node, use_scalar_indices: bool = True) -> RowIdMask:
 
 
 def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
-        output_columns=None, with_row_id=False) -> pa.Table:
+        output_columns=None, with_row_id=False, metrics=None) -> pa.Table:
     column = q.column
     field = ds.schema.field(column)
     is_multivector = pa.types.is_list(field.type) and pa.types.is_fixed_size_list(
@@ -99,6 +99,8 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
         kwargs = {}
         if q.ef is not None and hasattr(idx, "graph"):
             kwargs["ef"] = q.ef
+        if metrics is not None and not hasattr(idx, "graph"):
+            kwargs["metrics"] = metrics
         d, rid = idx.search(qs, k, nprobes=nprobes, refine_factor=q.refine_factor,
                             selection=sel_arr, **kwargs)
         results.append((d, rid))

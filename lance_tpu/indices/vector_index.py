@@ -665,6 +665,7 @@ class IvfIndex:
         nprobes: int = 20,
         refine_factor: int | None = None,
         selection: np.ndarray | None = None,
+        metrics=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ANN search -> (dists (B, k) f32, rowids (B, k) u64).
 
@@ -679,6 +680,9 @@ class IvfIndex:
                     for s in range(0, b_real, _BATCH_BUCKETS[-1])]
             return np.concatenate([o[0] for o in outs]), np.concatenate([o[1] for o in outs])
         nprobes = min(nprobes, self.ivf.num_partitions)
+        if metrics is not None:
+            metrics.record_part_probed(b_real * nprobes)
+            metrics.record_comparisons(b_real * nprobes * self._pad)
         qp = np.pad(q, ((0, bucket - b_real), (0, 0)))
 
         sel_dev = None

@@ -219,3 +219,18 @@ def test_standalone_file_api(tmp_path):
     assert r.num_rows == 100
     t = r.take_table(np.array([5, 50]))
     assert t["b"].to_pylist() == ["s5", "s50"]
+
+
+def test_metrics_collector_threaded_through_search():
+    from lance_tpu.utils.tracing import MetricsCollector
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(500, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(500, dtype=np.int64)},
+                          _uri("metrics"))
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=4)
+    mc = MetricsCollector()
+    t = ds.scanner().nearest("vec", vecs[0], k=3, nprobes=4).with_metrics(mc).to_table()
+    assert t.num_rows == 3
+    assert mc.parts_probed == 4
+    assert mc.comparisons > 0
