@@ -38,8 +38,8 @@ def main():
     _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
     q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
     curve = []
-    for bf16 in ("1", "0"):
-      os.environ["LANCE_TPU_DIST_BF16"] = bf16
+    for slack in ("4", "16"):
+      os.environ["LANCE_TPU_QCAP_SLACK"] = slack
       for nprobes, rf in ((24, 16), (48, 16), (96, 32)):
           _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
           ids = rid.astype(np.int64) & 0xFFFFFFFF
@@ -53,7 +53,7 @@ def main():
               o = fn(q_dev)
           jax.block_until_ready(o)
           qps = 30 * 512 / (time.time() - t)
-          curve.append({"bf16": bf16, "nprobes": nprobes, "refine": rf,
+          curve.append({"slack": slack, "nprobes": nprobes, "refine": rf,
                         "recall_at_10": round(rec, 4), "qps": round(qps)})
           _log(json.dumps(curve[-1]))
     best = max((c for c in curve if c["recall_at_10"] >= 0.9),

@@ -844,12 +844,11 @@ def _refine_bf16() -> bool:
 
 
 def _dist_bf16() -> bool:
-    """bf16 score tensors: on by default on TPU (refine re-ranks exactly);
-    forced off on CPU so tests stay bit-exact. Override LANCE_TPU_DIST_BF16."""
-    env = os.environ.get("LANCE_TPU_DIST_BF16")
-    if env is not None:
-        return env not in ("0", "false", "")
-    return jax.default_backend() not in ("cpu",)
+    """bf16 score tensors: +14% QPS at equal recall on 1M-scale benchmarks,
+    but at 4M+ scale the shrunken neighbor gaps fall below bf16 resolution
+    (measured: recall@10 0.776 -> 0.605 at nprobes=24 on 4M x 128). Default
+    OFF; opt in with LANCE_TPU_DIST_BF16=1 where recall is verified."""
+    return os.environ.get("LANCE_TPU_DIST_BF16", "0") not in ("0", "false", "")
 
 
 def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> int:
