@@ -38,6 +38,7 @@ def main():
     _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
     q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
     curve = []
+    os.environ["LANCE_TPU_DIST_BF16"] = "0"  # f32 scoring: bf16 hurts at 4M
     for slack in ("4", "16"):
       os.environ["LANCE_TPU_QCAP_SLACK"] = slack
       for nprobes, rf in ((24, 16), (48, 16), (96, 32)):
