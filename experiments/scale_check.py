@@ -25,13 +25,21 @@ def main():
     data_host = np.asarray(data)
     del data, gt_d
     _log(f"download {time.time()-t:.0f}s")
-    ds = lt.write_dataset({"vec": data_host, "id": np.arange(N, dtype=np.int64)},
-                          "memory://scale/d4m",
-                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
-    t = time.time()
-    ds = ds.create_index("vec", "IVF_PQ", num_partitions=4096, num_sub_vectors=16,
-                         num_bits=8, max_iters=10)
-    build_s = time.time() - t
+    uri = "file:///root/repo/.scale4m.lance"
+    if os.environ.get("SCALE4M_REUSE") and os.path.exists("/root/repo/.scale4m.lance"):
+        ds = lt.dataset(uri)
+        build_s = 0.0
+    else:
+        import shutil
+
+        shutil.rmtree("/root/repo/.scale4m.lance", ignore_errors=True)
+        ds = lt.write_dataset({"vec": data_host, "id": np.arange(N, dtype=np.int64)},
+                              uri,
+                              params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=4096, num_sub_vectors=16,
+                             num_bits=8, max_iters=10)
+        build_s = time.time() - t
     meta = ds.list_indices()[0]
     _log(f"build {build_s:.0f}s streaming={meta.params.get('streaming_build')}")
     idx = ds._vector_index_for("vec")
@@ -39,9 +47,9 @@ def main():
     q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
     curve = []
     os.environ["LANCE_TPU_DIST_BF16"] = "0"  # f32 scoring: bf16 hurts at 4M
-    for slack in ("4", "16"):
+    for slack in ("4",):
       os.environ["LANCE_TPU_QCAP_SLACK"] = slack
-      for nprobes, rf in ((24, 16), (48, 16), (96, 32)):
+      for nprobes, rf in ((24, 16), (24, 64), (48, 16), (96, 32)):
           _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
           ids = rid.astype(np.int64) & 0xFFFFFFFF
           hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
