@@ -1031,6 +1031,7 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
 
     if metric == "cosine":
         best_d = best_d * 0.5  # l2^2 on unit vectors = 2 - 2 cos
+    best_d = best_d.astype(jnp.float32)  # callers always see f32 distances
     found = jnp.isfinite(best_d)
     return best_d, jnp.where(found, pos, -1)
 
