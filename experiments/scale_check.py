@@ -26,9 +26,16 @@ def main():
     del data, gt_d
     _log(f"download {time.time()-t:.0f}s")
     uri = "file:///root/repo/.scale4m.lance"
+    m_sub = int(os.environ.get("SCALE4M_M", "16"))
     if os.environ.get("SCALE4M_REUSE") and os.path.exists("/root/repo/.scale4m.lance"):
         ds = lt.dataset(uri)
-        build_s = 0.0
+        if os.environ.get("SCALE4M_REBUILD_INDEX"):
+            t = time.time()
+            ds = ds.create_index("vec", "IVF_PQ", num_partitions=4096,
+                                 num_sub_vectors=m_sub, num_bits=8, max_iters=10)
+            build_s = time.time() - t
+        else:
+            build_s = 0.0
     else:
         import shutil
 
@@ -37,7 +44,7 @@ def main():
                               uri,
                               params=lt.WriteParams(max_rows_per_file=N, compression="none"))
         t = time.time()
-        ds = ds.create_index("vec", "IVF_PQ", num_partitions=4096, num_sub_vectors=16,
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=4096, num_sub_vectors=m_sub,
                              num_bits=8, max_iters=10)
         build_s = time.time() - t
     meta = ds.list_indices()[0]
@@ -67,7 +74,7 @@ def main():
           _log(json.dumps(curve[-1]))
     best = max((c for c in curve if c["recall_at_10"] >= 0.9),
                key=lambda c: c["qps"], default=max(curve, key=lambda c: c["recall_at_10"]))
-    print(json.dumps({"metric": "scale4m_ivfpq", "n": N,
+    print(json.dumps({"metric": "scale4m_ivfpq", "n": N, "m": m_sub,
                       "recall_at_10": best["recall_at_10"], "qps": best["qps"],
                       "nprobes": best["nprobes"], "build_s": round(build_s, 1),
                       "streaming_build": True, "curve": curve}))
