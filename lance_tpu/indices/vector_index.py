@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import InvalidInputError
+from ..errors import InvalidInputError, NotSupportedError
 from ..file.reader import FileReader
 from ..file.writer import FileWriter
 from ..models.ivf import IvfModel, partition_sort
@@ -112,6 +112,16 @@ def build_ivf_index(
     n, dim = vectors.shape
     if n == 0:
         raise InvalidInputError("cannot index an empty dataset")
+    if metric == "hamming":
+        # binary vectors: unpack packed bytes to 0/1 floats — on 0/1 vectors
+        # squared L2 IS the hamming distance, so k-means partitioning, dense
+        # block scoring, and reported distances are all exact in the existing
+        # engine (reference: lance-linalg hamming.rs + binary IVF_FLAT). Only
+        # IVF_FLAT supports hamming (quantizers are trained for l2/cosine).
+        if index_type != "IVF_FLAT":
+            raise NotSupportedError("metric='hamming' requires IVF_FLAT")
+        vectors = np.unpackbits(vectors.astype(np.uint8), axis=1).astype(np.float32)
+        dim = vectors.shape[1]
     # beyond-HBM datasets stream through the device in chunks (the 100M-row
     # BigANN-style build); in-HBM datasets upload once and stay resident
     streaming = vectors.nbytes > int(os.environ.get(
@@ -671,7 +681,10 @@ class IvfIndex:
 
         Empty slots (fewer than k results) have rowid = UINT64_MAX, dist = inf.
         """
-        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+        q = np.atleast_2d(np.asarray(q))
+        if self.metric == "hamming":
+            q = np.unpackbits(q.astype(np.uint8), axis=1)
+        q = q.astype(np.float32)
         b_real = q.shape[0]
         bucket = next((bb for bb in _BATCH_BUCKETS if bb >= b_real), None)
         if bucket is None:

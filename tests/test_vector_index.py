@@ -295,3 +295,28 @@ def test_partial_batch_matches_full_batch():
     for i in (0, 7, 31):
         d_one, r_one = idx.search(qs[i:i + 1], 10, nprobes=16, refine_factor=8)
         np.testing.assert_array_equal(r_one[0], r_full[i])
+
+
+def test_binary_hamming_end_to_end():
+    """Packed binary vectors with hamming metric: flat + IVF (reference
+    supports binary/hamming via lance-linalg hamming.rs)."""
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, size=(2000, 16), dtype=np.uint8)
+    import uuid
+
+    uri = f"memory://ham-{uuid.uuid4().hex[:6]}/d"
+    ds = lt.write_dataset({"vec": data, "id": np.arange(2000, dtype=np.int64)}, uri)
+    t = ds.scanner().nearest("vec", data[7], k=3, metric="hamming").to_table()
+    assert np.asarray(t["id"])[0] == 7
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, metric="hamming",
+                         max_iters=4)
+    t2 = ds.scanner().nearest("vec", data[7], k=3, nprobes=8).to_table()
+    assert np.asarray(t2["id"])[0] == 7
+    # full probes must be exact: distances match brute-force numpy hamming
+    # (ids can differ under ties — random binary data ties heavily)
+    q = data[123]
+    bits = np.unpackbits(data ^ q, axis=1).sum(1)
+    want_d = np.sort(bits)[:5]
+    t3 = ds.scanner().nearest("vec", q, k=5, nprobes=8).to_table()
+    np.testing.assert_array_equal(
+        np.asarray(t3["_distance"]).astype(np.int64), want_d)
