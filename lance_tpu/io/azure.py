@@ -1,0 +1,198 @@
+"""Azure Blob Storage provider: stdlib REST client with SharedKey signing.
+
+Re-design of the reference's Azure provider (rust/lance-io/src/object_store/
+providers/azure.rs over the object_store crate): ranged reads, listing,
+deletes, and — the commit primitive — conditional Put Blob via
+`If-None-Match: *`, which fails with HTTP 409 BlobAlreadyExists when the
+blob exists; this maps 1:1 onto put_if_not_exists so the storage-based
+commit protocol works unchanged on Azure.
+
+Auth: SharedKey (account key HMAC-SHA256 over the canonicalized request,
+implemented here per the documented Blob-service string-to-sign) via
+`AZURE_STORAGE_ACCOUNT` + `AZURE_STORAGE_KEY`, or a pre-signed SAS token
+via `AZURE_STORAGE_SAS_TOKEN` (no signing). `AZURE_ENDPOINT_URL` overrides
+the endpoint for emulators (azurite-style path addressing
+`{endpoint}/{account}/{container}/{blob}`).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import os
+import urllib.parse
+import xml.etree.ElementTree as ET
+from email.utils import formatdate
+from urllib import error as urlerror
+from urllib import request as urlrequest
+
+from ..errors import IOError_, NotFoundError
+from .object_store import ObjectMeta, ObjectStore
+
+_API_VERSION = "2021-08-06"
+
+
+def sharedkey_signature(account: str, key_b64: str, method: str, url: str,
+                        headers: dict[str, str], content_length: int) -> str:
+    """Blob-service SharedKey signature (pure function of its inputs).
+
+    String-to-sign layout per the Azure authentication spec: 12 standard
+    header slots, then canonicalized x-ms-* headers, then the canonicalized
+    resource (/account/path plus sorted query params as name:value lines).
+    """
+    h = {k.lower(): v for k, v in headers.items()}
+    parsed = urllib.parse.urlsplit(url)
+    slots = [
+        method,
+        h.get("content-encoding", ""),
+        h.get("content-language", ""),
+        str(content_length) if content_length else "",
+        h.get("content-md5", ""),
+        h.get("content-type", ""),
+        "",  # Date — empty because x-ms-date is set
+        h.get("if-modified-since", ""),
+        h.get("if-match", ""),
+        h.get("if-none-match", ""),
+        h.get("if-unmodified-since", ""),
+        h.get("range", ""),
+    ]
+    canon_headers = "".join(
+        f"{k}:{h[k]}\n" for k in sorted(h) if k.startswith("x-ms-"))
+    canon_resource = f"/{account}{parsed.path}"
+    for qk, qv in sorted(urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)):
+        canon_resource += f"\n{qk.lower()}:{qv}"
+    to_sign = "\n".join(slots) + "\n" + canon_headers + canon_resource
+    sig = hmac.new(base64.b64decode(key_b64), to_sign.encode("utf-8"),
+                   hashlib.sha256).digest()
+    return base64.b64encode(sig).decode()
+
+
+class AzureBlobStore(ObjectStore):
+    """Azure Blob store for one container."""
+
+    scheme = "az"
+
+    def __init__(self, container: str, account: str | None = None,
+                 key: str | None = None, endpoint_url: str | None = None,
+                 sas_token: str | None = None):
+        self.container = container
+        self.account = account or os.environ.get("AZURE_STORAGE_ACCOUNT", "")
+        self.key = key or os.environ.get("AZURE_STORAGE_KEY")
+        self.sas = sas_token or os.environ.get("AZURE_STORAGE_SAS_TOKEN")
+        endpoint = endpoint_url or os.environ.get("AZURE_ENDPOINT_URL")
+        if endpoint:
+            # emulator path-style: endpoint/account/container/blob
+            self.base = f"{endpoint.rstrip('/')}/{self.account}"
+        else:
+            self.base = f"https://{self.account}.blob.core.windows.net"
+        if not self.account or not (self.key or self.sas):
+            raise IOError_("azure: credentials not configured "
+                           "(AZURE_STORAGE_ACCOUNT + AZURE_STORAGE_KEY "
+                           "or AZURE_STORAGE_SAS_TOKEN)")
+
+    # -- plumbing --------------------------------------------------------------
+
+    def _url(self, path: str, query: str = "") -> str:
+        key = urllib.parse.quote(path, safe="/")
+        base = f"{self.base}/{self.container}/{key}" if path else f"{self.base}/{self.container}"
+        parts = [p for p in (query, self.sas.lstrip("?") if self.sas else "") if p]
+        return f"{base}?{'&'.join(parts)}" if parts else base
+
+    def _request(self, method: str, url: str, payload: bytes = b"",
+                 extra: dict[str, str] | None = None) -> tuple[int, bytes, dict]:
+        headers = dict(extra or {})
+        headers["x-ms-date"] = formatdate(usegmt=True)
+        headers["x-ms-version"] = _API_VERSION
+        if payload:
+            # set Content-Type explicitly so it is part of the signature —
+            # urllib would otherwise inject its own unsigned default
+            headers.setdefault("Content-Type", "application/octet-stream")
+        if self.key and not self.sas:
+            sig = sharedkey_signature(self.account, self.key, method, url,
+                                      headers, len(payload))
+            headers["Authorization"] = f"SharedKey {self.account}:{sig}"
+        req = urlrequest.Request(url, data=payload or None, method=method,
+                                 headers=headers)
+        try:
+            with urlrequest.urlopen(req, timeout=60) as resp:
+                return resp.status, resp.read(), dict(resp.headers)
+        except urlerror.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    # -- reads -----------------------------------------------------------------
+
+    def get(self, path: str) -> bytes:
+        code, body, _ = self._request("GET", self._url(path))
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"azure get {path}: HTTP {code}: {body[:200]!r}")
+        return body
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        code, body, _ = self._request(
+            "GET", self._url(path),
+            extra={"x-ms-range": f"bytes={start}-{start + length - 1}"})
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"azure get_range {path}: HTTP {code}")
+        return body
+
+    def head(self, path: str) -> ObjectMeta:
+        code, _, hdrs = self._request("HEAD", self._url(path))
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"azure head {path}: HTTP {code}")
+        return ObjectMeta(path, int(hdrs.get("Content-Length", 0)))
+
+    # -- writes ----------------------------------------------------------------
+
+    def put(self, path: str, data: bytes) -> None:
+        code, body, _ = self._request("PUT", self._url(path), payload=data,
+                                      extra={"x-ms-blob-type": "BlockBlob"})
+        if code >= 300:
+            raise IOError_(f"azure put {path}: HTTP {code}: {body[:200]!r}")
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        # Put Blob + If-None-Match: * — Azure answers 409 BlobAlreadyExists
+        # when the blob exists; the commit primitive.
+        code, body, _ = self._request(
+            "PUT", self._url(path), payload=data,
+            extra={"x-ms-blob-type": "BlockBlob", "If-None-Match": "*"})
+        if code in (409, 412):
+            return False
+        if code >= 300:
+            raise IOError_(f"azure conditional put {path}: HTTP {code}: {body[:200]!r}")
+        return True
+
+    def delete(self, path: str) -> None:
+        code, _, _ = self._request("DELETE", self._url(path))
+        if code >= 300 and code != 404:
+            raise IOError_(f"azure delete {path}: HTTP {code}")
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        out: list[ObjectMeta] = []
+        marker: str | None = None
+        while True:
+            q = ("restype=container&comp=list&prefix="
+                 + urllib.parse.quote(prefix, safe=""))
+            if marker:
+                q += "&marker=" + urllib.parse.quote(marker, safe="")
+            code, body, _ = self._request("GET", self._url("", q))
+            if code >= 300:
+                raise IOError_(f"azure list: HTTP {code}: {body[:200]!r}")
+            root = ET.fromstring(body)
+            for b in root.iter("Blob"):
+                name = b.findtext("Name", "")
+                size = int(b.findtext("Properties/Content-Length", "0"))
+                out.append(ObjectMeta(name, size))
+            marker = root.findtext("NextMarker")
+            if not marker:
+                break
+        return sorted(out, key=lambda m: m.path)
+
+    def io_parallelism(self) -> int:
+        return 64

@@ -1,0 +1,210 @@
+"""GCS object-store provider: stdlib REST client over the JSON API.
+
+Re-design of the reference's GCP provider (rust/lance-io/src/object_store/
+providers/gcp.rs over the object_store crate): ranged reads, listing,
+deletes, and — the commit primitive — conditional insert via
+`ifGenerationMatch=0`, which fails with HTTP 412 when the object already
+exists; this maps 1:1 onto put_if_not_exists so the storage-based commit
+protocol works unchanged on GCS.
+
+Auth, in precedence order:
+1. `GCS_ACCESS_TOKEN` / `GOOGLE_OAUTH_ACCESS_TOKEN` — pre-minted bearer token.
+2. `GOOGLE_APPLICATION_CREDENTIALS` — service-account JSON; we mint an
+   RS256-signed JWT grant and exchange it at the account's token_uri
+   (standard OAuth2 jwt-bearer flow; key signing via `cryptography`).
+3. `STORAGE_EMULATOR_HOST` endpoint override implies anonymous auth
+   (fake-gcs-server / local mock).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import threading
+import time
+import urllib.parse
+from urllib import error as urlerror
+from urllib import request as urlrequest
+
+from ..errors import IOError_, NotFoundError
+from .object_store import ObjectMeta, ObjectStore
+
+_SCOPE = "https://www.googleapis.com/auth/devstorage.read_write"
+
+
+def _b64url(data: bytes) -> bytes:
+    return base64.urlsafe_b64encode(data).rstrip(b"=")
+
+
+def make_sa_jwt(sa: dict, now: int, scope: str = _SCOPE) -> str:
+    """RS256-signed JWT grant for a service account (pure given `now`)."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    header = _b64url(json.dumps({"alg": "RS256", "typ": "JWT"}).encode())
+    claims = _b64url(json.dumps({
+        "iss": sa["client_email"],
+        "scope": scope,
+        "aud": sa["token_uri"],
+        "iat": now,
+        "exp": now + 3600,
+    }).encode())
+    signing_input = header + b"." + claims
+    key = serialization.load_pem_private_key(sa["private_key"].encode(), password=None)
+    sig = key.sign(signing_input, padding.PKCS1v15(), hashes.SHA256())
+    return (signing_input + b"." + _b64url(sig)).decode()
+
+
+class _TokenSource:
+    """Caches a bearer token; refreshes via the jwt-bearer flow when expiring."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._token: str | None = None
+        self._expiry = 0.0
+
+    def token(self) -> str | None:
+        env = os.environ.get("GCS_ACCESS_TOKEN") or os.environ.get("GOOGLE_OAUTH_ACCESS_TOKEN")
+        if env:
+            return env
+        creds = os.environ.get("GOOGLE_APPLICATION_CREDENTIALS")
+        if not creds:
+            return None
+        with self._lock:
+            if self._token and time.time() < self._expiry - 120:
+                return self._token
+            with open(creds) as f:
+                sa = json.load(f)
+            assertion = make_sa_jwt(sa, int(time.time()))
+            body = urllib.parse.urlencode({
+                "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+                "assertion": assertion,
+            }).encode()
+            req = urlrequest.Request(sa["token_uri"], data=body, method="POST",
+                                     headers={"Content-Type": "application/x-www-form-urlencoded"})
+            try:
+                with urlrequest.urlopen(req, timeout=30) as resp:
+                    payload = json.loads(resp.read())
+            except urlerror.URLError as e:
+                raise IOError_(f"gcs: token exchange failed: {e}") from None
+            self._token = payload["access_token"]
+            self._expiry = time.time() + float(payload.get("expires_in", 3600))
+            return self._token
+
+
+_TOKENS = _TokenSource()
+
+
+class GcsStore(ObjectStore):
+    """GCS store for one bucket (JSON API)."""
+
+    scheme = "gs"
+
+    def __init__(self, bucket: str, endpoint_url: str | None = None):
+        self.bucket = bucket
+        emulator = os.environ.get("STORAGE_EMULATOR_HOST")
+        if emulator and "://" not in emulator:
+            emulator = f"http://{emulator}"
+        self.endpoint = endpoint_url or emulator or "https://storage.googleapis.com"
+
+    # -- plumbing --------------------------------------------------------------
+
+    def _headers(self) -> dict[str, str]:
+        tok = _TOKENS.token()
+        return {"Authorization": f"Bearer {tok}"} if tok else {}
+
+    def _request(self, method: str, url: str, payload: bytes = b"",
+                 extra: dict[str, str] | None = None) -> tuple[int, bytes, dict]:
+        headers = self._headers()
+        headers.update(extra or {})
+        req = urlrequest.Request(url, data=payload or None, method=method, headers=headers)
+        try:
+            with urlrequest.urlopen(req, timeout=60) as resp:
+                return resp.status, resp.read(), dict(resp.headers)
+        except urlerror.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    def _obj_url(self, path: str, query: str = "") -> str:
+        key = urllib.parse.quote(path, safe="")
+        base = f"{self.endpoint}/storage/v1/b/{self.bucket}/o/{key}"
+        return f"{base}?{query}" if query else base
+
+    # -- reads -----------------------------------------------------------------
+
+    def get(self, path: str) -> bytes:
+        code, body, _ = self._request("GET", self._obj_url(path, "alt=media"))
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"gcs get {path}: HTTP {code}: {body[:200]!r}")
+        return body
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        code, body, _ = self._request(
+            "GET", self._obj_url(path, "alt=media"),
+            extra={"Range": f"bytes={start}-{start + length - 1}"})
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"gcs get_range {path}: HTTP {code}")
+        return body
+
+    def head(self, path: str) -> ObjectMeta:
+        code, body, _ = self._request("GET", self._obj_url(path))
+        if code == 404:
+            raise NotFoundError(path)
+        if code >= 300:
+            raise IOError_(f"gcs head {path}: HTTP {code}")
+        return ObjectMeta(path, int(json.loads(body).get("size", 0)))
+
+    # -- writes ----------------------------------------------------------------
+
+    def _upload_url(self, path: str, conditional: bool) -> str:
+        q = urllib.parse.urlencode(
+            {"uploadType": "media", "name": path,
+             **({"ifGenerationMatch": "0"} if conditional else {})})
+        return f"{self.endpoint}/upload/storage/v1/b/{self.bucket}/o?{q}"
+
+    def put(self, path: str, data: bytes) -> None:
+        code, body, _ = self._request("POST", self._upload_url(path, False), payload=data)
+        if code >= 300:
+            raise IOError_(f"gcs put {path}: HTTP {code}: {body[:200]!r}")
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        # ifGenerationMatch=0 asserts "object does not exist"; GCS answers
+        # 412 Precondition Failed when it does — the commit primitive.
+        code, body, _ = self._request("POST", self._upload_url(path, True), payload=data)
+        if code in (412, 409):
+            return False
+        if code >= 300:
+            raise IOError_(f"gcs conditional put {path}: HTTP {code}: {body[:200]!r}")
+        return True
+
+    def delete(self, path: str) -> None:
+        code, _, _ = self._request("DELETE", self._obj_url(path))
+        if code >= 300 and code != 404:
+            raise IOError_(f"gcs delete {path}: HTTP {code}")
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        out: list[ObjectMeta] = []
+        token: str | None = None
+        while True:
+            q = {"prefix": prefix}
+            if token:
+                q["pageToken"] = token
+            url = (f"{self.endpoint}/storage/v1/b/{self.bucket}/o?"
+                   + urllib.parse.urlencode(q))
+            code, body, _ = self._request("GET", url)
+            if code >= 300:
+                raise IOError_(f"gcs list: HTTP {code}: {body[:200]!r}")
+            payload = json.loads(body)
+            for item in payload.get("items", []):
+                out.append(ObjectMeta(item["name"], int(item.get("size", 0))))
+            token = payload.get("nextPageToken")
+            if not token:
+                break
+        return out
+
+    def io_parallelism(self) -> int:
+        return 64

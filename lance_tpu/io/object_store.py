@@ -10,8 +10,9 @@ rust/lance-table/src/io/commit.rs ConditionalPutCommitHandler):
 - memory://  : single atomic check-and-insert under a lock
 - file://    : O_CREAT|O_EXCL exclusive create, then atomic rename
 
-Cloud providers (s3/gcs/azure) slot in behind the same interface; they are
-registered lazily and stubbed here (no egress in this environment).
+Cloud providers (s3.py / gcs.py / azure.py; oss:// rides the S3-compatible
+API) slot in behind the same interface and are registered lazily; each is
+e2e-tested against an in-process mock endpoint (tests/mock_*.py).
 """
 
 from __future__ import annotations
@@ -292,6 +293,9 @@ class ObjectStoreRegistry:
         self.register("memory", self._memory_provider)
         self.register("file", self._file_provider)
         self.register("s3", self._s3_provider)
+        self.register("oss", self._oss_provider)  # Alibaba OSS: S3-compatible API
+        self.register("gs", self._gcs_provider)
+        self.register("az", self._azure_provider)
 
     def register(self, scheme: str, provider: Callable[[str], tuple[ObjectStore, str]]) -> None:
         self._providers[scheme] = provider
@@ -307,6 +311,25 @@ class ObjectStoreRegistry:
 
         parsed = urlparse(uri)
         return S3Store(parsed.netloc), parsed.path.lstrip("/")
+
+    def _oss_provider(self, uri: str) -> tuple[ObjectStore, str]:
+        from .s3 import S3Store
+
+        parsed = urlparse(uri)
+        endpoint = os.environ.get("OSS_ENDPOINT_URL") or os.environ.get("AWS_ENDPOINT_URL")
+        return S3Store(parsed.netloc, endpoint_url=endpoint), parsed.path.lstrip("/")
+
+    def _gcs_provider(self, uri: str) -> tuple[ObjectStore, str]:
+        from .gcs import GcsStore
+
+        parsed = urlparse(uri)
+        return GcsStore(parsed.netloc), parsed.path.lstrip("/")
+
+    def _azure_provider(self, uri: str) -> tuple[ObjectStore, str]:
+        from .azure import AzureBlobStore
+
+        parsed = urlparse(uri)
+        return AzureBlobStore(parsed.netloc), parsed.path.lstrip("/")
 
     def _file_provider(self, uri: str) -> tuple[ObjectStore, str]:
         parsed = urlparse(uri)

@@ -1,0 +1,145 @@
+"""Minimal in-process Azure Blob server for provider tests, azurite-style
+path addressing ({endpoint}/{account}/{container}/{blob}). Unlike the S3
+mock, this one VERIFIES the SharedKey signature on every request (it knows
+the account key), so the signing implementation in lance_tpu/io/azure.py is
+exercised end-to-end: a wrong string-to-sign fails every test."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, quote, unquote, urlsplit
+
+ACCOUNT = "testacct"
+KEY_B64 = "dGVzdC1hY2NvdW50LWtleS1mb3ItaG1hYy1zaGEyNTYtc2lnbmluZw=="  # any b64
+
+
+class MockAzure:
+    def __init__(self):
+        self.blobs: dict[str, bytes] = {}  # "container/name" -> bytes
+        self.lock = threading.Lock()
+        self.auth_failures = 0
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body=b"", headers=None):
+                self.send_response(code)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _check_sig(self, payload_len: int) -> bool:
+                from lance_tpu.io.azure import sharedkey_signature
+
+                auth = self.headers.get("Authorization", "")
+                if not auth.startswith(f"SharedKey {ACCOUNT}:"):
+                    return False
+                got = auth.split(":", 1)[1]
+                # reconstruct the signed URL exactly as the client built it:
+                # host-relative path (which includes /account prefix here) is
+                # all the signature covers
+                url = f"http://x{self.path}"
+                hdrs = {k: v for k, v in self.headers.items()
+                        if k.lower().startswith("x-ms-")
+                        or k.lower() in ("if-none-match", "content-type",
+                                         "content-md5", "if-match")}
+                want = sharedkey_signature(ACCOUNT, KEY_B64, self.command,
+                                           url, hdrs, payload_len)
+                if got != want:
+                    srv.auth_failures += 1
+                    return False
+                return True
+
+            def _key(self):
+                # /account/container/blob...
+                path = unquote(urlsplit(self.path).path)
+                parts = path.lstrip("/").split("/", 2)
+                return "/".join(parts[1:])  # container/blob
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(n)
+                if not self._check_sig(n):
+                    return self._send(403)
+                key = self._key()
+                with srv.lock:
+                    if (self.headers.get("If-None-Match") == "*"
+                            and key in srv.blobs):
+                        return self._send(409)
+                    srv.blobs[key] = data
+                self._send(201)
+
+            def do_GET(self):
+                if not self._check_sig(0):
+                    return self._send(403)
+                split = urlsplit(self.path)
+                q = parse_qs(split.query)
+                if q.get("comp") == ["list"]:
+                    container = unquote(split.path).lstrip("/").split("/")[1]
+                    prefix = q.get("prefix", [""])[0]
+                    with srv.lock:
+                        items = sorted(
+                            (k[len(container) + 1:], len(v))
+                            for k, v in srv.blobs.items()
+                            if k.startswith(f"{container}/{prefix}"))
+                    # paginate 2 at a time to exercise NextMarker handling
+                    start = int(q.get("marker", ["0"])[0])
+                    page = items[start:start + 2]
+                    xml = ["<?xml version='1.0'?><EnumerationResults><Blobs>"]
+                    for name, size in page:
+                        xml.append(
+                            f"<Blob><Name>{name}</Name><Properties>"
+                            f"<Content-Length>{size}</Content-Length>"
+                            f"</Properties></Blob>")
+                    xml.append("</Blobs>")
+                    if start + 2 < len(items):
+                        xml.append(f"<NextMarker>{start + 2}</NextMarker>")
+                    xml.append("</EnumerationResults>")
+                    return self._send(200, "".join(xml).encode())
+                key = self._key()
+                with srv.lock:
+                    data = srv.blobs.get(key)
+                if data is None:
+                    return self._send(404)
+                rng = self.headers.get("x-ms-range") or self.headers.get("Range")
+                if rng and rng.startswith("bytes="):
+                    a, b = rng[6:].split("-")
+                    return self._send(206, data[int(a):int(b) + 1])
+                self._send(200, data)
+
+            def do_HEAD(self):
+                if not self._check_sig(0):
+                    return self._send(403)
+                with srv.lock:
+                    data = srv.blobs.get(self._key())
+                if data is None:
+                    return self._send(404)
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+
+            def do_DELETE(self):
+                if not self._check_sig(0):
+                    return self._send(403)
+                with srv.lock:
+                    existed = srv.blobs.pop(self._key(), None) is not None
+                self._send(202 if existed else 404)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self.thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.thread.join(timeout=5)

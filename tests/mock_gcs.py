@@ -1,0 +1,125 @@
+"""Minimal in-process GCS JSON-API server for provider tests: media
+download (alt=media, ranged), media upload with ifGenerationMatch=0
+conditional semantics, object metadata, list with pagination, delete.
+Also serves an OAuth2 token endpoint so the service-account jwt-bearer
+flow can be exercised end-to-end (it checks JWT structure, not the RSA
+signature — signing correctness is asserted separately in the unit test
+by verifying with the public key)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlsplit
+
+
+class MockGCS:
+    def __init__(self, require_token: str | None = None):
+        self.objects: dict[str, bytes] = {}  # "bucket/name" -> bytes
+        self.lock = threading.Lock()
+        self.token_requests: list[dict] = []
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body=b"", ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authed(self):
+                if require_token is None:
+                    return True
+                return self.headers.get("Authorization") == f"Bearer {require_token}"
+
+            def do_POST(self):
+                split = urlsplit(self.path)
+                n = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(n)
+                if split.path == "/token":
+                    q = parse_qs(data.decode())
+                    srv.token_requests.append(q)
+                    assertion = q.get("assertion", [""])[0]
+                    if assertion.count(".") != 2:
+                        return self._send(400, b'{"error":"bad jwt"}')
+                    return self._send(200, json.dumps(
+                        {"access_token": require_token or "mock-token",
+                         "expires_in": 3600}).encode())
+                if not self._authed():
+                    return self._send(401, b'{"error":"unauthorized"}')
+                # upload: /upload/storage/v1/b/{bucket}/o?uploadType=media&name=...
+                parts = split.path.split("/")
+                bucket = parts[5]
+                q = parse_qs(split.query)
+                name = q["name"][0]
+                key = f"{bucket}/{name}"
+                with srv.lock:
+                    if q.get("ifGenerationMatch", [None])[0] == "0" and key in srv.objects:
+                        return self._send(412, b'{"error":"precondition failed"}')
+                    srv.objects[key] = data
+                self._send(200, json.dumps({"name": name, "size": str(len(data))}).encode())
+
+            def do_GET(self):
+                if not self._authed():
+                    return self._send(401, b'{"error":"unauthorized"}')
+                split = urlsplit(self.path)
+                q = parse_qs(split.query)
+                parts = split.path.split("/")
+                bucket = parts[4]
+                if len(parts) == 6 and parts[5] == "o":  # list
+                    prefix = q.get("prefix", [""])[0]
+                    with srv.lock:
+                        items = sorted(
+                            (k[len(bucket) + 1:], len(v))
+                            for k, v in srv.objects.items()
+                            if k.startswith(f"{bucket}/{prefix}"))
+                    # paginate 2 at a time to exercise pageToken handling
+                    start = int(q.get("pageToken", ["0"])[0])
+                    page = items[start:start + 2]
+                    payload = {"items": [{"name": n, "size": str(s)} for n, s in page]}
+                    if start + 2 < len(items):
+                        payload["nextPageToken"] = str(start + 2)
+                    return self._send(200, json.dumps(payload).encode())
+                name = unquote(parts[6])
+                key = f"{bucket}/{name}"
+                with srv.lock:
+                    data = srv.objects.get(key)
+                if data is None:
+                    return self._send(404, b'{"error":"not found"}')
+                if q.get("alt", [None])[0] == "media":
+                    rng = self.headers.get("Range")
+                    if rng and rng.startswith("bytes="):
+                        a, b = rng[6:].split("-")
+                        return self._send(206, data[int(a):int(b) + 1],
+                                          "application/octet-stream")
+                    return self._send(200, data, "application/octet-stream")
+                return self._send(200, json.dumps(
+                    {"name": name, "size": str(len(data))}).encode())
+
+            def do_DELETE(self):
+                if not self._authed():
+                    return self._send(401)
+                parts = urlsplit(self.path).path.split("/")
+                key = f"{parts[4]}/{unquote(parts[6])}"
+                with srv.lock:
+                    existed = srv.objects.pop(key, None) is not None
+                self._send(204 if existed else 404)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self.thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.thread.join(timeout=5)

@@ -1,0 +1,188 @@
+"""GCS and Azure object-store providers against in-process mock endpoints:
+provider-level CRUD + conditional put, the service-account OAuth flow, and
+the full dataset stack (write/commit/search) over gs:// and az://."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.io.azure import AzureBlobStore
+from lance_tpu.io.gcs import GcsStore
+
+
+# ---------------------------------------------------------------- GCS ------
+
+@pytest.fixture()
+def gcs_env(monkeypatch):
+    from mock_gcs import MockGCS
+
+    srv = MockGCS().start()
+    monkeypatch.setenv("STORAGE_EMULATOR_HOST", srv.url)
+    monkeypatch.delenv("GCS_ACCESS_TOKEN", raising=False)
+    monkeypatch.delenv("GOOGLE_APPLICATION_CREDENTIALS", raising=False)
+    yield srv
+    srv.stop()
+
+
+def test_gcs_provider_crud(gcs_env):
+    st = GcsStore("bkt")
+    st.put("a/b.bin", b"hello world")
+    assert st.get("a/b.bin") == b"hello world"
+    assert st.get_range("a/b.bin", 6, 5) == b"world"
+    assert st.head("a/b.bin").size == 11
+    # conditional put: first wins, second loses
+    assert st.put_if_not_exists("lock", b"v1")
+    assert not st.put_if_not_exists("lock", b"v2")
+    assert st.get("lock") == b"v1"
+    # list with pagination (mock pages 2 at a time)
+    for i in range(5):
+        st.put(f"p/{i}", bytes([i]))
+    names = [m.path for m in st.list("p/")]
+    assert names == [f"p/{i}" for i in range(5)]
+    st.delete("a/b.bin")
+    with pytest.raises(lt.errors.NotFoundError):
+        st.get("a/b.bin")
+
+
+def test_gcs_service_account_token_flow(gcs_env, tmp_path, monkeypatch):
+    """Full jwt-bearer exchange: RS256-sign a JWT grant with a generated key,
+    exchange it at the mock token endpoint, verify the signature with the
+    public half, and use the resulting bearer token for storage calls."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding, rsa
+
+    from lance_tpu.io import gcs as gcs_mod
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+    sa = {"client_email": "svc@proj.iam.gserviceaccount.com",
+          "private_key": pem, "token_uri": f"{gcs_env.url}/token"}
+    sa_path = tmp_path / "sa.json"
+    sa_path.write_text(json.dumps(sa))
+    monkeypatch.setenv("GOOGLE_APPLICATION_CREDENTIALS", str(sa_path))
+    monkeypatch.delenv("STORAGE_EMULATOR_HOST", raising=False)
+
+    # JWT signature verifies against the public key
+    jwt = gcs_mod.make_sa_jwt(sa, int(time.time()))
+    h, c, s = jwt.split(".")
+    import base64
+    sig = base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+    key.public_key().verify(sig, f"{h}.{c}".encode(),
+                            padding.PKCS1v15(), hashes.SHA256())
+    claims = json.loads(base64.urlsafe_b64decode(c + "=" * (-len(c) % 4)))
+    assert claims["iss"] == sa["client_email"]
+    assert claims["aud"] == sa["token_uri"]
+
+    # token source exchanges + caches; storage calls carry the bearer token
+    gcs_mod._TOKENS = gcs_mod._TokenSource()  # reset cache across tests
+    st = GcsStore("bkt", endpoint_url=gcs_env.url)
+    st.put("x", b"1")
+    st.put("y", b"2")
+    assert st.get("x") == b"1"
+    assert len(gcs_env.token_requests) == 1  # cached after first exchange
+
+
+def test_gcs_dataset_end_to_end(gcs_env):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    uri = "gs://testbkt/sets/demo.lance"
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(200, dtype=np.int64)},
+                          uri, params=lt.WriteParams(max_rows_per_file=128))
+    ds = lt.dataset(uri)
+    assert ds.count_rows() == 200
+    ds = ds.delete("id < 20")
+    assert len(ds) == 180
+    assert lt.dataset(uri, version=1).count_rows() == 200
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=4)
+    hit = ds.scanner().nearest("vec", vecs[42], k=1, nprobes=4).to_table()
+    assert np.asarray(hit["id"])[0] == 42
+    from lance_tpu.table.manifest import manifest_path
+
+    assert not ds.store.put_if_not_exists(manifest_path(ds.version), b"x")
+
+
+# -------------------------------------------------------------- Azure ------
+
+@pytest.fixture()
+def azure_env(monkeypatch):
+    from mock_azure import ACCOUNT, KEY_B64, MockAzure
+
+    srv = MockAzure().start()
+    monkeypatch.setenv("AZURE_STORAGE_ACCOUNT", ACCOUNT)
+    monkeypatch.setenv("AZURE_STORAGE_KEY", KEY_B64)
+    monkeypatch.setenv("AZURE_ENDPOINT_URL", srv.url)
+    monkeypatch.delenv("AZURE_STORAGE_SAS_TOKEN", raising=False)
+    yield srv
+    srv.stop()
+
+
+def test_azure_provider_crud(azure_env):
+    st = AzureBlobStore("cont")
+    st.put("a/b.bin", b"hello world")
+    assert st.get("a/b.bin") == b"hello world"
+    assert st.get_range("a/b.bin", 6, 5) == b"world"
+    assert st.head("a/b.bin").size == 11
+    assert st.put_if_not_exists("lock", b"v1")
+    assert not st.put_if_not_exists("lock", b"v2")
+    assert st.get("lock") == b"v1"
+    for i in range(5):
+        st.put(f"p/{i}", bytes([i]))
+    names = [m.path for m in st.list("p/")]
+    assert names == [f"p/{i}" for i in range(5)]
+    st.delete("a/b.bin")
+    with pytest.raises(lt.errors.NotFoundError):
+        st.get("a/b.bin")
+    # the mock verified SharedKey on every request — none may have failed
+    assert azure_env.auth_failures == 0
+
+
+def test_azure_bad_key_rejected(azure_env, monkeypatch):
+    monkeypatch.setenv("AZURE_STORAGE_KEY", "d3JvbmdrZXk=")
+    st = AzureBlobStore("cont")
+    with pytest.raises(lt.errors.IOError_):
+        st.put("x", b"1")
+
+
+def test_azure_dataset_end_to_end(azure_env):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    uri = "az://cont/sets/demo.lance"
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(200, dtype=np.int64)},
+                          uri, params=lt.WriteParams(max_rows_per_file=128))
+    ds = lt.dataset(uri)
+    assert ds.count_rows() == 200
+    ds = ds.delete("id >= 180")
+    assert len(ds) == 180
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=4)
+    hit = ds.scanner().nearest("vec", vecs[42], k=1, nprobes=4).to_table()
+    assert np.asarray(hit["id"])[0] == 42
+    assert azure_env.auth_failures == 0
+
+
+# ---------------------------------------------------------------- OSS ------
+
+def test_oss_scheme_rides_s3(monkeypatch):
+    """oss:// resolves to the S3-compatible client with OSS_ENDPOINT_URL."""
+    from mock_s3 import MockS3
+
+    srv = MockS3().start()
+    try:
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "ak")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "sk")
+        monkeypatch.setenv("OSS_ENDPOINT_URL", srv.url)
+        monkeypatch.setenv("AWS_ENDPOINT_URL", srv.url)
+        from lance_tpu.io.object_store import store_for_uri
+
+        st, base = store_for_uri("oss://bkt/some/ds.lance")
+        assert base == "some/ds.lance"
+        st.put("k", b"v")
+        assert st.get("k") == b"v"
+        assert st.put_if_not_exists("c", b"1") and not st.put_if_not_exists("c", b"2")
+    finally:
+        srv.stop()
