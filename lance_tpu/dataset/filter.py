@@ -95,7 +95,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>`[^`]+`|"[^"]+")
-  | (?P<op><=|>=|!=|<>|=|<|>|\(|\)|,|\+|-|\*|/|%)
+  | (?P<op><=|>=|==|!=|<>|=|<|>|\(|\)|,|\+|-|\*|/|%)
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
 """,
     re.VERBOSE,
@@ -177,9 +177,9 @@ class _Parser:
     def parse_predicate(self):
         left = self.parse_additive()
         k, t = self.peek()
-        if k == "op" and t in ("=", "!=", "<>", "<", "<=", ">", ">="):
+        if k == "op" and t in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
             self.next()
-            op = "=" if t == "=" else ("!=" if t in ("!=", "<>") else t)
+            op = "=" if t in ("=", "==") else ("!=" if t in ("!=", "<>") else t)
             return BinOp(op, left, self.parse_additive())
         if k == "kw" and t == "is":
             self.next()

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field as dc_field
 
 import zstandard
 
+from ..errors import IOError_, LanceError
 from ..schema import Schema
 
 _zc = zstandard.ZstdCompressor(level=3)
@@ -209,4 +210,9 @@ class Manifest:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Manifest":
-        return cls.from_json(json.loads(_zd.decompress(data, max_output_size=1 << 30)))
+        try:
+            return cls.from_json(json.loads(_zd.decompress(data, max_output_size=1 << 30)))
+        except LanceError:
+            raise
+        except Exception as e:
+            raise IOError_(f"corrupt manifest ({len(data)} bytes): {e}") from e

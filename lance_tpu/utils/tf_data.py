@@ -1,7 +1,8 @@
-"""TensorFlow data loading (reference: python/lance/tf/data.py from_lance).
+"""TensorFlow data loading (reference: python/lance/tf/data.py from_lance,
+python/lance/tf/tfrecord.py write_tfrecord).
 
 TensorFlow is optional; import is deferred and a clear error is raised when
-absent (this environment ships torch-cpu but not tf).
+absent.
 """
 
 from __future__ import annotations
@@ -51,3 +52,43 @@ def from_lance(ds, columns=None, batch_size: int = 1024,
         for k, v in first.items()
     }
     return tf.data.Dataset.from_generator(gen, output_signature=signature)
+
+
+def write_tfrecord(ds, path: str, columns=None, batch_size: int = 1024) -> int:
+    """Export a dataset (or a column subset) to a TFRecord file of
+    tf.train.Example protos; returns the number of records written.
+    float32 vectors -> float_list, ints -> int64_list, strings/bytes ->
+    bytes_list (reference: python/lance/tf/tfrecord.py)."""
+    try:
+        import tensorflow as tf
+    except ImportError as e:  # pragma: no cover
+        raise NotSupportedError(
+            "tensorflow is not installed; `pip install tensorflow` to use write_tfrecord"
+        ) from e
+
+    def feature(v) -> "tf.train.Feature":
+        a = np.asarray(v)
+        if a.dtype.kind == "f":
+            return tf.train.Feature(
+                float_list=tf.train.FloatList(value=a.reshape(-1).astype(np.float32)))
+        if a.dtype.kind in ("i", "u", "b"):
+            return tf.train.Feature(
+                int64_list=tf.train.Int64List(value=a.reshape(-1).astype(np.int64)))
+        vals = [x.encode() if isinstance(x, str) else bytes(x)
+                for x in (a.reshape(-1) if a.ndim else [a.item()])]
+        return tf.train.Feature(bytes_list=tf.train.BytesList(value=vals))
+
+    n = 0
+    sc = ds.scanner().batch_size(batch_size)
+    if columns:
+        sc.project(columns)
+    with tf.io.TFRecordWriter(path) as w:
+        for b in sc.to_batches():
+            cols = {name: b.column(name).to_numpy(zero_copy_only=False)
+                    for name in b.schema.names}
+            for i in range(b.num_rows):
+                ex = tf.train.Example(features=tf.train.Features(
+                    feature={k: feature(v[i]) for k, v in cols.items()}))
+                w.write(ex.SerializeToString())
+                n += 1
+    return n

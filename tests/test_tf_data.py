@@ -1,0 +1,79 @@
+"""TensorFlow integration: from_lance tf.data pipeline (full scan, column
+projection, filter, rank/world fragment sharding) and TFRecord export.
+Skipped cleanly when tensorflow is absent."""
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+
+tf = pytest.importorskip("tensorflow")
+
+from lance_tpu.utils.tf_data import from_lance, write_tfrecord  # noqa: E402
+
+
+@pytest.fixture()
+def ds(tmp_path):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(100, 8)).astype(np.float32)
+    names = np.array([f"item-{i}" for i in range(100)], dtype=object)
+    return lt.write_dataset(
+        {"vec": vecs, "id": np.arange(100, dtype=np.int64), "name": names},
+        str(tmp_path / "t.lance"),
+        params=lt.WriteParams(max_rows_per_file=25))  # 4 fragments
+
+
+def test_from_lance_full_scan(ds):
+    tfds = from_lance(ds, batch_size=32)
+    batches = list(tfds)
+    assert sum(int(b["id"].shape[0]) for b in batches) == 100
+    b0 = batches[0]
+    assert b0["vec"].shape[1] == 8 and b0["vec"].dtype == tf.float32
+    assert b0["id"].dtype == tf.int64
+    assert b0["name"].dtype == tf.string
+    assert b0["name"][0].numpy() == b"item-0"
+
+
+def test_from_lance_projection_and_filter(ds):
+    tfds = from_lance(ds, columns=["id"], batch_size=64, filter="id >= 90")
+    ids = np.concatenate([b["id"].numpy() for b in tfds])
+    assert sorted(ids.tolist()) == list(range(90, 100))
+
+
+def test_from_lance_sharded(ds):
+    """4 fragments, world_size=2 -> each rank sees disjoint halves."""
+    got = {}
+    for rank in (0, 1):
+        tfds = from_lance(ds, columns=["id"], batch_size=25,
+                          rank=rank, world_size=2)
+        got[rank] = np.concatenate([b["id"].numpy() for b in tfds])
+    assert len(got[0]) + len(got[1]) == 100
+    assert not set(got[0].tolist()) & set(got[1].tolist())
+
+
+def test_from_lance_in_keras_style_pipeline(ds):
+    """The tf.data result composes with standard transforms."""
+    tfds = (from_lance(ds, columns=["vec", "id"], batch_size=20)
+            .map(lambda b: (b["vec"], tf.cast(b["id"] % 2, tf.int32)))
+            .prefetch(2))
+    x, y = next(iter(tfds))
+    assert x.shape == (20, 8) and y.shape == (20,)
+
+
+def test_write_tfrecord_roundtrip(ds, tmp_path):
+    path = str(tmp_path / "out.tfrecord")
+    n = write_tfrecord(ds, path, columns=["vec", "id", "name"])
+    assert n == 100
+
+    feat = {"vec": tf.io.FixedLenFeature([8], tf.float32),
+            "id": tf.io.FixedLenFeature([], tf.int64),
+            "name": tf.io.FixedLenFeature([], tf.string)}
+    rec = tf.data.TFRecordDataset(path).map(
+        lambda r: tf.io.parse_single_example(r, feat))
+    rows = list(rec)
+    assert len(rows) == 100
+    assert rows[7]["id"].numpy() == 7
+    assert rows[7]["name"].numpy() == b"item-7"
+    orig = ds.to_table(columns=["vec"], filter="id = 7")
+    np.testing.assert_allclose(rows[7]["vec"].numpy(),
+                               np.asarray(orig["vec"])[0], rtol=1e-6)
