@@ -9,7 +9,6 @@ encoding/pages.py.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Mapping
 
@@ -39,7 +38,7 @@ class FileWriter:
         self.schema = schema
         self.max_page_bytes = max_page_bytes
         self.compression = compression
-        self._buf = io.BytesIO()
+        self._w = store.open_writer(path)
         self._num_rows = 0
         self._finished = False
         # per top-level field: accumulated chunks + flushed page descs
@@ -125,13 +124,13 @@ class FileWriter:
 
     def _append_page(self, name: str, page: EncodedPage) -> None:
         for buf, bdesc in zip(page.buffers, page.desc["buffers"]):
-            bdesc["off"] = self._buf.tell()
-            self._buf.write(buf)
+            bdesc["off"] = self._w.tell()
+            self._w.write(buf)
         self._pages[name].append(page.desc)
 
     def add_global_buffer(self, name: str, data: bytes) -> None:
-        off = self._buf.tell()
-        self._buf.write(data)
+        off = self._w.tell()
+        self._w.write(data)
         self._global_buffers.append({"name": name, "off": off, "len": len(data)})
 
     def add_metadata(self, key: str, value: str) -> None:
@@ -156,17 +155,16 @@ class FileWriter:
             "metadata": self._metadata,
         }
         meta_bytes = pack_metadata(meta)
-        meta_off = self._buf.tell()
-        self._buf.write(meta_bytes)
-        self._buf.write(pack_footer(meta_off, len(meta_bytes), self._num_rows, len(self.schema)))
-        data = self._buf.getvalue()
-        self.store.put(self.path, data)
+        meta_off = self._w.tell()
+        self._w.write(meta_bytes)
+        self._w.write(pack_footer(meta_off, len(meta_bytes), self._num_rows, len(self.schema)))
+        size = self._w.close()
         self._finished = True
-        return len(data)
+        return size
 
     def abort(self) -> None:
         self._finished = True
-        self._buf = io.BytesIO()
+        self._w.abort()
 
     @property
     def num_rows(self) -> int:

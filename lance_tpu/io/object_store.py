@@ -78,6 +78,14 @@ class ObjectStore:
     def copy(self, src: str, dst: str) -> None:
         self.put(dst, self.get(src))
 
+    def open_writer(self, path: str) -> "ObjectWriter":
+        """Streaming writer (reference: ObjectWriter, lance-io/src/
+        object_writer.rs): write() appends, close() publishes atomically,
+        abort() discards. Default implementation buffers and puts once;
+        LocalStore streams to a temp file, S3Store uploads multipart parts
+        concurrently as the buffer fills."""
+        return BufferedObjectWriter(self, path)
+
     # -- tuning ---------------------------------------------------------------
 
     def io_parallelism(self) -> int:
@@ -85,6 +93,53 @@ class ObjectStore:
 
     def block_size(self) -> int:
         return 4096
+
+
+class ObjectWriter:
+    """Streaming object writer: append-only, atomic publish on close."""
+
+    def write(self, data: bytes) -> None:
+        raise NotImplementedError
+
+    def tell(self) -> int:
+        raise NotImplementedError
+
+    def close(self) -> int:
+        """Finalize and publish; returns total bytes written."""
+        raise NotImplementedError
+
+    def abort(self) -> None:
+        """Discard everything written; the object must not appear."""
+        raise NotImplementedError
+
+
+class BufferedObjectWriter(ObjectWriter):
+    def __init__(self, store: ObjectStore, path: str):
+        import io as _io
+
+        self._store = store
+        self._path = path
+        self._buf = _io.BytesIO()
+        self._closed = False
+
+    def write(self, data: bytes) -> None:
+        if self._closed:
+            raise IOError_("write after close/abort")
+        self._buf.write(data)
+
+    def tell(self) -> int:
+        return self._buf.tell()
+
+    def close(self) -> int:
+        if not self._closed:
+            self._store.put(self._path, self._buf.getvalue())
+            self._closed = True
+        return self._buf.tell()
+
+    def abort(self) -> None:
+        self._closed = True
+        self._buf.seek(0)
+        self._buf.truncate()
 
 
 class MemoryStore(ObjectStore):
@@ -210,6 +265,9 @@ class LocalStore(ObjectStore):
             raise
         return True
 
+    def open_writer(self, path: str) -> "ObjectWriter":
+        return LocalObjectWriter(self, path)
+
     def delete(self, path: str) -> None:
         try:
             os.unlink(self._full(path))
@@ -229,6 +287,45 @@ class LocalStore(ObjectStore):
 
     def io_parallelism(self) -> int:
         return int(os.environ.get("LANCE_TPU_IO_THREADS", str((os.cpu_count() or 4) * 2)))
+
+
+class LocalObjectWriter(ObjectWriter):
+    """Streams to a temp file in the target directory; atomic rename on
+    close, unlink on abort — a crashed writer never leaves a visible file."""
+
+    def __init__(self, store: LocalStore, path: str):
+        full = store._full(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        self._final = full
+        self._tmp = f"{full}.tmp-{uuid_mod.uuid4().hex[:12]}"
+        self._f = open(self._tmp, "wb")
+        self._n = 0
+        self._done = False
+
+    def write(self, data: bytes) -> None:
+        if self._done:
+            raise IOError_("write after close/abort")
+        self._f.write(data)
+        self._n += len(data)
+
+    def tell(self) -> int:
+        return self._n
+
+    def close(self) -> int:
+        if not self._done:
+            self._f.close()
+            os.replace(self._tmp, self._final)
+            self._done = True
+        return self._n
+
+    def abort(self) -> None:
+        if not self._done:
+            self._f.close()
+            try:
+                os.unlink(self._tmp)
+            except OSError:
+                pass
+            self._done = True
 
 
 class BranchStore(ObjectStore):
@@ -269,6 +366,9 @@ class BranchStore(ObjectStore):
 
     def put_if_not_exists(self, path: str, data: bytes) -> bool:
         return self.inner.put_if_not_exists(self._p(path), data)
+
+    def open_writer(self, path: str) -> "ObjectWriter":
+        return self.inner.open_writer(self._p(path))
 
     def delete(self, path: str) -> None:
         self.inner.delete(self._p(path))
@@ -380,6 +480,9 @@ class PrefixedStore(ObjectStore):
 
     def put_if_not_exists(self, path: str, data: bytes) -> bool:
         return self.inner.put_if_not_exists(self._p(path), data)
+
+    def open_writer(self, path: str) -> "ObjectWriter":
+        return self.inner.open_writer(self._p(path))
 
     def delete(self, path: str) -> None:
         self.inner.delete(self._p(path))

@@ -208,3 +208,125 @@ class S3Store(ObjectStore):
 
     def io_parallelism(self) -> int:
         return 64
+
+    def open_writer(self, path: str):
+        return S3MultipartWriter(self, path)
+
+    # -- multipart upload primitives (used by S3MultipartWriter) --------------
+
+    def _mpu_create(self, path: str) -> str:
+        code, body, _ = self._request("POST", self._url(path, "uploads"))
+        if code >= 300:
+            raise IOError_(f"s3 create multipart {path}: HTTP {code}: {body[:200]!r}")
+        ns = "{http://s3.amazonaws.com/doc/2006-03-01/}"
+        upload_id = ET.fromstring(body).findtext(f"{ns}UploadId") or \
+            ET.fromstring(body).findtext("UploadId")
+        if not upload_id:
+            raise IOError_(f"s3 create multipart {path}: no UploadId in response")
+        return upload_id
+
+    def _mpu_upload_part(self, path: str, upload_id: str, part_no: int,
+                         data: bytes) -> str:
+        q = f"partNumber={part_no}&uploadId={_uri_encode(upload_id)}"
+        code, body, hdrs = self._request("PUT", self._url(path, q), payload=data)
+        if code >= 300:
+            raise IOError_(f"s3 upload part {part_no} {path}: HTTP {code}: {body[:200]!r}")
+        return hdrs.get("ETag", "").strip('"')
+
+    def _mpu_complete(self, path: str, upload_id: str,
+                      etags: list[tuple[int, str]]) -> None:
+        parts = "".join(
+            f"<Part><PartNumber>{n}</PartNumber><ETag>{e}</ETag></Part>"
+            for n, e in sorted(etags))
+        payload = (f"<CompleteMultipartUpload>{parts}"
+                   f"</CompleteMultipartUpload>").encode()
+        q = f"uploadId={_uri_encode(upload_id)}"
+        code, body, _ = self._request("POST", self._url(path, q), payload=payload)
+        if code >= 300:
+            raise IOError_(f"s3 complete multipart {path}: HTTP {code}: {body[:200]!r}")
+
+    def _mpu_abort(self, path: str, upload_id: str) -> None:
+        q = f"uploadId={_uri_encode(upload_id)}"
+        self._request("DELETE", self._url(path, q))
+
+
+class S3MultipartWriter:
+    """Streaming S3 writer (reference: ObjectWriter multipart upload,
+    lance-io/src/object_writer.rs with LANCE_UPLOAD_CONCURRENCY /
+    LANCE_INITIAL_UPLOAD_SIZE): parts are uploaded concurrently as the
+    buffer crosses the part size; small objects fall back to a single PUT.
+    close() completes the upload; abort() cancels it server-side so no
+    object ever appears."""
+
+    def __init__(self, store: S3Store, path: str):
+        import concurrent.futures as cf
+
+        self._store = store
+        self._path = path
+        # S3 imposes a 5 MiB minimum part size (except the last part); an
+        # explicit env override is trusted as-is so tests can use tiny parts
+        env = (os.environ.get("LANCE_TPU_UPLOAD_PART_SIZE")
+               or os.environ.get("LANCE_INITIAL_UPLOAD_SIZE"))
+        self._part_size = int(env) if env else 8 * 1024 * 1024
+        workers = int(os.environ.get("LANCE_UPLOAD_CONCURRENCY", "8"))
+        self._pool = cf.ThreadPoolExecutor(max_workers=workers)
+        self._chunks: list[bytes] = []
+        self._buffered = 0
+        self._total = 0
+        self._upload_id: str | None = None
+        self._futures: list = []
+        self._next_part = 1
+        self._done = False
+
+    def write(self, data: bytes) -> None:
+        if self._done:
+            raise IOError_("write after close/abort")
+        self._chunks.append(bytes(data))
+        self._buffered += len(data)
+        self._total += len(data)
+        while self._buffered >= self._part_size:
+            self._flush_part(self._part_size)
+
+    def tell(self) -> int:
+        return self._total
+
+    def _flush_part(self, size: int) -> None:
+        if self._upload_id is None:
+            self._upload_id = self._store._mpu_create(self._path)
+        buf = b"".join(self._chunks)
+        part, rest = buf[:size], buf[size:]
+        self._chunks = [rest] if rest else []
+        self._buffered = len(rest)
+        part_no = self._next_part
+        self._next_part += 1
+        self._futures.append(self._pool.submit(
+            lambda: (part_no, self._store._mpu_upload_part(
+                self._path, self._upload_id, part_no, part))))
+
+    def close(self) -> int:
+        if self._done:
+            return self._total
+        self._done = True
+        try:
+            if self._upload_id is None:
+                # never crossed a part boundary: one plain PUT
+                self._store.put(self._path, b"".join(self._chunks))
+            else:
+                if self._buffered:
+                    self._flush_part(self._buffered)
+                etags = [f.result() for f in self._futures]
+                self._store._mpu_complete(self._path, self._upload_id, etags)
+        finally:
+            self._pool.shutdown(wait=False)
+        return self._total
+
+    def abort(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        for f in self._futures:
+            f.cancel()
+        self._pool.shutdown(wait=True)
+        if self._upload_id is not None:
+            self._store._mpu_abort(self._path, self._upload_id)
+        self._chunks = []

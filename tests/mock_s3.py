@@ -13,6 +13,10 @@ from urllib.parse import parse_qs, unquote, urlsplit
 class MockS3:
     def __init__(self):
         self.objects: dict[str, bytes] = {}  # "bucket/key" -> bytes
+        self.uploads: dict[str, dict[int, bytes]] = {}  # uploadId -> parts
+        self.upload_keys: dict[str, str] = {}  # uploadId -> object key
+        self.completed_multipart = 0
+        self.aborted_multipart = 0
         self.lock = threading.Lock()
         srv = self
 
@@ -36,12 +40,57 @@ class MockS3:
             def do_PUT(self):
                 n = int(self.headers.get("Content-Length", "0"))
                 data = self.rfile.read(n)
+                q = parse_qs(urlsplit(self.path).query)
+                if "uploadId" in q:  # UploadPart
+                    uid = q["uploadId"][0]
+                    part_no = int(q["partNumber"][0])
+                    with srv.lock:
+                        if uid not in srv.uploads:
+                            return self._send(404)
+                        srv.uploads[uid][part_no] = data
+                    return self._send(200, headers={"ETag": f'"mock-{uid}-{part_no}"'})
                 key = self._key()
                 with srv.lock:
                     if self.headers.get("If-None-Match") == "*" and key in srv.objects:
                         return self._send(412)
                     srv.objects[key] = data
                 self._send(200)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                split = urlsplit(self.path)
+                q = parse_qs(split.query, keep_blank_values=True)
+                key = self._key()
+                if "uploads" in q:  # CreateMultipartUpload
+                    import uuid
+                    uid = uuid.uuid4().hex
+                    with srv.lock:
+                        srv.uploads[uid] = {}
+                        srv.upload_keys[uid] = key
+                    xml = (f'<?xml version="1.0"?><InitiateMultipartUploadResult '
+                           f'xmlns="http://s3.amazonaws.com/doc/2006-03-01/">'
+                           f"<UploadId>{uid}</UploadId>"
+                           f"</InitiateMultipartUploadResult>")
+                    return self._send(200, xml.encode())
+                if "uploadId" in q:  # CompleteMultipartUpload
+                    uid = q["uploadId"][0]
+                    with srv.lock:
+                        parts = srv.uploads.pop(uid, None)
+                        okey = srv.upload_keys.pop(uid, None)
+                        if parts is None:
+                            return self._send(404)
+                        # ETag list in body must name every stored part, in order
+                        import re
+                        claimed = [int(m) for m in
+                                   re.findall(rb"<PartNumber>(\d+)</PartNumber>", body)]
+                        if claimed != sorted(parts):
+                            return self._send(400)
+                        srv.objects[okey] = b"".join(
+                            parts[i] for i in sorted(parts))
+                        srv.completed_multipart += 1
+                    return self._send(200, b"<CompleteMultipartUploadResult/>")
+                self._send(400)
 
             def do_GET(self):
                 split = urlsplit(self.path)
@@ -86,8 +135,15 @@ class MockS3:
                 self.end_headers()
 
             def do_DELETE(self):
+                q = parse_qs(urlsplit(self.path).query)
                 with srv.lock:
-                    srv.objects.pop(self._key(), None)
+                    if "uploadId" in q:  # AbortMultipartUpload
+                        uid = q["uploadId"][0]
+                        srv.uploads.pop(uid, None)
+                        srv.upload_keys.pop(uid, None)
+                        srv.aborted_multipart += 1
+                    else:
+                        srv.objects.pop(self._key(), None)
                 self._send(204)
 
         self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
