@@ -1,0 +1,239 @@
+// lance_tpu native I/O scheduler.
+//
+// TPU-native equivalent of the reference's tokio-based ScanScheduler /
+// FileScheduler (rust/lance-io/src/scheduler.rs:591,800): a priority queue
+// of ranged reads served by a pread() thread pool, with backpressure on
+// bytes-in-flight and the same deadlock-avoidance admission rule — the
+// most-urgent request is always admitted even when the buffer budget is
+// exhausted (reference scheduler.rs:237-256).
+//
+// Reads go straight into caller-provided buffers (numpy arrays on the
+// Python side), so the hot path is: priority pop -> open/pread -> done,
+// entirely outside the Python GIL. Detached requests (prefetch) read into
+// scratch and self-delete.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread io_scheduler.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <condition_variable>
+#include <fcntl.h>
+#include <map>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+struct Request {
+    int64_t priority;
+    uint64_t seq;
+    std::string path;
+    std::vector<std::pair<int64_t, int64_t>> ranges;  // (offset, len)
+    uint8_t* dest;        // caller buffer of total size, or nullptr (detached)
+    int64_t nbytes;
+    bool detached;
+    // completion
+    std::mutex m;
+    std::condition_variable cv;
+    bool done = false;
+    int error = 0;  // errno, or -1 for short read
+};
+
+struct ReqCmp {
+    bool operator()(Request* a, Request* b) const {
+        if (a->priority != b->priority) return a->priority > b->priority;
+        return a->seq > b->seq;  // min-heap: smallest (priority, seq) first
+    }
+};
+
+struct Scheduler {
+    std::mutex m;
+    std::condition_variable cv;
+    std::priority_queue<Request*, std::vector<Request*>, ReqCmp> queue;
+    std::map<uint64_t, Request*> live;  // waitable requests by id
+    std::vector<std::thread> threads;
+    int64_t buffer_bytes;
+    int64_t bytes_in_flight = 0;
+    uint64_t next_seq = 0;
+    bool closed = false;
+    // stats
+    int64_t stat_requests = 0;
+    int64_t stat_iops = 0;
+    int64_t stat_bytes = 0;
+
+    Request* admit_locked() {
+        if (queue.empty()) return nullptr;
+        Request* head = queue.top();
+        if (bytes_in_flight == 0 ||
+            bytes_in_flight + head->nbytes <= buffer_bytes) {
+            queue.pop();
+            return head;
+        }
+        return nullptr;
+    }
+
+    void worker() {
+        for (;;) {
+            Request* req;
+            {
+                std::unique_lock<std::mutex> lk(m);
+                req = admit_locked();
+                while (req == nullptr) {
+                    if (closed) return;
+                    cv.wait(lk);
+                    req = admit_locked();
+                }
+                bytes_in_flight += req->nbytes;
+            }
+            execute(req);
+            {
+                std::lock_guard<std::mutex> lk(m);
+                bytes_in_flight -= req->nbytes;
+                cv.notify_all();
+            }
+        }
+    }
+
+    void execute(Request* req) {
+        int err = 0;
+        int fd = ::open(req->path.c_str(), O_RDONLY);
+        if (fd < 0) {
+            err = errno ? errno : -1;
+        } else {
+            std::vector<uint8_t> scratch;
+            uint8_t* base = req->dest;
+            if (base == nullptr) {  // detached prefetch: page-cache warm
+                scratch.resize(static_cast<size_t>(req->nbytes));
+                base = scratch.data();
+            }
+            int64_t out = 0;
+            for (auto& [off, len] : req->ranges) {
+                int64_t got = 0;
+                while (got < len) {
+                    ssize_t r = ::pread(fd, base + out + got, len - got, off + got);
+                    if (r < 0) { err = errno ? errno : -1; break; }
+                    if (r == 0) { err = -1; break; }  // short read / EOF
+                    got += r;
+                }
+                if (err) break;
+                out += len;
+            }
+            ::close(fd);
+            if (!err) {
+                std::lock_guard<std::mutex> lk(m);
+                stat_iops += static_cast<int64_t>(req->ranges.size());
+                stat_bytes += req->nbytes;
+            }
+        }
+        if (req->detached) {
+            delete req;
+            return;
+        }
+        std::lock_guard<std::mutex> lk(req->m);
+        req->error = err;
+        req->done = true;
+        req->cv.notify_all();
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* iosched_create(int parallelism, int64_t buffer_bytes) {
+    auto* s = new Scheduler();
+    s->buffer_bytes = buffer_bytes > 0 ? buffer_bytes : (32LL << 20);
+    if (parallelism < 1) parallelism = 1;
+    for (int i = 0; i < parallelism; i++)
+        s->threads.emplace_back([s] { s->worker(); });
+    return s;
+}
+
+// Submit a ranged read. dest must hold sum(lens) bytes and stay alive until
+// iosched_wait returns (pass dest=nullptr with detached=1 for prefetch).
+// Returns a request id (0 for detached submissions).
+uint64_t iosched_submit(void* h, const char* path, const int64_t* offsets,
+                        const int64_t* lens, int64_t n, int64_t priority,
+                        uint8_t* dest, int detached) {
+    auto* s = static_cast<Scheduler*>(h);
+    auto* req = new Request();
+    req->priority = priority;
+    req->path = path;
+    req->dest = detached ? nullptr : dest;
+    req->detached = detached != 0;
+    req->nbytes = 0;
+    req->ranges.reserve(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; i++) {
+        req->ranges.emplace_back(offsets[i], lens[i]);
+        req->nbytes += lens[i];
+    }
+    uint64_t id;
+    {
+        std::lock_guard<std::mutex> lk(s->m);
+        req->seq = s->next_seq++;
+        id = req->seq + 1;  // 0 reserved for detached
+        s->stat_requests++;
+        if (!req->detached) s->live[id] = req;
+        s->queue.push(req);
+        s->cv.notify_one();
+    }
+    return req->detached ? 0 : id;
+}
+
+// Block until the request completes; returns 0 on success, errno/-1 on
+// failure. The request is consumed (id becomes invalid).
+int iosched_wait(void* h, uint64_t id) {
+    auto* s = static_cast<Scheduler*>(h);
+    Request* req;
+    {
+        std::lock_guard<std::mutex> lk(s->m);
+        auto it = s->live.find(id);
+        if (it == s->live.end()) return -2;  // unknown id
+        req = it->second;
+        s->live.erase(it);
+    }
+    int err;
+    {
+        std::unique_lock<std::mutex> lk(req->m);
+        req->cv.wait(lk, [req] { return req->done; });
+        err = req->error;
+    }
+    delete req;
+    return err;
+}
+
+void iosched_stats(void* h, int64_t* out3) {
+    auto* s = static_cast<Scheduler*>(h);
+    std::lock_guard<std::mutex> lk(s->m);
+    out3[0] = s->stat_requests;
+    out3[1] = s->stat_iops;
+    out3[2] = s->stat_bytes;
+}
+
+void iosched_destroy(void* h) {
+    auto* s = static_cast<Scheduler*>(h);
+    {
+        std::lock_guard<std::mutex> lk(s->m);
+        s->closed = true;
+        s->cv.notify_all();
+    }
+    for (auto& t : s->threads) t.join();
+    // drain anything never executed/waited
+    while (!s->queue.empty()) {
+        Request* r = s->queue.top();
+        s->queue.pop();
+        if (r->detached) { delete r; continue; }
+        std::lock_guard<std::mutex> lk(r->m);
+        r->error = -3;  // scheduler shut down
+        r->done = true;
+        r->cv.notify_all();
+        // waiter (if any) deletes; if never waited it leaks — acceptable at exit
+    }
+    delete s;
+}
+
+}  // extern "C"

@@ -231,9 +231,9 @@ class Scanner:
         # per-scan IO scheduler: page reads flow through the priority +
         # backpressure queue (reference ScanScheduler; parallelizes reads on
         # file/cloud stores, harmless passthrough for memory stores)
-        from ..io.scheduler import ScanScheduler
+        from ..io.scheduler import make_scheduler
 
-        scheduler = ScanScheduler(self.ds.store)
+        scheduler = make_scheduler(self.ds.store)
         try:
             yield from self._scan_with_scheduler(
                 scheduler, out_cols, filter_cols, remaining, to_skip, collected,

@@ -131,7 +131,7 @@ class FileReader:
                 continue
             ranges = [(b["off"], b["len"]) for b in p["buffers"]]
             if ranges:
-                self._file_sched.submit_request(ranges)
+                self._file_sched.prefetch(ranges)
 
     def read_column(self, name: str, row_start: int = 0, row_count: int | None = None) -> ColumnData:
         if name not in self._columns:

@@ -1,0 +1,211 @@
+"""ctypes wrapper for the C++ I/O scheduler (cpp/io_scheduler.cpp).
+
+The native scheduler serves local-filesystem reads: a pread() thread pool
+behind a priority queue with bytes-in-flight backpressure, running entirely
+outside the GIL, writing straight into numpy-owned buffers. Cloud stores
+keep the Python scheduler (their latency dwarfs interpreter overhead).
+
+Same contract as io/scheduler.py ScanScheduler (reference
+rust/lance-io/src/scheduler.rs): submit(path, ranges, priority) -> future
+whose .result() is the list of per-range buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..errors import IOError_
+from .object_store import ObjectStore
+
+_CPP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "cpp")
+_SRC = os.path.join(_CPP_DIR, "io_scheduler.cpp")
+_SO = os.path.join(_CPP_DIR, "libiosched.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                     _SRC, "-o", _SO],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_SO)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.iosched_create.argtypes = [ctypes.c_int, ctypes.c_int64]
+            lib.iosched_create.restype = ctypes.c_void_p
+            lib.iosched_submit.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, i64p, i64p,
+                ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int]
+            lib.iosched_submit.restype = ctypes.c_uint64
+            lib.iosched_wait.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+            lib.iosched_wait.restype = ctypes.c_int
+            lib.iosched_stats.argtypes = [ctypes.c_void_p, i64p]
+            lib.iosched_destroy.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def resolve_local_root(store: ObjectStore) -> str | None:
+    """Filesystem root if `store` bottoms out at a LocalStore, else None.
+    Walks PrefixedStore/BranchStore views, composing their path mapping."""
+    from .object_store import BranchStore, LocalStore, PrefixedStore
+
+    if isinstance(store, LocalStore):
+        return store.root
+    if isinstance(store, (PrefixedStore, BranchStore)):
+        # views rewrite paths via _p(); the caller resolves through resolve()
+        inner = resolve_local_root(store.inner)
+        return inner
+    return None
+
+
+def _full_path(store: ObjectStore, path: str) -> str:
+    """Absolute filesystem path of `path` through any store views."""
+    from .object_store import BranchStore, LocalStore, PrefixedStore
+
+    if isinstance(store, LocalStore):
+        return store._full(path)
+    if isinstance(store, (PrefixedStore, BranchStore)):
+        return _full_path(store.inner, store._p(path))
+    raise IOError_("native scheduler: store is not local")
+
+
+class _NativeFuture:
+    """Future-alike over one native request; .result() blocks in C
+    (GIL released) and slices the shared buffer into per-range views."""
+
+    def __init__(self, sched: "NativeScanScheduler", req_id: int,
+                 buf: np.ndarray, ranges):
+        self._sched = sched
+        self._id = req_id
+        self._buf = buf
+        self._ranges = ranges
+        self._done = False
+
+    def result(self, timeout=None):
+        if not self._done:
+            if self._sched._closed:
+                raise IOError_("scheduler closed before result was read")
+            err = _lib.iosched_wait(self._sched._h, self._id)
+            self._sched._outstanding.pop(self._id, None)
+            self._done = True
+            if err:
+                raise IOError_(
+                    f"native read failed ({os.strerror(err) if err > 0 else f'code {err}'})")
+        out, pos = [], 0
+        mv = memoryview(self._buf)
+        for _, length in self._ranges:
+            out.append(mv[pos:pos + length])
+            pos += length
+        return out
+
+
+class NativeScanScheduler:
+    """Drop-in for ScanScheduler over local stores, backed by the C++
+    pread pool. Exposes the same open_file/submit/stats/close surface."""
+
+    def __init__(self, store: ObjectStore, io_parallelism: int | None = None,
+                 io_buffer_bytes: int | None = None):
+        from .scheduler import DEFAULT_IO_BUFFER_BYTES, ScanStats
+
+        lib = _load()
+        if lib is None:
+            raise IOError_("native io scheduler unavailable")
+        self.store = store
+        self.parallelism = io_parallelism or store.io_parallelism()
+        self.io_buffer_bytes = io_buffer_bytes or int(
+            os.environ.get("LANCE_TPU_IO_BUFFER_BYTES", DEFAULT_IO_BUFFER_BYTES))
+        self._h = lib.iosched_create(self.parallelism, self.io_buffer_bytes)
+        self._stats_t = ScanStats
+        self._file_seq = 0
+        self._lock = threading.Lock()
+        # rid -> dest buffer: keeps numpy memory alive until the request
+        # is waited (a discarded future must never free the dest mid-write)
+        self._outstanding: dict[int, np.ndarray] = {}
+        self._closed = False
+
+    def open_file(self, path: str):
+        from .scheduler import FileScheduler
+
+        with self._lock:
+            fs = self._file_seq
+            self._file_seq += 1
+        return FileScheduler(self, path, fs)
+
+    def submit(self, path: str, ranges, priority: int,
+               detached: bool = False):
+        if self._closed:
+            raise RuntimeError("scheduler closed")
+        full = _full_path(self.store, path).encode()
+        n = len(ranges)
+        offs = np.fromiter((r[0] for r in ranges), dtype=np.int64, count=n)
+        lens = np.fromiter((r[1] for r in ranges), dtype=np.int64, count=n)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        if detached:
+            _lib.iosched_submit(
+                self._h, full, offs.ctypes.data_as(i64p),
+                lens.ctypes.data_as(i64p), n, priority, None, 1)
+            return None
+        buf = np.empty(int(lens.sum()), dtype=np.uint8)
+        rid = _lib.iosched_submit(
+            self._h, full, offs.ctypes.data_as(i64p),
+            lens.ctypes.data_as(i64p), n, priority,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 0)
+        self._outstanding[rid] = buf
+        return _NativeFuture(self, rid, buf, list(ranges))
+
+    @property
+    def stats(self):
+        out = np.zeros(3, dtype=np.int64)
+        _lib.iosched_stats(self._h, out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)))
+        return self._stats_t(requests=int(out[0]), iops=int(out[1]),
+                             bytes_read=int(out[2]))
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        # drain outstanding waits so destroy never races a live .result()
+        for rid in list(self._outstanding):
+            try:
+                _lib.iosched_wait(self._h, rid)
+            except Exception:
+                pass
+        self._outstanding.clear()
+        self._closed = True
+        _lib.iosched_destroy(self._h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -159,5 +159,30 @@ class FileScheduler:
         prio = priority if priority is not None else (self.file_seq << 32) | seq
         return self.parent.submit(self.path, ranges, prio)
 
+    def prefetch(self, ranges: list[tuple[int, int]]) -> None:
+        """Fire-and-forget read-ahead (native scheduler: detached request
+        into scratch; Python scheduler: ordinary request, future dropped)."""
+        with self._lock:
+            seq = self._req_seq
+            self._req_seq += 1
+        prio = (self.file_seq << 32) | seq
+        try:
+            self.parent.submit(self.path, ranges, prio, detached=True)
+        except TypeError:
+            self.parent.submit(self.path, ranges, prio)
+
     def submit_single(self, start: int, length: int) -> Future:
         return self.submit_request([(start, length)])
+
+
+def make_scheduler(store: ObjectStore, io_parallelism: int | None = None,
+                   io_buffer_bytes: int | None = None):
+    """Best scheduler for `store`: the C++ pread-pool scheduler when the
+    store bottoms out at the local filesystem (unless LANCE_TPU_NATIVE_IO=0),
+    else the Python thread-pool scheduler."""
+    if os.environ.get("LANCE_TPU_NATIVE_IO", "1") != "0":
+        from . import native_scheduler as ns
+
+        if ns.available() and ns.resolve_local_root(store) is not None:
+            return ns.NativeScanScheduler(store, io_parallelism, io_buffer_bytes)
+    return ScanScheduler(store, io_parallelism, io_buffer_bytes)

@@ -1,0 +1,119 @@
+"""C++ I/O scheduler: correctness of ranged preads into numpy buffers,
+error propagation, stats, detached prefetch, and scan-path equivalence
+with the Python scheduler."""
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.errors import IOError_
+from lance_tpu.io import native_scheduler as ns
+from lance_tpu.io.object_store import LocalStore, MemoryStore, PrefixedStore
+from lance_tpu.io.scheduler import ScanScheduler, make_scheduler
+
+pytestmark = pytest.mark.skipif(not ns.available(),
+                                reason="native io scheduler unavailable (no g++)")
+
+
+def test_ranged_reads_exact(tmp_path):
+    st = LocalStore(str(tmp_path))
+    payload = bytes(np.random.default_rng(0).integers(0, 256, 100_000, dtype=np.uint8))
+    st.put("data.bin", payload)
+    with ns.NativeScanScheduler(st, io_parallelism=4) as sched:
+        fs = sched.open_file("data.bin")
+        ranges = [(0, 10), (50_000, 1234), (99_990, 10), (7, 1)]
+        bufs = fs.submit_request(ranges).result()
+        for (off, length), buf in zip(ranges, bufs):
+            assert bytes(buf) == payload[off:off + length]
+        # many concurrent requests, odd sizes
+        futs = [fs.submit_request([(i * 997, 997)]) for i in range(100)]
+        for i, f in enumerate(futs):
+            assert bytes(f.result()[0]) == payload[i * 997:i * 997 + 997]
+        s = sched.stats
+        assert s.requests == 101 and s.iops == 104
+        assert s.bytes_read == 10 + 1234 + 10 + 1 + 100 * 997
+
+
+def test_missing_file_raises(tmp_path):
+    st = LocalStore(str(tmp_path))
+    with ns.NativeScanScheduler(st) as sched:
+        fut = sched.open_file("nope.bin").submit_request([(0, 10)])
+        with pytest.raises(IOError_):
+            fut.result()
+
+
+def test_short_read_raises(tmp_path):
+    st = LocalStore(str(tmp_path))
+    st.put("small.bin", b"abc")
+    with ns.NativeScanScheduler(st) as sched:
+        fut = sched.open_file("small.bin").submit_request([(0, 100)])
+        with pytest.raises(IOError_):
+            fut.result()
+
+
+def test_detached_prefetch_and_discarded_future(tmp_path):
+    st = LocalStore(str(tmp_path))
+    st.put("p.bin", b"x" * 10_000)
+    with ns.NativeScanScheduler(st) as sched:
+        fs = sched.open_file("p.bin")
+        fs.prefetch([(0, 5000)])          # detached
+        fs.submit_request([(5000, 5000)])  # future discarded: close() drains
+        got = fs.submit_request([(0, 4)]).result()
+        assert bytes(got[0]) == b"xxxx"
+    # context exit closed cleanly with the discarded request outstanding
+
+
+def test_backpressure_tiny_budget(tmp_path):
+    """With a 1-byte budget every request exceeds it; the admission rule
+    (most-urgent always admitted) must still drain everything."""
+    st = LocalStore(str(tmp_path))
+    payload = bytes(range(256)) * 100
+    st.put("b.bin", payload)
+    with ns.NativeScanScheduler(st, io_parallelism=8, io_buffer_bytes=1) as sched:
+        fs = sched.open_file("b.bin")
+        futs = [fs.submit_request([(i * 100, 100)]) for i in range(50)]
+        for i, f in enumerate(futs):
+            assert bytes(f.result()[0]) == payload[i * 100:(i + 1) * 100]
+
+
+def test_make_scheduler_selection(tmp_path, monkeypatch):
+    local = LocalStore(str(tmp_path))
+    assert isinstance(make_scheduler(local), ns.NativeScanScheduler)
+    assert isinstance(make_scheduler(PrefixedStore(local, "sub")),
+                      ns.NativeScanScheduler)
+    assert isinstance(make_scheduler(MemoryStore()), ScanScheduler)
+    monkeypatch.setenv("LANCE_TPU_NATIVE_IO", "0")
+    assert isinstance(make_scheduler(local), ScanScheduler)
+
+
+def test_prefixed_store_paths_resolve(tmp_path):
+    """Reads through a PrefixedStore view hit the right file."""
+    local = LocalStore(str(tmp_path))
+    local.put("root/inner/f.bin", b"hello world")
+    view = PrefixedStore(local, "root")
+    with ns.NativeScanScheduler(view) as sched:
+        got = sched.open_file("inner/f.bin").submit_request([(6, 5)]).result()
+        assert bytes(got[0]) == b"world"
+
+
+def test_scan_equivalence_native_vs_python(tmp_path, monkeypatch):
+    """Full dataset scans produce identical tables under both schedulers."""
+    rng = np.random.default_rng(3)
+    uri = str(tmp_path / "d.lance")
+    lt.write_dataset(
+        {"vec": rng.normal(size=(400, 16)).astype(np.float32),
+         "id": np.arange(400, dtype=np.int64),
+         "name": np.array([f"r{i}" for i in range(400)], dtype=object)},
+        uri, params=lt.WriteParams(max_rows_per_file=150))
+
+    def snap():
+        ds = lt.dataset(uri)
+        t = ds.to_table(filter="id >= 100 and id < 350")
+        return (t.num_rows, np.asarray(t["id"]).tolist(),
+                [str(x) for x in np.asarray(t["name"])])
+
+    native = snap()
+    monkeypatch.setenv("LANCE_TPU_NATIVE_IO", "0")
+    python = snap()
+    assert native[0] == python[0] == 250
+    assert native == python
