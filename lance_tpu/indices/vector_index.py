@@ -136,6 +136,12 @@ def build_ivf_index(
     # below consumes the device copy (transfers, not compute, dominate builds)
     dev_vectors = jnp.asarray(vectors)
 
+    # graph sub-indices amortize over partition size: keep partitions >=1k
+    # rows so per-partition graphs stay navigable (the reference hits the
+    # same tradeoff via its num_partitions guidance for IVF_HNSW_*)
+    if index_type.startswith("IVF_HNSW"):
+        num_partitions = min(num_partitions, max(1, n // 1024))
+
     # 1. coarse quantizer (or external centroids for distributed builds)
     if ivf_centroids is not None:
         km = KMeans(np.asarray(ivf_centroids, dtype=np.float32), metric)
@@ -326,15 +332,27 @@ def build_ivf_index(
                 "num_bits": 1, "dim": int(dim)}
 
     if index_type in ("IVF_HNSW_SQ", "IVF_HNSW_PQ", "HNSW"):
-        # Graph index: global CAGRA-style graph (TPU re-design of HNSW; see
-        # models/hnsw.py) + quantized storage for beam distances.
-        from ..models.hnsw import HnswParams, build_hnsw
+        # Graph index (TPU re-design of HNSW; see models/hnsw.py). For
+        # IVF_HNSW_* this is the reference's v3 composition (IVF partitions
+        # × per-partition graph sub-index, lance/src/index/vector/builder.rs):
+        # rows are partition-sorted, each partition gets an independent graph
+        # (edges never cross partitions), and probing seeds the batched beam
+        # with the probed partitions' entry points. Plain "HNSW" keeps one
+        # global graph.
+        from ..models.hnsw import HnswParams, build_hnsw, build_partitioned_hnsw
         from ..ops.distance import normalize as _normalize
 
         base = vectors
         if metric == "cosine":
             base = np.asarray(_normalize(dev_vectors))
-        graph = build_hnsw(base, HnswParams(), metric)
+        partitioned = index_type != "HNSW" and num_partitions > 1
+        if partitioned:
+            boundaries = np.append(offsets, n)
+            base = base[order]
+            rowids = sorted_rowids
+            graph = build_partitioned_hnsw(base, boundaries, HnswParams(), metric)
+        else:
+            graph = build_hnsw(base, HnswParams(), metric)
         g_header, g_payload = graph.to_buffers()
         if index_type == "IVF_HNSW_PQ":
             pq = train_pq(base, PQParams(num_sub_vectors=num_sub_vectors,
@@ -364,6 +382,9 @@ def build_ivf_index(
                            code_col: codes[s : s + step]})
         w.add_global_buffer("hnsw_header", json.dumps(g_header).encode())
         w.add_global_buffer("hnsw_data", g_payload)
+        if partitioned:
+            w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+            w.add_global_buffer("ivf_data", ivf_payload)
         for name_, payload_ in extra:
             w.add_global_buffer(name_, payload_)
         w.finish()
@@ -371,7 +392,8 @@ def build_ivf_index(
         ds.session.index_cache.put("ivf_vec", (uuid, "refine_vectors"),
                                    jnp.asarray(base))
         return {"metric": metric, "m": graph.deg // 2, "dim": int(dim),
-                "num_bits": num_bits}
+                "num_bits": num_bits,
+                "num_partitions": int(num_partitions) if partitioned else 1}
 
     raise InvalidInputError(f"unknown vector index type {index_type}")
 
@@ -1090,6 +1112,17 @@ class HnswIndex:
         )
         self.metric = self.graph.metric
         self.num_rows = reader.num_rows
+        # IVF composition: centroids route queries to per-partition entry
+        # points (reference ANNIvfPartitionExec -> per-partition sub-index)
+        self._centroids_dev = None
+        if self.graph.part_entries is not None and "ivf_header" in reader.global_buffer_names():
+            from ..models.ivf import IvfModel
+
+            ivf = IvfModel.from_parts(
+                json.loads(reader.read_global_buffer("ivf_header")),
+                reader.read_global_buffer("ivf_data"))
+            self._centroids_dev = jnp.asarray(ivf.centroids)
+            self._part_entries = jnp.asarray(self.graph.part_entries)
         self.rowids = np.asarray(reader.read_column(ROWID_COL).values, dtype=np.uint64)
         from ..models.frag_reuse import remap_rowids
 
@@ -1135,9 +1168,23 @@ class HnswIndex:
 
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
         ef = ef or max(k * 4, nprobes * 4, 32)
+        seeds = None
+        if self._centroids_dev is not None:
+            # IVF probing: per-query seeds = entry points of the nprobes
+            # nearest partitions; the beam stays inside probed partitions
+            # because graph edges never cross partition boundaries
+            from ..ops.distance import topk_neighbors
+
+            np_eff = min(nprobes, self._centroids_dev.shape[0])
+            _, probed = topk_neighbors(jnp.asarray(q), self._centroids_dev,
+                                       np_eff, self.metric)
+            seeds = np.asarray(jnp.take(self._part_entries, probed,
+                                        axis=0)).reshape(q.shape[0], -1)
+            # beam must hold the seeds AND leave room to expand past them
+            ef = max(ef, 2 * seeds.shape[1])
         fetch = k if refine_factor is None else min(k * refine_factor, self.num_rows)
         d, pos = hnsw_search(self.graph, self._rows_dev, q, min(fetch, ef), ef=ef,
-                             selection=selection)
+                             selection=selection, entries=seeds)
         if refine_factor is not None:
             qb = q
             d2, pos2 = _rerank(self._ensure_vectors(), jnp.asarray(qb),
@@ -1160,6 +1207,8 @@ class HnswIndex:
             "num_indexed_rows": self.num_rows,
             "graph_degree": self.graph.deg,
             "num_entry_points": int(self.graph.entries.size),
+            "num_partitions": (int(self.graph.part_entries.shape[0])
+                               if self.graph.part_entries is not None else 1),
             "sub_index": "HNSW",
             "storage": "PQ" if self.pq is not None else "SQ",
         }

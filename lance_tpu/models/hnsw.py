@@ -86,12 +86,21 @@ def add_reverse_edges(graph: np.ndarray, deg: int) -> np.ndarray:
 
 
 class HnswGraph:
-    """neighbors: (N, deg) int32; entries: (E,) int32 seeds."""
+    """neighbors: (N, deg) int32; entries: (E,) int32 seeds.
 
-    def __init__(self, neighbors: np.ndarray, entries: np.ndarray, metric: Metric = "l2"):
+    For the IVF × HNSW composition (reference v3 IvfSubIndex, rust/
+    lance-index/src/vector/v3/subindex.rs) `part_entries` (P, E) holds each
+    partition's entry points and all edges are intra-partition: probing a
+    partition = seeding the beam with its entries. One global array keeps
+    the search a single batched kernel over any probe set."""
+
+    def __init__(self, neighbors: np.ndarray, entries: np.ndarray, metric: Metric = "l2",
+                 part_entries: np.ndarray | None = None):
         self.neighbors = np.ascontiguousarray(neighbors, dtype=np.int32)
         self.entries = np.ascontiguousarray(entries, dtype=np.int32)
         self.metric = metric
+        self.part_entries = (np.ascontiguousarray(part_entries, dtype=np.int32)
+                             if part_entries is not None else None)
 
     @property
     def deg(self) -> int:
@@ -100,14 +109,23 @@ class HnswGraph:
     def to_buffers(self) -> tuple[dict, bytes]:
         header = {"n": int(self.neighbors.shape[0]), "deg": self.deg,
                   "entries": int(self.entries.size), "metric": self.metric}
-        return header, self.neighbors.astype("<i4").tobytes() + self.entries.astype("<i4").tobytes()
+        payload = self.neighbors.astype("<i4").tobytes() + self.entries.astype("<i4").tobytes()
+        if self.part_entries is not None:
+            header["pe_shape"] = list(self.part_entries.shape)
+            payload += self.part_entries.astype("<i4").tobytes()
+        return header, payload
 
     @classmethod
     def from_buffers(cls, header: dict, payload: bytes) -> "HnswGraph":
         n, deg, e = header["n"], header["deg"], header["entries"]
         nb = np.frombuffer(payload, dtype="<i4", count=n * deg).reshape(n, deg)
         entries = np.frombuffer(payload, dtype="<i4", count=e, offset=n * deg * 4)
-        return cls(nb.copy(), entries.copy(), header["metric"])
+        pe = None
+        if "pe_shape" in header:
+            p_, e_ = header["pe_shape"]
+            pe = np.frombuffer(payload, dtype="<i4", count=p_ * e_,
+                               offset=(n * deg + e) * 4).reshape(p_, e_).copy()
+        return cls(nb.copy(), entries.copy(), header["metric"], part_entries=pe)
 
 
 def build_hnsw(vectors: np.ndarray, params: HnswParams = HnswParams(),
@@ -131,10 +149,50 @@ def build_hnsw(vectors: np.ndarray, params: HnswParams = HnswParams(),
     return HnswGraph(graph, entries, metric)
 
 
+def build_partitioned_hnsw(vectors_sorted: np.ndarray, offsets: np.ndarray,
+                           params: HnswParams = HnswParams(),
+                           metric: Metric = "l2",
+                           entries_per_partition: int = 4) -> HnswGraph:
+    """IVF × HNSW composition: an independent graph per partition, stored as
+    one global (N, deg) array whose edges never cross partitions (reference:
+    per-partition IvfSubIndex::index_vectors, lance/src/index/vector/
+    builder.rs:685). `vectors_sorted` must be partition-sorted; `offsets`
+    (P+1,) are the partition boundaries."""
+    n = vectors_sorted.shape[0]
+    nparts = len(offsets) - 1
+    if metric == "cosine":
+        vectors_sorted = vectors_sorted / np.maximum(
+            np.linalg.norm(vectors_sorted, axis=1, keepdims=True), 1e-12)
+    base_metric: Metric = "l2" if metric == "cosine" else metric
+    deg = min(2 * params.m, max(2, n - 1))
+    neighbors = np.empty((n, deg), dtype=np.int32)
+    part_entries = np.zeros((nparts, entries_per_partition), dtype=np.int32)
+    for p in range(nparts):
+        lo, hi = int(offsets[p]), int(offsets[p + 1])
+        lp = hi - lo
+        if lp == 0:
+            part_entries[p] = 0  # empty partition: harmless global seed
+            continue
+        local = build_knn_graph(vectors_sorted[lo:hi], min(deg, max(1, lp - 1)),
+                                base_metric)
+        local = add_reverse_edges(local, local.shape[1])
+        if local.shape[1] < deg:  # tiny partition: repeat columns to full deg
+            reps = -(-deg // local.shape[1])
+            local = np.tile(local, (1, reps))[:, :deg]
+        neighbors[lo:hi] = local + lo
+        # entry points: evenly spaced rows of the partition (partition-sorted
+        # order is argmin order, so these spread across the cell)
+        sel = np.linspace(0, lp - 1, entries_per_partition).astype(np.int32)
+        part_entries[p] = sel + lo
+    entries = np.unique(part_entries.reshape(-1))
+    return HnswGraph(neighbors, entries, metric, part_entries=part_entries)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k", "ef", "iters"))
 def _beam_search(vectors, neighbors, entries, q, selection,
                  metric, k, ef, iters):
-    """Batched beam search. vectors (N, D); neighbors (N, deg); q (B, D)."""
+    """Batched beam search. vectors (N, D); neighbors (N, deg); q (B, D);
+    entries (S,) shared seeds or (B, S) per-query seeds (IVF probing)."""
     b, dim = q.shape
     n, deg = neighbors.shape
     qm = preprocess_for_metric(q, metric)
@@ -154,7 +212,10 @@ def _beam_search(vectors, neighbors, entries, q, selection,
             d = vn + qn - 2.0 * prod
         return jnp.where(ids >= 0, d, jnp.inf)
 
-    init_ids = jnp.broadcast_to(entries[None, :], (b, entries.shape[0])).astype(jnp.int32)
+    if entries.ndim == 2:
+        init_ids = entries.astype(jnp.int32)
+    else:
+        init_ids = jnp.broadcast_to(entries[None, :], (b, entries.shape[0])).astype(jnp.int32)
     init_d = dists_to(init_ids)
     pad = ef - init_ids.shape[1] % ef if init_ids.shape[1] % ef else 0
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, max(0, ef - init_ids.shape[1]))),
@@ -196,13 +257,17 @@ def _beam_search(vectors, neighbors, entries, q, selection,
 
 def hnsw_search(graph: HnswGraph, vectors, q: np.ndarray, k: int,
                 ef: int = 64, iters: int | None = None,
-                selection: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+                selection: np.ndarray | None = None,
+                entries: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """`entries` (B, S) overrides the graph's shared seeds — used by the IVF
+    composition to seed each query with its probed partitions' entries."""
     q = np.atleast_2d(np.asarray(q, dtype=np.float32))
     ef = max(ef, k)
     iters = iters if iters is not None else HnswParams().search_iters
     sel_dev = jnp.asarray(selection) if selection is not None else None
+    seeds = jnp.asarray(entries) if entries is not None else jnp.asarray(graph.entries)
     d, ids = _beam_search(
-        jnp.asarray(vectors), jnp.asarray(graph.neighbors), jnp.asarray(graph.entries),
+        jnp.asarray(vectors), jnp.asarray(graph.neighbors), seeds,
         jnp.asarray(q), sel_dev, graph.metric, k, ef, iters,
     )
     return np.asarray(d), np.asarray(ids)

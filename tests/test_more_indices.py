@@ -284,3 +284,51 @@ def test_indices_survive_remap_compaction():
     m2 = try_index_pruning(ds, parse_filter("val < 100"))
     assert m2 is not None
     assert ds.to_table(filter="val < 100").num_rows == 98
+
+
+def test_ivf_hnsw_partition_composition():
+    """IVF x HNSW composition (reference v3 subindex): partitioned graphs,
+    probing controls coverage, edges never cross partitions."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20_000, 24)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(20_000, dtype=np.int64)},
+                          _uri("hnswpart"))
+    ds = ds.create_index("vec", "IVF_HNSW_SQ", num_partitions=16, max_iters=6)
+    stats = ds.index_statistics("vec_idx")
+    assert stats["num_partitions"] == 16
+
+    # edges are intra-partition: every neighbor's partition == row's partition
+    from lance_tpu.indices.vector_index import HnswIndex
+
+    meta = next(m for m in ds.list_indices() if m.name == "vec_idx")
+    idx = HnswIndex(ds, meta)
+    pe = idx.graph.part_entries
+    assert pe is not None and pe.shape == (16, 4)
+    # reconstruct partition id per sorted row from entry-table boundaries
+    nb = idx.graph.neighbors
+    # entry points of partition p are rows of p; use centroid routing to
+    # derive boundaries: sorted order means partition ids are nondecreasing
+    # -> check neighbors stay within [min_row_of_part, max_row_of_part]
+    bounds = sorted(int(pe[p, 0]) for p in range(16)) + [nb.shape[0]]
+    for p in range(16):
+        lo, hi = bounds[p], bounds[p + 1]
+        seg = nb[lo:hi]
+        assert seg.min() >= lo and seg.max() < hi
+
+    # recall with generous probing (exhaustive probes ~= flat search)
+    queries = vecs[rng.choice(20_000, 20)]
+    def recall_at(nprobes):
+        total = 0.0
+        for q in queries:
+            t = ds.scanner().nearest("vec", q, k=10, nprobes=nprobes,
+                                     refine_factor=4).to_table()
+            got = set(np.asarray(t["id"]).tolist())
+            want = set(np.argsort(((vecs - q) ** 2).sum(1))[:10].tolist())
+            total += len(got & want) / 10
+        return total / len(queries)
+
+    r_full = recall_at(16)
+    r_narrow = recall_at(1)
+    assert r_full >= 0.9, r_full
+    # narrow probing restricts the search to one partition's graph
+    assert r_narrow < r_full, (r_narrow, r_full)
