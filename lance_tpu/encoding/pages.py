@@ -331,9 +331,36 @@ def _validity_buffer(col: ColumnData) -> tuple[bytes, dict] | None:
     return packed.tobytes(), {"c": "plain", "dtype": "|u1"}
 
 
+def _page_stats(col: ColumnData) -> dict | None:
+    """Per-page write statistics (reference: lance-encoding/src/
+    statistics.rs + v1 page stats): null count, and min/max for scalar
+    numeric pages (used by readers/tools; cheap vs the encode itself)."""
+    try:
+        nulls = 0 if col.validity is None else int((~col.validity).sum())
+        stats: dict = {"null_count": nulls}
+        if col.kind == "fixed" and col.fsl_dim == 1 and col.values.dtype.kind in "iuf":
+            vals = col.values if col.validity is None else col.values[col.validity]
+            if vals.size:
+                mn, mx = vals.min(), vals.max()
+                if col.values.dtype.kind == "f" and not (np.isfinite(mn) and np.isfinite(mx)):
+                    return stats
+                stats["min"] = mn.item()
+                stats["max"] = mx.item()
+        elif col.kind == "varbin" and col.offsets is not None and col.num_rows:
+            sizes = np.diff(col.offsets)
+            stats["min_len"] = int(sizes.min())
+            stats["max_len"] = int(sizes.max())
+        return stats
+    except Exception:
+        return None  # stats are advisory; never fail a write over them
+
+
 def encode_page(col: ColumnData, compression: str = "auto",
                 rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> EncodedPage:
     desc: dict = {"rows": col.num_rows, "kind": col.kind, "fsl_dim": col.fsl_dim}
+    st = _page_stats(col)
+    if st is not None:
+        desc["stats"] = st
     buffers: list[bytes] = []
     bufdescs: list[dict] = []
 

@@ -85,6 +85,8 @@ class FileReader:
         out = {}
         for name, col in self._columns.items():
             layouts, codecs, total = set(), set(), 0
+            null_count, mn, mx = 0, None, None
+            have_stats = False
             for pg in col["pages"]:
                 layouts.add(pg.get("layout", "?"))
                 for buf in pg.get("buffers", []):
@@ -92,6 +94,13 @@ class FileReader:
                     c = buf.get("desc", {}).get("c")
                     if c:
                         codecs.add(c)
+                st = pg.get("stats")
+                if st is not None:
+                    have_stats = True
+                    null_count += st.get("null_count", 0)
+                    if "min" in st:
+                        mn = st["min"] if mn is None else min(mn, st["min"])
+                        mx = st["max"] if mx is None else max(mx, st["max"])
             out[name] = {
                 "field_id": col["field_id"],
                 "num_pages": len(col["pages"]),
@@ -99,6 +108,11 @@ class FileReader:
                 "layouts": sorted(layouts),
                 "codecs": sorted(codecs),
             }
+            if have_stats:
+                out[name]["null_count"] = null_count
+                if mn is not None:
+                    out[name]["min"] = mn
+                    out[name]["max"] = mx
         return out
 
     def read_global_buffer(self, name: str) -> bytes:

@@ -194,3 +194,33 @@ def test_fuzz_roundtrip_all_encodings(memory_store, rng):
             arr = pa.array(rng.integers(0, 2, n).astype(bool))
         out = _roundtrip_arrow(arr)
         assert out.to_pylist() == arr.to_pylist(), f"trial {trial} kind {kind} n {n}"
+
+
+def test_page_write_statistics(tmp_path):
+    """Per-page stats collected at write: null counts + numeric min/max,
+    aggregated by FileReader.statistics() (reference: encoding statistics,
+    lance-encoding/src/statistics.rs)."""
+    import pyarrow as pa
+
+    from lance_tpu.file.reader import FileReader
+    from lance_tpu.file.writer import FileWriter
+    from lance_tpu.io.object_store import LocalStore
+    from lance_tpu.schema import Schema
+
+    st = LocalStore(str(tmp_path))
+    schema = Schema.from_arrow(pa.schema([
+        ("x", pa.int64()), ("f", pa.float32()), ("s", pa.string())]))
+    w = FileWriter(st, "stats.ltpf", schema)
+    w.write_batch({
+        "x": pa.array([5, None, -3, 100, None], type=pa.int64()),
+        "f": pa.array([1.5, 2.5, -0.5, 0.0, 9.0], type=pa.float32()),
+        "s": pa.array(["a", "bbbb", None, "cc", "dd"]),
+    })
+    w.finish()
+    stats = FileReader(st, "stats.ltpf").statistics()
+    assert stats["x"]["null_count"] == 2
+    assert stats["x"]["min"] == -3 and stats["x"]["max"] == 100
+    assert stats["f"]["null_count"] == 0
+    assert stats["f"]["min"] == -0.5 and stats["f"]["max"] == 9.0
+    assert stats["s"]["null_count"] == 1
+    assert stats["s"]["bytes_on_disk"] > 0
