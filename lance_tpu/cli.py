@@ -103,12 +103,15 @@ def cmd_file_meta(args) -> int:
         slash = base.rfind("/")
         store, path = PrefixedStore(store, base[:slash]), base[slash + 1 :]
     r = FileReader(store, path)
+    stats = r.statistics()
     meta = {
         "num_rows": r.num_rows,
         "version": r.footer["version"],
         "columns": [
             {"name": c["name"], "field_id": c["field_id"], "num_pages": len(c["pages"]),
-             "encodings": sorted({p["layout"] for p in c["pages"]})}
+             "encodings": sorted({p["layout"] for p in c["pages"]}),
+             **{k: v for k, v in stats.get(c["name"], {}).items()
+                if k in ("bytes_on_disk", "codecs", "null_count", "min", "max")}}
             for c in r.metadata["columns"]
         ],
         "global_buffers": r.global_buffer_names(),

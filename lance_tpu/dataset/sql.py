@@ -4,10 +4,12 @@ Re-design of the reference `dataset.sql()` (rust/lance/src/dataset/sql.rs ->
 DataFusion). Ours supports the single-table subset that covers the
 reference's documented usage:
 
-    SELECT <cols | * | count(*)> FROM <name>
-    [WHERE <filter expr>] [ORDER BY col [ASC|DESC], ...]
-    [LIMIT n] [OFFSET m]
+    SELECT <cols | * | aggregates> FROM <name>
+    [WHERE <filter expr>] [GROUP BY col, ...]
+    [ORDER BY col [ASC|DESC], ...] [LIMIT n] [OFFSET m]
 
+Aggregates: count(*), count(col), sum/min/max/avg(col), with optional
+`AS alias`, grouped or whole-table (pyarrow compute does the aggregation).
 WHERE reuses the full filter grammar (dataset/filter.py) including
 contains()/length() and scalar-index acceleration.
 """
@@ -23,11 +25,80 @@ from ..errors import InvalidInputError
 _SELECT_RE = re.compile(
     r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<table>[A-Za-z_][\w.]*)"
     r"(?:\s+where\s+(?P<where>.+?))?"
+    r"(?:\s+group\s+by\s+(?P<group>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?"
     r"(?:\s+offset\s+(?P<offset>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_AGG_RE = re.compile(
+    r"^(?P<fn>count|sum|min|max|avg|mean)\s*\(\s*(?P<arg>\*|[\w`\"]+)\s*\)"
+    r"(?:\s+as\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+
+_PA_FN = {"avg": "mean", "mean": "mean", "sum": "sum", "min": "min",
+          "max": "max", "count": "count"}
+
+
+def _parse_select_items(cols_raw: str):
+    """-> (plain_cols, aggs) where aggs = [(fn, arg, outname)]."""
+    plain, aggs = [], []
+    for item in cols_raw.split(","):
+        item = item.strip()
+        m = _AGG_RE.match(item)
+        if m:
+            fn = m.group("fn").lower()
+            arg = m.group("arg").strip('`"')
+            out = m.group("alias") or (f"{fn}({m.group('arg')})"
+                                       if arg != "*" else "count")
+            aggs.append((_PA_FN[fn] if arg != "*" else "count_all", arg, out))
+        else:
+            # strip optional alias on plain columns too
+            am = re.match(r"^([\w`\".]+)(?:\s+as\s+(\w+))?$", item, re.IGNORECASE)
+            if not am:
+                raise InvalidInputError(f"unsupported SELECT item: {item!r}")
+            plain.append((am.group(1).strip('`"'), am.group(2)))
+    return plain, aggs
+
+
+def _aggregate(table: pa.Table, group_cols: list[str], aggs, plain) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if group_cols:
+        specs = []
+        for fn, arg, _out in aggs:
+            specs.append(([] if fn == "count_all" else arg, fn))
+        gb = table.group_by(group_cols)
+        result = gb.aggregate(specs)
+        # pyarrow names results "<col>_<fn>" / "count_all"; rename to ours
+        rename = {}
+        for fn, arg, out in aggs:
+            src = "count_all" if fn == "count_all" else f"{arg}_{fn}"
+            rename[src] = out
+        aliases = {name: alias for name, alias in plain if alias}
+        cols, names = [], []
+        for g in group_cols:
+            cols.append(result.column(g))
+            names.append(aliases.get(g, g))
+        for fn, arg, out in aggs:
+            src = "count_all" if fn == "count_all" else f"{arg}_{fn}"
+            cols.append(result.column(src))
+            names.append(out)
+        return pa.table(dict(zip(names, cols)))
+    # whole-table aggregates -> single row
+    out_cols: dict[str, pa.Array] = {}
+    for fn, arg, out in aggs:
+        if fn == "count_all":
+            out_cols[out] = pa.array([table.num_rows], type=pa.int64())
+        elif fn == "count":
+            col = table.column(arg)
+            out_cols[out] = pa.array([len(col) - col.null_count], type=pa.int64())
+        else:
+            val = getattr(pc, fn)(table.column(arg)).as_py()
+            out_cols[out] = pa.array([val])
+    return pa.table(out_cols)
 
 
 def sql(ds, query: str) -> pa.Table:
@@ -35,28 +106,68 @@ def sql(ds, query: str) -> pa.Table:
     if not m:
         raise InvalidInputError(
             "unsupported SQL (expected SELECT ... FROM t [WHERE ...] "
-            "[ORDER BY ...] [LIMIT n] [OFFSET m])")
+            "[GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m])")
     cols_raw = m.group("cols").strip()
     sc = ds.scanner()
 
-    count_only = re.fullmatch(r"count\s*\(\s*\*\s*\)", cols_raw, re.IGNORECASE)
-    if not count_only and cols_raw != "*":
-        sc.project([c.strip().strip('`"') for c in cols_raw.split(",")])
+    plain, aggs = ([], []) if cols_raw == "*" else _parse_select_items(cols_raw)
+    group_cols = ([c.strip().strip('`"') for c in m.group("group").split(",")]
+                  if m.group("group") else [])
+    if group_cols and not aggs:
+        raise InvalidInputError("GROUP BY requires aggregate functions")
+    if aggs:
+        for name, _alias in plain:
+            if name not in group_cols:
+                raise InvalidInputError(
+                    f"column {name!r} must appear in GROUP BY")
+        # scan only what the aggregation needs
+        needed = sorted({*group_cols,
+                         *(arg for fn, arg, _ in aggs if fn != "count_all")})
+        if needed:
+            sc.project(needed)
+    elif plain:
+        sc.project([name for name, _ in plain])
     if m.group("where"):
         sc.filter(m.group("where").strip())
-    if m.group("order"):
+
+    # bare count(*): use the metadata fast path, never scan data
+    if (aggs and not group_cols and not plain and len(aggs) == 1
+            and aggs[0][0] == "count_all"):
+        return pa.table({aggs[0][2]: pa.array([sc.count_rows()], type=pa.int64())})
+
+    order = m.group("order")
+    limit = int(m.group("limit")) if m.group("limit") else None
+    offset = int(m.group("offset")) if m.group("offset") else 0
+
+    if aggs:
+        table = _aggregate(sc.to_table(), group_cols, aggs, plain)
+        if order:
+            keys = []
+            for part in order.split(","):
+                toks = part.split()
+                keys.append((toks[0].strip('`"'),
+                             "ascending" if len(toks) < 2 or toks[1].lower() != "desc"
+                             else "descending"))
+            table = table.sort_by(keys)
+        if offset:
+            table = table.slice(offset)
+        if limit is not None:
+            table = table.slice(0, limit)
+        return table
+
+    if order:
         keys = []
-        for part in m.group("order").split(","):
+        for part in order.split(","):
             toks = part.split()
             asc = len(toks) < 2 or toks[1].lower() != "desc"
             keys.append((toks[0].strip('`"'), asc))
         sc.order_by(keys)
-    limit = int(m.group("limit")) if m.group("limit") else None
-    offset = int(m.group("offset")) if m.group("offset") else 0
     if limit is not None or offset:
         sc.limit(limit, offset)
 
-    if count_only:
-        n = sc.count_rows()
-        return pa.table({"count": pa.array([n], type=pa.int64())})
-    return sc.to_table()
+    table = sc.to_table()
+    # apply plain-column aliases
+    renames = {name: alias for name, alias in plain if alias}
+    if renames:
+        table = table.rename_columns([renames.get(c, c) for c in table.column_names])
+    return table

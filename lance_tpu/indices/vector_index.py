@@ -52,7 +52,16 @@ ROWID_COL = "_rowid"
 
 # query batch buckets: queries are padded up to the next bucket so each
 # (bucket, nprobes, k) combination compiles exactly once.
-_BATCH_BUCKETS = (1, 8, 32, 128, 512)
+def _batch_buckets() -> tuple[int, ...]:
+    """Query-batch padding buckets (bounds compile count). The max bucket is
+    the scoring chunk size: every chunk reads ALL partition blocks once, so
+    a bigger max bucket amortizes the dominant HBM block read over more
+    queries (at the cost of a larger (nlist, q_cap, L) score tensor)."""
+    mx = int(os.environ.get("LANCE_TPU_MAX_BUCKET", "512"))
+    return tuple(bb for bb in (1, 8, 32, 128, 512, 2048) if bb <= mx) or (mx,)
+
+
+_BATCH_BUCKETS = _batch_buckets()
 
 
 def _round_up(x: int, m: int) -> int:

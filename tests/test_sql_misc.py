@@ -97,3 +97,49 @@ def test_clone():
     cloned2 = dv.clone_to(_uri("vecdst"))
     t = cloned2.scanner().nearest("vec", vecs[7], k=1, nprobes=4).to_table()
     assert np.asarray(t["id"])[0] == 7
+
+
+def test_sql_aggregates_whole_table():
+    uri = _uri("agg1") if "_uri" in globals() else "memory://sqlagg/a1"
+    ds = lt.write_dataset(
+        {"v": np.array([1.0, 2.0, 3.0, 4.0], dtype=np.float64),
+         "g": pa.array(["a", "a", "b", "b"]),
+         "n": pa.array([1, None, 3, None], type=pa.int64())}, uri)
+    t = ds.sql(f"SELECT sum(v), min(v), max(v), avg(v) AS m FROM t")
+    assert t.num_rows == 1
+    assert t["sum(v)"][0].as_py() == 10.0
+    assert t["min(v)"][0].as_py() == 1.0
+    assert t["max(v)"][0].as_py() == 4.0
+    assert t["m"][0].as_py() == 2.5
+    # count(col) skips nulls; count(*) doesn't
+    t2 = ds.sql("SELECT count(n) AS nn, count(*) AS all_rows FROM t")
+    assert t2["nn"][0].as_py() == 2 and t2["all_rows"][0].as_py() == 4
+
+
+def test_sql_group_by():
+    uri = "memory://sqlagg/g1"
+    ds = lt.write_dataset(
+        {"g": pa.array(["x", "y", "x", "y", "x"]),
+         "v": np.array([1, 2, 3, 4, 5], dtype=np.int64)}, uri)
+    t = ds.sql("SELECT g, sum(v) AS s, count(*) AS c FROM t GROUP BY g ORDER BY g")
+    assert t.column_names == ["g", "s", "c"]
+    assert t["g"].to_pylist() == ["x", "y"]
+    assert t["s"].to_pylist() == [9, 6]
+    assert t["c"].to_pylist() == [3, 2]
+    # WHERE before grouping, ORDER BY aggregate, LIMIT after
+    t2 = ds.sql("SELECT g, max(v) AS mx FROM t WHERE v >= 2 GROUP BY g "
+                "ORDER BY mx DESC LIMIT 1")
+    assert t2["g"].to_pylist() == ["x"] and t2["mx"].to_pylist() == [5]
+
+
+def test_sql_group_by_errors():
+    uri = "memory://sqlagg/e1"
+    ds = lt.write_dataset({"g": pa.array(["x"]), "v": np.array([1])}, uri)
+    import pytest as _pytest
+
+    from lance_tpu.errors import InvalidInputError
+
+    with _pytest.raises(InvalidInputError):
+        ds.sql("SELECT g, v FROM t GROUP BY g")  # v not grouped/aggregated
+    with _pytest.raises(InvalidInputError):
+        ds.sql("SELECT g FROM t GROUP BY g")  # group by without aggregates
