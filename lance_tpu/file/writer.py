@@ -117,7 +117,15 @@ class FileWriter:
         if not chunks:
             return
         col = concat_column_data(chunks)
-        page = encode_page(col, self.compression)
+        # per-column override via field metadata (reference: per-column
+        # compression_config.rs, field key "lance-encoding:compression")
+        field = self.schema.field(name)
+        comp = field.metadata.get("lance-encoding:compression", self.compression)
+        if comp not in ("auto", "none", "zstd"):
+            raise InvalidInputError(
+                f"unknown compression {comp!r} for column {name!r} "
+                "(expected auto/none/zstd)")
+        page = encode_page(col, comp)
         self._append_page(name, page)
         self._pending[name] = []
         self._pending_bytes[name] = 0

@@ -224,3 +224,29 @@ def test_page_write_statistics(tmp_path):
     assert stats["f"]["min"] == -0.5 and stats["f"]["max"] == 9.0
     assert stats["s"]["null_count"] == 1
     assert stats["s"]["bytes_on_disk"] > 0
+
+
+def test_per_column_compression_override(tmp_path):
+    """Field metadata 'lance-encoding:compression' overrides the writer
+    default per column (reference: compression_config.rs overrides)."""
+    import pyarrow as pa
+
+    import lance_tpu as lt
+    from lance_tpu.file.reader import FileReader
+    from lance_tpu.io.object_store import LocalStore
+
+    text = [f"the quick brown fox jumps over the lazy dog {i % 7}"
+            for i in range(5000)]
+    schema = pa.schema([
+        pa.field("raw", pa.string(),
+                 metadata={b"lance-encoding:compression": b"none"}),
+        pa.field("packed", pa.string()),
+    ])
+    uri = str(tmp_path / "pc.lance")
+    lt.write_dataset(pa.table({"raw": text, "packed": text}, schema=schema), uri)
+    import glob
+    f = glob.glob(str(tmp_path / "pc.lance" / "data" / "*"))[0]
+    st = FileReader(LocalStore("/"), f.lstrip("/")).statistics()
+    assert st["raw"]["bytes_on_disk"] > 2 * st["packed"]["bytes_on_disk"]
+    t = lt.dataset(uri).to_table()
+    assert t["raw"].to_pylist() == t["packed"].to_pylist() == text
