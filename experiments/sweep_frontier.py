@@ -1,0 +1,56 @@
+"""Sweep (nprobes, refine_factor) near the bench operating point to find a
+faster recall>=0.95 headline. One compile per combo (budgeted)."""
+import sys, time
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+
+def main():
+    import os
+    os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    queries_h = np.asarray(queries)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://sweepf/sift1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    idx = ds._vector_index_for("vec")
+
+    for nprobes, rf in ((16, 12), (16, 14), (14, 16), (14, 12), (12, 16), (18, 16)):
+        t0 = time.time()
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        import jax.numpy as jnp
+        q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
+        jax.block_until_ready(fn(q_dev))
+        compile_s = time.time() - t0
+        # recall on all queries
+        hits = 0
+        for s in range(0, NQ, 512):
+            _, rid = idx.search(queries_h[s:s+512], K, nprobes=nprobes, refine_factor=rf)
+            ids = rid.astype(np.int64) & 0xFFFFFFFF
+            for r in range(ids.shape[0]):
+                hits += len(set(ids[r].tolist()) & set(gt_i[s+r].tolist()))
+        recall = hits / (NQ * K)
+        # qps
+        t0 = time.time()
+        for _ in range(30):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = 30 * 512 / (time.time() - t0)
+        _log(f"nprobes={nprobes} rf={rf}: recall {recall:.4f} qps {qps:.0f} "
+             f"(compile {compile_s:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -30,4 +30,5 @@ from .dataset import (  # noqa: F401,E402
 from .dataset.write import write_fragments  # noqa: F401,E402
 from .dataset.udf_checkpoint import BatchUDF, batch_udf  # noqa: F401,E402
 from . import config  # noqa: F401,E402
+from . import util  # noqa: F401,E402
 from .namespace import connect  # noqa: F401,E402

@@ -1,0 +1,72 @@
+"""User-facing utilities (reference: python/python/lance/util.py).
+
+`KMeans` mirrors `lance.util.KMeans` (util.py `KMeans(k, metric_type=...)`
+with fit/predict over numpy or Arrow FixedSizeList input), backed by the
+device-accelerated trainer in ops/kmeans.py (MXU matmul+argmin Lloyd steps
+instead of the reference's SIMD/cuVS path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import InvalidInputError
+
+
+def _to_matrix(data) -> np.ndarray:
+    import pyarrow as pa
+
+    if isinstance(data, np.ndarray):
+        if data.ndim != 2:
+            raise InvalidInputError("expected a 2-D array of vectors")
+        return np.ascontiguousarray(data, dtype=np.float32)
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    if isinstance(data, pa.FixedSizeListArray):
+        dim = data.type.list_size
+        return np.asarray(data.flatten(), dtype=np.float32).reshape(-1, dim)
+    raise InvalidInputError(
+        f"unsupported vector container {type(data)} "
+        "(expected 2-D numpy or Arrow FixedSizeListArray)")
+
+
+class KMeans:
+    """K-means clustering on device (API parity with lance.util.KMeans)."""
+
+    def __init__(self, k: int, metric_type: str = "l2", max_iters: int = 50,
+                 sample_rate: int = 256, seed: int | None = None):
+        if metric_type not in ("l2", "cosine", "dot"):
+            raise InvalidInputError(f"unsupported metric_type {metric_type!r}")
+        self.k = int(k)
+        self.metric_type = metric_type
+        self.max_iters = int(max_iters)
+        self.sample_rate = int(sample_rate)
+        self.seed = seed
+        self._model = None
+
+    @property
+    def centroids(self) -> np.ndarray | None:
+        """(k, dim) float32 centroids, or None before fit()."""
+        return None if self._model is None else np.asarray(self._model.centroids)
+
+    def fit(self, data) -> "KMeans":
+        from .ops.kmeans import train_kmeans
+
+        mat = _to_matrix(data)
+        if mat.shape[0] < self.k:
+            raise InvalidInputError(
+                f"k={self.k} larger than the number of vectors ({mat.shape[0]})")
+        self._model = train_kmeans(mat, self.k, max_iters=self.max_iters,
+                                   metric=self.metric_type,
+                                   sample_rate=self.sample_rate)
+        return self
+
+    def predict(self, data) -> np.ndarray:
+        """-> (n,) int32 cluster ids."""
+        if self._model is None:
+            raise InvalidInputError("KMeans: call fit() before predict()")
+        import jax.numpy as jnp
+
+        mat = _to_matrix(data)
+        return np.asarray(self._model.compute_partitions(jnp.asarray(mat)),
+                          dtype=np.int32)

@@ -1,0 +1,41 @@
+"""lance.util.KMeans parity utility (reference python/lance/util.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.errors import InvalidInputError
+
+
+def test_kmeans_fit_predict_numpy():
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([rng.normal(c, 0.1, size=(200, 4))
+                          for c in (0.0, 5.0, -5.0)]).astype(np.float32)
+    km = lt.util.KMeans(3, metric_type="l2", max_iters=20).fit(pts)
+    assert km.centroids.shape == (3, 4)
+    ids = km.predict(pts)
+    # each generated blob lands in exactly one cluster
+    assert len(set(ids[:200])) == 1
+    assert len(set(ids[200:400])) == 1
+    assert len(set(ids[400:])) == 1
+
+
+def test_kmeans_arrow_input():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(120, 8)).astype(np.float32)
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(pts.reshape(-1)), 8)
+    ids = lt.util.KMeans(4, max_iters=8).fit(arr).predict(arr)
+    assert ids.shape == (120,) and set(np.unique(ids)) <= set(range(4))
+
+
+def test_kmeans_errors():
+    pts = np.zeros((5, 2), dtype=np.float32)
+    with pytest.raises(InvalidInputError):
+        lt.util.KMeans(10).fit(pts)
+    with pytest.raises(InvalidInputError):
+        lt.util.KMeans(2).predict(pts)
+    with pytest.raises(InvalidInputError):
+        lt.util.KMeans(2, metric_type="manhattan")
+    with pytest.raises(InvalidInputError):
+        lt.util.KMeans(2).fit(np.zeros(5, dtype=np.float32))
