@@ -140,6 +140,10 @@ class Scanner:
         return self
 
     def prefilter(self, v: bool = True) -> "Scanner":
+        if isinstance(v, str):
+            raise InvalidInputError(
+                "prefilter() takes a bool; set the expression with "
+                f".filter({v!r}) and enable it with .prefilter(True)")
         self._prefilter = v
         return self
 

@@ -68,6 +68,10 @@ def knn(ds, q, filter_node=None, prefilter=False, fast_search=False,
     is_multivector = pa.types.is_list(field.type) and pa.types.is_fixed_size_list(
         field.type.value_type)
     if is_multivector:
+        midx = ds._vector_index_for(column) if q.use_index else None
+        if midx is not None:
+            return _maxsim_knn_indexed(ds, q, midx, filter_node, prefilter,
+                                       output_columns, with_row_id)
         return _maxsim_knn(ds, q, filter_node, prefilter, output_columns, with_row_id)
     if not hasattr(field.type, "list_size"):
         raise InvalidInputError(f"{column} is not a vector column")
@@ -207,6 +211,60 @@ def _maxsim_knn(ds, q, filter_node, prefilter, output_columns, with_row_id) -> p
 
         cols = sorted(referenced_columns(filter_node))
         fdata = ds._take_addresses(addrs[top], cols)
+        views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
+        mask = evaluate_filter(filter_node, column_views_from_data(views))
+        table = table.filter(pa.array(mask))
+    return table
+
+
+def _maxsim_knn_indexed(ds, q, idx, filter_node, prefilter, output_columns,
+                        with_row_id) -> pa.Table:
+    """ANN multivector search: the index holds one row per CHILD vector with
+    the parent row address as its rowid (read_vector_column flattening), so
+    searching each query sub-vector yields candidate parents; the union is
+    exactly rescored with maxsim (reference: ANN source feeding
+    MultivectorScoringExec, rust/lance/src/io/exec/knn.rs:1133)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.distance import normalize
+    from ..encoding.pages import ColumnData
+
+    qs = np.atleast_2d(np.asarray(q.q, dtype=np.float32))
+    column = q.column
+    selection = idx.deleted_mask()
+    if filter_node is not None and prefilter:
+        fsel = idx.selection_mask(_filter_mask(ds, filter_node))
+        selection = fsel if selection is None else (selection & fsel)
+
+    # candidate generation: over-fetch per query sub-vector
+    overfetch = max(q.k * (q.refine_factor or 4), q.k)
+    nprobes = q.maximum_nprobes or q.nprobes
+    _, rid = idx.search(qs, overfetch, nprobes=nprobes, selection=selection)
+    cands = np.unique(rid[rid != _INVALID])
+    if cands.size == 0:
+        return _take_output(ds, np.empty(0, np.uint64), np.empty(0, np.float32),
+                            output_columns, with_row_id)
+
+    # exact maxsim rescore over the candidate union
+    fdata = ds._take_addresses(cands, [column])
+    col = ColumnData.from_arrow(_as_array(fdata.column(column)))
+    vecs = np.ascontiguousarray(col.child.to_numpy_matrix(), np.float32)
+    seg = np.repeat(np.arange(cands.size, dtype=np.int32), np.diff(col.offsets))
+    vn = normalize(jnp.asarray(vecs))
+    qn = normalize(jnp.asarray(qs))
+    sim = jnp.dot(vn, qn.T, preferred_element_type=jnp.float32)
+    per_row_max = jax.ops.segment_max(sim, jnp.asarray(seg),
+                                      num_segments=int(cands.size))
+    scores = np.asarray(jnp.sum(per_row_max, axis=1))
+    k = min(q.k, int(cands.size))
+    top = np.argsort(-scores, kind="stable")[:k]
+    table = _take_output(ds, cands[top], -scores[top], output_columns, with_row_id)
+    if filter_node is not None and not prefilter:
+        from ..dataset.filter import column_views_from_data, evaluate_filter, referenced_columns
+
+        cols = sorted(referenced_columns(filter_node))
+        fdata = ds._take_addresses(cands[top], cols)
         views = {c: ColumnData.from_arrow(_as_array(fdata.column(c))) for c in cols}
         mask = evaluate_filter(filter_node, column_views_from_data(views))
         table = table.filter(pa.array(mask))

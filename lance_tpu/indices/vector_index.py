@@ -74,7 +74,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
-    """Load (vectors, row_addresses) for live rows of the given fragments."""
+    """Load (vectors, row_addresses) for live rows of the given fragments.
+
+    Multivector columns (list<fixed_size_list>) are flattened to their child
+    vectors with the PARENT row address repeated per child (reference:
+    multivector indexing stores one index row per sub-vector, all pointing
+    at the parent row)."""
+    field = ds.schema.field(column)
+    multi = pa.types.is_list(field.type) and pa.types.is_fixed_size_list(
+        field.type.value_type)
     frags = ds.get_fragments()
     if fragment_ids is not None:
         fset = set(fragment_ids)
@@ -84,14 +92,22 @@ def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
         alive = frag.alive_offsets()
         if alive.size == 0:
             continue
-        data = frag.read_columns_physical([column], 0, frag.physical_rows)
-        mat = data[column].to_numpy_matrix()
-        if alive.size != frag.physical_rows:
-            mat = mat[alive]
-        mats.append(np.ascontiguousarray(mat, dtype=np.float32))
-        addrs.append((np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64))
+        frag_addrs = (np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64)
+        if multi:
+            data = frag.take_physical(alive, [column])
+            col = data[column]
+            mats.append(np.ascontiguousarray(col.child.to_numpy_matrix(), np.float32))
+            addrs.append(np.repeat(frag_addrs, np.diff(col.offsets)))
+        else:
+            data = frag.read_columns_physical([column], 0, frag.physical_rows)
+            mat = data[column].to_numpy_matrix()
+            if alive.size != frag.physical_rows:
+                mat = mat[alive]
+            mats.append(np.ascontiguousarray(mat, dtype=np.float32))
+            addrs.append(frag_addrs)
     if not mats:
-        dim = ds.schema.field(column).type.list_size
+        dim = (field.type.value_type.list_size if multi
+               else field.type.list_size)
         return np.empty((0, dim), np.float32), np.empty(0, np.uint64)
     return np.concatenate(mats), np.concatenate(addrs)
 

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 import lance_tpu as lt
 
@@ -99,3 +100,53 @@ def test_nested_list_struct_combinations():
     tk = ds.take([2], columns=["ls", "sl"])
     assert tk["ls"][0].as_py() == [{"a": 2, "b": "y"}, {"a": 3, "b": None}]
     assert tk["sl"][0].as_py() == {"tags": ["r"], "n": 3}
+
+
+def test_multivector_indexed_search(tmp_path):
+    """ANN multivector: index over flattened children (parent rowids),
+    candidate union exactly rescored with maxsim — matches the flat scan."""
+    rng = np.random.default_rng(0)
+    N, DIM = 2000, 16
+    rows = [rng.normal(size=(int(rng.integers(2, 6)), DIM)).astype(np.float32)
+            for _ in range(N)]
+    flat = np.concatenate(rows)
+    fsl = pa.FixedSizeListArray.from_arrays(pa.array(flat.reshape(-1)), DIM)
+    off = np.concatenate([[0], np.cumsum([r.shape[0] for r in rows])]).astype(np.int32)
+    mv = pa.ListArray.from_arrays(pa.array(off), fsl)
+    uri = str(tmp_path / "mv.lance")
+    ds = lt.write_dataset(pa.table({"emb": mv, "id": np.arange(N)}), uri)
+
+    Q = rows[777][:3]
+    flat_ids = np.asarray(
+        ds.scanner().nearest("emb", Q, k=5).to_table()["id"]).tolist()
+    assert flat_ids[0] == 777
+
+    ds = ds.create_index("emb", "IVF_FLAT", num_partitions=8,
+                         metric="cosine", max_iters=5)
+    stats = ds.index_statistics("emb_idx")
+    assert stats["num_indexed_rows"] == sum(r.shape[0] for r in rows)  # children
+
+    idx_ids = np.asarray(
+        ds.scanner().nearest("emb", Q, k=5, nprobes=8, refine_factor=8)
+        .to_table()["id"]).tolist()
+    assert idx_ids[0] == 777
+    assert set(idx_ids) & set(flat_ids)  # heavy overlap with exact
+
+    # prefilter through the indexed path
+    t = (ds.scanner().nearest("emb", Q, k=3, nprobes=8, refine_factor=8)
+         .filter("id >= 1500").prefilter(True).to_table())
+    got = np.asarray(t["id"]).tolist()
+    assert got and all(g >= 1500 for g in got)
+
+    # delete-awareness
+    ds2 = ds.delete("id = 777")
+    t2 = (ds2.scanner().nearest("emb", Q, k=3, nprobes=8, refine_factor=8)
+          .to_table())
+    assert 777 not in np.asarray(t2["id"]).tolist()
+
+
+def test_prefilter_string_misuse_raises(tmp_path):
+    ds = lt.write_dataset({"v": np.zeros((10, 4), np.float32),
+                           "id": np.arange(10)}, str(tmp_path / "p.lance"))
+    with pytest.raises(lt.errors.InvalidInputError):
+        ds.scanner().nearest("v", np.zeros(4, np.float32)).prefilter("id = 1")
