@@ -14,6 +14,7 @@ contract, unchanged from the reference by design.
 
 from __future__ import annotations
 
+import sys
 import uuid as uuid_mod
 from dataclasses import dataclass
 from typing import Iterable, Iterator, Mapping
@@ -40,8 +41,31 @@ class WriteParams:
     enable_stable_row_ids: bool = False
 
 
+def _from_huggingface(data) -> pa.Table | None:
+    """HuggingFace datasets.Dataset -> Arrow table (reference hf.py:
+    _casting_recipe + write path). DatasetDict: concatenated with a
+    'split' column, like the reference."""
+    mod = sys.modules.get("datasets")
+    if mod is None:
+        return None
+    if isinstance(data, mod.Dataset):
+        return data.data.table.combine_chunks()
+    if isinstance(data, mod.DatasetDict):
+        parts = []
+        for split, d in data.items():
+            t = d.data.table.combine_chunks()
+            parts.append(t.append_column(
+                "split", pa.array([str(split)] * t.num_rows, type=pa.string())))
+        return pa.concat_tables(parts)
+    return None
+
+
 def _normalize_batches(data, schema: Schema | None) -> tuple[Iterator[pa.RecordBatch], Schema]:
-    """Accept Table / RecordBatch / iterator / dict-of-numpy; infer schema."""
+    """Accept Table / RecordBatch / iterator / dict-of-numpy / HuggingFace
+    datasets.Dataset(Dict) (reference: python/lance/hf.py); infer schema."""
+    hf_table = _from_huggingface(data)
+    if hf_table is not None:
+        data = hf_table
     if isinstance(data, pa.Table):
         schema = schema or Schema.from_arrow(data.schema)
         return iter(data.to_batches(max_chunksize=64 * 1024)), schema

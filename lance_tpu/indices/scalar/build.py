@@ -205,22 +205,17 @@ def build_scalar_index_dispatch(ds, column, index_type, uuid, **params):
     return build_scalar_index(ds, column, index_type, uuid, **params)
 
 
-_TOKEN_SPLIT = re.compile(r"[^0-9a-zA-Z_]+")
-
-
-def tokenize(text: str, max_token_len: int = 40) -> list[str]:
-    """Default tokenizer: lowercase, alphanumeric splits (reference:
-    tokenizer.rs 'simple' tokenizer)."""
-    return [t for t in _TOKEN_SPLIT.split(text.lower()) if t and len(t) <= max_token_len]
+from .tokenizer import TokenizerConfig, tokenize  # noqa: E402
 
 
 def _build_inverted(ds, store, path, values, rowids, params) -> dict:
+    tok_cfg = TokenizerConfig.from_params(params)
     n = len(values)
     term_to_id: dict[str, int] = {}
     doc_postings: list[tuple[int, int, int]] = []  # (term_id, doc_idx, freq)
     doc_lens = np.zeros(n, dtype=np.int32)
     for di in range(n):
-        toks = tokenize(values[di] if values[di] is not None else "")
+        toks = tokenize(values[di] if values[di] is not None else "", tok_cfg)
         doc_lens[di] = len(toks)
         freqs: dict[str, int] = {}
         for t in toks:
@@ -285,8 +280,10 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
         "num_docs": n, "avg_doc_len": float(doc_lens.mean()) if n else 0.0,
         "block": BLOCK,
     }).encode())
+    w.add_global_buffer("tokenizer_config", tok_cfg.to_json().encode())
     w.finish()
-    return {"num_terms": len(terms), "num_docs": n}
+    return {"num_terms": len(terms), "num_docs": n,
+            "tokenizer": json.loads(tok_cfg.to_json())}
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +437,11 @@ class InvertedIndex:
         self.doc_lens = np.frombuffer(r.read_global_buffer("doc_lens"), dtype="<i4")
         self.doc_rowids = np.frombuffer(r.read_global_buffer("doc_rowids"), dtype="<u8")
         stats = json.loads(r.read_global_buffer("stats"))
+        if "tokenizer_config" in r.global_buffer_names():
+            self.tok_cfg = TokenizerConfig.from_json(
+                r.read_global_buffer("tokenizer_config").decode())
+        else:  # pre-config indices (frozen corpus) used the defaults
+            self.tok_cfg = TokenizerConfig()
         self.num_docs = stats["num_docs"]
         self.avg_doc_len = max(stats["avg_doc_len"], 1e-9)
         self.block = stats.get("block", 512)
@@ -497,7 +499,7 @@ class InvertedIndex:
         through block-max pruning (reference wand.rs Block-WAND): blocks are
         processed in upper-bound order and scoring stops once the running
         k-th best score dominates every unscored block's bound."""
-        toks = tokenize(query)
+        toks = tokenize(query, self.tok_cfg)
         tids = [i for i in (self._term_index(t) for t in toks) if i >= 0]
         if (self.bm_off is not None and row_mask is None
                 and self.num_docs >= 65536 and tids):
@@ -566,7 +568,7 @@ class InvertedIndex:
                                 PhraseQuery, auto_fuzziness)
 
         if isinstance(q, MatchQuery):
-            toks = tokenize(q.query)
+            toks = tokenize(q.query, self.tok_cfg)
             scores = np.zeros(self.num_docs, dtype=np.float32)
             hits = np.zeros(self.num_docs, dtype=np.int32)
             matched_terms = 0

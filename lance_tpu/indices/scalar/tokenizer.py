@@ -1,0 +1,222 @@
+"""FTS tokenizer pipeline.
+
+Re-design of the reference tokenizer stack (rust/lance-index/src/scalar/
+inverted/tokenizer.rs + tokenizer/: base tokenizers simple/whitespace/raw/
+ngram, then lowercase, max-token-length, stemming, stop-word removal and
+ascii folding filters, configured via InvertedIndexParams). The config is
+persisted with the index so queries always tokenize exactly like the build
+did.
+
+Stemming is Porter's algorithm (the classic 1980 definition) implemented
+here — the reference reaches it through tantivy's Snowball stemmers; for
+non-English `language` values we raise like the reference does when a
+tokenizer model is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import unicodedata
+from dataclasses import dataclass, field as dc_field
+
+from ...errors import InvalidInputError, NotSupportedError
+
+_SIMPLE_SPLIT = re.compile(r"[^0-9a-zA-Z_]+")
+
+# the classic English stop-word list used by tantivy/lucene
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split())
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    base_tokenizer: str = "simple"  # simple | whitespace | raw | ngram
+    language: str = "English"
+    max_token_length: int | None = 40
+    lower_case: bool = True
+    stem: bool = False
+    remove_stop_words: bool = False
+    ascii_folding: bool = False
+    ngram_min_length: int = 3
+    ngram_max_length: int = 3
+    prefix_only: bool = False  # ngram: only prefixes of each token
+
+    def __post_init__(self):
+        if self.base_tokenizer not in ("simple", "whitespace", "raw", "ngram"):
+            raise InvalidInputError(
+                f"unknown base_tokenizer {self.base_tokenizer!r} "
+                "(simple/whitespace/raw/ngram)")
+        if (self.stem or self.remove_stop_words) and self.language.lower() != "english":
+            raise NotSupportedError(
+                f"stemming/stop words for language {self.language!r} not "
+                "available (English only in this build)")
+
+    @classmethod
+    def from_params(cls, params: dict) -> "TokenizerConfig":
+        keys = {"base_tokenizer", "language", "max_token_length", "lower_case",
+                "stem", "remove_stop_words", "ascii_folding",
+                "ngram_min_length", "ngram_max_length", "prefix_only"}
+        # reference param aliases
+        src = dict(params)
+        if "with_stemming" in src:
+            src["stem"] = src.pop("with_stemming")
+        return cls(**{k: v for k, v in src.items() if k in keys})
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "TokenizerConfig":
+        return cls(**json.loads(s))
+
+
+# --------------------------------------------------------------- porter ----
+
+_V = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _V:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences."""
+    m, prev_v = 0, False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    return (len(w) >= 3 and _is_cons(w, len(w) - 3)
+            and not _is_cons(w, len(w) - 2) and _is_cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+          ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+          ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+          ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+          ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"]
+
+
+def porter_stem(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and _has_vowel(w[:-2])) or \
+         (w.endswith("ing") and _has_vowel(w[:-3])):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and (not stem or stem[-1] not in "st"):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# -------------------------------------------------------------- pipeline ----
+
+def _fold_ascii(s: str) -> str:
+    return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode()
+
+
+def tokenize(text: str, cfg: TokenizerConfig | None = None) -> list[str]:
+    cfg = cfg or TokenizerConfig()
+    if cfg.lower_case:
+        text = text.lower()
+    if cfg.ascii_folding:
+        text = _fold_ascii(text)
+    if cfg.base_tokenizer == "raw":
+        toks = [text] if text else []
+    elif cfg.base_tokenizer == "whitespace":
+        toks = text.split()
+    else:  # simple (also the base split for ngram)
+        toks = [t for t in _SIMPLE_SPLIT.split(text) if t]
+    if cfg.max_token_length is not None:
+        toks = [t for t in toks if len(t) <= cfg.max_token_length]
+    if cfg.remove_stop_words:
+        toks = [t for t in toks if t.lower() not in ENGLISH_STOP_WORDS]
+    if cfg.stem:
+        toks = [porter_stem(t) for t in toks]
+    if cfg.base_tokenizer == "ngram":
+        out = []
+        for t in toks:
+            top = 1 if cfg.prefix_only else max(1, len(t) - cfg.ngram_min_length + 1)
+            for s in range(top):
+                for ln in range(cfg.ngram_min_length,
+                                min(cfg.ngram_max_length, len(t) - s) + 1):
+                    out.append(t[s:s + ln])
+        toks = out
+    return toks

@@ -1,0 +1,86 @@
+"""FTS tokenizer pipeline: base tokenizers, filters, Porter stemmer, and
+config persistence with the index (reference: inverted/tokenizer.rs)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.errors import InvalidInputError, NotSupportedError
+from lance_tpu.indices.scalar.tokenizer import (TokenizerConfig, porter_stem,
+                                                tokenize)
+
+
+def test_porter_stemmer_vectors():
+    # full-algorithm outputs (Porter 1980 / official output.txt samples)
+    vecs = {"caresses": "caress", "ponies": "poni", "cats": "cat",
+            "feed": "feed", "agreed": "agre", "plastered": "plaster",
+            "motoring": "motor", "sing": "sing", "conflated": "conflat",
+            "sized": "size", "hopping": "hop", "happy": "happi",
+            "relational": "relat", "conditional": "condit",
+            "digitizer": "digit", "operator": "oper",
+            "decisiveness": "decis", "formality": "formal",
+            "triplicate": "triplic", "formative": "form",
+            "electricity": "electr", "hopeful": "hope", "goodness": "good",
+            "allowance": "allow", "inference": "infer",
+            "adjustable": "adjust", "replacement": "replac",
+            "adoption": "adopt", "activate": "activ", "effective": "effect",
+            "rate": "rate", "roll": "roll", "controll": "control"}
+    for w, want in vecs.items():
+        assert porter_stem(w) == want, (w, porter_stem(w), want)
+
+
+def test_tokenize_pipeline():
+    cfg = TokenizerConfig(stem=True, remove_stop_words=True)
+    assert tokenize("The running dogs!", cfg) == ["run", "dog"]
+    assert tokenize("Crème Brûlée", TokenizerConfig(ascii_folding=True)) == \
+        ["creme", "brulee"]
+    assert tokenize("Hello World", TokenizerConfig(base_tokenizer="whitespace",
+                                                   lower_case=False)) == \
+        ["Hello", "World"]
+    assert tokenize("a-b c", TokenizerConfig(base_tokenizer="raw")) == ["a-b c"]
+    assert tokenize("hello", TokenizerConfig(base_tokenizer="ngram",
+                                             ngram_min_length=3,
+                                             ngram_max_length=4,
+                                             prefix_only=True)) == ["hel", "hell"]
+    long = "x" * 50
+    assert tokenize(f"short {long}", TokenizerConfig()) == ["short"]
+
+
+def test_config_validation():
+    with pytest.raises(InvalidInputError):
+        TokenizerConfig(base_tokenizer="emoji")
+    with pytest.raises(NotSupportedError):
+        TokenizerConfig(stem=True, language="Klingon")
+
+
+def test_index_tokenizer_persistence(tmp_path):
+    """Config is stored with the index; queries tokenize like the build."""
+    docs = ["The running dogs were chasing cats", "A dog runs fast",
+            "Cats sleep all day", "Der Hund läuft schnell"]
+    uri = str(tmp_path / "a.lance")
+    ds = lt.write_dataset({"t": pa.array(docs), "id": np.arange(4)}, uri)
+    ds = ds.create_index("t", "INVERTED", with_stemming=True,
+                         remove_stop_words=True)
+    meta = next(m for m in ds.list_indices() if m.name == "t_idx")
+    assert meta.params["tokenizer"]["stem"] is True
+    # stem unifies run/runs/running; stop word yields nothing
+    h = ds.scanner().full_text_search("run").to_table()
+    assert sorted(np.asarray(h["id"]).tolist()) == [0, 1]
+    assert ds.scanner().full_text_search("the").to_table().num_rows == 0
+    # reopen from disk: config travels with the index file
+    h2 = lt.dataset(uri).scanner().full_text_search("chase").to_table()
+    assert np.asarray(h2["id"]).tolist() == [0]
+
+
+def test_index_ngram_and_folding(tmp_path):
+    ds = lt.write_dataset(
+        {"t": pa.array(["hello world", "help me", "yellow", "läuft"]),
+         "id": np.arange(4)}, str(tmp_path / "b.lance"))
+    ds = ds.create_index("t", "INVERTED", base_tokenizer="ngram",
+                         ngram_min_length=3, ngram_max_length=3,
+                         ascii_folding=True)
+    h = ds.scanner().full_text_search("hel").to_table()
+    assert sorted(np.asarray(h["id"]).tolist()) == [0, 1]
+    h2 = ds.scanner().full_text_search("lau").to_table()
+    assert np.asarray(h2["id"]).tolist() == [3]
