@@ -238,4 +238,146 @@ int64_t fsst_decompress(const uint8_t* table, const uint8_t* in, int64_t n, uint
   return o;
 }
 
+// ---------------------------------------------------------------------------
+// LZ4 block format (standard): token (lit_len<<4 | match_len-4), extension
+// bytes of 255, literals, 2-byte LE offset, match extension. Encoder is a
+// hash-table greedy matcher (the classic LZ4-fast scheme). Reference exposes
+// LZ4 via its "general" compression scheme (lance-encoding
+// src/encodings/physical/general.rs, CompressionScheme::Lz4).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t lz4_read32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+static inline uint32_t lz4_hash(uint32_t v) {
+  return (v * 2654435761u) >> 16;  // 16-bit table
+}
+
+// out must have capacity n + n/255 + 16. Returns compressed size, or -1 if
+// output would exceed capacity (incompressible guard).
+int64_t lz4_compress(const uint8_t* src, int64_t n, uint8_t* dst, int64_t cap) {
+  const uint8_t* ip = src;
+  const uint8_t* anchor = src;
+  const uint8_t* iend = src + n;
+  // last match must start >=12 bytes from end; last 5 bytes are literals
+  const uint8_t* mflimit = iend - 12;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + cap;
+  std::vector<int32_t> table(1 << 16, -1);
+
+  if (n >= 13) {
+    while (ip < mflimit) {
+      uint32_t seq = lz4_read32(ip);
+      uint32_t h = lz4_hash(seq);
+      int32_t ref = table[h];
+      table[h] = (int32_t)(ip - src);
+      if (ref < 0 || (ip - src) - ref > 65535 || lz4_read32(src + ref) != seq) {
+        ip++;
+        continue;
+      }
+      // extend match forward (first 4 bytes already equal)
+      const uint8_t* match = src + ref;
+      const uint8_t* mp = ip + 4;
+      const uint8_t* mm = match + 4;
+      const uint8_t* matchlimit = iend - 5;
+      while (mp < matchlimit && *mp == *mm) { mp++; mm++; }
+      int64_t match_len = mp - ip;      // total (>=4)
+      int64_t lit_len = ip - anchor;
+      // emit sequence
+      int64_t worst = 1 + lit_len / 255 + 1 + lit_len + 2 + (match_len / 255) + 1;
+      if (op + worst >= oend) return -1;
+      uint8_t* token = op++;
+      if (lit_len >= 15) {
+        *token = (uint8_t)(15 << 4);
+        int64_t rem = lit_len - 15;
+        while (rem >= 255) { *op++ = 255; rem -= 255; }
+        *op++ = (uint8_t)rem;
+      } else {
+        *token = (uint8_t)(lit_len << 4);
+      }
+      std::memcpy(op, anchor, lit_len);
+      op += lit_len;
+      uint16_t off = (uint16_t)(ip - match);
+      *op++ = (uint8_t)(off & 0xff);
+      *op++ = (uint8_t)(off >> 8);
+      int64_t ml = match_len - 4;
+      if (ml >= 15) {
+        *token |= 15;
+        ml -= 15;
+        while (ml >= 255) { *op++ = 255; ml -= 255; }
+        *op++ = (uint8_t)ml;
+      } else {
+        *token |= (uint8_t)ml;
+      }
+      ip += match_len;
+      anchor = ip;
+      if (ip < mflimit) table[lz4_hash(lz4_read32(ip - 2))] = (int32_t)(ip - 2 - src);
+    }
+  }
+  // final literal run
+  int64_t lit_len = iend - anchor;
+  int64_t worst = 1 + lit_len / 255 + 1 + lit_len;
+  if (op + worst >= oend) return -1;
+  uint8_t* token = op++;
+  if (lit_len >= 15) {
+    *token = (uint8_t)(15 << 4);
+    int64_t rem = lit_len - 15;
+    while (rem >= 255) { *op++ = 255; rem -= 255; }
+    *op++ = (uint8_t)rem;
+  } else {
+    *token = (uint8_t)(lit_len << 4);
+  }
+  std::memcpy(op, anchor, lit_len);
+  op += lit_len;
+  return op - dst;
+}
+
+// Returns decompressed size, or -1 on malformed input / overflow.
+int64_t lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
+                       int64_t raw_len) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + n;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + raw_len;
+  while (ip < iend) {
+    uint8_t token = *ip++;
+    int64_t lit_len = token >> 4;
+    if (lit_len == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit_len += b;
+      } while (b == 255);
+    }
+    if (ip + lit_len > iend || op + lit_len > oend) return -1;
+    std::memcpy(op, ip, lit_len);
+    ip += lit_len;
+    op += lit_len;
+    if (ip >= iend) break;  // last sequence has no match
+    if (ip + 2 > iend) return -1;
+    uint16_t off = (uint16_t)(ip[0] | (ip[1] << 8));
+    ip += 2;
+    if (off == 0 || op - dst < off) return -1;
+    int64_t match_len = (token & 15) + 4;
+    if ((token & 15) == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        match_len += b;
+      } while (b == 255);
+    }
+    if (op + match_len > oend) return -1;
+    const uint8_t* match = op - off;
+    // byte-wise: matches may overlap the output being produced
+    for (int64_t i = 0; i < match_len; i++) op[i] = match[i];
+    op += match_len;
+  }
+  return op - dst;
+}
+
 }  // extern "C"

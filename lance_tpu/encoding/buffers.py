@@ -149,6 +149,33 @@ def decode_zstd(data: bytes, desc: dict) -> bytes:
     return _ZSTD_D.decompress(data, max_output_size=desc["raw_len"])
 
 
+def encode_lz4(data: bytes, inner_desc: dict) -> tuple[bytes, dict] | None:
+    """LZ4 block (native C++; reference general.rs CompressionScheme::Lz4).
+    None when incompressible or native unavailable."""
+    from .. import native
+
+    comp = native.lz4_compress(data)
+    if comp is None:
+        return None
+    return comp, {"c": "lz4", "inner": inner_desc, "raw_len": len(data)}
+
+
+def decode_lz4(data: bytes, desc: dict) -> bytes:
+    from .. import native
+
+    return native.lz4_decompress(data, desc["raw_len"])
+
+
+def encode_general(data: bytes, inner_desc: dict, compression: str) -> tuple[bytes, dict]:
+    """The reference's 'general' block compression: zstd or lz4 over already-
+    encoded bytes (lance-encoding physical/general.rs). `auto` means zstd."""
+    if compression == "lz4":
+        out = encode_lz4(data, inner_desc)
+        if out is not None:
+            return out
+    return encode_zstd(data, inner_desc)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -179,6 +206,8 @@ def decode_buffer(data: bytes, desc: dict) -> np.ndarray:
     c = desc["c"]
     if c == "zstd":
         return decode_buffer(decode_zstd(data, desc), desc["inner"])
+    if c == "lz4":
+        return decode_buffer(decode_lz4(data, desc), desc["inner"])
     if c == "fsst":
         return np.frombuffer(decode_fsst(data, desc), dtype=np.uint8)
     if c == "plain":
@@ -210,15 +239,15 @@ def encode_buffer_auto(
         rle = encode_rle(values)
         if rle is not None:
             data, desc = rle
-            if compression in ("auto", "zstd") and len(data) > 4096:
-                return encode_zstd(data, desc)
+            if compression in ("auto", "zstd", "lz4") and len(data) > 4096:
+                return encode_general(data, desc, compression)
             return data, desc
         bp = encode_bitpack(values)
         if bp is not None:
             return bp
-    if values.dtype.kind == "f" and compression in ("auto", "zstd") and values.size >= 1024:
+    if values.dtype.kind == "f" and compression in ("auto", "zstd", "lz4") and values.size >= 1024:
         data, desc = encode_bss(values)
-        zdata, zdesc = encode_zstd(data, desc)
+        zdata, zdesc = encode_general(data, desc, compression)
         if len(zdata) < 0.9 * values.nbytes:
             return zdata, zdesc
     return encode_plain(values)

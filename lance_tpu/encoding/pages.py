@@ -356,7 +356,8 @@ def _page_stats(col: ColumnData) -> dict | None:
 
 
 def encode_page(col: ColumnData, compression: str = "auto",
-                rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK) -> EncodedPage:
+                rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+                packed: bool = False) -> EncodedPage:
     desc: dict = {"rows": col.num_rows, "kind": col.kind, "fsl_dim": col.fsl_dim}
     st = _page_stats(col)
     if st is not None:
@@ -381,7 +382,7 @@ def encode_page(col: ColumnData, compression: str = "auto",
         buffers.append(packed)
         bufdescs.append({"role": "values", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(packed)})
         desc["layout"] = "bitmap"
-    elif col.kind == "varbin" and compression in ("auto", "zstd") and col.num_rows >= 64 and _dict_worthwhile(col):
+    elif col.kind == "varbin" and compression in ("auto", "zstd", "lz4") and col.num_rows >= 64 and _dict_worthwhile(col):
         # dictionary encoding for low-cardinality strings (reference:
         # physical dictionary encoding, encodings/physical/dictionary.rs):
         # int32 codes direct-addressed + a small dictionary payload
@@ -412,7 +413,7 @@ def encode_page(col: ColumnData, compression: str = "auto",
         # access reads only the chunk(s) covering the requested rows
         # (reference: FullZip/mini-block structural split for strings)
         chunked = None
-        if compression in ("auto", "zstd") and len(bdata) >= 8192:
+        if compression in ("auto", "zstd", "lz4") and len(bdata) >= 8192:
             from .. import native
 
             if native.available():
@@ -449,6 +450,27 @@ def encode_page(col: ColumnData, compression: str = "auto",
             bufdescs.append({"role": "bytes", "desc": {"c": "plain", "dtype": "|u1"},
                              "len": len(bdata)})
         desc["layout"] = "varbin"
+    elif col.kind == "struct" and packed and col.children and all(
+            c.kind == "fixed" and c.validity is None for c in col.children):
+        # packed-struct: row-major interleave of fixed-width children so one
+        # row is one contiguous byte range (random access = 1 ranged read).
+        # Reference: physical/packed_struct.rs, opted in via field metadata
+        # "packed"="true".
+        dts = [(c.values.dtype.newbyteorder("<"), c.fsl_dim) for c in col.children]
+        widths = [dt.itemsize * d for dt, d in dts]
+        stride = sum(widths)
+        packed_rows = np.empty((col.num_rows, stride), np.uint8)
+        pos = 0
+        for c, (dt, dim), w in zip(col.children, dts, widths):
+            vals = np.ascontiguousarray(c.values).astype(dt, copy=False)
+            packed_rows[:, pos:pos + w] = vals.view(np.uint8).reshape(col.num_rows, w)
+            pos += w
+        data = packed_rows.tobytes()
+        buffers.append(data)
+        bufdescs.append({"role": "values", "desc": {"c": "plain", "dtype": "|u1"},
+                         "len": len(data)})
+        desc["layout"] = "packed_struct"
+        desc["packed_fields"] = [{"dtype": dt.str, "fsl_dim": d} for dt, d in dts]
     elif col.kind == "struct":
         desc["layout"] = "struct"
         child_meta = []
@@ -549,6 +571,25 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         vi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "values")
         bits = np.unpackbits(np.frombuffer(bufs[vi], dtype=np.uint8), bitorder="little")[:rows]
         return ColumnData("bool", rows, bits.astype(bool), None, validity, 1, arrow_type)
+
+    if layout == "packed_struct":
+        vi = next(i for i, b in enumerate(desc["buffers"]) if b["role"] == "values")
+        pf = desc["packed_fields"]
+        stride = sum(np.dtype(f["dtype"]).itemsize * f["fsl_dim"] for f in pf)
+        raw = np.frombuffer(bufs[vi], np.uint8).reshape(rows, stride)
+        children = []
+        pos = 0
+        for ci, f in enumerate(pf):
+            dt = np.dtype(f["dtype"])
+            dim = f["fsl_dim"]
+            w = dt.itemsize * dim
+            vals = np.ascontiguousarray(raw[:, pos:pos + w]).view(dt).reshape(-1)
+            ct = (arrow_type.field(ci).type
+                  if arrow_type is not None and pa.types.is_struct(arrow_type) else None)
+            children.append(ColumnData("fixed", rows, vals, None, None, dim, ct))
+            pos += w
+        return ColumnData("struct", rows, np.empty(0, np.uint8), None, validity, 1,
+                          arrow_type, None, children)
 
     if layout == "struct":
         children = []

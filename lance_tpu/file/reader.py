@@ -266,6 +266,32 @@ class FileReader:
             return ColumnData("fixed", local.size, values, None, val,
                               desc.get("fsl_dim", 1), arrow_type)
 
+        if layout == "packed_struct":
+            b = next(x for x in desc["buffers"] if x["role"] == "values")
+            pf = desc["packed_fields"]
+            stride = sum(np.dtype(f["dtype"]).itemsize * f["fsl_dim"] for f in pf)
+            ranges = [(b["off"] + int(i) * stride, stride) for i in local]
+            merged, mapping = _coalesce(ranges)
+            blobs = self.store.get_ranges(self.path, merged)
+            raw = bytearray()
+            for mi, delta in mapping:
+                raw += blobs[mi][delta : delta + stride]
+            mat = np.frombuffer(bytes(raw), np.uint8).reshape(local.size, stride)
+            children = []
+            pos = 0
+            for ci, f in enumerate(pf):
+                dt = np.dtype(f["dtype"])
+                dim = f["fsl_dim"]
+                w = dt.itemsize * dim
+                vals = np.ascontiguousarray(mat[:, pos:pos + w]).view(dt).reshape(-1)
+                ct = (arrow_type.field(ci).type if arrow_type is not None
+                      and pa.types.is_struct(arrow_type) else None)
+                children.append(ColumnData("fixed", local.size, vals, None, None, dim, ct))
+                pos += w
+            val = validity[local] if validity is not None else None
+            return ColumnData("struct", local.size, np.empty(0, np.uint8), None, val,
+                              1, arrow_type, None, children)
+
         if layout == "miniblock":
             rpc = desc["rows_per_chunk"]
             chunk_bufs = [x for x in desc["buffers"] if x["role"] == "chunk"]

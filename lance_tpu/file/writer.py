@@ -72,13 +72,19 @@ class FileWriter:
     def _to_columns(self, batch) -> dict[str, ColumnData]:
         if isinstance(batch, pa.Table):
             batch = batch.combine_chunks()
-            return {
-                name: ColumnData.from_arrow(batch.column(name).combine_chunks().chunk(0)
-                                            if batch.column(name).num_chunks else
-                                            pa.array([], type=batch.schema.field(name).type))
-                for name in self._pending
-                if name in batch.column_names
-            }
+            out = {}
+            for name in self._pending:
+                if name not in batch.column_names:
+                    continue
+                col = batch.column(name)
+                if col.num_chunks:
+                    arr = col.combine_chunks()
+                    if isinstance(arr, pa.ChunkedArray):  # pyarrow-version dependent
+                        arr = arr.chunk(0)
+                else:
+                    arr = pa.array([], type=batch.schema.field(name).type)
+                out[name] = ColumnData.from_arrow(arr)
+            return out
         if isinstance(batch, pa.RecordBatch):
             return {
                 name: ColumnData.from_arrow(batch.column(batch.schema.get_field_index(name)))
@@ -121,11 +127,12 @@ class FileWriter:
         # compression_config.rs, field key "lance-encoding:compression")
         field = self.schema.field(name)
         comp = field.metadata.get("lance-encoding:compression", self.compression)
-        if comp not in ("auto", "none", "zstd"):
+        if comp not in ("auto", "none", "zstd", "lz4"):
             raise InvalidInputError(
                 f"unknown compression {comp!r} for column {name!r} "
-                "(expected auto/none/zstd)")
-        page = encode_page(col, comp)
+                "(expected auto/none/zstd/lz4)")
+        packed = field.metadata.get("packed", "").lower() == "true"
+        page = encode_page(col, comp, packed=packed)
         self._append_page(name, page)
         self._pending[name] = []
         self._pending_bytes[name] = 0

@@ -51,6 +51,10 @@ def _load() -> ctypes.CDLL | None:
             lib.fsst_compress.restype = ctypes.c_int64
             lib.fsst_decompress.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
             lib.fsst_decompress.restype = ctypes.c_int64
+            lib.lz4_compress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+            lib.lz4_compress.restype = ctypes.c_int64
+            lib.lz4_decompress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+            lib.lz4_decompress.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -144,6 +148,63 @@ def fsst_decompress(table: bytes, data: bytes, raw_len: int) -> bytes:
     out = np.empty(raw_len + 8, dtype=np.uint8)
     n = lib.fsst_decompress(_u8(tbl), _u8(src), src.size, _u8(out))
     return out[:n].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# LZ4 (standard block format; reference general.rs CompressionScheme::Lz4)
+# ---------------------------------------------------------------------------
+
+
+def lz4_compress(data: bytes) -> bytes | None:
+    """None when native is unavailable or the data is incompressible."""
+    lib = _load()
+    if lib is None or len(data) == 0:
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = src.size + src.size // 255 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.lz4_compress(_u8(src), src.size, _u8(out), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def lz4_decompress(data: bytes, raw_len: int) -> bytes:
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8)
+    if lib is not None:
+        out = np.empty(raw_len, dtype=np.uint8)
+        n = lib.lz4_decompress(_u8(src), src.size, _u8(out), raw_len)
+        if n != raw_len:
+            raise ValueError("corrupt lz4 block")
+        return out.tobytes()
+    # pure-python fallback decoder (slow; keeps lz4 files readable without g++)
+    ip, out = 0, bytearray()
+    n = len(data)
+    while ip < n:
+        token = data[ip]; ip += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[ip]; ip += 1; lit += b
+                if b != 255:
+                    break
+        out += data[ip:ip + lit]; ip += lit
+        if ip >= n:
+            break
+        off = data[ip] | (data[ip + 1] << 8); ip += 2
+        ml = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                b = data[ip]; ip += 1; ml += b
+                if b != 255:
+                    break
+        start = len(out) - off
+        for i in range(ml):  # overlapping copies are the LZ4 contract
+            out.append(out[start + i])
+    if len(out) != raw_len:
+        raise ValueError("corrupt lz4 block")
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -250,3 +250,61 @@ def test_per_column_compression_override(tmp_path):
     assert st["raw"]["bytes_on_disk"] > 2 * st["packed"]["bytes_on_disk"]
     t = lt.dataset(uri).to_table()
     assert t["raw"].to_pylist() == t["packed"].to_pylist() == text
+
+
+def test_lz4_compression_roundtrip(memory_store):
+    """compression='lz4' selects the native LZ4 general codec
+    (reference: physical/general.rs CompressionScheme::Lz4)."""
+    n = 20_000
+    # smooth floats compress well under byte-stream-split + lz4
+    vals = np.linspace(0.0, 1.0, n).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    schema = Schema.from_arrow(pa.schema([("x", pa.float32()), ("id", pa.int64())]))
+    w = FileWriter(memory_store, "lz4.ltpf", schema, compression="lz4")
+    w.write_batch(pa.record_batch({"x": pa.array(vals), "id": pa.array(ids)}))
+    w.finish()
+    r = FileReader(memory_store, "lz4.ltpf")
+    t = r.read_table()
+    np.testing.assert_array_equal(np.asarray(t["x"]), vals)
+    np.testing.assert_array_equal(np.asarray(t["id"]), ids)
+    import json
+    descs = json.dumps(r.metadata["columns"])
+    assert "lz4" in descs, "lz4 codec should appear in page descriptors"
+
+
+def test_packed_struct_roundtrip_and_take(memory_store):
+    """Field metadata packed=true interleaves fixed-width struct children
+    row-major (reference: physical/packed_struct.rs); take of one row is one
+    contiguous ranged read."""
+    n = 50_000
+    tbl = pa.table({
+        "s": pa.StructArray.from_arrays(
+            [pa.array(np.arange(n, dtype=np.int32)),
+             pa.array(np.arange(n, dtype=np.float64) * 0.5),
+             pa.array(np.arange(n, dtype=np.int16))],
+            names=["a", "b", "c"]),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    sch = pa.schema([
+        pa.field("s", tbl.schema.field("s").type, metadata={b"packed": b"true"}),
+        pa.field("id", pa.int64()),
+    ])
+    schema = Schema.from_arrow(sch)
+    w = FileWriter(memory_store, "ps.ltpf", schema, compression="none")
+    w.write_batch(tbl)
+    w.finish()
+    r = FileReader(memory_store, "ps.ltpf")
+    assert any(p["layout"] == "packed_struct"
+               for c in r.metadata["columns"] if c["name"] == "s"
+               for p in c["pages"])
+    t = r.read_table()
+    assert t["s"][7].as_py() == {"a": 7, "b": 3.5, "c": 7}
+    assert t["s"][n - 1].as_py()["a"] == n - 1
+    # random access budget: one row = one contiguous 14-byte-row read
+    tracked = TrackingStore(memory_store)
+    r2 = FileReader(tracked, "ps.ltpf")
+    tracked.stats.reset()
+    tt = r2.take_table(np.array([123, 40_000]), columns=["s"])
+    assert tt["s"][0].as_py() == {"a": 123, "b": 61.5, "c": 123}
+    assert tt["s"][1].as_py()["a"] == 40_000
+    assert tracked.stats.read_bytes < 4096, tracked.stats.read_bytes

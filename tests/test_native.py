@@ -82,3 +82,43 @@ def test_fsst_in_file_format(memory_store):
     # take still works (falls back to page decode for compressed bytes)
     got = r.take_table(np.array([17, 4999]))
     assert got["s"].to_pylist() == [strings[17], strings[4999]]
+
+
+def test_lz4_roundtrip_compressible():
+    data = (b"abcdefgh" * 4000) + b"the quick brown fox " * 1000
+    comp = native.lz4_compress(data)
+    assert comp is not None and len(comp) < len(data) * 0.2, (len(comp), len(data))
+    assert native.lz4_decompress(comp, len(data)) == data
+    # pure-python fallback decoder must agree with the native one
+    ip, out = 0, bytearray()  # inline call of the fallback via monkey trick:
+    import lance_tpu.native as nat
+
+    lib, nat._lib = nat._lib, None
+    try:
+        assert nat.lz4_decompress(comp, len(data)) == data
+    finally:
+        nat._lib = lib
+
+
+def test_lz4_roundtrip_random(rng):
+    # incompressible input: compressor may bail (None) but must never corrupt
+    data = rng.integers(0, 256, 50_000).astype(np.uint8).tobytes()
+    comp = native.lz4_compress(data)
+    if comp is not None:
+        assert native.lz4_decompress(comp, len(data)) == data
+
+
+def test_lz4_short_and_empty(rng):
+    for n in (0, 1, 5, 12, 13, 64):
+        data = bytes(range(n))
+        comp = native.lz4_compress(data)
+        if comp is not None:
+            assert native.lz4_decompress(comp, len(data)) == data
+
+
+def test_lz4_overlapping_matches():
+    # RLE-like data exercises the overlapping-copy contract (offset < length)
+    data = b"a" * 10_000 + b"bc" * 5_000
+    comp = native.lz4_compress(data)
+    assert comp is not None and len(comp) < 200
+    assert native.lz4_decompress(comp, len(data)) == data
