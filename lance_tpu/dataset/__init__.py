@@ -579,10 +579,11 @@ class LanceDataset:
 
         return _diff(self, from_version, to_version)
 
-    def clone_to(self, dest_uri: str, version: int | None = None) -> "LanceDataset":
+    def clone_to(self, dest_uri: str, version: int | None = None,
+                 shallow: bool = False) -> "LanceDataset":
         from .delta import clone as _clone
 
-        return _clone(self, dest_uri, version)
+        return _clone(self, dest_uri, version, shallow=shallow)
 
     # -- maintenance -------------------------------------------------------------------------------
 
@@ -631,6 +632,16 @@ def dataset(uri: str, version: int | None = None, session: Session | None = None
     if v is None:
         raise NotFoundError(f"no dataset at {uri}")
     manifest = read_manifest(store, v)
+    if manifest.base_paths:
+        # shallow clone: layer the source dataset(s) under this store so
+        # files the clone has not rewritten resolve against their origin
+        from ..io.object_store import FallbackStore
+
+        bases = []
+        for _bid, base_uri in sorted(manifest.base_paths.items(), key=lambda kv: int(kv[0])):
+            bs, bp = store_for_uri(base_uri)
+            bases.append(PrefixedStore(bs, bp) if bp else bs)
+        store = FallbackStore(store, bases)
     return LanceDataset(store, uri, manifest, session, handler)
 
 

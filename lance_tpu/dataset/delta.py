@@ -52,8 +52,13 @@ def diff(ds, from_version: int, to_version: int | None = None) -> dict:
     }
 
 
-def clone(ds, dest_uri: str, version: int | None = None):
-    """Copy one version of the dataset to dest_uri (deep copy)."""
+def clone(ds, dest_uri: str, version: int | None = None, shallow: bool = False):
+    """Copy one version of the dataset to dest_uri.
+
+    Deep (default): every referenced file is copied. Shallow: no data moves —
+    the new manifest records `base_paths` pointing at the source and readers
+    resolve un-rewritten files against it (reference: Operation::Clone /
+    shallow clone, manifest base_paths)."""
     import lance_tpu
     from ..io.object_store import PrefixedStore, store_for_uri
     from ..table.manifest import INDICES_DIR
@@ -63,6 +68,32 @@ def clone(ds, dest_uri: str, version: int | None = None):
     dest = PrefixedStore(base_store, base) if base else base_store
     if dest.list(""):
         raise InvalidInputError(f"destination {dest_uri} is not empty")
+
+    if shallow:
+        from ..table.commit import ConditionalPutCommitHandler
+        from ..table.feature_flags import apply_feature_flags
+        from ..table.manifest import Manifest
+
+        m = src.manifest
+        # transitive closure: a clone of a clone must still reach the
+        # original store for files neither layer has rewritten
+        base_paths = {"1": src.uri}
+        for i, (_bid, u) in enumerate(
+                sorted(m.base_paths.items(), key=lambda kv: int(kv[0])), start=2):
+            base_paths[str(i)] = u
+        new_m = Manifest(
+            schema=m.schema, version=1,
+            fragments=[f.copy() for f in m.fragments],
+            indices=list(m.indices), config=dict(m.config),
+            max_fragment_id=m.max_fragment_id,
+            next_row_id=m.next_row_id,
+            base_paths=base_paths,
+        )
+        apply_feature_flags(new_m)
+        handler = ConditionalPutCommitHandler()
+        if not handler.commit(dest, 1, new_m.to_bytes()):
+            raise InvalidInputError(f"destination {dest_uri} already has a version")
+        return lance_tpu.dataset(dest_uri)
 
     m = src.manifest
     paths: set[str] = set()

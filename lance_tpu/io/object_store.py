@@ -494,3 +494,69 @@ class PrefixedStore(ObjectStore):
 
     def io_parallelism(self) -> int:
         return self.inner.io_parallelism()
+
+
+class FallbackStore(ObjectStore):
+    """Copy-on-write layering for shallow clones (reference: Operation::Clone
+    + manifest base_paths, docs/src/format/table/layout.md:44-66).
+
+    Reads try the primary store first, then each base layer; writes, deletes
+    and listings touch ONLY the primary. Table-metadata namespaces
+    (_versions/, _refs/, _transactions/) never fall back: a clone owns its
+    own history. Data/index/deletion files referenced by the cloned manifest
+    resolve to the source until the clone rewrites them (compaction,
+    updates), at which point new files shadow nothing (uuid paths never
+    collide)."""
+
+    _LOCAL_ONLY = ("_versions/", "_refs/", "_transactions/", "tree/")
+
+    def __init__(self, primary: ObjectStore, bases: list[ObjectStore]):
+        self.primary = primary
+        self.bases = bases
+
+    def _candidates(self, path: str):
+        yield self.primary
+        if not any(path.startswith(p) for p in self._LOCAL_ONLY):
+            yield from self.bases
+
+    def _read(self, path: str, op):
+        last: Exception | None = None
+        for store in self._candidates(path):
+            try:
+                return op(store)
+            except NotFoundError as e:
+                last = e
+        raise last if last is not None else NotFoundError(path)
+
+    def get(self, path: str) -> bytes:
+        return self._read(path, lambda s: s.get(path))
+
+    def get_range(self, path: str, start: int, length: int) -> bytes:
+        return self._read(path, lambda s: s.get_range(path, start, length))
+
+    def get_ranges(self, path: str, ranges: list[tuple[int, int]]) -> list[bytes]:
+        return self._read(path, lambda s: s.get_ranges(path, ranges))
+
+    def head(self, path: str) -> ObjectMeta:
+        return self._read(path, lambda s: s.head(path))
+
+    def exists(self, path: str) -> bool:
+        return any(s.exists(path) for s in self._candidates(path))
+
+    def put(self, path: str, data: bytes) -> None:
+        self.primary.put(path, data)
+
+    def put_if_not_exists(self, path: str, data: bytes) -> bool:
+        return self.primary.put_if_not_exists(path, data)
+
+    def open_writer(self, path: str):
+        return self.primary.open_writer(path)
+
+    def delete(self, path: str) -> None:
+        self.primary.delete(path)
+
+    def list(self, prefix: str = "") -> list[ObjectMeta]:
+        return self.primary.list(prefix)
+
+    def io_parallelism(self) -> int:
+        return self.primary.io_parallelism()

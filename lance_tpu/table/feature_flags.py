@@ -14,8 +14,10 @@ from ..errors import NotSupportedError
 FLAG_DELETION_FILES = 1
 FLAG_STABLE_ROW_IDS = 2
 FLAG_TABLE_CONFIG = 8
+FLAG_BASE_PATHS = 16  # shallow clone: files resolved via manifest base_paths
 
-KNOWN_READER_FLAGS = FLAG_DELETION_FILES | FLAG_STABLE_ROW_IDS | FLAG_TABLE_CONFIG
+KNOWN_READER_FLAGS = (FLAG_DELETION_FILES | FLAG_STABLE_ROW_IDS
+                      | FLAG_TABLE_CONFIG | FLAG_BASE_PATHS)
 KNOWN_WRITER_FLAGS = KNOWN_READER_FLAGS
 
 
@@ -30,6 +32,9 @@ def apply_feature_flags(manifest) -> None:
         w |= FLAG_STABLE_ROW_IDS
     if manifest.config:
         w |= FLAG_TABLE_CONFIG
+    if manifest.base_paths:
+        r |= FLAG_BASE_PATHS
+        w |= FLAG_BASE_PATHS
     manifest.reader_feature_flags = r
     manifest.writer_feature_flags = w
 

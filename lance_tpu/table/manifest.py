@@ -155,6 +155,10 @@ class Manifest:
     reader_feature_flags: int = 0
     writer_feature_flags: int = 0
     writer_version: str = "lance_tpu-0.1.0"
+    # shallow-clone / multi-store layering: {base_id: source dataset uri};
+    # readers resolve files missing from this dataset's store against each
+    # base in order (reference: manifest base_paths, layout.md:44-66)
+    base_paths: dict = dc_field(default_factory=dict)
 
     def __post_init__(self):
         if self.timestamp == 0.0:
@@ -186,6 +190,7 @@ class Manifest:
             "next_row_id": self.next_row_id,
             "reader_feature_flags": self.reader_feature_flags,
             "writer_feature_flags": self.writer_feature_flags,
+            **({"base_paths": self.base_paths} if self.base_paths else {}),
         }
 
     @classmethod
@@ -203,6 +208,7 @@ class Manifest:
             next_row_id=j.get("next_row_id"),
             reader_feature_flags=j.get("reader_feature_flags", 0),
             writer_feature_flags=j.get("writer_feature_flags", 0),
+            base_paths=j.get("base_paths", {}),
         )
 
     def to_bytes(self) -> bytes:

@@ -244,6 +244,7 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
         config=dict(base.config),
         max_fragment_id=base.max_fragment_id,
         next_row_id=base.next_row_id,
+        base_paths=dict(base.base_paths),
     )
     m.transaction_file = txn.tx_path()
 

@@ -143,3 +143,50 @@ def test_sql_group_by_errors():
         ds.sql("SELECT g, v FROM t GROUP BY g")  # v not grouped/aggregated
     with _pytest.raises(InvalidInputError):
         ds.sql("SELECT g FROM t GROUP BY g")  # group by without aggregates
+
+
+def test_shallow_clone():
+    """shallow=True copies no data: the clone's manifest records base_paths
+    and reads resolve against the source (reference: shallow clone via
+    Operation::Clone + manifest base_paths)."""
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    src_uri = _uri("shsrc")
+    src = lt.write_dataset({"vec": vecs, "id": np.arange(300, dtype=np.int64)}, src_uri)
+    src = src.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=5)
+
+    dst_uri = _uri("shdst")
+    cl = src.clone_to(dst_uri, shallow=True)
+    # no data files copied into the clone's store
+    from lance_tpu.io.object_store import store_for_uri, PrefixedStore
+
+    bs, bp = store_for_uri(dst_uri)
+    raw = PrefixedStore(bs, bp) if bp else bs
+    assert not raw.list("data/"), "shallow clone must not copy data files"
+    assert cl.manifest.base_paths, "manifest must record base_paths"
+
+    # full read + index search resolve through the fallback layer
+    assert cl.count_rows() == 300
+    assert cl.to_table().equals(src.to_table())
+    t = cl.scanner().nearest("vec", vecs[7], k=1, nprobes=4).to_table()
+    assert np.asarray(t["id"])[0] == 7
+
+    # clone is writable; source is untouched
+    cl2 = cl.insert({"vec": vecs[:5], "id": np.arange(1000, 1005, dtype=np.int64)}, "append")
+    assert cl2.count_rows() == 305
+    assert lt.dataset(src_uri).count_rows() == 300
+    cl3 = cl2.delete("id = 1000")
+    assert cl3.count_rows() == 304
+    # reopening walks base_paths again
+    again = lt.dataset(dst_uri)
+    assert again.count_rows() == 304
+    assert again.manifest.base_paths
+    # clone of the clone reaches the original transitively
+    cl4 = again.clone_to(_uri("shdst2"), shallow=True)
+    assert cl4.count_rows() == 304
+    assert len(cl4.manifest.base_paths) == 2
+    # validate() resolves foreign files; cleanup must not delete them
+    again.validate()
+    again.cleanup_old_versions(keep_latest=1)
+    assert lt.dataset(src_uri).count_rows() == 300
+    assert lt.dataset(dst_uri).count_rows() == 304
