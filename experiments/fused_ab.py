@@ -1,0 +1,79 @@
+"""A/B the Pallas fused score+top2 kernel vs the materialized XLA path on
+the real chip: recall (vs exact ground truth) and QPS at B=512/2048.
+
+Run: nohup python experiments/fused_ab.py > fused_ab.log 2>&1 &
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    t = time.time()
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    _log(f"gt {time.time()-t:.0f}s")
+    qh = np.asarray(queries)
+
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://fab/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    _log(f"build {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    nprobes, rf = 16, 16
+
+    def recall_of(rid):
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                   for r in range(NQ))
+        return hits / (NQ * K)
+
+    results = {}
+    arms = [int(x) for x in os.environ.get("FAB_ARMS", "0,1").split(",")]
+    for fused in arms:
+        os.environ["LANCE_TPU_FUSED"] = str(fused)
+        # recall over the full query set
+        t = time.time()
+        _, rid = idx.search(qh, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid)
+        _log(f"fused={fused} recall@10={rec:.4f} ({time.time()-t:.0f}s incl compile)")
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        for batch in (512, 2048):
+            qb = np.tile(qh, (max(1, batch // NQ + 1), 1))[:batch]
+            q_dev = jnp.asarray(qb)
+            jax.block_until_ready(fn(q_dev))
+            iters = 100 if batch == 512 else 50
+            t = time.time()
+            o = None
+            for _ in range(iters):
+                o = fn(q_dev)
+            jax.block_until_ready(o)
+            qps = iters * batch / (time.time() - t)
+            _log(f"fused={fused} B={batch} qps={qps:.0f}")
+            results[(fused, batch)] = qps
+        results[(fused, "recall")] = rec
+    _log(str(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,8 +64,39 @@ def main():
         for _ in range(10):
             o = fn(q_dev)
         jax.block_until_ready(o)
-    for name, dur in top_ops(trace_dir):
-        _log(f"{dur/10:>10.0f} us  {name[:110]}")
+
+    # map fusion.N -> HLO shape + op_name metadata from the SAME compiled
+    # program so profiler names resolve exactly
+    import re
+
+    from lance_tpu.indices.vector_index import (_dist_bf16, _fused_kernel,
+                                                _query_cap, _search_dense)
+
+    b, k, nprobes, rf = 512, 10, 16, 16
+    fetch = min(k * rf, idx.num_rows)
+    q_cap = _query_cap(b, nprobes, idx.ivf.num_partitions)
+    import jax.numpy as jnp2
+    qp = jnp2.zeros((b, 128), jnp2.float32)
+    lowered = _search_dense.lower(
+        idx._blocks_dev, idx._block_sq_dev, idx._gpos_dev, idx._centroids_dev,
+        qp, None, idx.metric, nprobes, fetch, q_cap,
+        refine_vectors=idx._ensure_vectors(), final_k=k,
+        part_offsets=idx._offsets_dev, dist_bf16=_dist_bf16(),
+        fused=_fused_kernel())
+    txt = lowered.compile().as_text()
+    fmap = {}
+    for line in txt.splitlines():
+        ls = line.strip().lstrip("%")
+        m = re.match(r"(fusion[\.\w]*|sort[\.\w]*) = (\S+) ", ls)
+        if m:
+            name = m.group(1)
+            shape = m.group(2)
+            om = re.search(r'op_name="([^"]+)"', ls)
+            sl = re.search(r"source_line=(\d+)", ls)
+            fmap[name] = f"{shape} {om.group(1) if om else ''} L{sl.group(1) if sl else '?'}"
+    for name, dur in top_ops(trace_dir, 24):
+        extra = fmap.get(name, "")
+        _log(f"{dur/10:>10.0f} us  {name[:40]:<42} {extra[:160]}")
 
 
 if __name__ == "__main__":

@@ -765,6 +765,7 @@ class IvfIndex:
             dist_bf16=_dist_bf16(),
             block_scale=self._block_scale_dev,
             n_real=jnp.asarray(b_real, jnp.int32),
+            fused=_fused_kernel(),
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -810,6 +811,7 @@ class IvfIndex:
                 part_offsets=self._offsets_dev,
                 dist_bf16=_dist_bf16(),
                 block_scale=self._block_scale_dev,
+                fused=_fused_kernel(),
             )
 
         return run
@@ -847,6 +849,7 @@ class IvfIndex:
                 refine_vectors=refine_vecs,
                 final_k=kk if do_refine else None,
                 part_offsets=offsets,
+                fused=_fused_kernel(),
             )
 
         return run
@@ -922,14 +925,29 @@ def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> in
     return min(b, max(8, mean * slack))
 
 
+def _fused_kernel() -> bool:
+    """Pallas fused score+top-2 kernel (quantized indices, refined searches).
+    Avoids materializing the (nlist, q_cap, L) score tensor in HBM; the
+    in-kernel per-group TOP-2 (vs min) makes within-partition grouping
+    collision-free (min-only measured -9 recall pts; see ops/pallas_kernels).
+    Default OFF (measured on SIFT1M-like 1M: group-16 top-2 still loses ~4
+    recall pts on clustered data, and non-lane-aligned strided slices make
+    the kernel 3x slower than the XLA einsum); opt in with
+    LANCE_TPU_FUSED=1 while iterating."""
+    return os.environ.get("LANCE_TPU_FUSED", "0") not in ("0", "false", "")
+
+
+_FUSED_GROUP = 16
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k",
-                              "dist_bf16")
+                              "dist_bf16", "fused")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
                   part_offsets=None, dist_bf16=False, block_scale=None,
-                  n_real=None):
+                  n_real=None, fused=False):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -978,6 +996,71 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     slot_sorted = jnp.where(ok, rank, -1)
     inv = jnp.empty_like(order).at[order].set(jnp.arange(order.shape[0]))
     slot = slot_sorted[inv].reshape(b, nprobes)  # (B, P)
+
+    # ---- fused kernel path ---------------------------------------------------
+    L_blk = blocks.shape[1]
+    refining = refine_vectors is not None and final_k is not None
+    use_fused = (fused and selection is None and block_scale is None
+                 and refining and part_offsets is not None
+                 and L_blk % _FUSED_GROUP == 0
+                 and L_blk // _FUSED_GROUP >= 8)
+    if use_fused:
+        from ..ops.pallas_kernels import score_grouptop2
+
+        group = _FUSED_GROUP
+        ng = L_blk // group
+        qms_f = jnp.concatenate([qm, jnp.zeros((1, dim), qm.dtype)], axis=0)
+        qg_f = qms_f[qsel].astype(blocks.dtype)
+        m1, a1, m2, a2 = score_grouptop2(blocks, block_sq, qg_f, group,
+                                         metric, dist_bf16)
+        row_idx = pids * q_cap + jnp.maximum(slot, 0)  # (B, P)
+
+        def take_rows(x):
+            return jnp.take(x.reshape(nlist * q_cap, ng),
+                            row_idx.reshape(-1), axis=0).reshape(b, nprobes, ng)
+
+        valid = (slot >= 0)[:, :, None]
+        inf_t = jnp.asarray(jnp.inf, m1.dtype)
+        c1 = jnp.where(valid, take_rows(m1), inf_t)
+        c2 = jnp.where(valid, take_rows(m2), inf_t)
+        g1 = take_rows(a1)
+        g2 = take_rows(a2)
+        W2 = 2 * nprobes * ng
+        cd = jnp.concatenate([c1, c2], axis=1).reshape(b, W2)
+        cg = jnp.concatenate([g1, g2], axis=1).reshape(b, W2)
+        kk = min(k, W2)
+        neg, sel_i = jax.lax.top_k(-cd, kk)
+        best_d = -neg
+        g_sel = jnp.take_along_axis(cg, sel_i, axis=1)
+        rem = sel_i % (nprobes * ng)
+        probe_of = rem // ng
+        l_of = g_sel * ng + (rem % ng)
+        pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
+        pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
+        if kk < k:
+            best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+            pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
+        # exact re-rank (coarse dists carry the deferred ||q||^2 but the
+        # refine recomputes true distances from `pos`, so no add-back needed)
+        safe = jnp.maximum(pos, 0)
+        vec = jnp.take(refine_vectors, safe, axis=0)
+        prod_r = jnp.einsum("bfd,bd->bf", vec, qm.astype(vec.dtype),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        if metric == "dot":
+            rd = -prod_r
+        else:
+            vn = jnp.sum(vec.astype(jnp.float32) ** 2, -1)
+            rd = vn + jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True) - 2 * prod_r
+        rd = jnp.where(pos >= 0, rd, jnp.inf)
+        rneg, rsel = jax.lax.top_k(-rd, final_k)
+        pos = jnp.take_along_axis(pos, rsel, axis=1)
+        best_d = -rneg
+        if metric == "cosine":
+            best_d = best_d * 0.5
+        best_d = best_d.astype(jnp.float32)
+        found = jnp.isfinite(best_d)
+        return best_d, jnp.where(found, pos, -1)
 
     # ---- dense scoring ------------------------------------------------------
     qms = jnp.concatenate([qm, jnp.zeros((1, dim), qm.dtype)], axis=0)
@@ -1045,30 +1128,54 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         g = mine.reshape(b, group, ng)
         gmin = jnp.min(g, axis=1)
         garg = jnp.argmin(g, axis=1).astype(jnp.int32)
-        neg, sel_g = jax.lax.top_k(-gmin, min(kk, ng))
-        best_d = -neg
-        flat_idx = jnp.take_along_axis(garg, sel_g, axis=1) * ng + sel_g
-        probe_of = flat_idx // L
-        l_of = flat_idx % L
+        if part_offsets is not None:
+            # decode positions BEFORE the sort, densely: element-wise
+            # take_along_axis AFTER top-k runs at ~0.1G elem/s on TPU and was
+            # the top-3 cost of the whole search (832+676+436 us at B=512).
+            # Dense (b, ng) arithmetic + a static probe-select loop build the
+            # position of every candidate with zero per-element gathers, then
+            # ONE variadic sort carries (key, pos) together.
+            j_all = jax.lax.broadcasted_iota(jnp.int32, (b, ng), 1)
+            flat_all = garg * ng + j_all
+            probe_all = flat_all // L
+            l_all = flat_all % L
+            offs = part_offsets[pids]  # (B, P): tiny gather
+            pos_base = jnp.zeros((b, ng), jnp.int32)
+            for p in range(nprobes):  # static, vectorized selects
+                pos_base = jnp.where(probe_all == p, offs[:, p][:, None], pos_base)
+            pos_all = pos_base + l_all
+            skeys, spos = jax.lax.sort((gmin, pos_all), dimension=1, num_keys=1)
+            w = min(kk, ng)
+            best_d = skeys[:, :w]
+            pos = spos[:, :w]
+        else:
+            neg, sel_g = jax.lax.top_k(-gmin, min(kk, ng))
+            best_d = -neg
+            flat_idx = jnp.take_along_axis(garg, sel_g, axis=1) * ng + sel_g
+            probe_of = flat_idx // L
+            l_of = flat_idx % L
+            gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
+            pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
     else:
         neg, sel_i = jax.lax.top_k(-mine, kk)
         best_d = -neg
         probe_of = sel_i // L
         l_of = sel_i % L
-    if part_offsets is not None:
-        # positions arithmetically: start_p + within-partition index
-        pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
-        pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
-    else:
-        gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
-        pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
+        if part_offsets is not None:
+            # positions arithmetically: start_p + within-partition index
+            pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
+            pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
+        else:
+            gsel = jnp.take(gpos, pids.reshape(-1), axis=0).reshape(b, nprobes * L)
+            pos = jnp.take_along_axis(gsel, probe_of * L + l_of, axis=1).astype(jnp.int32)
     if (dist_bf16 or block_scale is not None) and metric != "dot":
         # restore true squared distances: add back the deferred ||q||^2
         best_d = best_d.astype(jnp.float32) + jnp.sum(
             qm.astype(jnp.float32) ** 2, axis=1, keepdims=True)
-    if kk < k:
-        best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
-        pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
+    if best_d.shape[1] < k:
+        padw = k - best_d.shape[1]
+        best_d = jnp.pad(best_d, ((0, 0), (0, padw)), constant_values=jnp.inf)
+        pos = jnp.pad(pos, ((0, 0), (0, padw)), constant_values=-1)
 
     if refine_vectors is not None and final_k is not None:
         # fused exact re-rank: stays in the same compiled program so a full

@@ -320,3 +320,43 @@ def test_binary_hamming_end_to_end():
     t3 = ds.scanner().nearest("vec", q, k=5, nprobes=8).to_table()
     np.testing.assert_array_equal(
         np.asarray(t3["_distance"]).astype(np.int64), want_d)
+
+
+def test_fused_kernel_path_parity(monkeypatch):
+    """LANCE_TPU_FUSED=1 (score_grouptop2 path; XLA fallback math on CPU)
+    must match the regular dense path's refined results: refine re-ranks
+    exactly, and top-2-per-group keeps collisions out of the coarse pool."""
+    n, dim, k = 20_000, 32, 10
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    uri = "memory://fusedpar/ds"
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(n, dtype=np.int64)}, uri)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=8,
+                         num_bits=8, max_iters=4)
+    idx = ds._vector_index_for("vec")
+    q = rng.normal(size=(32, dim)).astype(np.float32)
+
+    monkeypatch.setenv("LANCE_TPU_FUSED", "0")
+    d0, r0 = idx.search(q, k, nprobes=8, refine_factor=16)
+    monkeypatch.setenv("LANCE_TPU_FUSED", "1")
+    d1, r1 = idx.search(q, k, nprobes=8, refine_factor=16)
+
+    # refined distances are exact in both paths; candidate pools may differ
+    # at the margin, so compare sets with a tight agreement bound
+    agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                     for a, b in zip(r0, r1)])
+    assert agree >= 0.98, agree
+    np.testing.assert_allclose(np.sort(d0, 1)[:, :5], np.sort(d1, 1)[:, :5],
+                               rtol=1e-4, atol=1e-4)
+
+    # fused-path recall must not regress vs the regular path
+    def recall(r):
+        hits = 0
+        for i in range(q.shape[0]):
+            gt = _gt_topk(vecs, q[i], k)
+            ids = r[i].astype(np.int64) & 0xFFFFFFFF
+            hits += len(set(ids.tolist()) & set(gt.tolist()))
+        return hits / (q.shape[0] * k)
+
+    rec0, rec1 = recall(r0), recall(r1)
+    assert rec1 >= rec0 - 0.02, (rec0, rec1)
