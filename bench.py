@@ -57,9 +57,12 @@ def main() -> None:
     import os
 
     # tuned serving config for this benchmark scale: bf16 score tensors are
-    # recall-neutral at 1M (verified by the recall gate in this run) +14% QPS.
+    # recall-neutral at 1M (verified by the recall gate in this run) +14% QPS;
+    # merge_group=16 narrows the final sort 2x (+25% QPS, -0.3 recall pt,
+    # still above the 0.95 gate — measured in experiments/merge_sweep.py).
     # Set here (not at import) so importing bench helpers never flips globals.
     os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+    os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
     import jax
 
     # persistent compile cache: axon remote-compiles are slow and variable;

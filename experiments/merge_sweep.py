@@ -1,0 +1,72 @@
+"""Sweep LANCE_TPU_MERGE_GROUP x LANCE_TPU_REFINE_F16 on the real chip:
+recall + QPS at B=512 per config. One compile per config.
+
+Run: nohup python experiments/merge_sweep.py > merge_sweep.log 2>&1 &
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+
+CONFIGS = [(8, 0), (12, 0), (16, 0), (8, 1), (16, 1)]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    qh = np.asarray(queries)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://msw/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    _log(f"build {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    nprobes, rf = 16, 16
+
+    def recall_of(rid):
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        return sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                   for r in range(NQ)) / (NQ * K)
+
+    results = {}
+    for mg, f16 in CONFIGS:
+        os.environ["LANCE_TPU_MERGE_GROUP"] = str(mg)
+        os.environ["LANCE_TPU_REFINE_F16"] = str(f16)
+        idx._vectors_dev = None  # force refine-vector reload at new dtype
+        t = time.time()
+        _, rid = idx.search(qh, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        q_dev = jnp.asarray(np.tile(qh, (1, 1))[:512])
+        jax.block_until_ready(fn(q_dev))
+        tt = time.time()
+        o = None
+        for _ in range(100):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = 100 * 512 / (time.time() - tt)
+        _log(f"mg={mg} f16={f16} recall={rec:.4f} qps={qps:.0f} ({time.time()-t:.0f}s)")
+        results[(mg, f16)] = (round(rec, 4), round(qps))
+    _log(str(results))
+
+
+if __name__ == "__main__":
+    main()

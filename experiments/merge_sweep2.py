@@ -1,0 +1,76 @@
+"""Round 2 sweep at MERGE_GROUP=16: int8 block scoring and bucket=2048.
+
+Run: nohup python experiments/merge_sweep2.py > merge_sweep2.log 2>&1 &
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ["LANCE_TPU_MERGE_GROUP"] = "16"
+
+# (score_int8, measure_batch, note)
+ARMS = [(0, 2048, "b2048-chunked512"), (1, 512, "int8"), (1, 2048, "int8-b2048")]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    qh = np.asarray(queries)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://msw2/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    _log(f"build {time.time()-t:.0f}s")
+    nprobes, rf = 16, 16
+
+    def recall_of(rid):
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        return sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                   for r in range(NQ)) / (NQ * K)
+
+    results = {}
+    for int8, batch, note in ARMS:
+        os.environ["LANCE_TPU_SCORE_INT8"] = str(int8)
+        # int8 affects device block arrays: rebuild the index view
+        ds2 = lt.dataset("memory://msw2/d1m")
+        idx = ds2._vector_index_for("vec")
+        t = time.time()
+        _, rid = idx.search(qh, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        qb = np.tile(qh, (max(1, batch // NQ + 1), 1))[:batch]
+        q_dev = jnp.asarray(qb)
+        jax.block_until_ready(fn(q_dev))
+        iters = 100 if batch == 512 else 50
+        tt = time.time()
+        o = None
+        for _ in range(iters):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = iters * batch / (time.time() - tt)
+        _log(f"{note}: int8={int8} B={batch} recall={rec:.4f} qps={qps:.0f} "
+             f"({time.time()-t:.0f}s)")
+        results[note] = (round(rec, 4), round(qps))
+    _log(str(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -766,6 +766,7 @@ class IvfIndex:
             block_scale=self._block_scale_dev,
             n_real=jnp.asarray(b_real, jnp.int32),
             fused=_fused_kernel(),
+            merge_group=_merge_group(),
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -812,6 +813,7 @@ class IvfIndex:
                 dist_bf16=_dist_bf16(),
                 block_scale=self._block_scale_dev,
                 fused=_fused_kernel(),
+                merge_group=_merge_group(),
             )
 
         return run
@@ -850,6 +852,7 @@ class IvfIndex:
                 final_k=kk if do_refine else None,
                 part_offsets=offsets,
                 fused=_fused_kernel(),
+                merge_group=_merge_group(),
             )
 
         return run
@@ -868,7 +871,8 @@ class IvfIndex:
                 pos = np.searchsorted(rowids[order], self.rowids)
                 cached = np.ascontiguousarray(vecs[order][pos])
                 self.ds.session.index_cache.put("ivf_vec", key, cached)
-            dt = jnp.bfloat16 if _refine_bf16() else jnp.float32
+            dt = (jnp.bfloat16 if _refine_bf16() else
+                  jnp.float16 if _refine_f16() else jnp.float32)
             self._vectors_dev = jnp.asarray(cached, dtype=dt)
         return self._vectors_dev
 
@@ -904,6 +908,21 @@ def _refine_bf16() -> bool:
     distance error. Default OFF (refine is the exactness backstop);
     opt in with LANCE_TPU_REFINE_BF16=1."""
     return os.environ.get("LANCE_TPU_REFINE_BF16", "0") not in ("0", "false", "")
+
+
+def _refine_f16() -> bool:
+    """f16 refine vectors: same traffic as bf16 but 11-bit mantissa — EXACT
+    for integer-valued descriptors <= 2048 (SIFT-family) and ~8x tighter
+    than bf16 elsewhere. Distances still accumulate in f32. Opt in with
+    LANCE_TPU_REFINE_F16=1."""
+    return os.environ.get("LANCE_TPU_REFINE_F16", "0") not in ("0", "false", "")
+
+
+def _merge_group() -> int:
+    """Across-probe group-min width before the final merge sort. Any value
+    <= nprobes keeps the home partition collision-free (its L candidates
+    land in distinct slots whenever ng >= L). Larger group = narrower sort."""
+    return int(os.environ.get("LANCE_TPU_MERGE_GROUP", "8"))
 
 
 def _dist_bf16() -> bool:
@@ -942,12 +961,12 @@ _FUSED_GROUP = 16
 
 @functools.partial(
     jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k",
-                              "dist_bf16", "fused")
+                              "dist_bf16", "fused", "merge_group")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
                   part_offsets=None, dist_bf16=False, block_scale=None,
-                  n_real=None, fused=False):
+                  n_real=None, fused=False, merge_group=8):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -1044,7 +1063,8 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # refine recomputes true distances from `pos`, so no add-back needed)
         safe = jnp.maximum(pos, 0)
         vec = jnp.take(refine_vectors, safe, axis=0)
-        prod_r = jnp.einsum("bfd,bd->bf", vec, qm.astype(vec.dtype),
+        qv = qm.astype(vec.dtype) if vec.dtype == jnp.bfloat16 else qm
+        prod_r = jnp.einsum("bfd,bd->bf", vec, qv,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
         if metric == "dot":
@@ -1113,7 +1133,11 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     # when group divides nprobes the stride is a multiple of L and rows at
     # equal intra-partition offsets collide systematically; also require a
     # candidate pool much larger than the fetch so collisions stay rare.
-    group = 8 if (refining and W >= 8 * kk * 8 and nprobes >= 8) else 1
+    def _eligible(gw: int) -> bool:
+        return (refining and gw > 1 and W % gw == 0 and W >= gw * kk * 8
+                and nprobes >= gw)
+
+    group = merge_group if _eligible(merge_group) else (8 if _eligible(8) else 1)
     if group > 1:
         # profile-driven: ANY top-k (exact or approx) over the (B, P*L)
         # candidate matrix runs at ~3G elem/s on TPU and dominates search.
@@ -1183,7 +1207,8 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # not compute, dominates small-batch serving)
         safe = jnp.maximum(pos, 0)
         vec = jnp.take(refine_vectors, safe, axis=0)  # (B, fetch, D)
-        prod = jnp.einsum("bfd,bd->bf", vec, qm.astype(vec.dtype),
+        qv = qm.astype(vec.dtype) if vec.dtype == jnp.bfloat16 else qm
+        prod = jnp.einsum("bfd,bd->bf", vec, qv,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
         if metric == "dot":
