@@ -262,12 +262,15 @@ class BloomFilterIndex:
 
     def _maybe_contains(self, zone_idx: int, values) -> bool:
         bits = self.bits[zone_idx]
-        nbits = np.uint64(bits.size)
+        nbits = bits.size
         h1, h2 = _hash2(values)
         for v1, v2 in zip(h1, h2):
+            # double hashing in Python ints: uint64 wrap-around is intended
+            # (numpy scalar arithmetic would warn on the expected overflow)
+            b1, b2 = int(v1), int(v2)
             ok = True
             for i in range(_BLOOM_HASHES):
-                if not bits[int((v1 + np.uint64(i) * v2) % nbits)]:
+                if not bits[((b1 + i * b2) & 0xFFFFFFFFFFFFFFFF) % nbits]:
                     ok = False
                     break
             if ok:
