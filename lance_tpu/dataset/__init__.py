@@ -68,12 +68,27 @@ class LanceDataset:
     def __init__(self, store: ObjectStore, uri: str, manifest: Manifest,
                  session: Session | None = None,
                  commit_handler: CommitHandler | None = None):
+        # base_paths resolution is PER MANIFEST (checkout can move between
+        # versions with and without bases): normalize to the primary store,
+        # then re-layer FallbackStore from this manifest's base_paths
+        from ..io.object_store import FallbackStore
+
+        primary = store.primary if isinstance(store, FallbackStore) else store
+        if manifest.base_paths:
+            bases = []
+            for _bid, base_uri in sorted(manifest.base_paths.items(),
+                                         key=lambda kv: int(kv[0])):
+                bs, bp = store_for_uri(base_uri)
+                bases.append(PrefixedStore(bs, bp) if bp else bs)
+            store = FallbackStore(primary, bases)
+        else:
+            store = primary
         self.store = store
         self.uri = uri
         self.manifest = manifest
         self.session = session or default_session()
         self.commit_handler = commit_handler or ConditionalPutCommitHandler()
-        self.branch: str | None = getattr(store, "branch", None)
+        self.branch: str | None = getattr(primary, "branch", None)
 
     # -- basics ---------------------------------------------------------------------
 
@@ -632,16 +647,7 @@ def dataset(uri: str, version: int | None = None, session: Session | None = None
     if v is None:
         raise NotFoundError(f"no dataset at {uri}")
     manifest = read_manifest(store, v)
-    if manifest.base_paths:
-        # shallow clone: layer the source dataset(s) under this store so
-        # files the clone has not rewritten resolve against their origin
-        from ..io.object_store import FallbackStore
-
-        bases = []
-        for _bid, base_uri in sorted(manifest.base_paths.items(), key=lambda kv: int(kv[0])):
-            bs, bp = store_for_uri(base_uri)
-            bases.append(PrefixedStore(bs, bp) if bp else bs)
-        store = FallbackStore(store, bases)
+    # base_paths (shallow clone) layering happens in LanceDataset.__init__
     return LanceDataset(store, uri, manifest, session, handler)
 
 

@@ -102,8 +102,11 @@ def clone(ds, dest_uri: str, version: int | None = None, shallow: bool = False):
             paths.add(df.path)
         if f.deletion_file:
             paths.add(f.deletion_file.path)
+    # see through FallbackStore layers: deep-cloning a shallow clone must
+    # copy index/data files that still live in the base dataset
+    lister = getattr(src.store, "list_all", src.store.list)
     for idx in m.indices:
-        for meta in src.store.list(f"{INDICES_DIR}/{idx.uuid}/"):
+        for meta in lister(f"{INDICES_DIR}/{idx.uuid}/"):
             paths.add(meta.path)
     for p in sorted(paths):
         dest.put(p, src.store.get(p))
@@ -118,7 +121,11 @@ def clone(ds, dest_uri: str, version: int | None = None, shallow: bool = False):
         fragments=[f.copy() for f in m.fragments],
         indices=list(m.indices), config=dict(m.config),
         max_fragment_id=m.max_fragment_id,
+        next_row_id=m.next_row_id,
     )
+    from ..table.feature_flags import apply_feature_flags
+
+    apply_feature_flags(new_m)
     handler = ConditionalPutCommitHandler()
     if not handler.commit(dest, 1, new_m.to_bytes()):
         raise InvalidInputError(f"destination {dest_uri} already has a version")

@@ -378,9 +378,9 @@ def encode_page(col: ColumnData, compression: str = "auto",
         bufdescs.append({"role": "validity", "desc": vb[1], "len": len(vb[0])})
 
     if col.kind == "bool":
-        packed = np.packbits(col.values.astype(bool), bitorder="little").tobytes()
-        buffers.append(packed)
-        bufdescs.append({"role": "values", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(packed)})
+        bool_bits = np.packbits(col.values.astype(bool), bitorder="little").tobytes()
+        buffers.append(bool_bits)
+        bufdescs.append({"role": "values", "desc": {"c": "plain", "dtype": "|u1"}, "len": len(bool_bits)})
         desc["layout"] = "bitmap"
     elif col.kind == "varbin" and compression in ("auto", "zstd", "lz4") and col.num_rows >= 64 and _dict_worthwhile(col):
         # dictionary encoding for low-cardinality strings (reference:

@@ -558,5 +558,15 @@ class FallbackStore(ObjectStore):
     def list(self, prefix: str = "") -> list[ObjectMeta]:
         return self.primary.list(prefix)
 
+    def list_all(self, prefix: str = "") -> list[ObjectMeta]:
+        """Merged listing across primary + base layers (primary shadows).
+        For consumers that must see through the clone, e.g. deep-copying a
+        shallow clone; `list` stays primary-only so GC never touches bases."""
+        seen: dict[str, ObjectMeta] = {}
+        for store in [*self.bases[::-1], self.primary]:
+            for m in store.list(prefix):
+                seen[m.path] = m
+        return sorted(seen.values(), key=lambda m: m.path)
+
     def io_parallelism(self) -> int:
         return self.primary.io_parallelism()

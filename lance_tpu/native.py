@@ -179,29 +179,36 @@ def lz4_decompress(data: bytes, raw_len: int) -> bytes:
             raise ValueError("corrupt lz4 block")
         return out.tobytes()
     # pure-python fallback decoder (slow; keeps lz4 files readable without g++)
-    ip, out = 0, bytearray()
-    n = len(data)
-    while ip < n:
-        token = data[ip]; ip += 1
-        lit = token >> 4
-        if lit == 15:
-            while True:
-                b = data[ip]; ip += 1; lit += b
-                if b != 255:
-                    break
-        out += data[ip:ip + lit]; ip += lit
-        if ip >= n:
-            break
-        off = data[ip] | (data[ip + 1] << 8); ip += 2
-        ml = (token & 15) + 4
-        if (token & 15) == 15:
-            while True:
-                b = data[ip]; ip += 1; ml += b
-                if b != 255:
-                    break
-        start = len(out) - off
-        for i in range(ml):  # overlapping copies are the LZ4 contract
-            out.append(out[start + i])
+    try:
+        ip, out = 0, bytearray()
+        n = len(data)
+        while ip < n:
+            token = data[ip]; ip += 1
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    b = data[ip]; ip += 1; lit += b
+                    if b != 255:
+                        break
+            if ip + lit > n:
+                raise ValueError("corrupt lz4 block")
+            out += data[ip:ip + lit]; ip += lit
+            if ip >= n:
+                break
+            off = data[ip] | (data[ip + 1] << 8); ip += 2
+            ml = (token & 15) + 4
+            if (token & 15) == 15:
+                while True:
+                    b = data[ip]; ip += 1; ml += b
+                    if b != 255:
+                        break
+            start = len(out) - off
+            if off == 0 or start < 0:  # negative would read from the END
+                raise ValueError("corrupt lz4 block")
+            for i in range(ml):  # overlapping copies are the LZ4 contract
+                out.append(out[start + i])
+    except IndexError:
+        raise ValueError("corrupt lz4 block") from None
     if len(out) != raw_len:
         raise ValueError("corrupt lz4 block")
     return bytes(out)

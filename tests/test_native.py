@@ -90,7 +90,6 @@ def test_lz4_roundtrip_compressible():
     assert comp is not None and len(comp) < len(data) * 0.2, (len(comp), len(data))
     assert native.lz4_decompress(comp, len(data)) == data
     # pure-python fallback decoder must agree with the native one
-    ip, out = 0, bytearray()  # inline call of the fallback via monkey trick:
     import lance_tpu.native as nat
 
     lib, nat._lib = nat._lib, None

@@ -190,3 +190,52 @@ def test_shallow_clone():
     again.cleanup_old_versions(keep_latest=1)
     assert lt.dataset(src_uri).count_rows() == 300
     assert lt.dataset(dst_uri).count_rows() == 304
+
+
+def test_deep_clone_of_shallow_clone_copies_index_files():
+    """Regression: deep-cloning a shallow clone must copy index/data files
+    that still live in the BASE dataset (FallbackStore.list is primary-only
+    by design; the deep-clone path must list through the layers)."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 8)).astype(np.float32)
+    src = lt.write_dataset({"vec": vecs, "id": np.arange(300, dtype=np.int64)},
+                           _uri("dcsrc"))
+    src = src.create_index("vec", "IVF_FLAT", num_partitions=4, max_iters=5)
+    sh = src.clone_to(_uri("dcsh"), shallow=True)
+    deep = sh.clone_to(_uri("dcdeep"))  # deep copy of the shallow clone
+    assert not deep.manifest.base_paths
+    t = deep.scanner().nearest("vec", vecs[7], k=1, nprobes=4).to_table()
+    assert np.asarray(t["id"])[0] == 7
+
+
+def test_checkout_shallow_version_after_overwrite():
+    """Regression: checkout of a base_paths version from a dataset whose
+    CURRENT version has none must still resolve through the base layers."""
+    rng = np.random.default_rng(6)
+    src = lt.write_dataset({"x": rng.normal(size=50).astype(np.float32)}, _uri("cosrc"))
+    sh_uri = _uri("cosh")
+    sh = src.clone_to(sh_uri, shallow=True)
+    assert sh.version == 1 and sh.manifest.base_paths
+    lt.write_dataset({"x": np.zeros(3, np.float32)}, sh_uri, mode="overwrite")
+    ds = lt.dataset(sh_uri)
+    assert not ds.manifest.base_paths  # overwrite rewrote everything locally
+    old = ds.checkout_version(1)
+    assert old.count_rows() == 50  # reads resolve through base_paths again
+    # restore republished content must stay readable too
+    restored = old.restore()
+    assert restored.count_rows() == 50
+
+
+def test_lz4_fallback_rejects_corrupt_block():
+    from lance_tpu import native as nat
+
+    bad = bytes([0x20, ord("A"), ord("B"), 0x04, 0x00])  # offset beyond output
+    lib = nat._lib
+    nat._lib = None
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            nat.lz4_decompress(bad, 6)
+    finally:
+        nat._lib = lib
