@@ -49,14 +49,15 @@ def main():
     _log(f"build {time.time()-t:.0f}s")
     idx = ds._vector_index_for("vec")
     fn = idx.compiled_searcher(10, nprobes=16, refine_factor=16)
-    q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])
+    PB = int(__import__("os").environ.get("PROF_B", "512"))
+    q_dev = jnp.asarray(np.tile(queries_h, (PB // NQ + 2, 1))[:PB])
     jax.block_until_ready(fn(q_dev))
     t = time.time()
     for _ in range(20):
         o = fn(q_dev)
     jax.block_until_ready(o)
     dt = time.time() - t
-    _log(f"qps {20*512/dt:.0f}")
+    _log(f"qps {20*PB/dt:.0f}")
 
     trace_dir = "/root/repo/.prof_trace"
     os.system(f"rm -rf {trace_dir}")
@@ -70,9 +71,10 @@ def main():
     import re
 
     from lance_tpu.indices.vector_index import (_dist_bf16, _fused_kernel,
-                                                _query_cap, _search_dense)
+                                                _merge_group, _query_cap,
+                                                _search_dense)
 
-    b, k, nprobes, rf = 512, 10, 16, 16
+    b, k, nprobes, rf = PB, 10, 16, 16
     fetch = min(k * rf, idx.num_rows)
     q_cap = _query_cap(b, nprobes, idx.ivf.num_partitions)
     import jax.numpy as jnp2
@@ -82,7 +84,7 @@ def main():
         qp, None, idx.metric, nprobes, fetch, q_cap,
         refine_vectors=idx._ensure_vectors(), final_k=k,
         part_offsets=idx._offsets_dev, dist_bf16=_dist_bf16(),
-        fused=_fused_kernel())
+        fused=_fused_kernel(), merge_group=_merge_group())
     txt = lowered.compile().as_text()
     fmap = {}
     for line in txt.splitlines():

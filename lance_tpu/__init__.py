@@ -32,3 +32,7 @@ from .dataset.udf_checkpoint import BatchUDF, batch_udf  # noqa: F401,E402
 from . import config  # noqa: F401,E402
 from . import util  # noqa: F401,E402
 from .namespace import connect  # noqa: F401,E402
+from .indices import (  # noqa: F401,E402
+    register_index_extension,
+    unregister_index_extension,
+)

@@ -1,0 +1,49 @@
+"""Secondary-index package + the index-extension registry.
+
+Re-design of the reference Session index extensions
+(rust/lance/src/session/index_extension.rs: user crates register custom
+`IndexType`s that the dataset then builds/opens like built-ins): a process-
+wide registry mapping an index_type string to (build, open) callables.
+
+- build(ds, column, uuid, **params) -> stored_params dict. Must write its
+  artifact under `_indices/{uuid}/` via ds.store (so cleanup/clone see it).
+- open(ds, meta: IndexMetadata) -> index object implementing the scalar
+  protocol: `exact` attr, `sargable_query(op, lit) -> RowIdMask` (exact
+  indices) or `prune(op, lit) -> RowIdMask | None` (at-most indices), and
+  optionally `statistics() -> dict`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from ..errors import InvalidInputError
+
+
+@dataclass(frozen=True)
+class IndexExtension:
+    index_type: str
+    build: Callable
+    open: Callable
+
+
+_EXTENSIONS: dict[str, IndexExtension] = {}
+
+
+def register_index_extension(index_type: str, build: Callable, open: Callable) -> None:
+    """Register a custom index type (reference: Session index extensions)."""
+    index_type = index_type.upper()
+    from .create import SCALAR_TYPES, VECTOR_TYPES
+
+    if index_type in VECTOR_TYPES or index_type in SCALAR_TYPES:
+        raise InvalidInputError(f"{index_type} is a built-in index type")
+    _EXTENSIONS[index_type] = IndexExtension(index_type, build, open)
+
+
+def unregister_index_extension(index_type: str) -> None:
+    _EXTENSIONS.pop(index_type.upper(), None)
+
+
+def get_index_extension(index_type: str) -> IndexExtension | None:
+    return _EXTENSIONS.get(index_type.upper())

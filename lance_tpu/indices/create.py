@@ -42,7 +42,12 @@ def create_index(ds, column: str, index_type: str, name: str | None = None,
 
         stored_params = build_scalar_index_dispatch(ds, column, index_type, uuid, **params)
     else:
-        raise InvalidInputError(f"unknown index type {index_type}")
+        from . import get_index_extension
+
+        ext = get_index_extension(index_type)
+        if ext is None:
+            raise InvalidInputError(f"unknown index type {index_type}")
+        stored_params = ext.build(ds, column, uuid, **params) or {}
 
     meta = IndexMetadata(
         uuid=uuid,

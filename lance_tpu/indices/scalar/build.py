@@ -656,6 +656,12 @@ def _remap_scalar_rowids(idx, ds) -> None:
 def open_scalar_index(ds, meta: IndexMetadata):
     cls = _openers().get(meta.index_type)
     if cls is None:
+        from .. import get_index_extension
+
+        ext = get_index_extension(meta.index_type)
+        if ext is not None:
+            cls = ext.open
+    if cls is None:
         raise NotFoundError(f"no opener for index type {meta.index_type}")
     cache = ds.session.index_cache
     key = (meta.uuid, "scalar")

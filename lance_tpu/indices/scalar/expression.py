@@ -23,13 +23,20 @@ def _index_for_column(ds, column: str):
         fid = ds.schema.field(column).id
     except Exception:
         return None
+    from .. import get_index_extension
+
     for meta in ds.manifest.indices:
-        if meta.index_type in SCALAR_QUERYABLE and meta.fields == [fid]:
+        is_ext = (meta.index_type not in SCALAR_QUERYABLE
+                  and get_index_extension(meta.index_type) is not None)
+        if (meta.index_type in SCALAR_QUERYABLE or is_ext) and meta.fields == [fid]:
             # index must cover all current fragments to answer exactly
             covered = set(meta.fragment_ids)
             live = {f.id for f in ds.manifest.fragments}
             if live <= covered:
-                return open_scalar_index(ds, meta)
+                idx = open_scalar_index(ds, meta)
+                if is_ext and not getattr(idx, "exact", False):
+                    continue  # at-most extensions participate via pruning
+                return idx
     return None
 
 
@@ -60,13 +67,20 @@ def _pruning_indices_for(ds, column: str):
         fid = ds.schema.field(column).id
     except Exception:
         return []
+    from .. import get_index_extension
+
     out = []
     for meta in ds.manifest.indices:
-        if meta.index_type in _PRUNING_TYPES and meta.fields == [fid]:
+        is_ext = (meta.index_type not in _PRUNING_TYPES
+                  and get_index_extension(meta.index_type) is not None)
+        if (meta.index_type in _PRUNING_TYPES or is_ext) and meta.fields == [fid]:
             covered = set(meta.fragment_ids)
             live = {f.id for f in ds.manifest.fragments}
             if live <= covered:
-                out.append(open_scalar_index(ds, meta))
+                idx = open_scalar_index(ds, meta)
+                if is_ext and getattr(idx, "exact", False):
+                    continue  # exact extensions answer via _index_for_column
+                out.append(idx)
     return out
 
 

@@ -332,3 +332,60 @@ def test_ivf_hnsw_partition_composition():
     assert r_full >= 0.9, r_full
     # narrow probing restricts the search to one partition's graph
     assert r_narrow < r_full, (r_narrow, r_full)
+
+
+def test_index_extension_registry():
+    """Custom index types register process-wide (reference: Session index
+    extensions): create_index builds them, the filter planner consults them
+    (exact -> sargable_query; else -> prune)."""
+    import json as _json
+
+    import lance_tpu as lt
+    from lance_tpu.rowids import RowIdMask, RowIdTreeMap
+    from lance_tpu.table.manifest import INDICES_DIR
+
+    def build_hashmap(ds, column, uuid, **params):
+        table = {}
+        for frag in ds.get_fragments():
+            col = frag.read_columns_physical([column])[column]
+            vals = col.to_arrow().to_pylist()
+            for off in frag.alive_offsets().tolist():
+                table.setdefault(str(vals[off]), []).append((frag.id << 32) | off)
+        ds.store.put(f"{INDICES_DIR}/{uuid}/hash.json", _json.dumps(table).encode())
+        return {"entries": len(table)}
+
+    class HashmapIndex:
+        exact = True
+
+        def __init__(self, ds, meta):
+            self.ds = ds
+            self.meta = meta
+            self.table = _json.loads(ds.store.get(f"{INDICES_DIR}/{meta.uuid}/hash.json"))
+
+        def sargable_query(self, op, lit):
+            if op != "=":
+                return None
+            rows = np.asarray(self.table.get(str(lit), []), dtype=np.uint64)
+            return RowIdMask.allow_list(RowIdTreeMap.from_addresses(rows))
+
+        def statistics(self):
+            return {"index_type": "HASHMAP", "entries": len(self.table)}
+
+    lt.register_index_extension("HASHMAP", build_hashmap, HashmapIndex)
+    try:
+        ds = lt.write_dataset(
+            {"k": pa.array([f"key-{i % 7}" for i in range(100)]),
+             "id": np.arange(100, dtype=np.int64)}, "memory://extidx/ds")
+        ds = ds.create_index("k", "HASHMAP")
+        assert ds.list_indices()[0].index_type == "HASHMAP"
+        t = ds.to_table(filter="k = 'key-3'")
+        assert t.num_rows == 15 or t.num_rows == len([i for i in range(100) if i % 7 == 3])
+        ids = sorted(np.asarray(t["id"]).tolist())
+        assert ids == [i for i in range(100) if i % 7 == 3]
+        # unknown type without registration still errors
+        import pytest as _pytest
+
+        with _pytest.raises(lt.InvalidInputError):
+            ds.create_index("k", "NOPE")
+    finally:
+        lt.unregister_index_extension("HASHMAP")
