@@ -63,6 +63,7 @@ def main() -> None:
     # Set here (not at import) so importing bench helpers never flips globals.
     os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
     os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+    os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
     import jax
 
     # persistent compile cache: axon remote-compiles are slow and variable;

@@ -1,0 +1,48 @@
+"""Measure the multi-payload-sort inversion rewrite + approx_probe.
+Compare against refine_sweep.py's same-config arm (old inversion: 222.3k).
+"""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ["LANCE_TPU_MERGE_GROUP"] = "16"
+
+def main():
+    import jax, jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i); qh = np.asarray(queries)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://iab/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    _log(f"build {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    def recall_of(rid):
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        return sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                   for r in range(NQ)) / (NQ * K)
+    for note, ap in (("newinv", 0), ("newinv+approxprobe", 1)):
+        os.environ["LANCE_TPU_APPROX_PROBE"] = str(ap)
+        _, rid = idx.search(qh, K, nprobes=16, refine_factor=16)
+        rec = recall_of(rid)
+        fn = idx.compiled_searcher(K, nprobes=16, refine_factor=16)
+        q_dev = jnp.asarray(np.tile(qh, (4, 1))[:2048])
+        jax.block_until_ready(fn(q_dev))
+        tt = time.time(); o = None
+        for _ in range(50):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = 50 * 2048 / (time.time() - tt)
+        _log(f"{note}: recall={rec:.4f} qps={qps:.0f}")
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Refine-gather optimization sweep on the real chip:
+A) LANCE_TPU_REFINE_LOCALITY (address-sorted fetch) at B=2048
+B) PQ m=32 coarse (same block bytes — blocks store decoded vectors) with
+   smaller refine factors.
+
+Run: nohup python experiments/refine_sweep.py > refine_sweep.log 2>&1 &
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ["LANCE_TPU_MERGE_GROUP"] = "16"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    qh = np.asarray(queries)
+    host = np.asarray(data)
+
+    def recall_of(rid):
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        return sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                   for r in range(NQ)) / (NQ * K)
+
+    def measure(idx, nprobes, rf, batch=2048):
+        t = time.time()
+        _, rid = idx.search(qh, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        qb = np.tile(qh, (batch // NQ + 2, 1))[:batch]
+        q_dev = jnp.asarray(qb)
+        jax.block_until_ready(fn(q_dev))
+        iters = 50
+        tt = time.time()
+        o = None
+        for _ in range(iters):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        return rec, iters * batch / (time.time() - tt), time.time() - t
+
+    results = {}
+    for m_sub, arms in ((16, [("loc0", 0, 16), ("loc1", 1, 16)]),
+                        (32, [("m32-rf8", 1, 8), ("m32-rf12", 1, 12),
+                              ("m32-rf16", 1, 16)])):
+        uri = f"memory://rsw/d1m_m{m_sub}"
+        ds = lt.write_dataset({"vec": host, "id": np.arange(N, dtype=np.int64)}, uri,
+                              params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024,
+                             num_sub_vectors=m_sub, num_bits=8, max_iters=12)
+        _log(f"build m={m_sub}: {time.time()-t:.0f}s")
+        idx = ds._vector_index_for("vec")
+        for note, loc, rf in arms:
+            os.environ["LANCE_TPU_REFINE_LOCALITY"] = str(loc)
+            rec, qps, dt = measure(idx, 16, rf)
+            _log(f"{note}: loc={loc} rf={rf} recall={rec:.4f} qps={qps:.0f} ({dt:.0f}s)")
+            results[note] = (round(rec, 4), round(qps))
+    _log(str(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,12 @@ Env vars (all optional):
 | LANCE_TPU_IO_BUFFER_BYTES    | 32 MiB | scheduler backpressure: bytes in flight |
 | LANCE_TPU_MAX_PAGE_BYTES     | 8 MiB  | writer page budget per column |
 | LANCE_TPU_TRACE              | unset  | enable tracing spans (utils/tracing.py) |
+| LANCE_TPU_DIST_BF16          | 0      | bf16 score tensors (+QPS; verify recall at your scale) |
+| LANCE_TPU_MERGE_GROUP        | 8      | across-probe group-min width (<= nprobes; 16 = +25% QPS, ~-0.3pt) |
+| LANCE_TPU_QCAP_SLACK         | 4      | per-partition query-slot budget multiplier |
+| LANCE_TPU_SCORE_INT8 / REFINE_BF16 / REFINE_F16 / REFINE_LOCALITY / APPROX_PROBE / FUSED | 0 | measured-neutral or recall-costly experiments (see experiments/README.md) |
+| LANCE_TPU_MAX_BUCKET         | 512    | query-batch padding bucket cap for idx.search() |
+| LANCE_TPU_NATIVE_IO          | 1      | native C++ IO scheduler for local stores |
 | BENCH_BUDGET_S               | 3000   | bench.py soft time budget |
 | JAX_PLATFORMS / XLA_FLAGS    | -      | device selection (tests force cpu x8) |
 

@@ -767,6 +767,8 @@ class IvfIndex:
             n_real=jnp.asarray(b_real, jnp.int32),
             fused=_fused_kernel(),
             merge_group=_merge_group(),
+            refine_locality=_refine_locality(),
+            approx_probe=_approx_probe(),
         )
         d, pos = np.asarray(d), np.asarray(pos)
 
@@ -814,6 +816,8 @@ class IvfIndex:
                 block_scale=self._block_scale_dev,
                 fused=_fused_kernel(),
                 merge_group=_merge_group(),
+                refine_locality=_refine_locality(),
+                approx_probe=_approx_probe(),
             )
 
         return run
@@ -853,6 +857,8 @@ class IvfIndex:
                 part_offsets=offsets,
                 fused=_fused_kernel(),
                 merge_group=_merge_group(),
+                refine_locality=_refine_locality(),
+                approx_probe=_approx_probe(),
             )
 
         return run
@@ -918,6 +924,19 @@ def _refine_f16() -> bool:
     return os.environ.get("LANCE_TPU_REFINE_F16", "0") not in ("0", "false", "")
 
 
+def _approx_probe() -> bool:
+    """approx_max_k for partition selection (probe stage). Opt in with
+    LANCE_TPU_APPROX_PROBE=1 while measuring."""
+    return os.environ.get("LANCE_TPU_APPROX_PROBE", "0") not in ("0", "false", "")
+
+
+def _refine_locality() -> bool:
+    """Sort refine-fetch positions ascending before the gather (DRAM
+    locality); the exact re-rank restores distance order. Opt in with
+    LANCE_TPU_REFINE_LOCALITY=1 while measuring."""
+    return os.environ.get("LANCE_TPU_REFINE_LOCALITY", "0") not in ("0", "false", "")
+
+
 def _merge_group() -> int:
     """Across-probe group-min width before the final merge sort. Any value
     <= nprobes keeps the home partition collision-free (its L candidates
@@ -961,12 +980,14 @@ _FUSED_GROUP = 16
 
 @functools.partial(
     jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k",
-                              "dist_bf16", "fused", "merge_group")
+                              "dist_bf16", "fused", "merge_group",
+                              "refine_locality", "approx_probe")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
                   part_offsets=None, dist_bf16=False, block_scale=None,
-                  n_real=None, fused=False, merge_group=8):
+                  n_real=None, fused=False, merge_group=8,
+                  refine_locality=False, approx_probe=False):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -987,7 +1008,13 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     nlist, L, _ = blocks.shape
     qm = preprocess_for_metric(q, metric)
     pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
-    _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
+    if approx_probe:
+        # approximate partition selection: nprobes is over-fetched slack
+        # already, so a ~99%-recall probe pick barely moves search recall
+        _, pids = jax.lax.approx_max_k(-pd, nprobes, recall_target=0.99)
+        pids = pids.astype(jnp.int32)
+    else:
+        _, pids = jax.lax.top_k(-pd, nprobes)  # (B, P)
 
     # ---- inversion: partition -> query slots -------------------------------
     flat_p = pids.reshape(-1).astype(jnp.int32)
@@ -999,22 +1026,29 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         flat_p = jnp.where(flat_b < n_real, flat_p, nlist)
     # slot priority: when a partition's q_cap overflows under query skew,
     # keep the CLOSEST-centroid probes (low probe rank) and drop the tail —
-    # sorting by (partition, probe_rank) makes slot ranking value-ordered
+    # sorting by (partition, probe_rank) makes slot ranking value-ordered.
+    # ONE multi-payload sort carries (query, iota) along (element gathers
+    # like flat_p[order] run at ~0.1G elem/s on TPU — same pathology as the
+    # old top-k decode), and segment ranks come from a cummax scan instead
+    # of segment_sum+cumsum+gather.
     flat_j = jnp.tile(jnp.arange(nprobes, dtype=jnp.int32), b)
-    order = jnp.argsort(flat_p * jnp.int32(nprobes) + flat_j)
-    sp, sb = flat_p[order], flat_b[order]
-    counts = jax.ops.segment_sum(jnp.ones_like(sp), sp, num_segments=nlist)
-    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                            jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(sp.shape[0], dtype=jnp.int32) - base[jnp.minimum(sp, nlist - 1)]
+    iot = jnp.arange(b * nprobes, dtype=jnp.int32)
+    key = flat_p * jnp.int32(nprobes) + flat_j
+    sk, sb, order = jax.lax.sort((key, flat_b, iot), num_keys=1)
+    sp = sk // jnp.int32(nprobes)  # pad sentinel keys recover sp == nlist
+    change = jnp.concatenate([jnp.ones(1, bool), sp[1:] != sp[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(change, iot, 0))
+    rank = iot - seg_start
     ok = (rank < q_cap) & (sp < nlist)
     qsel = jnp.full((nlist, q_cap), b, jnp.int32).at[
         jnp.where(ok, sp, nlist), jnp.where(ok, rank, 0)
     ].set(sb, mode="drop")
-    # slot of (b, probe j) inside qsel[p]; -1 if dropped by q_cap overflow
+    # slot of (b, probe j) inside qsel[p]; -1 if dropped by q_cap overflow:
+    # scatter the sorted slots straight back through `order` (no inverse
+    # permutation gather needed)
     slot_sorted = jnp.where(ok, rank, -1)
-    inv = jnp.empty_like(order).at[order].set(jnp.arange(order.shape[0]))
-    slot = slot_sorted[inv].reshape(b, nprobes)  # (B, P)
+    slot = jnp.zeros(b * nprobes, jnp.int32).at[order].set(
+        slot_sorted).reshape(b, nprobes)  # (B, P)
 
     # ---- fused kernel path ---------------------------------------------------
     L_blk = blocks.shape[1]
@@ -1205,6 +1239,11 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # fused exact re-rank: stays in the same compiled program so a full
         # refined search is ONE device round trip (host<->device latency,
         # not compute, dominates small-batch serving)
+        if refine_locality:
+            # gather in ascending-address order: candidate rows cluster in
+            # probed partitions, so address-sorted row fetches hit DRAM
+            # sequentially; the re-rank re-orders by exact distance anyway
+            pos = jax.lax.sort(pos, dimension=1)
         safe = jnp.maximum(pos, 0)
         vec = jnp.take(refine_vectors, safe, axis=0)  # (B, fetch, D)
         qv = qm.astype(vec.dtype) if vec.dtype == jnp.bfloat16 else qm
