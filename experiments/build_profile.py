@@ -1,0 +1,51 @@
+"""Phase-timing profile of the 1M IVF_PQ build."""
+import os, sys, time
+import numpy as np
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    N, DIM = 1_000_000, 128
+    data, _ = generate_sift_like(N, DIM, 8)
+    host = np.asarray(data)
+    ds = lt.write_dataset({"vec": host, "id": np.arange(N, dtype=np.int64)},
+                          "memory://bprof/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    # monkey-patch timers around build internals
+    import lance_tpu.indices.vector_index as vi
+    import lance_tpu.ops.kmeans as okm
+    import lance_tpu.ops.balanced as obal
+    import lance_tpu.ops.pq as opq
+    times = {}
+    def wrap(mod, name, key=None):
+        fn = getattr(mod, name)
+        k = key or name
+        def g(*a, **kw):
+            t = time.time()
+            r = fn(*a, **kw)
+            try:
+                jax.block_until_ready(r)
+            except Exception:
+                pass
+            times[k] = times.get(k, 0) + time.time() - t
+            return r
+        setattr(mod, name, g)
+    wrap(vi, "read_vector_column")
+    wrap(okm, "train_kmeans")
+    wrap(obal, "balanced_assign")
+    wrap(vi, "partition_sort")
+    wrap(opq, "train_pq")
+    wrap(opq, "pq_encode")
+    # balanced_assign is imported inside build fn from ops.balanced; train_kmeans from ops.kmeans
+    t0 = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    total = time.time() - t0
+    _log(f"total {total:.1f}s; phases: " + ", ".join(f"{k}={v:.1f}s" for k, v in sorted(times.items(), key=lambda kv: -kv[1])))
+    _log(f"unaccounted {total - sum(times.values()):.1f}s")
+
+if __name__ == "__main__":
+    main()

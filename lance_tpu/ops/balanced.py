@@ -24,8 +24,9 @@ import numpy as np
 from .distance import Metric, preprocess_for_metric, pairwise_dist
 
 
-@functools.partial(jax.jit, static_argnames=("t", "metric", "chunk"))
-def _topt_centroids(x, c, t: int, metric: Metric, chunk: int = 8192):
+@functools.partial(jax.jit, static_argnames=("t", "metric", "chunk", "matmul_dtype"))
+def _topt_centroids(x, c, t: int, metric: Metric, chunk: int = 8192,
+                    matmul_dtype=None):
     n = x.shape[0]
     cm = preprocess_for_metric(c, metric)
     pad = (-n) % chunk
@@ -33,12 +34,47 @@ def _topt_centroids(x, c, t: int, metric: Metric, chunk: int = 8192):
     blocks = xp.reshape(-1, chunk, x.shape[1])
 
     def body(xi):
-        d = pairwise_dist(preprocess_for_metric(xi, metric), cm, metric)
+        d = pairwise_dist(preprocess_for_metric(xi, metric), cm, metric,
+                          matmul_dtype=matmul_dtype)
         neg, ids = jax.lax.top_k(-d, t)
         return ids.astype(jnp.int32), -neg
 
     ids, dists = jax.lax.map(body, blocks)
     return ids.reshape(-1, t)[:n], dists.reshape(-1, t)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("top_t", "nlist", "metric",
+                                              "matmul_dtype"))
+def _balanced_accept_device(x, c, remaining0, top_t: int, nlist: int,
+                            metric: Metric, matmul_dtype=None):
+    """Device-side capacity-bounded accept rounds.
+
+    The whole (ids, dists) top-T table stays on device (downloading it was
+    the single largest phase of a 1M build over a slow host link); only the
+    final (N,) assignment and the (nlist,) remaining-capacity vector leave
+    the chip. Per round: ONE multi-key sort by (partition, distance) with
+    iota payload, segment ranks via cummax — the same pattern as the search
+    inversion — then accept rank < remaining."""
+    ids, dists = _topt_centroids(x, c, top_t, metric, matmul_dtype=matmul_dtype)
+    n = x.shape[0]
+    iot = jnp.arange(n, dtype=jnp.int32)
+
+    def round_fn(t, state):
+        assign, remaining = state
+        pid_t = jax.lax.dynamic_slice_in_dim(ids, t, 1, axis=1)[:, 0]
+        dist_t = jax.lax.dynamic_slice_in_dim(dists, t, 1, axis=1)[:, 0]
+        pid = jnp.where(assign < 0, pid_t, nlist)  # assigned rows drop out
+        sp, sd, so = jax.lax.sort((pid, dist_t, iot), num_keys=2)
+        change = jnp.concatenate([jnp.ones(1, bool), sp[1:] != sp[:-1]])
+        rank = iot - jax.lax.cummax(jnp.where(change, iot, 0))
+        ok = (rank < remaining[jnp.minimum(sp, nlist - 1)]) & (sp < nlist)
+        assign = assign.at[so].max(jnp.where(ok, sp, -1))
+        taken = jax.ops.segment_sum(ok.astype(jnp.int32), sp, num_segments=nlist + 1)
+        remaining = remaining - taken[:nlist]
+        return assign, remaining
+
+    assign0 = jnp.full(n, -1, jnp.int32)
+    return jax.lax.fori_loop(0, top_t, round_fn, (assign0, remaining0))
 
 
 def balanced_assign(
@@ -59,37 +95,17 @@ def balanced_assign(
     nlist = centroids.shape[0]
     top_t = min(top_t, nlist)
     cap = int(np.ceil(n / nlist * balance_factor))
-    ids, dists = _topt_centroids(jnp.asarray(data, jnp.float32),
-                                 jnp.asarray(centroids, jnp.float32), top_t, metric)
-    ids, dists = np.asarray(ids), np.asarray(dists)
-
-    assign = np.full(n, -1, np.int32)
     if remaining is None:
         remaining = np.full(nlist, cap, np.int64)
-    unassigned = np.arange(n)
-    for t in range(top_t):
-        if unassigned.size == 0:
-            break
-        pid = ids[unassigned, t]
-        dist_t = dists[unassigned, t]
-        # accept closest-first within each partition up to remaining capacity
-        order = np.lexsort((dist_t, pid))
-        pid_sorted = pid[order]
-        # rank within group
-        group_start = np.zeros(pid_sorted.size, np.int64)
-        new_group = np.empty(pid_sorted.size, bool)
-        if pid_sorted.size:
-            new_group[0] = True
-            new_group[1:] = pid_sorted[1:] != pid_sorted[:-1]
-            starts = np.flatnonzero(new_group)
-            group_start = starts[np.cumsum(new_group) - 1]
-        rank = np.arange(pid_sorted.size) - group_start
-        ok = rank < remaining[pid_sorted]
-        accepted_rows = unassigned[order[ok]]
-        assign[accepted_rows] = pid_sorted[ok]
-        taken = np.bincount(pid_sorted[ok], minlength=nlist)
-        remaining -= taken
-        unassigned = unassigned[order[~ok]]
+    from .distance import build_matmul_dtype
+
+    assign_dev, rem_dev = _balanced_accept_device(
+        jnp.asarray(data, jnp.float32), jnp.asarray(centroids, jnp.float32),
+        jnp.asarray(remaining, jnp.int32), top_t, nlist, metric,
+        build_matmul_dtype())
+    assign = np.asarray(assign_dev).copy()
+    remaining[:] = np.asarray(rem_dev, dtype=remaining.dtype)
+    unassigned = np.flatnonzero(assign < 0)
     if unassigned.size:
         # stragglers: nearest partition with room (host loop over leftovers)
         straggler_rows = np.asarray(data[unassigned])  # one small fetch

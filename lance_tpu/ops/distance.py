@@ -75,9 +75,21 @@ def pairwise_dist(
     return jnp.maximum(d, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "chunk"))
+def build_matmul_dtype():
+    """Matmul dtype for BUILD-TIME assignment distances. bf16 runs the MXU
+    at native rate; borderline partition choices are quality-neutral (probing
+    covers them) unlike QUERY distances, which stay Precision.HIGHEST.
+    LANCE_TPU_BUILD_BF16=0 opts out."""
+    import os
+
+    return (jnp.bfloat16 if os.environ.get("LANCE_TPU_BUILD_BF16", "1")
+            not in ("0", "false", "") else None)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "chunk", "matmul_dtype"))
 def argmin_dist(
-    x: jnp.ndarray, c: jnp.ndarray, metric: Metric = "l2", chunk: int = _DEF_CHUNK
+    x: jnp.ndarray, c: jnp.ndarray, metric: Metric = "l2", chunk: int = _DEF_CHUNK,
+    matmul_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest centroid per row: (N,) int32 ids + (N,) f32 distances.
 
@@ -93,7 +105,8 @@ def argmin_dist(
     xc = xp.reshape(-1, chunk, x.shape[1])
 
     def body(xi):
-        d = pairwise_dist(preprocess_for_metric(xi, metric), c, metric, c_sq)
+        d = pairwise_dist(preprocess_for_metric(xi, metric), c, metric, c_sq,
+                          matmul_dtype=matmul_dtype)
         idx = jnp.argmin(d, axis=1).astype(jnp.int32)
         return idx, jnp.min(d, axis=1)
 

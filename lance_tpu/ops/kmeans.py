@@ -73,9 +73,9 @@ def _kmeanspp_init(data: jnp.ndarray, key, k: int) -> jnp.ndarray:
     return cents
 
 
-def _lloyd_step(data, centroids, metric: Metric, chunk: int):
+def _lloyd_step(data, centroids, metric: Metric, chunk: int, matmul_dtype=None):
     k = centroids.shape[0]
-    ids, dists = argmin_dist(data, centroids, metric, chunk)
+    ids, dists = argmin_dist(data, centroids, metric, chunk, matmul_dtype)
     one = jnp.ones_like(ids, dtype=jnp.float32)
     counts = jax.ops.segment_sum(one, ids, num_segments=k)
     sums = jax.ops.segment_sum(data.astype(jnp.float32), ids, num_segments=k)
@@ -95,12 +95,14 @@ def _update_centroids(centroids, sums, counts, data, key):
     return jnp.where(empty[:, None], stolen, new)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "metric", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "metric", "chunk",
+                                              "matmul_dtype"))
 def _train_jit(data, init_centroids, key, k: int, max_iters: int, metric: Metric,
-               tolerance: float, chunk: int):
+               tolerance: float, chunk: int, matmul_dtype=None):
     def body(carry, it):
         centroids, prev_loss, done = carry
-        ids, dists, sums, counts = _lloyd_step(data, centroids, metric, chunk)
+        ids, dists, sums, counts = _lloyd_step(data, centroids, metric, chunk,
+                                               matmul_dtype)
         loss = jnp.sum(dists)
         subkey = jax.random.fold_in(key, it)
         new_centroids = _update_centroids(centroids, sums, counts, data, subkey)
@@ -128,8 +130,11 @@ class KMeans:
         return self.centroids.shape[0]
 
     def compute_partitions(self, data, chunk: int = 8192) -> np.ndarray:
+        from .distance import build_matmul_dtype
+
         ids, _ = argmin_dist(jnp.asarray(data, dtype=jnp.float32),
-                             jnp.asarray(self.centroids), self.metric, chunk)
+                             jnp.asarray(self.centroids), self.metric, chunk,
+                             build_matmul_dtype())
         return np.asarray(ids)
 
     def find_partitions(self, q, nprobes: int) -> np.ndarray:
@@ -181,8 +186,10 @@ def train_kmeans(
         init = _kmeanspp_init(jnp.asarray(data), key, k)
     else:
         init = _init_centroids(np.asarray(data), k, seed)
+    from .distance import build_matmul_dtype
+
     centroids, _loss, _losses = _train_jit(
         jnp.asarray(data), jnp.asarray(init), key, k, max_iters, train_metric,
-        tolerance, chunk
+        tolerance, chunk, build_matmul_dtype()
     )
     return KMeans(np.asarray(centroids), metric)
