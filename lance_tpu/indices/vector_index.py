@@ -428,10 +428,19 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
                             sample_rate, ivf_centroids, pq_codebook,
                             balance_factor, dim, chunk_rows: int = 1 << 20):
     """Beyond-HBM IVF-PQ build: train on a subsample, then stream chunks
-    through the device for assignment + residual encoding. Host RAM holds
-    vectors + codes; HBM holds one chunk at a time."""
+    through the device ONCE — each chunk is uploaded a single time (bf16-
+    packed under LANCE_TPU_BUILD_BF16, which is lossless for integer-valued
+    data like SIFT: bf16 represents ints up to 256 exactly) and both the
+    capacity-bounded assignment and the residual PQ encode consume that
+    device copy. The next chunk's upload is dispatched before the current
+    chunk's results are fetched, so transfer overlaps compute. Host RAM
+    holds vectors + codes; HBM holds ~two chunks at a time.
+
+    Note: unlike the in-HBM path, centroids are NOT re-centered after
+    balancing — residual codes must decode against the same centroids used
+    at encode time, and re-centering would require a second pass."""
     from ..ops.balanced import balanced_assign
-    from ..ops.distance import normalize
+    from ..ops.distance import build_matmul_dtype, normalize
     from ..ops.kmeans import KMeans, train_kmeans
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
 
@@ -447,26 +456,19 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
         km = train_kmeans(sample, num_partitions, max_iters=max_iters,
                           metric=metric, sample_rate=sample_rate)
 
-    # 2. chunked capacity-bounded assignment (shared remaining capacity)
-    cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
-    remaining = np.full(num_partitions, cap, np.int64)
-    part_ids = np.empty(n, np.int32)
-    for s in range(0, n, chunk_rows):
-        e = min(s + chunk_rows, n)
-        chunk = vectors[s:e]
-        if metric == "cosine":
-            chunk = chunk / np.maximum(np.linalg.norm(chunk, axis=1, keepdims=True), 1e-12)
-        part_ids[s:e] = balanced_assign(chunk, km.centroids, balance_factor,
-                                        metric="l2" if metric == "cosine" else metric,
-                                        remaining=remaining)
-
-    # 3. train PQ on subsampled residuals, then chunked residual encode
+    # 2. train PQ on subsampled residuals (nearest-centroid assignment for the
+    # sample; the tiny fraction of capacity-overflow rows that balanced accept
+    # would move does not change the residual distribution the codebook sees)
     use_residual = metric in ("l2", "cosine")
     sel = rng.choice(n, size=min(n, sample_rate * (1 << num_bits)), replace=False)
     base_sel = vectors[sel]
     if metric == "cosine":
         base_sel = base_sel / np.maximum(np.linalg.norm(base_sel, axis=1, keepdims=True), 1e-12)
-    train_data = base_sel - km.centroids[part_ids[sel]] if use_residual else base_sel
+    if use_residual:
+        sample_part = km.compute_partitions(base_sel)
+        train_data = base_sel - km.centroids[sample_part]
+    else:
+        train_data = base_sel
     if pq_codebook is not None:
         pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
                               "l2" if use_residual else metric, num_bits)
@@ -475,13 +477,32 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
                                            num_bits=num_bits, max_iters=max_iters,
                                            sample_rate=sample_rate),
                       metric="l2" if use_residual else metric)
+
+    # 3. fused streamed pass: assign + encode per chunk, one upload each
+    cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
+    remaining = np.full(num_partitions, cap, np.int64)
+    part_ids = np.empty(n, np.int32)
     codes = np.empty((n, pq.num_sub_vectors), np.uint8)
-    for s in range(0, n, chunk_rows):
-        e = min(s + chunk_rows, n)
-        chunk = vectors[s:e]
+    upload_dtype = jnp.bfloat16 if build_matmul_dtype() is not None else jnp.float32
+    cent_dev = jnp.asarray(km.centroids)
+    bounds = [(s, min(s + chunk_rows, n)) for s in range(0, n, chunk_rows)]
+
+    def put(i):
+        s, e = bounds[i]
+        return jax.device_put(vectors[s:e].astype(upload_dtype))
+
+    next_dev = put(0)
+    for i, (s, e) in enumerate(bounds):
+        x = next_dev.astype(jnp.float32)
+        if i + 1 < len(bounds):
+            next_dev = put(i + 1)  # overlaps the compute below
         if metric == "cosine":
-            chunk = chunk / np.maximum(np.linalg.norm(chunk, axis=1, keepdims=True), 1e-12)
-        data = chunk - km.centroids[part_ids[s:e]] if use_residual else chunk
+            x = normalize(x)
+        pid = balanced_assign(x, km.centroids, balance_factor,
+                              metric="l2" if metric == "cosine" else metric,
+                              remaining=remaining)
+        part_ids[s:e] = pid
+        data = x - jnp.take(cent_dev, jnp.asarray(pid), axis=0) if use_residual else x
         codes[s:e] = pq_encode(pq, data)
 
     # 4. shuffle + write (host)
