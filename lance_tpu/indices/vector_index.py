@@ -492,6 +492,13 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
         return jax.device_put(vectors[s:e].astype(upload_dtype))
 
     next_dev = put(0)
+    # member-mean accumulators for routing (probe) centroids: balancing moves
+    # each partition's true mean, and probing with the post-balance means
+    # recovers the recall the capacity bound costs (the in-HBM path re-centers
+    # in place; here the residual anchors must stay fixed, so the recentered
+    # means ship separately as IvfModel.probe_centroids)
+    psums = jnp.zeros_like(cent_dev)
+    pcounts = jnp.zeros(num_partitions, jnp.float32)
     for i, (s, e) in enumerate(bounds):
         x = next_dev.astype(jnp.float32)
         if i + 1 < len(bounds):
@@ -502,14 +509,22 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
                               metric="l2" if metric == "cosine" else metric,
                               remaining=remaining)
         part_ids[s:e] = pid
-        data = x - jnp.take(cent_dev, jnp.asarray(pid), axis=0) if use_residual else x
+        pid_dev = jnp.asarray(pid)
+        psums = psums + jax.ops.segment_sum(x, pid_dev, num_segments=num_partitions)
+        pcounts = pcounts + jax.ops.segment_sum(
+            jnp.ones(e - s, jnp.float32), pid_dev, num_segments=num_partitions)
+        data = x - jnp.take(cent_dev, pid_dev, axis=0) if use_residual else x
         codes[s:e] = pq_encode(pq, data)
+    probe_centroids = np.asarray(
+        jnp.where(pcounts[:, None] > 0, psums / jnp.maximum(pcounts, 1.0)[:, None],
+                  cent_dev))
 
     # 4. shuffle + write (host)
     order, offsets, lengths = partition_sort(part_ids, num_partitions)
     sorted_rowids = rowids[order]
     codes = codes[order]
-    ivf = IvfModel(km.centroids, offsets, lengths, metric)
+    ivf = IvfModel(km.centroids, offsets, lengths, metric,
+                   probe_centroids=probe_centroids)
     ivf_header, ivf_payload = ivf.to_parts()
     path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
     from ..ops.pq import pack_codes
@@ -586,7 +601,11 @@ class IvfIndex:
         from ..models.frag_reuse import remap_rowids
 
         self.rowids = remap_rowids(ds, self.rowids)  # lazy FragReuse remap
-        self._centroids_dev = jnp.asarray(self.ivf.centroids)
+        # routing uses post-balance member means when the build shipped them;
+        # residual decode below always uses ivf.centroids (the encode anchors)
+        self._centroids_dev = jnp.asarray(
+            self.ivf.probe_centroids if self.ivf.probe_centroids is not None
+            else self.ivf.centroids)
         self._offsets_dev = jnp.asarray(self.ivf.offsets.astype(np.int32))
         self._lengths_dev = jnp.asarray(self.ivf.lengths.astype(np.int32))
         self.max_part_len = max(int(self.ivf.lengths.max()), 1) if self.num_rows else 1

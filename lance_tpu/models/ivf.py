@@ -21,10 +21,17 @@ from ..ops.distance import Metric
 
 @dataclass
 class IvfModel:
-    centroids: np.ndarray  # (nlist, dim) f32
+    centroids: np.ndarray  # (nlist, dim) f32 — residual anchors (decode-time)
     offsets: np.ndarray  # (nlist,) int64 start row of each partition
     lengths: np.ndarray  # (nlist,) int64
     metric: Metric = "l2"
+    # Optional routing centroids: the post-balancing member means. Probing
+    # with them targets where members actually live, while `centroids` stays
+    # fixed as the residual anchor PQ codes were encoded against (the two
+    # roles are separable because the engine decodes rows to absolute
+    # vectors at open). Written by the streaming build, where re-centering
+    # in place would otherwise need a second pass over the dataset.
+    probe_centroids: np.ndarray | None = None
 
     @property
     def num_partitions(self) -> int:
@@ -41,7 +48,8 @@ class IvfModel:
     def find_partitions(self, q: np.ndarray, nprobes: int) -> np.ndarray:
         from ..ops.kmeans import KMeans
 
-        return KMeans(self.centroids, self.metric).find_partitions(q, nprobes)
+        cents = self.probe_centroids if self.probe_centroids is not None else self.centroids
+        return KMeans(cents, self.metric).find_partitions(q, nprobes)
 
     # -- serialization ----------------------------------------------------------
 
@@ -50,12 +58,15 @@ class IvfModel:
             "num_partitions": self.num_partitions,
             "dim": self.dim,
             "metric": self.metric,
+            "has_probe_centroids": self.probe_centroids is not None,
         }
         payload = (
             self.centroids.astype("<f4").tobytes()
             + self.offsets.astype("<i8").tobytes()
             + self.lengths.astype("<i8").tobytes()
         )
+        if self.probe_centroids is not None:
+            payload += self.probe_centroids.astype("<f4").tobytes()
         return header, payload
 
     @classmethod
@@ -65,7 +76,12 @@ class IvfModel:
         centroids = np.frombuffer(payload[:cb], dtype="<f4").reshape(nlist, dim)
         offsets = np.frombuffer(payload[cb : cb + nlist * 8], dtype="<i8")
         lengths = np.frombuffer(payload[cb + nlist * 8 : cb + nlist * 16], dtype="<i8")
-        return cls(centroids.copy(), offsets.copy(), lengths.copy(), header["metric"])
+        probe = None
+        if header.get("has_probe_centroids"):
+            pb = payload[cb + nlist * 16 : cb + nlist * 16 + cb]
+            probe = np.frombuffer(pb, dtype="<f4").reshape(nlist, dim).copy()
+        return cls(centroids.copy(), offsets.copy(), lengths.copy(),
+                   header["metric"], probe)
 
     def dumps_header(self) -> str:
         return json.dumps(self.to_parts()[0])
