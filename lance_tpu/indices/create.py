@@ -90,7 +90,9 @@ def optimize_indices(ds, names: list[str] | None = None):
             params.pop("dim", None)
             kwargs = {"metric": params.pop("metric", "l2")}
             if idx.is_pq:
-                kwargs["pq_codebook"] = idx.pq.codebook
+                # full quantizer, not the bare codebook: keeps the OPQ
+                # rotation (if any) across delta merges
+                kwargs["pq_codebook"] = idx.pq
                 kwargs["num_bits"] = params.get("num_bits", 8)
             kwargs["ivf_centroids"] = idx.ivf.centroids
             ds = create_index(ds, column, meta.index_type, name=meta.name,

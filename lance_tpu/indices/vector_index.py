@@ -219,14 +219,19 @@ def build_ivf_index(
         else:
             pq_train_data = dev_vectors
             pq_metric = metric
-        if pq_codebook is not None:
+        if isinstance(pq_codebook, ProductQuantizer):
+            pq = pq_codebook  # full quantizer reuse (keeps any OPQ rotation)
+        elif pq_codebook is not None:
             pq = ProductQuantizer(np.asarray(pq_codebook, np.float32), pq_metric, num_bits)
         else:
+            from ..ops.pq import default_opq_rounds
+
             pq = train_pq(
                 pq_train_data,
                 PQParams(num_sub_vectors=num_sub_vectors, num_bits=num_bits, max_iters=max_iters,
                          sample_rate=sample_rate),
                 metric=pq_metric,
+                opq_rounds=default_opq_rounds(),
             )
         codes = pq_encode(pq, pq_train_data)[order]  # (N, m) partition-sorted
         # seed the refine-vector cache with the device copy we already have
@@ -380,10 +385,13 @@ def build_ivf_index(
             graph = build_hnsw(base, HnswParams(), metric)
         g_header, g_payload = graph.to_buffers()
         if index_type == "IVF_HNSW_PQ":
+            from ..ops.pq import default_opq_rounds
+
             pq = train_pq(base, PQParams(num_sub_vectors=num_sub_vectors,
                                          num_bits=num_bits, max_iters=max_iters,
                                          sample_rate=sample_rate),
-                          metric="l2" if metric == "cosine" else metric)
+                          metric="l2" if metric == "cosine" else metric,
+                          opq_rounds=default_opq_rounds())
             codes = pq_encode(pq, base)
             code_col, code_width = PQ_CODE_COL, pq.num_sub_vectors
             extra = [("pq_header", json.dumps({**pq.to_json(), "residual": False,
@@ -469,14 +477,19 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
         train_data = base_sel - km.centroids[sample_part]
     else:
         train_data = base_sel
-    if pq_codebook is not None:
+    if isinstance(pq_codebook, ProductQuantizer):
+        pq = pq_codebook  # full quantizer reuse (keeps any OPQ rotation)
+    elif pq_codebook is not None:
         pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
                               "l2" if use_residual else metric, num_bits)
     else:
+        from ..ops.pq import default_opq_rounds
+
         pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
                                            num_bits=num_bits, max_iters=max_iters,
                                            sample_rate=sample_rate),
-                      metric="l2" if use_residual else metric)
+                      metric="l2" if use_residual else metric,
+                      opq_rounds=default_opq_rounds())
 
     # 3. fused streamed pass: assign + encode per chunk, one upload each
     cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
@@ -636,6 +649,11 @@ class IvfIndex:
             # decode ON DEVICE: upload m-byte codes (~N*m), not N*D*4 floats
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
             rows = _decode_pq_device(codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook)))
+            if self.pq.rotation is not None:
+                # OPQ: codes live in the rotated space; map back before the
+                # residual anchor add so scoring stays in the original space
+                rows = jnp.dot(rows, jnp.asarray(self.pq.rotation.T),
+                               preferred_element_type=jnp.float32)
             if self.residual:
                 # decoded residual + its partition centroid = absolute vector
                 part_of_row = np.repeat(
@@ -1376,9 +1394,12 @@ class HnswIndex:
             codes = unpack_codes(reader.read_column(PQ_CODE_COL).to_numpy_matrix(),
                                  self.pq.num_bits, self.pq.num_sub_vectors)
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
-            self._rows_dev = _decode_pq_device(
-                codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook))
-            ).astype(score_dtype)
+            rows = _decode_pq_device(
+                codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook)))
+            if self.pq.rotation is not None:  # OPQ: un-rotate decoded rows
+                rows = jnp.dot(rows, jnp.asarray(self.pq.rotation.T),
+                               preferred_element_type=jnp.float32)
+            self._rows_dev = rows.astype(score_dtype)
         else:
             self.pq = None
             bounds = np.frombuffer(reader.read_global_buffer("sq_bounds"), dtype="<f4")

@@ -78,12 +78,19 @@ def _sub_dists(data_t: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 
 
 class ProductQuantizer:
-    """codebook: (m, 2^bits, dsub) float32."""
+    """codebook: (m, 2^bits, dsub) float32.
 
-    def __init__(self, codebook: np.ndarray, metric: Metric = "l2", num_bits: int = 8):
+    Optional `rotation` (dim, dim orthogonal, OPQ): codes quantize y = x @ R
+    and decode as x_hat = y_hat @ R.T. encode/decode apply it transparently,
+    so every caller (build, delta merge, distributed protocol) inherits OPQ
+    by carrying the rotation with the quantizer."""
+
+    def __init__(self, codebook: np.ndarray, metric: Metric = "l2", num_bits: int = 8,
+                 rotation: np.ndarray | None = None):
         self.codebook = np.asarray(codebook, dtype=np.float32)
         self.metric = metric
         self.num_bits = num_bits
+        self.rotation = None if rotation is None else np.asarray(rotation, np.float32)
 
     @property
     def num_sub_vectors(self) -> int:
@@ -104,21 +111,80 @@ class ProductQuantizer:
             "metric": self.metric,
             "num_bits": self.num_bits,
             "shape": list(self.codebook.shape),
+            "opq": self.rotation is not None,
         }
 
     def codebook_bytes(self) -> bytes:
-        return self.codebook.astype("<f4").tobytes()
+        out = self.codebook.astype("<f4").tobytes()
+        if self.rotation is not None:
+            out += self.rotation.astype("<f4").tobytes()
+        return out
 
     @classmethod
     def from_parts(cls, j: dict, codebook_data: bytes) -> "ProductQuantizer":
-        cb = np.frombuffer(codebook_data, dtype="<f4").reshape(j["shape"])
-        return cls(cb, j["metric"], j["num_bits"])
+        shape = j["shape"]
+        cb_len = int(np.prod(shape)) * 4
+        cb = np.frombuffer(codebook_data[:cb_len], dtype="<f4").reshape(shape)
+        rot = None
+        if j.get("opq"):
+            dim = shape[0] * shape[2]
+            rot = np.frombuffer(codebook_data[cb_len:cb_len + dim * dim * 4],
+                                dtype="<f4").reshape(dim, dim)
+        return cls(cb, j["metric"], j["num_bits"], rot)
+
+
+def default_opq_rounds() -> int:
+    """OPQ alternation rounds for index builds. LANCE_TPU_OPQ=0 disables;
+    default 8 (error reduction saturates in a handful of rounds)."""
+    import os
+
+    try:
+        return max(0, int(os.environ.get("LANCE_TPU_OPQ", "8")))
+    except ValueError:
+        return 8
+
+
+@jax.jit
+def _opq_stats(data: jnp.ndarray, R: jnp.ndarray, codebook: jnp.ndarray):
+    """Procrustes statistics for one OPQ round: reconstruction B of the
+    rotated data under the current codebook, X^T B for the SVD rotation
+    update, and the quantization error."""
+    n, dim = data.shape
+    m, k, dsub = codebook.shape
+    y = jnp.dot(data, R, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    yt = y.reshape(n, m, dsub).transpose(1, 0, 2)
+    ids = jnp.argmin(_sub_dists(yt, codebook), axis=-1)  # (m, n)
+    b = jax.vmap(lambda cb, i: jnp.take(cb, i, axis=0))(codebook, ids)
+    b = b.transpose(1, 0, 2).reshape(n, dim)
+    xtb = jnp.dot(data.T, b, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    err = jnp.mean(jnp.sum((y - b) ** 2, axis=-1))
+    return xtb, err
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _rotate_and_train(data: jnp.ndarray, R: jnp.ndarray, codebook: jnp.ndarray,
+                      k: int, iters: int):
+    n, dim = data.shape
+    m, _, dsub = codebook.shape
+    y = jnp.dot(data, R, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    yt = y.reshape(n, m, dsub).transpose(1, 0, 2)
+    return _train_subspaces(yt, codebook, k, iters)
 
 
 def train_pq(
-    data, params: PQParams = PQParams(), metric: Metric = "l2"
+    data, params: PQParams = PQParams(), metric: Metric = "l2",
+    opq_rounds: int = 0,
 ) -> ProductQuantizer:
-    """Accepts numpy or device arrays; device inputs stay on device."""
+    """Accepts numpy or device arrays; device inputs stay on device.
+
+    opq_rounds > 0 trains an Optimized-PQ rotation (Ge et al., CVPR'13
+    "Optimized Product Quantization", the OPQ-NP alternation): a few Lloyd
+    steps on rotated data, then the orthogonal-Procrustes update
+    R = U V^T from SVD(X^T B). All heavy work is batched matmuls on device;
+    only the (dim, dim) cross-matrix lands on host for its tiny SVD."""
     if not isinstance(data, jnp.ndarray):
         data = np.asarray(data, dtype=np.float32)
     elif data.dtype != jnp.float32:
@@ -136,12 +202,26 @@ def train_pq(
         data = data[rng.choice(n, size=max_rows, replace=False)]
         n = max_rows
     dsub = dim // m
-    data_t = jnp.asarray(data).reshape(n, m, dsub).transpose(1, 0, 2)
+    dev = jnp.asarray(data)
+    data_t = dev.reshape(n, m, dsub).transpose(1, 0, 2)
     rng = np.random.default_rng(params.seed)
     idx = rng.choice(n, size=k, replace=n < k)
     init = data_t[:, idx, :]
-    codebook = _train_subspaces(data_t, init, k, params.max_iters)
-    return ProductQuantizer(np.asarray(codebook), metric, params.num_bits)
+    if not opq_rounds:
+        codebook = _train_subspaces(data_t, init, k, params.max_iters)
+        return ProductQuantizer(np.asarray(codebook), metric, params.num_bits)
+
+    R = jnp.eye(dim, dtype=jnp.float32)
+    codebook = _train_subspaces(data_t, init, k, max(2, params.max_iters // 4))
+    for _ in range(opq_rounds):
+        xtb, _err = _opq_stats(dev, R, codebook)
+        u, _s, vt = np.linalg.svd(np.asarray(xtb))
+        R = jnp.asarray((u @ vt).astype(np.float32))
+        codebook = _rotate_and_train(dev, R, codebook, k, max(2, params.max_iters // 4))
+    # final full-length refinement under the settled rotation
+    codebook = _rotate_and_train(dev, R, codebook, k, params.max_iters)
+    return ProductQuantizer(np.asarray(codebook), metric, params.num_bits,
+                            rotation=np.asarray(R))
 
 
 # ---------------------------------------------------------------------------
@@ -174,14 +254,21 @@ def pq_encode(pq: ProductQuantizer, data) -> np.ndarray:
         data = data.astype(jnp.float32)
     if pq.metric == "cosine":
         data = normalize(jnp.asarray(data))
+    if pq.rotation is not None:
+        data = jnp.dot(jnp.asarray(data), jnp.asarray(pq.rotation),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     return np.asarray(_encode_jit(jnp.asarray(data), jnp.asarray(pq.codebook)))
 
 
 def pq_decode(pq: ProductQuantizer, codes: np.ndarray) -> np.ndarray:
-    """(N, m) codes -> (N, D) reconstructed vectors."""
+    """(N, m) codes -> (N, D) reconstructed vectors (un-rotated space)."""
     m, _, dsub = pq.codebook.shape
     parts = [pq.codebook[j][codes[:, j]] for j in range(m)]
-    return np.concatenate(parts, axis=1)
+    out = np.concatenate(parts, axis=1)
+    if pq.rotation is not None:
+        out = out @ pq.rotation.T
+    return out
 
 
 # ---------------------------------------------------------------------------
