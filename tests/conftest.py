@@ -12,6 +12,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count=8".strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# tests build many tiny IVF_PQ indices; 2 OPQ rounds exercise the whole
+# rotation path at a fraction of the default-8 training cost
+os.environ.setdefault("LANCE_TPU_OPQ", "2")
 
 # The axon sitecustomize imports jax at interpreter startup with
 # JAX_PLATFORMS=axon already baked in; env vars alone are too late. Switch
