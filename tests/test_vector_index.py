@@ -363,3 +363,72 @@ def test_fused_kernel_path_parity(monkeypatch):
 
     rec0, rec1 = recall(r0), recall(r1)
     assert rec1 >= rec0 - 0.02, (rec0, rec1)
+
+
+def test_opq_rotation_trains_and_round_trips():
+    """OPQ (learned rotation before PQ) cuts quantization error on
+    correlated data, serializes with the codebook, and survives delta
+    merges via full-quantizer reuse."""
+    from lance_tpu.ops.pq import (PQParams, ProductQuantizer, pq_decode,
+                                  pq_encode, train_pq)
+
+    rng = np.random.default_rng(3)
+    dim = 32
+    W = rng.standard_normal((8, dim)).astype(np.float32)
+    X = (rng.standard_normal((5000, 8)).astype(np.float32) @ W
+         + 0.1 * rng.standard_normal((5000, dim)).astype(np.float32))
+    params = PQParams(num_sub_vectors=4, num_bits=8, max_iters=8)
+    pq0 = train_pq(X, params)
+    pq1 = train_pq(X, params, opq_rounds=4)
+    assert pq1.rotation is not None
+    np.testing.assert_allclose(pq1.rotation @ pq1.rotation.T, np.eye(dim),
+                               atol=1e-4)
+    e0 = np.mean(np.sum((X - pq_decode(pq0, pq_encode(pq0, X))) ** 2, -1))
+    e1 = np.mean(np.sum((X - pq_decode(pq1, pq_encode(pq1, X))) ** 2, -1))
+    assert e1 < e0 * 0.9, (e0, e1)
+    # serialization carries the rotation; codes decode identically
+    pq1b = ProductQuantizer.from_parts(pq1.to_json(), pq1.codebook_bytes())
+    np.testing.assert_array_equal(pq1b.rotation, pq1.rotation)
+    np.testing.assert_array_equal(pq_encode(pq1b, X[:64]), pq_encode(pq1, X[:64]))
+
+
+def test_opq_survives_optimize_indices():
+    ds, vecs, uri = _make_ds(1500, 32, seed=11, extra_cols=False)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=8, num_sub_vectors=4,
+                         max_iters=4)
+    rot = ds._vector_index_for("vec").pq.rotation
+    assert rot is not None  # default-on
+    rng = np.random.default_rng(12)
+    ds = ds.insert({"vec": rng.normal(size=(200, 32)).astype(np.float32),
+                    "id": np.arange(1500, 1700, dtype=np.int64)})
+    ds = ds.optimize_indices()
+    np.testing.assert_array_equal(ds._vector_index_for("vec").pq.rotation, rot)
+    q = vecs[5]
+    t = ds.scanner().nearest("vec", q, k=5, nprobes=8, refine_factor=4).to_table()
+    assert np.asarray(t["id"])[0] == 5
+
+
+def test_streaming_probe_centroids(monkeypatch):
+    """The streaming build ships post-balance member means as routing
+    centroids while residual anchors stay fixed for decode."""
+    monkeypatch.setenv("LANCE_TPU_BUILD_DEVICE_BYTES", "100000")
+    ds, vecs, uri = _make_ds(2500, 32, seed=9, extra_cols=False)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=4,
+                         max_iters=6)
+    idx = ds._vector_index_for("vec")
+    pc, anchors = idx.ivf.probe_centroids, idx.ivf.centroids
+    assert pc is not None and pc.shape == anchors.shape
+    assert not np.allclose(pc, anchors)
+    # probe centroids are the member means of the balanced assignment
+    part_of_row = np.repeat(np.arange(idx.ivf.num_partitions), idx.ivf.lengths)
+    src = vecs[idx.rowids.astype(np.int64)]
+    for p in range(0, idx.ivf.num_partitions, 5):
+        m = part_of_row == p
+        if m.any():
+            np.testing.assert_allclose(pc[p], src[m].mean(0), rtol=2e-3, atol=2e-3)
+    # fresh open reads them back; search still exact on self-NN
+    ds2 = lt.dataset(uri, session=ds.session)
+    idx2 = ds2._vector_index_for("vec")
+    np.testing.assert_array_equal(idx2.ivf.probe_centroids, pc)
+    _, rid = idx2.search(vecs[:16], 5, nprobes=16, refine_factor=8)
+    assert all(rid[i, 0] == i for i in range(16))
