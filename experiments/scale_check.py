@@ -27,6 +27,12 @@ def main():
     _log(f"download {time.time()-t:.0f}s")
     uri = "file:///root/repo/.scale4m.lance"
     m_sub = int(os.environ.get("SCALE4M_M", "16"))
+    from collections import defaultdict
+
+    from lance_tpu.utils.tracing import capture_trace_events
+    phases = defaultdict(float)
+    capture_trace_events(lambda ev: phases.__setitem__(
+        ev["name"], phases[ev["name"]] + ev["dur"] / 1e6))
     if os.environ.get("SCALE4M_REUSE") and os.path.exists("/root/repo/.scale4m.lance"):
         ds = lt.dataset(uri)
         if os.environ.get("SCALE4M_REBUILD_INDEX"):
@@ -49,6 +55,9 @@ def main():
         build_s = time.time() - t
     meta = ds.list_indices()[0]
     _log(f"build {build_s:.0f}s streaming={meta.params.get('streaming_build')}")
+    if phases:
+        _log("phases: " + ", ".join(f"{k}={v:.1f}s" for k, v in
+                                    sorted(phases.items(), key=lambda kv: -kv[1])))
     idx = ds._vector_index_for("vec")
     _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
     q_dev = jnp.asarray(np.tile(queries_h, (2, 1))[:512])

@@ -133,7 +133,10 @@ def build_ivf_index(
     from ..ops.kmeans import KMeans, train_kmeans
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
 
-    vectors, rowids = read_vector_column(ds, column, fragment_ids)
+    from ..utils.tracing import span
+
+    with span("build.read_vector_column"):
+        vectors, rowids = read_vector_column(ds, column, fragment_ids)
     n, dim = vectors.shape
     if n == 0:
         raise InvalidInputError("cannot index an empty dataset")
@@ -444,13 +447,15 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     chunk's results are fetched, so transfer overlaps compute. Host RAM
     holds vectors + codes; HBM holds ~two chunks at a time.
 
-    Note: unlike the in-HBM path, centroids are NOT re-centered after
-    balancing — residual codes must decode against the same centroids used
-    at encode time, and re-centering would require a second pass."""
+    Note: residual anchors (IvfModel.centroids) stay fixed as trained —
+    residual codes must decode against the centroids used at encode time;
+    the post-balance member means ship separately as probe_centroids and
+    are used only for routing."""
     from ..ops.balanced import balanced_assign
     from ..ops.distance import build_matmul_dtype, normalize
     from ..ops.kmeans import KMeans, train_kmeans
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
+    from ..utils.tracing import span
 
     n = vectors.shape[0]
     rng = np.random.default_rng(42)
@@ -461,8 +466,9 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     else:
         sample = vectors[rng.choice(n, size=min(n, sample_rate * num_partitions),
                                     replace=False)]
-        km = train_kmeans(sample, num_partitions, max_iters=max_iters,
-                          metric=metric, sample_rate=sample_rate)
+        with span("build.train_kmeans", n=int(sample.shape[0]), k=num_partitions):
+            km = train_kmeans(sample, num_partitions, max_iters=max_iters,
+                              metric=metric, sample_rate=sample_rate)
 
     # 2. train PQ on subsampled residuals (nearest-centroid assignment for the
     # sample; the tiny fraction of capacity-overflow rows that balanced accept
@@ -485,11 +491,12 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     else:
         from ..ops.pq import default_opq_rounds
 
-        pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
-                                           num_bits=num_bits, max_iters=max_iters,
-                                           sample_rate=sample_rate),
-                      metric="l2" if use_residual else metric,
-                      opq_rounds=default_opq_rounds())
+        with span("build.train_pq", n=int(train_data.shape[0]), m=num_sub_vectors):
+            pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
+                                               num_bits=num_bits, max_iters=max_iters,
+                                               sample_rate=sample_rate),
+                          metric="l2" if use_residual else metric,
+                          opq_rounds=default_opq_rounds())
 
     # 3. fused streamed pass: assign + encode per chunk, one upload each
     cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
@@ -513,21 +520,24 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     psums = jnp.zeros_like(cent_dev)
     pcounts = jnp.zeros(num_partitions, jnp.float32)
     for i, (s, e) in enumerate(bounds):
-        x = next_dev.astype(jnp.float32)
-        if i + 1 < len(bounds):
-            next_dev = put(i + 1)  # overlaps the compute below
-        if metric == "cosine":
-            x = normalize(x)
-        pid = balanced_assign(x, km.centroids, balance_factor,
-                              metric="l2" if metric == "cosine" else metric,
-                              remaining=remaining)
-        part_ids[s:e] = pid
-        pid_dev = jnp.asarray(pid)
-        psums = psums + jax.ops.segment_sum(x, pid_dev, num_segments=num_partitions)
-        pcounts = pcounts + jax.ops.segment_sum(
-            jnp.ones(e - s, jnp.float32), pid_dev, num_segments=num_partitions)
-        data = x - jnp.take(cent_dev, pid_dev, axis=0) if use_residual else x
-        codes[s:e] = pq_encode(pq, data)
+        with span("build.chunk", i=i, rows=e - s):
+            x = next_dev.astype(jnp.float32)
+            if i + 1 < len(bounds):
+                next_dev = put(i + 1)  # overlaps the compute below
+            if metric == "cosine":
+                x = normalize(x)
+            with span("build.chunk.assign", i=i):
+                pid = balanced_assign(x, km.centroids, balance_factor,
+                                      metric="l2" if metric == "cosine" else metric,
+                                      remaining=remaining)
+            part_ids[s:e] = pid
+            pid_dev = jnp.asarray(pid)
+            psums = psums + jax.ops.segment_sum(x, pid_dev, num_segments=num_partitions)
+            pcounts = pcounts + jax.ops.segment_sum(
+                jnp.ones(e - s, jnp.float32), pid_dev, num_segments=num_partitions)
+            data = x - jnp.take(cent_dev, pid_dev, axis=0) if use_residual else x
+            with span("build.chunk.encode", i=i):
+                codes[s:e] = pq_encode(pq, data)
     probe_centroids = np.asarray(
         jnp.where(pcounts[:, None] > 0, psums / jnp.maximum(pcounts, 1.0)[:, None],
                   cent_dev))
@@ -542,7 +552,8 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
     from ..ops.pq import pack_codes
 
-    stored = pack_codes(codes, pq.num_bits)
+    with span("build.pack_codes"):
+        stored = pack_codes(codes, pq.num_bits)
     schema = Schema.from_arrow(pa.schema([
         (ROWID_COL, pa.uint64()),
         (PQ_CODE_COL, pa.list_(pa.uint8(), stored.shape[1])),
