@@ -123,7 +123,10 @@ def main() -> None:
     # kernel compiles once; each nprobes value compiles one search program)
     chosen = None
     rec = 0.0
-    for nprobes, refine in [(16, 16), (24, 16), (48, 16), (96, 16)]:
+    # ladder starts below the pre-OPQ operating point: OPQ codes rank
+    # candidates better, so fewer probes can clear the gate (each rung
+    # costs one compile; the first passing rung wins)
+    for nprobes, refine in [(12, 16), (16, 16), (24, 16), (48, 16), (96, 16)]:
         t = time.time()
         rec = run_recall(nprobes, refine)
         _log(f"nprobes={nprobes} refine={refine} recall@10={rec:.4f} ({time.time()-t:.1f}s incl compile)")
