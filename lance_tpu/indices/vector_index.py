@@ -1240,7 +1240,15 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         return (refining and gw > 1 and W % gw == 0 and W >= gw * kk * 8
                 and nprobes >= gw)
 
-    group = merge_group if _eligible(merge_group) else (8 if _eligible(8) else 1)
+    # graded fallback: large refine factors (kk = k*rf) shrink the safe
+    # pool-to-fetch ratio, but a narrower group still beats group=1 — which
+    # pays both the wide exact top_k (~3G elem/s) AND the element-gather
+    # position decode (~0.1G elem/s) that the payload sort otherwise avoids
+    group = 1
+    for gw in (merge_group, 8, 4, 2):
+        if _eligible(gw):
+            group = gw
+            break
     if group > 1:
         # profile-driven: ANY top-k (exact or approx) over the (B, P*L)
         # candidate matrix runs at ~3G elem/s on TPU and dominates search.
