@@ -65,7 +65,7 @@ def main():
     os.environ["LANCE_TPU_DIST_BF16"] = "0"  # f32 scoring: bf16 hurts at 4M
     for slack in ("4",):
       os.environ["LANCE_TPU_QCAP_SLACK"] = slack
-      for nprobes, rf in ((24, 16), (24, 64), (48, 16), (96, 32)):
+      for nprobes, rf in ((24, 16), (24, 32), (24, 64), (48, 64)):
           _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
           ids = rid.astype(np.int64) & 0xFFFFFFFF
           hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
