@@ -223,7 +223,14 @@ def build_ivf_index(
             pq_train_data = dev_vectors
             pq_metric = metric
         if isinstance(pq_codebook, ProductQuantizer):
-            pq = pq_codebook  # full quantizer reuse (keeps any OPQ rotation)
+            # full quantizer reuse (keeps any OPQ rotation). A reopened
+            # quantizer carries the USER-FACING metric from its header
+            # ('cosine' would make pq_encode re-normalize the residuals);
+            # coerce to the internal encode metric.
+            pq = pq_codebook
+            if pq.metric != pq_metric:
+                pq = ProductQuantizer(pq.codebook, pq_metric, pq.num_bits,
+                                      pq.rotation)
         elif pq_codebook is not None:
             pq = ProductQuantizer(np.asarray(pq_codebook, np.float32), pq_metric, num_bits)
         else:
@@ -440,8 +447,9 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
                             balance_factor, dim, chunk_rows: int = 1 << 20):
     """Beyond-HBM IVF-PQ build: train on a subsample, then stream chunks
     through the device ONCE — each chunk is uploaded a single time (bf16-
-    packed under LANCE_TPU_BUILD_BF16, which is lossless for integer-valued
-    data like SIFT: bf16 represents ints up to 256 exactly) and both the
+    packed by default, which is lossless for integer-valued data like SIFT:
+    bf16 represents ints up to 256 exactly; LANCE_TPU_BUILD_UPLOAD_BF16=0
+    keeps uploads f32 — see ops.distance.build_upload_dtype) and both the
     capacity-bounded assignment and the residual PQ encode consume that
     device copy. The next chunk's upload is dispatched before the current
     chunk's results are fetched, so transfer overlaps compute. Host RAM
@@ -452,7 +460,7 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     the post-balance member means ship separately as probe_centroids and
     are used only for routing."""
     from ..ops.balanced import balanced_assign
-    from ..ops.distance import build_matmul_dtype, normalize
+    from ..ops.distance import build_upload_dtype, normalize
     from ..ops.kmeans import KMeans, train_kmeans
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
     from ..utils.tracing import span
@@ -484,7 +492,13 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     else:
         train_data = base_sel
     if isinstance(pq_codebook, ProductQuantizer):
-        pq = pq_codebook  # full quantizer reuse (keeps any OPQ rotation)
+        # full quantizer reuse (keeps any OPQ rotation); coerce the header's
+        # user-facing metric back to the internal encode metric — 'cosine'
+        # would make pq_encode re-normalize the residuals
+        pq = pq_codebook
+        want = "l2" if use_residual else metric
+        if pq.metric != want:
+            pq = ProductQuantizer(pq.codebook, want, pq.num_bits, pq.rotation)
     elif pq_codebook is not None:
         pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
                               "l2" if use_residual else metric, num_bits)
@@ -503,7 +517,7 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     remaining = np.full(num_partitions, cap, np.int64)
     part_ids = np.empty(n, np.int32)
     codes = np.empty((n, pq.num_sub_vectors), np.uint8)
-    upload_dtype = jnp.bfloat16 if build_matmul_dtype() is not None else jnp.float32
+    upload_dtype = build_upload_dtype()
     cent_dev = jnp.asarray(km.centroids)
     bounds = [(s, min(s + chunk_rows, n)) for s in range(0, n, chunk_rows)]
 
@@ -599,11 +613,19 @@ def _decode_pq_device(codes, codebook_wide):
     return jax.lax.fori_loop(0, m, body, out)
 
 
-def _widen_codebook(codebook: np.ndarray) -> np.ndarray:
+def _widen_codebook(codebook: np.ndarray,
+                    rotation: np.ndarray | None = None) -> np.ndarray:
+    """(m, k, dsub) -> (m, k, D) widened entries for device decode.
+
+    With an OPQ rotation, decode(x) @ R.T distributes over the per-subspace
+    sum, so the un-rotation folds into the codebook HERE (one tiny host
+    einsum) instead of an N x D x D matmul over every decoded row at open."""
     m, k, dsub = codebook.shape
     wide = np.zeros((m, k, m * dsub), np.float32)
     for mi in range(m):
         wide[mi, :, mi * dsub:(mi + 1) * dsub] = codebook[mi]
+    if rotation is not None:
+        wide = np.einsum("mkd,ed->mke", wide, rotation.astype(np.float32))
     return wide
 
 
@@ -659,12 +681,9 @@ class IvfIndex:
                                  self.pq.num_bits, self.pq.num_sub_vectors)
             # decode ON DEVICE: upload m-byte codes (~N*m), not N*D*4 floats
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
-            rows = _decode_pq_device(codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook)))
-            if self.pq.rotation is not None:
-                # OPQ: codes live in the rotated space; map back before the
-                # residual anchor add so scoring stays in the original space
-                rows = jnp.dot(rows, jnp.asarray(self.pq.rotation.T),
-                               preferred_element_type=jnp.float32)
+            # OPQ un-rotation (if any) is folded into the widened codebook
+            rows = _decode_pq_device(codes_dev, jnp.asarray(
+                _widen_codebook(self.pq.codebook, self.pq.rotation)))
             if self.residual:
                 # decoded residual + its partition centroid = absolute vector
                 part_of_row = np.repeat(
@@ -1413,12 +1432,10 @@ class HnswIndex:
             codes = unpack_codes(reader.read_column(PQ_CODE_COL).to_numpy_matrix(),
                                  self.pq.num_bits, self.pq.num_sub_vectors)
             codes_dev = jnp.asarray(np.ascontiguousarray(codes))
-            rows = _decode_pq_device(
-                codes_dev, jnp.asarray(_widen_codebook(self.pq.codebook)))
-            if self.pq.rotation is not None:  # OPQ: un-rotate decoded rows
-                rows = jnp.dot(rows, jnp.asarray(self.pq.rotation.T),
-                               preferred_element_type=jnp.float32)
-            self._rows_dev = rows.astype(score_dtype)
+            # OPQ un-rotation (if any) is folded into the widened codebook
+            self._rows_dev = _decode_pq_device(codes_dev, jnp.asarray(
+                _widen_codebook(self.pq.codebook, self.pq.rotation))
+            ).astype(score_dtype)
         else:
             self.pq = None
             bounds = np.frombuffer(reader.read_global_buffer("sq_bounds"), dtype="<f4")

@@ -86,6 +86,23 @@ def build_matmul_dtype():
             not in ("0", "false", "") else None)
 
 
+def build_upload_dtype():
+    """Host->device upload dtype for the STREAMING build's data chunks.
+
+    Unlike build_matmul_dtype (which only narrows assignment matmuls), this
+    quantizes the chunk itself, so the residuals fed to PQ encode carry
+    bf16 rounding (~0.4% relative; exactly zero for integer-valued data
+    like SIFT, whose 0-255 coordinates bf16 represents losslessly — and far
+    below PQ's own quantization error either way). LANCE_TPU_BUILD_UPLOAD_BF16
+    overrides; otherwise follows LANCE_TPU_BUILD_BF16."""
+    import os
+
+    v = os.environ.get("LANCE_TPU_BUILD_UPLOAD_BF16")
+    if v is None:
+        v = os.environ.get("LANCE_TPU_BUILD_BF16", "1")
+    return jnp.bfloat16 if v not in ("0", "false", "") else jnp.float32
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "chunk", "matmul_dtype"))
 def argmin_dist(
     x: jnp.ndarray, c: jnp.ndarray, metric: Metric = "l2", chunk: int = _DEF_CHUNK,
