@@ -26,7 +26,11 @@ def main():
     del data, gt_d
     _log(f"download {time.time()-t:.0f}s")
     uri = "file:///root/repo/.scale4m.lance"
-    m_sub = int(os.environ.get("SCALE4M_M", "16"))
+    # m=32 default at 4M: the engine scores DECODED vectors, so doubling the
+    # sub-vector count costs zero QPS (same HBM block bytes) and buys the
+    # candidate-ranking quality the deep-refine frontier needs — measured
+    # (24,64) 0.9293 -> 0.9582 and (48,64) 0.9391 -> 0.9738 at equal QPS.
+    m_sub = int(os.environ.get("SCALE4M_M", "32"))
     from collections import defaultdict
 
     from lance_tpu.utils.tracing import capture_trace_events
