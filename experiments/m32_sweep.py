@@ -1,0 +1,67 @@
+"""1M x 128, m=32 + OPQ: can a shallower refine clear the 0.95 gate?
+
+Round-1d measured m=32 gate-neutral pre-OPQ (rf=8 = 289.6k @ 0.9241).
+OPQ moved the 4M refine-limited band +3..6 pts; if it lifts rf=8 past the
+gate here, the headline jumps ~30% (refine rows are the whale at B=2048).
+Bench env (dist_bf16, merge_group=16, approx probe) throughout.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+os.environ["LANCE_TPU_DIST_BF16"] = "1"
+os.environ["LANCE_TPU_MERGE_GROUP"] = "16"
+os.environ["LANCE_TPU_APPROX_PROBE"] = "1"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt = np.asarray(gt_i)
+    queries_h = np.asarray(queries)
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://m32/d1m",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    m_sub = int(os.environ.get("M32_M", "32"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=m_sub,
+                         num_bits=8, max_iters=12)
+    _log(f"build m={m_sub}: {time.time()-t:.0f}s")
+    idx = ds._vector_index_for("vec")
+
+    results = []
+    for nprobes, rf in ((16, 8), (12, 8), (16, 12), (16, 16), (12, 12)):
+        _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        hits = sum(len(set(ids[r].tolist()) & set(gt[r].tolist())) for r in range(NQ))
+        rec = hits / (NQ * K)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        qb = jnp.asarray(np.tile(queries_h, (2, 1))[:2048])
+        jax.block_until_ready(fn(qb))
+        t = time.time()
+        for _ in range(40):
+            o = fn(qb)
+        jax.block_until_ready(o)
+        qps = 40 * 2048 / (time.time() - t)
+        results.append({"m": m_sub, "nprobes": nprobes, "rf": rf,
+                        "recall_at_10": round(rec, 4), "qps_b2048": round(qps)})
+        _log(json.dumps(results[-1]))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
