@@ -1256,8 +1256,12 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     # equal intra-partition offsets collide systematically; also require a
     # candidate pool much larger than the fetch so collisions stay rare.
     def _eligible(gw: int) -> bool:
+        # W >= 4096: tiny indices concentrate real rows at the same low
+        # intra-partition offsets, where cross-partition group-mates collide
+        # systematically (k > num_rows searches would drop existing rows);
+        # tiny pools are cheap to top_k exactly anyway
         return (refining and gw > 1 and W % gw == 0 and W >= gw * kk * 8
-                and nprobes >= gw)
+                and nprobes >= gw and W >= 4096)
 
     # graded fallback: large refine factors (kk = k*rf) shrink the safe
     # pool-to-fetch ratio, but a narrower group still beats group=1 — which
