@@ -44,7 +44,10 @@ def main():
     idx = ds._vector_index_for("vec")
 
     results = []
-    for nprobes, rf in ((16, 8), (12, 8), (16, 12), (16, 16), (12, 12)):
+    import json as _json
+    cfgs = _json.loads(os.environ.get(
+        "M32_CFGS", "[[16,8],[12,8],[16,12],[16,16],[12,12]]"))
+    for nprobes, rf in cfgs:
         _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
         ids = rid.astype(np.int64) & 0xFFFFFFFF
         hits = sum(len(set(ids[r].tolist()) & set(gt[r].tolist())) for r in range(NQ))
