@@ -18,6 +18,10 @@ Env vars (all optional):
 | LANCE_TPU_SCORE_INT8 / REFINE_BF16 / REFINE_F16 / REFINE_LOCALITY / APPROX_PROBE / FUSED | 0 | measured-neutral or recall-costly experiments (see experiments/README.md) |
 | LANCE_TPU_MAX_BUCKET         | 512    | query-batch padding bucket cap for idx.search() |
 | LANCE_TPU_NATIVE_IO          | 1      | native C++ IO scheduler for local stores |
+| LANCE_TPU_OPQ                | 8      | OPQ rotation rounds for IVF_PQ builds (0 disables) |
+| LANCE_TPU_BUILD_BF16         | 1      | bf16 build-time assignment matmuls (kmeans/accept) |
+| LANCE_TPU_BUILD_UPLOAD_BF16  | follows BUILD_BF16 | bf16 chunk uploads in the streaming build (lossless for int-valued data) |
+| LANCE_TPU_BUILD_DEVICE_BYTES | 4 GiB  | in-HBM vs streaming build threshold |
 | BENCH_BUDGET_S               | 3000   | bench.py soft time budget |
 | JAX_PLATFORMS / XLA_FLAGS    | -      | device selection (tests force cpu x8) |
 
