@@ -1,0 +1,132 @@
+"""16M x 128 single-chip limit check: beyond-HBM streaming build + serving.
+
+16M is near the single-chip serving ceiling with exact f32 refine
+(decoded bf16 blocks 4 GB + f32 refine vectors 8 GB + workspace in 16 GB
+HBM). Data is generated on HOST (integer-valued, SIFT-like) so the only
+relay traffic is the streaming build's bf16 chunk uploads; ground truth
+streams the same chunks through the device.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)  # force streaming
+sys.path.insert(0, ".")
+from bench import _log
+
+
+def host_sift_like(n, dim, nq, seed=0):
+    """Integer-valued SIFT-flavored mixture, generated on host CPU in
+    chunks (bf16 uploads are lossless for 0-255 ints)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.0, 128.0, size=(4096, dim)).astype(np.float32)
+    total = n + nq
+    out = np.empty((total, dim), np.float32)
+    step = 1 << 20
+    for s in range(0, total, step):
+        e = min(s + step, total)
+        a = rng.integers(0, 4096, e - s)
+        radii = np.exp(rng.normal(size=(e - s, 1)) * 0.9).astype(np.float32)
+        noise = rng.normal(size=(e - s, dim)).astype(np.float32) * 10.0
+        out[s:e] = np.rint(np.clip(centers[a] + radii * noise, 0, 255))
+    return out[:n], out[n:]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+
+    N = int(os.environ.get("S16M_N", str(16_000_000)))
+    DIM, NQ, K = 128, 256, 10
+    t0 = time.time()
+    data, queries = host_sift_like(N, DIM, NQ)
+    _log(f"host gen {time.time()-t0:.0f}s")
+
+    # ground truth: stream data chunks through the device (bf16 upload is
+    # lossless for this data; distances computed f32)
+    t = time.time()
+    q_dev = jnp.asarray(queries)
+
+    @jax.jit
+    def chunk_topk(chunk_bf16, base):
+        x = chunk_bf16.astype(jnp.float32)
+        d = (jnp.sum(q_dev**2, 1)[:, None] + jnp.sum(x**2, 1)[None, :]
+             - 2.0 * jnp.dot(q_dev, x.T, precision=jax.lax.Precision.HIGHEST))
+        neg, idx = jax.lax.top_k(-d, K)
+        return -neg, idx.astype(jnp.int64) + base
+
+    best_d = np.full((NQ, 0), np.inf, np.float32)
+    best_i = np.zeros((NQ, 0), np.int64)
+    step = 1 << 20
+    for s in range(0, N, step):
+        e = min(s + step, N)
+        pad = step - (e - s)
+        chunk = data[s:e]
+        if pad:
+            chunk = np.pad(chunk, ((0, pad), (0, 0)), constant_values=1e6)
+        d, i = chunk_topk(jnp.asarray(chunk.astype(jnp.bfloat16)), s)
+        best_d = np.concatenate([best_d, np.asarray(d)], axis=1)
+        best_i = np.concatenate([best_i, np.asarray(i)], axis=1)
+        keep = np.argsort(best_d, axis=1, kind="stable")[:, :K]
+        best_d = np.take_along_axis(best_d, keep, axis=1)
+        best_i = np.take_along_axis(best_i, keep, axis=1)
+    gt_i = best_i
+    _log(f"gt {time.time()-t:.0f}s")
+
+    uri = "file:///root/repo/.scale16m.lance"
+    m_sub = int(os.environ.get("S16M_M", "32"))
+    if os.environ.get("S16M_REUSE") and os.path.exists("/root/repo/.scale16m.lance"):
+        ds = lt.dataset(uri)
+        build_s = 0.0
+    else:
+        import shutil
+
+        shutil.rmtree("/root/repo/.scale16m.lance", ignore_errors=True)
+        t = time.time()
+        ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                              uri, params=lt.WriteParams(max_rows_per_file=N,
+                                                         compression="none"))
+        _log(f"write {time.time()-t:.0f}s")
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=8192,
+                             num_sub_vectors=m_sub, num_bits=8, max_iters=8)
+        build_s = time.time() - t
+        _log(f"build {build_s:.0f}s")
+
+    os.environ["LANCE_TPU_DIST_BF16"] = "0"
+    os.environ["LANCE_TPU_REFINE_BF16"] = "1"  # f32 refine = 8 GB; bf16 halves it
+    idx = ds._vector_index_for("vec")
+    _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
+    qd = jnp.asarray(np.tile(queries, (2, 1))[:512])
+    curve = []
+    for nprobes, rf in ((32, 32), (32, 64), (64, 64)):
+        _, rid = idx.search(queries, K, nprobes=nprobes, refine_factor=rf)
+        ids = rid.astype(np.int64) & 0xFFFFFFFF
+        hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
+                   for r in range(NQ))
+        rec = hits / (NQ * K)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        jax.block_until_ready(fn(qd))
+        t = time.time()
+        for _ in range(20):
+            o = fn(qd)
+        jax.block_until_ready(o)
+        qps = 20 * 512 / (time.time() - t)
+        curve.append({"nprobes": nprobes, "refine": rf,
+                      "recall_at_10": round(rec, 4), "qps": round(qps)})
+        _log(json.dumps(curve[-1]))
+    best = max((c for c in curve if c["recall_at_10"] >= 0.9),
+               key=lambda c: c["qps"], default=max(curve, key=lambda c: c["recall_at_10"]))
+    print(json.dumps({"metric": "scale16m_ivfpq", "n": N, "m": m_sub,
+                      "recall_at_10": best["recall_at_10"], "qps": best["qps"],
+                      "build_s": round(build_s, 1), "curve": curve}))
+
+
+if __name__ == "__main__":
+    main()
