@@ -1,0 +1,152 @@
+"""Replicate the reference's benchmark CONFIGS (BASELINE.md) on TPU:
+
+1. SIFT1M flat exact L2 top-10 brute-force scan   (reference benchmarks/flat)
+2. SIFT1M IVF_PQ 512x16, nprobes=10, refine=10    (lance_sift1m_stats.csv:9,
+   recall@10 0.975 @ 2.80 ms/query single-query CPU)
+3. dbpedia-like 1536D cosine IVF_PQ               (benchmarks/dbpedia-openai)
+4. wiki-like HNSW_SQ                              (benchmarks/wiki)
+
+Synthetic data (same generator as bench.py); recall vs on-device exact GT.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+
+
+def recall_of(rid, gt, nq, k):
+    ids = rid.astype(np.int64) & 0xFFFFFFFF
+    return sum(len(set(ids[r].tolist()) & set(gt[r].tolist()))
+               for r in range(nq)) / (nq * k)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    out = []
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt = np.asarray(gt_i)
+    queries_h = np.asarray(queries)
+
+    # 1. flat exact scan QPS (compiled batched brute force on device data)
+    qb = jnp.asarray(queries_h[:256])
+    fn = jax.jit(lambda q: topk_neighbors(q, data, K, "l2", chunk=131072))
+    jax.block_until_ready(fn(qb))
+    t = time.time()
+    for _ in range(5):
+        o = fn(qb)
+    jax.block_until_ready(o)
+    flat_qps = 5 * 256 / (time.time() - t)
+    out.append({"config": "sift1m_flat_exact_top10", "qps": round(flat_qps),
+                "recall_at_10": 1.0})
+    _log(json.dumps(out[-1]))
+
+    # 2. the reference's headline IVF_PQ config: 512x16, nprobes=10, rf=10
+    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                          "memory://parity/sift",
+                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=512, num_sub_vectors=16,
+                         num_bits=8, max_iters=12)
+    build_s = time.time() - t
+    idx = ds._vector_index_for("vec")
+    _, rid = idx.search(queries_h, K, nprobes=10, refine_factor=10)
+    rec = recall_of(rid, gt, NQ, K)
+    fn2 = idx.compiled_searcher(K, nprobes=10, refine_factor=10)
+    q1 = jnp.asarray(queries_h[:512])
+    jax.block_until_ready(fn2(q1))
+    t = time.time()
+    for _ in range(30):
+        o = fn2(q1)
+    jax.block_until_ready(o)
+    qps = 30 * 512 / (time.time() - t)
+    out.append({"config": "sift1m_ivfpq_512x16_np10_rf10",
+                "recall_at_10": round(rec, 4), "qps": round(qps),
+                "build_s": round(build_s, 1),
+                "reference": {"recall_at_10": 0.975, "ms_per_query": 2.80}})
+    _log(json.dumps(out[-1]))
+    del ds, idx
+
+    # 3. dbpedia-like: 1536-D cosine IVF_PQ (500k rows keeps it in-HBM)
+    N3, D3 = 500_000, 1536
+    data3, q3 = generate_sift_like(N3, D3, 256, seed=7)
+    data3 = data3 / jnp.linalg.norm(data3, axis=1, keepdims=True)
+    q3 = q3 / jnp.linalg.norm(q3, axis=1, keepdims=True)
+    _, gt3 = topk_neighbors(q3, data3, K, "cosine", chunk=65536)
+    gt3 = np.asarray(gt3)
+    q3h = np.asarray(q3)
+    ds3 = lt.write_dataset({"vec": np.asarray(data3),
+                            "id": np.arange(N3, dtype=np.int64)},
+                           "memory://parity/dbp",
+                           params=lt.WriteParams(max_rows_per_file=N3, compression="none"))
+    t = time.time()
+    ds3 = ds3.create_index("vec", "IVF_PQ", num_partitions=512, num_sub_vectors=96,
+                           num_bits=8, metric="cosine", max_iters=10)
+    b3 = time.time() - t
+    idx3 = ds3._vector_index_for("vec")
+    _, rid3 = idx3.search(q3h, K, nprobes=16, refine_factor=16)
+    rec3 = recall_of(rid3, gt3, 256, K)
+    fn3 = idx3.compiled_searcher(K, nprobes=16, refine_factor=16)
+    qd3 = jnp.asarray(np.tile(q3h, (2, 1))[:512])
+    jax.block_until_ready(fn3(qd3))
+    t = time.time()
+    for _ in range(20):
+        o = fn3(qd3)
+    jax.block_until_ready(o)
+    qps3 = 20 * 512 / (time.time() - t)
+    out.append({"config": "dbpedia_like_1536d_cosine_ivfpq_512x96",
+                "recall_at_10": round(rec3, 4), "qps": round(qps3),
+                "build_s": round(b3, 1)})
+    _log(json.dumps(out[-1]))
+    del ds3, idx3, data3
+
+    # 4. wiki-like HNSW_SQ (graph index over SQ storage), 200k x 384
+    N4, D4 = 200_000, 384
+    data4, q4 = generate_sift_like(N4, D4, 256, seed=11)
+    _, gt4 = topk_neighbors(q4, data4, K, "l2", chunk=65536)
+    gt4 = np.asarray(gt4)
+    q4h = np.asarray(q4)
+    ds4 = lt.write_dataset({"vec": np.asarray(data4),
+                            "id": np.arange(N4, dtype=np.int64)},
+                           "memory://parity/wiki",
+                           params=lt.WriteParams(max_rows_per_file=N4, compression="none"))
+    t = time.time()
+    ds4 = ds4.create_index("vec", "IVF_HNSW_SQ", num_partitions=64, max_iters=8)
+    b4 = time.time() - t
+    idx4 = ds4._vector_index_for("vec")
+    _, rid4 = idx4.search(q4h, K, nprobes=16, refine_factor=4)
+    rec4 = recall_of(rid4, gt4, 256, K)
+    fn4 = idx4.compiled_searcher(K, nprobes=16, refine_factor=4)
+    qd4 = jnp.asarray(np.tile(q4h, (2, 1))[:512])
+    jax.block_until_ready(fn4(qd4))
+    t = time.time()
+    for _ in range(20):
+        o = fn4(qd4)
+    jax.block_until_ready(o)
+    qps4 = 20 * 512 / (time.time() - t)
+    out.append({"config": "wiki_like_384d_ivf_hnsw_sq",
+                "recall_at_10": round(rec4, 4), "qps": round(qps4),
+                "build_s": round(b4, 1)})
+    _log(json.dumps(out[-1]))
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
