@@ -101,11 +101,12 @@ def main() -> None:
     )
     _log(f"dataset written in {time.time()-t:.1f}s")
     t = time.time()
-    # m=32: the engine scores DECODED partition blocks, so sub-vector count
+    # m=64: the engine scores DECODED partition blocks, so sub-vector count
     # is free at search time (same HBM bytes) and buys candidate-ranking
-    # quality — measured (16,12) 0.9530 @ 253k vs m=16 (16,16) 0.9506 @ 225k
-    # (experiments/m32_sweep.py)
-    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=32,
+    # quality — measured (16,8) 0.9524 @ 295.6k; m=128 is a wash (0.9539 @
+    # 292.4k) and m=32 needs rf=12 (253k). rf<8 is capped by merge-group
+    # collisions, not quantization (experiments/m32_sweep.py).
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=64,
                          num_bits=8, max_iters=12)
     build_s = time.time() - t
     _log(f"index built in {build_s:.1f}s")
@@ -132,7 +133,7 @@ def main() -> None:
     # (each rung costs one compile; the first passing rung wins). nprobes
     # stays >= merge_group=16 — narrower probing demotes the merge group
     # and measured SLOWER (12,8) 260k vs (16,8) 294k.
-    for nprobes, refine in [(16, 8), (16, 12), (16, 16), (24, 16), (48, 16), (96, 16)]:
+    for nprobes, refine in [(16, 6), (16, 8), (16, 12), (16, 16), (24, 16), (48, 16)]:
         t = time.time()
         rec = run_recall(nprobes, refine)
         _log(f"nprobes={nprobes} refine={refine} recall@10={rec:.4f} ({time.time()-t:.1f}s incl compile)")
