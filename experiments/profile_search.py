@@ -44,11 +44,14 @@ def main():
                           "memory://prof/d1m",
                           params=lt.WriteParams(max_rows_per_file=N, compression="none"))
     t = time.time()
-    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=16,
+    PM = int(os.environ.get("PROF_M", "64"))
+    PNP = int(os.environ.get("PROF_NP", "16"))
+    PRF = int(os.environ.get("PROF_RF", "8"))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024, num_sub_vectors=PM,
                          num_bits=8, max_iters=10)
     _log(f"build {time.time()-t:.0f}s")
     idx = ds._vector_index_for("vec")
-    fn = idx.compiled_searcher(10, nprobes=16, refine_factor=16)
+    fn = idx.compiled_searcher(10, nprobes=PNP, refine_factor=PRF)
     PB = int(__import__("os").environ.get("PROF_B", "512"))
     q_dev = jnp.asarray(np.tile(queries_h, (PB // NQ + 2, 1))[:PB])
     jax.block_until_ready(fn(q_dev))
@@ -74,7 +77,7 @@ def main():
                                                 _merge_group, _query_cap,
                                                 _search_dense)
 
-    b, k, nprobes, rf = PB, 10, 16, 16
+    b, k, nprobes, rf = PB, 10, PNP, PRF
     fetch = min(k * rf, idx.num_rows)
     q_cap = _query_cap(b, nprobes, idx.ivf.num_partitions)
     import jax.numpy as jnp2
