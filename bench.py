@@ -1,8 +1,9 @@
 """Headline benchmark: SIFT1M-scale IVF-PQ ANN search QPS at recall@10 >= 0.95.
 
-Mirrors the reference's SIFT1M benchmark configuration
-(/root/reference/benchmarks/sift/, BASELINE.md: IVF_PQ 1024 partitions x 16
-subvectors, refine) on synthetic SIFT-like data (clustered 128-D vectors;
+Mirrors the reference's SIFT1M benchmark shape
+(/root/reference/benchmarks/sift/, BASELINE.md: IVF_PQ 1024 partitions +
+refine; m=64 sub-vectors here — free at query time under decoded-block
+scoring, see README) on synthetic SIFT-like data (clustered 128-D vectors;
 real SIFT is not redistributable inside this environment). Ground truth is
 exact brute-force top-10 on device.
 
@@ -129,7 +130,7 @@ def main() -> None:
     chosen = None
     rec = 0.0
     # ladder starts at the shallow-refine end: refine rows are the serving
-    # whale, and m=32+OPQ candidate ranking lets smaller rf clear the gate
+    # whale, and m=64+OPQ candidate ranking lets smaller rf clear the gate
     # (each rung costs one compile; the first passing rung wins). nprobes
     # stays >= merge_group=16 — narrower probing demotes the merge group
     # and measured SLOWER (12,8) 260k vs (16,8) 294k.
