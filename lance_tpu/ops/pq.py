@@ -43,21 +43,49 @@ class PQParams:
 # ---------------------------------------------------------------------------
 
 
+def _assign_chunk_rows(k: int, m: int) -> int:
+    """Rows per assignment chunk so the (m, c, k) distance tensor stays
+    ~256 MB — high-dim/large-m trainings (e.g. 1536-D m=96) would otherwise
+    materialize multi-GB tensors and OOM the chip."""
+    c = (1 << 26) // max(k * m, 1)
+    return max(256, min(8192, 1 << (c.bit_length() - 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
 def _train_subspaces(data_t: jnp.ndarray, init: jnp.ndarray, k: int, iters: int):
-    """data_t: (m, N, dsub); init: (m, k, dsub) -> codebook (m, k, dsub)."""
+    """data_t: (m, N, dsub); init: (m, k, dsub) -> codebook (m, k, dsub).
+
+    The assignment pass is chunked over rows (scan accumulating per-cluster
+    sufficient statistics) so the distance tensor never exceeds one chunk."""
+    m, n, dsub = data_t.shape
+    c = _assign_chunk_rows(k, m)
+    pad = (-n) % c
+    dp = jnp.pad(data_t, ((0, 0), (0, pad), (0, 0)))
+    # padded rows are routed to a sentinel segment k (dropped from stats)
+    valid = jnp.arange(n + pad) < n
+    blocks = dp.reshape(m, -1, c, dsub).transpose(1, 0, 2, 3)  # (nc, m, c, dsub)
+    vblocks = valid.reshape(-1, c)
 
     def step(codebook, _):
-        # assignment: (m, N, k) distances via batched matmul
-        d = _sub_dists(data_t, codebook)
-        ids = jnp.argmin(d, axis=-1)  # (m, N)
-        onehot_sum = jax.vmap(
-            lambda x, i: jax.ops.segment_sum(x, i, num_segments=k)
-        )(data_t, ids)  # (m, k, dsub)
-        counts = jax.vmap(
-            lambda i: jax.ops.segment_sum(jnp.ones_like(i, jnp.float32), i, num_segments=k)
-        )(ids)  # (m, k)
-        new = onehot_sum / jnp.maximum(counts, 1.0)[..., None]
+        def chunk(carry, xv):
+            sums, counts = carry
+            x, v = xv
+            d = _sub_dists(x, codebook)  # (m, c, k)
+            ids = jnp.argmin(d, axis=-1)  # (m, c)
+            ids = jnp.where(v[None, :], ids, k)
+            sums = sums + jax.vmap(
+                lambda xi, ii: jax.ops.segment_sum(xi, ii, num_segments=k + 1)
+            )(x, ids)[:, :k]
+            counts = counts + jax.vmap(
+                lambda ii: jax.ops.segment_sum(jnp.ones_like(ii, jnp.float32), ii,
+                                               num_segments=k + 1)
+            )(ids)[:, :k]
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk, (jnp.zeros((m, k, dsub), jnp.float32),
+                    jnp.zeros((m, k), jnp.float32)), (blocks, vblocks))
+        new = sums / jnp.maximum(counts, 1.0)[..., None]
         # keep old centroid when a cluster is empty
         new = jnp.where((counts < 0.5)[..., None], codebook, new)
         return new, None
@@ -146,21 +174,38 @@ def default_opq_rounds() -> int:
 
 @jax.jit
 def _opq_stats(data: jnp.ndarray, R: jnp.ndarray, codebook: jnp.ndarray):
-    """Procrustes statistics for one OPQ round: reconstruction B of the
-    rotated data under the current codebook, X^T B for the SVD rotation
-    update, and the quantization error."""
+    """Procrustes statistics for one OPQ round: X^T B for the SVD rotation
+    update (B = reconstruction of the rotated data under the current
+    codebook) and the quantization error. Chunked over rows like
+    _train_subspaces so the distance tensor stays bounded."""
     n, dim = data.shape
     m, k, dsub = codebook.shape
-    y = jnp.dot(data, R, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    yt = y.reshape(n, m, dsub).transpose(1, 0, 2)
-    ids = jnp.argmin(_sub_dists(yt, codebook), axis=-1)  # (m, n)
-    b = jax.vmap(lambda cb, i: jnp.take(cb, i, axis=0))(codebook, ids)
-    b = b.transpose(1, 0, 2).reshape(n, dim)
-    xtb = jnp.dot(data.T, b, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    err = jnp.mean(jnp.sum((y - b) ** 2, axis=-1))
-    return xtb, err
+    c = _assign_chunk_rows(k, m)
+    pad = (-n) % c
+    dp = jnp.pad(data, ((0, pad), (0, 0)))
+    valid = (jnp.arange(n + pad) < n).astype(jnp.float32)
+    blocks = dp.reshape(-1, c, dim)
+    vblocks = valid.reshape(-1, c)
+
+    def chunk(carry, xv):
+        xtb, err = carry
+        x, v = xv
+        y = jnp.dot(x, R, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        yt = y.reshape(c, m, dsub).transpose(1, 0, 2)
+        ids = jnp.argmin(_sub_dists(yt, codebook), axis=-1)  # (m, c)
+        b = jax.vmap(lambda cb, i: jnp.take(cb, i, axis=0))(codebook, ids)
+        b = b.transpose(1, 0, 2).reshape(c, dim) * v[:, None]
+        xtb = xtb + jnp.dot((x * v[:, None]).T, b,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        err = err + jnp.sum(jnp.sum((y - b) ** 2, axis=-1) * v)
+        return (xtb, err), None
+
+    (xtb, err), _ = jax.lax.scan(
+        chunk, (jnp.zeros((dim, dim), jnp.float32), jnp.float32(0.0)),
+        (blocks, vblocks))
+    return xtb, err / n
 
 
 @functools.partial(jax.jit, static_argnames=("k", "iters"))
@@ -258,7 +303,9 @@ def pq_encode(pq: ProductQuantizer, data) -> np.ndarray:
         data = jnp.dot(jnp.asarray(data), jnp.asarray(pq.rotation),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-    return np.asarray(_encode_jit(jnp.asarray(data), jnp.asarray(pq.codebook)))
+    chunk = _assign_chunk_rows(pq.k, pq.num_sub_vectors)
+    return np.asarray(_encode_jit(jnp.asarray(data), jnp.asarray(pq.codebook),
+                                  chunk=chunk))
 
 
 def pq_decode(pq: ProductQuantizer, codes: np.ndarray) -> np.ndarray:
