@@ -217,11 +217,11 @@ def build_ivf_index(
 
             base = dev_vectors if metric != "cosine" else normalize(dev_vectors)
             cent_dev = jnp.asarray(km.centroids)
-            pq_train_data = base - jnp.take(cent_dev, jnp.asarray(part_ids), axis=0)
             pq_metric = "l2"
         else:
-            pq_train_data = dev_vectors
+            base, cent_dev = dev_vectors, None
             pq_metric = metric
+        pid_dev = jnp.asarray(part_ids)
         if isinstance(pq_codebook, ProductQuantizer):
             # full quantizer reuse (keeps any OPQ rotation). A reopened
             # quantizer carries the USER-FACING metric from its header
@@ -236,14 +236,34 @@ def build_ivf_index(
         else:
             from ..ops.pq import default_opq_rounds
 
+            # train on SAMPLED residuals only — a full (N, D) residual
+            # tensor doubles the resident working set and OOMs high-dim
+            # builds (500k x 1536); train_pq would subsample anyway
+            rng_pq = np.random.default_rng(42)
+            max_rows = sample_rate * (1 << num_bits)
+            sel = (np.arange(n) if n <= max_rows else
+                   rng_pq.choice(n, size=max_rows, replace=False))
+            sel_dev = jnp.asarray(sel)
+            sample = jnp.take(base, sel_dev, axis=0)
+            if use_residual:
+                sample = sample - jnp.take(cent_dev, jnp.take(pid_dev, sel_dev), axis=0)
             pq = train_pq(
-                pq_train_data,
+                sample,
                 PQParams(num_sub_vectors=num_sub_vectors, num_bits=num_bits, max_iters=max_iters,
                          sample_rate=sample_rate),
                 metric=pq_metric,
                 opq_rounds=default_opq_rounds(),
             )
-        codes = pq_encode(pq, pq_train_data)[order]  # (N, m) partition-sorted
+        # chunked residual encode: peak memory = base + one chunk's temps
+        codes = np.empty((n, pq.num_sub_vectors), np.uint8)
+        enc_step = 1 << 17
+        for s in range(0, n, enc_step):
+            e = min(s + enc_step, n)
+            x = jax.lax.slice_in_dim(base, s, e, axis=0)
+            if use_residual:
+                x = x - jnp.take(cent_dev, jax.lax.slice_in_dim(pid_dev, s, e), axis=0)
+            codes[s:e] = pq_encode(pq, x)
+        codes = codes[order]  # (N, m) partition-sorted
         # seed the refine-vector cache with the device copy we already have
         # (index row order = partition-sorted) — saves a full re-upload later
         refine_src = dev_vectors if not (use_residual and metric == "cosine") else base
