@@ -764,10 +764,18 @@ class IvfIndex:
         valid = np.arange(L)[None, :] < lens[:, None]
         gpos = np.where(valid, gpos, self.num_rows)  # sentinel -> zero row
         dim = rows.shape[1]
-        rows_sent = jnp.concatenate([rows, jnp.zeros((1, dim), rows.dtype)])
         gpos_dev = jnp.asarray(gpos.astype(np.int32))
+        # per-row exact f32 squared norms FIRST (block_sq comes from these
+        # through the same sentinel gather — sentinel slot carries inf), then
+        # cast rows to the scoring dtype BEFORE the padded block build: the
+        # previous order materialized f32 rows + sentinel copy + f32 blocks
+        # simultaneously (~10 GB at 500k x 1536) and OOMed high-dim opens
+        sq_rows = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
+        sq_sent = jnp.concatenate([sq_rows, jnp.full((1,), jnp.inf, jnp.float32)])
+        self._block_sq_dev = jnp.take(sq_sent, gpos_dev.reshape(-1)).reshape(nlist, L)
+        rows = rows.astype(score_dtype)
+        rows_sent = jnp.concatenate([rows, jnp.zeros((1, dim), rows.dtype)])
         blocks = jnp.take(rows_sent, gpos_dev.reshape(-1), axis=0).reshape(nlist, L, dim)
-        sq = jnp.sum(blocks.astype(jnp.float32) ** 2, axis=-1)
         if _score_int8() and self.is_quantized:
             # int8 block storage: the cross term 2<q,r> is computed on the
             # MXU int8 path with per-partition symmetric scales; ||r||^2
@@ -779,9 +787,8 @@ class IvfIndex:
                 jnp.round(bf / scale[:, None, None]), -127, 127).astype(jnp.int8)
             self._block_scale_dev = scale  # (nlist,)
         else:
-            self._blocks_dev = blocks.astype(score_dtype)
+            self._blocks_dev = blocks
             self._block_scale_dev = None
-        self._block_sq_dev = jnp.where(jnp.asarray(valid), sq, jnp.inf)
         self._gpos_dev = gpos_dev  # (nlist, L) global row idx
 
     # -- prefilter ----------------------------------------------------------------
