@@ -29,6 +29,11 @@ def recall_of(rid, gt, nq, k):
                for r in range(nq)) / (nq * k)
 
 
+def _want(i: int) -> bool:
+    sel = os.environ.get("PARITY_ONLY")
+    return not sel or str(i) in sel.split(",")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -38,112 +43,118 @@ def main():
     from lance_tpu.ops.distance import topk_neighbors
 
     out = []
-    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
-    data, queries = generate_sift_like(N, DIM, NQ)
-    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
-    gt = np.asarray(gt_i)
-    queries_h = np.asarray(queries)
+    K = 10
+    N, DIM, NQ = 1_000_000, 128, 1024
+    if _want(1) or _want(2):
+        data, queries = generate_sift_like(N, DIM, NQ)
+        _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+        gt = np.asarray(gt_i)
+        queries_h = np.asarray(queries)
 
     # 1. flat exact scan QPS (topk_neighbors is internally jit-chunked;
     # wrapping the whole scan in one jit exceeds the relay compile limit)
-    qb = jnp.asarray(queries_h[:256])
-    jax.block_until_ready(topk_neighbors(qb, data, K, "l2", chunk=131072))
-    t = time.time()
-    for _ in range(5):
-        o = topk_neighbors(qb, data, K, "l2", chunk=131072)
-    jax.block_until_ready(o)
-    flat_qps = 5 * 256 / (time.time() - t)
-    out.append({"config": "sift1m_flat_exact_top10", "qps": round(flat_qps),
-                "recall_at_10": 1.0})
-    _log(json.dumps(out[-1]))
+    if _want(1):
+        qb = jnp.asarray(queries_h[:256])
+        jax.block_until_ready(topk_neighbors(qb, data, K, "l2", chunk=131072))
+        t = time.time()
+        for _ in range(5):
+            o = topk_neighbors(qb, data, K, "l2", chunk=131072)
+        jax.block_until_ready(o)
+        flat_qps = 5 * 256 / (time.time() - t)
+        out.append({"config": "sift1m_flat_exact_top10", "qps": round(flat_qps),
+                    "recall_at_10": 1.0})
+        _log(json.dumps(out[-1]))
 
-    # 2. the reference's headline IVF_PQ config: 512x16, nprobes=10, rf=10
-    ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
-                          "memory://parity/sift",
-                          params=lt.WriteParams(max_rows_per_file=N, compression="none"))
-    t = time.time()
-    ds = ds.create_index("vec", "IVF_PQ", num_partitions=512, num_sub_vectors=16,
-                         num_bits=8, max_iters=12)
-    build_s = time.time() - t
-    idx = ds._vector_index_for("vec")
-    _, rid = idx.search(queries_h, K, nprobes=10, refine_factor=10)
-    rec = recall_of(rid, gt, NQ, K)
-    fn2 = idx.compiled_searcher(K, nprobes=10, refine_factor=10)
-    q1 = jnp.asarray(queries_h[:512])
-    jax.block_until_ready(fn2(q1))
-    t = time.time()
-    for _ in range(30):
-        o = fn2(q1)
-    jax.block_until_ready(o)
-    qps = 30 * 512 / (time.time() - t)
-    out.append({"config": "sift1m_ivfpq_512x16_np10_rf10",
-                "recall_at_10": round(rec, 4), "qps": round(qps),
-                "build_s": round(build_s, 1),
-                "reference": {"recall_at_10": 0.975, "ms_per_query": 2.80}})
-    _log(json.dumps(out[-1]))
-    del ds, idx
+    if _want(2):
+        # 2. the reference's headline IVF_PQ config: 512x16, nprobes=10, rf=10
+        ds = lt.write_dataset({"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+                              "memory://parity/sift",
+                              params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=512, num_sub_vectors=16,
+                             num_bits=8, max_iters=12)
+        build_s = time.time() - t
+        idx = ds._vector_index_for("vec")
+        _, rid = idx.search(queries_h, K, nprobes=10, refine_factor=10)
+        rec = recall_of(rid, gt, NQ, K)
+        fn2 = idx.compiled_searcher(K, nprobes=10, refine_factor=10)
+        q1 = jnp.asarray(queries_h[:512])
+        jax.block_until_ready(fn2(q1))
+        t = time.time()
+        for _ in range(30):
+            o = fn2(q1)
+        jax.block_until_ready(o)
+        qps = 30 * 512 / (time.time() - t)
+        out.append({"config": "sift1m_ivfpq_512x16_np10_rf10",
+                    "recall_at_10": round(rec, 4), "qps": round(qps),
+                    "build_s": round(build_s, 1),
+                    "reference": {"recall_at_10": 0.975, "ms_per_query": 2.80}})
+        _log(json.dumps(out[-1]))
+        del ds, idx
 
-    # 3. dbpedia-like: 1536-D cosine IVF_PQ (500k rows keeps it in-HBM)
-    N3, D3 = 500_000, 1536
-    data3, q3 = generate_sift_like(N3, D3, 256, seed=7)
-    data3 = data3 / jnp.linalg.norm(data3, axis=1, keepdims=True)
-    q3 = q3 / jnp.linalg.norm(q3, axis=1, keepdims=True)
-    _, gt3 = topk_neighbors(q3, data3, K, "cosine", chunk=65536)
-    gt3 = np.asarray(gt3)
-    q3h = np.asarray(q3)
-    ds3 = lt.write_dataset({"vec": np.asarray(data3),
-                            "id": np.arange(N3, dtype=np.int64)},
-                           "memory://parity/dbp",
-                           params=lt.WriteParams(max_rows_per_file=N3, compression="none"))
-    t = time.time()
-    ds3 = ds3.create_index("vec", "IVF_PQ", num_partitions=512, num_sub_vectors=96,
-                           num_bits=8, metric="cosine", max_iters=10)
-    b3 = time.time() - t
-    idx3 = ds3._vector_index_for("vec")
-    _, rid3 = idx3.search(q3h, K, nprobes=16, refine_factor=16)
-    rec3 = recall_of(rid3, gt3, 256, K)
-    fn3 = idx3.compiled_searcher(K, nprobes=16, refine_factor=16)
-    qd3 = jnp.asarray(np.tile(q3h, (2, 1))[:512])
-    jax.block_until_ready(fn3(qd3))
-    t = time.time()
-    for _ in range(20):
-        o = fn3(qd3)
-    jax.block_until_ready(o)
-    qps3 = 20 * 512 / (time.time() - t)
-    out.append({"config": "dbpedia_like_1536d_cosine_ivfpq_512x96",
-                "recall_at_10": round(rec3, 4), "qps": round(qps3),
-                "build_s": round(b3, 1)})
-    _log(json.dumps(out[-1]))
-    del ds3, idx3, data3
+    if _want(3):
+        # 3. dbpedia-like: 1536-D cosine IVF_PQ (500k rows keeps it in-HBM)
+        N3, D3 = 500_000, 1536
+        data3, q3 = generate_sift_like(N3, D3, 256, seed=7)
+        data3 = data3 / jnp.linalg.norm(data3, axis=1, keepdims=True)
+        q3 = q3 / jnp.linalg.norm(q3, axis=1, keepdims=True)
+        _, gt3 = topk_neighbors(q3, data3, K, "cosine", chunk=65536)
+        gt3 = np.asarray(gt3)
+        q3h = np.asarray(q3)
+        ds3 = lt.write_dataset({"vec": np.asarray(data3),
+                                "id": np.arange(N3, dtype=np.int64)},
+                               "memory://parity/dbp",
+                               params=lt.WriteParams(max_rows_per_file=N3, compression="none"))
+        t = time.time()
+        ds3 = ds3.create_index("vec", "IVF_PQ", num_partitions=512, num_sub_vectors=96,
+                               num_bits=8, metric="cosine", max_iters=10)
+        b3 = time.time() - t
+        idx3 = ds3._vector_index_for("vec")
+        _, rid3 = idx3.search(q3h, K, nprobes=16, refine_factor=16)
+        rec3 = recall_of(rid3, gt3, 256, K)
+        fn3 = idx3.compiled_searcher(K, nprobes=16, refine_factor=16)
+        qd3 = jnp.asarray(np.tile(q3h, (2, 1))[:512])
+        jax.block_until_ready(fn3(qd3))
+        t = time.time()
+        for _ in range(20):
+            o = fn3(qd3)
+        jax.block_until_ready(o)
+        qps3 = 20 * 512 / (time.time() - t)
+        out.append({"config": "dbpedia_like_1536d_cosine_ivfpq_512x96",
+                    "recall_at_10": round(rec3, 4), "qps": round(qps3),
+                    "build_s": round(b3, 1)})
+        _log(json.dumps(out[-1]))
+        del ds3, idx3, data3
 
-    # 4. wiki-like HNSW_SQ (graph index over SQ storage), 200k x 384
-    N4, D4 = 200_000, 384
-    data4, q4 = generate_sift_like(N4, D4, 256, seed=11)
-    _, gt4 = topk_neighbors(q4, data4, K, "l2", chunk=65536)
-    gt4 = np.asarray(gt4)
-    q4h = np.asarray(q4)
-    ds4 = lt.write_dataset({"vec": np.asarray(data4),
-                            "id": np.arange(N4, dtype=np.int64)},
-                           "memory://parity/wiki",
-                           params=lt.WriteParams(max_rows_per_file=N4, compression="none"))
-    t = time.time()
-    ds4 = ds4.create_index("vec", "IVF_HNSW_SQ", num_partitions=64, max_iters=8)
-    b4 = time.time() - t
-    idx4 = ds4._vector_index_for("vec")
-    _, rid4 = idx4.search(q4h, K, nprobes=16, refine_factor=4)
-    rec4 = recall_of(rid4, gt4, 256, K)
-    fn4 = idx4.compiled_searcher(K, nprobes=16, refine_factor=4)
-    qd4 = jnp.asarray(np.tile(q4h, (2, 1))[:512])
-    jax.block_until_ready(fn4(qd4))
-    t = time.time()
-    for _ in range(20):
-        o = fn4(qd4)
-    jax.block_until_ready(o)
-    qps4 = 20 * 512 / (time.time() - t)
-    out.append({"config": "wiki_like_384d_ivf_hnsw_sq",
-                "recall_at_10": round(rec4, 4), "qps": round(qps4),
-                "build_s": round(b4, 1)})
-    _log(json.dumps(out[-1]))
+    if _want(4):
+        # 4. wiki-like HNSW_SQ (graph index over SQ storage), 200k x 384
+        N4, D4 = 200_000, 384
+        data4, q4 = generate_sift_like(N4, D4, 256, seed=11)
+        _, gt4 = topk_neighbors(q4, data4, K, "l2", chunk=65536)
+        gt4 = np.asarray(gt4)
+        q4h = np.asarray(q4)
+        ds4 = lt.write_dataset({"vec": np.asarray(data4),
+                                "id": np.arange(N4, dtype=np.int64)},
+                               "memory://parity/wiki",
+                               params=lt.WriteParams(max_rows_per_file=N4, compression="none"))
+        t = time.time()
+        ds4 = ds4.create_index("vec", "IVF_HNSW_SQ", num_partitions=64, max_iters=8)
+        b4 = time.time() - t
+        idx4 = ds4._vector_index_for("vec")
+        _, rid4 = idx4.search(q4h, K, nprobes=16, refine_factor=4)
+        rec4 = recall_of(rid4, gt4, 256, K)
+        # HnswIndex exposes search() (internally jit-bucketed), not
+        # compiled_searcher; measure steady-state through it
+        qb4 = np.tile(q4h, (2, 1))[:512]
+        idx4.search(qb4, K, nprobes=16, refine_factor=4)  # warm
+        t = time.time()
+        for _ in range(10):
+            idx4.search(qb4, K, nprobes=16, refine_factor=4)
+        qps4 = 10 * 512 / (time.time() - t)
+        out.append({"config": "wiki_like_384d_ivf_hnsw_sq",
+                    "recall_at_10": round(rec4, 4), "qps": round(qps4),
+                    "build_s": round(b4, 1)})
+        _log(json.dumps(out[-1]))
 
     print(json.dumps(out))
 
