@@ -85,6 +85,30 @@ def add_reverse_edges(graph: np.ndarray, deg: int) -> np.ndarray:
     return merged
 
 
+def add_longrange_edges(graph: np.ndarray, seed: int = 0, slots: int = 4) -> np.ndarray:
+    """Reserve the tail edge slots for long-range links.
+
+    Clustered data disconnects an exact-kNN graph into cluster islands
+    (~cluster-size cliques), and reverse edges stay inside the same
+    islands — the beam can never escape its seed cluster (measured
+    recall 0.33 on mixture data vs 0.95+ unclustered). The last slot
+    becomes a Hamiltonian-cycle edge over a seeded permutation
+    (guarantees strong connectivity); remaining reserved slots are random
+    jumps (small-world expander). Local kNN edges keep the other slots."""
+    n, deg = graph.shape
+    if n < 4 or deg < 4:
+        return graph
+    s = max(1, min(slots, deg // 4))
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n).astype(np.int32)
+    nxt = np.empty(n, np.int32)
+    nxt[perm] = perm[(np.arange(n) + 1) % n]
+    graph[:, deg - 1] = nxt
+    for j in range(1, s):
+        graph[:, deg - 1 - j] = rng.integers(0, n, n, dtype=np.int32)
+    return graph
+
+
 class HnswGraph:
     """neighbors: (N, deg) int32; entries: (E,) int32 seeds.
 
@@ -136,6 +160,7 @@ def build_hnsw(vectors: np.ndarray, params: HnswParams = HnswParams(),
         vectors = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
     graph = build_knn_graph(vectors, deg, "l2" if metric == "cosine" else metric)
     graph = add_reverse_edges(graph, deg)
+    graph = add_longrange_edges(graph)
     # entry points: medoid-ish — nearest data points to k-means centroids
     from ..ops.kmeans import train_kmeans
 
@@ -176,6 +201,7 @@ def build_partitioned_hnsw(vectors_sorted: np.ndarray, offsets: np.ndarray,
         local = build_knn_graph(vectors_sorted[lo:hi], min(deg, max(1, lp - 1)),
                                 base_metric)
         local = add_reverse_edges(local, local.shape[1])
+        local = add_longrange_edges(local, seed=p)
         if local.shape[1] < deg:  # tiny partition: repeat columns to full deg
             reps = -(-deg // local.shape[1])
             local = np.tile(local, (1, reps))[:, :deg]

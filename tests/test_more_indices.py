@@ -389,3 +389,26 @@ def test_index_extension_registry():
             ds.create_index("k", "NOPE")
     finally:
         lt.unregister_index_extension("HASHMAP")
+
+
+def test_hnsw_clustered_data_connectivity():
+    """Regression: clustered data disconnects exact-kNN graphs into cluster
+    islands; long-range edges (cycle + random jumps) must keep the beam
+    able to escape its seed cluster."""
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(0, 128, size=(128, 32)).astype(np.float32)
+    a = rng.integers(0, 128, 8000)
+    v = (centers[a] + rng.normal(size=(8000, 32)).astype(np.float32) * 10)
+    v = v.astype(np.float32)
+    ds = lt.write_dataset({"vec": v, "id": np.arange(8000, dtype=np.int64)},
+                          _uri("hnswclust"))
+    ds = ds.create_index("vec", "IVF_HNSW_SQ", num_partitions=8, max_iters=6)
+    idx = ds._vector_index_for("vec")
+    q = v[rng.choice(8000, 16)]
+    _, rid = idx.search(q, 10, nprobes=2, refine_factor=4)  # tight probes
+    gt_d = ((v[None] - q[:, None]) ** 2).sum(-1)
+    gt = np.argsort(gt_d, axis=1)[:, :10]
+    ids = rid.astype(np.int64) & 0xFFFFFFFF
+    rec = np.mean([len(set(x.tolist()) & set(g.tolist())) / 10
+                   for x, g in zip(ids, gt)])
+    assert rec >= 0.6, rec  # was ~0.3 with island-bound beams
