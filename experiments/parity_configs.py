@@ -141,19 +141,45 @@ def main():
         ds4 = ds4.create_index("vec", "IVF_HNSW_SQ", num_partitions=64, max_iters=8)
         b4 = time.time() - t
         idx4 = ds4._vector_index_for("vec")
-        _, rid4 = idx4.search(q4h, K, nprobes=16, refine_factor=4)
+        _, rid4 = idx4.search(q4h, K, nprobes=32, refine_factor=8, ef=192)
         rec4 = recall_of(rid4, gt4, 256, K)
         # HnswIndex exposes search() (internally jit-bucketed), not
         # compiled_searcher; measure steady-state through it
         qb4 = np.tile(q4h, (2, 1))[:512]
-        idx4.search(qb4, K, nprobes=16, refine_factor=4)  # warm
+        idx4.search(qb4, K, nprobes=32, refine_factor=8, ef=192)  # warm
         t = time.time()
         for _ in range(10):
-            idx4.search(qb4, K, nprobes=16, refine_factor=4)
+            idx4.search(qb4, K, nprobes=32, refine_factor=8, ef=192)
         qps4 = 10 * 512 / (time.time() - t)
         out.append({"config": "wiki_like_384d_ivf_hnsw_sq",
                     "recall_at_10": round(rec4, 4), "qps": round(qps4),
                     "build_s": round(b4, 1)})
+        _log(json.dumps(out[-1]))
+        # same data through the dense IVF_PQ path — the TPU-native answer
+        # to the graph index (design table in README)
+        ds5 = lt.write_dataset({"vec": np.asarray(data4),
+                                "id": np.arange(N4, dtype=np.int64)},
+                               "memory://parity/wikipq",
+                               params=lt.WriteParams(max_rows_per_file=N4,
+                                                     compression="none"))
+        t = time.time()
+        ds5 = ds5.create_index("vec", "IVF_PQ", num_partitions=256,
+                               num_sub_vectors=64, num_bits=8, max_iters=10)
+        b5 = time.time() - t
+        idx5 = ds5._vector_index_for("vec")
+        _, rid5 = idx5.search(q4h, K, nprobes=16, refine_factor=8)
+        rec5 = recall_of(rid5, gt4, 256, K)
+        fn5 = idx5.compiled_searcher(K, nprobes=16, refine_factor=8)
+        qd5 = jnp.asarray(np.tile(q4h, (2, 1))[:512])
+        jax.block_until_ready(fn5(qd5))
+        t = time.time()
+        for _ in range(20):
+            o = fn5(qd5)
+        jax.block_until_ready(o)
+        qps5 = 20 * 512 / (time.time() - t)
+        out.append({"config": "wiki_like_384d_ivfpq_contrast",
+                    "recall_at_10": round(rec5, 4), "qps": round(qps5),
+                    "build_s": round(b5, 1)})
         _log(json.dumps(out[-1]))
 
     print(json.dumps(out))
