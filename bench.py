@@ -24,6 +24,14 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def recall_of(rid, gt, nq: int, k: int) -> float:
+    """recall@k for search rowids vs ground-truth indices (single-fragment
+    datasets: rowid offsets == row ids). Shared by the experiment scripts."""
+    ids = rid.astype(np.int64) & 0xFFFFFFFF
+    return sum(len(set(ids[r].tolist()) & set(gt[r].tolist()))
+               for r in range(nq)) / (nq * k)
+
+
 def generate_sift_like(n: int, dim: int, n_queries: int, seed: int = 0):
     """Clustered, heavy-tailed uint8-range vectors, SIFT-flavored.
 
@@ -142,7 +150,9 @@ def main() -> None:
             chosen = (nprobes, refine, rec)
             break
     if chosen is None:
-        chosen = (96, 16, rec)
+        # fall back to the LAST rung actually measured so the reported
+        # (recall, QPS) pair comes from one config
+        chosen = (nprobes, refine, rec)
     nprobes, refine, recall = chosen
 
     # throughput: pipelined device-resident batches (serving steady state);

@@ -13,7 +13,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import generate_sift_like, _log
+from bench import generate_sift_like, _log, recall_of
 
 os.environ["LANCE_TPU_DIST_BF16"] = "1"
 os.environ["LANCE_TPU_MERGE_GROUP"] = "16"
@@ -49,9 +49,7 @@ def main():
         "M32_CFGS", "[[16,8],[12,8],[16,12],[16,16],[12,12]]"))
     for nprobes, rf in cfgs:
         _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
-        ids = rid.astype(np.int64) & 0xFFFFFFFF
-        hits = sum(len(set(ids[r].tolist()) & set(gt[r].tolist())) for r in range(NQ))
-        rec = hits / (NQ * K)
+        rec = recall_of(rid, gt, NQ, K)
         fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
         qb = jnp.asarray(np.tile(queries_h, (2, 1))[:2048])
         jax.block_until_ready(fn(qb))

@@ -16,17 +16,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import generate_sift_like, _log
+from bench import generate_sift_like, _log, recall_of
 
 os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
 os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
 os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
-
-
-def recall_of(rid, gt, nq, k):
-    ids = rid.astype(np.int64) & 0xFFFFFFFF
-    return sum(len(set(ids[r].tolist()) & set(gt[r].tolist()))
-               for r in range(nq)) / (nq * k)
 
 
 def _want(i: int) -> bool:

@@ -15,7 +15,7 @@ import numpy as np
 
 os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)  # force streaming
 sys.path.insert(0, ".")
-from bench import _log
+from bench import _log, recall_of
 
 
 def host_sift_like(n, dim, nq, seed=0):
@@ -107,10 +107,7 @@ def main():
     curve = []
     for nprobes, rf in ((32, 32), (32, 64), (64, 64)):
         _, rid = idx.search(queries, K, nprobes=nprobes, refine_factor=rf)
-        ids = rid.astype(np.int64) & 0xFFFFFFFF
-        hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
-                   for r in range(NQ))
-        rec = hits / (NQ * K)
+        rec = recall_of(rid, gt_i, NQ, K)
         fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
         jax.block_until_ready(fn(qd))
         t = time.time()

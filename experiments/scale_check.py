@@ -5,7 +5,7 @@ import numpy as np
 
 os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)  # force streaming
 sys.path.insert(0, ".")
-from bench import generate_sift_like, _log
+from bench import generate_sift_like, _log, recall_of
 
 def main():
     import jax, jax.numpy as jnp
@@ -71,10 +71,7 @@ def main():
       os.environ["LANCE_TPU_QCAP_SLACK"] = slack
       for nprobes, rf in ((24, 16), (24, 32), (24, 64), (48, 64)):
           _, rid = idx.search(queries_h, K, nprobes=nprobes, refine_factor=rf)
-          ids = rid.astype(np.int64) & 0xFFFFFFFF
-          hits = sum(len(set(ids[r].tolist()) & set(gt_i[r].tolist()))
-                     for r in range(NQ))
-          rec = hits / (NQ * K)
+          rec = recall_of(rid, gt_i, NQ, K)
           fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
           jax.block_until_ready(fn(q_dev))
           t = time.time()

@@ -641,11 +641,18 @@ def _widen_codebook(codebook: np.ndarray,
     sum, so the un-rotation folds into the codebook HERE (one tiny host
     einsum) instead of an N x D x D matmul over every decoded row at open."""
     m, k, dsub = codebook.shape
+    if rotation is not None:
+        # wide is block-diagonal, so (wide @ R.T)[mi] collapses to
+        # codebook[mi] @ R[:, S_mi].T — m*k*dsub*D BLAS MACs instead of a
+        # naive m*k*D*D einsum (which measured >10 s per open at 1536-D)
+        R = rotation.astype(np.float32)
+        out = np.empty((m, k, m * dsub), np.float32)
+        for mi in range(m):
+            out[mi] = codebook[mi] @ R[:, mi * dsub:(mi + 1) * dsub].T
+        return out
     wide = np.zeros((m, k, m * dsub), np.float32)
     for mi in range(m):
         wide[mi, :, mi * dsub:(mi + 1) * dsub] = codebook[mi]
-    if rotation is not None:
-        wide = np.einsum("mkd,ed->mke", wide, rotation.astype(np.float32))
     return wide
 
 
@@ -773,7 +780,11 @@ class IvfIndex:
         sq_rows = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
         sq_sent = jnp.concatenate([sq_rows, jnp.full((1,), jnp.inf, jnp.float32)])
         self._block_sq_dev = jnp.take(sq_sent, gpos_dev.reshape(-1)).reshape(nlist, L)
-        rows = rows.astype(score_dtype)
+        # int8 storage (opt-in) quantizes from exact f32 rows — stacking
+        # bf16 rounding under int8 would degrade its candidate ranking
+        eff_dtype = (jnp.float32 if (_score_int8() and self.is_quantized)
+                     else score_dtype)
+        rows = rows.astype(eff_dtype)
         rows_sent = jnp.concatenate([rows, jnp.zeros((1, dim), rows.dtype)])
         blocks = jnp.take(rows_sent, gpos_dev.reshape(-1), axis=0).reshape(nlist, L, dim)
         if _score_int8() and self.is_quantized:

@@ -450,22 +450,26 @@ def test_cosine_quantizer_reuse_on_optimize_indices():
     ds = ds.create_index("vec", "IVF_PQ", num_partitions=8, num_sub_vectors=4,
                          max_iters=4, metric="cosine")
 
-    def recall(ds):
+    def recall(ds, all_vecs):
+        # GT over ALL live rows so inserted vectors that legitimately win
+        # top-10 slots don't read as a recall regression
         q = vecs[:24]
         _, rid = ds._vector_index_for("vec").search(q, 10, nprobes=8,
                                                     refine_factor=8)
         hits = 0
         for i in range(24):
-            gt = _gt_topk(vecs, q[i], 10, metric="cosine")
-            ids = rid[i].astype(np.int64) & 0xFFFFFFFF
+            gt = _gt_topk(all_vecs, q[i], 10, metric="cosine")
+            frag = rid[i].astype(np.int64) >> 32
+            off = rid[i].astype(np.int64) & 0xFFFFFFFF
+            ids = np.where(frag == 0, off, 3000 + off)  # frag 1 = inserted
             hits += len(set(ids.tolist()) & set(gt.tolist()))
         return hits / 240
 
-    r_before = recall(ds)
+    r_before = recall(ds, vecs)
     rng = np.random.default_rng(22)
-    ds = ds.insert({"vec": rng.normal(size=(200, 32)).astype(np.float32),
-                    "id": np.arange(3000, 3200, dtype=np.int64)})
+    new = rng.normal(size=(200, 32)).astype(np.float32)
+    ds = ds.insert({"vec": new, "id": np.arange(3000, 3200, dtype=np.int64)})
     ds = ds.optimize_indices()
-    r_after = recall(ds)
+    r_after = recall(ds, np.concatenate([vecs, new]))
     assert r_before >= 0.85, r_before
     assert r_after >= r_before - 0.05, (r_before, r_after)
