@@ -615,6 +615,30 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
 # ---------------------------------------------------------------------------
 
 
+def _decode_pq_rows(codes: np.ndarray, wide: np.ndarray,
+                    centroids: np.ndarray | None, part_of_row: np.ndarray | None,
+                    out_dtype, chunk: int = 1 << 20):
+    """Decode PQ codes to absolute rows in `out_dtype` + exact f32 row norms,
+    chunked so the f32 intermediates never exceed one chunk (a whole-array
+    decode at 16M x 128 peaks ~16 GB and OOMs the chip at open)."""
+    n = codes.shape[0]
+    wide_dev = jnp.asarray(wide)
+    cent_dev = jnp.asarray(centroids) if centroids is not None else None
+    outs, sqs = [], []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        r = _decode_pq_device(jnp.asarray(np.ascontiguousarray(codes[s:e])),
+                              wide_dev)
+        if cent_dev is not None:
+            r = r + jnp.take(cent_dev, jnp.asarray(part_of_row[s:e]), axis=0)
+        sqs.append(jnp.sum(r * r, axis=-1))
+        outs.append(r.astype(out_dtype))
+    if not outs:
+        d = wide.shape[2]
+        return jnp.zeros((0, d), out_dtype), jnp.zeros((0,), jnp.float32)
+    return jnp.concatenate(outs), jnp.concatenate(sqs)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _decode_pq_device(codes, codebook_wide):
     """Decode PQ codes on device without narrow intermediates.
@@ -691,6 +715,7 @@ class IvfIndex:
         # of LUT gathers, which measure ~90x slower on TPU (see
         # experiments/adc_micro.py). PQ codes remain the *disk* format.
         score_f32 = jax.default_backend() == "cpu"  # exactness for CPU tests
+        sq_rows = None  # PQ branch precomputes exact norms during decode
         gbufs = reader.global_buffer_names()
         self.is_pq = "pq_header" in gbufs
         self.is_sq = "sq_bounds" in gbufs
@@ -706,19 +731,21 @@ class IvfIndex:
 
             codes = unpack_codes(reader.read_column(PQ_CODE_COL).to_numpy_matrix(),
                                  self.pq.num_bits, self.pq.num_sub_vectors)
-            # decode ON DEVICE: upload m-byte codes (~N*m), not N*D*4 floats
-            codes_dev = jnp.asarray(np.ascontiguousarray(codes))
-            # OPQ un-rotation (if any) is folded into the widened codebook
-            rows = _decode_pq_device(codes_dev, jnp.asarray(
-                _widen_codebook(self.pq.codebook, self.pq.rotation)))
-            if self.residual:
-                # decoded residual + its partition centroid = absolute vector
-                part_of_row = np.repeat(
-                    np.arange(self.ivf.num_partitions), self.ivf.lengths
-                ).astype(np.int32)
-                rows = rows + jnp.take(jnp.asarray(self.ivf.centroids),
-                                       jnp.asarray(part_of_row), axis=0)
             score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
+            # int8 storage (opt-in) quantizes from exact f32 rows — stacking
+            # bf16 rounding under int8 would degrade its candidate ranking
+            row_dtype = jnp.float32 if (_score_int8() and not score_f32) else score_dtype
+            # decode ON DEVICE, chunked (upload m-byte codes, not N*D*4
+            # floats; f32 intermediates bounded to one chunk). OPQ
+            # un-rotation (if any) is folded into the widened codebook;
+            # residual decode adds each row's partition centroid.
+            part_of_row = (np.repeat(np.arange(self.ivf.num_partitions),
+                                     self.ivf.lengths).astype(np.int32)
+                           if self.residual else None)
+            rows, sq_rows = _decode_pq_rows(
+                codes, _widen_codebook(self.pq.codebook, self.pq.rotation),
+                self.ivf.centroids if self.residual else None, part_of_row,
+                row_dtype)
             self._vectors_dev = None  # lazy, for refine
         elif "rq_header" in gbufs:
             self.pq = None
@@ -777,14 +804,15 @@ class IvfIndex:
         # cast rows to the scoring dtype BEFORE the padded block build: the
         # previous order materialized f32 rows + sentinel copy + f32 blocks
         # simultaneously (~10 GB at 500k x 1536) and OOMed high-dim opens
-        sq_rows = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
+        if sq_rows is None:
+            sq_rows = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
         sq_sent = jnp.concatenate([sq_rows, jnp.full((1,), jnp.inf, jnp.float32)])
         self._block_sq_dev = jnp.take(sq_sent, gpos_dev.reshape(-1)).reshape(nlist, L)
         # int8 storage (opt-in) quantizes from exact f32 rows — stacking
         # bf16 rounding under int8 would degrade its candidate ranking
         eff_dtype = (jnp.float32 if (_score_int8() and self.is_quantized)
                      else score_dtype)
-        rows = rows.astype(eff_dtype)
+        rows = rows.astype(eff_dtype)  # no-op when the decode already cast
         rows_sent = jnp.concatenate([rows, jnp.zeros((1, dim), rows.dtype)])
         blocks = jnp.take(rows_sent, gpos_dev.reshape(-1), axis=0).reshape(nlist, L, dim)
         if _score_int8() and self.is_quantized:
