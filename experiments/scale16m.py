@@ -49,35 +49,42 @@ def main():
     _log(f"host gen {time.time()-t0:.0f}s")
 
     # ground truth: stream data chunks through the device (bf16 upload is
-    # lossless for this data; distances computed f32)
+    # lossless for this data; distances computed f32). Cached on disk —
+    # recomputing costs ~30 min of relay transfer.
+    gt_cache = f"/root/repo/.scale16m_gt_{N}.npy"
+    if os.path.exists(gt_cache):
+        gt_i = np.load(gt_cache)
+        _log("gt cached")
     t = time.time()
     q_dev = jnp.asarray(queries)
 
-    @jax.jit
-    def chunk_topk(chunk_bf16, base):
-        x = chunk_bf16.astype(jnp.float32)
-        d = (jnp.sum(q_dev**2, 1)[:, None] + jnp.sum(x**2, 1)[None, :]
-             - 2.0 * jnp.dot(q_dev, x.T, precision=jax.lax.Precision.HIGHEST))
-        neg, idx = jax.lax.top_k(-d, K)
-        return -neg, idx.astype(jnp.int64) + base
+    if not os.path.exists(gt_cache):
+        @jax.jit
+        def chunk_topk(chunk_bf16, base):
+            x = chunk_bf16.astype(jnp.float32)
+            d = (jnp.sum(q_dev**2, 1)[:, None] + jnp.sum(x**2, 1)[None, :]
+                 - 2.0 * jnp.dot(q_dev, x.T, precision=jax.lax.Precision.HIGHEST))
+            neg, idx = jax.lax.top_k(-d, K)
+            return -neg, idx.astype(jnp.int64) + base
 
-    best_d = np.full((NQ, 0), np.inf, np.float32)
-    best_i = np.zeros((NQ, 0), np.int64)
-    step = 1 << 20
-    for s in range(0, N, step):
-        e = min(s + step, N)
-        pad = step - (e - s)
-        chunk = data[s:e]
-        if pad:
-            chunk = np.pad(chunk, ((0, pad), (0, 0)), constant_values=1e6)
-        d, i = chunk_topk(jnp.asarray(chunk.astype(jnp.bfloat16)), s)
-        best_d = np.concatenate([best_d, np.asarray(d)], axis=1)
-        best_i = np.concatenate([best_i, np.asarray(i)], axis=1)
-        keep = np.argsort(best_d, axis=1, kind="stable")[:, :K]
-        best_d = np.take_along_axis(best_d, keep, axis=1)
-        best_i = np.take_along_axis(best_i, keep, axis=1)
-    gt_i = best_i
-    _log(f"gt {time.time()-t:.0f}s")
+        best_d = np.full((NQ, 0), np.inf, np.float32)
+        best_i = np.zeros((NQ, 0), np.int64)
+        step = 1 << 20
+        for s in range(0, N, step):
+            e = min(s + step, N)
+            pad = step - (e - s)
+            chunk = data[s:e]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)), constant_values=1e6)
+            d, i = chunk_topk(jnp.asarray(chunk.astype(jnp.bfloat16)), s)
+            best_d = np.concatenate([best_d, np.asarray(d)], axis=1)
+            best_i = np.concatenate([best_i, np.asarray(i)], axis=1)
+            keep = np.argsort(best_d, axis=1, kind="stable")[:, :K]
+            best_d = np.take_along_axis(best_d, keep, axis=1)
+            best_i = np.take_along_axis(best_i, keep, axis=1)
+        gt_i = best_i
+        np.save(gt_cache, gt_i)
+        _log(f"gt {time.time()-t:.0f}s")
 
     uri = "file:///root/repo/.scale16m.lance"
     m_sub = int(os.environ.get("S16M_M", "32"))
