@@ -1033,6 +1033,11 @@ class IvfIndex:
                 self.ds.session.index_cache.put("ivf_vec", key, cached)
             dt = (jnp.bfloat16 if _refine_bf16() else
                   jnp.float16 if _refine_f16() else jnp.float32)
+            if isinstance(cached, np.ndarray) and cached.dtype != dt:
+                # cast on HOST: uploading f32 and casting on device needs a
+                # transient full-f32 device copy (8 GB at 16M x 128 — OOM
+                # next to the resident blocks); half the upload bytes too
+                cached = cached.astype(dt)
             self._vectors_dev = jnp.asarray(cached, dtype=dt)
         return self._vectors_dev
 
