@@ -1033,12 +1033,21 @@ class IvfIndex:
                 self.ds.session.index_cache.put("ivf_vec", key, cached)
             dt = (jnp.bfloat16 if _refine_bf16() else
                   jnp.float16 if _refine_f16() else jnp.float32)
-            if isinstance(cached, np.ndarray) and cached.dtype != dt:
-                # cast on HOST: uploading f32 and casting on device needs a
-                # transient full-f32 device copy (8 GB at 16M x 128 — OOM
-                # next to the resident blocks); half the upload bytes too
-                cached = cached.astype(dt)
-            self._vectors_dev = jnp.asarray(cached, dtype=dt)
+            if isinstance(cached, np.ndarray):
+                if cached.dtype != dt:
+                    # cast on HOST: uploading f32 and casting on device
+                    # needs a transient full-f32 device copy (8 GB at 16M
+                    # rows) next to the resident blocks; half the bytes too
+                    cached = cached.astype(dt)
+                # upload in bounded pieces: one multi-GB device_put can
+                # exceed transport limits at 16M-row scale
+                step = max(1, (1 << 30) // max(cached.strides[0], 1))
+                parts = [jax.device_put(cached[s:s + step])
+                         for s in range(0, cached.shape[0], step)]
+                self._vectors_dev = (parts[0] if len(parts) == 1
+                                     else jnp.concatenate(parts))
+            else:
+                self._vectors_dev = jnp.asarray(cached, dtype=dt)
         return self._vectors_dev
 
     def statistics(self) -> dict:
