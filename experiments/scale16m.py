@@ -91,6 +91,12 @@ def main():
     if os.environ.get("S16M_REUSE") and os.path.exists("/root/repo/.scale16m.lance"):
         ds = lt.dataset(uri)
         build_s = 0.0
+        if not ds.list_indices():  # interrupted earlier run: data, no index
+            t = time.time()
+            ds = ds.create_index("vec", "IVF_PQ", num_partitions=8192,
+                                 num_sub_vectors=m_sub, num_bits=8, max_iters=8)
+            build_s = time.time() - t
+            _log(f"build {build_s:.0f}s")
     else:
         import shutil
 
