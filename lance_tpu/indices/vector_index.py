@@ -808,13 +808,16 @@ class IvfIndex:
             sq_rows = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)
         sq_sent = jnp.concatenate([sq_rows, jnp.full((1,), jnp.inf, jnp.float32)])
         self._block_sq_dev = jnp.take(sq_sent, gpos_dev.reshape(-1)).reshape(nlist, L)
+        del sq_rows, sq_sent
         # int8 storage (opt-in) quantizes from exact f32 rows — stacking
         # bf16 rounding under int8 would degrade its candidate ranking
         eff_dtype = (jnp.float32 if (_score_int8() and self.is_quantized)
                      else score_dtype)
         rows = rows.astype(eff_dtype)  # no-op when the decode already cast
         rows_sent = jnp.concatenate([rows, jnp.zeros((1, dim), rows.dtype)])
+        del rows  # free before the padded gather: at 16M these are GBs each
         blocks = jnp.take(rows_sent, gpos_dev.reshape(-1), axis=0).reshape(nlist, L, dim)
+        del rows_sent
         if _score_int8() and self.is_quantized:
             # int8 block storage: the cross term 2<q,r> is computed on the
             # MXU int8 path with per-partition symmetric scales; ||r||^2
