@@ -113,7 +113,14 @@ def main():
         _log(f"build {build_s:.0f}s")
 
     os.environ["LANCE_TPU_DIST_BF16"] = "0"
-    os.environ["LANCE_TPU_REFINE_BF16"] = "1"  # f32 refine = 8 GB; bf16 halves it
+    # f32 refine = 8 GB and doesn't fit beside the blocks; a 2-byte refine
+    # table is required. f16 carries 11 mantissa bits vs bf16's 8 — at 16M
+    # density the neighbor gaps sit below bf16 ULP (recall plateaued 0.78
+    # across probes AND refine depth), so resolution, not range, matters.
+    if os.environ.get("S16M_REFINE", "f16") == "f16":
+        os.environ["LANCE_TPU_REFINE_F16"] = "1"
+    else:
+        os.environ["LANCE_TPU_REFINE_BF16"] = "1"
     idx = ds._vector_index_for("vec")
     _log(f"maxpart={idx.max_part_len} mean={idx.ivf.lengths.mean():.0f}")
     qd = jnp.asarray(np.tile(queries, (2, 1))[:512])
