@@ -127,6 +127,8 @@ def build_ivf_index(
     ivf_centroids: np.ndarray | None = None,
     pq_codebook: np.ndarray | None = None,
     balance_factor: float = 1.5,
+    mesh=None,
+    n_devices: int | None = None,
 ) -> dict:
     """Train + encode + write the index file; returns index params for metadata."""
     from ..ops.balanced import balanced_assign
@@ -150,6 +152,24 @@ def build_ivf_index(
             raise NotSupportedError("metric='hamming' requires IVF_FLAT")
         vectors = np.unpackbits(vectors.astype(np.uint8), axis=1).astype(np.float32)
         dim = vectors.shape[1]
+    # mesh-sharded production build: rows shard over every device of the
+    # mesh, training/assignment/encode run as collectives, and the IVF
+    # shuffle rides ICI (all-to-all to partition owners). This is the SAME
+    # code path the pod-scale (100M / v5e-64) build runs; the 8-virtual-CPU
+    # dryrun exercises it end-to-end.
+    if mesh is not None or n_devices is not None:
+        if index_type != "IVF_PQ":
+            raise NotSupportedError(
+                "mesh-sharded builds currently support IVF_PQ only")
+        from ..parallel.build import build_ivf_pq_sharded
+
+        return build_ivf_pq_sharded(
+            ds, vectors, rowids, uuid, mesh=mesh, n_devices=n_devices,
+            num_partitions=num_partitions, num_sub_vectors=num_sub_vectors,
+            num_bits=num_bits, metric=metric, max_iters=max_iters,
+            sample_rate=sample_rate, ivf_centroids=ivf_centroids,
+            pq_codebook=pq_codebook, balance_factor=balance_factor, dim=dim,
+        )
     # beyond-HBM datasets stream through the device in chunks (the 100M-row
     # BigANN-style build); in-HBM datasets upload once and stay resident
     streaming = vectors.nbytes > int(os.environ.get(
@@ -461,6 +481,85 @@ def build_ivf_index(
     raise InvalidInputError(f"unknown vector index type {index_type}")
 
 
+def _train_pq_for_build(vectors, km, metric, num_sub_vectors, num_bits,
+                        max_iters, sample_rate, pq_codebook, rng):
+    """Train (or coerce a provided) PQ quantizer on sampled residuals.
+
+    Shared by the streaming and mesh-sharded builds: nearest-centroid
+    assignment for the sample is close enough to the capacity-bounded
+    assignment that the residual distribution the codebook sees is the same.
+    Returns (pq, use_residual).
+    """
+    from ..ops.pq import (PQParams, ProductQuantizer, default_opq_rounds,
+                          train_pq)
+    from ..utils.tracing import span
+
+    n = vectors.shape[0]
+    use_residual = metric in ("l2", "cosine")
+    sel = rng.choice(n, size=min(n, sample_rate * (1 << num_bits)), replace=False)
+    base_sel = vectors[sel]
+    if metric == "cosine":
+        base_sel = base_sel / np.maximum(
+            np.linalg.norm(base_sel, axis=1, keepdims=True), 1e-12)
+    if use_residual:
+        sample_part = km.compute_partitions(base_sel)
+        train_data = base_sel - km.centroids[sample_part]
+    else:
+        train_data = base_sel
+    if isinstance(pq_codebook, ProductQuantizer):
+        # full quantizer reuse (keeps any OPQ rotation); coerce the header's
+        # user-facing metric back to the internal encode metric — 'cosine'
+        # would make pq_encode re-normalize the residuals
+        pq = pq_codebook
+        want = "l2" if use_residual else metric
+        if pq.metric != want:
+            pq = ProductQuantizer(pq.codebook, want, pq.num_bits, pq.rotation)
+    elif pq_codebook is not None:
+        pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
+                              "l2" if use_residual else metric, num_bits)
+    else:
+        with span("build.train_pq", n=int(train_data.shape[0]), m=num_sub_vectors):
+            pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
+                                               num_bits=num_bits, max_iters=max_iters,
+                                               sample_rate=sample_rate),
+                          metric="l2" if use_residual else metric,
+                          opq_rounds=default_opq_rounds())
+    return pq, use_residual
+
+
+def _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes, metric,
+                      use_residual, dim, extra_params: dict | None = None) -> dict:
+    """Pack + write the IVF_PQ auxiliary file (shared build epilogue)."""
+    from ..ops.pq import pack_codes
+    from ..utils.tracing import span
+
+    ivf_header, ivf_payload = ivf.to_parts()
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    with span("build.pack_codes"):
+        stored = pack_codes(sorted_codes, pq.num_bits)
+    schema = Schema.from_arrow(pa.schema([
+        (ROWID_COL, pa.uint64()),
+        (PQ_CODE_COL, pa.list_(pa.uint8(), stored.shape[1])),
+    ]))
+    w = FileWriter(ds.store, path, schema, compression="none")
+    step = 1 << 18
+    n = sorted_rowids.shape[0]
+    for s in range(0, n, step):
+        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
+                       PQ_CODE_COL: stored[s:s + step]})
+    w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+    w.add_global_buffer("ivf_data", ivf_payload)
+    pq_h = pq.to_json()
+    pq_h["residual"] = bool(use_residual)
+    pq_h["metric"] = metric
+    w.add_global_buffer("pq_header", json.dumps(pq_h).encode())
+    w.add_global_buffer("pq_codebook", pq.codebook_bytes())
+    w.finish()
+    return {"metric": metric, "num_partitions": int(ivf.num_partitions),
+            "num_sub_vectors": int(pq.num_sub_vectors), "num_bits": int(pq.num_bits),
+            "dim": int(dim), **(extra_params or {})}
+
+
 def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
                             num_sub_vectors, num_bits, metric, max_iters,
                             sample_rate, ivf_centroids, pq_codebook,
@@ -482,7 +581,7 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     from ..ops.balanced import balanced_assign
     from ..ops.distance import build_upload_dtype, normalize
     from ..ops.kmeans import KMeans, train_kmeans
-    from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
+    from ..ops.pq import pq_encode
     from ..utils.tracing import span
 
     n = vectors.shape[0]
@@ -501,36 +600,9 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     # 2. train PQ on subsampled residuals (nearest-centroid assignment for the
     # sample; the tiny fraction of capacity-overflow rows that balanced accept
     # would move does not change the residual distribution the codebook sees)
-    use_residual = metric in ("l2", "cosine")
-    sel = rng.choice(n, size=min(n, sample_rate * (1 << num_bits)), replace=False)
-    base_sel = vectors[sel]
-    if metric == "cosine":
-        base_sel = base_sel / np.maximum(np.linalg.norm(base_sel, axis=1, keepdims=True), 1e-12)
-    if use_residual:
-        sample_part = km.compute_partitions(base_sel)
-        train_data = base_sel - km.centroids[sample_part]
-    else:
-        train_data = base_sel
-    if isinstance(pq_codebook, ProductQuantizer):
-        # full quantizer reuse (keeps any OPQ rotation); coerce the header's
-        # user-facing metric back to the internal encode metric — 'cosine'
-        # would make pq_encode re-normalize the residuals
-        pq = pq_codebook
-        want = "l2" if use_residual else metric
-        if pq.metric != want:
-            pq = ProductQuantizer(pq.codebook, want, pq.num_bits, pq.rotation)
-    elif pq_codebook is not None:
-        pq = ProductQuantizer(np.asarray(pq_codebook, np.float32),
-                              "l2" if use_residual else metric, num_bits)
-    else:
-        from ..ops.pq import default_opq_rounds
-
-        with span("build.train_pq", n=int(train_data.shape[0]), m=num_sub_vectors):
-            pq = train_pq(train_data, PQParams(num_sub_vectors=num_sub_vectors,
-                                               num_bits=num_bits, max_iters=max_iters,
-                                               sample_rate=sample_rate),
-                          metric="l2" if use_residual else metric,
-                          opq_rounds=default_opq_rounds())
+    pq, use_residual = _train_pq_for_build(
+        vectors, km, metric, num_sub_vectors, num_bits, max_iters,
+        sample_rate, pq_codebook, rng)
 
     # 3. fused streamed pass: assign + encode per chunk, one upload each
     cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
@@ -582,32 +654,8 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
     codes = codes[order]
     ivf = IvfModel(km.centroids, offsets, lengths, metric,
                    probe_centroids=probe_centroids)
-    ivf_header, ivf_payload = ivf.to_parts()
-    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
-    from ..ops.pq import pack_codes
-
-    with span("build.pack_codes"):
-        stored = pack_codes(codes, pq.num_bits)
-    schema = Schema.from_arrow(pa.schema([
-        (ROWID_COL, pa.uint64()),
-        (PQ_CODE_COL, pa.list_(pa.uint8(), stored.shape[1])),
-    ]))
-    w = FileWriter(ds.store, path, schema, compression="none")
-    step = 1 << 18
-    for s in range(0, n, step):
-        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
-                       PQ_CODE_COL: stored[s:s + step]})
-    w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
-    w.add_global_buffer("ivf_data", ivf_payload)
-    pq_h = pq.to_json()
-    pq_h["residual"] = bool(use_residual)
-    pq_h["metric"] = metric
-    w.add_global_buffer("pq_header", json.dumps(pq_h).encode())
-    w.add_global_buffer("pq_codebook", pq.codebook_bytes())
-    w.finish()
-    return {"metric": metric, "num_partitions": int(num_partitions),
-            "num_sub_vectors": int(pq.num_sub_vectors), "num_bits": int(num_bits),
-            "dim": int(dim), "streaming_build": True}
+    return _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, codes, metric,
+                             use_residual, dim, {"streaming_build": True})
 
 
 # ---------------------------------------------------------------------------
@@ -617,11 +665,16 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
 
 def _decode_pq_rows(codes: np.ndarray, wide: np.ndarray,
                     centroids: np.ndarray | None, part_of_row: np.ndarray | None,
-                    out_dtype, chunk: int = 1 << 20):
+                    out_dtype, chunk: int | None = None):
     """Decode PQ codes to absolute rows in `out_dtype` + exact f32 row norms,
     chunked so the f32 intermediates never exceed one chunk (a whole-array
     decode at 16M x 128 peaks ~16 GB and OOMs the chip at open)."""
     n = codes.shape[0]
+    if chunk is None:
+        # byte budget, not a fixed row count: at 1536-D a 1M-row chunk's f32
+        # intermediate is ~6 GB — exactly the OOM this chunking exists for
+        dim = wide.shape[2]
+        chunk = max(1 << 14, int((512 * 1024 * 1024) // (dim * 4)))
     wide_dev = jnp.asarray(wide)
     cent_dev = jnp.asarray(centroids) if centroids is not None else None
     outs, sqs = [], []

@@ -74,7 +74,10 @@ def _balanced_accept_device(x, c, remaining0, top_t: int, nlist: int,
         return assign, remaining
 
     assign0 = jnp.full(n, -1, jnp.int32)
-    return jax.lax.fori_loop(0, top_t, round_fn, (assign0, remaining0))
+    assign, remaining = jax.lax.fori_loop(0, top_t, round_fn, (assign0, remaining0))
+    # first choice rides along so shard-local callers can spill capacity
+    # overflow to the nearest centroid without a second distance pass
+    return assign, remaining, ids[:, 0]
 
 
 def balanced_assign(
@@ -99,7 +102,7 @@ def balanced_assign(
         remaining = np.full(nlist, cap, np.int64)
     from .distance import build_matmul_dtype
 
-    assign_dev, rem_dev = _balanced_accept_device(
+    assign_dev, rem_dev, _first = _balanced_accept_device(
         jnp.asarray(data, jnp.float32), jnp.asarray(centroids, jnp.float32),
         jnp.asarray(remaining, jnp.int32), top_t, nlist, metric,
         build_matmul_dtype())

@@ -59,23 +59,78 @@ def make_all_to_all_shuffle(mesh: Mesh, axis: str, cap: int, num_partitions: int
         send_rows = jnp.zeros((ndev, cap, d), local_rows.dtype)
         send_pids = jnp.full((ndev, cap), -1, jnp.int32)
         send_valid = jnp.zeros((ndev, cap), jnp.int32)
+        # rejected rows scatter to pos=cap: out of bounds, so mode="drop"
+        # discards the whole update (routing them to slot (0,0) would race
+        # with the real row that owns that slot)
         dst_idx = jnp.where(ok, s_dest, 0)
-        pos_idx = jnp.where(ok, pos, 0)
-        send_rows = send_rows.at[dst_idx, pos_idx].set(
-            jnp.where(ok[:, None], s_rows, 0.0), mode="drop"
-        )
+        pos_idx = jnp.where(ok, pos, cap)
+        send_rows = send_rows.at[dst_idx, pos_idx].set(s_rows, mode="drop")
         send_pids = send_pids.at[dst_idx, pos_idx].set(
-            jnp.where(ok, s_pids.astype(jnp.int32), -1), mode="drop"
-        )
-        send_valid = send_valid.at[dst_idx, pos_idx].max(
-            jnp.where(ok, 1, 0), mode="drop"
-        )
+            s_pids.astype(jnp.int32), mode="drop")
+        send_valid = send_valid.at[dst_idx, pos_idx].set(
+            jnp.ones_like(pos_idx), mode="drop")
         recv_rows = jax.lax.all_to_all(send_rows, axis, split_axis=0, concat_axis=0, tiled=False)
         recv_pids = jax.lax.all_to_all(send_pids, axis, split_axis=0, concat_axis=0, tiled=False)
         recv_valid = jax.lax.all_to_all(send_valid, axis, split_axis=0, concat_axis=0, tiled=False)
         return (recv_rows.reshape(ndev * cap, d),
                 recv_pids.reshape(ndev * cap),
                 recv_valid.reshape(ndev * cap))
+
+    return jax.jit(shuffle)
+
+
+def make_payload_shuffle(mesh: Mesh, axis: str, cap: int, num_partitions: int,
+                         n_payloads: int):
+    """All-to-all route arbitrary per-row payload arrays to partition owners.
+
+    Returns a jit'd fn(local_pids (n,), local_valid (n,), *payloads) ->
+    (pids, valid, *payloads) where every output is (ndev*cap, ...) grouped on
+    the owner device of each row's IVF partition. Payloads keep their dtypes
+    (codes uint8, row indices int32, ...). Rows whose (src, dst) bucket
+    overflows `cap` are dropped — the production build sizes cap exactly from
+    host-side bucket counts so nothing drops.
+
+    This is the TPU shuffle stage of the distributed index build (reference:
+    shuffle_transformed_vectors, python/python/lance/indices/builder.py:206-360
+    — encoded rows staged between workers; here they ride ICI instead of S3).
+    """
+    ndev = mesh.shape[axis]
+    # P(axis) shards dim 0 and leaves trailing dims whole, whatever the rank
+    specs = (P(axis),) * (2 + n_payloads)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=specs,
+        out_specs=specs,
+    )
+    def shuffle(local_pids, local_valid, *payloads):
+        n = local_pids.shape[0]
+        dest = partition_owner(local_pids, num_partitions, ndev)
+        dest = jnp.where(local_valid > 0, dest, ndev)  # invalid rows -> dropped
+        order = jnp.argsort(dest)
+        s_dest = dest[order]
+        counts = jax.ops.segment_sum(jnp.ones(n, jnp.int32), s_dest,
+                                     num_segments=ndev + 1)
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+        pos = jnp.arange(n, dtype=jnp.int32) - offsets[s_dest]
+        ok = (pos < cap) & (s_dest < ndev)
+        dst_idx = jnp.where(ok, s_dest, 0)
+        pos_idx = jnp.where(ok, pos, cap)  # out of bounds -> dropped
+
+        def route(arr, fill):
+            s = arr[order]
+            send = jnp.full((ndev, cap) + arr.shape[1:], fill, arr.dtype)
+            send = send.at[dst_idx, pos_idx].set(s, mode="drop")
+            recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                                      tiled=False)
+            return recv.reshape((ndev * cap,) + arr.shape[1:])
+
+        out_pids = route(local_pids.astype(jnp.int32), -1)
+        out_valid = route(local_valid.astype(jnp.int32), 0)
+        out_payloads = tuple(route(p, 0) for p in payloads)
+        return (out_pids, out_valid) + out_payloads
 
     return jax.jit(shuffle)
 

@@ -84,6 +84,80 @@ def test_sharded_flat_search_exact(devices, rng):
         assert set(i[r].tolist()) == set(want[r].tolist())
 
 
+def test_sharded_build_matches_single_device(devices, rng, monkeypatch):
+    """Mesh-sharded IVF_PQ build == streaming single-device build, bit for
+    bit, given the same centroids/codebook and non-binding capacity."""
+    import uuid
+
+    import lance_tpu as lt
+    from lance_tpu.indices.vector_index import open_vector_index
+    from lance_tpu.ops.kmeans import train_kmeans
+    from lance_tpu.ops.pq import PQParams, train_pq
+
+    n, dim, nlist, m = 1536, 16, 12, 4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    centroids = np.asarray(
+        train_kmeans(vecs, nlist, max_iters=10, metric="l2").centroids)
+    resid = vecs - centroids[
+        ((vecs[:, None, :] - centroids[None]) ** 2).sum(-1).argmin(1)]
+    pq = train_pq(resid, PQParams(num_sub_vectors=m, max_iters=8),
+                  metric="l2", opq_rounds=0)
+
+    def build(tag, **kw):
+        ds = lt.write_dataset(
+            {"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+            f"memory://shbuild-{tag}-{uuid.uuid4().hex[:6]}/d")
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=nlist,
+                             num_sub_vectors=m, ivf_centroids=centroids,
+                             pq_codebook=pq, balance_factor=8.0, **kw)
+        return ds
+
+    # force the anchors-fixed streaming path (same semantics as sharded)
+    monkeypatch.setenv("LANCE_TPU_BUILD_DEVICE_BYTES", "0")
+    ds_single = build("single")
+    monkeypatch.delenv("LANCE_TPU_BUILD_DEVICE_BYTES")
+    mesh = make_mesh(8, {"dp": 2, "ep": 4})
+    ds_shard = build("mesh", mesh=mesh)
+
+    idx_s = ds_single._vector_index_for("vec")
+    idx_m = ds_shard._vector_index_for("vec")
+    assert ds_shard.manifest.index_by_name("vec_idx").params["sharded_build"]
+    np.testing.assert_array_equal(idx_m.rowids, idx_s.rowids)
+    np.testing.assert_array_equal(np.asarray(idx_m.ivf.lengths),
+                                  np.asarray(idx_s.ivf.lengths))
+    # psum across shards reorders the float accumulation vs one segment_sum
+    np.testing.assert_allclose(idx_m.ivf.probe_centroids,
+                               idx_s.ivf.probe_centroids, atol=5e-3)
+    q = vecs[:16]
+    d_m, rid_m = idx_m.search(q, 5, nprobes=nlist, refine_factor=8)
+    d_s, rid_s = idx_s.search(q, 5, nprobes=nlist, refine_factor=8)
+    np.testing.assert_array_equal(rid_m, rid_s)
+    np.testing.assert_allclose(d_m, d_s, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_build_default_path_recall(devices, rng):
+    """Default sharded build (sharded k-means training included) serves with
+    high recall vs brute force."""
+    import uuid
+
+    import lance_tpu as lt
+
+    n, dim = 2000, 24
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                          f"memory://shdef-{uuid.uuid4().hex[:6]}/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=16, num_sub_vectors=4,
+                         max_iters=8, mesh=make_mesh(8, {"dp": 8}))
+    q = rng.normal(size=(32, dim)).astype(np.float32)
+    gt = np.argsort(((q[:, None] - vecs[None]) ** 2).sum(-1), axis=1)[:, :10]
+    hits = 0.0
+    for i in range(32):
+        t = ds.scanner().nearest("vec", q[i], k=10, nprobes=16,
+                                 refine_factor=8).to_table()
+        hits += len(set(np.asarray(t["id"]).tolist()) & set(gt[i].tolist())) / 10
+    assert hits / 32 >= 0.9, hits / 32
+
+
 def test_sharded_index_search(devices, rng):
     """IVF index blocks sharded over an 8-way 'ep' mesh; results match the
     single-device search."""
