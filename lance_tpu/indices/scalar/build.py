@@ -213,16 +213,21 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
     n = len(values)
     term_to_id: dict[str, int] = {}
     doc_postings: list[tuple[int, int, int]] = []  # (term_id, doc_idx, freq)
+    # token positions per posting, aligned with doc_postings (reference
+    # stores positions in the posting lists too: inverted/builder.rs — they
+    # are what makes PhraseQuery exact instead of an overfetch heuristic)
+    post_positions: list[np.ndarray] = []
     doc_lens = np.zeros(n, dtype=np.int32)
     for di in range(n):
         toks = tokenize(values[di] if values[di] is not None else "", tok_cfg)
         doc_lens[di] = len(toks)
-        freqs: dict[str, int] = {}
-        for t in toks:
-            freqs[t] = freqs.get(t, 0) + 1
-        for t, f in freqs.items():
+        occ: dict[str, list[int]] = {}
+        for p, t in enumerate(toks):
+            occ.setdefault(t, []).append(p)
+        for t, ps in occ.items():
             tid = term_to_id.setdefault(t, len(term_to_id))
-            doc_postings.append((tid, di, f))
+            doc_postings.append((tid, di, len(ps)))
+            post_positions.append(np.asarray(ps, np.int32))
     # lexically sorted term dictionary (searchsorted lookup at query time)
     terms = sorted(term_to_id)
     rank = np.empty(len(terms), dtype=np.int64)
@@ -233,6 +238,8 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
         arr[:, 0] = rank[arr[:, 0]]
     order = np.lexsort((arr[:, 1], arr[:, 0])) if len(arr) else np.empty(0, np.int64)
     arr = arr[order]
+    positions_flat = (np.concatenate([post_positions[i] for i in order])
+                      if len(arr) else np.empty(0, np.int32))
     counts = np.bincount(arr[:, 0], minlength=len(terms)) if len(arr) else np.zeros(len(terms), np.int64)
     offsets = np.zeros(len(terms) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
@@ -243,6 +250,9 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
     w.add_global_buffer("posting_offsets", offsets.astype("<i8").tobytes())
     w.add_global_buffer("posting_docs", arr[:, 1].astype("<i4").tobytes())
     w.add_global_buffer("posting_freqs", arr[:, 2].astype("<i4").tobytes())
+    # flat token positions per posting; per-posting extents are cumsum(freqs)
+    # so no separate offsets buffer is needed
+    w.add_global_buffer("posting_positions", positions_flat.astype("<i4").tobytes())
     w.add_global_buffer("doc_lens", doc_lens.astype("<i4").tobytes())
     w.add_global_buffer("doc_rowids", rowids.astype("<u8").tobytes())
     # block-max metadata (reference wand.rs Block-WAND): per term, the max
@@ -451,6 +461,15 @@ class InvertedIndex:
             self.bm_scores = np.frombuffer(r.read_global_buffer("blockmax_scores"), dtype="<f4")
         except Exception:
             self.bm_off = None
+        if "posting_positions" in r.global_buffer_names():
+            self.positions = np.frombuffer(
+                r.read_global_buffer("posting_positions"), dtype="<i4")
+            self.pos_offsets = np.zeros(len(self.freqs) + 1, dtype=np.int64)
+            np.cumsum(self.freqs, out=self.pos_offsets[1:])
+        else:  # pre-positional index files: PhraseQuery falls back to a
+            # stored-text recheck (see _eval_node)
+            self.positions = None
+            self.pos_offsets = None
 
     # -- term machinery -------------------------------------------------------
 
@@ -477,6 +496,82 @@ class InvertedIndex:
                 out.append((d, int(i)))
         out.sort()
         return [i for _, i in out[:max_expansions]]
+
+    def phrase_docs(self, toks: list[str], slop: int = 0) -> np.ndarray:
+        """Doc indices containing the token sequence, from positional postings
+        (reference: PhraseQuery over position lists,
+        rust/lance-index/src/scalar/inverted/query.rs + wand.rs:302).
+
+        slop=0: exact adjacency (occurrence of term j at p0 + j for some p0).
+        slop>0: Lucene-style window — some choice of one occurrence per term
+        whose order-adjusted positions (p_j - j) span at most `slop`.
+        """
+        tids = [self._term_index(t) for t in toks]
+        if not tids or any(i < 0 for i in tids):
+            return np.empty(0, np.int64)
+        if slop == 0:
+            # intersect (doc, adjusted-position) keys across terms: a common
+            # key IS an exact phrase start
+            keys = None
+            bias = len(toks)  # keeps adjusted positions non-negative
+            for j, ti in enumerate(tids):
+                lo, hi = self.offsets[ti], self.offsets[ti + 1]
+                dd = np.repeat(self.docs[lo:hi].astype(np.int64),
+                               self.freqs[lo:hi])
+                pos = self.positions[
+                    self.pos_offsets[lo]:self.pos_offsets[hi]].astype(np.int64)
+                kk = (dd << 32) | (pos - j + bias)
+                keys = kk if keys is None else np.intersect1d(
+                    keys, kk, assume_unique=True)
+                if keys.size == 0:
+                    return np.empty(0, np.int64)
+            return np.unique(keys >> 32)
+        # sloppy phrase: intersect doc lists, then verify each candidate with
+        # a minimal-window sweep over merged order-adjusted positions
+        cand = None
+        for ti in tids:
+            lo, hi = self.offsets[ti], self.offsets[ti + 1]
+            d = self.docs[lo:hi]
+            cand = d if cand is None else np.intersect1d(cand, d,
+                                                         assume_unique=True)
+            if cand.size == 0:
+                return np.empty(0, np.int64)
+        m = len(tids)
+        out = []
+        for d in cand:
+            events = []  # (adjusted position, phrase slot)
+            for j, ti in enumerate(tids):
+                lo, hi = self.offsets[ti], self.offsets[ti + 1]
+                pi = lo + int(np.searchsorted(self.docs[lo:hi], d))
+                adj = self.positions[
+                    self.pos_offsets[pi]:self.pos_offsets[pi + 1]
+                ].astype(np.int64) - j
+                events.append(np.stack([adj, np.full(adj.size, j, np.int64)], 1))
+            ev = np.concatenate(events)
+            ev = ev[np.argsort(ev[:, 0], kind="stable")]
+            count = np.zeros(m, np.int64)
+            covered = 0
+            left = 0
+            ok = False
+            for right in range(ev.shape[0]):
+                tr = ev[right, 1]
+                count[tr] += 1
+                if count[tr] == 1:
+                    covered += 1
+                while covered == m and not ok:
+                    if ev[right, 0] - ev[left, 0] <= slop:
+                        ok = True
+                        break
+                    tl = ev[left, 1]
+                    count[tl] -= 1
+                    if count[tl] == 0:
+                        covered -= 1
+                    left += 1
+                if ok:
+                    break
+            if ok:
+                out.append(int(d))
+        return np.asarray(out, np.int64)
 
     def _accumulate(self, term_idx: int, scores: np.ndarray, hits: np.ndarray,
                     weight: float = 1.0, k1: float = 1.2, b: float = 0.75,
@@ -591,7 +686,15 @@ class InvertedIndex:
         if isinstance(q, PhraseQuery):
             inner = MatchQuery(q.query, operator="AND")
             scores, mask = self._eval_node(inner, text_of)
-            if text_of is not None:
+            toks = tokenize(q.query, self.tok_cfg)
+            if self.positions is not None and len(toks) > 1:
+                # positional phrase match — exact, supports slop, and never
+                # touches the stored text column
+                pmask = np.zeros(self.num_docs, bool)
+                pmask[self.phrase_docs(toks, q.slop)] = True
+                mask = mask & pmask
+            elif text_of is not None:
+                # pre-positional index files: stored-text recheck fallback
                 cand = np.flatnonzero(mask)
                 if cand.size:
                     texts = text_of(self.doc_rowids[cand])

@@ -40,7 +40,12 @@ class MatchQuery:
 
 @dataclass
 class PhraseQuery:
-    """Exact phrase match (terms in order). slop reserved for future use."""
+    """Phrase match over positional postings (terms in order).
+
+    slop=0: exact adjacency. slop>0: Lucene-style window — the chosen
+    occurrences' order-adjusted positions must span at most `slop`
+    (reference: inverted/query.rs PhraseQuery { slop }).
+    """
 
     query: str
     column: str | None = None

@@ -357,21 +357,24 @@ def fts(ds, fq, filter_node=None, prefilter=False, output_columns=None,
         rowids, scores = idx.execute_query(fq.node, fq.k, row_mask, text_of=text_of)
         return _fts_output(ds, rowids, scores, output_columns, with_row_id,
                            filter_node, prefilter)
-    # phrase queries: '"exact phrase"' -> BM25 candidates on the terms, then
-    # exact phrase verification against the stored text (reference: PhraseQuery;
-    # position-less postings verify instead of intersecting position lists)
+    # phrase queries: '"exact phrase"' terms route through the positional
+    # PhraseQuery AST node (reference: PhraseQuery over position lists,
+    # inverted/query.rs). Bare terms keep BM25 OR semantics. Pre-positional
+    # index files fall back to a stored-text recheck inside _eval_node.
     phrases = re.findall(r'"([^"]+)"', fq.query)
-    terms_query = fq.query.replace('"', " ")
-    overfetch = fq.k * 4 if phrases else fq.k
-    rowids, scores = idx.bm25_search(terms_query, overfetch, row_mask)
-    if phrases and rowids.size:
+    if phrases:
+        from .scalar.fts_query import BooleanQuery, MatchQuery, PhraseQuery
+
+        rest = re.sub(r'"[^"]+"', " ", fq.query).strip()
+        node = BooleanQuery(
+            must=[PhraseQuery(p) for p in phrases],
+            should=[MatchQuery(rest)] if rest else [],
+        )
         col = ds.schema.field_by_id(meta.fields[0]).name
-        texts = ds._take_addresses(rowids, [col])[col].to_pylist()
-        keep = np.asarray([
-            all(p.lower() in (t or "").lower() for p in phrases) for t in texts
-        ])
-        rowids, scores = rowids[keep][: fq.k], scores[keep][: fq.k]
+        text_of = lambda rids: ds._take_addresses(rids, [col])[col].to_pylist()
+        rowids, scores = idx.execute_query(node, fq.k, row_mask, text_of=text_of)
     else:
+        rowids, scores = idx.bm25_search(fq.query, fq.k, row_mask)
         rowids, scores = rowids[: fq.k], scores[: fq.k]
 
     return _fts_output(ds, rowids, scores, output_columns, with_row_id,

@@ -75,6 +75,49 @@ def test_phrase_query_ast():
     assert t.num_rows == 0
 
 
+def test_phrase_positional_slop():
+    docs = ["alpha beta gamma delta", "alpha gamma beta", "beta alpha",
+            "alpha beta", "alpha x y gamma"]
+    ds = _ds(docs)
+    t = ds.scanner().full_text_search(PhraseQuery("alpha beta"), k=10).to_table()
+    assert _ids(t) == {0, 3}
+    # slop=0 exact adjacency only
+    t = ds.scanner().full_text_search(PhraseQuery("alpha gamma"), k=10).to_table()
+    assert _ids(t) == {1}
+    # slop=1 tolerates one intervening token (doc 0: alpha _ gamma)
+    t = ds.scanner().full_text_search(
+        PhraseQuery("alpha gamma", slop=1), k=10).to_table()
+    assert _ids(t) == {0, 1}
+    # slop=2 reaches doc 4 (alpha x y gamma)
+    t = ds.scanner().full_text_search(
+        PhraseQuery("alpha gamma", slop=2), k=10).to_table()
+    assert _ids(t) == {0, 1, 4}
+    # order matters even with slop... reversed phrase only matches doc 2
+    t = ds.scanner().full_text_search(PhraseQuery("beta alpha"), k=10).to_table()
+    assert _ids(t) == {2}
+
+
+def test_phrase_repeated_terms_and_no_text_access():
+    docs = ["to be or not to be", "be to or", "not to be"]
+    ds = _ds(docs)
+    t = ds.scanner().full_text_search(PhraseQuery("to be"), k=10).to_table()
+    assert _ids(t) == {0, 2}
+    t = ds.scanner().full_text_search(PhraseQuery("not to be"), k=10).to_table()
+    assert _ids(t) == {0, 2}
+    # positional phrase evaluation never rereads the stored text column:
+    # execute directly with text_of=None
+    from lance_tpu.indices.scalar.build import open_scalar_index
+
+    meta = [m for m in ds.manifest.indices if m.index_type == "INVERTED"][0]
+    idx = open_scalar_index(ds, meta)
+    assert idx.positions is not None
+    rowids, _ = idx.execute_query(PhraseQuery("to be or"), 10, None, text_of=None)
+    assert rowids.size == 1
+    # quoted-phrase string query routes through the positional path too
+    t = ds.scanner().full_text_search('"not to be"', k=10).to_table()
+    assert _ids(t) == {0, 2}
+
+
 def test_boost_query():
     ds = _ds(DOCS)
     q = BoostQuery(MatchQuery("fox"), MatchQuery("lazy"), negative_boost=5.0)
