@@ -32,6 +32,17 @@ from .dataset.udf_checkpoint import BatchUDF, batch_udf  # noqa: F401,E402
 from . import config  # noqa: F401,E402
 from . import util  # noqa: F401,E402
 from .namespace import connect  # noqa: F401,E402
+
+
+def sql(query: str, tables: dict) -> "pa.Table":  # noqa: F821
+    """Standalone SQL over one or more datasets: lt.sql(q, {"a": ds1, ...}).
+    Joins run as hash equi-joins (dataset/sql.py)."""
+    from .dataset.sql import sql as _sql
+
+    return _sql(None, query, tables=tables)
+
+
+
 from .indices import (  # noqa: F401,E402
     register_index_extension,
     unregister_index_extension,

@@ -584,10 +584,12 @@ class LanceDataset:
 
         return MemWal(self, region)
 
-    def sql(self, query: str) -> pa.Table:
+    def sql(self, query: str, tables: dict | None = None) -> pa.Table:
+        """SQL over this dataset; pass `tables={name: Dataset}` to JOIN
+        other datasets (reference: dataset.sql() -> DataFusion)."""
         from .sql import sql as _sql
 
-        return _sql(self, query)
+        return _sql(self, query, tables=tables)
 
     def diff(self, from_version: int, to_version: int | None = None) -> dict:
         from .delta import diff as _diff

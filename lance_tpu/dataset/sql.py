@@ -1,29 +1,37 @@
-"""SQL query entry point: SELECT over one dataset.
+"""SQL query entry point.
 
-Re-design of the reference `dataset.sql()` (rust/lance/src/dataset/sql.rs ->
-DataFusion). Ours supports the single-table subset that covers the
-reference's documented usage:
+Re-design of the reference `dataset.sql()` (rust/lance/src/dataset/sql.rs:1-283,
+which delegates to DataFusion). Coverage:
 
-    SELECT <cols | * | aggregates> FROM <name>
-    [WHERE <filter expr>] [GROUP BY col, ...]
+    SELECT <exprs | * | aggregates over exprs> FROM <t> [AS a]
+      [[INNER | LEFT [OUTER]] JOIN <t2> [AS b] ON a.x = b.y [AND ...]]*
+    [WHERE <expr>] [GROUP BY col, ...]
     [ORDER BY col [ASC|DESC], ...] [LIMIT n] [OFFSET m]
 
-Aggregates: count(*), count(col), sum/min/max/avg(col), with optional
-`AS alias`, grouped or whole-table (pyarrow compute does the aggregation).
-WHERE reuses the full filter grammar (dataset/filter.py) including
-contains()/length() and scalar-index acceleration.
+- SELECT items are full expressions over the filter grammar
+  (dataset/filter.py): arithmetic, comparisons, BETWEEN, IN, LIKE,
+  length()/contains()/json_extract().
+- Aggregates: count(*) and count/sum/min/max/avg(<expr>), with `AS alias`,
+  grouped or whole-table (pyarrow compute does the aggregation).
+- Joins: hash equi-joins between datasets passed via `tables=` (INNER and
+  LEFT); qualified names `a.x` resolve through aliases, bare names resolve
+  when unambiguous. Analogous to the reference's DataFusion hash joins.
+- Single-table WHERE pushes into the scanner (scalar-index acceleration),
+  and bare count(*) keeps the metadata fast path.
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from ..errors import InvalidInputError
+from .filter import BinOp, Col, parse_filter, referenced_columns
 
-_SELECT_RE = re.compile(
-    r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<table>[A-Za-z_][\w.]*)"
+_CLAUSES_RE = re.compile(
+    r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<from_>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<group>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?"
@@ -32,142 +40,496 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-_AGG_RE = re.compile(
-    r"^(?P<fn>count|sum|min|max|avg|mean)\s*\(\s*(?P<arg>\*|[\w`\"]+)\s*\)"
-    r"(?:\s+as\s+(?P<alias>\w+))?$",
-    re.IGNORECASE,
-)
-
 _PA_FN = {"avg": "mean", "mean": "mean", "sum": "sum", "min": "min",
           "max": "max", "count": "count"}
 
+_JOIN_RE = re.compile(r"\s+(inner\s+join|left\s+(?:outer\s+)?join|join)\s+",
+                      re.IGNORECASE)
 
-def _parse_select_items(cols_raw: str):
-    """-> (plain_cols, aggs) where aggs = [(fn, arg, outname)]."""
-    plain, aggs = [], []
-    for item in cols_raw.split(","):
-        item = item.strip()
-        m = _AGG_RE.match(item)
-        if m:
-            fn = m.group("fn").lower()
-            arg = m.group("arg").strip('`"')
-            out = m.group("alias") or (f"{fn}({m.group('arg')})"
-                                       if arg != "*" else "count")
-            aggs.append((_PA_FN[fn] if arg != "*" else "count_all", arg, out))
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/strings (e.g. sum(a * (1 - b)), c)."""
+    out, cur, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+class _SelectItem:
+    """One SELECT-list entry: plain expression or aggregate over one."""
+
+    def __init__(self, text: str):
+        m = re.match(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[\w`\"]+)\s*$",
+                     text, re.IGNORECASE | re.DOTALL)
+        expr_text = (m.group("expr") if m else text).strip()
+        self.alias = m.group("alias").strip('`"') if m else None
+        am = re.match(r"^(count|sum|min|max|avg|mean)\s*\((.*)\)\s*$",
+                      expr_text, re.IGNORECASE | re.DOTALL)
+        self.agg: str | None = None
+        if am and _balanced(am.group(2)):
+            self.agg = am.group(1).lower()
+            inner = am.group(2).strip()
+            if inner == "*":
+                if self.agg != "count":
+                    raise InvalidInputError(f"{self.agg}(*) is not valid SQL")
+                self.node = None
+                self.out = self.alias or "count"
+            else:
+                self.node = parse_filter(inner)
+                self.out = self.alias or f"{self.agg}({inner})"
         else:
-            # strip optional alias on plain columns too
-            am = re.match(r"^([\w`\".]+)(?:\s+as\s+(\w+))?$", item, re.IGNORECASE)
-            if not am:
-                raise InvalidInputError(f"unsupported SELECT item: {item!r}")
-            plain.append((am.group(1).strip('`"'), am.group(2)))
-    return plain, aggs
+            self.node = parse_filter(expr_text)
+            self.out = self.alias or expr_text.strip('`"')
+
+    @property
+    def is_plain_col(self) -> bool:
+        return self.agg is None and isinstance(self.node, Col)
+
+    def referenced(self) -> set[str]:
+        return referenced_columns(self.node) if self.node is not None else set()
 
 
-def _aggregate(table: pa.Table, group_cols: list[str], aggs, plain) -> pa.Table:
+def _parse_table_ref(s: str) -> tuple[str, str]:
+    m = re.match(r"^\s*([\w.]+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
+                 s, re.IGNORECASE)
+    if not m:
+        raise InvalidInputError(f"unsupported table reference: {s!r}")
+    return m.group(1), (m.group(2) or m.group(1))
+
+
+def _parse_from(from_raw: str):
+    """-> ((name, alias), [(join_type, (name, alias), on_node), ...])"""
+    parts = _JOIN_RE.split(from_raw.strip())
+    base = _parse_table_ref(parts[0])
+    joins = []
+    for i in range(1, len(parts), 2):
+        jtype = "left outer" if parts[i].lower().startswith("left") else "inner"
+        seg = re.split(r"\s+on\s+", parts[i + 1], maxsplit=1, flags=re.IGNORECASE)
+        if len(seg) != 2:
+            raise InvalidInputError("JOIN requires an ON clause")
+        joins.append((jtype, _parse_table_ref(seg[0]), parse_filter(seg[1])))
+    return base, joins
+
+
+def _parse_order(order_raw: str) -> list[tuple[str, bool]]:
+    keys = []
+    for part in _split_top_level(order_raw):
+        toks = part.split()
+        keys.append((toks[0].strip('`"'),
+                     len(toks) < 2 or toks[1].lower() != "desc"))
+    return keys
+
+
+# ---------------------------------------------------------------------------
+# evaluation helpers
+# ---------------------------------------------------------------------------
+
+
+def _col_array(table: pa.Table, name: str) -> pa.Array:
+    col = table.column(name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def _views_of(table: pa.Table, names=None) -> dict:
+    from ..encoding.pages import ColumnData
+    from .filter import column_views_from_data
+
+    data = {}
+    for name in (names if names is not None else table.column_names):
+        data[name] = ColumnData.from_arrow(_col_array(table, name))
+    return column_views_from_data(data)
+
+
+def _np_to_arrow(vals, valid) -> pa.Array:
+    vals = np.asarray(vals)
+    if vals.dtype == object:
+        return pa.array(vals.tolist(),
+                        mask=(~valid if valid is not None else None))
+    if valid is not None and not valid.all():
+        return pa.array(vals, mask=~valid)
+    return pa.array(vals)
+
+
+def _eval_to_arrow(node, views, table: pa.Table | None = None) -> pa.Array:
+    """Evaluate an expression over views; bare columns pass through the
+    arrow array untouched (keeps strings/lists/nested types exact)."""
+    from .filter import _eval
+
+    if isinstance(node, Col) and table is not None and node.name in table.column_names:
+        return _col_array(table, node.name)
+    vals, valid = _eval(node, views)
+    if np.ndim(vals) == 0:  # constant expression: broadcast
+        n = table.num_rows if table is not None else 1
+        vals = np.full(n, vals)
+    return _np_to_arrow(vals, valid)
+
+
+def _project_items(table: pa.Table, items: list[_SelectItem]) -> pa.Table:
+    views = _views_of(table)
+    names, arrays = [], []
+    for it in items:
+        names.append(it.out)
+        arrays.append(_eval_to_arrow(it.node, views, table))
+    return pa.table(dict(zip(names, arrays)))
+
+
+def _aggregate_items(table: pa.Table, items: list[_SelectItem],
+                     group_cols: list[str]) -> pa.Table:
+    """Evaluate aggregate/group SELECT items over `table` (already filtered)."""
     import pyarrow.compute as pc
 
+    for it in items:
+        if it.agg is None:
+            if not (it.is_plain_col and it.node.name in group_cols):
+                raise InvalidInputError(
+                    f"column {it.out!r} must appear in GROUP BY")
+    views = _views_of(table)
     if group_cols:
-        specs = []
-        for fn, arg, _out in aggs:
-            specs.append(([] if fn == "count_all" else arg, fn))
-        gb = table.group_by(group_cols)
-        result = gb.aggregate(specs)
-        # pyarrow names results "<col>_<fn>" / "count_all"; rename to ours
-        rename = {}
-        for fn, arg, out in aggs:
-            src = "count_all" if fn == "count_all" else f"{arg}_{fn}"
-            rename[src] = out
-        aliases = {name: alias for name, alias in plain if alias}
-        cols, names = [], []
+        src_cols: dict[str, pa.Array] = {}
         for g in group_cols:
-            cols.append(result.column(g))
-            names.append(aliases.get(g, g))
-        for fn, arg, out in aggs:
-            src = "count_all" if fn == "count_all" else f"{arg}_{fn}"
-            cols.append(result.column(src))
-            names.append(out)
-        return pa.table(dict(zip(names, cols)))
+            src_cols[g] = _col_array(table, g)
+        specs, out_of_spec = [], {}
+        for i, it in enumerate(items):
+            if it.agg is None:
+                continue
+            if it.node is None:
+                specs.append(([], "count_all"))
+                out_of_spec["count_all"] = it.out
+            else:
+                name = f"__agg{i}"
+                src_cols[name] = _eval_to_arrow(it.node, views, table)
+                fn = _PA_FN[it.agg]
+                specs.append((name, fn))
+                out_of_spec[f"{name}_{fn}"] = it.out
+        result = pa.table(src_cols).group_by(group_cols).aggregate(specs)
+        names, arrays = [], []
+        for it in items:
+            if it.agg is None:
+                names.append(it.out)
+                arrays.append(result.column(it.node.name))
+            elif it.node is None:
+                names.append(it.out)
+                arrays.append(result.column("count_all"))
+            else:
+                i = items.index(it)
+                names.append(it.out)
+                arrays.append(result.column(f"__agg{i}_{_PA_FN[it.agg]}"))
+        return pa.table(dict(zip(names, arrays)))
     # whole-table aggregates -> single row
     out_cols: dict[str, pa.Array] = {}
-    for fn, arg, out in aggs:
-        if fn == "count_all":
-            out_cols[out] = pa.array([table.num_rows], type=pa.int64())
-        elif fn == "count":
-            col = table.column(arg)
-            out_cols[out] = pa.array([len(col) - col.null_count], type=pa.int64())
+    for it in items:
+        if it.node is None:
+            out_cols[it.out] = pa.array([table.num_rows], type=pa.int64())
         else:
-            val = getattr(pc, fn)(table.column(arg)).as_py()
-            out_cols[out] = pa.array([val])
+            arr = _eval_to_arrow(it.node, views, table)
+            if it.agg == "count":
+                out_cols[it.out] = pa.array([len(arr) - arr.null_count],
+                                            type=pa.int64())
+            else:
+                out_cols[it.out] = pa.array(
+                    [getattr(pc, _PA_FN[it.agg])(arr).as_py()])
     return pa.table(out_cols)
 
 
-def sql(ds, query: str) -> pa.Table:
-    m = _SELECT_RE.match(query)
+# ---------------------------------------------------------------------------
+# join machinery
+# ---------------------------------------------------------------------------
+
+
+def _referenced_full(node) -> set[str]:
+    """Full (possibly alias-qualified) column names — unlike
+    referenced_columns, which truncates `s.f` to the struct root `s`."""
+    from .filter import Func, InList, IsNull, Like, UnaryOp
+
+    if isinstance(node, Col):
+        return {node.name}
+    out: set[str] = set()
+    if isinstance(node, BinOp):
+        out |= _referenced_full(node.left) | _referenced_full(node.right)
+    elif isinstance(node, UnaryOp):
+        out |= _referenced_full(node.operand)
+    elif isinstance(node, (IsNull, InList, Like)):
+        out |= _referenced_full(node.operand)
+    elif isinstance(node, Func):
+        for a in node.args:
+            out |= _referenced_full(a)
+    return out
+
+
+def _resolve_col(name: str, alias_schemas: dict[str, set]) -> tuple[str, str]:
+    if "." in name:
+        a, c = name.split(".", 1)
+        if a in alias_schemas and c in alias_schemas[a]:
+            return a, c
+    matches = [a for a, cols in alias_schemas.items() if name in cols]
+    if len(matches) == 1:
+        return matches[0], name
+    if not matches:
+        raise InvalidInputError(f"unknown column {name!r}")
+    raise InvalidInputError(
+        f"ambiguous column {name!r} (qualify with a table alias)")
+
+
+def _equi_keys(on_node, left_aliases: set, right_alias: str,
+               alias_schemas) -> tuple[list[str], list[str]]:
+    """Extract hash-join keys from an ON conjunction of equalities."""
+    lk, rk = [], []
+
+    def walk(n):
+        if isinstance(n, BinOp) and n.op == "and":
+            walk(n.left)
+            walk(n.right)
+            return
+        if (isinstance(n, BinOp) and n.op == "="
+                and isinstance(n.left, Col) and isinstance(n.right, Col)):
+            a1, c1 = _resolve_col(n.left.name, alias_schemas)
+            a2, c2 = _resolve_col(n.right.name, alias_schemas)
+            if a1 in left_aliases and a2 == right_alias:
+                lk.append(f"{a1}.{c1}")
+                rk.append(f"{a2}.{c2}")
+                return
+            if a2 in left_aliases and a1 == right_alias:
+                lk.append(f"{a2}.{c2}")
+                rk.append(f"{a1}.{c1}")
+                return
+        raise InvalidInputError(
+            "JOIN ... ON supports conjunctions of equality between one "
+            "column of each side")
+
+    walk(on_node)
+    return lk, rk
+
+
+def _exec_join(query_tables, base, joins, needed_nodes, tables):
+    """Scan every referenced table and hash-join (pyarrow) in FROM order.
+    Columns are alias-qualified in the result; bare names stay resolvable
+    when unique."""
+    alias_ds = {}
+    for name, alias in [base] + [j[1] for j in joins]:
+        d = query_tables.get(name) or query_tables.get(alias)
+        if d is None:
+            raise InvalidInputError(f"unknown table {name!r} (pass tables=)")
+        alias_ds[alias] = d
+    alias_schemas = {a: set(d.schema.names) for a, d in alias_ds.items()}
+    needed: dict[str, set] = {a: set() for a in alias_ds}
+    for node in needed_nodes:
+        for c in _referenced_full(node):
+            a, bare = _resolve_col(c, alias_schemas)
+            needed[a].add(bare)
+    for _jt, (_n, alias), on_node in joins:
+        for c in _referenced_full(on_node):
+            a, bare = _resolve_col(c, alias_schemas)
+            needed[a].add(bare)
+    tabs = {}
+    for a, d in alias_ds.items():
+        cols = sorted(needed[a]) or [d.schema.names[0]]
+        sc = d.scanner()
+        sc.project(cols)
+        t = sc.to_table()
+        tabs[a] = t.rename_columns([f"{a}.{c}" for c in t.column_names])
+    cur = tabs[base[1]]
+    left_aliases = {base[1]}
+    for jtype, (_name, alias), on_node in joins:
+        lk, rk = _equi_keys(on_node, left_aliases, alias, alias_schemas)
+        cur = cur.join(tabs[alias], keys=lk, right_keys=rk,
+                       join_type=jtype, coalesce_keys=False)
+        left_aliases.add(alias)
+    # bare-name views: register a.c under c when unique across the join
+    bare = {}
+    for c in cur.column_names:
+        b = c.split(".", 1)[1]
+        bare[b] = None if b in bare else c
+    extra = {b: q for b, q in bare.items() if q is not None}
+    return cur, extra, alias_schemas
+
+
+def _with_bare_aliases(table: pa.Table, extra: dict[str, str]) -> pa.Table:
+    """Duplicate uniquely-named qualified columns under their bare name so
+    expressions may use either form."""
+    names = list(table.column_names)
+    arrays = [table.column(c) for c in names]
+    for b, q in extra.items():
+        if b not in names:
+            names.append(b)
+            arrays.append(table.column(q))
+    return pa.table(dict(zip(names, arrays)))
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
+    m = _CLAUSES_RE.match(query)
     if not m:
         raise InvalidInputError(
-            "unsupported SQL (expected SELECT ... FROM t [WHERE ...] "
-            "[GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m])")
+            "unsupported SQL (expected SELECT ... FROM t [JOIN ...] "
+            "[WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m])")
     cols_raw = m.group("cols").strip()
-    sc = ds.scanner()
-
-    plain, aggs = ([], []) if cols_raw == "*" else _parse_select_items(cols_raw)
-    group_cols = ([c.strip().strip('`"') for c in m.group("group").split(",")]
+    base, joins = _parse_from(m.group("from_"))
+    where_raw = m.group("where")
+    group_cols = ([c.strip().strip('`"') for c in _split_top_level(m.group("group"))]
                   if m.group("group") else [])
-    if group_cols and not aggs:
-        raise InvalidInputError("GROUP BY requires aggregate functions")
-    if aggs:
-        for name, _alias in plain:
-            if name not in group_cols:
-                raise InvalidInputError(
-                    f"column {name!r} must appear in GROUP BY")
-        # scan only what the aggregation needs
-        needed = sorted({*group_cols,
-                         *(arg for fn, arg, _ in aggs if fn != "count_all")})
-        if needed:
-            sc.project(needed)
-    elif plain:
-        sc.project([name for name, _ in plain])
-    if m.group("where"):
-        sc.filter(m.group("where").strip())
-
-    # bare count(*): use the metadata fast path, never scan data
-    if (aggs and not group_cols and not plain and len(aggs) == 1
-            and aggs[0][0] == "count_all"):
-        return pa.table({aggs[0][2]: pa.array([sc.count_rows()], type=pa.int64())})
-
-    order = m.group("order")
+    order = _parse_order(m.group("order")) if m.group("order") else None
     limit = int(m.group("limit")) if m.group("limit") else None
     offset = int(m.group("offset")) if m.group("offset") else 0
 
-    if aggs:
-        table = _aggregate(sc.to_table(), group_cols, aggs, plain)
+    items = (None if cols_raw == "*"
+             else [_SelectItem(t) for t in _split_top_level(cols_raw)])
+    has_aggs = bool(items) and any(it.agg for it in items)
+    if group_cols and not has_aggs:
+        raise InvalidInputError("GROUP BY requires aggregate functions")
+
+    if joins:
+        query_tables = dict(tables or {})
+        if ds is not None:
+            query_tables.setdefault(base[0], ds)
+        # DataFusion-style output naming: an unaliased `a.col` item emits
+        # bare `col` unless that would collide with another item
+        if items:
+            aliases = {base[1], *(j[1][1] for j in joins)}
+            cand: dict[str, list] = {}
+            for it in items:
+                if (it.alias is None and it.agg is None
+                        and isinstance(it.node, Col) and "." in it.node.name):
+                    a, c = it.node.name.split(".", 1)
+                    if a in aliases:
+                        cand.setdefault(c, []).append(it)
+            for c, its in cand.items():
+                if len(its) == 1 and not any(o.out == c for o in items):
+                    its[0].out = c
+        nodes = [it.node for it in (items or []) if it.node is not None]
+        where_node = parse_filter(where_raw) if where_raw else None
+        if where_node is not None:
+            nodes.append(where_node)
+        for g in group_cols:
+            nodes.append(Col(g))
+        out_names = {it.out for it in items} if items else set()
         if order:
-            keys = []
-            for part in order.split(","):
-                toks = part.split()
-                keys.append((toks[0].strip('`"'),
-                             "ascending" if len(toks) < 2 or toks[1].lower() != "desc"
-                             else "descending"))
-            table = table.sort_by(keys)
+            # output aliases (e.g. ORDER BY an aggregate alias) are not
+            # table columns; only real columns join the scan set
+            nodes.extend(Col(c) for c, _asc in order if c not in out_names)
+        joined, bare_extra, _schemas = _exec_join(
+            query_tables, base, joins, nodes, tables)
+        table = _with_bare_aliases(joined, bare_extra)
+        if where_node is not None:
+            from .filter import evaluate_filter
+
+            mask = evaluate_filter(where_node, _views_of(table))
+            table = table.filter(pa.array(mask))
+        if items is None:
+            out = joined if where_node is None else table.select(joined.column_names)
+        elif has_aggs:
+            out = _aggregate_items(table, items, group_cols)
+        else:
+            out = _project_items(table, items)
+        if order:
+            missing = [c for c, _asc in order if c not in out.column_names]
+            if missing and not has_aggs and items is not None:
+                # ORDER BY table columns outside the SELECT list: sort the
+                # pre-projection table, then re-project
+                table = table.sort_by(
+                    [(c, "ascending" if asc else "descending")
+                     for c, asc in order])
+                out = _project_items(table, items)
+            else:
+                out = out.sort_by([(c, "ascending" if asc else "descending")
+                                   for c, asc in order])
         if offset:
-            table = table.slice(offset)
+            out = out.slice(offset)
         if limit is not None:
-            table = table.slice(0, limit)
-        return table
+            out = out.slice(0, limit)
+        return out
 
-    if order:
-        keys = []
-        for part in order.split(","):
-            toks = part.split()
-            asc = len(toks) < 2 or toks[1].lower() != "desc"
-            keys.append((toks[0].strip('`"'), asc))
-        sc.order_by(keys)
-    if limit is not None or offset:
+    # ---- single table: keep scanner pushdown (filter/index/order/limit) ----
+    if tables and (base[0] in tables or base[1] in tables):
+        ds = tables.get(base[0]) or tables.get(base[1])
+    if ds is None:
+        raise InvalidInputError(f"unknown table {base[0]!r} (pass tables=)")
+    schema_names = set(ds.schema.names)
+    # ORDER BY may name a SELECT output alias instead of a table column;
+    # those sort AFTER projection (standard SQL alias visibility)
+    order_on_alias = bool(order) and not has_aggs and any(
+        c not in schema_names for c, _asc in order)
+    sc = ds.scanner()
+    if items is not None:
+        referenced = set()
+        for it in items:
+            referenced |= it.referenced()
+        referenced |= set(group_cols)
+        if order and not has_aggs:
+            referenced |= {c for c, _asc in order if c in schema_names}
+        if referenced:
+            sc.project(sorted(referenced))
+    if where_raw:
+        sc.filter(where_raw.strip())
+
+    # bare count(*): metadata fast path, never scans data
+    if (items is not None and has_aggs and not group_cols and len(items) == 1
+            and items[0].agg == "count" and items[0].node is None):
+        return pa.table({items[0].out: pa.array([sc.count_rows()],
+                                                type=pa.int64())})
+
+    if has_aggs:
+        out = _aggregate_items(sc.to_table(), items, group_cols)
+        if order:
+            out = out.sort_by([(c, "ascending" if asc else "descending")
+                               for c, asc in order])
+        if offset:
+            out = out.slice(offset)
+        if limit is not None:
+            out = out.slice(0, limit)
+        return out
+
+    if order and not order_on_alias:
+        sc.order_by(order)
+    if (limit is not None or offset) and not order_on_alias:
         sc.limit(limit, offset)
-
     table = sc.to_table()
-    # apply plain-column aliases
-    renames = {name: alias for name, alias in plain if alias}
-    if renames:
-        table = table.rename_columns([renames.get(c, c) for c in table.column_names])
-    return table
+    out = table if items is None else _project_items(table, items)
+    if order_on_alias:
+        out = out.sort_by([(c, "ascending" if asc else "descending")
+                           for c, asc in order])
+        if offset:
+            out = out.slice(offset)
+        if limit is not None:
+            out = out.slice(0, limit)
+    return out

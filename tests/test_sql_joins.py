@@ -1,0 +1,185 @@
+"""SQL expressions in SELECT, expression aggregates (TPCH Q1/Q6 shapes), and
+hash joins between datasets — verified against pyarrow oracles.
+
+Reference surface: rust/lance/src/dataset/sql.rs (DataFusion SQL incl. joins).
+"""
+
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+
+
+def _ds(tag, cols):
+    return lt.write_dataset(cols, f"memory://sqlj-{tag}-{uuid.uuid4().hex[:6]}/d")
+
+
+@pytest.fixture()
+def lineitem(rng):
+    n = 500
+    return _ds("li", {
+        "l_quantity": rng.integers(1, 50, n).astype(np.float64),
+        "l_extendedprice": rng.uniform(100, 1000, n),
+        "l_discount": np.round(rng.uniform(0.0, 0.1, n), 2),
+        "l_shipdate": rng.integers(0, 1000, n).astype(np.int64),
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n).tolist()),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], n).tolist()),
+    })
+
+
+def test_select_expressions(rng):
+    ds = _ds("ex", {"a": np.arange(10, dtype=np.int64),
+                    "b": np.arange(10, dtype=np.float64) * 2})
+    t = ds.sql("SELECT a + 1 AS a1, a * b AS ab, b / 2 FROM t WHERE a < 5")
+    assert t.column_names == ["a1", "ab", "b / 2"]
+    np.testing.assert_array_equal(np.asarray(t["a1"]), np.arange(1, 6))
+    np.testing.assert_allclose(np.asarray(t["ab"]), np.arange(5) * np.arange(5) * 2.0)
+    np.testing.assert_allclose(np.asarray(t["b / 2"]), np.arange(5) * 1.0)
+
+
+def test_tpch_q6_shape(lineitem):
+    # SELECT sum(l_extendedprice * l_discount) WHERE range predicates
+    t = lineitem.sql(
+        "SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= 100 AND l_shipdate < 500 "
+        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24")
+    full = lineitem.to_table()
+    p, d, q, s = (np.asarray(full[c]) for c in
+                  ("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"))
+    m = (s >= 100) & (s < 500) & (d >= 0.03) & (d <= 0.07) & (q < 24)
+    assert abs(t["revenue"][0].as_py() - float((p[m] * d[m]).sum())) < 1e-6
+
+
+def test_tpch_q1_shape(lineitem):
+    t = lineitem.sql(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+        "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, "
+        "avg(l_quantity) AS avg_qty, count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= 800 "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus")
+    assert t.column_names == ["l_returnflag", "l_linestatus", "sum_qty",
+                              "sum_disc_price", "avg_qty", "count_order"]
+    # oracle via pyarrow
+    full = lineitem.to_table()
+    mask = np.asarray(full["l_shipdate"]) <= 800
+    sub = full.filter(pa.array(mask))
+    disc = pa.array(np.asarray(sub["l_extendedprice"]) *
+                    (1 - np.asarray(sub["l_discount"])))
+    oracle = (sub.append_column("dp", disc)
+              .group_by(["l_returnflag", "l_linestatus"])
+              .aggregate([("l_quantity", "sum"), ("dp", "sum"),
+                          ("l_quantity", "mean"), ([], "count_all")])
+              .sort_by([("l_returnflag", "ascending"),
+                        ("l_linestatus", "ascending")]))
+    assert t.num_rows == oracle.num_rows
+    np.testing.assert_allclose(np.asarray(t["sum_disc_price"]),
+                               np.asarray(oracle["dp_sum"]), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(t["avg_qty"]),
+                               np.asarray(oracle["l_quantity_mean"]), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(t["count_order"]),
+                                  np.asarray(oracle["count_all"]))
+
+
+def test_inner_join(rng):
+    orders = _ds("o", {"o_id": np.arange(20, dtype=np.int64),
+                       "cust": (np.arange(20, dtype=np.int64) % 5)})
+    custs = _ds("c", {"c_id": np.arange(4, dtype=np.int64),
+                      "name": pa.array([f"c{i}" for i in range(4)])})
+    t = lt.sql(
+        "SELECT o.o_id, c.name FROM orders o JOIN custs c ON o.cust = c.c_id "
+        "ORDER BY o.o_id",
+        tables={"orders": orders, "custs": custs})
+    # cust 4 has no match -> dropped by inner join; unaliased qualified
+    # items emit bare output names when unambiguous (DataFusion naming)
+    want_ids = [i for i in range(20) if i % 5 != 4]
+    assert t.column_names == ["o_id", "name"]
+    np.testing.assert_array_equal(np.asarray(t["o_id"]), want_ids)
+    assert t["name"][0].as_py() == "c0"
+    assert t.num_rows == 16
+
+
+def test_left_join_and_bare_names(rng):
+    orders = _ds("o2", {"o_id": np.arange(6, dtype=np.int64),
+                        "cust": np.asarray([0, 1, 2, 3, 9, 9], np.int64)})
+    custs = _ds("c2", {"c_id": np.arange(4, dtype=np.int64),
+                       "name": pa.array(list("wxyz"))})
+    t = lt.sql(
+        "SELECT o_id, name FROM orders o LEFT JOIN custs c ON o.cust = c.c_id "
+        "ORDER BY o_id",
+        tables={"orders": orders, "custs": custs})
+    assert t.num_rows == 6
+    names = t["name"].to_pylist()
+    assert names[:4] == ["w", "x", "y", "z"] and names[4] is None and names[5] is None
+
+
+def test_join_where_and_aggregate(rng):
+    orders = _ds("o3", {"o_id": np.arange(30, dtype=np.int64),
+                        "cust": (np.arange(30, dtype=np.int64) % 3),
+                        "amount": np.arange(30, dtype=np.float64)})
+    custs = _ds("c3", {"c_id": np.arange(3, dtype=np.int64),
+                       "region": pa.array(["east", "west", "east"])})
+    t = lt.sql(
+        "SELECT region, sum(amount) AS total, count(*) AS n "
+        "FROM orders o JOIN custs c ON o.cust = c.c_id "
+        "WHERE amount >= 3 GROUP BY region ORDER BY region",
+        tables={"orders": orders, "custs": custs})
+    amounts = np.arange(30, dtype=np.float64)
+    cust = np.arange(30) % 3
+    m = amounts >= 3
+    east = amounts[m & ((cust == 0) | (cust == 2))].sum()
+    west = amounts[m & (cust == 1)].sum()
+    assert t["region"].to_pylist() == ["east", "west"]
+    np.testing.assert_allclose(np.asarray(t["total"]), [east, west])
+
+
+def test_join_requires_tables():
+    ds = _ds("e", {"a": np.arange(3, dtype=np.int64)})
+    with pytest.raises(lt.InvalidInputError):
+        ds.sql("SELECT a FROM t JOIN other o ON t.a = o.b")
+
+
+def test_multi_key_join(rng):
+    left = _ds("mk1", {"k1": np.asarray([0, 0, 1, 1], np.int64),
+                       "k2": np.asarray([0, 1, 0, 1], np.int64),
+                       "v": np.arange(4, dtype=np.int64)})
+    right = _ds("mk2", {"a": np.asarray([0, 1], np.int64),
+                        "b": np.asarray([1, 0], np.int64),
+                        "w": np.asarray([10, 20], np.int64)})
+    t = lt.sql("SELECT v, w FROM l JOIN r ON l.k1 = r.a AND l.k2 = r.b "
+               "ORDER BY v", tables={"l": left, "r": right})
+    assert t["v"].to_pylist() == [1, 2]
+    assert t["w"].to_pylist() == [10, 20]
+
+
+def test_order_by_aggregate_alias(rng):
+    orders = _ds("oa", {"cust": np.asarray([1, 2, 1, 3, 2, 1], np.int64),
+                        "amt": np.asarray([10., 20., 30., 40., 50., 60.])})
+    custs = _ds("ca", {"c_id": np.asarray([1, 2, 3], np.int64),
+                       "name": pa.array(["a", "b", "c"])})
+    t = lt.sql(
+        "SELECT c.name, sum(o.amt) AS total FROM orders o "
+        "JOIN custs c ON o.cust = c.c_id GROUP BY c.name ORDER BY total DESC",
+        tables={"orders": orders, "custs": custs})
+    assert t["name"].to_pylist() == ["a", "b", "c"]
+    assert t["total"].to_pylist() == [100.0, 70.0, 40.0]
+
+
+def test_order_by_expr_alias_single_table(rng):
+    ds = _ds("ord", {"a": np.asarray([3, 1, 2], np.int64)})
+    t = ds.sql("SELECT a * 10 AS b FROM t ORDER BY b DESC LIMIT 2")
+    assert t["b"].to_pylist() == [30, 20]
+
+
+def test_colliding_bare_names_stay_qualified(rng):
+    left = _ds("cb1", {"id": np.asarray([0, 1], np.int64),
+                       "v": np.asarray([5, 6], np.int64)})
+    right = _ds("cb2", {"id": np.asarray([0, 1], np.int64),
+                        "w": np.asarray([7, 8], np.int64)})
+    t = lt.sql("SELECT l.id, r.id, v, w FROM l JOIN r ON l.id = r.id "
+               "ORDER BY v", tables={"l": left, "r": right})
+    assert t.column_names == ["l.id", "r.id", "v", "w"]
+    assert t["l.id"].to_pylist() == [0, 1]
