@@ -52,6 +52,17 @@ def diff(ds, from_version: int, to_version: int | None = None) -> dict:
     }
 
 
+def _absolutize_local(uri: str) -> str:
+    """file:// and bare local paths -> absolute; cloud URIs pass through."""
+    import os
+
+    if uri.startswith("file://"):
+        return "file://" + os.path.abspath(uri[len("file://"):])
+    if "://" not in uri:
+        return os.path.abspath(uri)
+    return uri
+
+
 def clone(ds, dest_uri: str, version: int | None = None, shallow: bool = False):
     """Copy one version of the dataset to dest_uri.
 
@@ -76,8 +87,10 @@ def clone(ds, dest_uri: str, version: int | None = None, shallow: bool = False):
 
         m = src.manifest
         # transitive closure: a clone of a clone must still reach the
-        # original store for files neither layer has rewritten
-        base_paths = {"1": src.uri}
+        # original store for files neither layer has rewritten.
+        # Local paths are absolutized: a relative src uri recorded verbatim
+        # would stop resolving when the clone is opened from another cwd.
+        base_paths = {"1": _absolutize_local(src.uri)}
         for i, (_bid, u) in enumerate(
                 sorted(m.base_paths.items(), key=lambda kv: int(kv[0])), start=2):
             base_paths[str(i)] = u

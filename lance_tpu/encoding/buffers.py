@@ -173,6 +173,17 @@ def encode_general(data: bytes, inner_desc: dict, compression: str) -> tuple[byt
         out = encode_lz4(data, inner_desc)
         if out is not None:
             return out
+        # the user asked for lz4 specifically; don't substitute silently
+        import warnings
+
+        from .. import native
+
+        warnings.warn(
+            "compression='lz4' requested but "
+            + ("the native lz4 codec is unavailable"
+               if not native.available() else "this block is incompressible")
+            + "; writing zstd instead (files stay readable)",
+            stacklevel=3)
     return encode_zstd(data, inner_desc)
 
 

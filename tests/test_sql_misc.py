@@ -239,3 +239,25 @@ def test_lz4_fallback_rejects_corrupt_block():
             nat.lz4_decompress(bad, 6)
     finally:
         nat._lib = lib
+
+
+def test_shallow_clone_relative_path_survives_cwd_change(tmp_path):
+    """Shallow clone of a dataset opened via a RELATIVE local path must
+    absolutize base_paths — otherwise the clone stops resolving when opened
+    from a different working directory."""
+    import os
+
+    vecs = np.arange(40, dtype=np.int64)
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        src = lt.write_dataset({"id": vecs}, "srcrel.lance")
+        cl = src.clone_to(str(tmp_path / "cl.lance"), shallow=True)
+        assert all(os.path.isabs(u.removeprefix("file://")) or "://" in u
+                   for u in cl.manifest.base_paths.values())
+    finally:
+        os.chdir(old)
+    # resolve from a different cwd
+    reopened = lt.dataset(str(tmp_path / "cl.lance"))
+    assert reopened.count_rows() == 40
+    assert np.asarray(reopened.to_table()["id"]).tolist() == vecs.tolist()
