@@ -1314,6 +1314,7 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         l_of = g_sel * ng + (rem % ng)
         pid_sel = jnp.take_along_axis(pids, probe_of, axis=1)
         pos = part_offsets[pid_sel] + l_of.astype(jnp.int32)
+        pos = jnp.where(jnp.isinf(best_d), -1, pos)  # see inf-key clamp below
         if kk < k:
             best_d = jnp.pad(best_d, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
             pos = jnp.pad(pos, ((0, 0), (0, k - kk)), constant_values=-1)
@@ -1372,8 +1373,11 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
             qn = jnp.sum(qm.astype(jnp.float32) ** 2, axis=1)
             qn = jnp.concatenate([qn, jnp.zeros(1, jnp.float32)])
             d = qn[qsel][:, :, None] + block_sq[:, None, :] - 2.0 * prod
-        d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d,
-                      jnp.asarray(jnp.inf, acc_t))
+    # padded slots (block_sq = inf sentinel) must be inf for EVERY metric:
+    # dot's zero-vector pad rows would otherwise score 0 and beat real
+    # negative-similarity candidates when the pool runs narrow
+    d = jnp.where(jnp.isfinite(block_sq)[:, None, :], d,
+                  jnp.asarray(jnp.inf, acc_t))
     if selection is not None:
         sel_blocks = jnp.take(selection, gpos, axis=0)  # (nlist, L) bool
         d = jnp.where(sel_blocks[:, None, :], d, jnp.inf)
@@ -1466,6 +1470,12 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # restore true squared distances: add back the deferred ||q||^2
         best_d = best_d.astype(jnp.float32) + jnp.sum(
             qm.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    # inf keys = padded / selection-masked / deleted slots. Their positions
+    # were decoded arithmetically (offset + intra-partition index) and can
+    # alias REAL rows of neighboring partitions; without this clamp a pool
+    # narrower than the fetch width returns duplicate or unrelated rows with
+    # finite refined distances.
+    pos = jnp.where(jnp.isinf(best_d), -1, pos)
     if best_d.shape[1] < k:
         padw = k - best_d.shape[1]
         best_d = jnp.pad(best_d, ((0, 0), (0, padw)), constant_values=jnp.inf)

@@ -473,3 +473,55 @@ def test_cosine_quantizer_reuse_on_optimize_indices():
     r_after = recall(ds, np.concatenate([vecs, new]))
     assert r_before >= 0.85, r_before
     assert r_after >= r_before - 0.05, (r_before, r_after)
+
+
+def test_narrow_pool_no_fabricated_results():
+    """When the true candidate pool is narrower than the fetch width, padded
+    slots must stay invalid (rowid sentinel / inf) through refine — not alias
+    real rows of neighboring partitions (arithmetic position decode)."""
+    ds, vecs, _ = _make_ds(200, 16)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=8, num_sub_vectors=4,
+                         max_iters=6)
+    idx = ds._vector_index_for("vec")
+    INV = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # selection (indexed by index-row order) leaves only 5 live rows;
+    # fetch = k * rf = 40 >> pool
+    live = np.asarray([3, 50, 99, 120, 180], np.uint64)  # rowids (1 fragment)
+    sel = np.isin(idx.rowids, live)
+    assert sel.sum() == 5
+    d, rid = idx.search(vecs[:4], 10, nprobes=8, refine_factor=4,
+                        selection=sel)
+    allowed = set(live.tolist())
+    for row in range(4):
+        got = rid[row]
+        real = got[got != INV]
+        # only selected rows, no duplicates, inf distance on empty slots
+        assert set(real.tolist()) <= allowed, (real, allowed)
+        assert len(set(real.tolist())) == len(real)
+        assert np.isinf(d[row][got == INV]).all()
+        assert len(real) == 5
+
+
+def test_dot_metric_padded_slots_stay_invalid():
+    """dot metric: zero-vector pad rows must not outrank real candidates
+    (they previously scored 0, beating negative-similarity rows)."""
+    import uuid
+
+    rng = np.random.default_rng(3)
+    # all vectors NEGATIVELY correlated with the query -> every true dot
+    # similarity is negative, so unmasked zero pads would win
+    base = -np.abs(rng.normal(size=(60, 16))).astype(np.float32)
+    ds = lt.write_dataset(
+        {"vec": base, "id": np.arange(60, dtype=np.int64)},
+        f"memory://dotpad-{uuid.uuid4().hex[:8]}/d")
+    ds = ds.create_index("vec", "IVF_FLAT", num_partitions=6, metric="dot",
+                         max_iters=6)
+    idx = ds._vector_index_for("vec")
+    q = np.abs(rng.normal(size=(2, 16))).astype(np.float32)
+    d, rid = idx.search(q, 10, nprobes=6)
+    INV = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for row in range(2):
+        got = rid[row]
+        assert (got != INV).all()
+        gt = _gt_topk(base, q[row], 10, metric="dot")
+        assert set(got.tolist()) == set(gt.tolist())
