@@ -94,6 +94,8 @@ def optimize_indices(ds, names: list[str] | None = None):
                 # rotation (if any) across delta merges
                 kwargs["pq_codebook"] = idx.pq
                 kwargs["num_bits"] = params.get("num_bits", 8)
+            elif idx.is_rq:
+                kwargs["num_bits"] = params.get("num_bits", 1)
             kwargs["ivf_centroids"] = idx.ivf.centroids
             ds = create_index(ds, column, meta.index_type, name=meta.name,
                               replace=True, **kwargs)

@@ -47,7 +47,9 @@ PQ_CODE_COL = "__pq_code"
 VECTOR_COL = "__vector"
 SQ_CODE_COL = "__sq_code"
 RQ_CODE_COL = "__rq_code"
-RQ_NORM_COL = "__rq_norm"
+RQ_NORM_COL = "__rq_norm"  # v1 (1-bit) files: |v_r|
+RQ_NSQ_COL = "__rq_nsq"    # v2: |v_r|^2 (reference add_factors analog)
+RQ_IP_COL = "__rq_ip"      # v2: <v_q, R v_r> (reference scale_factors analog)
 ROWID_COL = "_rowid"
 
 # query batch buckets: queries are padded up to the next bucket so each
@@ -119,7 +121,7 @@ def build_ivf_index(
     uuid: str,
     num_partitions: int = 256,
     num_sub_vectors: int = 16,
-    num_bits: int = 8,
+    num_bits: int | None = None,  # PQ: bits/code (default 8); RQ: bits/dim (default 1)
     metric: str = "l2",
     max_iters: int = 50,
     sample_rate: int = 256,
@@ -152,6 +154,10 @@ def build_ivf_index(
             raise NotSupportedError("metric='hamming' requires IVF_FLAT")
         vectors = np.unpackbits(vectors.astype(np.uint8), axis=1).astype(np.float32)
         dim = vectors.shape[1]
+    if num_bits is None:
+        # match the reference defaults: PQ 8 bits/code (pq/mod.rs), RabitQ
+        # 1 bit/dim (bq/builder.rs RabitBuildParams::default)
+        num_bits = 1 if index_type == "IVF_RQ" else 8
     # mesh-sharded production build: rows shard over every device of the
     # mesh, training/assignment/encode run as collectives, and the IVF
     # shuffle rides ICI (all-to-all to partition owners). This is the SAME
@@ -370,46 +376,70 @@ def build_ivf_index(
         return {"metric": metric, "num_partitions": int(num_partitions), "dim": int(dim)}
 
     if index_type == "IVF_RQ":
-        # RabitQ-style binary quantization (reference: rust/lance-index/src/
-        # vector/bq/ RabitQuantizer): residuals are randomly rotated and
-        # sign-quantized to 1 bit/dim; the stored per-row norm rescales the
-        # reconstruction. Decoding feeds the same dense-scoring pipeline.
+        # RabitQ, 1-8 bits/dim (reference: rust/lance-index/src/vector/bq/
+        # builder.rs:29-181 + transform.rs): the residual is projected into
+        # an EXPANDED space (dim * num_bits dims) by a column-orthonormal
+        # random map R and sign-quantized — 1 bit per expanded dim. Two
+        # per-row f32 factors (|v_r|^2 and ip = <v_q, R v_r>, the reference's
+        # add/scale factors) make dense scoring of the decoded rows reproduce
+        # the RaBitQ distance estimator exactly:
+        #   <v_r, q_r> ~= (|v_r|^2 / ip) <v_q, R q_r> = <v_hat, q_r>
+        # with v_hat = (|v_r|^2 / ip) R^T v_q decoded at open.
         from ..ops.distance import normalize as _normalize
 
         if dim % 8:
             raise InvalidInputError("IVF_RQ requires dim % 8 == 0")
+        if not 1 <= num_bits <= 8:
+            raise InvalidInputError("IVF_RQ num_bits must be in 1..8")
         base = dev_vectors if metric != "cosine" else _normalize(dev_vectors)
         cent_dev = jnp.asarray(km.centroids)
-        resid = base - jnp.take(cent_dev, jnp.asarray(part_ids), axis=0)
+        pid_dev = jnp.asarray(part_ids)
         rq_seed = 1234
+        code_dim = dim * num_bits
         rot_rng = np.random.default_rng(rq_seed)
-        P, _ = np.linalg.qr(rot_rng.normal(size=(dim, dim)).astype(np.float32))
-        rot = jnp.dot(resid, jnp.asarray(P.T), preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-        norms = np.asarray(jnp.linalg.norm(resid, axis=1)).astype(np.float32)
-        sign_bits = np.asarray(rot > 0)
-        codes = np.packbits(sign_bits, axis=1, bitorder="little")  # (N, dim/8)
-        codes, norms = codes[order], norms[order]
+        # reduced QR of a (code_dim, dim) gaussian = Haar-random orthonormal
+        # columns; O(code_dim * dim^2), never the full code_dim^2 matrix
+        R, _ = np.linalg.qr(rot_rng.normal(size=(code_dim, dim)).astype(np.float32))
+        R_dev = jnp.asarray(np.ascontiguousarray(R.T))  # (dim, code_dim)
+        codes = np.empty((n, code_dim // 8), np.uint8)
+        norm_sq = np.empty(n, np.float32)
+        ip = np.empty(n, np.float32)
+        inv_sqrt = np.float32(1.0 / np.sqrt(code_dim))
+        step = 1 << 17  # bound the (rows, code_dim) f32 intermediate
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            x = jax.lax.slice_in_dim(base, s, e, axis=0)
+            x = x - jnp.take(cent_dev, jax.lax.slice_in_dim(pid_dev, s, e), axis=0)
+            rot = jnp.dot(x, R_dev, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            norm_sq[s:e] = np.asarray(jnp.sum(x * x, axis=1))
+            # sign(rot) . rot = sum|rot|; /sqrt(code_dim) normalizes v_q
+            ip[s:e] = np.asarray(jnp.sum(jnp.abs(rot), axis=1)) * inv_sqrt
+            codes[s:e] = np.packbits(np.asarray(rot > 0), axis=1, bitorder="little")
+        codes, norm_sq, ip = codes[order], norm_sq[order], ip[order]
         schema = Schema.from_arrow(pa.schema([
             (ROWID_COL, pa.uint64()),
-            (RQ_CODE_COL, pa.list_(pa.uint8(), dim // 8)),
-            (RQ_NORM_COL, pa.float32()),
+            (RQ_CODE_COL, pa.list_(pa.uint8(), code_dim // 8)),
+            (RQ_NSQ_COL, pa.float32()),
+            (RQ_IP_COL, pa.float32()),
         ]))
         w = FileWriter(store, path, schema, compression="none")
         step = 1 << 17
         for s in range(0, n, step):
             w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
                            RQ_CODE_COL: codes[s : s + step],
-                           RQ_NORM_COL: norms[s : s + step]})
+                           RQ_NSQ_COL: norm_sq[s : s + step],
+                           RQ_IP_COL: ip[s : s + step]})
         w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
         w.add_global_buffer("ivf_data", ivf_payload)
         w.add_global_buffer("rq_header", json.dumps(
-            {"seed": rq_seed, "dim": int(dim), "metric": metric}).encode())
+            {"seed": rq_seed, "dim": int(dim), "metric": metric,
+             "num_bits": int(num_bits)}).encode())
         w.finish()
         ds.session.index_cache.put("ivf_vec", (uuid, "refine_vectors"),
                                    jnp.take(base, jnp.asarray(order), axis=0))
         return {"metric": metric, "num_partitions": int(num_partitions),
-                "num_bits": 1, "dim": int(dim)}
+                "num_bits": int(num_bits), "dim": int(dim)}
 
     if index_type in ("IVF_HNSW_SQ", "IVF_HNSW_PQ", "HNSW"):
         # Graph index (TPU re-design of HNSW; see models/hnsw.py). For
@@ -806,18 +836,57 @@ class IvfIndex:
             rq = json.loads(reader.read_global_buffer("rq_header"))
             dim_rq = rq["dim"]
             rot_rng = np.random.default_rng(rq["seed"])
-            P, _ = np.linalg.qr(rot_rng.normal(size=(dim_rq, dim_rq)).astype(np.float32))
-            codes = reader.read_column(RQ_CODE_COL).to_numpy_matrix()
-            norms = np.asarray(reader.read_column(RQ_NORM_COL).values, dtype=np.float32)
-            bits = np.unpackbits(codes, axis=1, bitorder="little")[:, :dim_rq]
-            signs = jnp.asarray(bits.astype(np.float32) * 2.0 - 1.0) / np.sqrt(dim_rq)
-            recon = jnp.dot(signs, jnp.asarray(P), preferred_element_type=jnp.float32)
-            rows = recon * jnp.asarray(norms)[:, None]
             part_of_row = np.repeat(
                 np.arange(self.ivf.num_partitions), self.ivf.lengths
             ).astype(np.int32)
-            rows = rows + jnp.take(jnp.asarray(self.ivf.centroids),
-                                   jnp.asarray(part_of_row), axis=0)
+            cent_dev = jnp.asarray(self.ivf.centroids)
+            if "num_bits" in rq:
+                # v2 multi-bit expanded-space RabitQ (bq/builder.rs:52-56
+                # code_dim = dim * num_bits). Decode v_hat = (|v_r|^2/ip)
+                # R^T v_q and score with a CORRECTED pseudo-norm so the
+                # dense einsum reproduces the RaBitQ estimator exactly:
+                #   d = |q|^2 + (|c|^2 + 2<c,v_hat> + |v_r|^2) - 2<c+v_hat, q>
+                b = int(rq["num_bits"])
+                code_dim = dim_rq * b
+                R, _ = np.linalg.qr(
+                    rot_rng.normal(size=(code_dim, dim_rq)).astype(np.float32))
+                R_dev = jnp.asarray(R)  # (code_dim, dim)
+                codes = reader.read_column(RQ_CODE_COL).to_numpy_matrix()
+                nsq = np.asarray(reader.read_column(RQ_NSQ_COL).values, np.float32)
+                ipf = np.asarray(reader.read_column(RQ_IP_COL).values, np.float32)
+                scale = np.where(ipf > 0, nsq / np.maximum(ipf, 1e-20), 0.0)
+                inv_sqrt = np.float32(1.0 / np.sqrt(code_dim))
+                outs, sqs = [], []
+                step = 1 << 17  # bound the (rows, code_dim) f32 intermediate
+                for s in range(0, self.num_rows, step):
+                    e = min(s + step, self.num_rows)
+                    bits = np.unpackbits(codes[s:e], axis=1,
+                                         bitorder="little")[:, :code_dim]
+                    vq = jnp.asarray(bits.astype(np.float32) * 2.0 - 1.0) * inv_sqrt
+                    vhat = jnp.dot(vq, R_dev, preferred_element_type=jnp.float32
+                                   ) * jnp.asarray(scale[s:e])[:, None]
+                    cent_rows = jnp.take(cent_dev, jnp.asarray(part_of_row[s:e]),
+                                         axis=0)
+                    sqs.append(jnp.sum(cent_rows * cent_rows, axis=1)
+                               + 2.0 * jnp.sum(cent_rows * vhat, axis=1)
+                               + jnp.asarray(nsq[s:e]))
+                    outs.append(cent_rows + vhat)
+                rows = jnp.concatenate(outs) if outs else jnp.zeros((0, dim_rq))
+                sq_rows = (jnp.concatenate(sqs) if sqs
+                           else jnp.zeros((0,), jnp.float32))
+                del outs, sqs
+            else:
+                # v1 (1-bit, square rotation, |v_r| rescale) files
+                P, _ = np.linalg.qr(
+                    rot_rng.normal(size=(dim_rq, dim_rq)).astype(np.float32))
+                codes = reader.read_column(RQ_CODE_COL).to_numpy_matrix()
+                norms = np.asarray(reader.read_column(RQ_NORM_COL).values,
+                                   dtype=np.float32)
+                bits = np.unpackbits(codes, axis=1, bitorder="little")[:, :dim_rq]
+                signs = jnp.asarray(bits.astype(np.float32) * 2.0 - 1.0) / np.sqrt(dim_rq)
+                recon = jnp.dot(signs, jnp.asarray(P), preferred_element_type=jnp.float32)
+                rows = recon * jnp.asarray(norms)[:, None]
+                rows = rows + jnp.take(cent_dev, jnp.asarray(part_of_row), axis=0)
             score_dtype = jnp.float32 if score_f32 else jnp.bfloat16
             self._vectors_dev = None  # lazy, for refine
         elif self.is_sq:

@@ -412,3 +412,67 @@ def test_hnsw_clustered_data_connectivity():
     rec = np.mean([len(set(x.tolist()) & set(g.tolist())) / 10
                    for x, g in zip(ids, gt)])
     assert rec >= 0.6, rec  # was ~0.3 with island-bound beams
+
+
+def test_ivf_rq_multibit_recall_monotone():
+    """Multi-bit RabitQ (reference bq/builder.rs:29 num_bits 1-8): sign codes
+    in an expanded dim*b space with the |v_r|^2 / <v_q, R v_r> corrected
+    estimator. More bits -> strictly better candidate ranking (no refine)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(3000, 32)).astype(np.float32)
+    queries = vecs[rng.choice(3000, 12)]
+
+    def recall(bits):
+        ds = lt.write_dataset(
+            {"vec": vecs, "id": np.arange(3000, dtype=np.int64)},
+            _uri(f"rqm{bits}"))
+        ds = ds.create_index("vec", "IVF_RQ", num_partitions=16,
+                             num_bits=bits, max_iters=8)
+        assert ds.manifest.indices[0].params["num_bits"] == bits
+        r = 0.0
+        for q in queries:
+            t = ds.scanner().nearest("vec", q, k=10, nprobes=16,
+                                     refine_factor=None).to_table()
+            got = set(np.asarray(t["id"]).tolist())
+            want = set(np.argsort(((vecs - q) ** 2).sum(1))[:10].tolist())
+            r += len(got & want) / 10
+        return r / len(queries)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1 + 0.05, (r1, r4)
+    assert r4 >= 0.5, r4
+
+
+def test_ivf_rq_multibit_with_refine():
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(2000, 24)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(2000, dtype=np.int64)},
+                          _uri("rq4r"))
+    ds = ds.create_index("vec", "IVF_RQ", num_partitions=8, num_bits=4,
+                         max_iters=8)
+    r = 0.0
+    queries = vecs[rng.choice(2000, 10)]
+    for q in queries:
+        t = ds.scanner().nearest("vec", q, k=10, nprobes=8,
+                                 refine_factor=8).to_table()
+        got = set(np.asarray(t["id"]).tolist())
+        want = set(np.argsort(((vecs - q) ** 2).sum(1))[:10].tolist())
+        r += len(got & want) / 10
+    assert r / 10 >= 0.9, r / 10
+
+
+def test_ivf_rq_num_bits_survives_optimize():
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(1500, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(1500, dtype=np.int64)},
+                          _uri("rqo"))
+    ds = ds.create_index("vec", "IVF_RQ", num_partitions=8, num_bits=2,
+                         max_iters=6)
+    ds = ds.insert({"vec": rng.normal(size=(200, 16)).astype(np.float32),
+                    "id": np.arange(1500, 1700, dtype=np.int64)}, "append")
+    ds = ds.optimize_indices()
+    meta = ds.manifest.index_by_name("vec_idx")
+    assert meta.params["num_bits"] == 2
+    q = vecs[3]
+    t = ds.scanner().nearest("vec", q, k=1, nprobes=8, refine_factor=4).to_table()
+    assert np.asarray(t["id"])[0] == 3
