@@ -159,7 +159,12 @@ class ColumnData:
             return cls("bool", len(arr), vals, None, validity, 1, t)
         if pa.types.is_fixed_size_list(t):
             dim = t.list_size
-            flat = arr.flatten()
+            if arr.null_count:
+                # flatten() SKIPS null rows' slots (misaligns the matrix);
+                # .values keeps every slot — slice by offset manually
+                flat = arr.values.slice(arr.offset * dim, len(arr) * dim)
+            else:
+                flat = arr.flatten()
             if is_bfloat16(t.value_type):
                 flat = flat.storage
             vals = np.asarray(flat.fill_null(0) if flat.null_count else flat)
@@ -238,10 +243,13 @@ class ColumnData:
             if t is not None and is_bfloat16(t.value_type):
                 storage = pa.array(self.values.view(np.uint16), type=pa.uint16())
                 inner = pa.ExtensionArray.from_storage(t.value_type, storage)
-                fsl = pa.FixedSizeListArray.from_arrays(inner, self.fsl_dim)
-                if mask is not None:
-                    raise NotImplementedError("nullable bf16 vectors")
-                return fsl
+                if mask is None:
+                    return pa.FixedSizeListArray.from_arrays(inner, self.fsl_dim)
+                # null rows: rebuild the FSL with a validity bitmap (the
+                # bool array's data buffer IS an LSB bitmap)
+                valbuf = pa.array(self.validity).buffers()[1]
+                return pa.Array.from_buffers(t, self.num_rows, [valbuf],
+                                             children=[inner])
             inner = pa.array(self.values)
             t = t or pa.list_(inner.type, self.fsl_dim)
             fsl = pa.FixedSizeListArray.from_arrays(inner.cast(t.value_type), self.fsl_dim)
@@ -254,11 +262,10 @@ class ColumnData:
         from ..bf16 import is_bfloat16 as _isbf
 
         if t is not None and _isbf(t):
-            storage = pa.array(self.values.view(np.uint16), type=pa.uint16())
-            out = pa.ExtensionArray.from_storage(t, storage)
-            if mask is not None:
-                raise NotImplementedError("nullable bf16 columns")
-            return out
+            # extension validity rides on the storage array
+            storage = pa.array(self.values.view(np.uint16), type=pa.uint16(),
+                               mask=mask)
+            return pa.ExtensionArray.from_storage(t, storage)
         return pa.array(self.values, type=t, mask=mask)
 
     def to_numpy_matrix(self) -> np.ndarray:

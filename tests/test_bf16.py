@@ -63,3 +63,36 @@ def test_bf16_vector_search():
     ds = ds.create_index("vec", "IVF_FLAT", num_partitions=8, max_iters=5)
     t = ds.scanner().nearest("vec", vecs32[123], k=3, nprobes=8).to_table()
     assert np.asarray(t["id"])[0] == 123
+
+
+def test_nullable_bf16_scalar_roundtrip():
+    x = np.asarray([1.5, 2.5, 3.5, 4.5], np.float32)
+    arr = bf16_array(x)
+    storage = pa.array(np.asarray(arr.storage), type=pa.uint16(),
+                       mask=np.asarray([False, True, False, False]))
+    nullable = pa.ExtensionArray.from_storage(arr.type, storage)
+    ds = lt.write_dataset(pa.table({"b": nullable, "id": np.arange(4)}),
+                          _uri("nullsc"))
+    out = ds.to_table()["b"].combine_chunks()
+    assert out.null_count == 1
+    assert out.is_valid().to_pylist() == [True, False, True, True]
+    vals = bits_to_bf16(np.asarray(out.storage.fill_null(0))).astype(np.float32)
+    np.testing.assert_array_equal(vals[[0, 2, 3]], x[[0, 2, 3]])
+
+
+def test_nullable_bf16_vector_roundtrip_and_take():
+    m = np.arange(12, dtype=np.float32).reshape(4, 3)
+    fsl = bf16_fixed_size_list(m)
+    valbuf = pa.array(np.asarray([True, False, True, True])).buffers()[1]
+    nfsl = pa.Array.from_buffers(fsl.type, 4, [valbuf], children=[fsl.values])
+    ds = lt.write_dataset(pa.table({"v": nfsl, "id": np.arange(4)}),
+                          _uri("nullvec"))
+    out = ds.to_table()["v"].combine_chunks()
+    assert out.null_count == 1
+    assert out.is_valid().to_pylist() == [True, False, True, True]
+    # values of valid rows survive (null slots keep alignment)
+    back = bits_to_bf16(np.asarray(out.values.storage)).reshape(4, 3)
+    np.testing.assert_array_equal(back[3].astype(np.float32), m[3])
+    # random access
+    t = ds.take([1, 3], columns=["v"])["v"].combine_chunks()
+    assert t.is_valid().to_pylist() == [False, True]
