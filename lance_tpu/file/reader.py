@@ -123,15 +123,45 @@ class FileReader:
 
     # -- full/ranged scans --------------------------------------------------------
 
-    def _read_page(self, desc: dict, arrow_type: pa.DataType | None) -> ColumnData:
+    def _read_page(self, desc: dict, arrow_type: pa.DataType | None,
+                   fut=None) -> ColumnData:
         ranges = [(b["off"], b["len"]) for b in desc["buffers"]]
         if not ranges:
             bufs = []
+        elif fut is not None:
+            bufs = fut.result()
         elif self._file_sched is not None:
             bufs = self._file_sched.submit_request(ranges).result()
         else:
             bufs = self.store.get_ranges(self.path, ranges)
         return decode_page(desc, bufs, arrow_type)
+
+    def _pages_in_range(self, name: str, row_start: int, row_end: int):
+        pages = self._columns[name]["pages"]
+        starts = self._page_starts[name]
+        for i, p in enumerate(pages):
+            p_start, p_end = starts[i], starts[i] + p["rows"]
+            if p_end <= row_start or p_start >= row_end:
+                continue
+            yield p_start, p_end, p
+
+    def _schedule_range(self, columns, row_start: int, row_end: int) -> dict:
+        """Two-phase scan (reference lance-encoding/src/decoder.rs:1-130):
+        submit EVERY page's I/O before decoding any, so the decode of page i
+        overlaps the reads of pages i+1.. across all projected columns.
+        Submission is non-blocking; the scheduler's bytes-in-flight budget +
+        priority admission bound memory."""
+        if self._file_sched is None:
+            return {}
+        futs: dict[int, object] = {}
+        for c in columns:
+            if c not in self._columns:
+                continue
+            for _s, _e, p in self._pages_in_range(c, row_start, row_end):
+                ranges = [(b["off"], b["len"]) for b in p["buffers"]]
+                if ranges:
+                    futs[id(p)] = self._file_sched.submit_request(ranges)
+        return futs
 
     def prefetch_pages(self, name: str, row_start: int, row_count: int):
         """Queue page reads ahead of decode (no-op without a scheduler)."""
@@ -147,21 +177,20 @@ class FileReader:
             if ranges:
                 self._file_sched.prefetch(ranges)
 
-    def read_column(self, name: str, row_start: int = 0, row_count: int | None = None) -> ColumnData:
+    def read_column(self, name: str, row_start: int = 0, row_count: int | None = None,
+                    _futures: dict | None = None) -> ColumnData:
         if name not in self._columns:
             raise NotFoundError(f"column {name} in {self.path}")
         if row_count is None:
             row_count = self.num_rows - row_start
         row_end = row_start + row_count
         field = self.schema.field(name)
-        pages = self._columns[name]["pages"]
-        starts = self._page_starts[name]
+        if _futures is None:
+            # single-column read still pipelines its own pages
+            _futures = self._schedule_range([name], row_start, row_end)
         out: list[ColumnData] = []
-        for i, p in enumerate(pages):
-            p_start, p_end = starts[i], starts[i] + p["rows"]
-            if p_end <= row_start or p_start >= row_end:
-                continue
-            col = self._read_page(p, field.type)
+        for p_start, p_end, p in self._pages_in_range(name, row_start, row_end):
+            col = self._read_page(p, field.type, _futures.get(id(p)))
             lo = max(row_start, p_start) - p_start
             hi = min(row_end, p_end) - p_start
             if lo != 0 or hi != p["rows"]:
@@ -173,7 +202,9 @@ class FileReader:
 
     def read_range(self, row_start: int, row_count: int, columns: list[str] | None = None) -> dict[str, ColumnData]:
         columns = columns or self.schema.names
-        return {c: self.read_column(c, row_start, row_count) for c in columns}
+        futs = self._schedule_range(columns, row_start, row_start + row_count)
+        return {c: self.read_column(c, row_start, row_count, _futures=futs)
+                for c in columns}
 
     def read_table(self, columns: list[str] | None = None, row_start: int = 0,
                    row_count: int | None = None) -> pa.Table:
@@ -183,12 +214,33 @@ class FileReader:
         return pa.table({n: c.to_arrow() for n, c in cols.items()})
 
     def read_stream(self, batch_size: int = 8192, columns: list[str] | None = None):
+        names = columns or self.schema.names
         offset = 0
+        futs = self._schedule_range(names, 0, min(batch_size, self.num_rows))
         while offset < self.num_rows:
             n = min(batch_size, self.num_rows - offset)
-            cols = self.read_range(offset, n, columns)
+            # schedule batch i+1 before decoding batch i: its reads fill the
+            # scheduler's buffer budget while this batch decodes. Pages
+            # spanning the batch boundary keep their already-submitted future
+            # (Future.result() caches, so both batches can consume it).
+            nxt = {}
+            if self._file_sched is not None:
+                for c in names:
+                    if c not in self._columns:
+                        continue
+                    for _s, _e, p in self._pages_in_range(
+                            c, offset + n, min(offset + n + batch_size, self.num_rows)):
+                        have = futs.get(id(p))
+                        ranges = [(b["off"], b["len"]) for b in p["buffers"]]
+                        if have is not None:
+                            nxt[id(p)] = have
+                        elif ranges:
+                            nxt[id(p)] = self._file_sched.submit_request(ranges)
+            cols = {c: self.read_column(c, offset, n, _futures=futs)
+                    for c in names}
             yield pa.record_batch({k: v.to_arrow() for k, v in cols.items()})
             offset += n
+            futs = nxt
 
     # -- random access -------------------------------------------------------------
 
