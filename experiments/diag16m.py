@@ -1,0 +1,72 @@
+"""16M recall diagnostic: does the coarse candidate pool or refine fidelity
+bind? (round-1 claimed bf16/f16 refine resolution — but the 16M data is
+integer-valued 0..255, which bf16 represents EXACTLY, so refine-vector
+rounding should be lossless and something else must cap recall at 0.78.)
+
+Method: fetch a wide pool with refine_factor=None, then (a) pool recall =
+fraction of true top-10 present in the pool, (b) exact-refine recall =
+recall after re-ranking the pool with true f32 vectors on HOST. If (b) is
+high, refine fidelity on device is the gap; if (a) is low, the coarse
+stage (q_cap drops / merge-group collisions / padded-slot positions) binds.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+from experiments.scale16m import host_sift_like  # noqa: E402
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+
+    N, DIM, NQ, K = 16_000_000, 128, 256, 10
+    t0 = time.time()
+    data, queries = host_sift_like(N, DIM, NQ)
+    _log(f"host gen {time.time()-t0:.0f}s")
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+
+    os.environ["LANCE_TPU_DIST_BF16"] = "0"
+    os.environ["LANCE_TPU_REFINE_F16"] = "1"
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    t = time.time()
+    idx = ds._vector_index_for("vec")
+    _log(f"open {time.time()-t:.0f}s maxpart={idx.max_part_len}")
+
+    INV = 0xFFFFFFFFFFFFFFFF
+    for nprobes in (32,):
+        for W in (640, 2048):
+            t = time.time()
+            _, rid = idx.search(queries, W, nprobes=nprobes, refine_factor=None)
+            hits, ehits = 0, 0
+            for i in range(NQ):
+                cand = rid[i][rid[i] != INV].astype(np.int64)
+                want = set(gt_i[i, :K].tolist())
+                hits += len(set(cand.tolist()) & want)
+                dd = ((data[cand].astype(np.float32) - queries[i]) ** 2).sum(1)
+                top = cand[np.argsort(dd, kind="stable")[:K]]
+                ehits += len(set(top.tolist()) & want)
+            _log(json.dumps({
+                "nprobes": nprobes, "W": W,
+                "pool_recall": round(hits / (NQ * K), 4),
+                "exact_refine_recall": round(ehits / (NQ * K), 4),
+                "secs": round(time.time() - t, 1)}))
+    # current default device path for reference
+    for nprobes, rf in ((32, 64),):
+        _, rid = idx.search(queries, K, nprobes=nprobes, refine_factor=rf)
+        hits = sum(len(set(rid[i].tolist()) & set(gt_i[i, :K].tolist()))
+                   for i in range(NQ))
+        _log(json.dumps({"nprobes": nprobes, "rf": rf,
+                         "device_recall": round(hits / (NQ * K), 4)}))
+
+
+if __name__ == "__main__":
+    main()
