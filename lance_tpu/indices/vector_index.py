@@ -1676,27 +1676,32 @@ class HnswIndex:
 
     def search(self, q, k, nprobes: int = 20, refine_factor: int | None = None,
                selection: np.ndarray | None = None, ef: int | None = None):
-        from ..models.hnsw import hnsw_search
+        from ..models.hnsw import hnsw_search, hnsw_search_partitioned
 
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
-        ef = ef or max(k * 4, nprobes * 4, 32)
-        seeds = None
+        fetch = k if refine_factor is None else min(k * refine_factor, self.num_rows)
         if self._centroids_dev is not None:
-            # IVF probing: per-query seeds = entry points of the nprobes
-            # nearest partitions; the beam stays inside probed partitions
-            # because graph edges never cross partition boundaries
+            # IVF probing: each probed partition is searched by its OWN
+            # small beam seeded at that partition's entry points (reference
+            # per-partition ANNIvfSubIndexExec, knn.rs:579), batched as
+            # (B * nprobes) pseudo-queries; partition-disjoint graphs make
+            # the merged top-k dedupe-free. ef here is the per-partition
+            # beam width (reference ef is the global candidate-set size —
+            # divide by nprobes for a rough mapping, floor 32).
             from ..ops.distance import topk_neighbors
 
             np_eff = min(nprobes, self._centroids_dev.shape[0])
             _, probed = topk_neighbors(jnp.asarray(q), self._centroids_dev,
                                        np_eff, self.metric)
-            seeds = np.asarray(jnp.take(self._part_entries, probed,
-                                        axis=0)).reshape(q.shape[0], -1)
-            # beam must hold the seeds AND leave room to expand past them
-            ef = max(ef, 2 * seeds.shape[1])
-        fetch = k if refine_factor is None else min(k * refine_factor, self.num_rows)
-        d, pos = hnsw_search(self.graph, self._rows_dev, q, min(fetch, ef), ef=ef,
-                             selection=selection, entries=seeds)
+            probed_entries = np.asarray(jnp.take(self._part_entries, probed, axis=0))
+            pef = max(32, (ef or 0) // np_eff, min(k, 64))
+            d, pos = hnsw_search_partitioned(
+                self.graph, self._rows_dev, q, fetch, probed_entries,
+                ef=pef, selection=selection)
+        else:
+            ef = ef or max(k * 4, nprobes * 4, 32)
+            d, pos = hnsw_search(self.graph, self._rows_dev, q, min(fetch, ef),
+                                 ef=ef, selection=selection)
         if refine_factor is not None:
             qb = q
             d2, pos2 = _rerank(self._ensure_vectors(), jnp.asarray(qb),

@@ -10,11 +10,16 @@ trade CAGRA makes on GPUs:
 
 - build: exact (chunked-matmul) kNN graph + reverse-edge merge + degree
   pruning — one big batched computation instead of N serial inserts.
-- search: fixed-iteration batched beam: every step expands the whole beam
-  (gather neighbor ids -> gather vectors -> distance matmul -> top-ef merge).
-  A handful of steps converges on kNN-graphs; no visited-set is kept
-  (revisits are wasted-but-correct work, and masking duplicates beats
-  data-dependent control flow on TPU).
+- search: batched best-first beam with expansion masking. Each step expands
+  only the nearest EXPAND_WIDTH not-yet-expanded beam nodes (gather neighbor
+  ids -> gather vectors -> distance matmul -> dedupe -> top-ef merge), the
+  batched analogue of HNSW's candidate heap: an `expanded` flag per beam slot
+  is the visited set (fixed-shape, no data-dependent control flow), and the
+  loop stops adaptively (lax.while_loop) once every query satisfies the
+  classic HNSW termination rule — nearest unexpanded candidate farther than
+  the current k-th best — or the iteration cap is hit. Expanding a narrow
+  frontier instead of the whole beam cuts gathered bytes ~ef/EXPAND_WIDTH
+  per step, and the flag prevents re-expanding the same nodes every step.
 
 Recall parity with the reference is enforced by tests (recall@10 vs brute
 force), not by algorithmic identity — per SURVEY §7 "hard parts" item 3.
@@ -214,11 +219,16 @@ def build_partitioned_hnsw(vectors_sorted: np.ndarray, offsets: np.ndarray,
     return HnswGraph(neighbors, entries, metric, part_entries=part_entries)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k", "ef", "iters"))
+@functools.partial(jax.jit, static_argnames=("metric", "k", "ef", "iters", "expand"))
 def _beam_search(vectors, neighbors, entries, q, selection,
-                 metric, k, ef, iters):
-    """Batched beam search. vectors (N, D); neighbors (N, deg); q (B, D);
-    entries (S,) shared seeds or (B, S) per-query seeds (IVF probing)."""
+                 metric, k, ef, iters, expand):
+    """Batched best-first beam search. vectors (N, D); neighbors (N, deg);
+    q (B, D); entries (S,) shared seeds or (B, S) per-query seeds (IVF
+    probing). `expand` = frontier width (nodes expanded per step); `iters`
+    is a CAP — the while_loop exits early once every query's nearest
+    unexpanded candidate is farther than the worst member of its full
+    ef-wide candidate set (HNSW stop rule, reference hnsw/builder.rs:204
+    search_basic)."""
     b, dim = q.shape
     n, deg = neighbors.shape
     qm = preprocess_for_metric(q, metric)
@@ -243,39 +253,125 @@ def _beam_search(vectors, neighbors, entries, q, selection,
     else:
         init_ids = jnp.broadcast_to(entries[None, :], (b, entries.shape[0])).astype(jnp.int32)
     init_d = dists_to(init_ids)
-    pad = ef - init_ids.shape[1] % ef if init_ids.shape[1] % ef else 0
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, max(0, ef - init_ids.shape[1]))),
                        constant_values=-1)[:, :ef]
     beam_d = jnp.pad(init_d, ((0, 0), (0, max(0, ef - init_d.shape[1]))),
                      constant_values=jnp.inf)[:, :ef]
+    beam_exp = jnp.zeros((b, ef), dtype=jnp.bool_)
+    kk = min(k, ef)
 
-    def body(carry, _):
-        ids, d = carry
-        nbrs = jnp.take(neighbors, jnp.maximum(ids, 0), axis=0)  # (B, ef, deg)
-        nbrs = jnp.where(ids[:, :, None] >= 0, nbrs, -1).reshape(b, ef * deg)
+    def not_done(carry):
+        ids, d, exp, it = carry
+        unexp_d = jnp.where(exp | (ids < 0), jnp.inf, d)
+        best_unexp = jnp.min(unexp_d, axis=1)
+        # classic HNSW stop rule: nearest unexpanded candidate farther than
+        # the WORST member of the full ef-wide candidate set (not the k-th
+        # best — that stops too early and costs recall). An unfilled beam
+        # (max d = inf) always continues.
+        worst = jnp.max(d, axis=1)
+        return (it < iters) & jnp.any(best_unexp < worst)
+
+    def step(ids, d, exp, width):
+        # frontier: nearest `width` unexpanded beam nodes
+        unexp_d = jnp.where(exp | (ids < 0), jnp.inf, d)
+        _, slots = jax.lax.top_k(-unexp_d, width)  # (B, width)
+        f_ids = jnp.take_along_axis(ids, slots, axis=1)
+        f_valid = jnp.isfinite(jnp.take_along_axis(unexp_d, slots, axis=1))
+        # mark frontier expanded (scatter over beam slots; invalid picks are
+        # already-expanded/pad slots — re-marking them is harmless)
+        exp = exp.at[jnp.arange(b)[:, None], slots].set(True)
+        nbrs = jnp.take(neighbors, jnp.maximum(f_ids, 0), axis=0)  # (B, width, deg)
+        nbrs = jnp.where((f_ids[:, :, None] >= 0) & f_valid[:, :, None],
+                         nbrs, -1).reshape(b, width * deg)
         nd = dists_to(nbrs)
-        # mask duplicates of current beam (sort-based dedupe of candidates)
         cat_ids = jnp.concatenate([ids, nbrs], axis=1)
         cat_d = jnp.concatenate([d, nd], axis=1)
-        # dedupe: sort by id; equal-adjacent -> keep first (others -> inf)
-        order = jnp.argsort(cat_ids, axis=1)
-        sid = jnp.take_along_axis(cat_ids, order, axis=1)
-        sd = jnp.take_along_axis(cat_d, order, axis=1)
+        cat_exp = jnp.concatenate([exp, jnp.zeros_like(nbrs, dtype=jnp.bool_)], axis=1)
+        # dedupe keeping the expanded copy first: lexicographic sort by
+        # (id, !expanded); equal-adjacent ids -> inf distance for the rest,
+        # so a re-found node keeps its visited flag and is never re-expanded
+        sid, _, sd, sexp = jax.lax.sort(
+            (cat_ids, (~cat_exp).astype(jnp.int32), cat_d, cat_exp),
+            dimension=1, num_keys=2)
         dup = jnp.concatenate(
             [jnp.zeros((b, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1)
         sd = jnp.where(dup, jnp.inf, sd)
         neg, sel = jax.lax.top_k(-sd, ef)
         new_ids = jnp.take_along_axis(sid, sel, axis=1)
+        new_exp = jnp.take_along_axis(sexp, sel, axis=1)
         new_d = -neg
-        new_ids = jnp.where(jnp.isfinite(new_d), new_ids, -1)
-        return (new_ids, new_d), None
+        keep = jnp.isfinite(new_d)
+        return jnp.where(keep, new_ids, -1), new_d, new_exp & keep
 
-    (beam_ids, beam_d), _ = jax.lax.scan(body, (beam_ids, beam_d), None, length=iters)
+    def body(carry):
+        ids, d, exp, it = carry
+        ids, d, exp = step(ids, d, exp, expand)
+        return ids, d, exp, it + 1
+
+    # bootstrap: expand EVERY seed once before going best-first. In the IVF
+    # composition the per-partition subgraphs are disconnected — a probed
+    # partition whose seed is evicted from the beam before expansion becomes
+    # unreachable forever (measured: recall 0.70 vs 0.92 on 16-way
+    # partitioned data). One full-width sweep guarantees each probed
+    # partition competes with at least one hop of real candidates.
+    n_seeds = init_ids.shape[1]
+    beam_ids, beam_d, beam_exp = step(beam_ids, beam_d, beam_exp,
+                                      min(ef, max(n_seeds, expand)))
+    beam_ids, beam_d, _, _ = jax.lax.while_loop(
+        not_done, body, (beam_ids, beam_d, beam_exp, jnp.int32(0)))
     if selection is not None:
         keep = jnp.take(selection, jnp.maximum(beam_ids, 0), axis=0) & (beam_ids >= 0)
         beam_d = jnp.where(keep, beam_d, jnp.inf)
-    neg, sel = jax.lax.top_k(-beam_d, min(k, ef))
+    neg, sel = jax.lax.top_k(-beam_d, kk)
     out_ids = jnp.take_along_axis(beam_ids, sel, axis=1)
+    out_d = -neg
+    found = jnp.isfinite(out_d)
+    return jnp.where(found, out_d, jnp.inf), jnp.where(found, out_ids, -1)
+
+
+def hnsw_search_partitioned(graph: HnswGraph, vectors, q: np.ndarray, k: int,
+                            probed_entries: np.ndarray,
+                            ef: int = 32, iters: int | None = None,
+                            selection: np.ndarray | None = None,
+                            expand: int | None = None,
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """IVF × HNSW search as independent per-partition beams (the reference
+    architecture: ANNIvfSubIndexExec searches each probed partition's
+    sub-index separately and merges, lance/src/io/exec/knn.rs:579).
+
+    `probed_entries` (B, P, E): entry points of each query's P probed
+    partitions. Each (query, partition) pair becomes a pseudo-query with its
+    own `ef`-wide beam, so no partition can be starved by cross-partition
+    beam eviction (a shared beam measured 0.70-0.84 recall where this
+    decomposition reaches 0.92+), and every shape in the kernel shrinks:
+    sorts are (B·P, ef + expand·deg) instead of (B, ef_big·deg). Partitions
+    are disjoint, so the merged results need no cross-partition dedupe."""
+    q = np.atleast_2d(np.asarray(q, dtype=np.float32))
+    b = q.shape[0]
+    bp, p, e = probed_entries.shape
+    assert bp == b
+    ef = max(ef, 2 * e, 8)
+    expand = expand or max(4, ef // 4)
+    iters = iters if iters is not None else max(
+        HnswParams().search_iters, 3 * ef // expand)
+    kk = min(k, ef)
+    seeds = jnp.asarray(probed_entries.reshape(b * p, e))
+    q_rep = jnp.repeat(jnp.asarray(q), p, axis=0)
+    sel_dev = jnp.asarray(selection) if selection is not None else None
+    d, ids = _beam_search(
+        jnp.asarray(vectors), jnp.asarray(graph.neighbors), seeds,
+        q_rep, sel_dev, graph.metric, kk, ef, iters, expand,
+    )
+    d, ids = _merge_partition_topk(d, ids, b, p, kk, min(k, p * kk))
+    return np.asarray(d), np.asarray(ids)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "p", "kk", "k"))
+def _merge_partition_topk(d, ids, b, p, kk, k):
+    d = d.reshape(b, p * kk)
+    ids = ids.reshape(b, p * kk)
+    neg, sel = jax.lax.top_k(-d, k)
+    out_ids = jnp.take_along_axis(ids, sel, axis=1)
     out_d = -neg
     found = jnp.isfinite(out_d)
     return jnp.where(found, out_d, jnp.inf), jnp.where(found, out_ids, -1)
@@ -284,16 +380,22 @@ def _beam_search(vectors, neighbors, entries, q, selection,
 def hnsw_search(graph: HnswGraph, vectors, q: np.ndarray, k: int,
                 ef: int = 64, iters: int | None = None,
                 selection: np.ndarray | None = None,
-                entries: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
+                entries: np.ndarray | None = None,
+                expand: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """`entries` (B, S) overrides the graph's shared seeds — used by the IVF
-    composition to seed each query with its probed partitions' entries."""
+    composition to seed each query with its probed partitions' entries.
+    `iters` caps the adaptive loop (default scales with ef/expand so the
+    frontier can sweep the whole beam a few times over); `expand` is the
+    per-step frontier width (default ef//8, min 8)."""
     q = np.atleast_2d(np.asarray(q, dtype=np.float32))
     ef = max(ef, k)
-    iters = iters if iters is not None else HnswParams().search_iters
+    expand = expand or max(8, ef // 8)
+    iters = iters if iters is not None else max(
+        HnswParams().search_iters, 3 * ef // expand)
     sel_dev = jnp.asarray(selection) if selection is not None else None
     seeds = jnp.asarray(entries) if entries is not None else jnp.asarray(graph.entries)
     d, ids = _beam_search(
         jnp.asarray(vectors), jnp.asarray(graph.neighbors), seeds,
-        jnp.asarray(q), sel_dev, graph.metric, k, ef, iters,
+        jnp.asarray(q), sel_dev, graph.metric, k, ef, iters, expand,
     )
     return np.asarray(d), np.asarray(ids)
