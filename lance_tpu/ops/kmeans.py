@@ -160,13 +160,32 @@ def train_kmeans(
     sample_rate: int = 256,
     chunk: int = 8192,
     init_method: str = "kmeans++",
+    hierarchical_threshold: int | None = None,
 ) -> KMeans:
     """Train k-means, subsampling to sample_rate*k rows like the reference
     (maybe_sample_training_data, rust/lance/src/index/vector/utils.rs).
 
     Accepts numpy OR device (jnp) arrays; device inputs stay on device —
     no host round trips beyond the final centroids.
+
+    Beyond `hierarchical_threshold` clusters (default 8192, env
+    LANCE_TPU_HIER_KMEANS_THRESHOLD) training dispatches to the
+    hierarchical trainer — the reference enables hierarchical k-means at
+    k>256 (kmeans.rs:88) because CPU argmin scales linearly in k; the MXU
+    handles direct Lloyd to k~8192 (the 16M-row production build trains
+    8192 directly), past which the (sample, k) distance tile and kmeans++
+    seeding dominate build time.
     """
+    if hierarchical_threshold is None:
+        import os
+
+        hierarchical_threshold = int(os.environ.get(
+            "LANCE_TPU_HIER_KMEANS_THRESHOLD", 8192))
+    if k > max(2, hierarchical_threshold):
+        return train_kmeans_hierarchical(
+            data, k, max_iters=max_iters, metric=metric, tolerance=tolerance,
+            seed=seed, sample_rate=sample_rate, chunk=chunk,
+            direct_k=hierarchical_threshold)
     if not isinstance(data, jnp.ndarray):
         data = np.asarray(data, dtype=np.float32)
     elif data.dtype != jnp.float32:
@@ -193,3 +212,184 @@ def train_kmeans(
         tolerance, chunk, build_matmul_dtype()
     )
     return KMeans(np.asarray(centroids), metric)
+
+
+def _apportion(sizes: np.ndarray, k: int) -> np.ndarray:
+    """Largest-remainder apportionment of k child-cluster budgets across
+    parent clusters, proportional to member counts; every non-empty parent
+    gets >=1. Equivalent in the limit to the reference's largest-first
+    splitting loop (kmeans.rs:856-893), computed in one shot."""
+    sizes = sizes.astype(np.float64)
+    total = sizes.sum()
+    nonzero = sizes > 0
+    quota = np.where(nonzero, sizes * k / max(total, 1.0), 0.0)
+    alloc = np.where(nonzero, np.maximum(1, np.floor(quota)), 0).astype(np.int64)
+    # clusters can't split finer than their member count
+    alloc = np.minimum(alloc, sizes.astype(np.int64))
+    while alloc.sum() < k:
+        rem = np.where(alloc < sizes, quota - alloc, -np.inf)
+        i = int(np.argmax(rem))
+        if not np.isfinite(rem[i]):
+            break  # every cluster saturated (k > n)
+        alloc[i] += 1
+    while alloc.sum() > k:
+        over = np.where(alloc > 1, quota - alloc, np.inf)
+        i = int(np.argmin(over))
+        if not np.isfinite(over[i]):
+            break
+        alloc[i] -= 1
+    return alloc
+
+
+def train_kmeans_hierarchical(
+    data,
+    k: int,
+    max_iters: int = 50,
+    metric: Metric = "l2",
+    tolerance: float = 1e-4,
+    seed: int = 42,
+    sample_rate: int = 256,
+    chunk: int = 8192,
+    branch: int | None = None,
+    direct_k: int = 4096,
+) -> KMeans:
+    """Hierarchical k-means for very large k (reference
+    train_hierarchical_kmeans, kmeans.rs:741: initial k'=hierarchical_k
+    clusters, split largest until target_k). TPU re-derivation: train
+    `branch` top-level clusters (direct MXU Lloyd), partition the sample,
+    allocate child budgets proportional to cluster size in one
+    largest-remainder pass, and recurse until each child fits direct_k.
+    Cuts the dominant (sample, k) assignment cost from O(N*k) to
+    O(N*branch + sum_c N_c*k_c)."""
+    data = np.asarray(data, dtype=np.float32) if not isinstance(data, jnp.ndarray) else data
+    max_rows = sample_rate * k
+    if data.shape[0] > max_rows:
+        rng = np.random.default_rng(seed)
+        sel = rng.choice(data.shape[0], size=max_rows, replace=False)
+        data = data[sel]
+    if k <= direct_k or data.shape[0] <= k:
+        return train_kmeans(data, min(k, data.shape[0]), max_iters=max_iters,
+                            metric=metric, tolerance=tolerance, seed=seed,
+                            sample_rate=sample_rate, chunk=chunk,
+                            hierarchical_threshold=1 << 30)
+    branch = branch or max(2, min(64, -(-k // direct_k)))
+    top = train_kmeans(data, branch, max_iters=max_iters, metric=metric,
+                       tolerance=tolerance, seed=seed, sample_rate=sample_rate,
+                       chunk=chunk, hierarchical_threshold=1 << 30)
+    assign = top.compute_partitions(data, chunk=chunk)
+    host = np.asarray(data)
+    sizes = np.bincount(assign, minlength=branch)
+    alloc = _apportion(sizes, k)
+    parts: list[np.ndarray] = []
+    for c in range(branch):
+        if alloc[c] == 0:
+            continue
+        members = host[assign == c]
+        if alloc[c] == 1 or members.shape[0] <= 1:
+            parts.append(members.mean(axis=0, keepdims=True) if members.size
+                         else np.asarray(top.centroids[c : c + 1]))
+            continue
+        sub = train_kmeans_hierarchical(
+            members, int(alloc[c]), max_iters=max_iters, metric=metric,
+            tolerance=tolerance, seed=seed + c + 1, sample_rate=sample_rate,
+            chunk=chunk, branch=branch, direct_k=direct_k)
+        parts.append(sub.centroids)
+    centroids = np.concatenate(parts, axis=0)
+    if centroids.shape[0] < k:  # saturated clusters (k close to n): pad by
+        # perturbed duplicates of the largest cluster's centroid
+        need = k - centroids.shape[0]
+        rng = np.random.default_rng(seed)
+        base = centroids[rng.integers(0, centroids.shape[0], need)]
+        centroids = np.concatenate(
+            [centroids, base * (1 + rng.normal(size=base.shape) * 1e-4)], axis=0)
+    return KMeans(centroids[:k], metric)
+
+
+class BinaryKMeans:
+    """Hamming-space k-means over packed binary codes (reference binary
+    k-means, kmeans.rs:1160 KMeansAlgoFloat->hamming + majority-vote
+    centroids). Centroids are packed u8; assignment runs as popcount over
+    XOR (hamming_distance_packed)."""
+
+    def __init__(self, centroids_packed: np.ndarray):
+        self.centroids = np.asarray(centroids_packed, dtype=np.uint8)
+        self.metric: Metric = "hamming"
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[0]
+
+    def compute_partitions(self, codes, chunk: int = 65536) -> np.ndarray:
+        from .distance import hamming_distance_packed
+
+        codes = np.asarray(codes, dtype=np.uint8)
+        cdev = jnp.asarray(self.centroids)
+        out = np.empty(codes.shape[0], np.int32)
+        for s in range(0, codes.shape[0], chunk):
+            d = hamming_distance_packed(jnp.asarray(codes[s : s + chunk]), cdev)
+            out[s : s + chunk] = np.asarray(jnp.argmin(d, axis=1), dtype=np.int32)
+        return out
+
+    def find_partitions(self, q, nprobes: int) -> np.ndarray:
+        from .distance import hamming_distance_packed
+
+        q = np.atleast_2d(np.asarray(q, dtype=np.uint8))
+        d = hamming_distance_packed(jnp.asarray(q), jnp.asarray(self.centroids))
+        _, ids = jax.lax.top_k(-d, min(nprobes, self.k))
+        return np.asarray(ids)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters"))
+def _train_binary_jit(bits, init_centroids, key, k: int, max_iters: int):
+    """Lloyd over {0,1} vectors: hamming to a binary centroid equals squared
+    l2 on unpacked bits, so assignment is the usual matmul+argmin (exact in
+    bf16 — operands are 0/1); the update is the majority vote (mean > 0.5),
+    re-binarized every iteration like the reference."""
+
+    def body(carry, it):
+        centroids, done, prev = carry
+        ids, dists = argmin_dist(bits, centroids, "l2", 8192, jnp.bfloat16)
+        loss = jnp.sum(dists)
+        counts = jax.ops.segment_sum(jnp.ones_like(ids, jnp.float32), ids,
+                                     num_segments=k)
+        sums = jax.ops.segment_sum(bits.astype(jnp.float32), ids, num_segments=k)
+        mean = sums / jnp.maximum(counts, 1.0)[:, None]
+        new = (mean > 0.5).astype(jnp.float32)
+        # empty clusters: re-seed from random data rows
+        sub = jax.random.fold_in(key, it)
+        steal = bits[jax.random.randint(sub, (k,), 0, bits.shape[0])]
+        new = jnp.where((counts < 0.5)[:, None], steal.astype(jnp.float32), new)
+        converged = loss >= prev  # integer-valued loss: strict improvement or stop
+        out = jnp.where(done[..., None], centroids, new)
+        return (out, done | converged, jnp.where(done, prev, loss)), loss
+
+    init = (init_centroids.astype(jnp.float32), jnp.bool_(False), jnp.inf)
+    (centroids, _, _), _ = jax.lax.scan(body, init, jnp.arange(max_iters))
+    return centroids
+
+
+def train_kmeans_binary(
+    codes,
+    k: int,
+    max_iters: int = 50,
+    seed: int = 42,
+    sample_rate: int = 256,
+) -> BinaryKMeans:
+    """Train hamming k-means on packed u8 codes (N, bytes) -> BinaryKMeans
+    with packed binary centroids."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    max_rows = sample_rate * k
+    rng = np.random.default_rng(seed)
+    if n > max_rows:
+        codes_s = codes[rng.choice(n, size=max_rows, replace=False)]
+    else:
+        codes_s = codes
+    bits = np.unpackbits(codes_s, axis=1).astype(np.float32)
+    init = bits[rng.choice(bits.shape[0], size=min(k, bits.shape[0]),
+                           replace=bits.shape[0] < k)]
+    cent_bits = _train_binary_jit(jnp.asarray(bits), jnp.asarray(init),
+                                  jax.random.PRNGKey(seed), min(k, bits.shape[0]),
+                                  max_iters)
+    packed = np.packbits(np.asarray(cent_bits) > 0.5, axis=1)
+    return BinaryKMeans(packed)

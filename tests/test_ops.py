@@ -172,3 +172,51 @@ def test_pq_recall_on_clustered_data(rng):
         recall += len(got & want) / 10
     recall /= 5
     assert recall >= 0.6, recall  # unrefined ADC recall on gaussian data
+
+
+def test_hierarchical_kmeans(rng):
+    """Hierarchical trainer (reference kmeans.rs:741) reaches near-direct
+    quality and exactly k centroids; auto-dispatch kicks in past the
+    threshold."""
+    from lance_tpu.ops.kmeans import _apportion, train_kmeans_hierarchical
+
+    a = _apportion(np.array([100, 50, 50, 0]), 8)
+    assert a.sum() == 8 and a[3] == 0 and a[0] == 4
+    a = _apportion(np.array([3, 1000]), 10)
+    assert a.sum() == 10 and a[0] >= 1 and a[0] <= 3
+    centers = rng.normal(size=(32, 8)).astype(np.float32) * 10
+    data = (centers[rng.integers(0, 32, 20000)]
+            + rng.normal(size=(20000, 8))).astype(np.float32)
+    km_h = train_kmeans_hierarchical(data, 32, max_iters=10, direct_k=8, branch=4)
+    km_d = train_kmeans(data, 32, max_iters=10)
+    assert km_h.centroids.shape == (32, 8)
+
+    def mean_loss(km):
+        d = ((data[:, None] - km.centroids[None]) ** 2).sum(-1)
+        return d.min(1).mean()
+
+    assert mean_loss(km_h) < mean_loss(km_d) * 1.5
+    km_a = train_kmeans(data, 64, max_iters=5, hierarchical_threshold=16)
+    assert km_a.k == 64
+
+
+def test_binary_kmeans(rng):
+    """Hamming k-means over packed codes (reference binary k-means,
+    kmeans.rs:1160): majority-vote centroids recover planted binary
+    centers through 5% bit noise."""
+    from lance_tpu.ops.kmeans import train_kmeans_binary
+
+    bits_centers = rng.integers(0, 2, size=(8, 64)).astype(np.uint8)
+    rows = bits_centers[rng.integers(0, 8, 5000)]
+    rows = rows ^ (rng.random(rows.shape) < 0.05).astype(np.uint8)
+    codes = np.packbits(rows, axis=1)
+    bkm = train_kmeans_binary(codes, 8, max_iters=10)
+    assert bkm.centroids.shape == (8, 8) and bkm.centroids.dtype == np.uint8
+    cb = np.unpackbits(bkm.centroids, axis=1)
+    dist = (cb[:, None] != bits_centers[None]).sum(-1)
+    assert (dist.min(1) <= 5).all(), dist.min(1)
+    parts = bkm.compute_partitions(codes)
+    assert parts.shape == (5000,)
+    # rows from the same planted center land in the same partition
+    probe = bkm.find_partitions(codes[:4], 3)
+    assert probe.shape == (4, 3)
