@@ -157,8 +157,26 @@ class ColumnData:
         if pa.types.is_boolean(t):
             vals = np.asarray(arr.fill_null(False) if arr.null_count else arr)
             return cls("bool", len(arr), vals, None, validity, 1, t)
+        if pa.types.is_dictionary(t):
+            # store dictionary columns as their plain value type; the dict
+            # ENCODING is an independent on-disk codec choice (dict layout),
+            # and to_arrow re-encodes to the declared dictionary type
+            cd = cls.from_arrow(arr.cast(t.value_type))
+            cd.arrow_type = t
+            return cd
         if pa.types.is_fixed_size_list(t):
             dim = t.list_size
+            vt = t.value_type
+            numeric_child = is_bfloat16(vt) or (
+                pa.types.is_primitive(vt) and not pa.types.is_boolean(vt))
+            if not numeric_child:
+                # FSL over general value types (binary/bool/nested): a list
+                # with constant row length; to_arrow rebuilds the FSL
+                flat = arr.values.slice(arr.offset * dim, len(arr) * dim)
+                child = cls.from_arrow(flat)
+                offsets = np.arange(len(arr) + 1, dtype=np.int64) * dim
+                return cls("list", len(arr), np.empty(0, np.uint8), offsets,
+                           validity, 1, t, child)
             if arr.null_count:
                 # flatten() SKIPS null rows' slots (misaligns the matrix);
                 # .values keeps every slot — slice by offset manually
@@ -201,6 +219,15 @@ class ColumnData:
     def to_arrow(self) -> pa.Array:
         t = self.arrow_type
         mask = None if self.validity is None else ~self.validity
+        if t is not None and pa.types.is_dictionary(t):
+            # decode as the plain value type, then re-encode to the declared
+            # dictionary type (index dtype preserved)
+            plain = ColumnData(self.kind, self.num_rows, self.values,
+                               self.offsets, self.validity, self.fsl_dim,
+                               t.value_type, self.child, self.children).to_arrow()
+            enc = plain.dictionary_encode()
+            return pa.DictionaryArray.from_arrays(
+                enc.indices.cast(t.index_type), enc.dictionary)
         if self.kind == "bool":
             return pa.array(self.values.astype(bool), type=t or pa.bool_(), mask=mask)
         if self.kind == "struct":
@@ -214,6 +241,14 @@ class ColumnData:
             return out
         if self.kind == "list":
             child_arr = self.child.to_arrow()
+            if t is not None and pa.types.is_fixed_size_list(t):
+                # constant-length list storing an FSL of general value types
+                out = pa.FixedSizeListArray.from_arrays(child_arr, t.list_size)
+                if mask is not None:
+                    out = pa.array(
+                        [None if m else v for m, v in zip(mask, out.to_pylist())],
+                        type=t)
+                return out
             out = pa.ListArray.from_arrays(
                 pa.array(self.offsets.astype(np.int32)), child_arr)
             if mask is not None:
@@ -237,7 +272,7 @@ class ColumnData:
                     b = vb[self.offsets[i] : self.offsets[i] + lens[i]]
                     py.append(b.decode() if is_str else b)
             return pa.array(py, type=t)
-        if self.fsl_dim > 1:
+        if self.fsl_dim > 1 or (t is not None and pa.types.is_fixed_size_list(t)):
             from ..bf16 import is_bfloat16
 
             if t is not None and is_bfloat16(t.value_type):
@@ -617,7 +652,8 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         start = desc["child_buf_start"]
         child_bufs = [bufs[i] for i in range(start, len(desc["buffers"]))]
         child_type = arrow_type.value_type if arrow_type is not None and (
-            pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type)) else None
+            pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type)
+            or pa.types.is_fixed_size_list(arrow_type)) else None
         child = decode_page(desc["child"], child_bufs, child_type)
         return ColumnData("list", rows, np.empty(0, np.uint8), offsets, validity, 1,
                           arrow_type, child)

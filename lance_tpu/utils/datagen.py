@@ -107,3 +107,182 @@ class Cycle(ArrayGen):
         out = [self.values[(self.pos + i) % len(self.values)] for i in range(n)]
         self.pos += n
         return pa.array(out)
+
+
+class RandomBinary(ArrayGen):
+    def __init__(self, min_len: int = 0, max_len: int = 24, null_prob: float = 0.0,
+                 large: bool = False):
+        self.min_len, self.max_len = min_len, max_len
+        self.null_prob, self.large = null_prob, large
+
+    def __call__(self, rng, n):
+        out = []
+        for _ in range(n):
+            if self.null_prob and rng.random() < self.null_prob:
+                out.append(None)
+            else:
+                out.append(rng.bytes(int(rng.integers(self.min_len, self.max_len + 1))))
+        return pa.array(out, type=pa.large_binary() if self.large else pa.binary())
+
+
+class RandomSentence(ArrayGen):
+    """Word-like text (reference RandomSentenceGenerator) — exercises FSST and
+    the FTS tokenizers with realistic token-frequency skew."""
+
+    _WORDS = ("the of and a to in is you that it he was for on are as with his"
+              " they I at be this have from or one had by word but not what all"
+              " were we when your can said there use an each which she do how").split()
+
+    def __init__(self, min_words: int = 2, max_words: int = 12, null_prob: float = 0.0):
+        self.min_words, self.max_words, self.null_prob = min_words, max_words, null_prob
+
+    def __call__(self, rng, n):
+        out = []
+        for _ in range(n):
+            if self.null_prob and rng.random() < self.null_prob:
+                out.append(None)
+            else:
+                k = int(rng.integers(self.min_words, self.max_words + 1))
+                out.append(" ".join(rng.choice(self._WORDS, k)))
+        return pa.array(out, type=pa.string())
+
+
+class WithNulls(ArrayGen):
+    """Wrap any generator with random validity (reference with_random_nulls)."""
+
+    def __init__(self, inner: ArrayGen, null_prob: float):
+        self.inner, self.null_prob = inner, null_prob
+
+    def __call__(self, rng, n):
+        arr = self.inner(rng, n)
+        mask = rng.random(n) < self.null_prob
+        if not mask.any():
+            return arr
+        # rebuild with nulls injected (works for flat and nested types)
+        vals = arr.to_pylist()
+        vals = [None if m else v for v, m in zip(vals, mask)]
+        return pa.array(vals, type=arr.type)
+
+
+class RandForType(ArrayGen):
+    """Generate random data for (almost) ANY arrow type — the analog of the
+    reference's rand-for-datatype dispatch (lance-datagen generator.rs), the
+    workhorse behind arbitrary-schema fuzzing. Nested types recurse."""
+
+    def __init__(self, dtype: pa.DataType, null_prob: float = 0.0):
+        self.dtype, self.null_prob = dtype, null_prob
+
+    def __call__(self, rng, n):  # noqa: C901 (dispatch table by nature)
+        t = self.dtype
+        nulls = (rng.random(n) < self.null_prob) if self.null_prob else np.zeros(n, bool)
+
+        def mask(vals):
+            out = [None if m else v for v, m in zip(vals, nulls)]
+            return pa.array(out, type=t)
+
+        if pa.types.is_null(t):
+            return pa.nulls(n)
+        if pa.types.is_boolean(t):
+            return mask([bool(b) for b in rng.integers(0, 2, n)])
+        if pa.types.is_integer(t):
+            np_dtype = t.to_pandas_dtype()
+            info = np.iinfo(np_dtype)
+            # full-range ints exercise bitpack width selection
+            return mask([int(x) for x in
+                         rng.integers(info.min, info.max, n, dtype=np_dtype,
+                                      endpoint=True)])
+        if pa.types.is_floating(t):
+            vals = rng.normal(size=n) * 1e3
+            if pa.types.is_float16(t):
+                vals = vals.astype(np.float16)
+            return mask(list(vals))
+        if pa.types.is_decimal(t):
+            scale = 10 ** t.scale
+            import decimal
+
+            return mask([decimal.Decimal(int(x)) / scale
+                         for x in rng.integers(-(10**9), 10**9, n)])
+        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t) \
+                or pa.types.is_duration(t):
+            lim = 10**9 if (pa.types.is_date32(t) and False) else 10**12
+            if pa.types.is_date32(t):
+                lim = 50_000
+            if pa.types.is_time32(t):
+                lim = 86_000 * (1000 if t.unit == "ms" else 1)
+            return mask([int(x) for x in rng.integers(0, lim, n)])
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            gen = RandomString()
+            vals = gen(rng, n).to_pylist()
+            return mask(vals)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return mask(RandomBinary()(rng, n).to_pylist())
+        if pa.types.is_fixed_size_binary(t):
+            return mask([rng.bytes(t.byte_width) for _ in range(n)])
+        if pa.types.is_dictionary(t):
+            pool = RandForType(t.value_type)(rng, max(1, min(16, n)))
+            idx = rng.integers(0, len(pool), n)
+            vals = [pool[int(i)].as_py() for i in idx]
+            return mask(vals)
+        if pa.types.is_fixed_size_list(t):
+            child = RandForType(t.value_type)(rng, n * t.list_size)
+            arr = pa.FixedSizeListArray.from_arrays(child, t.list_size)
+            if nulls.any():
+                return pa.array([None if m else v for v, m in
+                                 zip(arr.to_pylist(), nulls)], type=t)
+            return arr
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            lens = rng.integers(0, 5, n)
+            child = RandForType(t.value_type)(rng, int(lens.sum()))
+            vals, off = [], 0
+            for ln, m in zip(lens, nulls):
+                vals.append(None if m else child[off : off + ln].to_pylist())
+                off += int(ln)
+            return pa.array(vals, type=t)
+        if pa.types.is_struct(t):
+            children = [(f.name, RandForType(f.type)(rng, n)) for f in t]
+            vals = [None if m else {name: c[i].as_py() for name, c in children}
+                    for i, m in enumerate(nulls)]
+            return pa.array(vals, type=t)
+        raise NotImplementedError(f"no generator for {t}")
+
+
+_FLAT_TYPES = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+    pa.float32(), pa.float64(), pa.bool_(),
+    pa.string(), pa.large_string(), pa.binary(),
+    pa.timestamp("us"), pa.date32(), pa.duration("ms"),
+    pa.dictionary(pa.int32(), pa.string()),
+]
+
+
+def random_type(rng: np.random.Generator, max_depth: int = 2) -> pa.DataType:
+    """Draw a random (possibly nested) arrow type — schema fuzzing like the
+    reference's arbitrary-schema generator feeding fuzz_tests.rs."""
+    if max_depth > 0 and rng.random() < 0.35:
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            return pa.list_(random_type(rng, max_depth - 1))
+        if kind == 1:
+            return pa.struct([pa.field(f"f{i}", random_type(rng, max_depth - 1))
+                              for i in range(int(rng.integers(1, 4)))])
+        return pa.list_(random_type(rng, 0), int(rng.integers(1, 8)))
+    return _FLAT_TYPES[int(rng.integers(0, len(_FLAT_TYPES)))]
+
+
+def random_schema(rng: np.random.Generator, n_cols: int | None = None,
+                  max_depth: int = 2) -> pa.Schema:
+    n_cols = n_cols or int(rng.integers(1, 6))
+    return pa.schema([pa.field(f"c{i}", random_type(rng, max_depth),
+                               nullable=True)
+                      for i in range(n_cols)])
+
+
+def random_table(rng: np.random.Generator, schema: pa.Schema | None = None,
+                 num_rows: int | None = None, null_prob: float = 0.15) -> pa.Table:
+    """Seeded arbitrary-schema table: the one-call fuzz feeder."""
+    schema = schema if schema is not None else random_schema(rng)
+    num_rows = num_rows if num_rows is not None else int(rng.integers(1, 2000))
+    cols = [RandForType(f.type, null_prob if f.nullable else 0.0)(rng, num_rows)
+            for f in schema]
+    return pa.table(dict(zip(schema.names, cols)))

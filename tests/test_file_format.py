@@ -358,3 +358,26 @@ def test_two_phase_scan_overlaps_io(memory_store):
         r = FileReader(slow, "pipe.ltpf", scheduler=sched)
         got = pa.Table.from_batches(list(r.read_stream(batch_size=10_000)))
     assert got.equals(plain)
+
+
+def test_fuzz_random_schemas_roundtrip():
+    """Arbitrary-schema fuzz (reference lance-datagen generator.rs feeding
+    fuzz_tests.rs): seeded random nested schemas -> write_dataset -> read
+    back -> exact value equality. Caught at introduction: FSL of
+    non-float value types, FSL[1], and dictionary columns all failed the
+    read path."""
+    import lance_tpu as lt
+    from lance_tpu.utils.datagen import random_table
+
+    rng = np.random.default_rng(123)
+    for i in range(25):
+        t = random_table(rng, num_rows=int(rng.integers(1, 400)))
+        uri = f"memory://fuzzschema/{i}"
+        lt.write_dataset(t, uri)
+        out = lt.dataset(uri).to_table()
+        assert out.num_rows == t.num_rows
+        for name in t.column_names:
+            a = t[name].combine_chunks()
+            b = out[name].combine_chunks()
+            assert a.to_pylist() == b.to_pylist(), \
+                f"trial {i} col {name} type {a.type}"
