@@ -16,6 +16,7 @@ tokenizer model is unavailable.
 from __future__ import annotations
 
 import json
+import os
 import re
 import unicodedata
 from dataclasses import dataclass, field as dc_field
@@ -23,6 +24,18 @@ from dataclasses import dataclass, field as dc_field
 from ...errors import InvalidInputError, NotSupportedError
 
 _SIMPLE_SPLIT = re.compile(r"[^0-9a-zA-Z_]+")
+# Unicode word runs: alnum/underscore words OR single CJK ideographs/kana.
+# Mirrors tantivy's SimpleTokenizer behavior of emitting unicode words; CJK
+# scripts have no spaces so each run is handled by the CJK sub-tokenizers.
+_UNICODE_WORD = re.compile(r"[0-9A-Za-z_]+|[぀-ヿ㐀-䶿"
+                           r"一-鿿豈-﫿가-힯]+", re.UNICODE)
+
+
+def _is_cjk_run(t: str) -> bool:
+    c = ord(t[0])
+    return (0x3040 <= c <= 0x30FF or 0x3400 <= c <= 0x4DBF
+            or 0x4E00 <= c <= 0x9FFF or 0xF900 <= c <= 0xFAFF
+            or 0xAC00 <= c <= 0xD7AF)
 
 # the classic English stop-word list used by tantivy/lucene
 ENGLISH_STOP_WORDS = frozenset(
@@ -44,10 +57,12 @@ class TokenizerConfig:
     prefix_only: bool = False  # ngram: only prefixes of each token
 
     def __post_init__(self):
-        if self.base_tokenizer not in ("simple", "whitespace", "raw", "ngram"):
+        base = self.base_tokenizer
+        if (base not in ("simple", "whitespace", "raw", "ngram", "cjk")
+                and not base.startswith(("jieba", "lindera"))):
             raise InvalidInputError(
-                f"unknown base_tokenizer {self.base_tokenizer!r} "
-                "(simple/whitespace/raw/ngram)")
+                f"unknown base_tokenizer {base!r} "
+                "(simple/whitespace/raw/ngram/cjk/jieba[/name]/lindera[/name])")
         if (self.stem or self.remove_stop_words) and self.language.lower() != "english":
             raise NotSupportedError(
                 f"stemming/stop words for language {self.language!r} not "
@@ -186,6 +201,150 @@ def porter_stem(w: str) -> str:
     return w
 
 
+# ------------------------------------------------------------------ CJK ----
+#
+# The reference reaches Chinese/Japanese through external models (jieba /
+# lindera dictionaries under LANCE_LANGUAGE_MODEL_HOME; tokenizer.rs). Same
+# protocol here: dictionaries load from
+#   $LANCE_LANGUAGE_MODEL_HOME/jieba/<name>/dict.txt      (jieba format:
+#       "word freq [tag]" per line)
+#   $LANCE_LANGUAGE_MODEL_HOME/lindera/<name>/user_dict.csv  (surface form
+#       in the first CSV column; or one word per line in words.txt)
+# and a missing model raises like the reference. The dictionary-free `cjk`
+# base tokenizer (Lucene CJKAnalyzer-style overlapping bigrams) always works.
+
+
+def model_home() -> str:
+    return os.environ.get(
+        "LANCE_LANGUAGE_MODEL_HOME",
+        os.path.join(os.path.expanduser("~"), ".lance", "language_models"))
+
+
+def _cjk_bigrams(run: str) -> list[str]:
+    if len(run) == 1:
+        return [run]
+    return [run[i:i + 2] for i in range(len(run) - 1)]
+
+
+class _JiebaDict:
+    """jieba's standard-mode segmentation: DAG over dictionary prefixes +
+    max-log-probability dynamic program (cut(HMM=False) in real jieba)."""
+
+    def __init__(self, path: str):
+        import math
+
+        self.freq: dict[str, int] = {}
+        total = 0
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                word = parts[0]
+                n = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+                self.freq[word] = self.freq.get(word, 0) + n
+                total += n
+                for i in range(1, len(word)):  # prefixes mark DAG continuation
+                    self.freq.setdefault(word[:i], 0)
+        self.log_total = math.log(total or 1)
+
+    def cut(self, sentence: str) -> list[str]:
+        import math
+
+        n = len(sentence)
+        if not n:
+            return []
+        dag: list[list[int]] = []
+        for i in range(n):
+            ends = []
+            j = i
+            frag = sentence[i]
+            while j < n and frag in self.freq:
+                if self.freq[frag] > 0:
+                    ends.append(j)
+                j += 1
+                frag = sentence[i:j + 1]
+            if not ends:
+                ends.append(i)
+            dag.append(ends)
+        route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            route[i] = max(
+                (math.log(self.freq.get(sentence[i:j + 1], 0) or 1)
+                 - self.log_total + route[j + 1][0], j)
+                for j in dag[i])
+        out, i = [], 0
+        while i < n:
+            j = route[i][1] + 1
+            out.append(sentence[i:j])
+            i = j
+        return out
+
+
+class _LinderaDict:
+    """Longest-match segmentation over a user vocabulary (the user-dictionary
+    subset of lindera; full morphological ipadic analysis needs the external
+    model the reference also downloads)."""
+
+    def __init__(self, path: str):
+        self.words: set[str] = set()
+        self.max_len = 1
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                w = line.split(",")[0].strip() if "," in line else line
+                if w:
+                    self.words.add(w)
+                    self.max_len = max(self.max_len, len(w))
+
+    def cut(self, sentence: str) -> list[str]:
+        out, i, n = [], 0, len(sentence)
+        while i < n:
+            for ln in range(min(self.max_len, n - i), 0, -1):
+                if ln == 1 or sentence[i:i + ln] in self.words:
+                    out.append(sentence[i:i + ln])
+                    i += ln
+                    break
+        return out
+
+
+_CJK_DICTS: dict[str, object] = {}
+
+
+def _load_cjk_dict(base: str):
+    """base = 'jieba' | 'jieba/<name>' | 'lindera' | 'lindera/<name>'."""
+    if base in _CJK_DICTS:
+        return _CJK_DICTS[base]
+    kind, _, name = base.partition("/")
+    name = name or ("default" if kind == "jieba" else "ipadic")
+    root = os.path.join(model_home(), kind, name)
+    if kind == "jieba":
+        path = os.path.join(root, "dict.txt")
+        if not os.path.exists(path):
+            raise NotSupportedError(
+                f"jieba dictionary not found at {path}; set "
+                "LANCE_LANGUAGE_MODEL_HOME and install a jieba dict.txt "
+                "(format: 'word freq [tag]' per line)")
+        d = _JiebaDict(path)
+    else:
+        path = None
+        for cand in ("user_dict.csv", "words.txt"):
+            p = os.path.join(root, cand)
+            if os.path.exists(p):
+                path = p
+                break
+        if path is None:
+            raise NotSupportedError(
+                f"lindera dictionary not found under {root}; set "
+                "LANCE_LANGUAGE_MODEL_HOME and install user_dict.csv "
+                "(surface form in the first CSV column) or words.txt")
+        d = _LinderaDict(path)
+    _CJK_DICTS[base] = d
+    return d
+
+
 # -------------------------------------------------------------- pipeline ----
 
 def _fold_ascii(s: str) -> str:
@@ -202,6 +361,16 @@ def tokenize(text: str, cfg: TokenizerConfig | None = None) -> list[str]:
         toks = [text] if text else []
     elif cfg.base_tokenizer == "whitespace":
         toks = text.split()
+    elif cfg.base_tokenizer == "cjk":
+        # unicode words; CJK runs become overlapping bigrams (CJKAnalyzer)
+        toks = []
+        for run in _UNICODE_WORD.findall(text):
+            toks.extend(_cjk_bigrams(run) if _is_cjk_run(run) else [run])
+    elif cfg.base_tokenizer.startswith(("jieba", "lindera")):
+        d = _load_cjk_dict(cfg.base_tokenizer)
+        toks = []
+        for run in _UNICODE_WORD.findall(text):
+            toks.extend(d.cut(run) if _is_cjk_run(run) else [run])
     else:  # simple (also the base split for ngram)
         toks = [t for t in _SIMPLE_SPLIT.split(text) if t]
     if cfg.max_token_length is not None:

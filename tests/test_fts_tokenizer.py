@@ -84,3 +84,55 @@ def test_index_ngram_and_folding(tmp_path):
     assert sorted(np.asarray(h["id"]).tolist()) == [0, 1]
     h2 = ds.scanner().full_text_search("lau").to_table()
     assert np.asarray(h2["id"]).tolist() == [3]
+
+
+def test_cjk_bigram_tokenizer(tmp_path):
+    """Dictionary-free `cjk` base tokenizer: CJKAnalyzer-style overlapping
+    bigrams for ideograph/kana/hangul runs, unicode words elsewhere
+    (reference reaches CJK via external models: inverted/tokenizer.rs)."""
+    cfg = TokenizerConfig(base_tokenizer="cjk")
+    assert tokenize("我爱北京 hello", cfg) == ["我爱", "爱北", "北京", "hello"]
+    assert tokenize("猫", cfg) == ["猫"]  # single ideograph survives
+    assert tokenize("한국어", cfg) == ["한국", "국어"]
+    # end-to-end: phrase-free CJK match through an index
+    docs = ["我爱北京天安门", "天安门上太阳升", "hello world"]
+    ds = lt.write_dataset({"t": pa.array(docs), "id": np.arange(3)},
+                          str(tmp_path / "cjk.lance"))
+    ds = ds.create_index("t", "INVERTED", base_tokenizer="cjk")
+    h = ds.scanner().full_text_search("天安门").to_table()
+    assert sorted(np.asarray(h["id"]).tolist()) == [0, 1]
+    assert ds.scanner().full_text_search("hello").to_table().num_rows == 1
+
+
+def test_jieba_and_lindera_dictionaries(tmp_path, monkeypatch):
+    """Dictionary-based CJK segmentation loads from LANCE_LANGUAGE_MODEL_HOME
+    (jieba DAG max-probability cut; lindera longest-match user dict) and a
+    missing model raises like the reference."""
+    home = tmp_path / "models"
+    (home / "jieba" / "default").mkdir(parents=True)
+    (home / "jieba" / "default" / "dict.txt").write_text(
+        "北京 5000\n天安门 3000\n我 10000\n爱 8000\n北京天安门 200\n",
+        encoding="utf-8")
+    (home / "lindera" / "ipadic").mkdir(parents=True)
+    (home / "lindera" / "ipadic" / "words.txt").write_text(
+        "東京\nスカイツリー\n", encoding="utf-8")
+    monkeypatch.setenv("LANCE_LANGUAGE_MODEL_HOME", str(home))
+    from lance_tpu.indices.scalar import tokenizer as tkz
+    monkeypatch.setattr(tkz, "_CJK_DICTS", {})
+    assert tokenize("我爱北京天安门",
+                    TokenizerConfig(base_tokenizer="jieba")) == \
+        ["我", "爱", "北京", "天安门"]
+    assert tokenize("東京スカイツリーです",
+                    TokenizerConfig(base_tokenizer="lindera")) == \
+        ["東京", "スカイツリー", "で", "す"]
+    with pytest.raises(NotSupportedError):
+        tokenize("北京", TokenizerConfig(base_tokenizer="jieba/missing"))
+    # jieba end-to-end: dictionary words are the index terms
+    docs = ["我爱北京天安门", "北京欢迎你"]
+    ds = lt.write_dataset({"t": pa.array(docs), "id": np.arange(2)},
+                          str(tmp_path / "jb.lance"))
+    ds = ds.create_index("t", "INVERTED", base_tokenizer="jieba")
+    h = ds.scanner().full_text_search("北京").to_table()
+    assert sorted(np.asarray(h["id"]).tolist()) == [0, 1]
+    h2 = ds.scanner().full_text_search("天安门").to_table()
+    assert np.asarray(h2["id"]).tolist() == [0]
