@@ -228,9 +228,10 @@ class Scanner:
         for c in filter_cols + out_cols:
             if c not in (ROW_ID_COL, ROW_ADDR_COL):
                 self.ds.schema.field(c)  # validate
-        remaining = self._limit
-        to_skip = self._offset
-        collected: list[pa.RecordBatch] = []
+        # ORDER BY: limit/offset apply to the *sorted* output (SQL semantics),
+        # so the scan itself runs unbounded and the sorter handles memory.
+        remaining = self._limit if self._order_by is None else None
+        to_skip = self._offset if self._order_by is None else 0
 
         # per-scan IO scheduler: page reads flow through the priority +
         # backpressure queue (reference ScanScheduler; parallelizes reads on
@@ -240,13 +241,12 @@ class Scanner:
         scheduler = make_scheduler(self.ds.store)
         try:
             yield from self._scan_with_scheduler(
-                scheduler, out_cols, filter_cols, remaining, to_skip, collected,
-                count_only)
+                scheduler, out_cols, filter_cols, remaining, to_skip, count_only)
         finally:
             scheduler.close()
 
     def _scan_with_scheduler(self, scheduler, out_cols, filter_cols, remaining,
-                             to_skip, collected, count_only):
+                             to_skip, count_only):
         # at-most pruning from zonemap/bloom/ngram indices: skip whole
         # batches (and their reads) that cannot contain matches
         prune_mask = None
@@ -254,6 +254,12 @@ class Scanner:
             from ..indices.scalar.expression import try_index_pruning
 
             prune_mask = try_index_pruning(self.ds, self._filter)
+
+        sorter = None
+        if self._order_by is not None and not count_only:
+            from ..utils.spill import ExternalSorter
+
+            sorter = ExternalSorter(self._order_by, batch_size=self._batch_size)
 
         for frag in self._iter_fragments(scheduler):
             n_phys = frag.physical_rows
@@ -297,19 +303,33 @@ class Scanner:
                     continue
                 phys_offsets = (start + sel).astype(np.int64)
                 batch = self._materialize(frag, phys_offsets, out_cols)
-                if self._order_by is not None:
-                    collected.append(batch)
-                else:
+                if sorter is not None:
+                    sorter.add_batch(batch)
+                elif self._order_by is None:
                     yield batch
             if remaining is not None and remaining <= 0 and self._order_by is None:
                 break
 
-        if self._order_by is not None and not count_only and collected:
-            table = pa.Table.from_batches(collected)
-            keys = [(c, "ascending" if asc else "descending") for c, asc in self._order_by]
-            table = table.sort_by(keys)
-            for b in table.to_batches(max_chunksize=self._batch_size):
-                yield b
+        if sorter is not None:
+            # bounded-memory external sort (spills Arrow IPC runs past the
+            # LANCE_MEM_POOL_SIZE budget); offset/limit applied post-sort
+            skip = self._offset or 0
+            left = self._limit
+            for b in sorter.sorted_batches():
+                if skip:
+                    if b.num_rows <= skip:
+                        skip -= b.num_rows
+                        continue
+                    b = b.slice(skip)
+                    skip = 0
+                if left is not None:
+                    if left <= 0:
+                        sorter.close()
+                        break
+                    b = b.slice(0, min(left, b.num_rows))
+                    left -= b.num_rows
+                if b.num_rows:
+                    yield b
 
     def _materialize(self, frag, phys_offsets: np.ndarray, out_cols: list[str]) -> pa.RecordBatch:
         real_cols = [c for c in out_cols if c not in (ROW_ID_COL, ROW_ADDR_COL)]

@@ -337,6 +337,50 @@ def _equi_keys(on_node, left_aliases: set, right_alias: str,
     return lk, rk
 
 
+def _join_pair(left: pa.Table, right: pa.Table, lk: list[str], rk: list[str],
+               jtype: str) -> pa.Table:
+    """Hash join with bounded memory: in-RAM pyarrow join while both sides
+    fit the LANCE_MEM_POOL_SIZE budget, else a grace hash join — partition
+    both sides by key hash into spilled Arrow IPC files and join partition
+    pairs (reference spill pool: rust/lance-datafusion/src/exec.rs:309-371)."""
+    from ..utils.spill import (
+        _SpillDir, bypass_spilling, global_pool, partition_table,
+        read_partition)
+
+    pool = global_pool()
+    if (bypass_spilling()
+            or left.nbytes + right.nbytes <= pool.budget
+            or left.num_rows == 0 or right.num_rows == 0):
+        return left.join(right, keys=lk, right_keys=rk,
+                         join_type=jtype, coalesce_keys=False)
+    n_parts = max(2, -(-(left.nbytes + right.nbytes) // max(1, pool.budget // 2)))
+    sd = _SpillDir()
+    try:
+        lp = partition_table(left, lk, n_parts, sd)
+        rp = partition_table(right, rk, n_parts, sd)
+        pool.spill_count += 1
+        pool.spilled_bytes += left.nbytes + right.nbytes
+        pieces = []
+        for i in range(n_parts):
+            lt = read_partition(lp[i])
+            if lt is None:
+                continue
+            rt = read_partition(rp[i])
+            if rt is None:
+                if jtype == "inner":
+                    continue
+                rt = right.slice(0, 0)
+            pieces.append(lt.join(rt, keys=lk, right_keys=rk,
+                                  join_type=jtype, coalesce_keys=False))
+        if not pieces:
+            return left.slice(0, 0).join(right.slice(0, 0), keys=lk,
+                                         right_keys=rk, join_type=jtype,
+                                         coalesce_keys=False)
+        return pa.concat_tables(pieces, promote_options="permissive")
+    finally:
+        sd.cleanup()
+
+
 def _exec_join(query_tables, base, joins, needed_nodes, tables):
     """Scan every referenced table and hash-join (pyarrow) in FROM order.
     Columns are alias-qualified in the result; bare names stay resolvable
@@ -368,8 +412,7 @@ def _exec_join(query_tables, base, joins, needed_nodes, tables):
     left_aliases = {base[1]}
     for jtype, (_name, alias), on_node in joins:
         lk, rk = _equi_keys(on_node, left_aliases, alias, alias_schemas)
-        cur = cur.join(tabs[alias], keys=lk, right_keys=rk,
-                       join_type=jtype, coalesce_keys=False)
+        cur = _join_pair(cur, tabs[alias], lk, rk, jtype)
         left_aliases.add(alias)
     # bare-name views: register a.c under c when unique across the join
     bare = {}

@@ -1,0 +1,352 @@
+"""Query memory discipline: a bounded memory pool + spill-to-disk operators.
+
+TPU-native redesign of the reference's DataFusion execution memory
+management (rust/lance-datafusion/src/exec.rs:309-371 `LANCE_MEM_POOL_SIZE`
+default 100 MiB FairSpillPool + spill.rs disk streams): operators that would
+materialize unboundedly (ORDER BY collection, join build sides) register
+their bytes with a process-wide budget and, once over it, spill Arrow IPC
+runs to a temporary directory and stream the result back with bounded RAM.
+
+Env knobs (reference names kept):
+- LANCE_MEM_POOL_SIZE: budget in bytes (default 256 MiB here — the engine
+  is single-process Python, not a tokio pool per query)
+- LANCE_BYPASS_SPILLING=1: never spill (fail upstream / use RAM), matching
+  exec.rs:330's escape hatch
+- LANCE_SPILL_DIR: where runs go (default the system tempdir)
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import shutil
+import tempfile
+import threading
+
+import numpy as np
+import pyarrow as pa
+
+
+def pool_size() -> int:
+    return int(os.environ.get("LANCE_MEM_POOL_SIZE", str(256 * 1024 * 1024)))
+
+
+def bypass_spilling() -> bool:
+    return os.environ.get("LANCE_BYPASS_SPILLING", "0") not in ("0", "false", "")
+
+
+class MemoryPool:
+    """Process-wide byte budget shared by all spillable operators.
+
+    Cooperative: operators `reserve` what they buffer and `release` when
+    they spill or finish; `over_budget` tells them when to spill. A global
+    singleton mirrors the reference's per-process FairSpillPool.
+    """
+
+    def __init__(self, budget: int | None = None):
+        self.budget = pool_size() if budget is None else budget
+        self._used = 0
+        self._lock = threading.Lock()
+        self.spill_count = 0
+        self.spilled_bytes = 0
+
+    def reserve(self, nbytes: int) -> None:
+        with self._lock:
+            self._used += int(nbytes)
+
+    def release(self, nbytes: int) -> None:
+        with self._lock:
+            self._used = max(0, self._used - int(nbytes))
+
+    @property
+    def used(self) -> int:
+        return self._used
+
+    def over_budget(self) -> bool:
+        return self._used > self.budget
+
+
+_GLOBAL: MemoryPool | None = None
+_GLOBAL_LOCK = threading.Lock()
+
+
+def global_pool() -> MemoryPool:
+    global _GLOBAL
+    with _GLOBAL_LOCK:
+        if _GLOBAL is None or _GLOBAL.budget != pool_size():
+            _GLOBAL = MemoryPool()
+        return _GLOBAL
+
+
+# ----------------------------------------------------------------- spill IO --
+
+class _SpillDir:
+    def __init__(self):
+        base = os.environ.get("LANCE_SPILL_DIR") or None
+        self.path = tempfile.mkdtemp(prefix="lance_spill_", dir=base)
+        self._n = 0
+
+    def new_file(self) -> str:
+        self._n += 1
+        return os.path.join(self.path, f"run_{self._n:05d}.arrows")
+
+    def cleanup(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def _write_run(path: str, table: pa.Table) -> None:
+    with pa.OSFile(path, "wb") as f:
+        with pa.ipc.new_stream(f, table.schema) as w:
+            w.write_table(table)
+
+
+def _read_run(path: str):
+    """Yield record batches from a spilled run."""
+    with pa.OSFile(path, "rb") as f:
+        reader = pa.ipc.open_stream(f)
+        yield from reader
+
+
+# ------------------------------------------------------------ external sort --
+
+def _sort_keys(keys) -> list[tuple[str, str]]:
+    return [(c, "ascending" if asc else "descending") for c, asc in keys]
+
+
+class ExternalSorter:
+    """Streaming ORDER BY with bounded memory.
+
+    add_batch() accumulates; when the pool goes over budget the buffered rows
+    are sorted and spilled as one Arrow IPC run. sorted_batches() merges the
+    runs (loser-tree over per-run cursors, vectorized emit) with only one
+    buffered batch per run in RAM. With no spills it degrades to an
+    in-memory pyarrow sort — identical output either way.
+    """
+
+    def __init__(self, keys: list[tuple[str, bool]], pool: MemoryPool | None = None,
+                 batch_size: int = 8192):
+        self.keys = keys
+        self.pool = pool or global_pool()
+        self.batch_size = batch_size
+        self._buf: list[pa.RecordBatch] = []
+        self._buf_bytes = 0
+        self._dir: _SpillDir | None = None
+        self._runs: list[str] = []
+        self._bypass = bypass_spilling()
+
+    def add_batch(self, batch: pa.RecordBatch) -> None:
+        self._buf.append(batch)
+        nb = batch.nbytes
+        self._buf_bytes += nb
+        self.pool.reserve(nb)
+        if not self._bypass and self.pool.over_budget() and self._buf_bytes > 0:
+            self._spill()
+
+    def _spill(self) -> None:
+        if not self._buf:
+            return
+        if self._dir is None:
+            self._dir = _SpillDir()
+        table = pa.Table.from_batches(self._buf).sort_by(_sort_keys(self.keys))
+        path = self._dir.new_file()
+        _write_run(path, table)
+        self._runs.append(path)
+        self.pool.release(self._buf_bytes)
+        self.pool.spill_count += 1
+        self.pool.spilled_bytes += self._buf_bytes
+        self._buf, self._buf_bytes = [], 0
+
+    def sorted_batches(self):
+        try:
+            if not self._runs:  # pure in-memory path
+                if not self._buf:
+                    return
+                table = pa.Table.from_batches(self._buf).sort_by(
+                    _sort_keys(self.keys))
+                self.pool.release(self._buf_bytes)
+                self._buf, self._buf_bytes = [], 0
+                yield from table.to_batches(max_chunksize=self.batch_size)
+                return
+            self._spill()  # flush the tail run
+            yield from self._merge_runs()
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        if self._buf_bytes:
+            self.pool.release(self._buf_bytes)
+            self._buf, self._buf_bytes = [], 0
+        if self._dir is not None:
+            self._dir.cleanup()
+            self._dir = None
+            self._runs = []
+
+    # merge: per-run cursor of (current sorted table, row position). Rows are
+    # emitted vectorized: pick the run whose CURRENT ROW is globally smallest
+    # via a heap of scalar key tuples, then advance through that run while its
+    # rows stay <= every other run's head (numpy searchsorted on the winner's
+    # key columns against the runner-up head key) — O(rows) columnar copies,
+    # row-level Python only at run switches.
+    def _merge_runs(self):
+        sort_opts = _sort_keys(self.keys)
+        readers = [iter(_read_run(p)) for p in self._runs]
+        cur: list[pa.Table | None] = []
+        pos = [0] * len(readers)
+        for r in readers:
+            b = next(r, None)
+            cur.append(pa.Table.from_batches([b]) if b is not None else None)
+
+        def refill(i) -> bool:
+            b = next(readers[i], None)
+            if b is None:
+                cur[i] = None
+                return False
+            cur[i] = pa.Table.from_batches([b])
+            pos[i] = 0
+            return True
+
+        def head_key(i):
+            t = cur[i]
+            out = []
+            for (c, asc) in self.keys:
+                v = t.column(c)[pos[i]].as_py()
+                out.append(_KeyPart(v, asc))
+            return tuple(out)
+
+        out_batches: list[pa.RecordBatch] = []
+        heap = [(head_key(i), i) for i in range(len(cur)) if cur[i] is not None]
+        heapq.heapify(heap)
+        pending: list[pa.Table] = []
+        pending_rows = 0
+        while heap:
+            _, i = heapq.heappop(heap)
+            if cur[i] is None:
+                continue
+            # advance run i while its rows <= the next run's head
+            bound = heap[0][0] if heap else None
+            t = cur[i]
+            while True:
+                n = t.num_rows
+                if bound is None:
+                    take_to = n
+                else:
+                    take_to = pos[i] + _count_leq(t, pos[i], self.keys, bound)
+                if take_to > pos[i]:
+                    pending.append(t.slice(pos[i], take_to - pos[i]))
+                    pending_rows += take_to - pos[i]
+                    pos[i] = take_to
+                if pos[i] < n:
+                    break  # blocked by bound; reinsert with new head key
+                if not refill(i):
+                    break
+                t = cur[i]
+                if bound is not None and head_key(i) > bound:
+                    break
+            if cur[i] is not None:
+                heapq.heappush(heap, (head_key(i), i))
+            while pending_rows >= self.batch_size:
+                merged = pa.Table.from_batches(
+                    [b for tb in pending for b in tb.to_batches()])
+                for b in merged.slice(0, self.batch_size).to_batches():
+                    if b.num_rows:
+                        out_batches.append(b)
+                rest = merged.slice(self.batch_size)
+                pending = [rest] if rest.num_rows else []
+                pending_rows = rest.num_rows
+                while out_batches:
+                    yield out_batches.pop(0)
+        if pending_rows:
+            merged = pa.Table.from_batches(
+                [b for tb in pending for b in tb.to_batches()])
+            for b in merged.to_batches(max_chunksize=self.batch_size):
+                if b.num_rows:
+                    yield b
+
+
+class _KeyPart:
+    """Orderable wrapper: descending inverts, None sorts last (pyarrow
+    sort_by's null placement)."""
+
+    __slots__ = ("v", "asc")
+
+    def __init__(self, v, asc: bool):
+        self.v = v
+        self.asc = asc
+
+    def _rank(self):  # (null_last, direction-adjusted value)
+        return self.v is None
+
+    def __lt__(self, other: "_KeyPart"):
+        if (self.v is None) != (other.v is None):
+            return other.v is None  # null last regardless of direction
+        if self.v is None:
+            return False
+        return self.v < other.v if self.asc else other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+    def __gt__(self, other):
+        return other.__lt__(self)
+
+    def __le__(self, other):
+        return not other.__lt__(self)
+
+    def __ge__(self, other):
+        return not self.__lt__(other)
+
+
+def _count_leq(table: pa.Table, start: int, keys, bound) -> int:
+    """Rows in table[start:] (sorted by keys) with key <= bound — via
+    bisection with row-tuple comparison (log n scalar reads)."""
+    lo, hi = start, table.num_rows
+    while lo < hi:
+        mid = (lo + hi) // 2
+        kt = tuple(_KeyPart(table.column(c)[mid].as_py(), asc)
+                   for (c, asc) in keys)
+        if kt <= bound:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo - start
+
+
+# --------------------------------------------------------- grace hash join --
+
+def _hash_rows(arrs: list[np.ndarray], n_parts: int) -> np.ndarray:
+    h = np.zeros(len(arrs[0]), np.uint64)
+    for a in arrs:
+        if a.dtype.kind in "OUS":
+            av = np.asarray([hash(x) for x in a], np.uint64)
+        else:
+            av = a.astype(np.uint64, copy=False) if a.dtype.kind in "iu" \
+                else np.frombuffer(np.ascontiguousarray(a.astype(np.float64)).tobytes(),
+                                   np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15) + av
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def partition_table(table: pa.Table, key_cols: list[str], n_parts: int,
+                    spill_dir: _SpillDir) -> list[str | None]:
+    """Hash-partition a table by key columns into spilled IPC files.
+    Returns one path (or None if empty) per partition."""
+    arrs = [table.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            for c in key_cols]
+    part = _hash_rows(arrs, n_parts)
+    paths: list[str | None] = []
+    for p in range(n_parts):
+        idx = np.flatnonzero(part == p)
+        if idx.size == 0:
+            paths.append(None)
+            continue
+        sub = table.take(pa.array(idx))
+        path = spill_dir.new_file()
+        _write_run(path, sub)
+        paths.append(path)
+    return paths
+
+
+def read_partition(path: str | None) -> pa.Table | None:
+    if path is None:
+        return None
+    return pa.Table.from_batches(list(_read_run(path)))

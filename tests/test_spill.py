@@ -1,0 +1,128 @@
+"""Query memory discipline: bounded-memory external sort + grace hash join
+(reference spill pool: rust/lance-datafusion/src/exec.rs:309-371, spill.rs).
+
+Each spilled path is verified identical to the unbounded in-memory result.
+"""
+
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.utils import spill
+
+
+def _uri(tag):
+    return f"memory://spill-{tag}-{uuid.uuid4().hex[:6]}/d"
+
+
+@pytest.fixture()
+def tiny_pool(monkeypatch):
+    """Force a tiny budget so everything spills."""
+    monkeypatch.setenv("LANCE_MEM_POOL_SIZE", "4096")
+    spill._GLOBAL = None  # rebuild the singleton at the new budget
+    yield
+    spill._GLOBAL = None
+
+
+def test_external_sorter_matches_memory_sort(tiny_pool, rng, tmp_path,
+                                             monkeypatch):
+    monkeypatch.setenv("LANCE_SPILL_DIR", str(tmp_path))
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 1000, n)),
+        "s": pa.array([f"v{int(x):04d}" for x in rng.integers(0, 100, n)]),
+        "p": pa.array(np.arange(n)),
+    })
+    keys = [("k", True), ("s", False)]
+    sorter = spill.ExternalSorter(keys, batch_size=512)
+    for b in t.to_batches(max_chunksize=256):
+        sorter.add_batch(b)
+    pool = spill.global_pool()
+    got = pa.Table.from_batches(list(sorter.sorted_batches()))
+    assert pool.spill_count > 0, "tiny budget must force runs to disk"
+    want = t.sort_by([("k", "ascending"), ("s", "descending")])
+    # stable tie-break not guaranteed; compare the key projection ordering
+    assert got.num_rows == n
+    np.testing.assert_array_equal(np.asarray(got["k"]), np.asarray(want["k"]))
+    assert got["s"].to_pylist() == want["s"].to_pylist()
+    # every original row survives exactly once
+    assert sorted(got["p"].to_pylist()) == list(range(n))
+
+
+def test_external_sorter_nulls_and_no_spill(rng):
+    t = pa.table({"k": pa.array([3, None, 1, None, 2])})
+    sorter = spill.ExternalSorter([("k", True)])
+    for b in t.to_batches():
+        sorter.add_batch(b)
+    got = pa.Table.from_batches(list(sorter.sorted_batches()))
+    assert got["k"].to_pylist() == [1, 2, 3, None, None]
+
+
+def test_scanner_order_by_spills_and_limits(tiny_pool, rng):
+    """ORDER BY through the dataset scanner: limit applies AFTER the sort
+    (SQL semantics) and the external sort returns the true global order."""
+    n = 4000
+    vals = rng.permutation(n).astype(np.int64)
+    ds = lt.write_dataset({"id": vals}, _uri("order"),
+                          params=lt.WriteParams(max_rows_per_file=1000))
+    t = ds.scanner().project(["id"]).order_by([("id", False)]).limit(5).to_table()
+    assert np.asarray(t["id"]).tolist() == [n - 1, n - 2, n - 3, n - 4, n - 5]
+    t = (ds.scanner().project(["id"]).order_by(["id"])
+         .limit(3, offset=10).to_table())
+    assert np.asarray(t["id"]).tolist() == [10, 11, 12]
+
+
+def test_grace_hash_join_matches_memory_join(tiny_pool, rng):
+    n_l, n_r = 3000, 800
+    left = _ds_tbl(rng, n_l, key_mod=500)
+    right = pa.table({
+        "k2": pa.array(rng.integers(0, 500, n_r)),
+        "w": pa.array(rng.uniform(size=n_r)),
+    })
+    lk, rk = ["k"], ["k2"]
+    pool = spill.global_pool()
+    before = pool.spill_count
+    from lance_tpu.dataset.sql import _join_pair
+    for jtype in ("inner", "left outer"):
+        got = _join_pair(left, right, lk, rk, jtype)
+        want = left.join(right, keys=lk, right_keys=rk, join_type=jtype,
+                         coalesce_keys=False)
+        assert got.num_rows == want.num_rows
+        gs = got.sort_by([("k", "ascending"), ("v", "ascending")])
+        ws = want.sort_by([("k", "ascending"), ("v", "ascending")])
+        for c in ws.column_names:
+            assert gs[c].to_pylist() == ws[c].to_pylist(), (jtype, c)
+    assert pool.spill_count > before, "tiny budget must trigger grace join"
+
+
+def _ds_tbl(rng, n, key_mod):
+    return pa.table({
+        "k": pa.array(rng.integers(0, key_mod, n)),
+        "v": pa.array(np.arange(n)),
+    })
+
+
+def test_sql_join_end_to_end_spilled(tiny_pool, rng):
+    """Full SQL join through ds.sql with the tiny budget — results identical
+    to an unbounded run."""
+    n = 1200
+    orders = lt.write_dataset(
+        {"o_id": np.arange(n, dtype=np.int64),
+         "o_cust": rng.integers(0, 50, n).astype(np.int64)},
+        _uri("orders"))
+    custs = lt.write_dataset(
+        {"c_id": np.arange(50, dtype=np.int64),
+         "c_name": pa.array([f"c{i}" for i in range(50)])},
+        _uri("custs"))
+    q = ("SELECT o.o_id, c.c_name FROM orders o "
+         "JOIN custs c ON o.o_cust = c.c_id")
+    got = orders.sql(q, tables={"orders": orders, "custs": custs})
+    assert got.num_rows == n
+    # spot-check mapping correctness
+    o_cust = np.asarray(orders.to_table()["o_cust"])
+    m = dict(zip(np.asarray(got["o_id"]).tolist(), got["c_name"].to_pylist()))
+    for oid in (0, 7, n - 1):
+        assert m[oid] == f"c{o_cust[oid]}"
