@@ -15,55 +15,135 @@
 #include <algorithm>
 #include <map>
 #include <string>
+#include <utility>
 #include <vector>
-
-extern "C" {
 
 // ---------------------------------------------------------------------------
 // bitpacking: values packed LSB-first at `bits` per value (layout-compatible
 // with numpy packbits(bitorder="little") of the per-value bit expansion).
+//
+// Width-templated kernels: with BITS a compile-time constant every shift is
+// constant, the 8-value inner block (= exactly BITS bytes of input) fully
+// unrolls, and -O3 -march=native auto-vectorizes the constant-stride loads
+// (the same per-width code-gen scheme as the reference's SIMD bitpacking
+// crate, rust/compression/bitpacking).
 // ---------------------------------------------------------------------------
 
-void bitpack_encode_u64(const uint64_t* in, int64_t n, int bits, uint8_t* out) {
-  // out must be zeroed, size >= ceil(n*bits/8)
-  int64_t bitpos = 0;
-  for (int64_t i = 0; i < n; i++) {
-    uint64_t v = in[i];
-    int64_t byte = bitpos >> 3;
-    int shift = (int)(bitpos & 7);
-    // write up to 64+7 bits: do it in <=9 byte-chunks
-    uint64_t lo = v << shift;
-    out[byte + 0] |= (uint8_t)(lo);
-    out[byte + 1] |= (uint8_t)(lo >> 8);
-    out[byte + 2] |= (uint8_t)(lo >> 16);
-    out[byte + 3] |= (uint8_t)(lo >> 24);
-    out[byte + 4] |= (uint8_t)(lo >> 32);
-    out[byte + 5] |= (uint8_t)(lo >> 40);
-    out[byte + 6] |= (uint8_t)(lo >> 48);
-    out[byte + 7] |= (uint8_t)(lo >> 56);
-    if (shift + bits > 64) {
-      out[byte + 8] |= (uint8_t)(v >> (64 - shift));
-    }
-    bitpos += bits;
-  }
-}
+namespace {
 
-void bitpack_decode_u64(const uint8_t* in, int64_t n, int bits, uint64_t* out) {
-  const uint64_t mask = bits >= 64 ? ~0ULL : ((1ULL << bits) - 1);
-  int64_t bitpos = 0;
-  for (int64_t i = 0; i < n; i++) {
+template <int BITS>
+void bitpack_decode_t(const uint8_t* in, int64_t n, uint64_t* out) {
+  constexpr uint64_t mask = BITS >= 64 ? ~0ULL : ((1ULL << BITS) - 1);
+  int64_t g8 = n / 8;  // 8 values consume exactly BITS bytes
+  const uint8_t* p = in;
+  for (int64_t g = 0; g < g8; g++) {
+    #pragma GCC unroll 8
+    for (int j = 0; j < 8; j++) {
+      int64_t bit = (int64_t)j * BITS;
+      int64_t byte = bit >> 3;
+      int shift = (int)(bit & 7);
+      uint64_t lo;
+      std::memcpy(&lo, p + byte, 8);  // callers pad input by 8 bytes
+      uint64_t v = lo >> shift;
+      if (shift + BITS > 64) {
+        uint64_t hi = (uint64_t)p[byte + 8];
+        v |= hi << (64 - shift);
+      }
+      out[g * 8 + j] = v & mask;
+    }
+    p += BITS;
+  }
+  int64_t done = g8 * 8;
+  int64_t bitpos = done * BITS;
+  for (int64_t i = done; i < n; i++) {
     int64_t byte = bitpos >> 3;
     int shift = (int)(bitpos & 7);
     uint64_t lo;
-    std::memcpy(&lo, in + byte, 8);  // callers pad input by 8 bytes
+    std::memcpy(&lo, in + byte, 8);
     uint64_t v = lo >> shift;
-    if (shift + bits > 64) {
-      uint64_t hi = (uint64_t)in[byte + 8];
-      v |= hi << (64 - shift);
-    }
+    if (shift + BITS > 64) v |= ((uint64_t)in[byte + 8]) << (64 - shift);
     out[i] = v & mask;
-    bitpos += bits;
+    bitpos += BITS;
   }
+}
+
+template <int BITS>
+void bitpack_encode_t(const uint64_t* in, int64_t n, uint8_t* out) {
+  // out must be zeroed, size >= ceil(n*bits/8). 8-value groups are exactly
+  // BITS bytes and byte-aligned, so each group accumulates into a local
+  // buffer (no read-modify-write on the output stream) and lands with one
+  // bulk copy.
+  int64_t g8 = n / 8;
+  uint8_t* p = out;
+  for (int64_t g = 0; g < g8; g++) {
+    uint8_t buf[BITS + 8];
+    std::memset(buf, 0, sizeof buf);
+    #pragma GCC unroll 8
+    for (int j = 0; j < 8; j++) {
+      int64_t bit = (int64_t)j * BITS;
+      int64_t byte = bit >> 3;
+      int shift = (int)(bit & 7);
+      uint64_t v = in[g * 8 + j];
+      uint64_t cur;
+      std::memcpy(&cur, buf + byte, 8);
+      cur |= v << shift;
+      std::memcpy(buf + byte, &cur, 8);
+      if (shift + BITS > 64) buf[byte + 8] |= (uint8_t)(v >> (64 - shift));
+    }
+    std::memcpy(p, buf, BITS);
+    p += BITS;
+  }
+  int64_t done = g8 * 8;
+  int64_t bitpos = done * BITS;
+  for (int64_t i = done; i < n; i++) {
+    uint64_t v = in[i];
+    int64_t byte = bitpos >> 3;
+    int shift = (int)(bitpos & 7);
+    uint64_t lo = v << shift;
+    #pragma GCC unroll 8
+    for (int b = 0; b < 8; b++) out[byte + b] |= (uint8_t)(lo >> (8 * b));
+    if (shift + BITS > 64) {
+      out[byte + 8] |= (uint8_t)(v >> (64 - shift));
+    }
+    bitpos += BITS;
+  }
+}
+
+using DecodeFn = void (*)(const uint8_t*, int64_t, uint64_t*);
+using EncodeFn = void (*)(const uint64_t*, int64_t, uint8_t*);
+
+// widths 1..64 (index 0 unused)
+template <typename Seq>
+struct TablesFor;
+template <int... I>
+struct TablesFor<std::integer_sequence<int, I...>> {
+  static constexpr DecodeFn dec[1 + sizeof...(I)] = {
+      nullptr, bitpack_decode_t<I + 1>...};
+  static constexpr EncodeFn enc[1 + sizeof...(I)] = {
+      nullptr, bitpack_encode_t<I + 1>...};
+};
+using Tables = TablesFor<std::make_integer_sequence<int, 64>>;
+
+// fixed-size copies let the compiler emit straight-line vector moves instead
+// of a generic memcpy call per row
+template <int64_t S>
+void gather_stride_t(const uint8_t* src, const int64_t* indices, int64_t n,
+                     uint8_t* dst) {
+  for (int64_t i = 0; i < n; i++) {
+    std::memcpy(dst + i * S, src + indices[i] * S, (size_t)S);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void bitpack_encode_u64(const uint64_t* in, int64_t n, int bits, uint8_t* out) {
+  Tables::enc[bits](in, n, out);
+}
+
+void bitpack_decode_u64(const uint8_t* in, int64_t n, int bits, uint64_t* out) {
+  Tables::dec[bits](in, n, out);
 }
 
 // ---------------------------------------------------------------------------
@@ -81,6 +161,17 @@ void gather_ranges(const uint8_t* src, const int64_t* offsets, const int64_t* le
 
 void gather_fixed_stride(const uint8_t* src, const int64_t* indices, int64_t n,
                          int64_t stride, uint8_t* dst) {
+  switch (stride) {
+    case 1: gather_stride_t<1>(src, indices, n, dst); return;
+    case 2: gather_stride_t<2>(src, indices, n, dst); return;
+    case 4: gather_stride_t<4>(src, indices, n, dst); return;
+    case 8: gather_stride_t<8>(src, indices, n, dst); return;
+    case 16: gather_stride_t<16>(src, indices, n, dst); return;
+    case 32: gather_stride_t<32>(src, indices, n, dst); return;
+    case 64: gather_stride_t<64>(src, indices, n, dst); return;
+    case 128: gather_stride_t<128>(src, indices, n, dst); return;
+    default: break;
+  }
   for (int64_t i = 0; i < n; i++) {
     std::memcpy(dst + i * stride, src + indices[i] * stride, (size_t)stride);
   }
@@ -222,11 +313,25 @@ int64_t fsst_compress(const uint8_t* table, const uint8_t* in, int64_t n, uint8_
   return fsst_encode_with(t, in, n, out, head, nxt);
 }
 
-// returns decompressed size; out must hold the known raw size
-int64_t fsst_decompress(const uint8_t* table, const uint8_t* in, int64_t n, uint8_t* out) {
+// returns decompressed size; out must hold the known raw size + 8 bytes of
+// slack (out_cap = raw + 8) — the fast path writes each symbol as one blind
+// 8-byte store (every symbol slot is 8 bytes) and only advances by len, the
+// classic FSST-paper decode trick.
+int64_t fsst_decompress(const uint8_t* table, const uint8_t* in, int64_t n,
+                        uint8_t* out, int64_t out_cap) {
   FsstTable t = fsst_load(table, nullptr);
   int64_t o = 0, i = 0;
-  while (i < n) {
+  const int64_t fast_o = out_cap - 8;
+  while (i < n && o <= fast_o) {
+    uint8_t c = in[i++];
+    if (c == 255) {
+      out[o++] = in[i++];
+    } else {
+      std::memcpy(out + o, t.sym + (int64_t)c * 8, 8);
+      o += t.len[c];
+    }
+  }
+  while (i < n) {  // tail: byte-exact
     uint8_t c = in[i++];
     if (c == 255) {
       out[o++] = in[i++];
@@ -354,7 +459,13 @@ int64_t lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
       } while (b == 255);
     }
     if (ip + lit_len > iend || op + lit_len > oend) return -1;
-    std::memcpy(op, ip, lit_len);
+    // wild copy in 16-byte strides when slack allows (memcpy call overhead
+    // dominates short literal runs otherwise)
+    if (lit_len <= 16 && ip + 16 <= iend && op + 16 <= oend) {
+      std::memcpy(op, ip, 16);
+    } else {
+      std::memcpy(op, ip, lit_len);
+    }
     ip += lit_len;
     op += lit_len;
     if (ip >= iend) break;  // last sequence has no match
@@ -373,8 +484,21 @@ int64_t lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
     }
     if (op + match_len > oend) return -1;
     const uint8_t* match = op - off;
-    // byte-wise: matches may overlap the output being produced
-    for (int64_t i = 0; i < match_len; i++) op[i] = match[i];
+    if (off >= 8 && op + match_len + 8 <= oend) {
+      // non-overlapping in 8-byte strides (may overshoot by <8 into slack
+      // that the bounds check above guarantees is still ours to write)
+      uint8_t* o2 = op;
+      const uint8_t* m2 = match;
+      const uint8_t* olim = op + match_len;
+      while (o2 < olim) {
+        std::memcpy(o2, m2, 8);
+        o2 += 8;
+        m2 += 8;
+      }
+    } else {
+      // byte-wise: matches may overlap the output being produced
+      for (int64_t i = 0; i < match_len; i++) op[i] = match[i];
+    }
     op += match_len;
   }
   return op - dst;

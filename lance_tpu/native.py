@@ -49,7 +49,8 @@ def _load() -> ctypes.CDLL | None:
             lib.fsst_train.restype = ctypes.c_int64
             lib.fsst_compress.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
             lib.fsst_compress.restype = ctypes.c_int64
-            lib.fsst_decompress.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+            lib.fsst_decompress.argtypes = [u8p, u8p, ctypes.c_int64, u8p,
+                                            ctypes.c_int64]
             lib.fsst_decompress.restype = ctypes.c_int64
             lib.lz4_compress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
             lib.lz4_compress.restype = ctypes.c_int64
@@ -146,7 +147,8 @@ def fsst_decompress(table: bytes, data: bytes, raw_len: int) -> bytes:
     src = np.frombuffer(data, dtype=np.uint8)
     tbl = np.frombuffer(table, dtype=np.uint8)
     out = np.empty(raw_len + 8, dtype=np.uint8)
-    n = lib.fsst_decompress(_u8(tbl), _u8(src), src.size, _u8(out))
+    n = lib.fsst_decompress(_u8(tbl), _u8(src), src.size, _u8(out),
+                            out.size)
     return out[:n].tobytes()
 
 
