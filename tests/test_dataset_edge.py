@@ -1,0 +1,299 @@
+"""Dataset-layer edge cases (VERDICT r1 weak #9): concurrent branch ops,
+clone-of-clone layering, schema evolution x compaction interleavings, and
+mutation races through the public API.
+
+Reference behavior contracts: rust/lance/src/dataset/transaction.rs:27-46
+(conflict matrix), optimize.rs (compaction), schema_evolution.rs.
+"""
+
+import threading
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset import WriteParams
+from lance_tpu.errors import CommitConflictError, InvalidInputError
+
+
+def _uri(name):
+    return f"memory://edge-{uuid.uuid4().hex[:8]}/{name}"
+
+
+def _table(n=100, offset=0):
+    return pa.table({
+        "id": pa.array(np.arange(offset, offset + n, dtype=np.int64)),
+        "val": pa.array(np.arange(offset, offset + n) * 1.5),
+    })
+
+
+# -- concurrent branch operations -------------------------------------------------
+
+
+def test_concurrent_branch_creates():
+    ds = lt.write_dataset(_table(50), _uri("br"))
+    errs = []
+
+    def worker(i):
+        try:
+            ds.create_branch(f"b{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    names = {b["branch"] for b in ds.branches.list()}
+    assert names == {f"b{i}" for i in range(6)}
+
+
+def test_concurrent_writes_to_different_branches():
+    ds = lt.write_dataset(_table(50), _uri("brw"))
+    ds.create_branch("a")
+    ds.create_branch("b")
+    results, errs = {}, []
+
+    def worker(name, offset):
+        try:
+            d = ds.checkout_branch(name)
+            d = d.insert(_table(25, offset=offset))
+            results[name] = d.count_rows()
+        except Exception as e:  # pragma: no cover
+            errs.append((name, e))
+
+    ts = [threading.Thread(target=worker, args=("a", 100)),
+          threading.Thread(target=worker, args=("b", 200))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert results == {"a": 75, "b": 75}
+    # branches diverged independently; main untouched
+    assert ds.checkout_branch("a").count_rows() == 75
+    assert ds.checkout_branch("b").count_rows() == 75
+    assert lt.dataset(ds.uri).count_rows() == 50
+
+
+def test_same_branch_name_race_single_winner():
+    ds = lt.write_dataset(_table(10), _uri("brr"))
+    outcomes = []
+
+    def worker():
+        try:
+            ds.create_branch("dup")
+            outcomes.append("ok")
+        except Exception:
+            outcomes.append("err")
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # exactly one creation wins; the rest see "already exists"
+    assert outcomes.count("ok") == 1, outcomes
+    assert len([b for b in ds.branches.list() if b["branch"] == "dup"]) == 1
+
+
+# -- clone layering ---------------------------------------------------------------
+
+
+def test_shallow_clone_of_shallow_clone_reads_through():
+    src = lt.write_dataset(_table(100), _uri("c0"),
+                           params=WriteParams(max_rows_per_file=40))
+    c1 = src.clone_to(_uri("c1"), shallow=True)
+    # write into c1 so it has its own fragments on top of the base
+    c1 = c1.insert(_table(20, offset=100))
+    c2 = c1.clone_to(_uri("c2"), shallow=True)
+    got = np.sort(np.asarray(c2.to_table(columns=["id"])["id"]))
+    np.testing.assert_array_equal(got, np.arange(120))
+    # filters resolve through two base layers
+    assert c2.count_rows("id >= 110") == 10
+
+    # writes land only in the top layer
+    c2 = c2.delete("id < 10")
+    assert c2.count_rows() == 110
+    assert lt.dataset(c1.uri).count_rows() == 120
+    assert lt.dataset(src.uri).count_rows() == 100
+
+
+def test_deep_clone_of_shallow_clone_is_self_contained():
+    src = lt.write_dataset(_table(60), _uri("d0"))
+    c1 = src.clone_to(_uri("d1"), shallow=True)
+    c1 = c1.insert(_table(10, offset=60))
+    deep = c1.clone_to(_uri("d2"), shallow=False)
+    assert deep.count_rows() == 70
+    assert not deep.manifest.base_paths, "deep clone must not reference bases"
+    # mutating the intermediate clone does not affect the deep copy
+    lt.dataset(c1.uri).delete("id < 30")
+    assert lt.dataset(deep.uri).count_rows() == 70
+
+
+def test_clone_at_old_version_then_evolve_source():
+    src = lt.write_dataset(_table(40), _uri("e0"))
+    v1 = src.version
+    src2 = src.insert(_table(40, offset=40))
+    clone = src2.clone_to(_uri("e1"), version=v1, shallow=True)
+    assert clone.count_rows() == 40
+    # evolving the source afterwards must not leak into the clone
+    src3 = src2.add_columns({"doubled": "val * 2"})
+    assert "doubled" in src3.schema.names
+    reread = lt.dataset(clone.uri)
+    assert "doubled" not in reread.schema.names
+    assert reread.count_rows() == 40
+
+
+def test_clone_into_nonempty_destination_fails():
+    src = lt.write_dataset(_table(10), _uri("f0"))
+    dest = _uri("f1")
+    lt.write_dataset(_table(5), dest)
+    with pytest.raises(InvalidInputError):
+        src.clone_to(dest, shallow=True)
+
+
+# -- schema evolution x compaction ------------------------------------------------
+
+
+def test_add_column_then_compact_preserves_backfill():
+    ds = lt.write_dataset(_table(200), _uri("sc0"),
+                          params=WriteParams(max_rows_per_file=50))
+    ds = ds.add_columns({"tripled": "val * 3"})
+    ds = ds.delete("id % 10 = 0")
+    ds2 = ds.optimize_compact(target_rows_per_fragment=1000)
+    assert len(ds2.manifest.fragments) == 1
+    t = ds2.to_table(columns=["id", "tripled"])
+    ids = np.asarray(t["id"])
+    np.testing.assert_allclose(np.asarray(t["tripled"]), ids * 1.5 * 3)
+    assert (ids % 10 != 0).all()
+
+
+def test_compact_then_drop_column_then_read_old_version():
+    ds = lt.write_dataset(_table(120), _uri("sc1"),
+                          params=WriteParams(max_rows_per_file=40))
+    ds = ds.optimize_compact(target_rows_per_fragment=1000)
+    v_compacted = ds.version
+    ds = ds.drop_columns(["val"])
+    assert ds.schema.names == ["id"]
+    # time travel past the drop still sees the column (column groups intact)
+    old = ds.checkout_version(v_compacted)
+    t = old.to_table(columns=["id", "val"])
+    np.testing.assert_allclose(np.asarray(t["val"]), np.arange(120) * 1.5)
+
+
+def test_evolution_during_compaction_conflicts_cleanly():
+    """Compaction rewrites fragments; a Project (drop column) landing between
+    plan and commit must either rebase or raise CommitConflictError — never
+    corrupt. (reference conflict matrix: Rewrite vs Project conflict)"""
+    from lance_tpu.dataset.optimize import CompactionOptions, commit_compaction, plan_compaction
+
+    ds = lt.write_dataset(_table(150), _uri("sc2"),
+                          params=WriteParams(max_rows_per_file=50))
+    plan = plan_compaction(ds, CompactionOptions(target_rows_per_fragment=1000))
+    results = [task.execute(ds) for task in plan.tasks]
+    # concurrent schema change commits first
+    ds.add_columns({"quad": "val * 4"})
+    try:
+        commit_compaction(ds, results)
+        # if the commit rebased, data must still be consistent at the new schema
+        reread = lt.dataset(ds.uri)
+        t = reread.to_table(columns=["id"])
+        assert t.num_rows == 150
+    except CommitConflictError:
+        # clean refusal is acceptable: dataset must remain readable
+        reread = lt.dataset(ds.uri)
+        assert reread.count_rows() == 150
+        assert "quad" in reread.schema.names
+
+
+def test_delete_during_compaction_is_not_lost():
+    """A delete committed between compaction plan and commit either survives
+    (rebase) or forces a conflict — deleted rows must never resurrect."""
+    from lance_tpu.dataset.optimize import CompactionOptions, commit_compaction, plan_compaction
+
+    ds = lt.write_dataset(_table(100), _uri("sc3"),
+                          params=WriteParams(max_rows_per_file=25))
+    plan = plan_compaction(ds, CompactionOptions(target_rows_per_fragment=1000))
+    results = [task.execute(ds) for task in plan.tasks]
+    ds.delete("id < 10")  # lands first
+    try:
+        commit_compaction(ds, results)
+        final = lt.dataset(ds.uri)
+        assert final.count_rows("id < 10") == 0, "deleted rows resurrected"
+    except CommitConflictError:
+        final = lt.dataset(ds.uri)
+        assert final.count_rows("id < 10") == 0
+        assert final.count_rows() == 90
+
+
+# -- mutation races ---------------------------------------------------------------
+
+
+def test_concurrent_update_and_append():
+    ds = lt.write_dataset(_table(100), _uri("m0"),
+                          params=WriteParams(max_rows_per_file=100))
+    errs = []
+
+    def upd():
+        try:
+            ds.update({"val": "val + 1000"}, where="id < 50")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def app():
+        try:
+            ds.insert(_table(30, offset=100))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=upd), threading.Thread(target=app)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs  # Update vs Append is rebasable, both must land
+    final = lt.dataset(ds.uri)
+    assert final.count_rows() == 130
+    t = final.to_table(columns=["id", "val"], filter="id < 50")
+    np.testing.assert_allclose(np.asarray(t["val"]),
+                               np.asarray(t["id"]) * 1.5 + 1000)
+
+
+def test_concurrent_deletes_disjoint_fragments():
+    ds = lt.write_dataset(_table(200), _uri("m1"),
+                          params=WriteParams(max_rows_per_file=100))
+    errs = []
+
+    def worker(pred):
+        try:
+            ds.delete(pred)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=("id < 20",)),
+          threading.Thread(target=worker, args=("id >= 180",))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs  # disjoint fragments: Delete vs Delete rebases
+    assert lt.dataset(ds.uri).count_rows() == 160
+
+
+def test_restore_after_evolution_round_trip():
+    ds = lt.write_dataset(_table(30), _uri("m2"))
+    v0 = ds.version
+    ds = ds.add_columns({"neg": "0 - val"})
+    ds = ds.delete("id >= 20")
+    old = ds.checkout_version(v0)
+    restored = old.restore()
+    assert restored.version > ds.version
+    assert restored.schema.names == ["id", "val"]
+    assert restored.count_rows() == 30
+    # full history is still navigable
+    assert lt.dataset(ds.uri, version=v0).count_rows() == 30
