@@ -637,14 +637,15 @@ class LanceDataset:
 
 
 def dataset(uri: str, version: int | None = None, session: Session | None = None,
-            branch: str | None = None) -> LanceDataset:
+            branch: str | None = None,
+            commit_handler: CommitHandler | None = None) -> LanceDataset:
     base_store, base = store_for_uri(uri)
     store = PrefixedStore(base_store, base) if base else base_store
     if branch is not None:
         from ..io.object_store import BranchStore
 
         store = BranchStore(store, branch)
-    handler = ConditionalPutCommitHandler()
+    handler = commit_handler or ConditionalPutCommitHandler()
     v = version if version is not None else handler.latest_version(store)
     if v is None:
         raise NotFoundError(f"no dataset at {uri}")
@@ -654,17 +655,19 @@ def dataset(uri: str, version: int | None = None, session: Session | None = None
 
 
 def write_dataset(data, uri: str, mode: str = "create", schema: Schema | None = None,
-                  params: WriteParams | None = None, session: Session | None = None) -> LanceDataset:
+                  params: WriteParams | None = None, session: Session | None = None,
+                  commit_handler: CommitHandler | None = None) -> LanceDataset:
     params = params or WriteParams()
     base_store, base = store_for_uri(uri)
     store = PrefixedStore(base_store, base) if base else base_store
-    handler = ConditionalPutCommitHandler()
+    handler = commit_handler or ConditionalPutCommitHandler()
     existing_version = handler.latest_version(store)
 
     if mode == "create" and existing_version is not None:
         raise InvalidInputError(f"dataset already exists at {uri}; use mode='append' or 'overwrite'")
     if mode == "append" and existing_version is not None:
-        return dataset(uri, session=session).insert(data, "append", params)
+        return dataset(uri, session=session,
+                       commit_handler=commit_handler).insert(data, "append", params)
 
     frags, schema = write_fragments(store, data, schema, params)
     upserts = {"lance.stable_row_ids": "true"} if params.enable_stable_row_ids else {}

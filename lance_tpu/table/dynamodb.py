@@ -1,0 +1,140 @@
+"""DynamoDB-backed external manifest store.
+
+Real-wire-protocol counterpart of the reference's DynamoDB commit handler
+(rust/lance-table/src/io/commit/dynamodb.rs): a DynamoDB table keyed by
+(base_uri HASH, version RANGE N) owns the latest-version pointer for stores
+without atomic conditional put. Commit = PutItem conditioned on
+attribute_not_exists(version) — versions are dense, so winning the put of
+version N is the commit point; latest = Query descending limit 1.
+
+Speaks the AWS JSON 1.0 protocol (X-Amz-Target: DynamoDB_20120810.*) over
+stdlib urllib with the same SigV4 signer as the S3 provider; point
+`endpoint_url` at DynamoDB Local / localstack / the in-process mock for
+tests. Plugs into ExternalCommitHandler (table/external.py) as the
+ExternalManifestStore implementation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+from ..errors import IOError_
+from ..io.s3 import sigv4_headers
+
+_TARGET_PREFIX = "DynamoDB_20120810."
+_CONDITION_FAILED = "ConditionalCheckFailedException"
+
+
+class DynamoDBManifestStore:
+    """ExternalManifestStore over a DynamoDB table.
+
+    Table schema (created externally or via `create_table()`):
+      base_uri: S, HASH key — the dataset identity
+      version:  N, RANGE key — manifest version
+    """
+
+    def __init__(self, table_name: str, region: str | None = None,
+                 endpoint_url: str | None = None,
+                 access_key: str | None = None, secret_key: str | None = None,
+                 session_token: str | None = None):
+        self.table = table_name
+        self.region = region or os.environ.get("AWS_REGION", "us-east-1")
+        self.endpoint = (endpoint_url
+                         or os.environ.get("DYNAMODB_ENDPOINT_URL")
+                         or os.environ.get("AWS_ENDPOINT_URL_DYNAMODB")
+                         or f"https://dynamodb.{self.region}.amazonaws.com")
+        self.access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+        self.secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+        self.session_token = session_token or os.environ.get("AWS_SESSION_TOKEN")
+
+    # -- wire ----------------------------------------------------------------
+
+    def _call(self, op: str, body: dict) -> dict:
+        payload = json.dumps(body).encode()
+        headers = {
+            "Content-Type": "application/x-amz-json-1.0",
+            "X-Amz-Target": _TARGET_PREFIX + op,
+        }
+        headers.update(sigv4_headers(
+            "POST", self.endpoint + "/", self.region, "dynamodb",
+            self.access_key, self.secret_key, headers=headers,
+            payload=payload, session_token=self.session_token))
+        req = urllib.request.Request(self.endpoint + "/", data=payload,
+                                     headers=headers, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode(errors="replace")
+            try:
+                err_type = json.loads(detail).get("__type", "")
+            except Exception:
+                err_type = ""
+            if _CONDITION_FAILED in err_type:
+                raise _ConditionFailed()
+            raise IOError_(
+                f"DynamoDB {op} failed ({e.code}): {detail[:300]}") from e
+        except urllib.error.URLError as e:
+            raise IOError_(f"DynamoDB {op} unreachable: {e.reason}") from e
+
+    # -- ExternalManifestStore protocol ---------------------------------------
+
+    def get_latest(self, base_uri: str) -> int | None:
+        out = self._call("Query", {
+            "TableName": self.table,
+            "KeyConditionExpression": "base_uri = :u",
+            "ExpressionAttributeValues": {":u": {"S": base_uri}},
+            "ScanIndexForward": False,
+            "Limit": 1,
+            "ConsistentRead": True,
+        })
+        items = out.get("Items", [])
+        if not items:
+            return None
+        return int(items[0]["version"]["N"])
+
+    def put_if_version(self, base_uri: str, version: int,
+                       expect_prev: int | None) -> bool:
+        try:
+            self._call("PutItem", {
+                "TableName": self.table,
+                "Item": {
+                    "base_uri": {"S": base_uri},
+                    "version": {"N": str(version)},
+                },
+                "ConditionExpression": "attribute_not_exists(version)",
+            })
+            return True
+        except _ConditionFailed:
+            return False
+
+    # -- convenience ----------------------------------------------------------
+
+    def create_table(self, read_capacity: int = 5, write_capacity: int = 5) -> None:
+        """Create the commit table (idempotent: swallows already-exists)."""
+        try:
+            self._call("CreateTable", {
+                "TableName": self.table,
+                "KeySchema": [
+                    {"AttributeName": "base_uri", "KeyType": "HASH"},
+                    {"AttributeName": "version", "KeyType": "RANGE"},
+                ],
+                "AttributeDefinitions": [
+                    {"AttributeName": "base_uri", "AttributeType": "S"},
+                    {"AttributeName": "version", "AttributeType": "N"},
+                ],
+                "ProvisionedThroughput": {
+                    "ReadCapacityUnits": read_capacity,
+                    "WriteCapacityUnits": write_capacity,
+                },
+            })
+        except IOError_ as e:
+            if "ResourceInUseException" not in str(e):
+                raise
+
+
+class _ConditionFailed(Exception):
+    pass

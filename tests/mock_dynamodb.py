@@ -1,0 +1,98 @@
+"""Minimal in-process DynamoDB for commit-handler tests: AWS JSON 1.0
+protocol (X-Amz-Target routing) with PutItem conditional on
+attribute_not_exists, descending Query, and CreateTable. Enough surface to
+exercise lance_tpu.table.dynamodb.DynamoDBManifestStore over the real wire
+format (localstack stand-in, like mock_s3/mock_gcs/mock_azure)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class MockDynamoDB:
+    def __init__(self):
+        # tables[name][base_uri] = {version(int): item(dict)}
+        self.tables: dict[str, dict[str, dict[int, dict]]] = {}
+        self.lock = threading.Lock()
+        self.condition_failures = 0
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/x-amz-json-1.0")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _err(self, code, err_type, msg=""):
+                self._send(code, {
+                    "__type": f"com.amazonaws.dynamodb.v20120810#{err_type}",
+                    "message": msg,
+                })
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                target = self.headers.get("X-Amz-Target", "")
+                op = target.split(".")[-1]
+                with srv.lock:
+                    if op == "CreateTable":
+                        name = body["TableName"]
+                        if name in srv.tables:
+                            return self._err(400, "ResourceInUseException")
+                        srv.tables[name] = {}
+                        return self._send(200, {"TableDescription": {
+                            "TableName": name, "TableStatus": "ACTIVE"}})
+                    name = body.get("TableName")
+                    if name not in srv.tables:
+                        return self._err(400, "ResourceNotFoundException")
+                    table = srv.tables[name]
+                    if op == "PutItem":
+                        item = body["Item"]
+                        uri = item["base_uri"]["S"]
+                        ver = int(item["version"]["N"])
+                        cond = body.get("ConditionExpression", "")
+                        rows = table.setdefault(uri, {})
+                        if "attribute_not_exists" in cond and ver in rows:
+                            srv.condition_failures += 1
+                            return self._err(
+                                400, "ConditionalCheckFailedException",
+                                "The conditional request failed")
+                        rows[ver] = item
+                        return self._send(200, {})
+                    if op == "Query":
+                        vals = body.get("ExpressionAttributeValues", {})
+                        uri = vals.get(":u", {}).get("S")
+                        rows = table.get(uri, {})
+                        versions = sorted(rows, reverse=not body.get(
+                            "ScanIndexForward", True))
+                        limit = body.get("Limit", len(versions))
+                        items = [rows[v] for v in versions[:limit]]
+                        return self._send(200, {"Items": items,
+                                                "Count": len(items)})
+                    if op == "GetItem":
+                        key = body["Key"]
+                        uri = key["base_uri"]["S"]
+                        ver = int(key["version"]["N"])
+                        item = table.get(uri, {}).get(ver)
+                        return self._send(200, {"Item": item} if item else {})
+                    return self._err(400, "UnknownOperationException", op)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.httpd.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

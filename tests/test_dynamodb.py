@@ -1,0 +1,94 @@
+"""DynamoDB commit handler over the real JSON wire protocol, against the
+in-process mock (reference: rust/lance-table/src/io/commit/dynamodb.rs +
+python tests/test_s3_ddb.py semantics)."""
+
+import threading
+import uuid
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.errors import IOError_
+from lance_tpu.table.dynamodb import DynamoDBManifestStore
+from lance_tpu.table.external import ExternalCommitHandler
+
+from mock_dynamodb import MockDynamoDB
+
+
+@pytest.fixture()
+def ddb():
+    srv = MockDynamoDB()
+    store = DynamoDBManifestStore(
+        "lance_commits", region="us-east-1", endpoint_url=srv.url,
+        access_key="AKIDEXAMPLE", secret_key="secret")
+    store.create_table()
+    yield srv, store
+    srv.close()
+
+
+def test_pointer_cas_semantics(ddb):
+    srv, store = ddb
+    assert store.get_latest("s3://bkt/ds") is None
+    assert store.put_if_version("s3://bkt/ds", 1, None) is True
+    assert store.put_if_version("s3://bkt/ds", 1, None) is False  # lost race
+    assert store.put_if_version("s3://bkt/ds", 2, 1) is True
+    assert store.get_latest("s3://bkt/ds") == 2
+    assert srv.condition_failures == 1
+    # independent datasets don't interfere
+    assert store.get_latest("s3://bkt/other") is None
+
+
+def test_create_table_idempotent(ddb):
+    _, store = ddb
+    store.create_table()  # second call swallows ResourceInUse
+
+
+def test_missing_table_raises_io_error(ddb):
+    srv, _ = ddb
+    store = DynamoDBManifestStore("no_such_table", endpoint_url=srv.url,
+                                  access_key="k", secret_key="s")
+    with pytest.raises(IOError_, match="ResourceNotFound"):
+        store.get_latest("s3://x/y")
+
+
+def test_commits_through_dynamodb_handler(ddb):
+    """Full dataset commit path with DynamoDB owning the latest pointer."""
+    _, store = ddb
+    uri = f"memory://ddb-{uuid.uuid4().hex[:8]}/ds"
+    handler = ExternalCommitHandler(store, uri)
+    ds = lt.write_dataset({"id": np.arange(20, dtype=np.int64)}, uri,
+                          commit_handler=handler)
+    ds = ds.delete("id < 5")
+    assert ds.count_rows() == 15
+    assert store.get_latest(uri) == ds.version
+    # reopen resolves latest through the pointer
+    again = lt.dataset(uri, commit_handler=handler)
+    assert again.version == ds.version
+    assert again.count_rows() == 15
+
+
+def test_concurrent_commits_single_winner_per_version(ddb):
+    _, store = ddb
+    uri = f"memory://ddbrace-{uuid.uuid4().hex[:8]}/ds"
+    handler = ExternalCommitHandler(store, uri)
+    ds = lt.write_dataset({"id": np.arange(100, dtype=np.int64)}, uri,
+                          params=lt.WriteParams(max_rows_per_file=50),
+                          commit_handler=handler)
+    errs = []
+
+    def worker(lo, hi):
+        try:
+            ds.delete(f"id >= {lo} and id < {hi}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(0, 10)),
+          threading.Thread(target=worker, args=(50, 60))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs  # delete/delete rebases through the retry loop
+    final = lt.dataset(uri, commit_handler=handler)
+    assert final.count_rows() == 80
