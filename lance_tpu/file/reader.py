@@ -24,6 +24,32 @@ from .format import FOOTER_LEN, unpack_footer, unpack_metadata
 
 _TAKE_FULL_PAGE_FRACTION = 0.25  # read whole page when taking >25% of its rows
 
+_pool = None
+_pool_lock = None
+
+
+def _decode_pool():
+    """Shared CPU decode pool (reference dual-runtime spawn_cpu analog,
+    lance-core/src/utils/tokio.rs:54; LANCE_CPU_THREADS env, <=1 disables)."""
+    global _pool, _pool_lock
+    import os
+    import threading
+
+    if _pool_lock is None:
+        _pool_lock = threading.Lock()
+    with _pool_lock:
+        if _pool is None:
+            n = int(os.environ.get("LANCE_CPU_THREADS",
+                                   min(8, os.cpu_count() or 1)))
+            if n <= 1:
+                _pool = False
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _pool = ThreadPoolExecutor(max_workers=n,
+                                           thread_name_prefix="lance-decode")
+        return _pool or None
+
 
 def _coalesce(ranges: list[tuple[int, int]], gap: int = 4096) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
     """Merge nearby ranges; returns (merged, per-original (merged_idx, delta))."""
@@ -202,9 +228,37 @@ class FileReader:
 
     def read_range(self, row_start: int, row_count: int, columns: list[str] | None = None) -> dict[str, ColumnData]:
         columns = columns or self.schema.names
-        futs = self._schedule_range(columns, row_start, row_start + row_count)
-        return {c: self.read_column(c, row_start, row_count, _futures=futs)
-                for c in columns}
+        row_end = row_start + row_count
+        futs = self._schedule_range(columns, row_start, row_end)
+        pool = _decode_pool()
+        present = [c for c in columns if c in self._columns]
+        pages = [(c, s, e, p) for c in present
+                 for s, e, p in self._pages_in_range(c, row_start, row_end)]
+        if pool is None or len(pages) < 2:
+            return {c: self.read_column(c, row_start, row_count, _futures=futs)
+                    for c in columns}
+        # CPU-parallel decode across all pages of all projected columns
+        # (reference dual-runtime spawn_cpu analog, lance-core tokio.rs:54;
+        # zstd/lz4/fsst/numpy release the GIL so pages decode concurrently)
+        decoded = list(pool.map(
+            lambda job: self._read_page(job[3], self.schema.field(job[0]).type,
+                                        futs.get(id(job[3]))),
+            pages))
+        out: dict[str, list[ColumnData]] = {c: [] for c in present}
+        for (c, p_start, p_end, p), col in zip(pages, decoded):
+            lo = max(row_start, p_start) - p_start
+            hi = min(row_end, p_end) - p_start
+            if lo != 0 or hi != p["rows"]:
+                col = col.slice(lo, hi - lo)
+            out[c].append(col)
+        result = {}
+        for c in columns:
+            if c not in self._columns:
+                raise NotFoundError(f"column {c} in {self.path}")
+            if not out.get(c):
+                raise InvalidInputError(f"empty range [{row_start}, {row_end})")
+            result[c] = concat_column_data(out[c])
+        return result
 
     def read_table(self, columns: list[str] | None = None, row_start: int = 0,
                    row_count: int | None = None) -> pa.Table:
