@@ -1,0 +1,81 @@
+"""Push the dbpedia-like 1536-D cosine config to the 0.95 recall gate
+(VERDICT r1 #6; reference: /root/reference/benchmarks/dbpedia-openai/).
+
+Round-1 result: 512x96, (16,16) -> 0.832 @ 58.2k QPS. The SIFT1M finding
+(m is FREE at search time because blocks hold decoded vectors) says m=96 at
+1536-D (16 dims/subvector) is the recall limiter; sweep m up at fixed probes
+and find the >=0.95 frontier point.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    K = 10
+    N, D, NQ = 500_000, 1536, 256
+    data, q = generate_sift_like(N, D, NQ, seed=7)
+    data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    _, gt = topk_neighbors(q, data, K, "cosine", chunk=65536)
+    gt = np.asarray(gt)
+    qh = np.asarray(q)
+    _log("gt ready")
+
+    ms = [int(x) for x in os.environ.get("DBP_MS", "384").split(",")]
+    pairs = [tuple(int(v) for v in p.split("x"))
+             for p in os.environ.get("DBP_PAIRS", "16x16,32x32,32x64").split(",")]
+    for m in ms:
+        ds = lt.write_dataset({"vec": np.asarray(data),
+                               "id": np.arange(N, dtype=np.int64)},
+                              f"memory://dbp/m{m}",
+                              params=lt.WriteParams(max_rows_per_file=N,
+                                                    compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=512,
+                             num_sub_vectors=m, num_bits=8, metric="cosine",
+                             max_iters=10)
+        b = time.time() - t
+        idx = ds._vector_index_for("vec")
+        _log(f"m={m} build {b:.0f}s")
+        for (np_, rf) in pairs:
+            t = time.time()
+            _, rid = idx.search(qh, K, nprobes=np_, refine_factor=rf)
+            rec = recall_of(rid, gt, NQ, K)
+            _log(json.dumps({"m": m, "nprobes": np_, "rf": rf,
+                             "recall": round(rec, 4),
+                             "search_s": round(time.time() - t, 1)}))
+            if rec >= 0.95:
+                fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=rf)
+                qd = jnp.asarray(np.tile(qh, (2, 1))[:512])
+                jax.block_until_ready(fn(qd))
+                t = time.time()
+                for _ in range(20):
+                    o = fn(qd)
+                jax.block_until_ready(o)
+                qps = 20 * 512 / (time.time() - t)
+                _log(json.dumps({"m": m, "nprobes": np_, "rf": rf,
+                                 "recall": round(rec, 4), "qps": round(qps),
+                                 "build_s": round(b, 1), "GATE": True}))
+        del ds, idx
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""16M recall diagnostic #3 (HOST-ONLY): where do the MISSED ground-truth
+neighbors live?
+
+Hypothesis: the balanced-accept build caps partitions at ~1.5x the mean, and
+overflow rows from hot clusters get displaced into far-away partitions that
+the query never probes (nprobes=32..64 of 8192). If true, missed neighbors
+should sit in partitions with a very deep probe rank, and their assigned
+partition should differ from their nearest-centroid partition.
+
+Reads the aux file host-side only — safe to run while a device job holds the
+chip."""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+from experiments.scale16m import host_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ, K = 16_000_000, 128, 256, 10
+    data, queries = host_sift_like(N, DIM, NQ)
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+    _log("data ready")
+
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    nlist = ivf.num_partitions
+    _log(f"nlist={nlist} maxpart={ivf.lengths.max()} mean={ivf.lengths.mean():.0f} "
+         f"cap_ratio={ivf.lengths.max()/ivf.lengths.mean():.2f}")
+    # row id -> assigned partition
+    part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+    assign = np.empty(N, np.int32)
+    assign[rowids.astype(np.int64)] = part_of_row
+
+    probe_c = ivf.probe_centroids if ivf.probe_centroids is not None else ivf.centroids
+    qn = (queries ** 2).sum(1)[:, None]
+    cn = (probe_c ** 2).sum(1)[None, :]
+    qd = qn + cn - 2.0 * queries @ probe_c.T  # (NQ, nlist)
+    probe_order = np.argsort(qd, axis=1)     # full ranking per query
+    rank_of = np.empty_like(probe_order)
+    np.put_along_axis(rank_of, probe_order, np.arange(nlist)[None, :], axis=1)
+
+    # nearest-centroid (natural) partition of each gt neighbor, vs assigned
+    ranks, displaced, nat_ranks = [], 0, []
+    for i in range(NQ):
+        for r in gt_i[i, :K]:
+            p_asn = assign[r]
+            ranks.append(int(rank_of[i, p_asn]))
+            v = data[r].astype(np.float32)
+            dd = cn[0] - 2.0 * (probe_c @ v)
+            p_nat = int(np.argmin(dd))
+            nat_ranks.append(int(rank_of[i, p_nat]))
+            if p_nat != p_asn:
+                displaced += 1
+    ranks = np.asarray(ranks)
+    nat_ranks = np.asarray(nat_ranks)
+    tot = len(ranks)
+    out = {
+        "displaced_frac": round(displaced / tot, 4),
+        "assigned_rank_within32": round(float((ranks < 32).mean()), 4),
+        "assigned_rank_within64": round(float((ranks < 64).mean()), 4),
+        "assigned_rank_within256": round(float((ranks < 256).mean()), 4),
+        "natural_rank_within32": round(float((nat_ranks < 32).mean()), 4),
+        "assigned_rank_p50_p90_p99": [int(np.percentile(ranks, p)) for p in (50, 90, 99)],
+        "hot_parts_at_cap": int((ivf.lengths >= ivf.lengths.max() - 1).sum()),
+    }
+    _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Tie-aware 16M recall: is the 0.78 plateau real quality loss or distance
+ties at integer-valued 16M density? Counts returned candidates whose EXACT
+f32 distance <= the 10th ground-truth distance (+eps) -- the standard
+tie-tolerant recall@k. If tie-recall is high while id-recall is 0.78, the
+index is returning equally-near neighbors with different ids."""
+import json, os, sys, time
+import numpy as np
+os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log
+from experiments.scale16m import host_sift_like
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    os.environ["LANCE_TPU_DIST_BF16"] = "0"
+    os.environ["LANCE_TPU_REFINE_F16"] = "1"  # f32 refine (8 GB) won't fit at 16M
+    N, DIM, NQ, K = 16_000_000, 128, 256, 10
+    data, queries = host_sift_like(N, DIM, NQ)
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    idx = ds._vector_index_for("vec")
+    INV = 0xFFFFFFFFFFFFFFFF
+    # exact 10th-gt distance per query (host f32)
+    d10 = np.empty(NQ, np.float32)
+    tie_width = np.empty(NQ, np.int32)
+    for i in range(NQ):
+        gd = ((data[gt_i[i, :K]].astype(np.float32) - queries[i]) ** 2).sum(1)
+        d10[i] = np.sort(gd)[K - 1]
+    for nprobes, rf in ((32, 32), (32, 64)):
+        t = time.time()
+        dd_dev, rid = idx.search(queries, K, nprobes=nprobes, refine_factor=rf)
+        id_hits, tie_hits = 0, 0
+        for i in range(NQ):
+            cand = rid[i][rid[i] != INV].astype(np.int64)
+            id_hits += len(set(cand.tolist()) & set(gt_i[i, :K].tolist()))
+            dd = ((data[cand].astype(np.float32) - queries[i]) ** 2).sum(1)
+            tie_hits += min(K, int((dd <= d10[i] + 1e-3).sum()))
+        _log(json.dumps({"nprobes": nprobes, "rf": rf,
+                         "id_recall": round(id_hits / (NQ * K), 4),
+                         "tie_recall": round(tie_hits / (NQ * K), 4),
+                         "secs": round(time.time() - t, 1)}))
+    # how wide are the tie plateaus at the gt 10th distance? sample 16 queries
+    sample = range(0, NQ, NQ // 16)
+    widths = []
+    for i in sample:
+        c = 0
+        for s in range(0, N, 1 << 21):
+            e = min(s + (1 << 21), N)
+            dd = ((data[s:e].astype(np.float32) - queries[i]) ** 2).sum(1)
+            c += int((dd <= d10[i] + 1e-3).sum())
+        widths.append(c)
+    _log(json.dumps({"n_within_gt10_dist": widths}))
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""16M recall fix A/B: raise the per-partition query-slot cap.
+
+Diagnosis chain (diag16m.py, diag16m_ties.py, diag16m_assign.py):
+- pool recall == exact-refine recall 0.78 -> candidate pool binds, not
+  refine fidelity (round-1's f16-resolution theory was wrong);
+- no distance ties at the gt@10 boundary;
+- 97.3% of gt neighbors sit in partitions with probe rank < 32 (their
+  ASSIGNED partition, after balanced-accept displacement), so probe
+  coverage at nprobes=32 supports ~0.97 — the query path must be dropping
+  probed partitions. With B=256, nprobes=32, nlist=8192 the q_cap slot
+  budget is max(8, 4*1) = 8; queries drawn from the data's own 4096
+  clusters overflow hot partitions' 8 slots and excess probes are dropped
+  (vector_index.py `ok = rank < q_cap`).
+
+A/B: LANCE_TPU_QCAP_SLACK in {8, 32, 128} at (nprobes=32, rf=64), f16
+refine. Expect recall 0.78 -> ~0.95+ as slack stops binding; QPS cost is
+the linear slot-FLOP growth.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(1_000_000_000)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log
+from experiments.scale16m import host_sift_like
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+
+    os.environ["LANCE_TPU_DIST_BF16"] = "0"
+    os.environ["LANCE_TPU_REFINE_F16"] = "1"  # f32 refine won't fit at 16M
+    N, DIM, NQ, K = 16_000_000, 128, 256, 10
+    data, queries = host_sift_like(N, DIM, NQ)
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+    del data
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    idx = ds._vector_index_for("vec")
+    INV = 0xFFFFFFFFFFFFFFFF
+
+    for slack in (8, 32, 128):
+        os.environ["LANCE_TPU_QCAP_SLACK"] = str(slack)
+        t = time.time()
+        _, rid = idx.search(queries, K, nprobes=32, refine_factor=64)
+        hits = 0
+        for i in range(NQ):
+            cand = rid[i][rid[i] != INV].astype(np.int64)
+            hits += len(set(cand.tolist()) & set(gt_i[i, :K].tolist()))
+        _log(json.dumps({"slack": slack, "nprobes": 32, "rf": 64,
+                         "recall": round(hits / (NQ * K), 4),
+                         "secs": round(time.time() - t, 1)}))
+
+
+if __name__ == "__main__":
+    main()
