@@ -90,17 +90,74 @@ def _balanced(s: str) -> bool:
     return depth == 0
 
 
+_WINDOW_RE = re.compile(
+    r"^(?P<fn>\w+)\s*\((?P<args>.*)\)\s+over\s*\((?P<spec>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _parse_window_spec(spec: str):
+    """'PARTITION BY a, b ORDER BY c DESC' -> (part_cols, order_keys)."""
+    if re.search(r"\b(rows|range|groups)\b", spec, re.IGNORECASE):
+        raise InvalidInputError(
+            "explicit window frames (ROWS/RANGE BETWEEN ...) are not "
+            "supported; the default frame is used")
+    part_cols: list[str] = []
+    order_keys: list[tuple[str, bool]] = []
+    m = re.match(r"^\s*(?:partition\s+by\s+(?P<part>.+?))?"
+                 r"\s*(?:order\s+by\s+(?P<order>.+?))?\s*$",
+                 spec, re.IGNORECASE | re.DOTALL)
+    if not m or (spec.strip() and not (m.group("part") or m.group("order"))):
+        raise InvalidInputError(f"unsupported window spec: {spec!r}")
+    if m.group("part"):
+        part_cols = [c.strip().strip('`"')
+                     for c in _split_top_level(m.group("part"))]
+    if m.group("order"):
+        order_keys = _parse_order(m.group("order"))
+    return part_cols, order_keys
+
+
 class _SelectItem:
-    """One SELECT-list entry: plain expression or aggregate over one."""
+    """One SELECT-list entry: plain expression, aggregate, or window fn."""
 
     def __init__(self, text: str):
         m = re.match(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[\w`\"]+)\s*$",
                      text, re.IGNORECASE | re.DOTALL)
         expr_text = (m.group("expr") if m else text).strip()
         self.alias = m.group("alias").strip('`"') if m else None
+        self.agg: str | None = None
+        self.window: dict | None = None
+        wm = _WINDOW_RE.match(expr_text)
+        if wm and _balanced(wm.group("args")) and _balanced(wm.group("spec")):
+            from .window import WINDOW_FNS
+
+            fn = wm.group("fn").lower()
+            if fn not in WINDOW_FNS:
+                raise InvalidInputError(f"unsupported window function {fn!r}")
+            part, order = _parse_window_spec(wm.group("spec"))
+            args = [a for a in _split_top_level(wm.group("args")) if a]
+            self.window = {"fn": fn, "part": part, "order": order,
+                           "lag_n": 1, "lag_default": None}
+            if fn in ("lag", "lead"):
+                if not args:
+                    raise InvalidInputError(f"{fn}() requires an argument")
+                self.node = parse_filter(args[0])
+                if len(args) > 1:
+                    self.window["lag_n"] = int(args[1])
+                if len(args) > 2:
+                    d = args[2].strip()
+                    self.window["lag_default"] = (
+                        d.strip("'") if d.startswith("'")
+                        else float(d) if "." in d else int(d))
+            elif args and args[0].strip() not in ("", "*"):
+                self.node = parse_filter(args[0])
+            else:
+                if fn not in ("row_number", "rank", "dense_rank", "count"):
+                    raise InvalidInputError(f"{fn}() requires an argument")
+                self.node = None
+            self.out = self.alias or expr_text
+            return
         am = re.match(r"^(count|sum|min|max|avg|mean)\s*\((.*)\)\s*$",
                       expr_text, re.IGNORECASE | re.DOTALL)
-        self.agg: str | None = None
         if am and _balanced(am.group(2)):
             self.agg = am.group(1).lower()
             inner = am.group(2).strip()
@@ -118,10 +175,16 @@ class _SelectItem:
 
     @property
     def is_plain_col(self) -> bool:
-        return self.agg is None and isinstance(self.node, Col)
+        return (self.agg is None and self.window is None
+                and isinstance(self.node, Col))
 
     def referenced(self) -> set[str]:
-        return referenced_columns(self.node) if self.node is not None else set()
+        out = (referenced_columns(self.node)
+               if self.node is not None else set())
+        if self.window is not None:
+            out |= set(self.window["part"])
+            out |= {c for c, _asc in self.window["order"]}
+        return out
 
 
 def _parse_table_ref(s: str) -> tuple[str, str]:
@@ -206,7 +269,19 @@ def _project_items(table: pa.Table, items: list[_SelectItem]) -> pa.Table:
     names, arrays = [], []
     for it in items:
         names.append(it.out)
-        arrays.append(_eval_to_arrow(it.node, views, table))
+        if it.window is not None:
+            from .window import compute_window
+
+            w = it.window
+            arg = (_eval_to_arrow(it.node, views, table)
+                   if it.node is not None else None)
+            if w["fn"] == "count" and arg is None:
+                arg = pa.array(np.ones(table.num_rows, np.int64))
+            arrays.append(compute_window(table, w["fn"], arg, w["part"],
+                                         w["order"], w["lag_n"],
+                                         w["lag_default"]))
+        else:
+            arrays.append(_eval_to_arrow(it.node, views, table))
     return pa.table(dict(zip(names, arrays)))
 
 
@@ -436,11 +511,178 @@ def _with_bare_aliases(table: pa.Table, extra: dict[str, str]) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+
+class _TableSource:
+    """Adapter exposing a materialized pa.Table as a query source (derived
+    tables / uncorrelated subquery results)."""
+
+    def __init__(self, table: pa.Table):
+        self._table = table
+        self.schema = table.schema  # .names matches dataset schema surface
+
+    def scanner(self):
+        return _TableScanner(self._table)
+
+    def sql(self, query: str, tables: dict | None = None) -> pa.Table:
+        return sql(self, query, tables)
+
+
+class _TableScanner:
+    """Declarative like the dataset Scanner: filter evaluates over the full
+    table before the projection narrows it."""
+
+    def __init__(self, table: pa.Table):
+        self._t = table
+        self._proj = None
+        self._filter_expr = None
+        self._order = None
+        self._limit = None
+        self._offset = 0
+
+    def project(self, cols):
+        self._proj = list(cols)
+        return self
+
+    def filter(self, expr: str):
+        self._filter_expr = expr
+        return self
+
+    def order_by(self, keys):
+        self._order = keys
+        return self
+
+    def limit(self, n, offset=0):
+        self._limit, self._offset = n, offset
+        return self
+
+    def _filtered(self) -> pa.Table:
+        t = self._t
+        if self._filter_expr is not None:
+            from .filter import evaluate_filter
+
+            node = parse_filter(self._filter_expr)
+            mask = evaluate_filter(node, _views_of(t))
+            t = t.filter(pa.array(mask))
+        return t
+
+    def count_rows(self):
+        return self._filtered().num_rows
+
+    def to_table(self) -> pa.Table:
+        t = self._filtered()
+        if self._proj is not None:
+            t = t.select(self._proj)
+        if self._order:
+            t = t.sort_by([(c, "ascending" if asc else "descending")
+                           for c, asc in self._order])
+        if self._offset:
+            t = t.slice(self._offset)
+        if self._limit is not None:
+            t = t.slice(0, self._limit)
+        return t
+
+
+def _subquery_spans(q: str) -> list[tuple[int, int]]:
+    """Top-level '(select ...)' spans (outermost only, strings respected)."""
+    spans = []
+    i, n, in_str = 0, len(q), False
+    while i < n:
+        ch = q[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            j = i + 1
+            while j < n and q[j].isspace():
+                j += 1
+            if q[j:j + 6].lower() == "select":
+                depth, k, instr = 1, i + 1, False
+                while k < n and depth:
+                    c = q[k]
+                    if instr:
+                        instr = c != "'"
+                    elif c == "'":
+                        instr = True
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                    k += 1
+                if depth:
+                    raise InvalidInputError("unbalanced subquery parentheses")
+                spans.append((i, k))
+                i = k
+                continue
+        i += 1
+    return spans
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return repr(v)
+
+
+def _rewrite_subqueries(query: str, ds, tables: dict | None):
+    """Evaluate uncorrelated subqueries bottom-up and splice their results
+    into the outer query: scalar -> literal, IN (...) -> value list,
+    FROM/JOIN (...) -> registered derived table. Correlated subqueries are
+    not supported (inner evaluation sees only its own tables)."""
+    spans = _subquery_spans(query)
+    if not spans:
+        return query, tables
+    extra: dict[str, object] = {}
+    out, pos = [], 0
+    for n_sub, (s, e) in enumerate(spans):
+        out.append(query[pos:s])
+        inner = query[s + 1:e - 1].strip()
+        before = query[:s].rstrip()
+        prev_word = re.split(r"[^\w]", before)[-1].lower() if before else ""
+        sub_tables = {**(tables or {}), **extra}
+        result = sql(ds, inner, tables=sub_tables)
+        if prev_word in ("from", "join"):
+            name = f"__subq{n_sub}"
+            extra[name] = _TableSource(result)
+            out.append(name)
+        elif prev_word == "in":
+            if result.num_columns != 1:
+                raise InvalidInputError(
+                    "IN (SELECT ...) must produce exactly one column")
+            vals = result.column(0).to_pylist()
+            out.append("(" + (", ".join(_sql_literal(v) for v in vals)
+                              if vals else "null") + ")")
+        else:  # scalar subquery
+            if result.num_columns != 1 or result.num_rows > 1:
+                raise InvalidInputError(
+                    "scalar subquery must produce one column and at most "
+                    "one row")
+            v = result.column(0)[0].as_py() if result.num_rows else None
+            out.append(_sql_literal(v))
+        pos = e
+    out.append(query[pos:])
+    return "".join(out), {**(tables or {}), **extra} if (tables or extra) else tables
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
 
 
 def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
+    query, tables = _rewrite_subqueries(query, ds, tables)
     m = _CLAUSES_RE.match(query)
     if not m:
         raise InvalidInputError(
@@ -480,6 +722,10 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
                 if len(its) == 1 and not any(o.out == c for o in items):
                     its[0].out = c
         nodes = [it.node for it in (items or []) if it.node is not None]
+        for it in (items or []):
+            if it.window is not None:
+                nodes.extend(Col(c) for c in it.window["part"])
+                nodes.extend(Col(c) for c, _asc in it.window["order"])
         where_node = parse_filter(where_raw) if where_raw else None
         if where_node is not None:
             nodes.append(where_node)
@@ -528,6 +774,7 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
     if ds is None:
         raise InvalidInputError(f"unknown table {base[0]!r} (pass tables=)")
     schema_names = set(ds.schema.names)
+    has_windows = bool(items) and any(it.window for it in items)
     # ORDER BY may name a SELECT output alias instead of a table column;
     # those sort AFTER projection (standard SQL alias visibility)
     order_on_alias = bool(order) and not has_aggs and any(
@@ -562,15 +809,25 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
             out = out.slice(0, limit)
         return out
 
-    if order and not order_on_alias:
+    post_sort = order_on_alias or has_windows
+    if order and not post_sort:
         sc.order_by(order)
-    if (limit is not None or offset) and not order_on_alias:
+    if (limit is not None or offset) and not post_sort:
         sc.limit(limit, offset)
     table = sc.to_table()
     out = table if items is None else _project_items(table, items)
-    if order_on_alias:
-        out = out.sort_by([(c, "ascending" if asc else "descending")
-                           for c, asc in order])
+    if post_sort:
+        # windows compute over the full unordered input (limit cannot push
+        # below a window fn); order on aliases applies post-projection
+        if order:
+            keys = [(c, "ascending" if asc else "descending")
+                    for c, asc in order]
+            if all(c in out.column_names for c, _asc in order):
+                out = out.sort_by(keys)
+            else:
+                # ORDER BY table columns outside the SELECT list
+                table = table.sort_by(keys)
+                out = _project_items(table, items)
         if offset:
             out = out.slice(offset)
         if limit is not None:

@@ -1,0 +1,222 @@
+"""SQL window functions: fn(...) OVER (PARTITION BY ... ORDER BY ...).
+
+Host-side analog of DataFusion's window execution (the reference runs these
+through dataset.sql() -> DataFusion; rust/lance/src/dataset/sql.rs). Default
+frame semantics only (RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW when
+ORDER BY is present — running aggregates include peer rows; whole-partition
+otherwise). Supported: row_number, rank, dense_rank, sum, avg/mean, min,
+max, count, lag, lead, first_value, last_value.
+
+Execution: one lexsort permutation per window spec (partition codes primary,
+order codes after), vectorized segment math over the sorted view, scatter
+back to source row order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..errors import InvalidInputError, NotSupportedError
+
+WINDOW_FNS = {"row_number", "rank", "dense_rank", "sum", "avg", "mean",
+              "min", "max", "count", "lag", "lead", "first_value",
+              "last_value"}
+
+
+def _codes(arr: pa.Array, ascending: bool) -> np.ndarray:
+    """Dense order codes for one column (ints; nulls sort last)."""
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    is_null = pa.compute.is_null(arr).to_numpy(zero_copy_only=False)
+    if np_arr.dtype == object:
+        # factorize objects by sorted uniqueness
+        vals = np.asarray(["" if v is None else v for v in np_arr], dtype=object)
+        _, codes = np.unique(vals, return_inverse=True)
+    else:
+        clean = np.where(is_null, np_arr[~is_null][0] if (~is_null).any() else 0,
+                         np_arr)
+        _, codes = np.unique(clean, return_inverse=True)
+    codes = codes.astype(np.int64)
+    if not ascending:
+        codes = codes.max(initial=0) - codes
+    # nulls last regardless of direction (pyarrow sort_by convention)
+    codes = np.where(is_null, codes.max(initial=0) + 1, codes)
+    return codes
+
+
+def _partition_codes(table: pa.Table, part_cols: list[str]) -> np.ndarray:
+    n = table.num_rows
+    if not part_cols:
+        return np.zeros(n, np.int64)
+    pid = np.zeros(n, np.int64)
+    for c in part_cols:
+        code = _codes(table.column(c).combine_chunks(), True)
+        pid = pid * (code.max(initial=0) + 2) + code
+    # re-densify to keep magnitudes small
+    _, pid = np.unique(pid, return_inverse=True)
+    return pid.astype(np.int64)
+
+
+def _seg_bounds(sorted_part: np.ndarray):
+    n = sorted_part.size
+    idx = np.arange(n)
+    new_seg = np.empty(n, bool)
+    new_seg[0] = True
+    new_seg[1:] = sorted_part[1:] != sorted_part[:-1]
+    seg_start = np.maximum.accumulate(np.where(new_seg, idx, 0))
+    return new_seg, seg_start
+
+
+def _peer_bounds(new_seg: np.ndarray, order_code_list: list[np.ndarray], perm):
+    n = new_seg.size
+    idx = np.arange(n)
+    new_peer = new_seg.copy()
+    for oc in order_code_list:
+        s = oc[perm]
+        new_peer[1:] |= s[1:] != s[:-1]
+    peer_start = np.maximum.accumulate(np.where(new_peer, idx, 0))
+    # peer_end[i] = last index of i's peer group
+    nxt = np.empty(n, bool)
+    nxt[:-1] = new_peer[1:]
+    nxt[-1] = True
+    rev = np.minimum.accumulate(np.where(nxt, idx, n - 1)[::-1])[::-1]
+    return new_peer, peer_start, rev
+
+
+def compute_window(table: pa.Table, fn: str, arg_arr: pa.Array | None,
+                   part_cols: list[str], order_keys: list[tuple[str, bool]],
+                   lag_n: int = 1, lag_default=None) -> pa.Array:
+    """Evaluate one window function over `table`; returns an array aligned
+    with the table's row order."""
+    fn = "avg" if fn == "mean" else fn
+    n = table.num_rows
+    if n == 0:
+        return pa.array([], type=pa.int64() if fn in (
+            "row_number", "rank", "dense_rank", "count") else pa.float64())
+    pid = _partition_codes(table, part_cols)
+    ocodes = [_codes(table.column(c).combine_chunks(), asc)
+              for c, asc in order_keys]
+    # lexsort: primary = pid, then order keys in sequence (stable)
+    perm = np.lexsort(tuple(reversed(ocodes)) + (pid,))
+    sp = pid[perm]
+    new_seg, seg_start = _seg_bounds(sp)
+    idx = np.arange(n)
+
+    if fn in ("row_number", "rank", "dense_rank"):
+        if fn == "row_number":
+            out_sorted = idx - seg_start + 1
+        else:
+            new_peer, peer_start, _ = _peer_bounds(new_seg, ocodes, perm)
+            if fn == "rank":
+                out_sorted = peer_start - seg_start + 1
+            else:
+                dr = np.cumsum(new_peer)
+                out_sorted = dr - dr[seg_start] + 1
+        out = np.empty(n, np.int64)
+        out[perm] = out_sorted
+        return pa.array(out)
+
+    if arg_arr is None:
+        raise InvalidInputError(f"{fn}() window function requires an argument")
+    v = arg_arr.to_numpy(zero_copy_only=False)
+    valid = ~pa.compute.is_null(arg_arr).to_numpy(zero_copy_only=False)
+    sv = np.asarray(v, dtype=object)[perm] if v.dtype == object else v[perm]
+    svalid = valid[perm]
+
+    if fn in ("lag", "lead"):
+        k = lag_n if fn == "lag" else -lag_n
+        shifted = np.empty(n, dtype=object)
+        src = idx - k
+        ok = (src >= 0) & (src < n)
+        # partition guard: source row must be in the same segment
+        ok &= np.where(ok, sp[np.clip(src, 0, n - 1)] == sp, False)
+        ok &= np.where(ok, svalid[np.clip(src, 0, n - 1)], False)
+        shifted[:] = lag_default
+        shifted[ok] = np.asarray(sv, dtype=object)[src[ok]]
+        out = np.empty(n, dtype=object)
+        out[perm] = shifted
+        return pa.array(out.tolist())
+
+    if fn == "first_value":
+        out_sorted = np.asarray(sv, dtype=object)[seg_start]
+        out = np.empty(n, dtype=object)
+        out[perm] = out_sorted
+        return pa.array(out.tolist())
+    if fn == "last_value":
+        if order_keys:
+            _, _, peer_end = _peer_bounds(new_seg, ocodes, perm)
+            src = peer_end
+        else:
+            # whole-partition frame: last row of the segment
+            nxt = np.empty(n, bool)
+            nxt[:-1] = new_seg[1:]
+            nxt[-1] = True
+            src = np.minimum.accumulate(np.where(nxt, idx, n - 1)[::-1])[::-1]
+        out_sorted = np.asarray(sv, dtype=object)[src]
+        out = np.empty(n, dtype=object)
+        out[perm] = out_sorted
+        return pa.array(out.tolist())
+
+    # aggregates (sum/avg/min/max/count)
+    numeric = fn != "count"
+    if numeric:
+        sx = np.where(svalid, sv.astype(np.float64, copy=False), np.nan)
+    if not order_keys:
+        # whole-partition value broadcast
+        seg_ids = np.cumsum(new_seg) - 1
+        n_seg = int(seg_ids[-1]) + 1
+        starts = np.flatnonzero(new_seg)
+        if fn == "count":
+            agg = np.add.reduceat(svalid.astype(np.int64), starts)
+        elif fn == "sum":
+            agg = np.add.reduceat(np.where(svalid, sx, 0.0), starts)
+        elif fn == "avg":
+            s = np.add.reduceat(np.where(svalid, sx, 0.0), starts)
+            c = np.add.reduceat(svalid.astype(np.float64), starts)
+            agg = np.divide(s, c, out=np.full(n_seg, np.nan), where=c > 0)
+        elif fn in ("min", "max"):
+            op = np.fmin if fn == "min" else np.fmax
+            agg = getattr(np, "fmin" if fn == "min" else "fmax").reduceat(
+                np.where(svalid, sx, np.nan), starts)
+        out_sorted = agg[seg_ids]
+    else:
+        # running aggregate including peers (default RANGE frame)
+        _, _, peer_end = _peer_bounds(new_seg, ocodes, perm)
+        if fn == "count":
+            cum = np.cumsum(svalid.astype(np.int64))
+            base = np.where(seg_start > 0, cum[seg_start - 1], 0)
+            out_sorted = (cum - base)[peer_end]
+        elif fn in ("sum", "avg"):
+            cum = np.cumsum(np.where(svalid, sx, 0.0))
+            base = np.where(seg_start > 0, cum[seg_start - 1], 0.0)
+            run_sum = (cum - base)[peer_end]
+            if fn == "sum":
+                out_sorted = run_sum
+            else:
+                cc = np.cumsum(svalid.astype(np.float64))
+                cb = np.where(seg_start > 0, cc[seg_start - 1], 0.0)
+                cnt = (cc - cb)[peer_end]
+                out_sorted = np.divide(run_sum, cnt,
+                                       out=np.full(n, np.nan), where=cnt > 0)
+        elif fn in ("min", "max"):
+            # per-segment running extreme: accumulate within segments
+            acc = np.fmin.accumulate if fn == "min" else np.fmax.accumulate
+            vals = np.where(svalid, sx, np.nan)
+            out_sorted = np.empty(n, np.float64)
+            starts = np.flatnonzero(new_seg)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                out_sorted[s:e] = acc(vals[s:e])
+            out_sorted = out_sorted[peer_end]
+        else:  # pragma: no cover
+            raise NotSupportedError(f"window function {fn}")
+    out = np.empty(n, np.float64)
+    out[perm] = out_sorted
+    mask = np.isnan(out)
+    if fn == "count":
+        return pa.array(out.astype(np.int64))
+    if fn in ("min", "max", "sum") and arg_arr.type in (
+            pa.int8(), pa.int16(), pa.int32(), pa.int64()) and not mask.any():
+        if np.allclose(out, np.round(out)):
+            return pa.array(out.astype(np.int64))
+    return pa.array(out, mask=mask) if mask.any() else pa.array(out)
