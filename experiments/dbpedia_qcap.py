@@ -1,0 +1,92 @@
+"""1536-D cosine to the 0.95 gate, part 2: probe/slot A/B (VERDICT r1 #6).
+
+dbpedia_gate.py showed quantization is NOT the limiter (m=384 == m=96 at
+equal probes: 0.832; rf-insensitive at nprobes=32 -> 0.879) — the same
+candidate-pool signature as the 16M case. Suspects: q_cap slot overflow
+(B=256, nprobes=32, nlist=512 -> cap 4*16=64 under clustered queries) and
+plain probe coverage at high dim. A/B both: slack x nprobes grid on one
+disk-cached build.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+
+URI = "file:///root/repo/.dbp500k.lance"
+GT = "/root/repo/.dbp500k_gt.npy"
+Q = "/root/repo/.dbp500k_q.npy"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    K = 10
+    N, D, NQ = 500_000, 1536, 256
+    have = os.path.exists("/root/repo/.dbp500k.lance") and os.path.exists(GT)
+    if not have:
+        data, q = generate_sift_like(N, D, NQ, seed=7)
+        data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        _, gt = topk_neighbors(q, data, K, "cosine", chunk=65536)
+        np.save(GT, np.asarray(gt))
+        np.save(Q, np.asarray(q))
+        ds = lt.write_dataset({"vec": np.asarray(data),
+                               "id": np.arange(N, dtype=np.int64)},
+                              URI, params=lt.WriteParams(max_rows_per_file=N,
+                                                         compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=512,
+                             num_sub_vectors=384, num_bits=8, metric="cosine",
+                             max_iters=10)
+        _log(f"build {time.time() - t:.0f}s")
+        del data
+    else:
+        ds = lt.dataset(URI)
+    gt = np.load(GT)
+    qh = np.load(Q)
+    idx = ds._vector_index_for("vec")
+
+    grid = os.environ.get("DBP_GRID", "4x32,64x32,64x64,64x96")
+    best = None
+    for spec in grid.split(","):
+        slack, np_ = (int(v) for v in spec.split("x"))
+        os.environ["LANCE_TPU_QCAP_SLACK"] = str(slack)
+        t = time.time()
+        _, rid = idx.search(qh, K, nprobes=np_, refine_factor=32)
+        rec = recall_of(rid, gt, NQ, K)
+        _log(json.dumps({"slack": slack, "nprobes": np_, "rf": 32,
+                         "recall": round(rec, 4),
+                         "search_s": round(time.time() - t, 1)}))
+        if rec >= 0.95 and best is None:
+            best = (slack, np_)
+    if best:
+        slack, np_ = best
+        os.environ["LANCE_TPU_QCAP_SLACK"] = str(slack)
+        fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=32)
+        qd = jnp.asarray(np.tile(qh, (2, 1))[:512])
+        jax.block_until_ready(fn(qd))
+        t = time.time()
+        for _ in range(20):
+            o = fn(qd)
+        jax.block_until_ready(o)
+        qps = 20 * 512 / (time.time() - t)
+        _log(json.dumps({"GATE": True, "slack": slack, "nprobes": np_,
+                         "rf": 32, "qps": round(qps)}))
+
+
+if __name__ == "__main__":
+    main()
