@@ -188,11 +188,66 @@ class _SelectItem:
 
 
 def _parse_table_ref(s: str) -> tuple[str, str]:
+    """-> (name_or_udtf_call, alias). UDTF calls keep their arg text in the
+    name: 'read_prices('AAPL', 30) p' -> ("read_prices('AAPL', 30)", 'p')."""
+    m = re.match(r"^\s*([\w.]+\s*\(.*\))(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
+                 s, re.IGNORECASE | re.DOTALL)
+    if m and _balanced(m.group(1)):
+        name = m.group(1).strip()
+        return name, (m.group(2) or re.match(r"[\w.]+", name).group(0))
     m = re.match(r"^\s*([\w.]+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$",
                  s, re.IGNORECASE)
     if not m:
         raise InvalidInputError(f"unsupported table reference: {s!r}")
     return m.group(1), (m.group(2) or m.group(1))
+
+
+def _parse_udtf_args(args_text: str) -> list:
+    """Literal arguments of a table-function call: numbers, 'strings',
+    true/false/null."""
+    out = []
+    for a in _split_top_level(args_text):
+        a = a.strip()
+        if not a:
+            continue
+        low = a.lower()
+        if a.startswith("'") and a.endswith("'"):
+            out.append(a[1:-1].replace("''", "'"))
+        elif low == "null":
+            out.append(None)
+        elif low in ("true", "false"):
+            out.append(low == "true")
+        elif re.fullmatch(r"-?\d+", a):
+            out.append(int(a))
+        else:
+            try:
+                out.append(float(a))
+            except ValueError:
+                raise InvalidInputError(
+                    f"UDTF arguments must be literals, got {a!r}")
+    return out
+
+
+def _resolve_udtf(name: str, tables: dict | None):
+    """If `name` is a 'fn(args)' call, invoke the callable registered under
+    fn in tables= and wrap the resulting table (reference UDTFs:
+    rust/lance/src/dataset/udtf.rs)."""
+    m = re.match(r"^([\w.]+)\s*\((.*)\)$", name, re.DOTALL)
+    if not m:
+        return None
+    fn_name = m.group(1)
+    fn = (tables or {}).get(fn_name)
+    if fn is None or not callable(fn):
+        raise InvalidInputError(
+            f"unknown table function {fn_name!r} (register a callable in "
+            "tables=)")
+    result = fn(*_parse_udtf_args(m.group(2)))
+    if isinstance(result, pa.Table):
+        return _TableSource(result)
+    if hasattr(result, "scanner"):
+        return result  # a dataset
+    raise InvalidInputError(
+        f"table function {fn_name!r} must return a pyarrow Table or dataset")
 
 
 def _parse_from(from_raw: str):
@@ -463,6 +518,8 @@ def _exec_join(query_tables, base, joins, needed_nodes, tables):
     alias_ds = {}
     for name, alias in [base] + [j[1] for j in joins]:
         d = query_tables.get(name) or query_tables.get(alias)
+        if d is None:
+            d = _resolve_udtf(name, query_tables)
         if d is None:
             raise InvalidInputError(f"unknown table {name!r} (pass tables=)")
         alias_ds[alias] = d
@@ -769,7 +826,10 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         return out
 
     # ---- single table: keep scanner pushdown (filter/index/order/limit) ----
-    if tables and (base[0] in tables or base[1] in tables):
+    udtf = _resolve_udtf(base[0], tables)
+    if udtf is not None:
+        ds = udtf
+    elif tables and (base[0] in tables or base[1] in tables):
         ds = tables.get(base[0]) or tables.get(base[1])
     if ds is None:
         raise InvalidInputError(f"unknown table {base[0]!r} (pass tables=)")

@@ -167,3 +167,41 @@ def test_scalar_subquery_multi_row_rejected():
     ds = _ds("bad", {"v": pa.array([1, 2])})
     with pytest.raises(InvalidInputError, match="scalar subquery"):
         ds.sql("SELECT v FROM t WHERE v > (SELECT v FROM t)")
+
+
+# -- table functions (UDTFs) -------------------------------------------------------
+
+
+def test_udtf_in_from():
+    def gen_series(n, start=0):
+        return pa.table({"value": pa.array(np.arange(start, start + n))})
+
+    ds = _ds("udtf", {"x": pa.array([1])})
+    t = ds.sql("SELECT value FROM gen_series(5) WHERE value >= 2 ORDER BY value",
+               tables={"gen_series": gen_series})
+    assert t["value"].to_pylist() == [2, 3, 4]
+    t = ds.sql("SELECT value FROM gen_series(3, 10) ORDER BY value DESC",
+               tables={"gen_series": gen_series})
+    assert t["value"].to_pylist() == [12, 11, 10]
+
+
+def test_udtf_string_arg_and_join():
+    def prices(sym):
+        rows = {"AAPL": [10.0, 11.0], "MSFT": [20.0]}[sym]
+        return pa.table({"sym": pa.array([sym] * len(rows)),
+                         "px": pa.array(rows)})
+
+    names = _ds("udtfj", {"sym": pa.array(["AAPL", "MSFT"]),
+                          "full": pa.array(["Apple", "Microsoft"])})
+    t = names.sql(
+        "SELECT n.full, p.px FROM names n JOIN prices('AAPL') p "
+        "ON n.sym = p.sym ORDER BY p.px",
+        tables={"names": names, "prices": prices})
+    assert t["full"].to_pylist() == ["Apple", "Apple"]
+    assert t["px"].to_pylist() == [10.0, 11.0]
+
+
+def test_udtf_unknown_function_rejected():
+    ds = _ds("udtfx", {"x": pa.array([1])})
+    with pytest.raises(InvalidInputError, match="table function"):
+        ds.sql("SELECT * FROM nope(1)")
