@@ -60,23 +60,32 @@ def main():
     qh = np.load(Q)
     idx = ds._vector_index_for("vec")
 
-    grid = os.environ.get("DBP_GRID", "4x32,64x32,64x64,64x96")
+    # static slack grid (adaptation off) vs demand-adaptive default
+    grid = os.environ.get("DBP_GRID", "4x32,64x32,adaptx32,adaptx64,adaptx96")
     best = None
     for spec in grid.split(","):
-        slack, np_ = (int(v) for v in spec.split("x"))
-        os.environ["LANCE_TPU_QCAP_SLACK"] = str(slack)
+        slack_s, np_s = spec.split("x")
+        np_ = int(np_s)
+        if slack_s == "adapt":
+            os.environ["LANCE_TPU_QCAP_ADAPT"] = "1"
+            os.environ["LANCE_TPU_QCAP_SLACK"] = "4"
+        else:
+            os.environ["LANCE_TPU_QCAP_ADAPT"] = "0"
+            os.environ["LANCE_TPU_QCAP_SLACK"] = slack_s
         t = time.time()
         _, rid = idx.search(qh, K, nprobes=np_, refine_factor=32)
         rec = recall_of(rid, gt, NQ, K)
-        _log(json.dumps({"slack": slack, "nprobes": np_, "rf": 32,
+        _log(json.dumps({"slack": slack_s, "nprobes": np_, "rf": 32,
                          "recall": round(rec, 4),
+                         "q_cap": getattr(idx, "_last_qcap", None),
                          "search_s": round(time.time() - t, 1)}))
         if rec >= 0.95 and best is None:
-            best = (slack, np_)
+            best = (slack_s, np_)
     if best:
-        slack, np_ = best
-        os.environ["LANCE_TPU_QCAP_SLACK"] = str(slack)
-        fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=32)
+        slack_s, np_ = best
+        cap = getattr(idx, "_last_qcap", None)
+        fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=32,
+                                   q_cap=cap)
         qd = jnp.asarray(np.tile(qh, (2, 1))[:512])
         jax.block_until_ready(fn(qd))
         t = time.time()

@@ -1,0 +1,150 @@
+"""16M recall diagnostic #5 (HOST-ONLY): quantized rank of gt neighbors.
+
+diag16m_slots.py killed the q_cap theory: demand_max=52, slot survival at
+q_cap=8 is already 0.971, yet measured recall is 0.7805. The ~19% loss is
+therefore AFTER scoring. This decomposes it exactly, per gt neighbor:
+
+  stage 1  probed?               (ceiling 0.973 from diag #4)
+  stage 2  group-min survival    (is gt the min of its stride-ng group?)
+  stage 3  pool cut              (quantized rank among the query's scored
+                                  candidates < fetch=640?)
+
+under (a) f32 decoded-PQ scores and (b) bf16-rounded decoded rows (the
+production block dtype). Whichever stage eats the 19% is the fix target:
+ - stage 2 -> grouping layout fix
+ - stage 3 f32 -> PQ fidelity (m=64 rebuild) or a wider pool + mid-rerank
+ - stage 3 bf16-only -> block dtype / scoring precision fix
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+from experiments.scale16m import host_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+from lance_tpu.ops.pq import ProductQuantizer, unpack_codes  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    import ml_dtypes
+
+    N, DIM, NQ, K, NPROBES, FETCH = 16_000_000, 128, 256, 10, 32, 640
+    data, queries = host_sift_like(N, DIM, NQ)
+    del data
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    pq_header = json.loads(reader.read_global_buffer("pq_header"))
+    pq = ProductQuantizer.from_parts(pq_header,
+                                     reader.read_global_buffer("pq_codebook"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    codes = unpack_codes(reader.read_column("__pq_code").to_numpy_matrix(),
+                         pq.num_bits, pq.num_sub_vectors)
+    nlist = ivf.num_partitions
+    residual = bool(pq_header.get("residual", False))
+    _log(f"m={pq.num_sub_vectors} residual={residual} "
+         f"opq={pq.rotation is not None} codes={codes.shape}")
+
+    # host decode: xhat = (sum_mi cb[mi][code]) [@ R.T] [+ centroid]
+    m, dsub = pq.num_sub_vectors, DIM // pq.num_sub_vectors
+    xhat = np.empty((len(codes), DIM), np.float32)
+    cb = pq.codebook.astype(np.float32)  # (m, k, dsub)
+    step = 1 << 21
+    for s in range(0, len(codes), step):
+        e = min(s + step, len(codes))
+        for mi in range(m):
+            xhat[s:e, mi * dsub:(mi + 1) * dsub] = cb[mi][codes[s:e, mi]]
+        if pq.rotation is not None:
+            xhat[s:e] = xhat[s:e] @ pq.rotation.T
+    if residual:
+        part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+        cent = ivf.centroids.astype(np.float32)
+        for s in range(0, len(codes), step):
+            e = min(s + step, len(codes))
+            xhat[s:e] += cent[part_of_row[s:e]]
+    _log("decoded")
+
+    pos_of_row = np.empty(N, np.int64)
+    pos_of_row[rowids.astype(np.int64)] = np.arange(len(rowids))
+
+    probe_c = ivf.probe_centroids if ivf.probe_centroids is not None else ivf.centroids
+    cn = (probe_c.astype(np.float32) ** 2).sum(1)[None, :]
+    qd = cn - 2.0 * queries @ probe_c.T.astype(np.float32)
+    pids = np.argsort(qd, axis=1)[:, :NPROBES]
+
+    offs = ivf.offsets.astype(np.int64)
+    lens = ivf.lengths.astype(np.int64)
+    L = int(lens.max())
+    xhat_bf = xhat.astype(ml_dtypes.bfloat16).astype(np.float32)
+    sq_f32 = (xhat ** 2).sum(1)
+    sq_bf = (xhat_bf ** 2).sum(1)
+
+    res = {"n_gt": NQ * K, "probed": 0,
+           "f32_rank_lt640": 0, "f32_rank_lt2560": 0,
+           "bf16_rank_lt640": 0, "bf16_rank_lt2560": 0,
+           "groupmin_survive_f32": 0, "pool_and_group_f32": 0,
+           "pool_and_group_bf16": 0}
+    rank_hist = []
+    for i in range(NQ):
+        q = queries[i]
+        segs = [(int(offs[p]), int(lens[p])) for p in pids[i]]
+        cand = np.concatenate([np.arange(o, o + l) for o, l in segs])
+        seg_start_in_cand = np.concatenate(
+            [[0], np.cumsum([l for _, l in segs])[:-1]]).astype(np.int64)
+        s_f32 = sq_f32[cand] - 2.0 * (xhat[cand] @ q)
+        s_bf = sq_bf[cand] - 2.0 * (xhat_bf[cand] @ q)
+        # rank = number of strictly-better candidates
+        ord_f32 = np.sort(s_f32)
+        ord_bf = np.sort(s_bf)
+        # group-min simulation: mine laid out probe-major padded to L
+        W = NPROBES * L
+        mine = np.full(W, np.inf, np.float32)
+        for j, (o, l) in enumerate(segs):
+            c0 = int(seg_start_in_cand[j])
+            mine[j * L: j * L + l] = s_f32[c0:c0 + l]
+        ng = W // 8
+        g = mine.reshape(8, ng)
+        gmin = g.min(0)
+        pool_cut = np.sort(gmin)[min(FETCH, ng) - 1]
+        for r in gt_i[i, :K]:
+            p = int(pos_of_row[r])
+            in_probe = any(o <= p < o + l for o, l in segs)
+            if not in_probe:
+                continue
+            res["probed"] += 1
+            my_f32 = sq_f32[p] - 2.0 * (xhat[p] @ q)
+            my_bf = sq_bf[p] - 2.0 * (xhat_bf[p] @ q)
+            rk_f = int(np.searchsorted(ord_f32, my_f32))
+            rk_b = int(np.searchsorted(ord_bf, my_bf))
+            rank_hist.append(rk_f)
+            res["f32_rank_lt640"] += rk_f < 640
+            res["f32_rank_lt2560"] += rk_f < 2560
+            res["bf16_rank_lt640"] += rk_b < 640
+            res["bf16_rank_lt2560"] += rk_b < 2560
+            # which mine slot is this position?
+            j = next(jj for jj, (o, l) in enumerate(segs) if o <= p < o + l)
+            slot = j * L + (p - segs[j][0])
+            surv = gmin[slot % ng] >= my_f32 - 1e-3
+            res["groupmin_survive_f32"] += bool(surv)
+            res["pool_and_group_f32"] += bool(surv and my_f32 <= pool_cut)
+            res["pool_and_group_bf16"] += bool(surv and rk_b < 640)
+    tot = res["n_gt"]
+    out = {k: (round(v / tot, 4) if isinstance(v, int) and k != "n_gt" else v)
+           for k, v in res.items()}
+    out["f32_rank_p50_p90_p99"] = [int(np.percentile(rank_hist, p))
+                                   for p in (50, 90, 99)]
+    _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

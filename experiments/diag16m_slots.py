@@ -1,0 +1,93 @@
+"""16M recall diagnostic #4 (HOST-ONLY): exact slot-survival simulation.
+
+The qcap A/B (scale16m_qcap.py) was confounded: with adaptive q_cap ON,
+slack=8 and slack=32 both landed on q_cap=128 (cap_max = 64*mean bound) and
+recall stayed 0.7805 — so either per-partition demand exceeds 128 and slots
+STILL bind, or ~20% of gt is lost after scoring (group-min / pool cut).
+
+This simulates the production slot assignment (vector_index.py
+_search_dense inversion: pairs sorted by (partition, probe_rank), keep
+rank < q_cap) in numpy and reports, per q_cap, the fraction of gt
+neighbors whose (query, assigned-partition) pair survives to scoring.
+That is an upper bound on pool recall at that q_cap; comparing it with the
+measured 0.7805 at q_cap=128 tells us which stage eats the loss."""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+from experiments.scale16m import host_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ, K, NPROBES = 16_000_000, 128, 256, 10, 32
+    data, queries = host_sift_like(N, DIM, NQ)
+    del data
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+    _log("data ready")
+
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    nlist = ivf.num_partitions
+    part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+    assign = np.empty(N, np.int32)
+    assign[rowids.astype(np.int64)] = part_of_row
+
+    probe_c = ivf.probe_centroids if ivf.probe_centroids is not None else ivf.centroids
+    cn = (probe_c.astype(np.float32) ** 2).sum(1)[None, :]
+    qd = cn - 2.0 * queries @ probe_c.T.astype(np.float32)  # (NQ, nlist)
+    pids = np.argsort(qd, axis=1)[:, :NPROBES]              # exact probes
+
+    # demand histogram
+    counts = np.bincount(pids.reshape(-1), minlength=nlist)
+    _log(json.dumps({
+        "demand_max": int(counts.max()),
+        "demand_p99": int(np.percentile(counts[counts > 0], 99)),
+        "demand_p90": int(np.percentile(counts[counts > 0], 90)),
+        "parts_over_128": int((counts > 128).sum()),
+        "parts_over_64": int((counts > 64).sum()),
+    }))
+
+    # production slot assignment: sort pairs by (partition, probe_rank)
+    flat_p = pids.reshape(-1)
+    flat_j = np.tile(np.arange(NPROBES), NQ)
+    order = np.lexsort((flat_j, flat_p))
+    sp = flat_p[order]
+    seg_start = np.zeros(len(sp), np.int64)
+    change = np.concatenate([[True], sp[1:] != sp[:-1]])
+    idx = np.arange(len(sp))
+    seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+    rank_sorted = idx - seg_start
+    rank = np.empty(len(sp), np.int64)
+    rank[order] = rank_sorted
+    rank = rank.reshape(NQ, NPROBES)  # slot rank of (q, probe j)
+
+    # gt coverage per q_cap
+    probed_rank = np.full((NQ, K), -1, np.int64)  # slot rank of gt's pair
+    for i in range(NQ):
+        pmap = {int(p): int(r) for p, r in zip(pids[i], rank[i])}
+        for kk in range(K):
+            pa = int(assign[gt_i[i, kk]])
+            if pa in pmap:
+                probed_rank[i, kk] = pmap[pa]
+    probed = probed_rank >= 0
+    out = {"gt_probed_frac": round(float(probed.mean()), 4)}
+    for cap in (8, 16, 32, 64, 128, 256, 100000):
+        surv = probed & (probed_rank < cap)
+        out[f"gt_slot_survival_qcap{cap}"] = round(float(surv.mean()), 4)
+    _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

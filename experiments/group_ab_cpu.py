@@ -1,0 +1,129 @@
+"""Group-min pre-reduction loss: production A/B vs the numpy simulation.
+
+diag16m_rank.py's simulation predicts group=8 should cost ~15% of probed gt
+at 16M (quantized-score upsets within stride-ng groups), yet production
+measured recall matches the NO-group ceiling (0.7805 vs sim 0.7816). One of
+the two models is wrong. This builds a small quantization-heavy IVF_PQ on
+the CPU backend and measures production recall with LANCE_TPU_MERGE_GROUP
+in {8, 1} at identical settings, plus the numpy simulation of the group=8
+path from the same aux file, so the three numbers can be compared directly.
+
+Run: JAX_PLATFORMS=cpu python experiments/group_ab_cpu.py
+"""
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import lance_tpu as lt
+    from lance_tpu.file.reader import FileReader
+    from lance_tpu.models.ivf import IvfModel
+    from lance_tpu.ops.pq import ProductQuantizer, unpack_codes
+
+    rng = np.random.default_rng(7)
+    N, DIM, NQ, K, NPROBES, RF = 120_000, 32, 128, 10, 8, 8
+    centers = rng.uniform(0, 128, size=(256, DIM)).astype(np.float32)
+    a = rng.integers(0, 256, N + NQ)
+    data = np.rint(centers[a] + rng.normal(size=(N + NQ, DIM)) * 10).astype(np.float32)
+    data, queries = data[:N], data[N:]
+    # exact gt
+    qn = (queries ** 2).sum(1)[:, None]
+    d = qn + (data ** 2).sum(1)[None, :] - 2 * queries @ data.T
+    gt_i = np.argsort(d, axis=1)[:, :K]
+
+    tmp = tempfile.mkdtemp()
+    ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                          f"file://{tmp}/g.lance")
+    # m=4 (dsub=8): heavy quantization so pool-rank upsets actually occur
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=64,
+                         num_sub_vectors=4, num_bits=8, max_iters=8)
+
+    def recall_of(rid):
+        hits = 0
+        for i in range(NQ):
+            cand = rid[i][rid[i] != INV].astype(np.int64)
+            hits += len(set(cand.tolist()) & set(gt_i[i, :K].tolist()))
+        return hits / (NQ * K)
+
+    out = {}
+    for g in (8, 1):
+        os.environ["LANCE_TPU_MERGE_GROUP"] = str(g)
+        idx = ds._vector_index_for("vec")  # fresh open per setting
+        _, rid = idx.search(queries, K, nprobes=NPROBES, refine_factor=RF)
+        out[f"prod_group{g}"] = round(recall_of(rid), 4)
+
+    # ---- numpy simulation of the group=8 path from the aux file ----------
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    pq_header = json.loads(reader.read_global_buffer("pq_header"))
+    pq = ProductQuantizer.from_parts(pq_header,
+                                     reader.read_global_buffer("pq_codebook"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    codes = unpack_codes(reader.read_column("__pq_code").to_numpy_matrix(),
+                         pq.num_bits, pq.num_sub_vectors)
+    nlist = ivf.num_partitions
+    m, dsub = pq.num_sub_vectors, DIM // pq.num_sub_vectors
+    xhat = np.empty((len(codes), DIM), np.float32)
+    for mi in range(m):
+        xhat[:, mi * dsub:(mi + 1) * dsub] = pq.codebook[mi][codes[:, mi]]
+    if pq.rotation is not None:
+        xhat = xhat @ pq.rotation.T
+    if pq_header.get("residual", False):
+        part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+        xhat += ivf.centroids[part_of_row]
+    pos_of_row = np.empty(N, np.int64)
+    pos_of_row[rowids.astype(np.int64)] = np.arange(len(rowids))
+
+    probe_c = (ivf.probe_centroids if ivf.probe_centroids is not None
+               else ivf.centroids)
+    cn = (probe_c.astype(np.float32) ** 2).sum(1)[None, :]
+    pd = cn - 2.0 * queries @ probe_c.T.astype(np.float32)
+    pids = np.argsort(pd, axis=1)[:, :NPROBES]
+    offs = ivf.offsets.astype(np.int64)
+    lens = ivf.lengths.astype(np.int64)
+    # production pads L to a multiple of 128
+    L = int(np.ceil(max(int(lens.max()), 1) / 128) * 128)
+    sq = (xhat ** 2).sum(1)
+    FETCH = K * RF
+    W = NPROBES * L
+    GW = 8
+    ng = W // GW
+    hits_sim = 0
+    for i in range(NQ):
+        q = queries[i]
+        mine = np.full(W, np.inf, np.float32)
+        for j, p in enumerate(pids[i]):
+            o, l = int(offs[p]), int(lens[p])
+            mine[j * L: j * L + l] = sq[o:o + l] - 2.0 * (xhat[o:o + l] @ q)
+        gmin = mine.reshape(GW, ng).min(0)
+        garg = mine.reshape(GW, ng).argmin(0)
+        order = np.argsort(gmin, kind="stable")[:min(FETCH, ng)]
+        # decode positions like production: flat = garg*ng + j
+        flat = garg[order] * ng + order
+        probe_of = flat // L
+        l_of = flat % L
+        pool_pos = offs[pids[i][probe_of]] + l_of
+        pool_pos = pool_pos[np.isfinite(gmin[order])]
+        pool = set(pool_pos.tolist())
+        for r in gt_i[i, :K]:
+            hits_sim += int(pos_of_row[r]) in pool
+    out["sim_group8_pool"] = round(hits_sim / (NQ * K), 4)
+    _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""16M recall fix: rebuild IVF_PQ with m=64 codebooks (diag #5 outcome).
+
+diag16m_rank.py proved the 0.78 plateau is PQ(m=32) pool ranking: 19% of gt
+neighbors rank past the rf=64 pool cut under quantized scores (p90 rank
+2235 of ~60k candidates), while probe coverage (0.973), slot survival
+(0.971 even at q_cap=8) and bf16 block rounding (±0.0004) are all fine.
+
+Sub-vector count is FREE at search time (blocks hold decoded rows), so
+m=64 (dsub=2) only costs build time + 2x code bytes on disk. At 1M, m=64
+cut the needed refine window 2x (ledger). Expect the rank tail to pull
+within fetch and recall to clear 0.95.
+
+Search grid also sweeps rf to find the new frontier.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("LANCE_TPU_BUILD_DEVICE_BYTES", str(1_000_000_000))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+from experiments.scale16m import host_sift_like  # noqa: E402
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def recall_of(rid, gt_i, nq, k):
+    hits = 0
+    for i in range(nq):
+        cand = rid[i][rid[i] != INV].astype(np.int64)
+        hits += len(set(cand.tolist()) & set(gt_i[i, :k].tolist()))
+    return hits / (nq * k)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+
+    N, DIM, NQ, K = 16_000_000, 128, 256, 10
+    data, queries = host_sift_like(N, DIM, NQ)
+    del data
+    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
+    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=8192,
+                         num_sub_vectors=64, num_bits=8, max_iters=8)
+    build_s = time.time() - t
+    _log(f"m=64 build {build_s:.0f}s")
+
+    os.environ["LANCE_TPU_DIST_BF16"] = "0"
+    os.environ["LANCE_TPU_REFINE_F16"] = "1"
+    idx = ds._vector_index_for("vec")
+    qd = jnp.asarray(np.tile(queries, (2, 1))[:512])
+    curve = []
+    for nprobes, rf in ((32, 16), (32, 32), (32, 64), (64, 64)):
+        _, rid = idx.search(queries, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid, gt_i, NQ, K)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf,
+                                   q_cap=getattr(idx, "_last_qcap", None))
+        jax.block_until_ready(fn(qd))
+        t = time.time()
+        for _ in range(20):
+            o = fn(qd)
+        jax.block_until_ready(o)
+        qps = 20 * 512 / (time.time() - t)
+        curve.append({"nprobes": nprobes, "refine": rf,
+                      "recall_at_10": round(rec, 4), "qps": round(qps)})
+        _log(json.dumps(curve[-1]))
+        if rec >= 0.96:
+            break
+    best = max((c for c in curve if c["recall_at_10"] >= 0.95),
+               key=lambda c: c["qps"],
+               default=max(curve, key=lambda c: c["recall_at_10"]))
+    print(json.dumps({"metric": "scale16m_ivfpq_m64", "n": N, "m": 64,
+                      "recall_at_10": best["recall_at_10"], "qps": best["qps"],
+                      "build_s": round(build_s, 1), "curve": curve}))
+
+
+if __name__ == "__main__":
+    main()

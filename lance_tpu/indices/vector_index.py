@@ -1032,11 +1032,12 @@ class IvfIndex:
         kk = min(k, self.num_rows)
         fetch = kk if refine_factor is None else min(kk * refine_factor, self.num_rows)
         nlist = self.ivf.num_partitions
-        q_cap = _query_cap(bucket, nprobes, nlist)
+        qp_dev = jnp.asarray(qp)
+        q_cap = self._adaptive_qcap(bucket, nprobes, nlist, qp_dev, b_real)
         do_refine = self.is_quantized and refine_factor is not None
         d, pos = _search_dense(
             self._blocks_dev, self._block_sq_dev, self._gpos_dev,
-            self._centroids_dev, jnp.asarray(qp), sel_dev,
+            self._centroids_dev, qp_dev, sel_dev,
             self.metric, nprobes, fetch, q_cap,
             refine_vectors=self._ensure_vectors() if do_refine else None,
             final_k=kk if do_refine else None,
@@ -1063,14 +1064,50 @@ class IvfIndex:
                             constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
         return d, rowids
 
+    def _adaptive_qcap(self, bucket: int, nprobes: int, nlist: int,
+                       q_dev, b_real: int) -> int:
+        """q_cap for this batch: the static slack budget, raised (pow2 steps)
+        to the batch's measured max partition demand when adaptation is on.
+        The raise is bounded at 64x mean occupancy — pathologically hot
+        partitions beyond that still shed probes rather than exploding the
+        (nlist, q_cap, L) score-tensor FLOPs."""
+        base = _query_cap(bucket, nprobes, nlist)
+        # HBM guard: the (nlist, q_cap, L) score tensor must stay within a
+        # byte budget — an unbounded demand-driven raise compiled a 24.7 GB
+        # f32 tensor at 16M scale (q_cap=256, nlist=8192, L=2944) and OOMed
+        # at compile. Raising q_cap past the budget cannot help recall
+        # anyway: the budget cap is per-slot FLOP ceiling, and the 16M
+        # recall loss was measured to be pool ranking, not slot drops
+        # (experiments/diag16m_slots.py: survival@q_cap=8 already 0.971).
+        acc_bytes = 2 if _dist_bf16() else 4
+        budget = float(os.environ.get("LANCE_TPU_SCORE_BUDGET_GB", "6")) * 1e9
+        slot_bytes = max(1, nlist * self._pad * acc_bytes)
+        hbm_cap = max(8, int(budget // slot_bytes))
+        if not _qcap_adaptive() or base >= bucket:
+            self._last_qcap = min(base, max(hbm_cap, 8))
+            return self._last_qcap
+        demand = int(_probe_demand(self._centroids_dev, q_dev,
+                                   jnp.asarray(b_real, jnp.int32),
+                                   self.metric, nprobes, _approx_probe()))
+        mean = max(1, (bucket * nprobes + nlist - 1) // nlist)
+        cap_max = min(bucket, max(base, 64 * mean), max(hbm_cap, base))
+        cap = base
+        while cap < demand and cap < cap_max:
+            cap *= 2
+        self._last_qcap = min(cap, cap_max)
+        return self._last_qcap
+
     def compiled_searcher(self, k: int, nprobes: int = 20,
                           refine_factor: int | None = None,
-                          selection: np.ndarray | None = None):
+                          selection: np.ndarray | None = None,
+                          q_cap: int | None = None):
         """Device-to-device search closure for high-throughput serving:
         fn(q_dev (B, D)) -> (dists_dev (B, k), positions_dev (B, k)).
 
         No host transfers inside — callers keep queries on device and map
         positions -> rowids via `self.rowids` when results are consumed.
+        `q_cap` overrides the static slot budget (e.g. `idx._last_qcap`
+        after an adaptive `search()` measured the workload's demand).
         """
         nprobes = min(nprobes, self.ivf.num_partitions)
         kk = min(k, self.num_rows)
@@ -1083,11 +1120,12 @@ class IvfIndex:
 
         def run(q_dev):
             b = q_dev.shape[0]
-            q_cap = _query_cap(b, nprobes, self.ivf.num_partitions)
+            cap = q_cap if q_cap is not None else _query_cap(
+                b, nprobes, self.ivf.num_partitions)
             return _search_dense(
                 self._blocks_dev, self._block_sq_dev, self._gpos_dev,
                 self._centroids_dev, q_dev, sel_dev,
-                self.metric, nprobes, fetch, q_cap,
+                self.metric, nprobes, fetch, cap,
                 refine_vectors=refine_vecs,
                 final_k=kk if do_refine else None,
                 part_offsets=self._offsets_dev,
@@ -1254,6 +1292,41 @@ def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> in
         slack = int(os.environ.get("LANCE_TPU_QCAP_SLACK", "4"))
     mean = max(1, (b * nprobes + nlist - 1) // nlist)
     return min(b, max(8, mean * slack))
+
+
+def _qcap_adaptive() -> bool:
+    """Demand-adaptive q_cap (default ON for the host `search()` path):
+    measure the batch's actual max per-partition probe demand on device and
+    raise q_cap to cover it. Fixes the 16M-scale recall cliff where
+    clustered queries overflow the static slack*mean slot budget and excess
+    probes are silently dropped (diagnosed in experiments/diag16m_assign.py:
+    97.3% of gt neighbors sat in partitions of probe rank <32 while recall
+    was 0.773). Costs one tiny probe matmul + a 4-byte device->host read per
+    batch; q_cap stays pow2-bucketed so compile count is bounded."""
+    return os.environ.get("LANCE_TPU_QCAP_ADAPT", "1") not in ("0", "false", "")
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "nprobes",
+                                             "approx_probe"))
+def _probe_demand(centroids, q, n_real, metric, nprobes, approx_probe):
+    """Max per-partition probe demand of this batch (device int32 scalar).
+    Mirrors _search_dense's probe selection; bucket-pad queries (rows past
+    n_real) are excluded."""
+    from ..ops.distance import pairwise_dist, preprocess_for_metric
+
+    nlist = centroids.shape[0]
+    qm = preprocess_for_metric(q, metric)
+    pd = pairwise_dist(qm, preprocess_for_metric(centroids, metric), metric)
+    if approx_probe:
+        _, pids = jax.lax.approx_max_k(-pd, nprobes, recall_target=0.99)
+        pids = pids.astype(jnp.int32)
+    else:
+        _, pids = jax.lax.top_k(-pd, nprobes)
+    real = jnp.arange(q.shape[0], dtype=jnp.int32) < n_real
+    pids = jnp.where(real[:, None], pids, nlist)
+    counts = jnp.zeros(nlist + 1, jnp.int32).at[pids.reshape(-1)].add(
+        1, mode="drop")
+    return jnp.max(counts[:nlist])
 
 
 def _fused_kernel() -> bool:
