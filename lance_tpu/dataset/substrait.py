@@ -5,8 +5,11 @@ Re-design of the reference substrait filter path
 ExtendedExpression carrying one filter over the dataset's base schema).
 We consume the *protobuf-JSON* form of the message (every substrait
 producer can emit it; python's `substrait` package converts binary to it
-via MessageToJson). Binary protobuf input is accepted too when a substrait
-runtime is importable; otherwise it raises NotSupportedError with guidance.
+via MessageToJson). Binary protobuf input is decoded by a built-in
+wire-format reader (no proto runtime needed) covering the filter subset:
+ExtendedExpression / referred_expr / extension functions / base_schema
+names / literal / selection / scalar_function. Field numbers verified
+against pyarrow.substrait (Acero) producer output (tests/test_substrait.py).
 
 Supported expression nodes: scalarFunction (comparison ops, and/or/not,
 is_null/is_not_null), selection (direct struct-field reference into the
@@ -45,9 +48,14 @@ def filter_from_substrait(expr, base_columns: list[str] | None = None):
     """Convert a substrait ExtendedExpression (dict, JSON str/bytes, or
     binary protobuf) into a filter AST node usable by Scanner.filter()."""
     msg = _load(expr)
-    names = base_columns
-    if names is None:
-        names = list(msg.get("baseSchema", {}).get("names", []))
+    # field indices resolve against the MESSAGE's own baseSchema when the
+    # producer shipped one (its column order need not match the dataset's —
+    # the reference remaps by name the same way, substrait.rs
+    # parse_substrait); base_columns is only a fallback for messages that
+    # omit baseSchema.
+    names = list(msg.get("baseSchema", {}).get("names", []))
+    if not names:
+        names = base_columns or []
     referred = msg.get("referredExpr") or msg.get("referred_expr") or []
     if not referred:
         raise InvalidInputError("ExtendedExpression has no referredExpr")
@@ -70,18 +78,155 @@ def _load(expr) -> dict:
             return json.loads(expr)
         except (UnicodeDecodeError, json.JSONDecodeError):
             pass
-        try:  # binary protobuf: needs a substrait runtime to decode
-            from google.protobuf.json_format import MessageToDict
-            from substrait.gen.proto.extended_expression_pb2 import ExtendedExpression
-
-            m = ExtendedExpression()
-            m.ParseFromString(bytes(expr))
-            return MessageToDict(m)
-        except ImportError:
-            raise NotSupportedError(
-                "binary substrait requires the 'substrait' package; pass the "
-                "protobuf-JSON form instead") from None
+        return _decode_extended_expression(bytes(expr))
     raise InvalidInputError(f"cannot interpret substrait input: {type(expr)}")
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire-format reader for ExtendedExpression.
+#
+# Only the fields the filter path consumes are mapped; unknown fields are
+# skipped per protobuf rules so producer version drift stays non-fatal.
+# Schema (field numbers verified against substrait-io protos AND a live
+# Acero 25.0 producer):
+#   ExtendedExpression: 1 extension_uris, 2 extensions, 3 referred_expr,
+#                       4 base_schema, 7 version
+#   SimpleExtensionDeclaration: 3 extension_function
+#     ExtensionFunction: 1 extension_uri_reference, 2 function_anchor, 3 name
+#   ExpressionReference: 1 expression, 3 output_names
+#   Expression: 1 literal, 2 selection, 3 scalar_function
+#   ScalarFunction: 1 function_reference, 4 arguments (FunctionArgument)
+#     FunctionArgument: 3 value (Expression)
+#   FieldReference: 1 direct_reference; ReferenceSegment: 2 struct_field
+#     StructField: 1 field
+#   Literal: 1 boolean, 2 i8, 3 i16, 5 i32, 7 i64, 10 fp32, 11 fp64,
+#            12 string, 13 binary, 16 date, 29 null
+# ---------------------------------------------------------------------------
+
+def _wire_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) triples from one message."""
+    import struct as _struct
+
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _varint(buf, i)
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _varint(buf, i)
+        elif wt == 1:
+            v = _struct.unpack_from("<q", buf, i)[0]
+            i += 8
+        elif wt == 2:
+            ln, i = _varint(buf, i)
+            v = buf[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = _struct.unpack_from("<i", buf, i)[0]
+            i += 4
+        else:
+            raise InvalidInputError(f"unsupported protobuf wire type {wt}")
+        yield fno, wt, v
+
+
+def _varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+        if shift > 70:
+            raise InvalidInputError("malformed protobuf varint")
+
+
+def _s64(v: int) -> int:
+    """Reinterpret an unsigned varint as two's-complement int64."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _decode_extended_expression(buf: bytes) -> dict:
+    import struct as _struct
+
+    msg: dict = {"extensions": [], "referredExpr": [], "baseSchema": {"names": []}}
+    for fno, _wt, v in _wire_fields(buf):
+        if fno == 2:  # SimpleExtensionDeclaration
+            for f2, _w2, v2 in _wire_fields(v):
+                if f2 == 3:  # extension_function
+                    fn = {"functionAnchor": 0, "name": ""}
+                    for f3, _w3, v3 in _wire_fields(v2):
+                        if f3 == 2:
+                            fn["functionAnchor"] = v3
+                        elif f3 == 3:
+                            fn["name"] = v3.decode()
+                    msg["extensions"].append({"extensionFunction": fn})
+        elif fno == 3:  # ExpressionReference
+            ref: dict = {}
+            for f2, _w2, v2 in _wire_fields(v):
+                if f2 == 1:
+                    ref["expression"] = _decode_expression(v2)
+            msg["referredExpr"].append(ref)
+        elif fno == 4:  # NamedStruct base_schema
+            for f2, _w2, v2 in _wire_fields(v):
+                if f2 == 1:
+                    msg["baseSchema"]["names"].append(v2.decode())
+    return msg
+
+
+def _decode_expression(buf: bytes) -> dict:
+    import struct as _struct
+
+    for fno, _wt, v in _wire_fields(buf):
+        if fno == 1:  # literal
+            return {"literal": _decode_literal(v)}
+        if fno == 2:  # selection: FieldReference
+            field = 0
+            for f2, _w2, v2 in _wire_fields(v):
+                if f2 == 1:  # direct_reference: ReferenceSegment
+                    for f3, _w3, v3 in _wire_fields(v2):
+                        if f3 == 2:  # struct_field
+                            for f4, _w4, v4 in _wire_fields(v3):
+                                if f4 == 1:
+                                    field = v4
+            return {"selection": {"directReference": {"structField": {"field": field}}}}
+        if fno == 3:  # scalar_function
+            sf: dict = {"functionReference": 0, "arguments": []}
+            for f2, _w2, v2 in _wire_fields(v):
+                if f2 == 1:
+                    sf["functionReference"] = v2
+                elif f2 == 4:  # FunctionArgument
+                    for f3, _w3, v3 in _wire_fields(v2):
+                        if f3 == 3:  # value: Expression
+                            sf["arguments"].append({"value": _decode_expression(v3)})
+            return {"scalarFunction": sf}
+    raise NotSupportedError(
+        "substrait expression node not supported by the binary reader "
+        "(only literal/selection/scalarFunction)")
+
+
+def _decode_literal(buf: bytes) -> dict:
+    import struct as _struct
+
+    for fno, wt, v in _wire_fields(buf):
+        if fno == 1:
+            return {"boolean": bool(v)}
+        if fno in (2, 3, 5, 7):
+            key = {2: "i8", 3: "i16", 5: "i32", 7: "i64"}[fno]
+            return {key: _s64(v)}
+        if fno == 10:
+            return {"fp32": _struct.unpack("<f", _struct.pack("<i", v))[0]}
+        if fno == 11:
+            return {"fp64": _struct.unpack("<d", _struct.pack("<q", v))[0]}
+        if fno == 12:
+            return {"string": v.decode()}
+        if fno == 13:
+            return {"binary": v}
+        if fno == 16:
+            return {"date": _s64(v)}
+        if fno == 29:
+            return {"null": True}
+    return {"null": True}  # empty literal
 
 
 def _function_names(msg: dict) -> dict[int, str]:
