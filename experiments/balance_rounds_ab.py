@@ -1,0 +1,52 @@
+"""Balanced-Lloyd rounds A/B (CPU): assignment/routing consistency fix.
+
+High-dim cosine mixture (the dbp failure shape, scaled down). Builds the
+same IVF_PQ with LANCE_TPU_BALANCE_ROUNDS=1 (old behavior) and =2, and
+compares search recall at fixed (nprobes, rf)."""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+
+import lance_tpu as lt  # noqa: E402
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def main():
+    rng = np.random.default_rng(11)
+    N, DIM, NQ, K, NLIST = 80_000, 384, 128, 10, 128
+    centers = rng.uniform(0, 128, size=(1024, DIM)).astype(np.float32)
+    a = rng.integers(0, 1024, N + NQ)
+    radii = np.exp(rng.normal(size=(N + NQ, 1)) * 0.9).astype(np.float32)
+    x = centers[a] + radii * rng.normal(size=(N + NQ, DIM)).astype(np.float32) * 10
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    data, q = x[:N], x[N:]
+    d = 1.0 - q @ data.T
+    gt = np.argsort(d, axis=1)[:, :K]
+
+    for rounds in ("1", "2", "3"):
+        os.environ["LANCE_TPU_BALANCE_ROUNDS"] = rounds
+        ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                              f"memory://bra/r{rounds}")
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=NLIST,
+                             num_sub_vectors=24, metric="cosine", max_iters=8)
+        idx = ds._vector_index_for("vec")
+        for npb in (4, 8, 16):
+            _, rid = idx.search(q, K, nprobes=npb, refine_factor=16)
+            hits = sum(len(set(rid[i][rid[i] != INV].astype(np.int64).tolist())
+                           & set(gt[i].tolist())) for i in range(NQ))
+            _log(json.dumps({"rounds": rounds, "nprobes": npb,
+                             "recall": round(hits / (NQ * K), 4)}))
+
+
+if __name__ == "__main__":
+    main()

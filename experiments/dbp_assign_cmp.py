@@ -1,0 +1,74 @@
+"""Compare the ON-DISK dbp index's row->partition assignment against a
+fresh balanced_assign with the same centroids/params (HOST/CPU).
+
+Every re-simulation (f32/bf16, bf 1.5..4, one-shot) yields 0.99 coverage,
+yet the on-disk index measures 0.88. Inspect the actual stored assignment:
+agreement with resim, distribution of each row's natural-centroid rank of
+its stored partition, and the stored partition-length histogram."""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log, generate_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+from lance_tpu.ops.balanced import balanced_assign  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ = 500_000, 1536, 256
+    data, _ = generate_sift_like(N, DIM, NQ, seed=7)
+    data = np.array(data, np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+
+    ds = lt.dataset("file:///root/repo/.dbp500k.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    cents = ivf.centroids.astype(np.float32)
+    nlist = ivf.num_partitions
+    stored = np.empty(N, np.int32)
+    stored[rowids.astype(np.int64)] = np.repeat(
+        np.arange(nlist, dtype=np.int32), ivf.lengths)
+
+    resim = balanced_assign(data, cents, 1.5, metric="cosine")
+    agree = float((stored == resim).mean())
+
+    # natural rank (vs encode anchors, cosine) of each row's STORED partition
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    cc = (cn ** 2).sum(1)[None, :]
+    step = 65536
+    ranks = np.empty(N, np.int32)
+    for s in range(0, N, step):
+        e = min(s + step, N)
+        d = cc - 2.0 * data[s:e] @ cn.T
+        order = np.argsort(d, axis=1)
+        ro = np.empty_like(order)
+        np.put_along_axis(ro, order, np.arange(nlist)[None, :], axis=1)
+        ranks[s:e] = np.take_along_axis(ro, stored[s:e, None], axis=1)[:, 0]
+    out = {
+        "agreement": round(agree, 4),
+        "stored_natrank_hist": {
+            "0": int((ranks == 0).sum()), "1-7": int(((ranks >= 1) & (ranks < 8)).sum()),
+            "8-31": int(((ranks >= 8) & (ranks < 32)).sum()),
+            "32+": int((ranks >= 32).sum())},
+        "stored_L": int(ivf.lengths.max()),
+        "stored_parts_at_cap": int((ivf.lengths >= ivf.lengths.max() - 1).sum()),
+        "resim_L": int(np.bincount(resim, minlength=nlist).max()),
+    }
+    _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""dbpedia 1536-D: does bf16 build-time assignment cause the displacement?
+
+dbp_bf_ab.py (f32 assignment on CPU) reproduced coverage 0.99 at the SAME
+bf=1.5 where the production index measures 0.88 — the one remaining
+difference is build_matmul_dtype: production assignment distances ran in
+bf16 ("borderline partition choices are quality-neutral" — a claim this
+test checks at 1536-D cosine, where neighbor-distance gaps are tiny).
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log, generate_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+from lance_tpu.ops import balanced as bal  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ, K = 500_000, 1536, 256, 10
+    data, _ = generate_sift_like(N, DIM, NQ, seed=7)
+    data = np.array(data, np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = np.load("/root/repo/.dbp500k_q.npy").astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    gt_i = np.load("/root/repo/.dbp500k_gt.npy")
+
+    ds = lt.dataset("file:///root/repo/.dbp500k.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    cents = ivf.centroids.astype(np.float32)
+    nlist = cents.shape[0]
+
+    for dtype_name, mm in (("f32", None), ("bf16", jnp.bfloat16)):
+        assign_dev, rem, _ = bal._balanced_accept_device(
+            jnp.asarray(data), jnp.asarray(cents),
+            jnp.full(nlist, int(np.ceil(N / nlist * 1.5)), jnp.int32),
+            8, nlist, "cosine", mm)
+        assign = np.asarray(assign_dev).copy()
+        un = assign < 0
+        lens = np.bincount(assign[~un], minlength=nlist)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign[~un], data[~un])
+        pc = sums / np.maximum(lens[:, None], 1)
+        pc /= np.maximum(np.linalg.norm(pc, axis=1, keepdims=True), 1e-30)
+        qd = (pc ** 2).sum(1)[None, :] - 2.0 * queries @ pc.T
+        rank_of = np.argsort(np.argsort(qd, axis=1), axis=1)
+        gt_part = assign[gt_i[:, :K]]
+        gt_prank = np.where(gt_part >= 0,
+                            np.take_along_axis(rank_of,
+                                               np.maximum(gt_part, 0), axis=1),
+                            nlist)
+        out = {"assign_dtype": dtype_name,
+               "unassigned_frac": round(float(un.mean()), 4)}
+        for npb in (16, 32):
+            out[f"cov_np{npb}"] = round(float((gt_prank < npb).mean()), 4)
+        _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

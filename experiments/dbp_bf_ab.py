@@ -1,0 +1,79 @@
+"""dbpedia 1536-D: balance_factor vs gt probe coverage (HOST/CPU-ONLY).
+
+diag_dbp2 showed 28.8% of gt rows displaced from their natural partition
+(natural coverage@np32 = 0.9953 vs assigned 0.8805; 318/512 partitions at
+the 1.5x cap). This re-runs ONLY the assignment stage at different
+balance factors (reusing the trained centroids) and reports, per bf:
+  - gt coverage at nprobes 8/16/32 (with recentered member-mean routing)
+  - max partition length (the search-side FLOP tax: scoring pads to L)
+  - displaced fraction
+No chip needed; picks the bf for the real rebuild.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log, generate_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+from lance_tpu.ops.balanced import balanced_assign  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ, K = 500_000, 1536, 256, 10
+    data, _ = generate_sift_like(N, DIM, NQ, seed=7)
+    data = np.array(data, np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = np.load("/root/repo/.dbp500k_q.npy").astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    gt_i = np.load("/root/repo/.dbp500k_gt.npy")
+
+    ds = lt.dataset("file:///root/repo/.dbp500k.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    cents = ivf.centroids.astype(np.float32)
+    nlist = cents.shape[0]
+
+    for bf, top_t in ((1.5, 8), (2.0, 8), (3.0, 8), (3.0, 16), (4.0, 8),
+                      (0.0, 8)):
+        if bf:
+            assign = balanced_assign(data, cents, bf, top_t=top_t,
+                                     metric="cosine")
+        else:  # natural assignment, no cap
+            cn = (cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-30))
+            assign = np.argmin(
+                (cn ** 2).sum(1)[None, :] - 2.0 * data @ cn.T, axis=1
+            ).astype(np.int32)
+        lens = np.bincount(assign, minlength=nlist)
+        # recentered member means = the routing (probe) centroids
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, data)
+        pc = sums / np.maximum(lens[:, None], 1)
+        pc /= np.maximum(np.linalg.norm(pc, axis=1, keepdims=True), 1e-30)
+        qd = (pc ** 2).sum(1)[None, :] - 2.0 * queries @ pc.T
+        rank_of = np.argsort(np.argsort(qd, axis=1), axis=1)
+        gt_part = assign[gt_i[:, :K]]
+        gt_prank = np.take_along_axis(rank_of, gt_part, axis=1)
+        nat = np.argmin((pc ** 2).sum(1)[None, :] - 2.0 * data[gt_i[:, :K].reshape(-1)] @ pc.T, axis=1)
+        displaced = float((assign[gt_i[:, :K].reshape(-1)] != nat).mean())
+        out = {"bf": bf, "top_t": top_t, "L": int(lens.max()),
+               "displaced_gt": round(displaced, 4)}
+        for npb in (8, 16, 32):
+            out[f"cov_np{npb}"] = round(float((gt_prank < npb).mean()), 4)
+        _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

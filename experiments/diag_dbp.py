@@ -1,0 +1,116 @@
+"""dbpedia-like 1536-D cosine recall decomposition (HOST-ONLY).
+
+Signature from dbp_gate: m=384 == m=96 recall (quantization NOT the
+limiter), rf-insensitive, nprobes 16->32 moves 0.832->0.879. Mirrors
+diag16m_slots/diag16m_rank for the 500k x 1536 cosine index:
+
+  stage 1  probe coverage: fraction of gt in probed partitions at
+           nprobes in {16, 32, 64, 128, 256} (exact and approx_max_k)
+  stage 2  quantized rank of probed gt at nprobes=32 (pool cut = k*rf)
+
+If stage 1 tracks the measured recall curve, the 1536-D fix is probe
+count / centroid quality, not PQ fidelity — matching the m-insensitivity.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+from lance_tpu.ops.pq import ProductQuantizer, unpack_codes  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ, K = 500_000, 1536, 256, 10
+    queries = np.load("/root/repo/.dbp500k_q.npy").astype(np.float32)
+    gt_i = np.load("/root/repo/.dbp500k_gt.npy")
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    ds = lt.dataset("file:///root/repo/.dbp500k.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    pq_header = json.loads(reader.read_global_buffer("pq_header"))
+    pq = ProductQuantizer.from_parts(pq_header,
+                                     reader.read_global_buffer("pq_codebook"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    codes = unpack_codes(reader.read_column("__pq_code").to_numpy_matrix(),
+                         pq.num_bits, pq.num_sub_vectors)
+    nlist = ivf.num_partitions
+    _log(f"nlist={nlist} m={pq.num_sub_vectors} metric={ivf.metric} "
+         f"residual={pq_header.get('residual')} opq={pq.rotation is not None}")
+
+    part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+    assign = np.empty(N, np.int32)
+    assign[rowids.astype(np.int64)] = part_of_row
+    pos_of_row = np.empty(N, np.int64)
+    pos_of_row[rowids.astype(np.int64)] = np.arange(len(rowids))
+
+    probe_c = (ivf.probe_centroids if ivf.probe_centroids is not None
+               else ivf.centroids).astype(np.float32)
+    # cosine probing normalizes centroids too (preprocess_for_metric)
+    pc = probe_c / np.maximum(np.linalg.norm(probe_c, axis=1, keepdims=True),
+                              1e-30)
+    cn = (pc ** 2).sum(1)[None, :]
+    qd = cn - 2.0 * queries @ pc.T
+    rank_of = np.argsort(np.argsort(qd, axis=1), axis=1)  # (NQ, nlist)
+
+    gt_part = assign[gt_i[:, :K]]                # (NQ, K)
+    gt_prank = np.take_along_axis(rank_of, gt_part, axis=1)
+    out = {}
+    for npb in (16, 32, 64, 128, 256):
+        out[f"gt_probed_np{npb}"] = round(float((gt_prank < npb).mean()), 4)
+    out["gt_prank_p50_p90_p99"] = [int(np.percentile(gt_prank, p))
+                                   for p in (50, 90, 99)]
+    _log(json.dumps(out))
+
+    # stage 2: quantized rank at nprobes=32
+    m, dsub = pq.num_sub_vectors, DIM // pq.num_sub_vectors
+    xhat = np.empty((len(codes), DIM), np.float32)
+    cb = pq.codebook.astype(np.float32)
+    for mi in range(m):
+        xhat[:, mi * dsub:(mi + 1) * dsub] = cb[mi][codes[:, mi]]
+    if pq.rotation is not None:
+        xhat = xhat @ pq.rotation.T
+    if pq_header.get("residual", False):
+        xhat += ivf.centroids.astype(np.float32)[part_of_row]
+    sq = (xhat ** 2).sum(1)
+    offs = ivf.offsets.astype(np.int64)
+    lens = ivf.lengths.astype(np.int64)
+    NPROBES = 32
+    pids = np.argsort(qd, axis=1)[:, :NPROBES]
+    ranks = []
+    n_probed = 0
+    for i in range(NQ):
+        q = queries[i]
+        cand = np.concatenate([np.arange(int(offs[p]), int(offs[p] + lens[p]))
+                               for p in pids[i]])
+        s = sq[cand] - 2.0 * (xhat[cand] @ q)
+        ords = np.sort(s)
+        pset = set(pids[i].tolist())
+        for r in gt_i[i, :K]:
+            if int(assign[r]) not in pset:
+                continue
+            n_probed += 1
+            p = int(pos_of_row[r])
+            my = sq[p] - 2.0 * (xhat[p] @ q)
+            ranks.append(int(np.searchsorted(ords, my)))
+    ranks = np.asarray(ranks)
+    tot = NQ * K
+    out2 = {"probed_np32": round(n_probed / tot, 4)}
+    for cut in (160, 320, 640, 2560):
+        out2[f"q_rank_lt{cut}"] = round(float((ranks < cut).sum() / tot), 4)
+    out2["q_rank_p50_p90_p99"] = [int(np.percentile(ranks, p))
+                                  for p in (50, 90, 99)]
+    _log(json.dumps(out2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""dbpedia diag #2 (HOST-ONLY): is the deep assigned-partition rank caused
+by balanced-accept displacement, or by genuine geometry (neighbor's natural
+nearest centroid is just far from the query's)?
+
+For each gt neighbor: natural rank = query-probe rank of the row's NEAREST
+centroid; assigned rank = rank of the partition it actually lives in.
+If natural ranks are shallow and assigned ranks deep -> displacement; fix
+at build (capacity slack / rank-bounded spill). If natural ranks are deep
+too -> geometry; fix is more probes or a different routing structure."""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # MUST precede first device use:
+# bench.generate_sift_like is jitted and would otherwise run on the pinned
+# axon backend, fighting whatever owns the chip.
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log, generate_sift_like  # noqa: E402
+
+from lance_tpu.file.reader import FileReader  # noqa: E402
+from lance_tpu.models.ivf import IvfModel  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+
+def main():
+    N, DIM, NQ, K = 500_000, 1536, 256, 10
+    data, _ = generate_sift_like(N, DIM, NQ, seed=7)
+    data = np.array(data, np.float32)  # writable copy (jax arrays are RO views)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    queries = np.load("/root/repo/.dbp500k_q.npy").astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    gt_i = np.load("/root/repo/.dbp500k_gt.npy")
+
+    ds = lt.dataset("file:///root/repo/.dbp500k.lance")
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    nlist = ivf.num_partitions
+    part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+    assign = np.empty(N, np.int32)
+    assign[rowids.astype(np.int64)] = part_of_row
+
+    probe_c = (ivf.probe_centroids if ivf.probe_centroids is not None
+               else ivf.centroids).astype(np.float32)
+    pc = probe_c / np.maximum(np.linalg.norm(probe_c, axis=1, keepdims=True), 1e-30)
+    qd = (pc ** 2).sum(1)[None, :] - 2.0 * queries @ pc.T
+    rank_of = np.argsort(np.argsort(qd, axis=1), axis=1)
+
+    # natural partition of each unique gt row (vs ROUTING centroids and vs
+    # ENCODE anchors — they differ after post-balance recentering)
+    enc_c = ivf.centroids.astype(np.float32)
+    ec = enc_c / np.maximum(np.linalg.norm(enc_c, axis=1, keepdims=True), 1e-30)
+    rows = np.unique(gt_i[:, :K].reshape(-1))
+    v = data[rows]
+    nat_probe = np.argmin((pc ** 2).sum(1)[None, :] - 2.0 * v @ pc.T, axis=1)
+    nat_enc = np.argmin((ec ** 2).sum(1)[None, :] - 2.0 * v @ ec.T, axis=1)
+    nat_p = dict(zip(rows.tolist(), nat_probe.tolist()))
+    nat_e = dict(zip(rows.tolist(), nat_enc.tolist()))
+
+    a_ranks, np_ranks, ne_ranks, displaced = [], [], [], 0
+    for i in range(NQ):
+        for r in gt_i[i, :K]:
+            a_ranks.append(int(rank_of[i, assign[r]]))
+            np_ranks.append(int(rank_of[i, nat_p[int(r)]]))
+            ne_ranks.append(int(rank_of[i, nat_e[int(r)]]))
+            displaced += int(assign[r]) != nat_p[int(r)]
+    a_ranks = np.asarray(a_ranks)
+    np_ranks = np.asarray(np_ranks)
+    ne_ranks = np.asarray(ne_ranks)
+    tot = len(a_ranks)
+    out = {
+        "displaced_frac_vs_probe_c": round(displaced / tot, 4),
+        "assigned_within32": round(float((a_ranks < 32).mean()), 4),
+        "natural_probe_within32": round(float((np_ranks < 32).mean()), 4),
+        "natural_enc_within32": round(float((ne_ranks < 32).mean()), 4),
+        "assigned_p50_p90_p99": [int(np.percentile(a_ranks, p)) for p in (50, 90, 99)],
+        "natural_probe_p50_p90_p99": [int(np.percentile(np_ranks, p)) for p in (50, 90, 99)],
+        "cap_ratio": round(float(ivf.lengths.max() / ivf.lengths.mean()), 3),
+        "parts_at_cap": int((ivf.lengths >= ivf.lengths.max() - 1).sum()),
+    }
+    _log(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Streaming-build capacity fairness A/B (CPU).
+
+Old scheme: all chunks share one first-come-first-served capacity vector —
+early chunks exhaust hot partitions, later rows displaced to deep probe
+ranks. New scheme (in _build_ivf_pq_streaming): capacity released prorated
+per chunk. This measures natural-rank displacement of the final assignment
+under one-shot / shared / prorated on clustered data, plus the end-to-end
+recall through the real streaming build path.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+
+from lance_tpu.ops.balanced import balanced_assign  # noqa: E402
+from lance_tpu.ops.kmeans import train_kmeans  # noqa: E402
+import lance_tpu as lt  # noqa: E402
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def natrank_stats(data, cents, assign, probes=8):
+    cn = (cents ** 2).sum(1)[None, :]
+    d = cn - 2.0 * data @ cents.T
+    order = np.argsort(d, axis=1)
+    ro = np.empty_like(order)
+    np.put_along_axis(ro, order, np.arange(cents.shape[0])[None, :], axis=1)
+    r = np.take_along_axis(ro, assign[:, None], axis=1)[:, 0]
+    return {"rank0": round(float((r == 0).mean()), 4),
+            f"rank_lt{probes}": round(float((r < probes).mean()), 4),
+            "rank_32p": round(float((r >= 32).mean()), 4)}
+
+
+def main():
+    rng = np.random.default_rng(3)
+    N, DIM, NLIST, CH = 200_000, 64, 128, 4
+    # clustered AND cluster-ordered rows (worst case for shared capacity:
+    # the row order correlates with cluster id)
+    centers = rng.normal(size=(256, DIM)).astype(np.float32) * 8
+    a = np.sort(rng.integers(0, 256, N))
+    data = (centers[a] + rng.normal(size=(N, DIM)).astype(np.float32))
+
+    km = train_kmeans(data, NLIST, max_iters=8)
+    cents = np.asarray(km.centroids)
+    bounds = [(s, min(s + N // CH, N)) for s in range(0, N, N // CH)]
+    cap = int(np.ceil(N / NLIST * 1.5))
+
+    one = balanced_assign(data, cents, 1.5)
+    _log(json.dumps({"scheme": "one-shot", **natrank_stats(data, cents, one)}))
+
+    shared = np.full(NLIST, cap, np.int64)
+    parts = np.empty(N, np.int32)
+    for s, e in bounds:
+        parts[s:e] = balanced_assign(data[s:e], cents, 1.5, remaining=shared)
+    _log(json.dumps({"scheme": "shared", **natrank_stats(data, cents, parts)}))
+
+    used = np.zeros(NLIST, np.int64)
+    parts2 = np.empty(N, np.int32)
+    for s, e in bounds:
+        rem = np.maximum(np.int64(np.ceil(cap * (e / N))) - used, 0)
+        parts2[s:e] = balanced_assign(data[s:e], cents, 1.5, remaining=rem)
+        used += np.bincount(parts2[s:e], minlength=NLIST)
+    _log(json.dumps({"scheme": "prorated", **natrank_stats(data, cents, parts2)}))
+
+    # end-to-end: real streaming build (forced via tiny device-bytes budget)
+    os.environ["LANCE_TPU_BUILD_DEVICE_BYTES"] = str(8_000_000)
+    q = data[rng.choice(N, 128, replace=False)] + 0.01
+    dd = (data ** 2).sum(1)[None, :] - 2.0 * q @ data.T
+    gt = np.argsort(dd, axis=1)[:, :10]
+    ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                          "memory://fair/ds")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=NLIST,
+                         num_sub_vectors=8, max_iters=8)
+    idx = ds._vector_index_for("vec")
+    _, rid = idx.search(q, 10, nprobes=8, refine_factor=8)
+    hits = sum(len(set(rid[i][rid[i] != INV].astype(np.int64).tolist())
+                   & set(gt[i].tolist())) for i in range(128))
+    _log(json.dumps({"scheme": "e2e-streaming-build",
+                     "recall": round(hits / 1280, 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,7 +170,20 @@ class Scanner:
     def to_table(self) -> pa.Table:
         batches = list(self.to_batches())
         if not batches:
-            return pa.table({})
+            # zero-row scans must keep the projected SCHEMA: downstream
+            # consumers (SQL subqueries, joins, concat) resolve columns by
+            # name even when there are no rows
+            fields = []
+            for c in self._output_columns():
+                if c in (ROW_ID_COL, ROW_ADDR_COL):
+                    fields.append(pa.field(c, pa.uint64()))
+                else:
+                    try:
+                        fields.append(self.ds.schema.field(c).to_arrow())
+                    except Exception:
+                        return pa.table({})  # computed projections: no schema
+            return pa.Table.from_arrays(
+                [pa.array([], f.type) for f in fields], schema=pa.schema(fields))
         return pa.Table.from_batches(batches)
 
     def to_batches(self):

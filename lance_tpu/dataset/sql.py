@@ -27,7 +27,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..errors import InvalidInputError
+from ..errors import InvalidInputError, NotSupportedError
 from .filter import BinOp, Col, parse_filter, referenced_columns
 
 _CLAUSES_RE = re.compile(
@@ -693,11 +693,79 @@ def _sql_literal(v) -> str:
     return repr(v)
 
 
+def _correlated_conjuncts(inner: str):
+    """Split a subquery into (correlation pairs, decorrelated query).
+
+    Correlation = a top-level WHERE conjunct `outer_alias.col = <inner ref>`
+    (either side) whose alias is NOT one of the subquery's own FROM/JOIN
+    aliases. Returns ([(outer_ref, inner_ref), ...], inner query with those
+    conjuncts removed and the SELECT list replaced by the inner refs).
+    Reference semantics: DataFusion decorrelates EXISTS/IN the same way
+    (rust/lance-datafusion planner; subquery-to-semijoin rewrite)."""
+    m = _CLAUSES_RE.match(inner)
+    if not m or not m.group("where"):
+        return [], inner
+    base, joins = _parse_from(m.group("from_"))
+    own = {base[1]} | {j[0][1] for j in joins}
+    ref_re = re.compile(r"^\s*(\w+)\.(\w+)\s*$")
+    pairs, rest = [], []
+    for conj in re.split(r"\s+and\s+", m.group("where").strip(),
+                         flags=re.IGNORECASE):
+        eq = re.match(r"^\s*([\w.]+)\s*=\s*([\w.]+)\s*$", conj)
+        sides = (eq.group(1), eq.group(2)) if eq else None
+        hit = None
+        if sides:
+            for a, b in (sides, sides[::-1]):
+                ma = ref_re.match(a)
+                if ma and ma.group(1) not in own:
+                    hit = (a.strip(), b.strip())
+                    break
+        if hit:
+            pairs.append(hit)
+        else:
+            rest.append(conj.strip())
+    if not pairs:
+        return [], inner
+
+    def unqualify(ref: str) -> str:
+        # single-table inner queries project bare column names (the engine
+        # only materializes alias-qualified views for joins)
+        if not joins and ref.startswith(base[1] + "."):
+            return ref[len(base[1]) + 1:]
+        return ref
+
+    sel = ", ".join(unqualify(p[1]) for p in pairs)
+    decorr = f"SELECT {sel} FROM {m.group('from_').strip()}"
+    if rest:
+        rest = [re.sub(rf"\b{re.escape(base[1])}\.(\w+)", r"\1", c)
+                for c in rest] if not joins else rest
+        decorr += " WHERE " + " AND ".join(rest)
+    return pairs, decorr
+
+
+_EXISTS_TAIL_RE = re.compile(r"(not\s+)?exists\s*$", re.IGNORECASE)
+
+
+def _strip_alias(raw: str | None, base: tuple[str, str]) -> str | None:
+    """Rewrite `<alias>.col` / `<table>.col` -> `col` outside string
+    literals (single-table queries only — joins materialize qualified
+    views instead)."""
+    if not raw:
+        return raw
+    pat = re.compile(
+        rf"\b({re.escape(base[0])}|{re.escape(base[1])})\.(\w+)")
+    out = []
+    for i, seg in enumerate(raw.split("'")):
+        out.append(pat.sub(r"\2", seg) if i % 2 == 0 else seg)
+    return "'".join(out)
+
+
 def _rewrite_subqueries(query: str, ds, tables: dict | None):
-    """Evaluate uncorrelated subqueries bottom-up and splice their results
-    into the outer query: scalar -> literal, IN (...) -> value list,
-    FROM/JOIN (...) -> registered derived table. Correlated subqueries are
-    not supported (inner evaluation sees only its own tables)."""
+    """Evaluate subqueries bottom-up and splice their results into the
+    outer query: scalar -> literal, IN (...) -> value list, FROM/JOIN (...)
+    -> registered derived table, [NOT] EXISTS (...) -> constant or a
+    decorrelated semi-join membership test (single-key correlated EXISTS;
+    other correlated forms raise)."""
     spans = _subquery_spans(query)
     if not spans:
         return query, tables
@@ -709,6 +777,32 @@ def _rewrite_subqueries(query: str, ds, tables: dict | None):
         before = query[:s].rstrip()
         prev_word = re.split(r"[^\w]", before)[-1].lower() if before else ""
         sub_tables = {**(tables or {}), **extra}
+        if prev_word == "exists":
+            # strip the trailing [NOT] EXISTS we already appended
+            head = out[-1].rstrip()
+            mex = _EXISTS_TAIL_RE.search(head)
+            negate = bool(mex.group(1))
+            out[-1] = head[:mex.start()]
+            pairs, decorr = _correlated_conjuncts(inner)
+            if not pairs:  # uncorrelated: constant fold
+                result = sql(ds, inner, tables=sub_tables)
+                val = result.num_rows > 0
+                out.append("1 = 1" if val != negate else "1 = 0")
+            elif len(pairs) > 1:
+                raise NotSupportedError(
+                    "correlated EXISTS supports one correlation equality")
+            else:
+                result = sql(ds, decorr, tables=sub_tables)
+                vals = sorted({v for v in result.column(0).to_pylist()
+                               if v is not None})
+                outer_ref = pairs[0][0]
+                if not vals:
+                    out.append("1 = 0" if not negate else "1 = 1")
+                else:
+                    lst = ", ".join(_sql_literal(v) for v in vals)
+                    out.append(f"{outer_ref} {'not in' if negate else 'in'} ({lst})")
+            pos = e
+            continue
         result = sql(ds, inner, tables=sub_tables)
         if prev_word in ("from", "join"):
             name = f"__subq{n_sub}"
@@ -748,9 +842,19 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
     cols_raw = m.group("cols").strip()
     base, joins = _parse_from(m.group("from_"))
     where_raw = m.group("where")
-    group_cols = ([c.strip().strip('`"') for c in _split_top_level(m.group("group"))]
-                  if m.group("group") else [])
-    order = _parse_order(m.group("order")) if m.group("order") else None
+    group_raw = m.group("group")
+    order_raw = m.group("order")
+    if not joins:
+        # single-table queries accept alias-qualified refs (`o.col` with
+        # FROM t o) everywhere a column may appear; strip the qualifier so
+        # scanner pushdown and the filter grammar see bare names
+        cols_raw = _strip_alias(cols_raw, base)
+        where_raw = _strip_alias(where_raw, base)
+        group_raw = _strip_alias(group_raw, base)
+        order_raw = _strip_alias(order_raw, base)
+    group_cols = ([c.strip().strip('`"') for c in _split_top_level(group_raw)]
+                  if group_raw else [])
+    order = _parse_order(order_raw) if order_raw else None
     limit = int(m.group("limit")) if m.group("limit") else None
     offset = int(m.group("offset")) if m.group("offset") else 0
 

@@ -209,18 +209,30 @@ def build_ivf_index(
     # Balance matters doubly on TPU: the dense search scores each partition
     # padded to the max partition length, so skew taxes every query.
     if balance_factor and num_partitions > 1:
-        part_ids = balanced_assign(dev_vectors, km.centroids, balance_factor, metric=metric)
-        # Re-center: after capacity reassignment, each partition's true mean
-        # moves; probing with updated centroids targets where members actually
-        # live (recovers the recall lost to balancing).
-        sums = np.zeros_like(km.centroids)
-        np.add.at(sums, part_ids, vectors if metric != "cosine" else
-                  vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12))
-        cnts = np.bincount(part_ids, minlength=num_partitions).astype(np.float32)
-        nonempty = cnts > 0
-        new_centroids = km.centroids.copy()
-        new_centroids[nonempty] = sums[nonempty] / cnts[nonempty, None]
-        km.centroids = new_centroids
+        # Balanced Lloyd rounds: assign under capacity, re-center to member
+        # means, REPEAT. A single assign+recenter leaves rows assigned by
+        # the PRE-recenter centroids while queries route by the POST-recenter
+        # means — at 1536-D cosine that inconsistency measured 11pts of
+        # gt probe coverage (0.88 vs 0.99 after one re-alignment round;
+        # experiments/dbp_bf_ab.py + dbp_assign_cmp.py). The final recenter
+        # follows the final assignment, so routing means always reflect the
+        # shipped assignment; residual anchors = the same final centroids
+        # (encode/decode stay consistent by construction).
+        rounds = max(1, int(os.environ.get("LANCE_TPU_BALANCE_ROUNDS", "2")))
+        norm_vectors = (vectors if metric != "cosine" else
+                        vectors / np.maximum(
+                            np.linalg.norm(vectors, axis=1, keepdims=True),
+                            1e-12))
+        for _ in range(rounds):
+            part_ids = balanced_assign(dev_vectors, km.centroids,
+                                       balance_factor, metric=metric)
+            sums = np.zeros_like(km.centroids)
+            np.add.at(sums, part_ids, norm_vectors)
+            cnts = np.bincount(part_ids, minlength=num_partitions).astype(np.float32)
+            nonempty = cnts > 0
+            new_centroids = km.centroids.copy()
+            new_centroids[nonempty] = sums[nonempty] / cnts[nonempty, None]
+            km.centroids = new_centroids
     else:
         part_ids = km.compute_partitions(dev_vectors)
     order, offsets, lengths = partition_sort(part_ids, num_partitions)
@@ -634,7 +646,12 @@ def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
         vectors, km, metric, num_sub_vectors, num_bits, max_iters,
         sample_rate, pq_codebook, rng)
 
-    # 3. fused streamed pass: assign + encode per chunk, one upload each
+    # 3. fused streamed pass: assign + encode per chunk, one upload each.
+    # Chunks share ONE first-come-first-served capacity vector. A prorated
+    # per-chunk release was measured WORSE on cluster-ordered rows (each
+    # chunk's clusters need the full cap, not 1/n_chunks of it) and equal on
+    # random order — experiments/stream_fair_ab.py: natural-rank<8 one-shot
+    # 0.901 / shared 0.890 / prorated 0.801.
     cap = int(np.ceil(n / num_partitions * max(balance_factor, 1.01)))
     remaining = np.full(num_partitions, cap, np.int64)
     part_ids = np.empty(n, np.int32)

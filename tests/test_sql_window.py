@@ -205,3 +205,50 @@ def test_udtf_unknown_function_rejected():
     ds = _ds("udtfx", {"x": pa.array([1])})
     with pytest.raises(InvalidInputError, match="table function"):
         ds.sql("SELECT * FROM nope(1)")
+
+
+# -- EXISTS / correlated subqueries -------------------------------------------------
+
+
+def test_exists_uncorrelated():
+    main = _ds("exm", {"id": pa.array([1, 2, 3])})
+    full = _ds("exf", {"k": pa.array([7])})
+    empty = _ds("exe", {"k": pa.array([], pa.int64())})
+    t = main.sql("SELECT id FROM t WHERE EXISTS (SELECT k FROM full)",
+                 tables={"t": main, "full": full, "empty": empty})
+    assert t.num_rows == 3
+    t = main.sql("SELECT id FROM t WHERE EXISTS (SELECT k FROM empty)",
+                 tables={"t": main, "full": full, "empty": empty})
+    assert t.num_rows == 0
+    t = main.sql("SELECT id FROM t WHERE NOT EXISTS (SELECT k FROM empty)",
+                 tables={"t": main, "full": full, "empty": empty})
+    assert t.num_rows == 3
+
+
+def test_exists_correlated_semijoin():
+    orders = _ds("exo", {"oid": pa.array([1, 2, 3, 4]),
+                         "cust": pa.array(["a", "b", "c", "d"])})
+    items = _ds("exi", {"order_id": pa.array([2, 2, 4]),
+                        "qty": pa.array([5, 1, 9])})
+    t = orders.sql(
+        "SELECT cust FROM t o WHERE EXISTS "
+        "(SELECT 1 FROM items i WHERE i.order_id = o.oid) ORDER BY oid",
+        tables={"t": orders, "items": items})
+    assert t["cust"].to_pylist() == ["b", "d"]
+    # anti-join via NOT EXISTS
+    t = orders.sql(
+        "SELECT cust FROM t o WHERE NOT EXISTS "
+        "(SELECT 1 FROM items i WHERE i.order_id = o.oid) ORDER BY oid",
+        tables={"t": orders, "items": items})
+    assert t["cust"].to_pylist() == ["a", "c"]
+    # correlated + residual inner predicate
+    t = orders.sql(
+        "SELECT cust FROM t o WHERE EXISTS "
+        "(SELECT 1 FROM items i WHERE i.order_id = o.oid AND i.qty > 4) "
+        "ORDER BY oid", tables={"t": orders, "items": items})
+    assert t["cust"].to_pylist() == ["b", "d"]
+    t = orders.sql(
+        "SELECT cust FROM t o WHERE EXISTS "
+        "(SELECT 1 FROM items i WHERE i.order_id = o.oid AND i.qty > 5) "
+        "ORDER BY oid", tables={"t": orders, "items": items})
+    assert t["cust"].to_pylist() == ["d"]
