@@ -85,6 +85,12 @@ class Func:
     args: list
 
 
+@dataclass
+class Case:
+    whens: list  # [(cond, value), ...]
+    els: Any = None
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -101,7 +107,8 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"and", "or", "not", "is", "null", "in", "between", "like", "true", "false"}
+_KEYWORDS = {"and", "or", "not", "is", "null", "in", "between", "like",
+             "true", "false", "case", "when", "then", "else", "end", "as"}
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -270,9 +277,30 @@ class _Parser:
             return Lit(t == "true")
         if k == "kw" and t == "null":
             return Lit(None)
+        if k == "kw" and t == "case":
+            whens = []
+            while self.peek() == ("kw", "when"):
+                self.next()
+                cond = self.parse_or()
+                self.expect("kw", "then")
+                whens.append((cond, self.parse_or()))
+            if not whens:
+                raise InvalidInputError("CASE requires at least one WHEN")
+            els = None
+            if self.peek() == ("kw", "else"):
+                self.next()
+                els = self.parse_or()
+            self.expect("kw", "end")
+            return Case(whens, els)
         if k == "id":
             if self.peek() == ("op", "("):
                 self.next()
+                if t.lower() == "cast":
+                    expr = self.parse_or()
+                    self.expect("kw", "as")
+                    _k2, ty = self.next()
+                    self.expect("op", ")")
+                    return Func("cast", [expr, Lit(ty.lower())])
                 args = []
                 if self.peek() != ("op", ")"):
                     args.append(self.parse_or())
@@ -309,6 +337,11 @@ def referenced_columns(node) -> set[str]:
     elif isinstance(node, Func):
         for a in node.args:
             out |= referenced_columns(a)
+    elif isinstance(node, Case):
+        for c, v in node.whens:
+            out |= referenced_columns(c) | referenced_columns(v)
+        if node.els is not None:
+            out |= referenced_columns(node.els)
     return out
 
 
@@ -432,7 +465,118 @@ def _eval(node, cols) -> tuple[np.ndarray, np.ndarray | None]:
             if cd is not None and cd.kind in ("list", "varbin"):
                 return np.diff(cd.offsets), cv.validity
             raise InvalidInputError("length() expects a list/string column")
+        if node.name == "coalesce" and node.args:
+            vals, valid = _eval(node.args[0], cols)
+            vals = np.asarray(vals).copy()
+            if valid is None:
+                return vals, None
+            valid = valid.copy()
+            for arg in node.args[1:]:
+                if not (~valid).any():
+                    break
+                v2, valid2 = _eval(arg, cols)
+                v2b = np.broadcast_to(np.asarray(v2), vals.shape)
+                take = ~valid & (valid2 if valid2 is not None
+                                 else np.ones(vals.shape, bool))
+                if take.any() and v2b.dtype != vals.dtype:
+                    vals = vals.astype(np.result_type(vals.dtype, v2b.dtype))
+                vals[take] = v2b[take]
+                valid |= take
+            return vals, valid
+        if node.name == "cast" and len(node.args) == 2:
+            v, valid = _eval(node.args[0], cols)
+            ty = node.args[1].value
+            np_ty = {"int": np.int64, "integer": np.int64, "bigint": np.int64,
+                     "smallint": np.int32, "tinyint": np.int32,
+                     "float": np.float32, "real": np.float32,
+                     "double": np.float64, "boolean": bool, "bool": bool,
+                     "string": None, "varchar": None, "text": None}.get(ty)
+            if ty in ("string", "varchar", "text"):
+                arr = np.asarray(v)
+                out = np.array([None if (valid is not None and not ok)
+                                else (str(x) if not isinstance(x, bytes)
+                                      else x.decode("utf-8", "replace"))
+                                for x, ok in zip(
+                                    arr, valid if valid is not None
+                                    else np.ones(len(arr), bool))],
+                               dtype=object)
+                return out, valid
+            if np_ty is None:
+                raise InvalidInputError(f"unsupported cast type {ty!r}")
+            arr = np.asarray(v)
+            if arr.dtype == object or arr.dtype.kind in "US":
+                out = np.empty(len(arr), np.float64)
+                ok = np.ones(len(arr), bool)
+                for i, x in enumerate(arr):
+                    try:
+                        out[i] = float(x)
+                    except (TypeError, ValueError):
+                        out[i], ok[i] = 0.0, False
+                if valid is not None:
+                    ok &= valid
+                return out.astype(np_ty), ok
+            return arr.astype(np_ty), valid
+        if node.name in ("abs", "floor", "ceil", "round", "sqrt", "exp", "ln",
+                         "upper", "lower") and len(node.args) in (1, 2):
+            v, valid = _eval(node.args[0], cols)
+            arr = np.asarray(v)
+            if node.name in ("upper", "lower"):
+                f = str.upper if node.name == "upper" else str.lower
+                out = np.array([f(x) if isinstance(x, str) else x for x in arr],
+                               dtype=object)
+                return out, valid
+            if node.name == "round" and len(node.args) == 2:
+                nd = int(node.args[1].value)
+                return np.round(arr.astype(np.float64), nd), valid
+            f = {"abs": np.abs, "floor": np.floor, "ceil": np.ceil,
+                 "round": np.round, "sqrt": np.sqrt, "exp": np.exp,
+                 "ln": np.log}[node.name]
+            return f(arr.astype(np.float64) if node.name != "abs" else arr), valid
         raise InvalidInputError(f"unknown function {node.name}")
+    if isinstance(node, Case):
+        conds, vals, valids = [], [], []
+        n = None
+        for c, v in node.whens:
+            cv, cvalid = _eval(c, cols)
+            cb = np.asarray(cv, dtype=bool)
+            if cvalid is not None:
+                cb = cb & cvalid
+            conds.append(cb)
+            if cb.ndim:
+                n = len(cb)
+            ev, evalid = _eval(v, cols)
+            vals.append(ev)
+            valids.append(evalid)
+        ev_else, valid_else = ((None, None) if node.els is None
+                               else _eval(node.els, cols))
+        for x in vals + [ev_else]:
+            if x is not None and np.asarray(x).ndim:
+                n = len(np.asarray(x))
+        if n is None:
+            raise InvalidInputError("CASE over scalars only is unsupported")
+        conds = [np.broadcast_to(c, (n,)) for c in conds]
+        bvals = [np.broadcast_to(np.asarray(v), (n,)) for v in vals]
+        out_dtype = np.result_type(*[b.dtype for b in bvals]) \
+            if all(b.dtype.kind not in "OUS" for b in bvals) else object
+        if ev_else is not None:
+            belse = np.broadcast_to(np.asarray(ev_else), (n,))
+            if out_dtype != object and belse.dtype.kind in "OUS":
+                out_dtype = object
+            elif out_dtype != object:
+                out_dtype = np.result_type(out_dtype, belse.dtype)
+        out = np.zeros(n, out_dtype)
+        valid = np.zeros(n, bool)
+        remaining = np.ones(n, bool)
+        for cb, bv, bvalid in zip(conds, bvals, valids):
+            take = remaining & cb
+            out[take] = bv.astype(out_dtype, copy=False)[take]
+            valid[take] = True if bvalid is None else np.broadcast_to(bvalid, (n,))[take]
+            remaining &= ~cb
+        if ev_else is not None:
+            out[remaining] = belse.astype(out_dtype, copy=False)[remaining]
+            valid[remaining] = (True if valid_else is None
+                                else np.broadcast_to(valid_else, (n,))[remaining])
+        return out, valid
     if isinstance(node, BinOp):
         lv, lvalid = _eval(node.left, cols)
         rv, rvalid = _eval(node.right, cols)

@@ -34,6 +34,7 @@ _CLAUSES_RE = re.compile(
     r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<from_>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<group>.+?))?"
+    r"(?:\s+having\s+(?P<having>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?"
     r"(?:\s+offset\s+(?P<offset>\d+))?\s*;?\s*$",
@@ -161,6 +162,7 @@ class _SelectItem:
         if am and _balanced(am.group(2)):
             self.agg = am.group(1).lower()
             inner = am.group(2).strip()
+            self.agg_inner = inner  # raw text, for HAVING rewrites
             if inner == "*":
                 if self.agg != "count":
                     raise InvalidInputError(f"{self.agg}(*) is not valid SQL")
@@ -420,6 +422,14 @@ def _referenced_full(node) -> set[str]:
     elif isinstance(node, Func):
         for a in node.args:
             out |= _referenced_full(a)
+    else:
+        from .filter import Case
+
+        if isinstance(node, Case):
+            for c, v in node.whens:
+                out |= _referenced_full(c) | _referenced_full(v)
+            if node.els is not None:
+                out |= _referenced_full(node.els)
     return out
 
 
@@ -832,7 +842,91 @@ def _rewrite_subqueries(query: str, ds, tables: dict | None):
 # ---------------------------------------------------------------------------
 
 
+def _apply_having(out: pa.Table, having_raw: str | None,
+                  items: list | None) -> pa.Table:
+    """HAVING over the aggregated table. Aggregate expressions that match a
+    SELECT item textually are rewritten to that item's output column."""
+    if not having_raw:
+        return out
+    txt = having_raw.strip()
+    for it in items or []:
+        if it.agg is None:
+            continue
+        inner = getattr(it, "agg_inner", "*")
+        pat = (rf"{it.agg}\s*\(\s*\*\s*\)" if inner == "*"
+               else rf"{it.agg}\s*\(\s*{re.escape(inner)}\s*\)")
+        txt = re.sub(pat, f"`{it.out}`", txt, flags=re.IGNORECASE)
+    from .filter import evaluate_filter, parse_filter
+
+    mask = evaluate_filter(parse_filter(txt), _views_of(out))
+    return out.filter(pa.array(mask))
+
+
+def _distinct(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return t
+    try:
+        return t.group_by(t.column_names, use_threads=False).aggregate([]) \
+                .select(t.column_names)
+    except pa.ArrowError:  # unhashable column types: python-level dedup
+        seen, keep = set(), []
+        rows = [tuple(map(str, r.values())) for r in t.to_pylist()]
+        for i, r in enumerate(rows):
+            if r not in seen:
+                seen.add(r)
+                keep.append(i)
+        return t.take(pa.array(keep, pa.int64()))
+
+
+_UNION_RE = re.compile(r"\bunion(\s+all)?\b", re.IGNORECASE)
+
+
+def _split_union(q: str) -> tuple[list[str], list[bool]]:
+    """Split on top-level UNION [ALL] (quote/paren aware). Returns (parts,
+    all_flags) where all_flags[i] connects parts[i] and parts[i+1]."""
+    parts, flags = [], []
+    depth, in_str, start, i = 0, False, 0, 0
+    while i < len(q):
+        ch = q[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "uU":
+            m = _UNION_RE.match(q, i)
+            if m and (i == 0 or not q[i - 1].isalnum() and q[i - 1] != "_"):
+                parts.append(q[start:i])
+                flags.append(bool(m.group(1)))
+                start = i = m.end()
+                continue
+        i += 1
+    parts.append(q[start:])
+    return parts, flags
+
+
 def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
+    parts, union_all = _split_union(query)
+    if len(parts) > 1:
+        outs = [sql(ds, p.strip(), tables=tables) for p in parts]
+        first = outs[0]
+        for i in range(1, len(outs)):
+            o = outs[i]
+            if o.column_names != first.column_names:
+                if o.num_columns != first.num_columns:
+                    raise InvalidInputError(
+                        "UNION parts must have the same number of columns")
+                o = o.rename_columns(first.column_names)
+            outs[i] = o
+        res = outs[0]  # left-assoc: each plain UNION dedups the prefix
+        for flag, o in zip(union_all, outs[1:]):
+            res = pa.concat_tables([res, o], promote_options="permissive")
+            if not flag:
+                res = _distinct(res)
+        return res
     query, tables = _rewrite_subqueries(query, ds, tables)
     m = _CLAUSES_RE.match(query)
     if not m:
@@ -840,9 +934,13 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
             "unsupported SQL (expected SELECT ... FROM t [JOIN ...] "
             "[WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT n] [OFFSET m])")
     cols_raw = m.group("cols").strip()
+    distinct = bool(re.match(r"distinct\b", cols_raw, re.IGNORECASE))
+    if distinct:
+        cols_raw = cols_raw[8:].strip()
     base, joins = _parse_from(m.group("from_"))
     where_raw = m.group("where")
     group_raw = m.group("group")
+    having_raw = m.group("having")
     order_raw = m.group("order")
     if not joins:
         # single-table queries accept alias-qualified refs (`o.col` with
@@ -851,6 +949,7 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         cols_raw = _strip_alias(cols_raw, base)
         where_raw = _strip_alias(where_raw, base)
         group_raw = _strip_alias(group_raw, base)
+        having_raw = _strip_alias(having_raw, base)
         order_raw = _strip_alias(order_raw, base)
     group_cols = ([c.strip().strip('`"') for c in _split_top_level(group_raw)]
                   if group_raw else [])
@@ -908,9 +1007,12 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         if items is None:
             out = joined if where_node is None else table.select(joined.column_names)
         elif has_aggs:
-            out = _aggregate_items(table, items, group_cols)
+            out = _apply_having(_aggregate_items(table, items, group_cols),
+                                having_raw, items)
         else:
             out = _project_items(table, items)
+        if distinct:
+            out = _distinct(out)
         if order:
             missing = [c for c, _asc in order if c not in out.column_names]
             if missing and not has_aggs and items is not None:
@@ -958,12 +1060,16 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
 
     # bare count(*): metadata fast path, never scans data
     if (items is not None and has_aggs and not group_cols and len(items) == 1
-            and items[0].agg == "count" and items[0].node is None):
+            and items[0].agg == "count" and items[0].node is None
+            and not having_raw):
         return pa.table({items[0].out: pa.array([sc.count_rows()],
                                                 type=pa.int64())})
 
     if has_aggs:
-        out = _aggregate_items(sc.to_table(), items, group_cols)
+        out = _apply_having(_aggregate_items(sc.to_table(), items, group_cols),
+                            having_raw, items)
+        if distinct:
+            out = _distinct(out)
         if order:
             out = out.sort_by([(c, "ascending" if asc else "descending")
                                for c, asc in order])
@@ -973,13 +1079,15 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
             out = out.slice(0, limit)
         return out
 
-    post_sort = order_on_alias or has_windows
+    post_sort = order_on_alias or has_windows or distinct
     if order and not post_sort:
         sc.order_by(order)
     if (limit is not None or offset) and not post_sort:
         sc.limit(limit, offset)
     table = sc.to_table()
     out = table if items is None else _project_items(table, items)
+    if distinct:
+        out = _distinct(out)
     if post_sort:
         # windows compute over the full unordered input (limit cannot push
         # below a window fn); order on aliases applies post-projection

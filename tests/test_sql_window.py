@@ -252,3 +252,63 @@ def test_exists_correlated_semijoin():
         "(SELECT 1 FROM items i WHERE i.order_id = o.oid AND i.qty > 5) "
         "ORDER BY oid", tables={"t": orders, "items": items})
     assert t["cust"].to_pylist() == ["d"]
+
+
+# -- DISTINCT / HAVING / UNION / expression functions -------------------------------
+
+
+def test_select_distinct():
+    ds = _ds("dst", {"g": pa.array(["a", "b", "a", "b", "c"]),
+                     "v": pa.array([1, 2, 1, 3, 4])})
+    t = ds.sql("SELECT DISTINCT g FROM t ORDER BY g")
+    assert t["g"].to_pylist() == ["a", "b", "c"]
+    t = ds.sql("SELECT DISTINCT g, v FROM t ORDER BY g, v")
+    assert t.num_rows == 4
+    t = ds.sql("SELECT DISTINCT g FROM t ORDER BY g LIMIT 2")
+    assert t["g"].to_pylist() == ["a", "b"]
+
+
+def test_having():
+    ds = _ds("hav", {"g": pa.array(["a", "a", "b", "b", "b", "c"]),
+                     "v": pa.array([1.0, 2.0, 10.0, 20.0, 30.0, 5.0])})
+    t = ds.sql("SELECT g, sum(v) AS total FROM t GROUP BY g "
+               "HAVING total > 4 ORDER BY total")
+    assert t["g"].to_pylist() == ["c", "b"]
+    # aggregate expression referenced directly in HAVING
+    t = ds.sql("SELECT g, sum(v) FROM t GROUP BY g HAVING sum(v) > 4 "
+               "ORDER BY g")
+    assert t["g"].to_pylist() == ["b", "c"]
+    t = ds.sql("SELECT g, count(*) AS n FROM t GROUP BY g HAVING n >= 2 "
+               "ORDER BY g")
+    assert t["g"].to_pylist() == ["a", "b"]
+
+
+def test_union():
+    a = _ds("un1", {"x": pa.array([1, 2, 3])})
+    b = _ds("un2", {"x": pa.array([3, 4])})
+    t = a.sql("SELECT x FROM t UNION ALL SELECT x FROM u",
+              tables={"t": a, "u": b})
+    assert sorted(t["x"].to_pylist()) == [1, 2, 3, 3, 4]
+    t = a.sql("SELECT x FROM t UNION SELECT x FROM u", tables={"t": a, "u": b})
+    assert sorted(t["x"].to_pylist()) == [1, 2, 3, 4]
+
+
+def test_case_when_and_functions():
+    ds = _ds("cse", {"v": pa.array([-2.5, 1.0, None, 9.0]),
+                     "s": pa.array(["ab", None, "cd", "EF"])})
+    t = ds.sql("SELECT CASE WHEN v < 0 THEN 'neg' WHEN v < 5 THEN 'small' "
+               "ELSE 'big' END AS c FROM t")
+    assert t["c"].to_pylist() == ["neg", "small", "big", "big"]
+    t = ds.sql("SELECT coalesce(v, 0.0) AS c FROM t")
+    assert t["c"].to_pylist() == [-2.5, 1.0, 0.0, 9.0]
+    t = ds.sql("SELECT abs(v) AS a, round(v, 0) AS r FROM t WHERE v is not null")
+    assert t["a"].to_pylist() == [2.5, 1.0, 9.0]
+    t = ds.sql("SELECT upper(s) AS u FROM t WHERE s is not null")
+    assert t["u"].to_pylist() == ["AB", "CD", "EF"]
+    t = ds.sql("SELECT cast(v AS int) AS i FROM t WHERE v > 0")
+    assert t["i"].to_pylist() == [1, 9]
+    t = ds.sql("SELECT cast(v AS string) AS s2 FROM t WHERE v = 1.0")
+    assert t["s2"].to_pylist() == ["1.0"]
+    # CASE in WHERE
+    t = ds.sql("SELECT v FROM t WHERE CASE WHEN v < 0 THEN true ELSE false END")
+    assert t["v"].to_pylist() == [-2.5]
