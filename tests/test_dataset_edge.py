@@ -297,3 +297,108 @@ def test_restore_after_evolution_round_trip():
     assert restored.count_rows() == 30
     # full history is still navigable
     assert lt.dataset(ds.uri, version=v0).count_rows() == 30
+
+
+# -- merge_insert x deletion x compaction; index x append races ---------------------
+
+
+def test_merge_insert_after_delete_then_compact():
+    """merge_insert over a dataset with deletion vectors, then compaction:
+    no deleted row may resurrect and updated values must survive the
+    rewrite (reference: merge_insert.rs + optimize.rs FragReuse)."""
+    ds = lt.write_dataset(_table(100), _uri("mi"),
+                          params=WriteParams(max_rows_per_file=25))
+    ds = ds.delete("id >= 80")
+    src = pa.table({
+        "id": pa.array(np.array([0, 1, 85, 200], dtype=np.int64)),
+        "val": pa.array([1000.0, 1001.0, 1085.0, 1200.0]),
+    })
+    ds, _stats = (ds.merge_insert("id").when_matched_update_all()
+                  .when_not_matched_insert_all().execute(src))
+    t = ds.to_table()
+    ids = np.asarray(t["id"])
+    vals = dict(zip(ids.tolist(), np.asarray(t["val"]).tolist()))
+    assert vals[0] == 1000.0 and vals[1] == 1001.0
+    assert vals[85] == 1085.0 and vals[1200 if 1200 in vals else 200] == 1200.0
+    assert 99 not in ids and 80 not in ids  # deletes stay deleted
+    ds = ds.optimize_compact(target_rows_per_fragment=1000)
+    t2 = ds.to_table()
+    assert sorted(np.asarray(t2["id"]).tolist()) == sorted(ids.tolist())
+    v2 = dict(zip(np.asarray(t2["id"]).tolist(), np.asarray(t2["val"]).tolist()))
+    assert v2 == vals
+
+
+def test_create_index_append_race():
+    """create_index and append race: both must commit (CreateIndex
+    conflicts with nothing destructive; coverage stays explicit), and the
+    index must keep serving with an unindexed tail."""
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    uri = _uri("ixr")
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(300, dtype=np.int64)},
+                          uri)
+    errs = []
+
+    def do_index():
+        try:
+            lt.dataset(uri).create_index("vec", "IVF_FLAT", num_partitions=4,
+                                         max_iters=4)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_append():
+        try:
+            lt.write_dataset({"vec": rng.normal(size=(50, 16)).astype(np.float32),
+                              "id": np.arange(300, 350, dtype=np.int64)},
+                             uri, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=do_index), threading.Thread(target=do_append)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    ds = lt.dataset(uri)
+    assert ds.count_rows() == 350
+    q = vecs[7]
+    t = ds.scanner().nearest("vec", q, k=3).to_table()
+    assert 7 in np.asarray(t["id"]).tolist()
+
+
+def test_update_then_time_travel_then_restore():
+    ds = lt.write_dataset(_table(50), _uri("ut"))
+    v1 = ds.version
+    ds, _ = ds.update({"val": "val * 2"}, where="id < 10")
+    ds = ds.delete("id >= 40")
+    old = lt.dataset(ds.uri, version=v1)
+    assert old.count_rows() == 50
+    assert np.asarray(old.to_table()["val"])[0] == 0.0
+    ds = lt.dataset(ds.uri, version=v1).restore()
+    t = ds.to_table()
+    assert t.num_rows == 50 and np.asarray(t["val"])[5] == 7.5
+
+
+def test_cleanup_respects_branch_heads():
+    """Old versions referenced by a branch head must survive cleanup."""
+    ds = lt.write_dataset(_table(10), _uri("gc"))
+    ds.create_branch("keep")
+    br = lt.dataset(ds.uri, branch="keep")
+    for i in range(3):
+        ds = lt.write_dataset(_table(10, offset=(i + 1) * 10), ds.uri,
+                              mode="append")
+    ds.cleanup_old_versions(older_than_seconds=0)
+    br2 = lt.dataset(ds.uri, branch="keep")
+    assert br2.count_rows() == br.count_rows() == 10
+    assert lt.dataset(ds.uri).count_rows() == 40
+
+
+def test_take_rows_across_fragments_after_compaction():
+    ds = lt.write_dataset(_table(90), _uri("tk"),
+                          params=WriteParams(max_rows_per_file=30))
+    ds = ds.delete("id % 30 = 7")  # poke holes in every fragment
+    ds = ds.optimize_compact(target_rows_per_fragment=1000)
+    t = ds.scanner().project(["id"]).with_row_id().to_table()
+    rowids = np.asarray(t["_rowid"])
+    ids = np.asarray(t["id"])
+    pick = rowids[[3, 40, 80]]
+    got = ds.take_rows(pick.tolist(), columns=["id"])
+    assert np.asarray(got["id"]).tolist() == ids[[3, 40, 80]].tolist()
