@@ -15,6 +15,9 @@ Env vars (all optional):
 | LANCE_TPU_DIST_BF16          | 0      | bf16 score tensors (+QPS; verify recall at your scale) |
 | LANCE_TPU_MERGE_GROUP        | 8      | across-probe group-min width (<= nprobes; 16 = +25% QPS, ~-0.3pt) |
 | LANCE_TPU_QCAP_SLACK         | 4      | per-partition query-slot budget multiplier |
+| LANCE_TPU_QCAP_ADAPT         | 1      | host search() raises q_cap to the batch's measured max partition demand (pow2 steps) |
+| LANCE_TPU_SCORE_BUDGET_GB    | 6      | HBM byte budget for the (nlist, q_cap, L) score tensor; caps adaptive q_cap raises |
+| LANCE_TPU_BALANCE_ROUNDS     | 2      | balanced-Lloyd assign<->recenter rounds at in-HBM build (2 fixes the 1536-D probe-coverage cliff) |
 | LANCE_TPU_SCORE_INT8 / REFINE_BF16 / REFINE_F16 / REFINE_LOCALITY / APPROX_PROBE / FUSED | 0 | measured-neutral or recall-costly experiments (see experiments/README.md) |
 | LANCE_TPU_MAX_BUCKET         | 512    | query-batch padding bucket cap for idx.search() |
 | LANCE_TPU_NATIVE_IO          | 1      | native C++ IO scheduler for local stores |
