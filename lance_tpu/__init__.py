@@ -22,8 +22,10 @@ from .schema import Field, Schema  # noqa: F401
 # jax is NOT imported here — only when compute paths (indices/ops) are used.
 from .dataset import (  # noqa: F401,E402
     LanceDataset,
+    LanceOperation,
     Session,
     WriteParams,
+    commit_dataset,
     dataset,
     write_dataset,
 )

@@ -654,6 +654,70 @@ def dataset(uri: str, version: int | None = None, session: Session | None = None
     return LanceDataset(store, uri, manifest, session, handler)
 
 
+class LanceOperation:
+    """Constructors for explicit distributed-write operations, mirroring the
+    reference python API (python/python/lance/dataset.py LanceOperation):
+    workers call `write_fragments(uri, data)`, a coordinator calls
+    `LanceDataset.commit(uri, LanceOperation.Append(fragments), read_version)`.
+    """
+
+    @staticmethod
+    def Append(fragments: list) -> Operation:
+        return Operation("append", fragments=list(fragments))
+
+    @staticmethod
+    def Overwrite(new_schema, fragments: list) -> Operation:
+        if new_schema is not None and not isinstance(new_schema, Schema):
+            new_schema = Schema.from_arrow(new_schema)
+        return Operation("overwrite", fragments=list(fragments),
+                         schema=new_schema)
+
+    @staticmethod
+    def Delete(updated_fragments: list, deleted_fragment_ids: list,
+               predicate: str | None = None) -> Operation:
+        return Operation("delete", updated_fragments=list(updated_fragments),
+                         deleted_fragment_ids=list(deleted_fragment_ids),
+                         predicate=predicate)
+
+    @staticmethod
+    def Merge(fragments: list, schema) -> Operation:
+        if schema is not None and not isinstance(schema, Schema):
+            schema = Schema.from_arrow(schema)
+        return Operation("merge", fragments=list(fragments), schema=schema)
+
+    @staticmethod
+    def Restore(version: int) -> Operation:
+        return Operation("restore", restore_version=version)
+
+    @staticmethod
+    def Rewrite(groups: list) -> Operation:
+        """groups: [(old_fragment_ids, new_fragments), ...] (compaction)."""
+        return Operation("rewrite", groups=list(groups))
+
+
+def commit_dataset(uri: str, operation: Operation,
+                   read_version: int | None = None,
+                   session: Session | None = None,
+                   commit_handler: CommitHandler | None = None) -> LanceDataset:
+    """Commit an explicit operation against `uri` (the coordinator side of a
+    distributed write; reference LanceDataset.commit). `read_version` is the
+    version the operation was prepared against — conflicts against
+    concurrently-committed transactions rebase or raise per the conflict
+    matrix, exactly like the implicit write paths."""
+    base_store, base = store_for_uri(uri)
+    store = PrefixedStore(base_store, base) if base else base_store
+    handler = commit_handler or ConditionalPutCommitHandler()
+    latest = handler.latest_version(store)
+    if latest is None and operation.kind != "overwrite":
+        raise NotFoundError(f"no dataset at {uri} (only Overwrite can create)")
+    base_manifest = read_manifest(store, latest) if latest is not None else None
+    txn = Transaction(read_version=(read_version if read_version is not None
+                                    else (latest or 0)),
+                      operation=operation)
+    manifest = commit_transaction(store, txn, base_manifest, handler)
+    return LanceDataset(store, uri, manifest, session, handler)
+
+
 def write_dataset(data, uri: str, mode: str = "create", schema: Schema | None = None,
                   params: WriteParams | None = None, session: Session | None = None,
                   commit_handler: CommitHandler | None = None) -> LanceDataset:
@@ -676,3 +740,7 @@ def write_dataset(data, uri: str, mode: str = "create", schema: Schema | None = 
     txn = Transaction(read_version=existing_version or 0, operation=op)
     manifest = commit_transaction(store, txn, base_manifest, handler)
     return LanceDataset(store, uri, manifest, session, handler)
+
+
+# reference-parity spelling: lance.LanceDataset.commit(uri, op, read_version)
+LanceDataset.commit = staticmethod(commit_dataset)

@@ -111,16 +111,23 @@ def _normalize_batches(data, schema: Schema | None) -> tuple[Iterator[pa.RecordB
 
 
 def write_fragments(
-    store: ObjectStore,
+    store: "ObjectStore | str",
     data,
     schema: Schema | None = None,
     params: WriteParams | None = None,
 ) -> tuple[list[Fragment], Schema]:
     """Write data into fragment files; returns uncommitted Fragment metadata.
 
-    This is the distributed-write building block: call on any worker, then
-    commit the collected fragments in one transaction on the coordinator.
-    """
+    This is the distributed-write building block: call on any worker (with
+    the dataset URI or an open store), then commit the collected fragments
+    in one transaction on the coordinator (LanceDataset.commit /
+    commit_dataset). Reference: python/python/lance/fragment.py
+    write_fragments + docs/src/guide/distributed_write.md."""
+    if isinstance(store, str):
+        from ..io.object_store import PrefixedStore, store_for_uri
+
+        base_store, base = store_for_uri(store)
+        store = PrefixedStore(base_store, base) if base else base_store
     params = params or WriteParams()
     batches, schema = _normalize_batches(data, schema)
     schema.validate()

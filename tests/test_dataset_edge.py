@@ -402,3 +402,48 @@ def test_take_rows_across_fragments_after_compaction():
     pick = rowids[[3, 40, 80]]
     got = ds.take_rows(pick.tolist(), columns=["id"])
     assert np.asarray(got["id"]).tolist() == ids[[3, 40, 80]].tolist()
+
+
+# -- explicit distributed-write commit API -------------------------------------------
+
+
+def test_write_fragments_then_commit_append():
+    """Worker/coordinator split: N workers write fragments against the same
+    URI, one coordinator commits a single Append (reference
+    LanceDataset.commit + docs/src/guide/distributed_write.md)."""
+    uri = _uri("dw")
+    ds = lt.write_dataset(_table(20), uri)
+    v = ds.version
+    frags1, _ = lt.write_fragments(uri, _table(30, offset=100))
+    frags2, _ = lt.write_fragments(uri, _table(30, offset=200))
+    out = lt.LanceDataset.commit(uri, lt.LanceOperation.Append(frags1 + frags2),
+                                 read_version=v)
+    assert out.count_rows() == 80
+    assert out.version == v + 1
+    ids = np.asarray(out.to_table()["id"])
+    assert set([0, 100, 229]).issubset(set(ids.tolist()))
+
+
+def test_commit_overwrite_creates_dataset():
+    uri = _uri("dwo")
+    frags, schema = lt.write_fragments(uri, _table(15))
+    out = lt.commit_dataset(uri, lt.LanceOperation.Overwrite(schema, frags))
+    assert out.count_rows() == 15
+    # Append against a missing dataset must fail
+    uri2 = _uri("dwa")
+    frags2, _ = lt.write_fragments(uri2, _table(5))
+    with pytest.raises(Exception):
+        lt.commit_dataset(uri2, lt.LanceOperation.Append(frags2))
+
+
+def test_commit_append_conflict_rebases():
+    """Two coordinators commit Appends from the same read_version: both must
+    land (append/append rebases cleanly per the conflict matrix)."""
+    uri = _uri("dwr")
+    ds = lt.write_dataset(_table(10), uri)
+    v = ds.version
+    fa, _ = lt.write_fragments(uri, _table(10, offset=50))
+    fb, _ = lt.write_fragments(uri, _table(10, offset=70))
+    lt.LanceDataset.commit(uri, lt.LanceOperation.Append(fa), read_version=v)
+    out = lt.LanceDataset.commit(uri, lt.LanceOperation.Append(fb), read_version=v)
+    assert out.count_rows() == 30
