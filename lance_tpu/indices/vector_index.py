@@ -164,17 +164,18 @@ def build_ivf_index(
     # code path the pod-scale (100M / v5e-64) build runs; the 8-virtual-CPU
     # dryrun exercises it end-to-end.
     if mesh is not None or n_devices is not None:
-        if index_type != "IVF_PQ":
+        if index_type not in ("IVF_PQ", "IVF_SQ", "IVF_FLAT"):
             raise NotSupportedError(
-                "mesh-sharded builds currently support IVF_PQ only")
-        from ..parallel.build import build_ivf_pq_sharded
+                "mesh-sharded builds support IVF_PQ / IVF_SQ / IVF_FLAT")
+        from ..parallel.build import build_ivf_sharded
 
-        return build_ivf_pq_sharded(
-            ds, vectors, rowids, uuid, mesh=mesh, n_devices=n_devices,
-            num_partitions=num_partitions, num_sub_vectors=num_sub_vectors,
-            num_bits=num_bits, metric=metric, max_iters=max_iters,
-            sample_rate=sample_rate, ivf_centroids=ivf_centroids,
-            pq_codebook=pq_codebook, balance_factor=balance_factor, dim=dim,
+        return build_ivf_sharded(
+            ds, vectors, rowids, uuid, index_type=index_type, mesh=mesh,
+            n_devices=n_devices, num_partitions=num_partitions,
+            num_sub_vectors=num_sub_vectors, num_bits=num_bits, metric=metric,
+            max_iters=max_iters, sample_rate=sample_rate,
+            ivf_centroids=ivf_centroids, pq_codebook=pq_codebook,
+            balance_factor=balance_factor, dim=dim,
         )
     # beyond-HBM datasets stream through the device in chunks (the 100M-row
     # BigANN-style build); in-HBM datasets upload once and stay resident
@@ -600,6 +601,54 @@ def _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes, metric,
     return {"metric": metric, "num_partitions": int(ivf.num_partitions),
             "num_sub_vectors": int(pq.num_sub_vectors), "num_bits": int(pq.num_bits),
             "dim": int(dim), **(extra_params or {})}
+
+
+def _write_ivf_flat_aux(ds, uuid, ivf, sorted_rowids, sorted_vectors, metric,
+                        dim, extra_params: dict | None = None) -> dict:
+    """Write the IVF_FLAT auxiliary file (shared by the single-device and
+    mesh-sharded builds)."""
+    ivf_header, ivf_payload = ivf.to_parts()
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    schema = Schema.from_arrow(pa.schema([
+        (ROWID_COL, pa.uint64()),
+        (VECTOR_COL, pa.list_(pa.float32(), dim)),
+    ]))
+    w = FileWriter(ds.store, path, schema, compression="none")
+    step = 1 << 17
+    n = sorted_rowids.shape[0]
+    for s in range(0, n, step):
+        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
+                       VECTOR_COL: sorted_vectors[s:s + step]})
+    w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+    w.add_global_buffer("ivf_data", ivf_payload)
+    w.finish()
+    return {"metric": metric, "num_partitions": int(ivf.num_partitions),
+            "dim": int(dim), **(extra_params or {})}
+
+
+def _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes, lo, scale,
+                      metric, dim, extra_params: dict | None = None) -> dict:
+    """Write the IVF_SQ auxiliary file (shared by the single-device and
+    mesh-sharded builds)."""
+    ivf_header, ivf_payload = ivf.to_parts()
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    schema = Schema.from_arrow(pa.schema([
+        (ROWID_COL, pa.uint64()),
+        (SQ_CODE_COL, pa.list_(pa.uint8(), dim)),
+    ]))
+    w = FileWriter(ds.store, path, schema, compression="none")
+    step = 1 << 17
+    n = sorted_rowids.shape[0]
+    for s in range(0, n, step):
+        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
+                       SQ_CODE_COL: sorted_codes[s:s + step]})
+    w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+    w.add_global_buffer("ivf_data", ivf_payload)
+    w.add_global_buffer("sq_bounds", np.asarray(lo, "<f4").tobytes()
+                        + np.asarray(scale, "<f4").tobytes())
+    w.finish()
+    return {"metric": metric, "num_partitions": int(ivf.num_partitions),
+            "num_bits": 8, "dim": int(dim), **(extra_params or {})}
 
 
 def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,

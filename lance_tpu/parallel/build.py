@@ -1,4 +1,4 @@
-"""Production mesh-sharded IVF_PQ build.
+"""Production mesh-sharded IVF_{PQ,SQ,FLAT} builds.
 
 This is the pod-scale build path (BASELINE: "IVF-PQ 100M vecs in minutes on
 v5e-64"): rows shard over every device of the mesh and stay sharded through
@@ -66,11 +66,16 @@ def _flat_mesh(mesh: Mesh | None, n_devices: int | None) -> Mesh:
 
 def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
                              local_cap: int, use_residual: bool,
-                             has_rotation: bool, matmul_dtype):
-    """shard_map step: local rows -> (part ids, PQ codes, probe-centroid
-    sufficient stats). Capacity-bounded accept runs per shard with
-    capacity/ndev budgets; overflow spills to the nearest centroid (the
-    global cap then holds to within ndev rows per partition)."""
+                             has_rotation: bool, matmul_dtype,
+                             encode: str = "pq"):
+    """shard_map step: local rows -> (part ids, encoded payload,
+    probe-centroid sufficient stats). Capacity-bounded accept runs per shard
+    with capacity/ndev budgets; overflow spills to the nearest centroid (the
+    global cap then holds to within ndev rows per partition).
+
+    encode: 'pq' (codebook = PQ codebook, uint8 codes), 'sq' (codebook =
+    (2, dim) lo/scale bounds, uint8 codes), 'flat' (payload = the metric-
+    space rows themselves, f32)."""
     from ..ops.balanced import _balanced_accept_device
     from ..ops.distance import normalize
     from ..ops.pq import _encode_jit
@@ -96,27 +101,43 @@ def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
             jax.ops.segment_sum(x * w[:, None], pid, num_segments=nlist), "bdp")
         counts = jax.lax.psum(
             jax.ops.segment_sum(w, pid, num_segments=nlist), "bdp")
-        data = x - jnp.take(centroids, pid, axis=0) if use_residual else x
-        if has_rotation:
-            data = jnp.dot(data, rotation, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        codes = _encode_jit(data, codebook)
+        if encode == "flat":
+            codes = local_x  # raw rows; open normalizes for cosine
+        elif encode == "sq":
+            lo, scale = codebook[0], codebook[1]
+            codes = jnp.clip(jnp.round((x - lo) / scale * 255.0),
+                             0, 255).astype(jnp.uint8)
+        else:
+            data = x - jnp.take(centroids, pid, axis=0) if use_residual else x
+            if has_rotation:
+                data = jnp.dot(data, rotation,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            codes = _encode_jit(data, codebook)
         return pid, codes, sums, counts
 
     return jax.jit(step)
 
 
-def build_ivf_pq_sharded(ds, vectors, rowids, uuid, *, mesh=None,
-                         n_devices: int | None = None, num_partitions: int = 256,
-                         num_sub_vectors: int = 16, num_bits: int = 8,
-                         metric: str = "l2", max_iters: int = 50,
-                         sample_rate: int = 256, ivf_centroids=None,
-                         pq_codebook=None, balance_factor: float = 1.5,
-                         dim: int | None = None) -> dict:
-    """Mesh-sharded IVF_PQ build; writes the same merged aux file as the
-    single-device build. Called via build_ivf_index(..., mesh=...)."""
+def build_ivf_pq_sharded(ds, vectors, rowids, uuid, **kw) -> dict:
+    return build_ivf_sharded(ds, vectors, rowids, uuid, index_type="IVF_PQ",
+                             **kw)
+
+
+def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
+                      mesh=None, n_devices: int | None = None,
+                      num_partitions: int = 256, num_sub_vectors: int = 16,
+                      num_bits: int = 8, metric: str = "l2",
+                      max_iters: int = 50, sample_rate: int = 256,
+                      ivf_centroids=None, pq_codebook=None,
+                      balance_factor: float = 1.5,
+                      dim: int | None = None) -> dict:
+    """Mesh-sharded IVF_{PQ,SQ,FLAT} build; writes the same merged aux file
+    as the single-device build. Called via build_ivf_index(..., mesh=...)."""
     from ..errors import IndexError_
-    from ..indices.vector_index import _train_pq_for_build, _write_ivf_pq_aux
+    from ..indices.vector_index import (_train_pq_for_build,
+                                        _write_ivf_flat_aux, _write_ivf_pq_aux,
+                                        _write_ivf_sq_aux)
     from ..models.ivf import IvfModel
     from ..ops.distance import build_matmul_dtype
     from ..ops.kmeans import KMeans
@@ -142,11 +163,25 @@ def build_ivf_pq_sharded(ds, vectors, rowids, uuid, *, mesh=None,
                                       max_iters=max_iters, metric=metric,
                                       dp_axes=("bdp",))
 
-    # 2. PQ codebook on sampled residuals (central — matches the reference's
-    # IndicesBuilder.train_pq; the sample is tiny next to the dataset)
-    pq, use_residual = _train_pq_for_build(
-        vectors, km, metric, num_sub_vectors, num_bits, max_iters,
-        sample_rate, pq_codebook, rng)
+    # 2. quantizer: PQ codebook on sampled residuals (central — matches the
+    # reference's IndicesBuilder.train_pq), SQ per-dim bounds, FLAT none
+    encode = {"IVF_PQ": "pq", "IVF_SQ": "sq", "IVF_FLAT": "flat"}[index_type]
+    pq, use_residual, quant_const = None, False, np.eye(1, dtype=np.float32)
+    sq_lo = sq_scale = None
+    if encode == "pq":
+        pq, use_residual = _train_pq_for_build(
+            vectors, km, metric, num_sub_vectors, num_bits, max_iters,
+            sample_rate, pq_codebook, rng)
+        quant_const = pq.codebook.astype(np.float32)
+    elif encode == "sq":
+        base = vectors
+        if metric == "cosine":
+            base = vectors / np.maximum(
+                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        sq_lo = base.min(axis=0).astype(np.float32)
+        hi = base.max(axis=0)
+        sq_scale = np.where(hi > sq_lo, hi - sq_lo, 1.0).astype(np.float32)
+        quant_const = np.stack([sq_lo, sq_scale])
 
     # 3. sharded fused assign + encode
     padded, n_real = pad_rows_to_multiple(
@@ -156,16 +191,18 @@ def build_ivf_pq_sharded(ds, vectors, rowids, uuid, *, mesh=None,
     rows_sh = NamedSharding(flat, P("bdp"))
     repl = NamedSharding(flat, P())
     local_cap = int(np.ceil(n / ndev / num_partitions * max(balance_factor, 1.01)))
-    rotation = pq.rotation if pq.rotation is not None else np.eye(1, dtype=np.float32)
+    rotation = (pq.rotation if pq is not None and pq.rotation is not None
+                else np.eye(1, dtype=np.float32))
     step = _make_assign_encode_step(
         flat, num_partitions, min(8, num_partitions), metric, local_cap,
-        use_residual, pq.rotation is not None, build_matmul_dtype())
+        use_residual, pq is not None and pq.rotation is not None,
+        build_matmul_dtype(), encode)
     with span("build.assign_encode_sharded", rows=n, ndev=ndev):
         pids_dev, codes_dev, psums, pcounts = step(
             jax.device_put(padded, rows_sh),
             jax.device_put(valid, rows_sh),
             jax.device_put(km.centroids.astype(np.float32), repl),
-            jax.device_put(pq.codebook.astype(np.float32), repl),
+            jax.device_put(quant_const, repl),
             jax.device_put(np.asarray(rotation, np.float32), repl),
         )
 
@@ -206,6 +243,13 @@ def build_ivf_pq_sharded(ds, vectors, rowids, uuid, *, mesh=None,
                   jnp.asarray(km.centroids)))
     ivf = IvfModel(km.centroids, offsets, lengths, metric,
                    probe_centroids=probe_centroids)
+    extra = {"sharded_build": True, "n_devices": int(ndev)}
+    if encode == "flat":
+        return _write_ivf_flat_aux(ds, uuid, ivf, sorted_rowids,
+                                   sorted_codes.astype(np.float32), metric,
+                                   dim, extra)
+    if encode == "sq":
+        return _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
+                                 sq_lo, sq_scale, metric, dim, extra)
     return _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes,
-                             metric, use_residual, dim,
-                             {"sharded_build": True, "n_devices": int(ndev)})
+                             metric, use_residual, dim, extra)

@@ -183,3 +183,50 @@ def test_sharded_index_search(devices, rng):
     rid_sh = idx.rowids[np.clip(np.asarray(pos_sh), 0, idx.num_rows - 1)]
     np.testing.assert_array_equal(rid_sh, rid_ref)
     np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_flat_and_sq_builds(devices, rng, monkeypatch):
+    """Mesh-sharded IVF_FLAT and IVF_SQ builds produce indexes equivalent to
+    their single-device counterparts (same rowid set per partition; search
+    results match within quantization). The single-device in-HBM path runs
+    balanced-Lloyd ROUNDS (re-assigning against recentered means); pin
+    rounds=1 so both sides assign against the same fixed centroids."""
+    import uuid
+
+    import lance_tpu as lt
+    from lance_tpu.ops.kmeans import train_kmeans
+
+    monkeypatch.setenv("LANCE_TPU_BALANCE_ROUNDS", "1")
+
+    n, dim, nlist = 1200, 16, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    centroids = np.asarray(
+        train_kmeans(vecs, nlist, max_iters=10, metric="l2").centroids)
+    q = vecs[:8] + 0.01
+
+    for itype in ("IVF_FLAT", "IVF_SQ"):
+        def build(tag, **kw):
+            ds = lt.write_dataset(
+                {"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                f"memory://shfs-{itype}-{tag}-{uuid.uuid4().hex[:6]}/d")
+            return ds.create_index("vec", itype, num_partitions=nlist,
+                                   ivf_centroids=centroids,
+                                   balance_factor=8.0, **kw)
+
+        ds_single = build("single")
+        ds_shard = build("mesh", mesh=make_mesh(8, {"dp": 2, "tp": 4}))
+        idx_s = ds_single._vector_index_for("vec")
+        idx_m = ds_shard._vector_index_for("vec")
+        assert ds_shard.manifest.index_by_name("vec_idx").params["sharded_build"]
+        np.testing.assert_array_equal(np.asarray(idx_m.ivf.lengths),
+                                      np.asarray(idx_s.ivf.lengths))
+        # same membership per partition (order within a partition may differ)
+        offs = np.concatenate([[0], np.cumsum(np.asarray(idx_s.ivf.lengths))])
+        for p in range(nlist):
+            a = set(idx_s.rowids[offs[p]:offs[p + 1]].tolist())
+            b = set(idx_m.rowids[offs[p]:offs[p + 1]].tolist())
+            assert a == b, f"{itype} partition {p} membership differs"
+        _, rid_s = idx_s.search(q, 5, nprobes=nlist, refine_factor=4)
+        _, rid_m = idx_m.search(q, 5, nprobes=nlist, refine_factor=4)
+        assert (rid_s[:, 0] == rid_m[:, 0]).all()
+        assert rid_s[0, 0] & 0xFFFFFFFF == 0  # self-match
