@@ -149,6 +149,15 @@ def cmd_cleanup(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    import lance_tpu as lt
+
+    ds = lt.dataset(args.uri, version=args.version)
+    t = ds.sql(args.query)
+    print(t.to_pandas().to_string() if args.pandas else t)
+    return 0
+
+
 def cmd_fts(args) -> int:
     import lance_tpu as lt
 
@@ -210,6 +219,14 @@ def main(argv=None) -> int:
     sp.add_argument("-k", type=int, default=10)
     sp.add_argument("--pandas", action="store_true")
     sp.set_defaults(fn=cmd_fts)
+
+    sp = sub.add_parser("sql", help="run a SQL SELECT against the dataset "
+                                    "(the FROM table name binds to the uri)")
+    sp.add_argument("uri")
+    sp.add_argument("query")
+    sp.add_argument("--version", type=int, default=None)
+    sp.add_argument("--pandas", action="store_true")
+    sp.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)
