@@ -525,3 +525,86 @@ def test_dot_metric_padded_slots_stay_invalid():
         assert (got != INV).all()
         gt = _gt_topk(base, q[row], 10, metric="dot")
         assert set(got.tolist()) == set(gt.tolist())
+
+
+def test_search_pipeline_matches_numpy_oracle(monkeypatch):
+    """The whole quantized search pipeline (probe -> slot inversion ->
+    decoded-block scoring -> group-min pre-reduction -> pool cut -> exact
+    refine) against a stage-by-stage numpy simulation built from the same
+    aux file. Guards the trickiest kernel in the repo; the simulation is
+    the one that root-caused the 16M recall cliff (experiments/
+    diag16m_rank.py, group_ab_cpu.py)."""
+    import json
+
+    from lance_tpu.file.reader import FileReader
+    from lance_tpu.models.ivf import IvfModel
+    from lance_tpu.ops.pq import ProductQuantizer, unpack_codes
+
+    monkeypatch.setenv("LANCE_TPU_MERGE_GROUP", "8")
+    rng = np.random.default_rng(9)
+    N, DIM, NQ, K, NPROBES, RF = 30_000, 16, 48, 10, 8, 8
+    centers = rng.normal(size=(64, DIM)).astype(np.float32) * 6
+    a = rng.integers(0, 64, N + NQ)
+    x = (centers[a] + rng.normal(size=(N + NQ, DIM)).astype(np.float32))
+    data, q = x[:N], x[N:]
+
+    ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                          "memory://oracle/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=32,
+                         num_sub_vectors=4, max_iters=8)
+    idx = ds._vector_index_for("vec")
+    _, rid = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+
+    # ---- numpy oracle from the aux file --------------------------------
+    meta = [m for m in ds.manifest.indices if m.fields][0]
+    reader = FileReader(ds.store, f"_indices/{meta.uuid}/auxiliary.idx")
+    hdr = json.loads(reader.read_global_buffer("ivf_header"))
+    ivf = IvfModel.from_parts(hdr, reader.read_global_buffer("ivf_data"))
+    pq_h = json.loads(reader.read_global_buffer("pq_header"))
+    pq = ProductQuantizer.from_parts(pq_h, reader.read_global_buffer("pq_codebook"))
+    rowids = np.asarray(reader.read_column("_rowid").values, dtype=np.uint64)
+    codes = unpack_codes(reader.read_column("__pq_code").to_numpy_matrix(),
+                         pq.num_bits, pq.num_sub_vectors)
+    nlist = ivf.num_partitions
+    m, dsub = pq.num_sub_vectors, DIM // pq.num_sub_vectors
+    xhat = np.empty((len(codes), DIM), np.float32)
+    for mi in range(m):
+        xhat[:, mi * dsub:(mi + 1) * dsub] = pq.codebook[mi][codes[:, mi]]
+    if pq.rotation is not None:
+        xhat = xhat @ pq.rotation.T
+    if pq_h.get("residual", False):
+        part_of_row = np.repeat(np.arange(nlist, dtype=np.int32), ivf.lengths)
+        xhat += ivf.centroids[part_of_row]
+    sq = (xhat ** 2).sum(1)
+    probe_c = (ivf.probe_centroids if ivf.probe_centroids is not None
+               else ivf.centroids).astype(np.float32)
+    pd = (probe_c ** 2).sum(1)[None, :] - 2.0 * q @ probe_c.T
+    pids = np.argsort(pd, axis=1)[:, :NPROBES]
+    offs = ivf.offsets.astype(np.int64)
+    lens = ivf.lengths.astype(np.int64)
+    L = int(np.ceil(max(int(lens.max()), 1) / 128) * 128)
+    W = NPROBES * L
+    GW, FETCH = 8, K * RF
+    ng = W // GW
+    assert W >= 4096 and W >= GW * FETCH * 8  # group path engages
+    overlaps = []
+    for i in range(NQ):
+        mine = np.full(W, np.inf, np.float32)
+        for j, p in enumerate(pids[i]):
+            o, l = int(offs[p]), int(lens[p])
+            mine[j * L: j * L + l] = sq[o:o + l] - 2.0 * (xhat[o:o + l] @ q[i])
+        g = mine.reshape(GW, ng)
+        gmin, garg = g.min(0), g.argmin(0)
+        order = np.argsort(gmin, kind="stable")[:min(FETCH, ng)]
+        flat = garg[order] * ng + order
+        pool_pos = (offs[pids[i][flat // L]] + flat % L)[np.isfinite(gmin[order])]
+        # exact refine over the simulated pool
+        vecs = data[rowids[pool_pos].astype(np.int64) & 0xFFFFFFFF]
+        d_exact = ((vecs - q[i]) ** 2).sum(1)
+        top = pool_pos[np.argsort(d_exact, kind="stable")[:K]]
+        oracle_ids = set((rowids[top].astype(np.int64) & 0xFFFFFFFF).tolist())
+        got = set((rid[i][rid[i] != 0xFFFFFFFFFFFFFFFF].astype(np.int64)
+                   & 0xFFFFFFFF).tolist())
+        overlaps.append(len(oracle_ids & got) / K)
+    # distance ties / approx-probe off by default on CPU: demand near-exact
+    assert np.mean(overlaps) >= 0.97, np.mean(overlaps)
