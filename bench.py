@@ -82,7 +82,20 @@ def main() -> None:
 
     t0 = time.time()
     N, DIM, NQ, K = 1_000_000, 128, 1024, 10
-    _log(f"devices: {jax.devices()}")
+    # a relay outage must produce a parseable record, not a stack trace
+    # (round-2 BENCH was rc=1 on "Unable to initialize backend 'axon'")
+    try:
+        devs = jax.devices()
+    except Exception as e:  # backend init failure (axon relay down)
+        print(json.dumps({
+            "metric": "sift1m_ivfpq_qps_at_recall95",
+            "value": None,
+            "unit": "qps/chip",
+            "vs_baseline": None,
+            "skipped": f"backend unavailable: {type(e).__name__}: {e}",
+        }))
+        return
+    _log(f"devices: {devs}")
     data, queries = generate_sift_like(N, DIM, NQ)  # device-resident
     _log(f"data generated in {time.time()-t0:.1f}s")
 

@@ -44,13 +44,79 @@ _CLAUSES_RE = re.compile(
 _PA_FN = {"avg": "mean", "mean": "mean", "sum": "sum", "min": "min",
           "max": "max", "count": "count"}
 
-_JOIN_RE = re.compile(r"\s+(inner\s+join|left\s+(?:outer\s+)?join|join)\s+",
-                      re.IGNORECASE)
+_JOIN_RE = re.compile(
+    r"\s+(inner\s+join|(?:left|right|full)\s+(?:outer\s+)?join|"
+    r"cross\s+join|join)\s+", re.IGNORECASE)
 
 
 # ---------------------------------------------------------------------------
 # parsing
 # ---------------------------------------------------------------------------
+
+
+def _mask_literals(s: str) -> str:
+    """Length-preserving copy of s with the CONTENTS of single-quoted string
+    literals and double-quoted identifiers replaced by 'x' (quotes kept).
+
+    Every clause/join/conjunct splitter matches against the masked text and
+    slices the ORIGINAL with the match spans, so a literal containing
+    ' from ', ' join ', ' and ', ' as ' ... can never be mistaken for SQL
+    structure (the round-2 mis-parse family). Doubled quotes ('') inside a
+    literal are the SQL escape and stay inside the mask."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        q = s[i]
+        if q in ("'", '"'):
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # escaped quote
+                        out[i] = out[i + 1] = "x"
+                        i += 2
+                        continue
+                    break
+                out[i] = "x"
+                i += 1
+        i += 1
+    return "".join(out)
+
+
+class _Clauses:
+    """_CLAUSES_RE match over the masked query, slicing groups from the
+    original text (drop-in for the re.Match the call sites used)."""
+
+    def __init__(self, query: str, m: re.Match):
+        self._q = query
+        self._m = m
+
+    def group(self, name: str) -> str | None:
+        if self._m.group(name) is None:
+            return None
+        s, e = self._m.span(name)
+        return self._q[s:e]
+
+
+def _match_clauses(query: str) -> _Clauses | None:
+    m = _CLAUSES_RE.match(_mask_literals(query))
+    return _Clauses(query, m) if m else None
+
+
+def _split_masked(s: str, pattern, maxsplit: int = 0) -> list[str]:
+    """re.split on the masked text, slices from the original (capture groups
+    in `pattern` are returned from the original too, like re.split)."""
+    rx = re.compile(pattern, re.IGNORECASE) if isinstance(pattern, str) else pattern
+    masked = _mask_literals(s)
+    parts, pos, count = [], 0, 0
+    for mt in rx.finditer(masked):
+        parts.append(s[pos:mt.start()])
+        parts.extend(s[slice(*mt.span(g + 1))] for g in range(rx.groups))
+        pos = mt.end()
+        count += 1
+        if maxsplit and count >= maxsplit:
+            break
+    parts.append(s[pos:])
+    return parts
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -122,9 +188,10 @@ class _SelectItem:
 
     def __init__(self, text: str):
         m = re.match(r"^(?P<expr>.+?)\s+as\s+(?P<alias>[\w`\"]+)\s*$",
-                     text, re.IGNORECASE | re.DOTALL)
-        expr_text = (m.group("expr") if m else text).strip()
-        self.alias = m.group("alias").strip('`"') if m else None
+                     _mask_literals(text), re.IGNORECASE | re.DOTALL)
+        expr_text = (text[slice(*m.span("expr"))] if m else text).strip()
+        self.alias = (text[slice(*m.span("alias"))].strip('`"') if m
+                      else None)
         self.agg: str | None = None
         self.window: dict | None = None
         wm = _WINDOW_RE.match(expr_text)
@@ -254,12 +321,25 @@ def _resolve_udtf(name: str, tables: dict | None):
 
 def _parse_from(from_raw: str):
     """-> ((name, alias), [(join_type, (name, alias), on_node), ...])"""
-    parts = _JOIN_RE.split(from_raw.strip())
+    parts = _split_masked(from_raw.strip(), _JOIN_RE)
     base = _parse_table_ref(parts[0])
     joins = []
     for i in range(1, len(parts), 2):
-        jtype = "left outer" if parts[i].lower().startswith("left") else "inner"
-        seg = re.split(r"\s+on\s+", parts[i + 1], maxsplit=1, flags=re.IGNORECASE)
+        kw = parts[i].lower()
+        if kw.startswith("left"):
+            jtype = "left outer"
+        elif kw.startswith("right"):
+            jtype = "right outer"
+        elif kw.startswith("full"):
+            jtype = "full outer"
+        elif kw.startswith("cross"):
+            jtype = "cross"
+        else:
+            jtype = "inner"
+        if jtype == "cross":
+            joins.append((jtype, _parse_table_ref(parts[i + 1]), None))
+            continue
+        seg = _split_masked(parts[i + 1], r"\s+on\s+", maxsplit=1)
         if len(seg) != 2:
             raise InvalidInputError("JOIN requires an ON clause")
         joins.append((jtype, _parse_table_ref(seg[0]), parse_filter(seg[1])))
@@ -503,11 +583,16 @@ def _join_pair(left: pa.Table, right: pa.Table, lk: list[str], rk: list[str],
         pieces = []
         for i in range(n_parts):
             lt = read_partition(lp[i])
-            if lt is None:
-                continue
             rt = read_partition(rp[i])
+            if lt is None and rt is None:
+                continue
+            if lt is None:
+                # left-only-preserving joins have nothing to emit here
+                if jtype in ("inner", "left outer"):
+                    continue
+                lt = left.slice(0, 0)
             if rt is None:
-                if jtype == "inner":
+                if jtype in ("inner", "right outer"):
                     continue
                 rt = right.slice(0, 0)
             pieces.append(lt.join(rt, keys=lk, right_keys=rk,
@@ -519,6 +604,17 @@ def _join_pair(left: pa.Table, right: pa.Table, lk: list[str], rk: list[str],
         return pa.concat_tables(pieces, promote_options="permissive")
     finally:
         sd.cleanup()
+
+
+def _cross_join(left: pa.Table, right: pa.Table) -> pa.Table:
+    """Cartesian product (CROSS JOIN): every left row paired with every
+    right row."""
+    li = np.repeat(np.arange(left.num_rows, dtype=np.int64), right.num_rows)
+    ri = np.tile(np.arange(right.num_rows, dtype=np.int64), left.num_rows)
+    lt, rt = left.take(pa.array(li)), right.take(pa.array(ri))
+    cols = {c: lt.column(c) for c in lt.column_names}
+    cols.update({c: rt.column(c) for c in rt.column_names})
+    return pa.table(cols)
 
 
 def _exec_join(query_tables, base, joins, needed_nodes, tables):
@@ -540,6 +636,8 @@ def _exec_join(query_tables, base, joins, needed_nodes, tables):
             a, bare = _resolve_col(c, alias_schemas)
             needed[a].add(bare)
     for _jt, (_n, alias), on_node in joins:
+        if on_node is None:  # CROSS JOIN has no ON clause
+            continue
         for c in _referenced_full(on_node):
             a, bare = _resolve_col(c, alias_schemas)
             needed[a].add(bare)
@@ -553,8 +651,11 @@ def _exec_join(query_tables, base, joins, needed_nodes, tables):
     cur = tabs[base[1]]
     left_aliases = {base[1]}
     for jtype, (_name, alias), on_node in joins:
-        lk, rk = _equi_keys(on_node, left_aliases, alias, alias_schemas)
-        cur = _join_pair(cur, tabs[alias], lk, rk, jtype)
+        if jtype == "cross":
+            cur = _cross_join(cur, tabs[alias])
+        else:
+            lk, rk = _equi_keys(on_node, left_aliases, alias, alias_schemas)
+            cur = _join_pair(cur, tabs[alias], lk, rk, jtype)
         left_aliases.add(alias)
     # bare-name views: register a.c under c when unique across the join
     bare = {}
@@ -712,15 +813,14 @@ def _correlated_conjuncts(inner: str):
     conjuncts removed and the SELECT list replaced by the inner refs).
     Reference semantics: DataFusion decorrelates EXISTS/IN the same way
     (rust/lance-datafusion planner; subquery-to-semijoin rewrite)."""
-    m = _CLAUSES_RE.match(inner)
+    m = _match_clauses(inner)
     if not m or not m.group("where"):
         return [], inner
     base, joins = _parse_from(m.group("from_"))
     own = {base[1]} | {j[0][1] for j in joins}
     ref_re = re.compile(r"^\s*(\w+)\.(\w+)\s*$")
     pairs, rest = [], []
-    for conj in re.split(r"\s+and\s+", m.group("where").strip(),
-                         flags=re.IGNORECASE):
+    for conj in _split_masked(m.group("where").strip(), r"\s+and\s+"):
         eq = re.match(r"^\s*([\w.]+)\s*=\s*([\w.]+)\s*$", conj)
         sides = (eq.group(1), eq.group(2)) if eq else None
         hit = None
@@ -908,7 +1008,49 @@ def _split_union(q: str) -> tuple[list[str], list[bool]]:
     return parts, flags
 
 
+def _parse_ctes(query: str, ds, tables: dict | None):
+    """WITH name AS (SELECT ...)[, ...] <main query> — evaluate each CTE
+    top-down (later CTEs and the main query see earlier ones as tables) and
+    return (main query, augmented tables). Reference gets CTEs from
+    DataFusion (rust/lance/src/dataset/sql.rs); recursive CTEs unsupported."""
+    masked = _mask_literals(query)
+    m = re.match(r"^\s*with\s+", masked, re.IGNORECASE)
+    if not m:
+        return query, tables
+    if re.match(r"^\s*with\s+recursive\b", masked, re.IGNORECASE):
+        raise NotSupportedError("WITH RECURSIVE is not supported")
+    i = m.end()
+    extra = dict(tables or {})
+    while True:
+        nm = re.match(r"(\w+)\s+as\s*\(", masked[i:], re.IGNORECASE)
+        if not nm:
+            raise InvalidInputError("malformed WITH clause (expected "
+                                    "`name AS (SELECT ...)`)")
+        name = query[i + nm.start(1):i + nm.end(1)]
+        depth, j = 1, i + nm.end()
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise InvalidInputError("unbalanced WITH parentheses")
+        inner = query[i + nm.end():j - 1].strip()
+        extra[name] = _TableSource(sql(ds, inner, tables=dict(extra)))
+        k = j
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        if k < len(masked) and masked[k] == ",":
+            i = k + 1
+            while i < len(masked) and masked[i].isspace():
+                i += 1
+            continue
+        return query[k:], extra
+
+
 def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
+    query, tables = _parse_ctes(query, ds, tables)
     parts, union_all = _split_union(query)
     if len(parts) > 1:
         outs = [sql(ds, p.strip(), tables=tables) for p in parts]
@@ -928,7 +1070,7 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
                 res = _distinct(res)
         return res
     query, tables = _rewrite_subqueries(query, ds, tables)
-    m = _CLAUSES_RE.match(query)
+    m = _match_clauses(query)
     if not m:
         raise InvalidInputError(
             "unsupported SQL (expected SELECT ... FROM t [JOIN ...] "

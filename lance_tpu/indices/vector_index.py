@@ -114,6 +114,66 @@ def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
     return np.concatenate(mats), np.concatenate(addrs)
 
 
+def _live_frags(ds, column: str, fragment_ids: list[int] | None):
+    frags = ds.get_fragments()
+    if fragment_ids is not None:
+        fset = set(fragment_ids)
+        frags = [f for f in frags if f.id in fset]
+    return [f for f in frags if f.num_rows > 0]
+
+
+def count_vector_rows(ds, column: str,
+                      fragment_ids: list[int] | None = None) -> int:
+    """Live-row count of the fragments a build would index (no data read)."""
+    return sum(f.num_rows for f in _live_frags(ds, column, fragment_ids))
+
+
+def iter_vector_chunks(ds, column: str, chunk_rows: int,
+                       fragment_ids: list[int] | None = None):
+    """Yield (vectors f32 (n, dim), row_addresses u64) chunks of live rows.
+
+    The dataset-scale build path: at no point is more than ~chunk_rows worth
+    of the column resident on the host (reference contract:
+    rust/lance-index/src/vector/ivf/shuffler.rs:707 — staged runs are never
+    all resident in one memory). Chunks cross fragment boundaries freely;
+    concatenating all chunks equals read_vector_column's output order.
+    Plain fixed-size-list vector columns only (multivector callers use the
+    in-RAM path)."""
+    for frag in _live_frags(ds, column, fragment_ids):
+        alive = frag.alive_offsets()
+        frag_hi = np.uint64(frag.id) << np.uint64(32)
+        for s in range(0, alive.size, chunk_rows):
+            sel = alive[s:s + chunk_rows]
+            lo, hi = int(sel[0]), int(sel[-1]) + 1
+            data = frag.read_columns_physical([column], lo, hi - lo)
+            mat = data[column].to_numpy_matrix()
+            if sel.size != hi - lo:
+                mat = mat[sel - np.uint32(lo)]
+            yield (np.ascontiguousarray(mat, np.float32),
+                   frag_hi | sel.astype(np.uint64))
+
+
+def sample_vector_rows(ds, column: str, count: int, rng,
+                       fragment_ids: list[int] | None = None) -> np.ndarray:
+    """Uniform sample of live rows across fragments via random-access takes
+    (training-set reads without materializing the column)."""
+    frags = _live_frags(ds, column, fragment_ids)
+    total = sum(f.num_rows for f in frags)
+    count = min(count, total)
+    pick = np.sort(rng.choice(total, size=count, replace=False))
+    mats, base = [], 0
+    for frag in frags:
+        sel = pick[(pick >= base) & (pick < base + frag.num_rows)] - base
+        base += frag.num_rows
+        if sel.size == 0:
+            continue
+        alive = frag.alive_offsets()
+        got = frag.take_physical(alive[sel.astype(np.int64)], [column])
+        mats.append(np.ascontiguousarray(
+            got[column].to_numpy_matrix(), np.float32))
+    return np.concatenate(mats) if mats else np.empty((0, 0), np.float32)
+
+
 def build_ivf_index(
     ds,
     column: str,
@@ -138,6 +198,33 @@ def build_ivf_index(
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
 
     from ..utils.tracing import span
+
+    # dataset-scale mesh-sharded builds never materialize the column on the
+    # host: dispatch BEFORE reading when the column exceeds the host budget
+    # (reference contract: distributed builds stage through storage, no
+    # worker holds the dataset — python/lance/indices/builder.py:60-360)
+    if ((mesh is not None or n_devices is not None)
+            and index_type in ("IVF_PQ", "IVF_SQ", "IVF_FLAT")
+            and metric != "hamming"):
+        field = ds.schema.field(column)
+        if pa.types.is_fixed_size_list(field.type):
+            col_dim = field.type.list_size
+            est = count_vector_rows(ds, column, fragment_ids) * col_dim * 4
+            host_budget = int(os.environ.get("LANCE_TPU_BUILD_HOST_BYTES",
+                                             8 << 30))
+            if est > host_budget:
+                if num_bits is None:
+                    num_bits = 8
+                from ..parallel.build import build_ivf_sharded_dataset
+
+                return build_ivf_sharded_dataset(
+                    ds, column, uuid, index_type=index_type, mesh=mesh,
+                    n_devices=n_devices, num_partitions=num_partitions,
+                    num_sub_vectors=num_sub_vectors, num_bits=num_bits,
+                    metric=metric, max_iters=max_iters,
+                    sample_rate=sample_rate, ivf_centroids=ivf_centroids,
+                    pq_codebook=pq_codebook, balance_factor=balance_factor,
+                    dim=col_dim, fragment_ids=fragment_ids)
 
     with span("build.read_vector_column"):
         vectors, rowids = read_vector_column(ds, column, fragment_ids)

@@ -3,42 +3,64 @@
 This is the pod-scale build path (BASELINE: "IVF-PQ 100M vecs in minutes on
 v5e-64"): rows shard over every device of the mesh and stay sharded through
 the whole build — train -> assign+encode -> ICI all-to-all shuffle to
-partition owners -> merged auxiliary file. Per-device HBM holds N/ndev rows,
-so dataset capacity scales linearly with the slice.
+partition owners -> merged auxiliary file. Per-device HBM holds one chunk's
+N_chunk/ndev rows, so dataset capacity is bounded by neither HBM nor (for
+the dataset-streaming entry) host RAM.
 
 Reference counterparts (contracts, not implementations):
   - rust/lance/src/index/vector/builder.rs:236-254 (train -> shuffle ->
     build partitions -> merge staging semantics)
   - python/python/lance/indices/builder.py:60-360 (distributed protocol:
     train_ivf / train_pq / transform_vectors / shuffle_transformed_vectors)
+  - rust/lance-index/src/vector/ivf/shuffler.rs:707 (staged shuffle runs are
+    never all resident in one memory)
 The reference stages encoded rows through object storage between workers;
-on TPU the same stage rides ICI as one lax.all_to_all (parallel/shuffle.py).
+on TPU the same stage rides ICI as one lax.all_to_all per chunk
+(parallel/shuffle.py).
 
-Stage map (all device work is ONE shard_map each):
-  1. coarse centroids  - train_kmeans_sharded: rows over the flat mesh,
-                         per-iter sufficient stats psum'd (parallel/kmeans.py)
+Stage map (all device work is ONE shard_map per stage per chunk):
+  1. coarse centroids  - train_kmeans_sharded on a SAMPLE: rows over the flat
+                         mesh, per-iter sufficient stats psum'd
   2. PQ codebook       - central, on sampled residuals (small; matches the
                          reference's central train_pq)
-  3. assign + encode   - each device runs the capacity-bounded accept on its
-                         local rows (local capacity = global/ndev) and
-                         PQ-encodes its residuals; probe-centroid sufficient
-                         stats psum across the mesh
-  4. shuffle           - all-to-all routes (codes, row index) to the device
-                         owning each row's partition; bucket capacity is
-                         sized exactly from host-side counts so nothing drops
-  5. finalize          - owners' shards concatenate (owners hold contiguous
-                         partition ranges, so owner order IS partition order)
-                         into the same merged aux file the single-device
-                         build writes; IvfIndex.open is unchanged.
+  3. assign + encode   - per chunk: each device runs the capacity-bounded
+                         accept on its local rows and PQ-encodes its
+                         residuals; probe-centroid sufficient stats psum
+                         across the mesh. The remaining-capacity vector is
+                         carried across chunks (and re-balanced across
+                         devices between chunks, bounding cross-device skew
+                         at chunk granularity).
+  4. shuffle           - per chunk: all-to-all routes (codes, row index) to
+                         the device owning each row's partition; bucket
+                         capacity is sized from exact host-side counts
+                         (rounded to a power of two to bound compiles) so
+                         nothing drops
+  5. finalize          - PER OWNER: each owner's accumulated shard is sorted
+                         locally (owners hold contiguous partition ranges,
+                         so owner order IS partition order) and written as
+                         the next piece of the merged aux file. No global
+                         argsort; the largest transient is one owner's shard.
+
+Capacity semantics: each device holds local_cap = ceil(N/ndev/nlist*bf).
+Between chunks the per-device remaining vectors are summed and re-split
+evenly, so the global per-partition accept bound is cap_global to within
+ndev rounding rows *per chunk boundary*. Rows whose top-T choices are all
+full still spill to their nearest centroid without a capacity check (same
+fallback as the single-device device-side accept) — under adversarial skew
+a partition can exceed cap_global by those spill rows;
+tests/test_parallel.py pins the strict bound for top_t >= nlist and
+documents the spill case.
 
 The single-device and sharded builds produce byte-identical codes and
 assignments when given the same centroids/codebook and capacity is not
-binding (tests/test_parallel.py asserts this on the 8-device CPU mesh).
+binding (tests/test_parallel.py asserts this on the 8-device CPU mesh, for
+both the in-RAM and the dataset-streaming entries).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -65,13 +87,13 @@ def _flat_mesh(mesh: Mesh | None, n_devices: int | None) -> Mesh:
 
 
 def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
-                             local_cap: int, use_residual: bool,
-                             has_rotation: bool, matmul_dtype,
-                             encode: str = "pq"):
-    """shard_map step: local rows -> (part ids, encoded payload,
-    probe-centroid sufficient stats). Capacity-bounded accept runs per shard
-    with capacity/ndev budgets; overflow spills to the nearest centroid (the
-    global cap then holds to within ndev rows per partition).
+                             use_residual: bool, has_rotation: bool,
+                             matmul_dtype, encode: str = "pq"):
+    """shard_map step: local rows + local remaining-capacity -> (part ids,
+    encoded payload, probe-centroid sufficient stats, updated remaining).
+    Capacity-bounded accept runs per shard against that shard's remaining
+    budget; overflow spills to the nearest centroid (see module docstring
+    for the resulting global bound).
 
     encode: 'pq' (codebook = PQ codebook, uint8 codes), 'sq' (codebook =
     (2, dim) lo/scale bounds, uint8 codes), 'flat' (payload = the metric-
@@ -84,16 +106,16 @@ def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
         shard_map,
         mesh=mesh,
         check_vma=False,
-        in_specs=(P("bdp"), P("bdp"), P(), P(), P()),
-        out_specs=(P("bdp"), P("bdp"), P(), P()),
+        in_specs=(P("bdp"), P("bdp"), P("bdp"), P(), P(), P()),
+        out_specs=(P("bdp"), P("bdp"), P(), P(), P("bdp")),
     )
-    def step(local_x, local_valid, centroids, codebook, rotation):
+    def step(local_x, local_valid, local_remaining, centroids, codebook,
+             rotation):
         x = local_x
         if metric == "cosine":
             x = normalize(x)
-        remaining0 = jnp.full(nlist, local_cap, jnp.int32)
-        assign, _rem, first = _balanced_accept_device(
-            x, centroids, remaining0, top_t, nlist,
+        assign, rem, first = _balanced_accept_device(
+            x, centroids, local_remaining[0], top_t, nlist,
             "l2" if metric == "cosine" else metric, matmul_dtype)
         pid = jnp.where(assign < 0, first, assign)
         w = local_valid.astype(jnp.float32)
@@ -114,14 +136,207 @@ def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
             codes = _encode_jit(data, codebook)
-        return pid, codes, sums, counts
+        return pid, codes, sums, counts, rem[None]
 
     return jax.jit(step)
+
+
+def _rechunk(it, chunk_rows: int):
+    """Coalesce an iterator of (vecs, rowids) into fixed-size chunks so the
+    device step compiles exactly once (fragment tails would otherwise yield
+    ragged shapes)."""
+    buf_v, buf_r, have = [], [], 0
+    for vecs, rids in it:
+        buf_v.append(vecs)
+        buf_r.append(rids)
+        have += vecs.shape[0]
+        while have >= chunk_rows:
+            v = np.concatenate(buf_v) if len(buf_v) > 1 else buf_v[0]
+            r = np.concatenate(buf_r) if len(buf_r) > 1 else buf_r[0]
+            yield v[:chunk_rows], r[:chunk_rows]
+            buf_v, buf_r = [v[chunk_rows:]], [r[chunk_rows:]]
+            have -= chunk_rows
+    if have:
+        yield (np.concatenate(buf_v) if len(buf_v) > 1 else buf_v[0],
+               np.concatenate(buf_r) if len(buf_r) > 1 else buf_r[0])
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (max(x, 1) - 1).bit_length()
+
+
+def _rebalance_remaining(remaining: np.ndarray) -> np.ndarray:
+    """Re-split the per-device remaining-capacity vectors evenly across
+    devices (called between chunks; bounds cross-device skew accumulation at
+    chunk granularity)."""
+    ndev = remaining.shape[0]
+    tot = remaining.sum(axis=0)
+    base = tot // ndev
+    extra = tot - base * ndev
+    return (base[None, :]
+            + (np.arange(ndev)[:, None] < extra[None, :])).astype(np.int32)
+
+
+def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
+                        encode: str, pq, use_residual: bool,
+                        quant_const: np.ndarray, sq_lo, sq_scale, metric: str,
+                        num_partitions: int, balance_factor: float, dim: int,
+                        index_type: str, chunk_rows: int) -> dict:
+    """Shared chunked build loop + per-owner finalize (see module docstring).
+
+    chunk_iter yields (vectors f32, row_addresses u64); chunks are streamed
+    through the mesh one at a time, so peak host memory is one chunk + the
+    encoded codes, never the dataset."""
+    from ..errors import IndexError_
+    from ..indices.vector_index import (_write_ivf_flat_aux, _write_ivf_pq_aux,
+                                        _write_ivf_sq_aux)
+    from ..models.ivf import IvfModel
+    from ..ops.distance import build_matmul_dtype
+    from ..utils.tracing import span
+
+    ndev = flat.devices.size
+    chunk_rows = max(ndev, (chunk_rows // ndev) * ndev)
+    rows_sh = NamedSharding(flat, P("bdp"))
+    repl = NamedSharding(flat, P())
+    local_cap = int(np.ceil(n_total / ndev / num_partitions
+                            * max(balance_factor, 1.01)))
+    rotation = (pq.rotation if pq is not None and pq.rotation is not None
+                else np.eye(1, dtype=np.float32))
+    step = _make_assign_encode_step(
+        flat, num_partitions, min(8, num_partitions), metric,
+        use_residual, pq is not None and pq.rotation is not None,
+        build_matmul_dtype(), encode)
+    cent_dev = jax.device_put(km.centroids.astype(np.float32), repl)
+    quant_dev = jax.device_put(quant_const, repl)
+    rot_dev = jax.device_put(np.asarray(rotation, np.float32), repl)
+
+    remaining = np.full((ndev, num_partitions), local_cap, np.int32)
+    psums = np.zeros((num_partitions, dim), np.float64)
+    pcounts = np.zeros(num_partitions, np.float64)
+    # per-owner accumulators: owner d's pieces of (pid, codes, global row idx)
+    owner_pids = [[] for _ in range(ndev)]
+    owner_codes = [[] for _ in range(ndev)]
+    owner_idx = [[] for _ in range(ndev)]
+    rowid_chunks = []
+    shuffles: dict[int, object] = {}
+    seen = 0
+    for ci, (vecs, rids) in enumerate(_rechunk(chunk_iter, chunk_rows)):
+        n_real = vecs.shape[0]
+        rowid_chunks.append(rids)
+        padded, _ = pad_rows_to_multiple(
+            np.ascontiguousarray(vecs, np.float32), ndev)
+        if padded.shape[0] < chunk_rows:  # tail chunk: pad to the fixed shape
+            padded = np.pad(padded, ((0, chunk_rows - padded.shape[0]), (0, 0)))
+        valid = np.zeros(chunk_rows, np.int32)
+        valid[:n_real] = 1
+        valid_dev = jax.device_put(valid, rows_sh)
+        with span("build.assign_encode_sharded", chunk=ci, rows=n_real):
+            pids_dev, codes_dev, s_dev, c_dev, rem_dev = step(
+                jax.device_put(padded, rows_sh), valid_dev,
+                jax.device_put(remaining, rows_sh),
+                cent_dev, quant_dev, rot_dev)
+        psums += np.asarray(s_dev, np.float64)
+        pcounts += np.asarray(c_dev, np.float64)
+        remaining = _rebalance_remaining(np.asarray(rem_dev))
+
+        # exact per-(src,dst) bucket counts host-side (4 bytes/row), rounded
+        # up to a power of two so the shuffle compiles O(log) times total
+        pids_h = np.asarray(pids_dev)
+        per_dev = chunk_rows // ndev
+        owner_h = np.asarray(partition_owner(pids_h, num_partitions, ndev))
+        src_h = np.repeat(np.arange(ndev, dtype=np.int64), per_dev)
+        bucket = np.bincount((src_h * ndev + owner_h)[valid > 0],
+                             minlength=ndev * ndev)
+        cap = _next_pow2(int(bucket.max()))
+        if cap not in shuffles:
+            shuffles[cap] = make_payload_shuffle(flat, "bdp", cap,
+                                                 num_partitions, 2)
+        row_idx = np.zeros(chunk_rows, np.int32)
+        row_idx[:n_real] = np.arange(seen, seen + n_real, dtype=np.int32)
+        with span("build.shuffle_sharded", chunk=ci, cap=cap):
+            out_pids, out_valid, out_codes, out_idx = shuffles[cap](
+                pids_dev, valid_dev, codes_dev,
+                jax.device_put(row_idx, rows_sh))
+        blk = ndev * cap
+        ok_all = np.asarray(out_valid) > 0
+        pid_all, code_all, idx_all = (np.asarray(out_pids),
+                                      np.asarray(out_codes),
+                                      np.asarray(out_idx))
+        got = int(ok_all.sum())
+        if got != n_real:
+            raise IndexError_(
+                f"sharded shuffle lost rows in chunk {ci}: {got} != {n_real}")
+        for d in range(ndev):
+            ok = ok_all[d * blk:(d + 1) * blk]
+            if not ok.any():
+                continue
+            sl = slice(d * blk, (d + 1) * blk)
+            owner_pids[d].append(pid_all[sl][ok])
+            owner_codes[d].append(code_all[sl][ok])
+            owner_idx[d].append(idx_all[sl][ok])
+        seen += n_real
+    if seen != n_total:
+        raise IndexError_(f"sharded build saw {seen} rows, expected {n_total}")
+
+    # finalize per owner: local stable sort by pid; owner order IS partition
+    # order, so appending owner pieces yields the globally partition-sorted
+    # aux file with no global argsort (largest transient = one owner's shard)
+    rowids_all = (np.concatenate(rowid_chunks) if rowid_chunks
+                  else np.empty(0, np.uint64))
+    lengths = np.zeros(num_partitions, np.int64)
+    pieces_rowids, pieces_codes = [], []
+    with span("build.finalize_per_owner", ndev=ndev):
+        for d in range(ndev):
+            if not owner_pids[d]:
+                continue
+            pids_d = np.concatenate(owner_pids[d])
+            codes_d = np.concatenate(owner_codes[d])
+            idx_d = np.concatenate(owner_idx[d])
+            owner_pids[d] = owner_codes[d] = owner_idx[d] = None
+            order = np.argsort(pids_d, kind="stable")
+            lengths += np.bincount(pids_d, minlength=num_partitions)
+            pieces_rowids.append(rowids_all[idx_d[order]])
+            pieces_codes.append(codes_d[order])
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    sorted_rowids = (np.concatenate(pieces_rowids) if pieces_rowids
+                     else np.empty(0, np.uint64))
+    sorted_codes = np.concatenate(pieces_codes) if pieces_codes else None
+
+    probe_centroids = np.where(
+        pcounts[:, None] > 0, psums / np.maximum(pcounts, 1.0)[:, None],
+        km.centroids).astype(np.float32)
+    ivf = IvfModel(km.centroids, offsets, lengths, metric,
+                   probe_centroids=probe_centroids)
+    extra = {"sharded_build": True, "n_devices": int(ndev)}
+    if encode == "flat":
+        return _write_ivf_flat_aux(ds, uuid, ivf, sorted_rowids,
+                                   sorted_codes.astype(np.float32), metric,
+                                   dim, extra)
+    if encode == "sq":
+        return _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
+                                 sq_lo, sq_scale, metric, dim, extra)
+    return _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes,
+                             metric, use_residual, dim, extra)
+
+
+def _default_chunk_rows(dim: int) -> int:
+    """Streaming chunk size: ~LANCE_TPU_SHARD_CHUNK_BYTES of f32 rows
+    (default 512 MB) — big enough to amortize dispatch, small enough that a
+    chunk is a sliver of any beyond-RAM dataset."""
+    budget = int(os.environ.get("LANCE_TPU_SHARD_CHUNK_BYTES", 512 << 20))
+    return max(1, budget // (dim * 4))
 
 
 def build_ivf_pq_sharded(ds, vectors, rowids, uuid, **kw) -> dict:
     return build_ivf_sharded(ds, vectors, rowids, uuid, index_type="IVF_PQ",
                              **kw)
+
+
+def _sq_bounds(base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lo = base.min(axis=0).astype(np.float32)
+    hi = base.max(axis=0)
+    scale = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+    return lo, scale
 
 
 def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
@@ -132,14 +347,11 @@ def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
                       ivf_centroids=None, pq_codebook=None,
                       balance_factor: float = 1.5,
                       dim: int | None = None) -> dict:
-    """Mesh-sharded IVF_{PQ,SQ,FLAT} build; writes the same merged aux file
-    as the single-device build. Called via build_ivf_index(..., mesh=...)."""
-    from ..errors import IndexError_
-    from ..indices.vector_index import (_train_pq_for_build,
-                                        _write_ivf_flat_aux, _write_ivf_pq_aux,
-                                        _write_ivf_sq_aux)
-    from ..models.ivf import IvfModel
-    from ..ops.distance import build_matmul_dtype
+    """Mesh-sharded IVF_{PQ,SQ,FLAT} build from an in-RAM array; writes the
+    same merged aux file as the single-device build. Called via
+    build_ivf_index(..., mesh=...). For datasets too large to hold in host
+    RAM, build_ivf_sharded_dataset streams chunks instead."""
+    from ..indices.vector_index import _train_pq_for_build
     from ..ops.kmeans import KMeans
     from ..utils.tracing import span
 
@@ -178,78 +390,95 @@ def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
         if metric == "cosine":
             base = vectors / np.maximum(
                 np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
-        sq_lo = base.min(axis=0).astype(np.float32)
-        hi = base.max(axis=0)
-        sq_scale = np.where(hi > sq_lo, hi - sq_lo, 1.0).astype(np.float32)
+        sq_lo, sq_scale = _sq_bounds(base)
         quant_const = np.stack([sq_lo, sq_scale])
 
-    # 3. sharded fused assign + encode
-    padded, n_real = pad_rows_to_multiple(
-        np.ascontiguousarray(vectors, dtype=np.float32), ndev)
-    valid = np.zeros(padded.shape[0], np.int32)
-    valid[:n_real] = 1
-    rows_sh = NamedSharding(flat, P("bdp"))
-    repl = NamedSharding(flat, P())
-    local_cap = int(np.ceil(n / ndev / num_partitions * max(balance_factor, 1.01)))
-    rotation = (pq.rotation if pq is not None and pq.rotation is not None
-                else np.eye(1, dtype=np.float32))
-    step = _make_assign_encode_step(
-        flat, num_partitions, min(8, num_partitions), metric, local_cap,
-        use_residual, pq is not None and pq.rotation is not None,
-        build_matmul_dtype(), encode)
-    with span("build.assign_encode_sharded", rows=n, ndev=ndev):
-        pids_dev, codes_dev, psums, pcounts = step(
-            jax.device_put(padded, rows_sh),
-            jax.device_put(valid, rows_sh),
-            jax.device_put(km.centroids.astype(np.float32), repl),
-            jax.device_put(quant_const, repl),
-            jax.device_put(np.asarray(rotation, np.float32), repl),
-        )
+    chunk_rows = min(max(n, ndev), _default_chunk_rows(dim))
 
-    # 4. ICI all-to-all to partition owners. Bucket capacity is exact: the
-    # (ndev,) per-row pids are fetched (4 bytes/row) and counted host-side.
-    pids_h = np.asarray(pids_dev)
-    per_dev = padded.shape[0] // ndev
-    owner_h = np.asarray(partition_owner(pids_h, num_partitions, ndev))
-    src_h = np.repeat(np.arange(ndev, dtype=np.int64), per_dev)
-    bucket = np.bincount((src_h * ndev + owner_h)[valid > 0],
-                         minlength=ndev * ndev)
-    cap = max(int(bucket.max()), 1)
-    row_idx = np.arange(padded.shape[0], dtype=np.int32)
-    shuffle = make_payload_shuffle(flat, "bdp", cap, num_partitions, 2)
-    with span("build.shuffle_sharded", cap=cap, ndev=ndev):
-        out_pids, out_valid, out_codes, out_idx = shuffle(
-            pids_dev, jax.device_put(valid, rows_sh), codes_dev,
-            jax.device_put(row_idx, rows_sh))
+    def chunks():
+        for s in range(0, n, chunk_rows):
+            yield vectors[s:s + chunk_rows], rowids[s:s + chunk_rows]
 
-    # 5. finalize on host: owners hold contiguous partition ranges, so one
-    # stable sort by pid over the gathered shards is globally partition-sorted
-    ok = np.asarray(out_valid) > 0
-    if int(ok.sum()) != n_real:
-        raise IndexError_(
-            f"sharded shuffle lost rows: {int(ok.sum())} != {n_real}")
-    all_pids = np.asarray(out_pids)[ok]
-    all_codes = np.asarray(out_codes)[ok]
-    all_idx = np.asarray(out_idx)[ok]
-    order = np.argsort(all_pids, kind="stable")
-    lengths = np.bincount(all_pids, minlength=num_partitions).astype(np.int64)
-    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    sorted_rowids = rowids[all_idx[order]]
-    sorted_codes = all_codes[order]
+    return _build_sharded_core(ds, uuid, flat, chunks(), n, km, encode, pq,
+                               use_residual, quant_const, sq_lo, sq_scale,
+                               metric, num_partitions, balance_factor, dim,
+                               index_type, chunk_rows)
 
-    probe_centroids = np.asarray(
-        jnp.where(pcounts[:, None] > 0,
-                  psums / jnp.maximum(pcounts, 1.0)[:, None],
-                  jnp.asarray(km.centroids)))
-    ivf = IvfModel(km.centroids, offsets, lengths, metric,
-                   probe_centroids=probe_centroids)
-    extra = {"sharded_build": True, "n_devices": int(ndev)}
-    if encode == "flat":
-        return _write_ivf_flat_aux(ds, uuid, ivf, sorted_rowids,
-                                   sorted_codes.astype(np.float32), metric,
-                                   dim, extra)
-    if encode == "sq":
-        return _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
-                                 sq_lo, sq_scale, metric, dim, extra)
-    return _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes,
-                             metric, use_residual, dim, extra)
+
+def build_ivf_sharded_dataset(ds, column: str, uuid, *,
+                              index_type: str = "IVF_PQ", mesh=None,
+                              n_devices: int | None = None,
+                              num_partitions: int = 256,
+                              num_sub_vectors: int = 16, num_bits: int = 8,
+                              metric: str = "l2", max_iters: int = 50,
+                              sample_rate: int = 256, ivf_centroids=None,
+                              pq_codebook=None, balance_factor: float = 1.5,
+                              dim: int | None = None,
+                              fragment_ids: list[int] | None = None,
+                              chunk_rows: int | None = None) -> dict:
+    """Dataset-scale mesh-sharded build: the column is never materialized on
+    the host. Training reads a random-access SAMPLE; assign/encode/shuffle
+    stream fixed-size chunks through the mesh; finalize is per-owner.
+
+    Divergence from the in-RAM builds (documented, sample-driven): SQ lo/hi
+    bounds come from the training sample rather than the full column (the
+    encode clips, so out-of-sample outliers saturate instead of shifting the
+    scale). Everything else is chunk-order-identical to the in-RAM sharded
+    build (tests/test_parallel.py pins rowid/length parity)."""
+    from ..indices.vector_index import (_train_pq_for_build,
+                                        count_vector_rows, iter_vector_chunks,
+                                        sample_vector_rows)
+    from ..ops.kmeans import KMeans
+    from ..utils.tracing import span
+
+    flat = _flat_mesh(mesh, n_devices)
+    ndev = flat.devices.size
+    n = count_vector_rows(ds, column, fragment_ids)
+    if dim is None:
+        field = ds.schema.field(column)
+        dim = field.type.list_size
+    rng = np.random.default_rng(42)
+
+    sample = None
+    if ivf_centroids is not None:
+        km = KMeans(np.asarray(ivf_centroids, np.float32), metric)
+        num_partitions = km.k
+    else:
+        num_partitions = min(num_partitions, n)
+        sample = sample_vector_rows(
+            ds, column, min(n, sample_rate * num_partitions), rng,
+            fragment_ids)
+        with span("build.train_kmeans_sharded", n=int(sample.shape[0]),
+                  k=num_partitions, ndev=ndev):
+            km = train_kmeans_sharded(sample, num_partitions, flat,
+                                      max_iters=max_iters, metric=metric,
+                                      dp_axes=("bdp",))
+
+    encode = {"IVF_PQ": "pq", "IVF_SQ": "sq", "IVF_FLAT": "flat"}[index_type]
+    pq, use_residual, quant_const = None, False, np.eye(1, dtype=np.float32)
+    sq_lo = sq_scale = None
+    if encode in ("pq", "sq") and sample is None:
+        sample = sample_vector_rows(
+            ds, column, min(n, sample_rate * max(num_partitions, 256)), rng,
+            fragment_ids)
+    if encode == "pq":
+        pq, use_residual = _train_pq_for_build(
+            sample, km, metric, num_sub_vectors, num_bits, max_iters,
+            sample_rate, pq_codebook, rng)
+        quant_const = pq.codebook.astype(np.float32)
+    elif encode == "sq":
+        base = sample
+        if metric == "cosine":
+            base = sample / np.maximum(
+                np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        sq_lo, sq_scale = _sq_bounds(base)
+        quant_const = np.stack([sq_lo, sq_scale])
+    del sample
+
+    chunk_rows = chunk_rows or _default_chunk_rows(dim)
+    chunk_rows = min(max(n, ndev), chunk_rows)
+    return _build_sharded_core(
+        ds, uuid, flat, iter_vector_chunks(ds, column, chunk_rows,
+                                           fragment_ids),
+        n, km, encode, pq, use_residual, quant_const, sq_lo, sq_scale,
+        metric, num_partitions, balance_factor, dim, index_type, chunk_rows)

@@ -230,3 +230,101 @@ def test_sharded_flat_and_sq_builds(devices, rng, monkeypatch):
         _, rid_m = idx_m.search(q, 5, nprobes=nlist, refine_factor=4)
         assert (rid_s[:, 0] == rid_m[:, 0]).all()
         assert rid_s[0, 0] & 0xFFFFFFFF == 0  # self-match
+
+
+def test_iter_vector_chunks_matches_full_read(devices, rng, tmp_path):
+    """Chunked streaming reads (across fragments, with deletions) concatenate
+    to exactly read_vector_column's output."""
+    import lance_tpu as lt
+    from lance_tpu.indices.vector_index import (count_vector_rows,
+                                                iter_vector_chunks,
+                                                read_vector_column)
+
+    n, dim = 700, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    uri = f"file://{tmp_path}/chunks"
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                          uri, params=lt.WriteParams(max_rows_per_file=200))
+    ds = ds.delete("id % 7 = 3")
+    want_v, want_r = read_vector_column(ds, "vec")
+    got = list(iter_vector_chunks(ds, "vec", chunk_rows=93))
+    np.testing.assert_array_equal(np.concatenate([v for v, _ in got]), want_v)
+    np.testing.assert_array_equal(np.concatenate([r for _, r in got]), want_r)
+    assert count_vector_rows(ds, "vec") == want_v.shape[0]
+    assert max(v.shape[0] for v, _ in got) <= 93
+
+
+def test_sharded_dataset_streaming_build_parity(devices, rng, monkeypatch,
+                                                tmp_path):
+    """The dataset-streaming sharded build (column never materialized,
+    multi-chunk, per-owner finalize) produces the same index as the in-RAM
+    sharded build given the same centroids/codebook."""
+    import lance_tpu as lt
+    from lance_tpu.ops.kmeans import train_kmeans
+    from lance_tpu.ops.pq import PQParams, train_pq
+
+    n, dim, nlist, m = 1536, 16, 12, 4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    centroids = np.asarray(
+        train_kmeans(vecs, nlist, max_iters=10, metric="l2").centroids)
+    resid = vecs - centroids[
+        ((vecs[:, None, :] - centroids[None]) ** 2).sum(-1).argmin(1)]
+    pq = train_pq(resid, PQParams(num_sub_vectors=m, max_iters=8),
+                  metric="l2", opq_rounds=0)
+    mesh = make_mesh(8, {"dp": 8})
+
+    def build(tag, **env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        ds = lt.write_dataset(
+            {"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+            f"file://{tmp_path}/{tag}",
+            params=lt.WriteParams(max_rows_per_file=500))
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=nlist,
+                             num_sub_vectors=m, ivf_centroids=centroids,
+                             pq_codebook=pq, balance_factor=8.0, mesh=mesh)
+        for k in env:
+            monkeypatch.delenv(k)
+        return ds
+
+    ds_ram = build("ram")
+    # force the streaming entry (host budget 0) with multiple small chunks
+    ds_str = build("stream", LANCE_TPU_BUILD_HOST_BYTES="0",
+                   LANCE_TPU_SHARD_CHUNK_BYTES=str(256 * dim * 4))
+    idx_r = ds_ram._vector_index_for("vec")
+    idx_s = ds_str._vector_index_for("vec")
+    np.testing.assert_array_equal(idx_s.rowids, idx_r.rowids)
+    np.testing.assert_array_equal(np.asarray(idx_s.ivf.lengths),
+                                  np.asarray(idx_r.ivf.lengths))
+    np.testing.assert_allclose(idx_s.ivf.probe_centroids,
+                               idx_r.ivf.probe_centroids, atol=5e-3)
+    q = vecs[:16]
+    d_r, rid_r = idx_r.search(q, 5, nprobes=nlist, refine_factor=8)
+    d_s, rid_s = idx_s.search(q, 5, nprobes=nlist, refine_factor=8)
+    np.testing.assert_array_equal(rid_s, rid_r)
+
+
+def test_sharded_build_skew_capacity_bound(devices, rng):
+    """Adversarial skew: every row nearest the same centroid. With top_t
+    covering all partitions (nlist <= 8) no row takes the capacity-exempt
+    nearest-spill fallback, so the global per-partition bound must hold:
+    max length <= ndev * ceil(n/ndev/nlist*bf) (the documented ndev-rounding
+    slack over the single-device cap)."""
+    import uuid
+
+    import lance_tpu as lt
+
+    n, dim, nlist, ndev, bf = 1600, 8, 8, 8, 1.25
+    # all rows in a tight ball around one point + centroids spread out
+    vecs = (rng.normal(size=(n, dim)) * 0.01).astype(np.float32)
+    centroids = rng.normal(size=(nlist, dim)).astype(np.float32) * 5
+    centroids[0] *= 0.001  # centroid 0 is everyone's nearest
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                          f"memory://skew-{uuid.uuid4().hex[:6]}/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=nlist,
+                         num_sub_vectors=4, ivf_centroids=centroids,
+                         balance_factor=bf, mesh=make_mesh(8, {"dp": 8}))
+    lengths = np.asarray(ds._vector_index_for("vec").ivf.lengths)
+    local_cap = int(np.ceil(n / ndev / nlist * bf))
+    assert lengths.sum() == n
+    assert lengths.max() <= ndev * local_cap, (lengths.max(), ndev * local_cap)

@@ -183,3 +183,75 @@ def test_colliding_bare_names_stay_qualified(rng):
                "ORDER BY v", tables={"l": left, "r": right})
     assert t.column_names == ["l.id", "r.id", "v", "w"]
     assert t["l.id"].to_pylist() == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# round 3: literal-safe tokenization, CTEs, RIGHT/FULL/CROSS joins
+# ---------------------------------------------------------------------------
+
+
+def test_adversarial_string_literals(rng):
+    """Literals containing SQL keywords (' from ', ' join ', ' and ',
+    ' as ', ' where ', escaped quotes) must never be parsed as structure —
+    verified against a pyarrow-computed oracle."""
+    notes = ["exempt from audit", "join the union", "x' as y",
+             "a and b where c", "it's from d", "select * from t", "plain"]
+    n = len(notes)
+    ds = _ds("adv", {"note": pa.array(notes),
+                     "k": np.arange(n, dtype=np.int64)})
+    t = ds.sql("SELECT k, note FROM t WHERE note = 'exempt from audit'")
+    assert t.num_rows == 1 and t["k"][0].as_py() == 0
+    t = ds.sql("SELECT k FROM t WHERE note = 'join the union' OR "
+               "note = 'a and b where c' ORDER BY k")
+    assert np.asarray(t["k"]).tolist() == [1, 3]
+    # escaped quote inside the literal
+    t = ds.sql("SELECT k FROM t WHERE note = 'it''s from d'")
+    assert np.asarray(t["k"]).tolist() == [4]
+    # literal with ' as ' in the SELECT list + alias after it
+    t = ds.sql("SELECT 'x as y' AS lit, k FROM t LIMIT 1")
+    assert t.column_names == ["lit", "k"] and t["lit"][0].as_py() == "x as y"
+    # join whose ON is fine but a WHERE literal contains ' join '
+    other = _ds("adv2", {"k": np.arange(n, dtype=np.int64),
+                         "v": np.arange(n, dtype=np.int64) * 10})
+    t = ds.sql("SELECT a.k, b.v FROM t a JOIN u b ON a.k = b.k "
+               "WHERE a.note = 'join the union'",
+               tables={"t": ds, "u": other})
+    assert t.num_rows == 1 and t["v"][0].as_py() == 10
+
+
+def test_cte_with_clause(rng):
+    ds = _ds("cte", {"a": np.arange(20, dtype=np.int64),
+                     "g": np.repeat(np.arange(4, dtype=np.int64), 5)})
+    t = ds.sql("WITH big AS (SELECT a, g FROM t WHERE a >= 10) "
+               "SELECT g, count(*) AS c FROM big GROUP BY g ORDER BY g")
+    assert np.asarray(t["g"]).tolist() == [2, 3]
+    assert np.asarray(t["c"]).tolist() == [5, 5]
+    # chained CTEs: the second references the first
+    t = ds.sql("WITH s1 AS (SELECT a FROM t WHERE a < 10), "
+               "s2 AS (SELECT a + 100 AS b FROM s1 WHERE a >= 8) "
+               "SELECT b FROM s2 ORDER BY b")
+    assert np.asarray(t["b"]).tolist() == [108, 109]
+    # CTE joined with the base table
+    t = ds.sql("WITH tops AS (SELECT g, max(a) AS m FROM t GROUP BY g) "
+               "SELECT x.a FROM t x JOIN tops y ON x.a = y.m ORDER BY x.a",
+               tables={"t": ds})
+    assert np.asarray(t["a"]).tolist() == [4, 9, 14, 19]
+
+
+def test_right_full_cross_joins(rng):
+    left = _ds("jl", {"k": np.array([0, 1, 2, 3], np.int64),
+                      "lv": np.array([10, 11, 12, 13], np.int64)})
+    right = _ds("jr", {"k": np.array([2, 3, 4, 5], np.int64),
+                       "rv": np.array([22, 23, 24, 25], np.int64)})
+    tabs = {"l": left, "r": right}
+    t = lt.sql("SELECT a.lv, b.rv FROM l a RIGHT JOIN r b ON a.k = b.k "
+               "ORDER BY b.rv", tables=tabs)
+    assert np.asarray(t["rv"]).tolist() == [22, 23, 24, 25]
+    assert t["lv"].to_pylist() == [12, 13, None, None]
+    t = lt.sql("SELECT a.lv, b.rv FROM l a FULL OUTER JOIN r b "
+               "ON a.k = b.k", tables=tabs)
+    assert t.num_rows == 6  # 2 matched + 2 left-only + 2 right-only
+    assert sorted(v for v in t["lv"].to_pylist() if v is not None) == [10, 11, 12, 13]
+    assert sorted(v for v in t["rv"].to_pylist() if v is not None) == [22, 23, 24, 25]
+    t = lt.sql("SELECT a.k, b.k FROM l a CROSS JOIN r b", tables=tabs)
+    assert t.num_rows == 16
