@@ -204,7 +204,7 @@ def build_ivf_index(
     # (reference contract: distributed builds stage through storage, no
     # worker holds the dataset — python/lance/indices/builder.py:60-360)
     if ((mesh is not None or n_devices is not None)
-            and index_type in ("IVF_PQ", "IVF_SQ", "IVF_FLAT")
+            and index_type in ("IVF_PQ", "IVF_SQ", "IVF_FLAT", "IVF_RQ")
             and metric != "hamming"):
         field = ds.schema.field(column)
         if pa.types.is_fixed_size_list(field.type):
@@ -214,7 +214,7 @@ def build_ivf_index(
                                              8 << 30))
             if est > host_budget:
                 if num_bits is None:
-                    num_bits = 8
+                    num_bits = 1 if index_type == "IVF_RQ" else 8
                 from ..parallel.build import build_ivf_sharded_dataset
 
                 return build_ivf_sharded_dataset(
@@ -251,10 +251,13 @@ def build_ivf_index(
     # code path the pod-scale (100M / v5e-64) build runs; the 8-virtual-CPU
     # dryrun exercises it end-to-end.
     if mesh is not None or n_devices is not None:
-        if index_type not in ("IVF_PQ", "IVF_SQ", "IVF_FLAT"):
+        from ..parallel.build import ENCODE_MODE, build_ivf_sharded
+
+        if index_type not in ENCODE_MODE:
             raise NotSupportedError(
-                "mesh-sharded builds support IVF_PQ / IVF_SQ / IVF_FLAT")
-        from ..parallel.build import build_ivf_sharded
+                "mesh-sharded builds support IVF_{PQ,SQ,FLAT,RQ,HNSW_SQ,"
+                "HNSW_PQ}; plain HNSW builds one global graph "
+                "(no shard axis) — build it without mesh=")
 
         return build_ivf_sharded(
             ds, vectors, rowids, uuid, index_type=index_type, mesh=mesh,
@@ -517,29 +520,10 @@ def build_ivf_index(
             ip[s:e] = np.asarray(jnp.sum(jnp.abs(rot), axis=1)) * inv_sqrt
             codes[s:e] = np.packbits(np.asarray(rot > 0), axis=1, bitorder="little")
         codes, norm_sq, ip = codes[order], norm_sq[order], ip[order]
-        schema = Schema.from_arrow(pa.schema([
-            (ROWID_COL, pa.uint64()),
-            (RQ_CODE_COL, pa.list_(pa.uint8(), code_dim // 8)),
-            (RQ_NSQ_COL, pa.float32()),
-            (RQ_IP_COL, pa.float32()),
-        ]))
-        w = FileWriter(store, path, schema, compression="none")
-        step = 1 << 17
-        for s in range(0, n, step):
-            w.write_batch({ROWID_COL: sorted_rowids[s : s + step],
-                           RQ_CODE_COL: codes[s : s + step],
-                           RQ_NSQ_COL: norm_sq[s : s + step],
-                           RQ_IP_COL: ip[s : s + step]})
-        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
-        w.add_global_buffer("ivf_data", ivf_payload)
-        w.add_global_buffer("rq_header", json.dumps(
-            {"seed": rq_seed, "dim": int(dim), "metric": metric,
-             "num_bits": int(num_bits)}).encode())
-        w.finish()
         ds.session.index_cache.put("ivf_vec", (uuid, "refine_vectors"),
                                    jnp.take(base, jnp.asarray(order), axis=0))
-        return {"metric": metric, "num_partitions": int(num_partitions),
-                "num_bits": int(num_bits), "dim": int(dim)}
+        return _write_ivf_rq_aux(ds, uuid, ivf, sorted_rowids, codes, norm_sq,
+                                 ip, rq_seed, num_bits, metric, dim)
 
     if index_type in ("IVF_HNSW_SQ", "IVF_HNSW_PQ", "HNSW"):
         # Graph index (TPU re-design of HNSW; see models/hnsw.py). For
@@ -556,6 +540,11 @@ def build_ivf_index(
         if metric == "cosine":
             base = np.asarray(_normalize(dev_vectors))
         partitioned = index_type != "HNSW" and num_partitions > 1
+        # PQ trains on ORIGINAL row order: train_pq subsamples by seeded row
+        # index, so training on the partition-sorted view would give a
+        # different (order-biased) sample — and would break bit-parity with
+        # the mesh-sharded build, which only ever sees original-order rows.
+        train_base = base
         if partitioned:
             boundaries = np.append(offsets, n)
             base = base[order]
@@ -567,7 +556,7 @@ def build_ivf_index(
         if index_type == "IVF_HNSW_PQ":
             from ..ops.pq import default_opq_rounds
 
-            pq = train_pq(base, PQParams(num_sub_vectors=num_sub_vectors,
+            pq = train_pq(train_base, PQParams(num_sub_vectors=num_sub_vectors,
                                          num_bits=num_bits, max_iters=max_iters,
                                          sample_rate=sample_rate),
                           metric="l2" if metric == "cosine" else metric,
@@ -584,29 +573,13 @@ def build_ivf_index(
             codes = np.clip(np.round((base - lo) / scale * 255.0), 0, 255).astype(np.uint8)
             code_col, code_width = SQ_CODE_COL, dim
             extra = [("sq_bounds", lo.astype("<f4").tobytes() + scale.astype("<f4").tobytes())]
-        schema = Schema.from_arrow(pa.schema([
-            (ROWID_COL, pa.uint64()),
-            (code_col, pa.list_(pa.uint8(), code_width)),
-        ]))
-        w = FileWriter(store, path, schema, compression="none")
-        step = 1 << 17
-        for s in range(0, n, step):
-            w.write_batch({ROWID_COL: rowids[s : s + step],
-                           code_col: codes[s : s + step]})
-        w.add_global_buffer("hnsw_header", json.dumps(g_header).encode())
-        w.add_global_buffer("hnsw_data", g_payload)
-        if partitioned:
-            w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
-            w.add_global_buffer("ivf_data", ivf_payload)
-        for name_, payload_ in extra:
-            w.add_global_buffer(name_, payload_)
-        w.finish()
         # refine cache: vectors in index row order (= read order for graphs)
         ds.session.index_cache.put("ivf_vec", (uuid, "refine_vectors"),
                                    jnp.asarray(base))
-        return {"metric": metric, "m": graph.deg // 2, "dim": int(dim),
-                "num_bits": num_bits,
-                "num_partitions": int(num_partitions) if partitioned else 1}
+        return _write_ivf_hnsw_aux(ds, uuid, graph, rowids, codes, code_col,
+                                   code_width, extra,
+                                   ivf if partitioned else None, metric, dim,
+                                   num_bits, num_partitions)
 
     raise InvalidInputError(f"unknown vector index type {index_type}")
 
@@ -736,6 +709,72 @@ def _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes, lo, scale,
     w.finish()
     return {"metric": metric, "num_partitions": int(ivf.num_partitions),
             "num_bits": 8, "dim": int(dim), **(extra_params or {})}
+
+
+def _write_ivf_rq_aux(ds, uuid, ivf, sorted_rowids, codes, norm_sq, ip,
+                      rq_seed: int, num_bits: int, metric, dim,
+                      extra_params: dict | None = None) -> dict:
+    """Write the IVF_RQ auxiliary file (shared by the single-device and
+    mesh-sharded builds)."""
+    ivf_header, ivf_payload = ivf.to_parts()
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    schema = Schema.from_arrow(pa.schema([
+        (ROWID_COL, pa.uint64()),
+        (RQ_CODE_COL, pa.list_(pa.uint8(), codes.shape[1])),
+        (RQ_NSQ_COL, pa.float32()),
+        (RQ_IP_COL, pa.float32()),
+    ]))
+    w = FileWriter(ds.store, path, schema, compression="none")
+    step = 1 << 17
+    n = sorted_rowids.shape[0]
+    for s in range(0, n, step):
+        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
+                       RQ_CODE_COL: codes[s:s + step],
+                       RQ_NSQ_COL: norm_sq[s:s + step],
+                       RQ_IP_COL: ip[s:s + step]})
+    w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+    w.add_global_buffer("ivf_data", ivf_payload)
+    w.add_global_buffer("rq_header", json.dumps(
+        {"seed": int(rq_seed), "dim": int(dim), "metric": metric,
+         "num_bits": int(num_bits)}).encode())
+    w.finish()
+    return {"metric": metric, "num_partitions": int(ivf.num_partitions),
+            "num_bits": int(num_bits), "dim": int(dim),
+            **(extra_params or {})}
+
+
+def _write_ivf_hnsw_aux(ds, uuid, graph, sorted_rowids, codes, code_col,
+                        code_width, extra_buffers, ivf, metric, dim,
+                        num_bits, num_partitions,
+                        extra_params: dict | None = None) -> dict:
+    """Write the [IVF_]HNSW_{SQ,PQ} auxiliary file (shared by the
+    single-device and mesh-sharded builds); `ivf=None` writes the plain
+    global-graph HNSW layout."""
+    path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    g_header, g_payload = graph.to_buffers()
+    schema = Schema.from_arrow(pa.schema([
+        (ROWID_COL, pa.uint64()),
+        (code_col, pa.list_(pa.uint8(), code_width)),
+    ]))
+    w = FileWriter(ds.store, path, schema, compression="none")
+    step = 1 << 17
+    n = sorted_rowids.shape[0]
+    for s in range(0, n, step):
+        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
+                       code_col: codes[s:s + step]})
+    w.add_global_buffer("hnsw_header", json.dumps(g_header).encode())
+    w.add_global_buffer("hnsw_data", g_payload)
+    if ivf is not None:
+        ivf_header, ivf_payload = ivf.to_parts()
+        w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
+        w.add_global_buffer("ivf_data", ivf_payload)
+    for name_, payload_ in extra_buffers:
+        w.add_global_buffer(name_, payload_)
+    w.finish()
+    return {"metric": metric, "m": graph.deg // 2, "dim": int(dim),
+            "num_bits": num_bits,
+            "num_partitions": int(num_partitions) if ivf is not None else 1,
+            **(extra_params or {})}
 
 
 def _build_ivf_pq_streaming(ds, vectors, rowids, uuid, num_partitions,
@@ -1852,12 +1891,14 @@ class HnswIndex:
         # IVF composition: centroids route queries to per-partition entry
         # points (reference ANNIvfPartitionExec -> per-partition sub-index)
         self._centroids_dev = None
+        self.ivf = None
         if self.graph.part_entries is not None and "ivf_header" in reader.global_buffer_names():
             from ..models.ivf import IvfModel
 
             ivf = IvfModel.from_parts(
                 json.loads(reader.read_global_buffer("ivf_header")),
                 reader.read_global_buffer("ivf_data"))
+            self.ivf = ivf
             self._centroids_dev = jnp.asarray(ivf.centroids)
             self._part_entries = jnp.asarray(self.graph.part_entries)
         self.rowids = np.asarray(reader.read_column(ROWID_COL).values, dtype=np.uint64)

@@ -179,6 +179,42 @@ def build_hnsw(vectors: np.ndarray, params: HnswParams = HnswParams(),
     return HnswGraph(graph, entries, metric)
 
 
+def build_partition_graphs(vectors_shard: np.ndarray, offsets: np.ndarray,
+                           deg: int, global_base: int, seed_base: int,
+                           base_metric: Metric,
+                           entries_per_partition: int = 4
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-partition graphs for one contiguous shard of partition-sorted
+    rows. `offsets` (P_shard+1,) are SHARD-LOCAL boundaries; edges and entry
+    points come back as GLOBAL row ids (shard-local + global_base), so a
+    mesh-build owner can build its partitions' graphs without seeing any
+    other shard (owner-local stage of the sharded build). Returns
+    (neighbors (n_shard, deg), part_entries (P_shard, entries_per_partition))."""
+    n = vectors_shard.shape[0]
+    nparts = len(offsets) - 1
+    neighbors = np.empty((n, deg), dtype=np.int32)
+    part_entries = np.zeros((nparts, entries_per_partition), dtype=np.int32)
+    for p in range(nparts):
+        lo, hi = int(offsets[p]), int(offsets[p + 1])
+        lp = hi - lo
+        if lp == 0:
+            part_entries[p] = 0  # empty partition: harmless global seed
+            continue
+        local = build_knn_graph(vectors_shard[lo:hi], min(deg, max(1, lp - 1)),
+                                base_metric)
+        local = add_reverse_edges(local, local.shape[1])
+        local = add_longrange_edges(local, seed=seed_base + p)
+        if local.shape[1] < deg:  # tiny partition: repeat columns to full deg
+            reps = -(-deg // local.shape[1])
+            local = np.tile(local, (1, reps))[:, :deg]
+        neighbors[lo:hi] = local + lo + global_base
+        # entry points: evenly spaced rows of the partition (partition-sorted
+        # order is argmin order, so these spread across the cell)
+        sel = np.linspace(0, lp - 1, entries_per_partition).astype(np.int32)
+        part_entries[p] = sel + lo + global_base
+    return neighbors, part_entries
+
+
 def build_partitioned_hnsw(vectors_sorted: np.ndarray, offsets: np.ndarray,
                            params: HnswParams = HnswParams(),
                            metric: Metric = "l2",
@@ -189,32 +225,14 @@ def build_partitioned_hnsw(vectors_sorted: np.ndarray, offsets: np.ndarray,
     builder.rs:685). `vectors_sorted` must be partition-sorted; `offsets`
     (P+1,) are the partition boundaries."""
     n = vectors_sorted.shape[0]
-    nparts = len(offsets) - 1
     if metric == "cosine":
         vectors_sorted = vectors_sorted / np.maximum(
             np.linalg.norm(vectors_sorted, axis=1, keepdims=True), 1e-12)
     base_metric: Metric = "l2" if metric == "cosine" else metric
     deg = min(2 * params.m, max(2, n - 1))
-    neighbors = np.empty((n, deg), dtype=np.int32)
-    part_entries = np.zeros((nparts, entries_per_partition), dtype=np.int32)
-    for p in range(nparts):
-        lo, hi = int(offsets[p]), int(offsets[p + 1])
-        lp = hi - lo
-        if lp == 0:
-            part_entries[p] = 0  # empty partition: harmless global seed
-            continue
-        local = build_knn_graph(vectors_sorted[lo:hi], min(deg, max(1, lp - 1)),
-                                base_metric)
-        local = add_reverse_edges(local, local.shape[1])
-        local = add_longrange_edges(local, seed=p)
-        if local.shape[1] < deg:  # tiny partition: repeat columns to full deg
-            reps = -(-deg // local.shape[1])
-            local = np.tile(local, (1, reps))[:, :deg]
-        neighbors[lo:hi] = local + lo
-        # entry points: evenly spaced rows of the partition (partition-sorted
-        # order is argmin order, so these spread across the cell)
-        sel = np.linspace(0, lp - 1, entries_per_partition).astype(np.int32)
-        part_entries[p] = sel + lo
+    neighbors, part_entries = build_partition_graphs(
+        vectors_sorted, offsets, deg, 0, 0, base_metric,
+        entries_per_partition)
     entries = np.unique(part_entries.reshape(-1))
     return HnswGraph(neighbors, entries, metric, part_entries=part_entries)
 

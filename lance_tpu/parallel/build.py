@@ -86,28 +86,39 @@ def _flat_mesh(mesh: Mesh | None, n_devices: int | None) -> Mesh:
     return Mesh(np.asarray(devices[:n]), ("bdp",))
 
 
+#: payload arrays each encode mode routes through the all-to-all (besides
+#: the global row index the core loop always appends)
+N_PAYLOADS = {"pq": 1, "sq": 1, "flat": 1, "rq": 2,
+              "hnsw_sq": 2, "hnsw_pq": 2}
+
+
 def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
                              use_residual: bool, has_rotation: bool,
                              matmul_dtype, encode: str = "pq"):
     """shard_map step: local rows + local remaining-capacity -> (part ids,
-    encoded payload, probe-centroid sufficient stats, updated remaining).
+    encoded payload(s), probe-centroid sufficient stats, updated remaining).
     Capacity-bounded accept runs per shard against that shard's remaining
     budget; overflow spills to the nearest centroid (see module docstring
     for the resulting global bound).
 
     encode: 'pq' (codebook = PQ codebook, uint8 codes), 'sq' (codebook =
     (2, dim) lo/scale bounds, uint8 codes), 'flat' (payload = the metric-
-    space rows themselves, f32)."""
+    space rows themselves, f32), 'rq' (codebook = the (dim, dim*num_bits)
+    RabitQ projection; payloads = packed sign codes + (|v_r|^2, ip) factor
+    pairs), 'hnsw_sq'/'hnsw_pq' (payloads = codes + the metric-space rows,
+    which the owner-local graph build needs)."""
     from ..ops.balanced import _balanced_accept_device
     from ..ops.distance import normalize
     from ..ops.pq import _encode_jit
+
+    n_pay = N_PAYLOADS[encode]
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         check_vma=False,
         in_specs=(P("bdp"), P("bdp"), P("bdp"), P(), P(), P()),
-        out_specs=(P("bdp"), P("bdp"), P(), P(), P("bdp")),
+        out_specs=(P("bdp"),) + (P("bdp"),) * n_pay + (P(), P(), P("bdp")),
     )
     def step(local_x, local_valid, local_remaining, centroids, codebook,
              rotation):
@@ -124,19 +135,36 @@ def _make_assign_encode_step(mesh: Mesh, nlist: int, top_t: int, metric: str,
         counts = jax.lax.psum(
             jax.ops.segment_sum(w, pid, num_segments=nlist), "bdp")
         if encode == "flat":
-            codes = local_x  # raw rows; open normalizes for cosine
-        elif encode == "sq":
+            payloads = (local_x,)  # raw rows; open normalizes for cosine
+        elif encode in ("sq", "hnsw_sq"):
             lo, scale = codebook[0], codebook[1]
             codes = jnp.clip(jnp.round((x - lo) / scale * 255.0),
                              0, 255).astype(jnp.uint8)
-        else:
+            payloads = (codes, x) if encode == "hnsw_sq" else (codes,)
+        elif encode == "rq":
+            # RabitQ: project the residual into the expanded space and
+            # sign-quantize; the two f32 factors reproduce the estimator
+            # (same math as the single-device build, vector_index.py IVF_RQ)
+            res = x - jnp.take(centroids, pid, axis=0)
+            rot = jnp.dot(res, codebook, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            code_dim = codebook.shape[1]
+            nsq = jnp.sum(res * res, axis=1)
+            ip = jnp.sum(jnp.abs(rot), axis=1) * (1.0 / np.sqrt(code_dim))
+            # pack sign bits little-bitorder via strided slices (a
+            # (..., 8)-minor reshape would pad 8->128 on TPU tiled layouts)
+            bits = (rot > 0).astype(jnp.uint8)
+            codes = sum(bits[:, j::8] << j for j in range(8)).astype(jnp.uint8)
+            payloads = (codes, jnp.stack([nsq, ip], axis=-1))
+        else:  # pq / hnsw_pq
             data = x - jnp.take(centroids, pid, axis=0) if use_residual else x
             if has_rotation:
                 data = jnp.dot(data, rotation,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
             codes = _encode_jit(data, codebook)
-        return pid, codes, sums, counts, rem[None]
+            payloads = (codes, x) if encode == "hnsw_pq" else (codes,)
+        return (pid,) + payloads + (sums, counts, rem[None])
 
     return jax.jit(step)
 
@@ -181,14 +209,20 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
                         encode: str, pq, use_residual: bool,
                         quant_const: np.ndarray, sq_lo, sq_scale, metric: str,
                         num_partitions: int, balance_factor: float, dim: int,
-                        index_type: str, chunk_rows: int) -> dict:
+                        index_type: str, chunk_rows: int,
+                        rq_seed: int | None = None,
+                        rq_num_bits: int | None = None) -> dict:
     """Shared chunked build loop + per-owner finalize (see module docstring).
 
     chunk_iter yields (vectors f32, row_addresses u64); chunks are streamed
     through the mesh one at a time, so peak host memory is one chunk + the
-    encoded codes, never the dataset."""
+    encoded codes, never the dataset (exception: hnsw_* modes route the
+    metric-space rows to owners for the owner-local graph build, so each
+    owner holds its rows — per-HOST memory on a pod is dataset/n_hosts)."""
     from ..errors import IndexError_
-    from ..indices.vector_index import (_write_ivf_flat_aux, _write_ivf_pq_aux,
+    from ..indices.vector_index import (_write_ivf_flat_aux,
+                                        _write_ivf_hnsw_aux,
+                                        _write_ivf_pq_aux, _write_ivf_rq_aux,
                                         _write_ivf_sq_aux)
     from ..models.ivf import IvfModel
     from ..ops.distance import build_matmul_dtype
@@ -210,12 +244,13 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
     quant_dev = jax.device_put(quant_const, repl)
     rot_dev = jax.device_put(np.asarray(rotation, np.float32), repl)
 
+    n_pay = N_PAYLOADS[encode]
     remaining = np.full((ndev, num_partitions), local_cap, np.int32)
     psums = np.zeros((num_partitions, dim), np.float64)
     pcounts = np.zeros(num_partitions, np.float64)
-    # per-owner accumulators: owner d's pieces of (pid, codes, global row idx)
+    # per-owner accumulators: owner d's pieces of (pid, *payloads, row idx)
     owner_pids = [[] for _ in range(ndev)]
-    owner_codes = [[] for _ in range(ndev)]
+    owner_pay = [[[] for _ in range(ndev)] for _ in range(n_pay)]
     owner_idx = [[] for _ in range(ndev)]
     rowid_chunks = []
     shuffles: dict[int, object] = {}
@@ -231,10 +266,11 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
         valid[:n_real] = 1
         valid_dev = jax.device_put(valid, rows_sh)
         with span("build.assign_encode_sharded", chunk=ci, rows=n_real):
-            pids_dev, codes_dev, s_dev, c_dev, rem_dev = step(
-                jax.device_put(padded, rows_sh), valid_dev,
-                jax.device_put(remaining, rows_sh),
-                cent_dev, quant_dev, rot_dev)
+            out = step(jax.device_put(padded, rows_sh), valid_dev,
+                       jax.device_put(remaining, rows_sh),
+                       cent_dev, quant_dev, rot_dev)
+            pids_dev, pay_devs = out[0], out[1:1 + n_pay]
+            s_dev, c_dev, rem_dev = out[1 + n_pay:]
         psums += np.asarray(s_dev, np.float64)
         pcounts += np.asarray(c_dev, np.float64)
         remaining = _rebalance_remaining(np.asarray(rem_dev))
@@ -250,18 +286,19 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
         cap = _next_pow2(int(bucket.max()))
         if cap not in shuffles:
             shuffles[cap] = make_payload_shuffle(flat, "bdp", cap,
-                                                 num_partitions, 2)
+                                                 num_partitions, n_pay + 1)
         row_idx = np.zeros(chunk_rows, np.int32)
         row_idx[:n_real] = np.arange(seen, seen + n_real, dtype=np.int32)
         with span("build.shuffle_sharded", chunk=ci, cap=cap):
-            out_pids, out_valid, out_codes, out_idx = shuffles[cap](
-                pids_dev, valid_dev, codes_dev,
+            shuffled = shuffles[cap](
+                pids_dev, valid_dev, *pay_devs,
                 jax.device_put(row_idx, rows_sh))
+        out_pids, out_valid = shuffled[0], shuffled[1]
+        out_pays, out_idx = shuffled[2:2 + n_pay], shuffled[2 + n_pay]
         blk = ndev * cap
         ok_all = np.asarray(out_valid) > 0
-        pid_all, code_all, idx_all = (np.asarray(out_pids),
-                                      np.asarray(out_codes),
-                                      np.asarray(out_idx))
+        pid_all, idx_all = np.asarray(out_pids), np.asarray(out_idx)
+        pay_all = [np.asarray(p) for p in out_pays]
         got = int(ok_all.sum())
         if got != n_real:
             raise IndexError_(
@@ -272,7 +309,8 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
                 continue
             sl = slice(d * blk, (d + 1) * blk)
             owner_pids[d].append(pid_all[sl][ok])
-            owner_codes[d].append(code_all[sl][ok])
+            for j in range(n_pay):
+                owner_pay[j][d].append(pay_all[j][sl][ok])
             owner_idx[d].append(idx_all[sl][ok])
         seen += n_real
     if seen != n_total:
@@ -284,23 +322,53 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
     rowids_all = (np.concatenate(rowid_chunks) if rowid_chunks
                   else np.empty(0, np.uint64))
     lengths = np.zeros(num_partitions, np.int64)
-    pieces_rowids, pieces_codes = [], []
+    pieces_rowids = []
+    pieces_pay = [[] for _ in range(n_pay)]
+    graph_neighbors = graph_pentries = None
+    parts_per_owner = -(-num_partitions // ndev)  # == partition_owner blocks
+    if encode in ("hnsw_sq", "hnsw_pq"):
+        from ..models.hnsw import HnswParams
+        hnsw_deg = min(2 * HnswParams().m, max(2, n_total - 1))
+        graph_neighbors = np.empty((n_total, hnsw_deg), np.int32)
+        graph_pentries = np.zeros((num_partitions, 4), np.int32)
+    global_base = 0
     with span("build.finalize_per_owner", ndev=ndev):
         for d in range(ndev):
             if not owner_pids[d]:
                 continue
             pids_d = np.concatenate(owner_pids[d])
-            codes_d = np.concatenate(owner_codes[d])
             idx_d = np.concatenate(owner_idx[d])
-            owner_pids[d] = owner_codes[d] = owner_idx[d] = None
+            pays_d = [np.concatenate(owner_pay[j][d]) for j in range(n_pay)]
+            owner_pids[d] = owner_idx[d] = None
+            for j in range(n_pay):
+                owner_pay[j][d] = None
             order = np.argsort(pids_d, kind="stable")
-            lengths += np.bincount(pids_d, minlength=num_partitions)
+            own_lengths = np.bincount(pids_d, minlength=num_partitions)
+            lengths += own_lengths
             pieces_rowids.append(rowids_all[idx_d[order]])
-            pieces_codes.append(codes_d[order])
+            for j in range(n_pay):
+                pieces_pay[j].append(pays_d[j][order])
+            if graph_neighbors is not None:
+                # owner-local graph build: this owner's contiguous partition
+                # range, shard-local offsets, global row-id/seed bases
+                from ..models.hnsw import build_partition_graphs
+                p_lo = d * parts_per_owner
+                p_hi = min(p_lo + parts_per_owner, num_partitions)
+                own = own_lengths[p_lo:p_hi]
+                shard_off = np.concatenate([[0], np.cumsum(own)])
+                nb, pe = build_partition_graphs(
+                    pieces_pay[1][-1], shard_off, hnsw_deg, global_base,
+                    p_lo, "l2" if metric == "cosine" else metric)
+                graph_neighbors[global_base:global_base + nb.shape[0]] = nb
+                graph_pentries[p_lo:p_hi] = pe
+                # rows were only needed for this owner's graph build
+                pieces_pay[1][-1] = np.empty((0, dim), np.float32)
+            global_base += int(pids_d.shape[0])
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     sorted_rowids = (np.concatenate(pieces_rowids) if pieces_rowids
                      else np.empty(0, np.uint64))
-    sorted_codes = np.concatenate(pieces_codes) if pieces_codes else None
+    sorted_pays = [np.concatenate(p) if p else None for p in pieces_pay]
+    sorted_codes = sorted_pays[0]
 
     probe_centroids = np.where(
         pcounts[:, None] > 0, psums / np.maximum(pcounts, 1.0)[:, None],
@@ -315,6 +383,36 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
     if encode == "sq":
         return _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
                                  sq_lo, sq_scale, metric, dim, extra)
+    if encode == "rq":
+        factors = sorted_pays[1]
+        return _write_ivf_rq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
+                                 np.ascontiguousarray(factors[:, 0]),
+                                 np.ascontiguousarray(factors[:, 1]),
+                                 rq_seed, rq_num_bits, metric, dim, extra)
+    if encode in ("hnsw_sq", "hnsw_pq"):
+        import json as _json
+
+        from ..indices.vector_index import PQ_CODE_COL, SQ_CODE_COL
+        from ..models.hnsw import HnswGraph
+        graph = HnswGraph(graph_neighbors,
+                          np.unique(graph_pentries.reshape(-1)), metric,
+                          part_entries=graph_pentries)
+        if encode == "hnsw_pq":
+            code_col, code_width = PQ_CODE_COL, pq.num_sub_vectors
+            buffers = [("pq_header", _json.dumps(
+                {**pq.to_json(), "residual": False,
+                 "metric": metric}).encode()),
+                ("pq_codebook", pq.codebook_bytes())]
+            hdr_bits = pq.num_bits
+        else:
+            code_col, code_width = SQ_CODE_COL, dim
+            buffers = [("sq_bounds", np.asarray(sq_lo, "<f4").tobytes()
+                        + np.asarray(sq_scale, "<f4").tobytes())]
+            hdr_bits = 8
+        return _write_ivf_hnsw_aux(ds, uuid, graph, sorted_rowids,
+                                   sorted_codes, code_col, code_width,
+                                   buffers, ivf, metric, dim, hdr_bits,
+                                   num_partitions, extra)
     return _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes,
                              metric, use_residual, dim, extra)
 
@@ -339,6 +437,66 @@ def _sq_bounds(base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lo, scale
 
 
+#: encode mode per index type (sharded builds cover every IVF_* composition;
+#: plain global-graph HNSW stays single-device — one graph has no shard axis)
+ENCODE_MODE = {"IVF_PQ": "pq", "IVF_SQ": "sq", "IVF_FLAT": "flat",
+               "IVF_RQ": "rq", "IVF_HNSW_SQ": "hnsw_sq",
+               "IVF_HNSW_PQ": "hnsw_pq"}
+
+
+def _prep_quantizer(encode: str, sample: np.ndarray, km, metric: str,
+                    num_sub_vectors: int, num_bits: int, max_iters: int,
+                    sample_rate: int, pq_codebook, rng, dim: int):
+    """Train/derive the per-mode quantizer state from a (possibly sampled)
+    slice of the data. Returns (pq, use_residual, quant_const, sq_lo,
+    sq_scale, rq_seed, rq_num_bits). Matches the single-device builds:
+    IVF_PQ residual OPQ (vector_index.py _train_pq_for_build), IVF_SQ per-dim
+    bounds, IVF_RQ seed-1234 QR projection, IVF_HNSW_PQ non-residual PQ."""
+    from ..errors import InvalidInputError
+    from ..indices.vector_index import _train_pq_for_build
+
+    pq, use_residual = None, False
+    quant_const = np.eye(1, dtype=np.float32)
+    sq_lo = sq_scale = rq_seed = rq_num_bits = None
+    if encode == "pq":
+        pq, use_residual = _train_pq_for_build(
+            sample, km, metric, num_sub_vectors, num_bits, max_iters,
+            sample_rate, pq_codebook, rng)
+        quant_const = pq.codebook.astype(np.float32)
+    elif encode == "hnsw_pq":
+        from ..ops.pq import PQParams, default_opq_rounds, train_pq
+        base = sample
+        if metric == "cosine":
+            base = base / np.maximum(
+                np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        pq = train_pq(base, PQParams(num_sub_vectors=num_sub_vectors,
+                                     num_bits=num_bits, max_iters=max_iters,
+                                     sample_rate=sample_rate),
+                      metric="l2" if metric == "cosine" else metric,
+                      opq_rounds=default_opq_rounds())
+        quant_const = pq.codebook.astype(np.float32)
+    elif encode in ("sq", "hnsw_sq"):
+        base = sample
+        if metric == "cosine":
+            base = base / np.maximum(
+                np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+        sq_lo, sq_scale = _sq_bounds(base)
+        quant_const = np.stack([sq_lo, sq_scale])
+    elif encode == "rq":
+        if dim % 8:
+            raise InvalidInputError("IVF_RQ requires dim % 8 == 0")
+        if not 1 <= num_bits <= 8:
+            raise InvalidInputError("IVF_RQ num_bits must be in 1..8")
+        rq_seed, rq_num_bits = 1234, num_bits
+        code_dim = dim * num_bits
+        rot_rng = np.random.default_rng(rq_seed)
+        # identical construction to the single-device IVF_RQ build
+        R, _ = np.linalg.qr(
+            rot_rng.normal(size=(code_dim, dim)).astype(np.float32))
+        quant_const = np.ascontiguousarray(R.T)  # (dim, code_dim)
+    return pq, use_residual, quant_const, sq_lo, sq_scale, rq_seed, rq_num_bits
+
+
 def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
                       mesh=None, n_devices: int | None = None,
                       num_partitions: int = 256, num_sub_vectors: int = 16,
@@ -347,11 +505,10 @@ def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
                       ivf_centroids=None, pq_codebook=None,
                       balance_factor: float = 1.5,
                       dim: int | None = None) -> dict:
-    """Mesh-sharded IVF_{PQ,SQ,FLAT} build from an in-RAM array; writes the
-    same merged aux file as the single-device build. Called via
-    build_ivf_index(..., mesh=...). For datasets too large to hold in host
-    RAM, build_ivf_sharded_dataset streams chunks instead."""
-    from ..indices.vector_index import _train_pq_for_build
+    """Mesh-sharded IVF_{PQ,SQ,FLAT,RQ,HNSW_SQ,HNSW_PQ} build from an in-RAM
+    array; writes the same merged aux file as the single-device build. Called
+    via build_ivf_index(..., mesh=...). For datasets too large to hold in
+    host RAM, build_ivf_sharded_dataset streams chunks instead."""
     from ..ops.kmeans import KMeans
     from ..utils.tracing import span
 
@@ -360,6 +517,9 @@ def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
     n = vectors.shape[0]
     dim = dim or vectors.shape[1]
     rng = np.random.default_rng(42)
+    encode = ENCODE_MODE[index_type]
+    if encode.startswith("hnsw"):  # same partition-size floor as single-dev
+        num_partitions = min(num_partitions, max(1, n // 1024))
 
     # 1. coarse quantizer: sharded sample k-means (stats psum over the mesh)
     if ivf_centroids is not None:
@@ -376,22 +536,11 @@ def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
                                       dp_axes=("bdp",))
 
     # 2. quantizer: PQ codebook on sampled residuals (central — matches the
-    # reference's IndicesBuilder.train_pq), SQ per-dim bounds, FLAT none
-    encode = {"IVF_PQ": "pq", "IVF_SQ": "sq", "IVF_FLAT": "flat"}[index_type]
-    pq, use_residual, quant_const = None, False, np.eye(1, dtype=np.float32)
-    sq_lo = sq_scale = None
-    if encode == "pq":
-        pq, use_residual = _train_pq_for_build(
-            vectors, km, metric, num_sub_vectors, num_bits, max_iters,
-            sample_rate, pq_codebook, rng)
-        quant_const = pq.codebook.astype(np.float32)
-    elif encode == "sq":
-        base = vectors
-        if metric == "cosine":
-            base = vectors / np.maximum(
-                np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
-        sq_lo, sq_scale = _sq_bounds(base)
-        quant_const = np.stack([sq_lo, sq_scale])
+    # reference's IndicesBuilder.train_pq), SQ per-dim bounds, RQ projection
+    pq, use_residual, quant_const, sq_lo, sq_scale, rq_seed, rq_num_bits = \
+        _prep_quantizer(encode, vectors, km, metric, num_sub_vectors,
+                        num_bits, max_iters, sample_rate, pq_codebook, rng,
+                        dim)
 
     chunk_rows = min(max(n, ndev), _default_chunk_rows(dim))
 
@@ -402,7 +551,7 @@ def build_ivf_sharded(ds, vectors, rowids, uuid, *, index_type: str = "IVF_PQ",
     return _build_sharded_core(ds, uuid, flat, chunks(), n, km, encode, pq,
                                use_residual, quant_const, sq_lo, sq_scale,
                                metric, num_partitions, balance_factor, dim,
-                               index_type, chunk_rows)
+                               index_type, chunk_rows, rq_seed, rq_num_bits)
 
 
 def build_ivf_sharded_dataset(ds, column: str, uuid, *,
@@ -421,12 +570,12 @@ def build_ivf_sharded_dataset(ds, column: str, uuid, *,
     stream fixed-size chunks through the mesh; finalize is per-owner.
 
     Divergence from the in-RAM builds (documented, sample-driven): SQ lo/hi
-    bounds come from the training sample rather than the full column (the
-    encode clips, so out-of-sample outliers saturate instead of shifting the
-    scale). Everything else is chunk-order-identical to the in-RAM sharded
-    build (tests/test_parallel.py pins rowid/length parity)."""
-    from ..indices.vector_index import (_train_pq_for_build,
-                                        count_vector_rows, iter_vector_chunks,
+    bounds and the HNSW_PQ codebook come from the training sample rather
+    than the full column (the encode clips, so out-of-sample outliers
+    saturate instead of shifting the scale). Everything else is
+    chunk-order-identical to the in-RAM sharded build (tests/test_parallel.py
+    pins rowid/length parity)."""
+    from ..indices.vector_index import (count_vector_rows, iter_vector_chunks,
                                         sample_vector_rows)
     from ..ops.kmeans import KMeans
     from ..utils.tracing import span
@@ -438,6 +587,9 @@ def build_ivf_sharded_dataset(ds, column: str, uuid, *,
         field = ds.schema.field(column)
         dim = field.type.list_size
     rng = np.random.default_rng(42)
+    encode = ENCODE_MODE[index_type]
+    if encode.startswith("hnsw"):  # same partition-size floor as single-dev
+        num_partitions = min(num_partitions, max(1, n // 1024))
 
     sample = None
     if ivf_centroids is not None:
@@ -454,25 +606,14 @@ def build_ivf_sharded_dataset(ds, column: str, uuid, *,
                                       max_iters=max_iters, metric=metric,
                                       dp_axes=("bdp",))
 
-    encode = {"IVF_PQ": "pq", "IVF_SQ": "sq", "IVF_FLAT": "flat"}[index_type]
-    pq, use_residual, quant_const = None, False, np.eye(1, dtype=np.float32)
-    sq_lo = sq_scale = None
-    if encode in ("pq", "sq") and sample is None:
+    if encode not in ("flat", "rq") and sample is None:
         sample = sample_vector_rows(
             ds, column, min(n, sample_rate * max(num_partitions, 256)), rng,
             fragment_ids)
-    if encode == "pq":
-        pq, use_residual = _train_pq_for_build(
-            sample, km, metric, num_sub_vectors, num_bits, max_iters,
-            sample_rate, pq_codebook, rng)
-        quant_const = pq.codebook.astype(np.float32)
-    elif encode == "sq":
-        base = sample
-        if metric == "cosine":
-            base = sample / np.maximum(
-                np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-        sq_lo, sq_scale = _sq_bounds(base)
-        quant_const = np.stack([sq_lo, sq_scale])
+    pq, use_residual, quant_const, sq_lo, sq_scale, rq_seed, rq_num_bits = \
+        _prep_quantizer(encode, sample, km, metric, num_sub_vectors,
+                        num_bits, max_iters, sample_rate, pq_codebook, rng,
+                        dim)
     del sample
 
     chunk_rows = chunk_rows or _default_chunk_rows(dim)
@@ -481,4 +622,5 @@ def build_ivf_sharded_dataset(ds, column: str, uuid, *,
         ds, uuid, flat, iter_vector_chunks(ds, column, chunk_rows,
                                            fragment_ids),
         n, km, encode, pq, use_residual, quant_const, sq_lo, sq_scale,
-        metric, num_partitions, balance_factor, dim, index_type, chunk_rows)
+        metric, num_partitions, balance_factor, dim, index_type, chunk_rows,
+        rq_seed, rq_num_bits)

@@ -328,3 +328,93 @@ def test_sharded_build_skew_capacity_bound(devices, rng):
     local_cap = int(np.ceil(n / ndev / nlist * bf))
     assert lengths.sum() == n
     assert lengths.max() <= ndev * local_cap, (lengths.max(), ndev * local_cap)
+
+
+def test_sharded_rq_build_parity(devices, rng, monkeypatch):
+    """Mesh-sharded IVF_RQ build == single-device build: same rowid order,
+    same packed sign codes and per-row factors (the projection is seeded, so
+    codes are bit-exact given the same centroids). Balanced-Lloyd rounds
+    recenter the single-device assignment; pin rounds=1 for exact parity
+    (the mesh path assigns once against the fixed provided centroids)."""
+    import uuid
+
+    import lance_tpu as lt
+
+    monkeypatch.setenv("LANCE_TPU_BALANCE_ROUNDS", "1")
+
+    n, dim, nlist = 1536, 16, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    from lance_tpu.ops.kmeans import train_kmeans
+    centroids = np.asarray(
+        train_kmeans(vecs, nlist, max_iters=10, metric="l2").centroids)
+
+    def build(tag, **kw):
+        ds = lt.write_dataset(
+            {"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+            f"memory://shrq-{tag}-{uuid.uuid4().hex[:6]}/d")
+        return ds.create_index("vec", "IVF_RQ", num_partitions=nlist,
+                               num_bits=2, ivf_centroids=centroids,
+                               balance_factor=8.0, **kw)
+
+    ds_single = build("single")
+    ds_shard = build("mesh", mesh=make_mesh(8, {"dp": 8}))
+    idx_s = ds_single._vector_index_for("vec")
+    idx_m = ds_shard._vector_index_for("vec")
+    assert ds_shard.manifest.index_by_name("vec_idx").params["sharded_build"]
+    np.testing.assert_array_equal(np.asarray(idx_m.ivf.lengths),
+                                  np.asarray(idx_s.ivf.lengths))
+    offs = np.concatenate([[0], np.cumsum(np.asarray(idx_s.ivf.lengths))])
+    for p in range(nlist):
+        a = set(idx_s.rowids[offs[p]:offs[p + 1]].tolist())
+        b = set(idx_m.rowids[offs[p]:offs[p + 1]].tolist())
+        assert a == b, f"partition {p} membership differs"
+    # codes/factors parity row-by-row (match rows via rowid within partition)
+    q = vecs[:8] + 0.01
+    d_s, rid_s = idx_s.search(q, 5, nprobes=nlist, refine_factor=4)
+    d_m, rid_m = idx_m.search(q, 5, nprobes=nlist, refine_factor=4)
+    assert (rid_s[:, 0] == rid_m[:, 0]).all()
+
+
+def test_sharded_hnsw_build_parity(devices, rng, monkeypatch):
+    """Mesh-sharded IVF_HNSW_{SQ,PQ} builds: owner-local per-partition graphs
+    == the single-device partitioned graph (seeded construction), same
+    partition membership, matching search results. rounds=1 as above."""
+    import uuid
+
+    import lance_tpu as lt
+    from lance_tpu.ops.kmeans import train_kmeans
+
+    monkeypatch.setenv("LANCE_TPU_BALANCE_ROUNDS", "1")
+
+    n, dim, nlist = 4096, 16, 4
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    centroids = np.asarray(
+        train_kmeans(vecs, nlist, max_iters=10, metric="l2").centroids)
+    q = vecs[:8] + 0.01
+
+    for itype in ("IVF_HNSW_SQ", "IVF_HNSW_PQ"):
+        def build(tag, **kw):
+            ds = lt.write_dataset(
+                {"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                f"memory://shg-{itype}-{tag}-{uuid.uuid4().hex[:6]}/d")
+            return ds.create_index("vec", itype, num_partitions=nlist,
+                                   num_sub_vectors=4, ivf_centroids=centroids,
+                                   balance_factor=8.0, **kw)
+
+        ds_single = build("single")
+        ds_shard = build("mesh", mesh=make_mesh(8, {"dp": 8}))
+        idx_s = ds_single._vector_index_for("vec")
+        idx_m = ds_shard._vector_index_for("vec")
+        assert ds_shard.manifest.index_by_name("vec_idx").params["sharded_build"]
+        np.testing.assert_array_equal(np.asarray(idx_m.ivf.lengths),
+                                      np.asarray(idx_s.ivf.lengths))
+        np.testing.assert_array_equal(idx_m.rowids, idx_s.rowids)
+        # the graphs themselves must be identical (same rows, same seeds)
+        np.testing.assert_array_equal(idx_m.graph.neighbors,
+                                      idx_s.graph.neighbors)
+        np.testing.assert_array_equal(idx_m.graph.part_entries,
+                                      idx_s.graph.part_entries)
+        d_s, rid_s = idx_s.search(q, 5, nprobes=nlist, refine_factor=4)
+        d_m, rid_m = idx_m.search(q, 5, nprobes=nlist, refine_factor=4)
+        np.testing.assert_array_equal(rid_m, rid_s)
+        np.testing.assert_allclose(d_m, d_s, rtol=1e-4, atol=1e-4)
