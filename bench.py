@@ -83,18 +83,34 @@ def main() -> None:
     t0 = time.time()
     N, DIM, NQ, K = 1_000_000, 128, 1024, 10
     # a relay outage must produce a parseable record, not a stack trace
-    # (round-2 BENCH was rc=1 on "Unable to initialize backend 'axon'")
-    try:
-        devs = jax.devices()
-    except Exception as e:  # backend init failure (axon relay down)
+    # (round-2 BENCH was rc=1 on "Unable to initialize backend 'axon'").
+    # Init can also HANG (relay half-up), so probe in a daemon thread with a
+    # deadline; on timeout emit the skip record and hard-exit (the hung
+    # backend thread cannot be interrupted).
+    import threading
+
+    init: dict = {}
+
+    def _probe():
+        try:
+            init["devices"] = jax.devices()
+        except Exception as e:  # backend init failure (axon relay down)
+            init["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("LANCE_TPU_BENCH_INIT_TIMEOUT", "900")))
+    if "devices" not in init:
+        reason = init.get("error", "backend init timed out (relay hang)")
         print(json.dumps({
             "metric": "sift1m_ivfpq_qps_at_recall95",
             "value": None,
             "unit": "qps/chip",
             "vs_baseline": None,
-            "skipped": f"backend unavailable: {type(e).__name__}: {e}",
-        }))
-        return
+            "skipped": f"backend unavailable: {reason}",
+        }), flush=True)
+        os._exit(0)
+    devs = init["devices"]
     _log(f"devices: {devs}")
     data, queries = generate_sift_like(N, DIM, NQ)  # device-resident
     _log(f"data generated in {time.time()-t0:.1f}s")

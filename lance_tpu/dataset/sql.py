@@ -978,13 +978,15 @@ def _distinct(t: pa.Table) -> pa.Table:
         return t.take(pa.array(keep, pa.int64()))
 
 
-_UNION_RE = re.compile(r"\bunion(\s+all)?\b", re.IGNORECASE)
+_SETOP_RE = re.compile(r"\b(union|intersect|except)(\s+all)?\b",
+                       re.IGNORECASE)
 
 
-def _split_union(q: str) -> tuple[list[str], list[bool]]:
-    """Split on top-level UNION [ALL] (quote/paren aware). Returns (parts,
-    all_flags) where all_flags[i] connects parts[i] and parts[i+1]."""
-    parts, flags = [], []
+def _split_setops(q: str) -> tuple[list[str], list[tuple[str, bool]]]:
+    """Split on top-level UNION/INTERSECT/EXCEPT [ALL] (quote/paren aware).
+    Returns (parts, ops) where ops[i] = (op, all_flag) connects parts[i]
+    and parts[i+1]."""
+    parts, ops = [], []
     depth, in_str, start, i = 0, False, 0, 0
     while i < len(q):
         ch = q[i]
@@ -996,16 +998,64 @@ def _split_union(q: str) -> tuple[list[str], list[bool]]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and ch in "uU":
-            m = _UNION_RE.match(q, i)
+        elif depth == 0 and ch in "uUiIeE":
+            m = _SETOP_RE.match(q, i)
             if m and (i == 0 or not q[i - 1].isalnum() and q[i - 1] != "_"):
                 parts.append(q[start:i])
-                flags.append(bool(m.group(1)))
+                ops.append((m.group(1).lower(), bool(m.group(2))))
                 start = i = m.end()
                 continue
         i += 1
     parts.append(q[start:])
-    return parts, flags
+    return parts, ops
+
+
+def _row_multiset(t: pa.Table) -> list[tuple]:
+    """Row keys for multiset set-op semantics (str-normalized like
+    _distinct's fallback so unhashable types work uniformly)."""
+    return [tuple(map(str, r.values())) for r in t.to_pylist()]
+
+
+def _apply_setop(left: pa.Table, right: pa.Table, op: str,
+                 all_flag: bool) -> pa.Table:
+    """SQL set operations with standard semantics: plain ops dedup, ALL ops
+    use multiset multiplicity (INTERSECT ALL = min count, EXCEPT ALL =
+    left count minus right count)."""
+    if op == "union":
+        res = pa.concat_tables([left, right], promote_options="permissive")
+        return res if all_flag else _distinct(res)
+    from collections import Counter
+
+    rkeys = Counter(_row_multiset(right))
+    keep: list[int] = []
+    if op == "intersect":
+        if all_flag:
+            avail = Counter(rkeys)
+            for i, k in enumerate(_row_multiset(left)):
+                if avail[k] > 0:
+                    avail[k] -= 1
+                    keep.append(i)
+        else:
+            seen: set = set()
+            for i, k in enumerate(_row_multiset(left)):
+                if k in rkeys and k not in seen:
+                    seen.add(k)
+                    keep.append(i)
+    else:  # except
+        if all_flag:
+            avail = Counter(rkeys)
+            for i, k in enumerate(_row_multiset(left)):
+                if avail[k] > 0:
+                    avail[k] -= 1
+                else:
+                    keep.append(i)
+        else:
+            seen = set()
+            for i, k in enumerate(_row_multiset(left)):
+                if k not in rkeys and k not in seen:
+                    seen.add(k)
+                    keep.append(i)
+    return left.take(pa.array(keep, pa.int64()))
 
 
 def _parse_ctes(query: str, ds, tables: dict | None):
@@ -1051,7 +1101,7 @@ def _parse_ctes(query: str, ds, tables: dict | None):
 
 def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
     query, tables = _parse_ctes(query, ds, tables)
-    parts, union_all = _split_union(query)
+    parts, setops = _split_setops(query)
     if len(parts) > 1:
         outs = [sql(ds, p.strip(), tables=tables) for p in parts]
         first = outs[0]
@@ -1060,14 +1110,24 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
             if o.column_names != first.column_names:
                 if o.num_columns != first.num_columns:
                     raise InvalidInputError(
-                        "UNION parts must have the same number of columns")
+                        "set-operation parts must have the same number "
+                        "of columns")
                 o = o.rename_columns(first.column_names)
             outs[i] = o
-        res = outs[0]  # left-assoc: each plain UNION dedups the prefix
-        for flag, o in zip(union_all, outs[1:]):
-            res = pa.concat_tables([res, o], promote_options="permissive")
-            if not flag:
-                res = _distinct(res)
+        # standard precedence: INTERSECT binds tighter than UNION/EXCEPT
+        # (both left-assoc). Reduce INTERSECT runs first, then fold the rest.
+        while True:
+            for i, (op, flag) in enumerate(setops):
+                if op == "intersect":
+                    outs[i] = _apply_setop(outs[i], outs.pop(i + 1),
+                                           op, flag)
+                    setops.pop(i)
+                    break
+            else:
+                break
+        res = outs[0]
+        for (op, flag), o in zip(setops, outs[1:]):
+            res = _apply_setop(res, o, op, flag)
         return res
     query, tables = _rewrite_subqueries(query, ds, tables)
     m = _match_clauses(query)

@@ -312,3 +312,28 @@ def test_case_when_and_functions():
     # CASE in WHERE
     t = ds.sql("SELECT v FROM t WHERE CASE WHEN v < 0 THEN true ELSE false END")
     assert t["v"].to_pylist() == [-2.5]
+
+
+def test_intersect_except():
+    a = _ds("se1", {"x": pa.array([1, 2, 2, 3, 3, 3])})
+    b = _ds("se2", {"x": pa.array([2, 3, 3, 5])})
+    kw = {"tables": {"t": a, "u": b}}
+    # plain ops dedup (standard SQL set semantics)
+    t = a.sql("SELECT x FROM t INTERSECT SELECT x FROM u", **kw)
+    assert sorted(t["x"].to_pylist()) == [2, 3]
+    t = a.sql("SELECT x FROM t EXCEPT SELECT x FROM u", **kw)
+    assert sorted(t["x"].to_pylist()) == [1]
+    # ALL = multiset multiplicity: min for INTERSECT, difference for EXCEPT
+    t = a.sql("SELECT x FROM t INTERSECT ALL SELECT x FROM u", **kw)
+    assert sorted(t["x"].to_pylist()) == [2, 3, 3]
+    t = a.sql("SELECT x FROM t EXCEPT ALL SELECT x FROM u", **kw)
+    assert sorted(t["x"].to_pylist()) == [1, 2, 3]
+    # precedence: INTERSECT binds tighter than UNION
+    c = _ds("se3", {"x": pa.array([9])})
+    t = a.sql("SELECT x FROM v UNION SELECT x FROM t INTERSECT SELECT x FROM u",
+              tables={"t": a, "u": b, "v": c})
+    assert sorted(t["x"].to_pylist()) == [2, 3, 9]
+    # literal containing ' except ' must not split
+    d = _ds("se4", {"s": pa.array(["all except one", "two"])})
+    t = d.sql("SELECT s FROM t WHERE s = 'all except one'", tables={"t": d})
+    assert t["s"].to_pylist() == ["all except one"]
