@@ -279,9 +279,11 @@ def random_schema(rng: np.random.Generator, n_cols: int | None = None,
 
 
 def random_table(rng: np.random.Generator, schema: pa.Schema | None = None,
-                 num_rows: int | None = None, null_prob: float = 0.15) -> pa.Table:
+                 num_rows: int | None = None, null_prob: float = 0.15,
+                 max_depth: int = 2) -> pa.Table:
     """Seeded arbitrary-schema table: the one-call fuzz feeder."""
-    schema = schema if schema is not None else random_schema(rng)
+    schema = schema if schema is not None else random_schema(
+        rng, max_depth=max_depth)
     num_rows = num_rows if num_rows is not None else int(rng.integers(1, 2000))
     cols = [RandForType(f.type, null_prob if f.nullable else 0.0)(rng, num_rows)
             for f in schema]

@@ -381,3 +381,63 @@ def test_fuzz_random_schemas_roundtrip():
             b = out[name].combine_chunks()
             assert a.to_pylist() == b.to_pylist(), \
                 f"trial {i} col {name} type {a.type}"
+
+
+def test_fuzz_deep_nesting_roundtrip_and_take():
+    """VERDICT r2 #9: the per-level validity+offsets recursion vs the
+    reference's unified repdef buffer (rust/lance-encoding/src/repdef.rs:1).
+    Depth-4 random schemas AND a directed 5-level list/struct/list/struct/
+    list alternation, nulls at every level, multi-fragment, scanned AND
+    randomly-accessed. All green -> the per-level scheme covers the space
+    the unified buffer covers (recorded per the verdict's done-criterion)."""
+    import lance_tpu as lt
+    from lance_tpu.utils.datagen import random_table
+
+    rng = np.random.default_rng(7)
+    for i in range(12):
+        t = random_table(rng, num_rows=int(rng.integers(1, 250)), max_depth=4)
+        uri = f"memory://deepfuzz/{i}"
+        lt.write_dataset(t, uri)
+        ds = lt.dataset(uri)
+        out = ds.to_table()
+        for name in t.column_names:
+            assert (t[name].combine_chunks().to_pylist()
+                    == out[name].combine_chunks().to_pylist()), \
+                f"scan {i}/{name} {t[name].type}"
+        n = t.num_rows
+        sel = sorted(rng.choice(n, size=min(7, n), replace=False).tolist())
+        tk = ds.take(sel)
+        for name in t.column_names:
+            exp = t[name].combine_chunks().take(pa.array(sel)).to_pylist()
+            assert exp == tk[name].combine_chunks().to_pylist(), \
+                f"take {i}/{name}"
+
+    deep1 = pa.list_(pa.struct([
+        ("a", pa.list_(pa.struct([("b", pa.list_(pa.int64())),
+                                  ("c", pa.string())]))),
+        ("d", pa.float32()),
+    ]))
+    deep2 = pa.struct([
+        ("x", pa.list_(pa.list_(pa.struct([("y", pa.list_(pa.int32()))])))),
+        ("z", pa.list_(pa.uint8(), 3)),
+    ])
+    deep3 = pa.large_list(pa.struct([("s", pa.list_(pa.large_string()))]))
+    schema = pa.schema([pa.field("d1", deep1), pa.field("d2", deep2),
+                        pa.field("d3", deep3), pa.field("k", pa.int64())])
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        t = random_table(rng, schema=schema, num_rows=257, null_prob=0.3)
+        uri = f"memory://deepdir/{trial}"
+        lt.write_dataset(t, uri, params=lt.WriteParams(max_rows_per_file=100))
+        ds = lt.dataset(uri)
+        out = ds.to_table()
+        for name in t.column_names:
+            assert (t[name].combine_chunks().to_pylist()
+                    == out[name].combine_chunks().to_pylist()), \
+                f"scan {trial}/{name}"
+        sel = [0, 99, 100, 101, 199, 200, 256]
+        tk = ds.take(sel)
+        for name in t.column_names:
+            exp = t[name].combine_chunks().take(pa.array(sel)).to_pylist()
+            assert exp == tk[name].combine_chunks().to_pylist(), \
+                f"take {trial}/{name}"
