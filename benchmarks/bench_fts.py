@@ -1,27 +1,112 @@
-"""BM25 full-text search benchmark (reference benchmarks wiki/inverted)."""
-import json, time
+"""BM25 + phrase full-text-search benchmark on a >=1M-doc corpus.
+
+VERDICT r2 #10: commit a measured FTS throughput number — block-max BM25
+(the Block-WAND analogue, reference rust/lance-index/src/scalar/inverted/
+wand.rs:302) A/B'd against the dense union-of-postings fallback on the SAME
+index object, plus exact PhraseQuery QPS. Corpus: Zipf-1.07 token skew over
+a 50k-term vocabulary (realistic df spread; the pruning win depends on it).
+
+Usage: python benchmarks/bench_fts.py [n_docs]  (default 1_000_000)
+Emits ONE JSON line.
+"""
+import json
+import os
+import sys
+import time
+
 import numpy as np
 import pyarrow as pa
 
-def main(n_docs=50_000):
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_corpus(n_docs: int, vocab: int = 50_000, seed: int = 0):
+    """Zipf-skewed docs, vectorized (a Python-loop join would dominate the
+    benchmark's wall clock at 1M docs)."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(5, 40, size=n_docs)
+    total = int(lens.sum())
+    # Zipf via inverse-CDF on precomputed harmonic weights (np.random.zipf
+    # has unbounded support; we want exactly `vocab` distinct terms)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    w = 1.0 / ranks**1.07
+    cdf = np.cumsum(w) / w.sum()
+    tok_ids = np.searchsorted(cdf, rng.random(total))
+    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    toks = words[tok_ids]
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    docs = [" ".join(toks[bounds[i]:bounds[i + 1]]) for i in range(n_docs)]
+    return docs, words
+
+
+def main(n_docs: int = 1_000_000) -> None:
     import lance_tpu as lt
 
-    rng = np.random.default_rng(0)
-    words = [f"w{i}" for i in range(5000)]
-    docs = [" ".join(rng.choice(words, size=rng.integers(5, 40))) for _ in range(n_docs)]
-    ds = lt.write_dataset({"text": pa.array(docs), "id": np.arange(n_docs, dtype=np.int64)},
-                          "memory://bench/fts")
+    t0 = time.time()
+    docs, words = make_corpus(n_docs)
+    print(f"corpus {n_docs} docs in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ds = lt.write_dataset(
+        {"text": pa.array(docs), "id": np.arange(n_docs, dtype=np.int64)},
+        "memory://bench/fts")
     t = time.time()
     ds = ds.create_index("text", "INVERTED")
     build_s = time.time() - t
-    queries = [" ".join(rng.choice(words, size=3)) for _ in range(100)]
-    sc = ds.scanner()
+    print(f"index built in {build_s:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(1)
+    # queries mix common + mid + rare terms like real workloads
+    def draw_terms(n):
+        band = rng.integers(0, 3, size=n)
+        hi = np.where(band == 0, 100, np.where(band == 1, 5000, len(words)))
+        return [words[int(rng.integers(0, h))] for h in hi]
+
+    n_q = 200
+    match_qs = [" ".join(draw_terms(3)) for _ in range(n_q)]
+    # phrases sampled from actual documents so they have hits
+    phrase_qs = []
+    for _ in range(n_q):
+        d = docs[int(rng.integers(0, n_docs))].split()
+        s = int(rng.integers(0, max(1, len(d) - 2)))
+        phrase_qs.append(" ".join(d[s:s + 2]))
+
+    from lance_tpu.indices.scalar.build import open_scalar_index
+
+    meta = next(m for m in ds.manifest.indices
+                if ds.schema.field_by_id(m.fields[0]).name == "text")
+    idx = open_scalar_index(ds, meta)
+
+    # 1. block-max pruned BM25 (default path at this corpus size)
     t = time.time()
-    for q in queries:
-        ds.scanner().full_text_search(q, k=10).to_table()
-    dt = time.time() - t
-    print(json.dumps({"metric": "bm25_fts", "docs": n_docs,
-                      "build_s": round(build_s, 1), "qps": round(100 / dt, 1)}))
+    for q in match_qs:
+        idx.bm25_search(q, 10)
+    blockmax_qps = n_q / (time.time() - t)
+
+    # 2. dense union-of-postings fallback (same object, pruning disabled)
+    bm_off = idx.bm_off
+    idx.bm_off = None
+    t = time.time()
+    for q in match_qs:
+        idx.bm25_search(q, 10)
+    dense_qps = n_q / (time.time() - t)
+    idx.bm_off = bm_off
+
+    # 3. exact positional phrase through the public scanner
+    from lance_tpu.indices.scalar.fts_query import PhraseQuery
+
+    t = time.time()
+    for q in phrase_qs:
+        ds.scanner().full_text_search(PhraseQuery(q, "text"), k=10).to_table()
+    phrase_qps = n_q / (time.time() - t)
+
+    print(json.dumps({
+        "metric": "fts_bm25_blockmax_qps", "value": round(blockmax_qps, 1),
+        "unit": "qps", "docs": n_docs, "build_s": round(build_s, 1),
+        "dense_fallback_qps": round(dense_qps, 1),
+        "speedup_vs_dense": round(blockmax_qps / dense_qps, 2),
+        "phrase_qps": round(phrase_qps, 1),
+    }))
+
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)

@@ -614,36 +614,90 @@ class InvertedIndex:
 
     def _bm25_blockmax(self, tids: list[int], k: int, k1: float, b: float
                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Block-max pruned BM25 (reference wand.rs Block-WAND): blocks are
+        scored in upper-bound order; stop when the running k-th score
+        dominates every unscored block's bound.
+
+        Work is proportional to postings actually VISITED: postings are
+        doc-sorted, so each term's postings for one block are a contiguous
+        run located by searchsorted against the term's unique-block list
+        (bm_blocks). The earlier design re-masked full posting lists and
+        re-scanned an N_docs hits array per batch — measured 0.43x DENSE at
+        1M docs; this one is the real WAND analogue."""
         nblocks = (self.num_docs + self.block - 1) // self.block
         ub = np.zeros(nblocks, dtype=np.float32)
+        term_meta = []
         for i in tids:
             lo, hi = self.bm_off[i], self.bm_off[i + 1]
-            np.add.at(ub, self.bm_blocks[lo:hi], self.bm_scores[lo:hi])
+            blocks_i = self.bm_blocks[lo:hi]
+            np.add.at(ub, blocks_i, self.bm_scores[lo:hi])
+            plo, phi = self.offsets[i], self.offsets[i + 1]
+            docs_i = self.docs[plo:phi]
+            # posting-run boundaries of each unique block within this term
+            starts = np.searchsorted(docs_i, blocks_i * self.block)
+            ends = np.searchsorted(docs_i, (blocks_i + 1) * self.block)
+            df = phi - plo
+            idf = np.log(1.0 + (self.num_docs - df + 0.5) / (df + 0.5))
+            term_meta.append((plo, blocks_i, starts.astype(np.int64),
+                              ends.astype(np.int64), np.float32(idf)))
         order = np.argsort(-ub, kind="stable")
         order = order[ub[order] > 0]
-        scores = np.zeros(self.num_docs, dtype=np.float32)
-        hits = np.zeros(self.num_docs, dtype=np.int32)
+        if order.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float32)
+        scores = np.zeros(self.num_docs, dtype=np.float32)  # sparse-touched
         block_sel = np.zeros(nblocks, dtype=bool)
-        best: np.ndarray | None = None
+        top_docs = np.empty(0, np.int64)
+        top_scores = np.empty(0, np.float32)
         step = max(64, (4 * k) // self.block + 1)
         pos = 0
         while pos < order.size:
+            if top_docs.size >= k and top_scores.min() >= ub[order[pos]]:
+                break  # kth best dominates every remaining block bound
             batch = order[pos:pos + step]
             pos += batch.size
-            block_sel[:] = False
             block_sel[batch] = True
-            for i in tids:
-                self._accumulate(i, scores, hits, 1.0, k1, b, block_sel)
-            cand = np.flatnonzero(hits > 0)
-            if cand.size >= k or pos >= order.size:
-                top = cand[np.argsort(-scores[cand], kind="stable")][:k]
-                theta = scores[top[-1]] if top.size >= k else 0.0
-                if pos >= order.size or theta >= ub[order[pos]]:
-                    best = top
-                    break
-        if best is None or best.size == 0:
+            batch_doc_chunks = []
+            for plo, blocks_i, starts, ends, idf in term_meta:
+                sel = block_sel[blocks_i]
+                if not sel.any():
+                    continue
+                s, e = starts[sel], ends[sel]
+                ln = e - s
+                total = int(ln.sum())
+                if total == 0:
+                    continue
+                # vectorized ragged range expansion: posting indices of the
+                # selected contiguous runs
+                base = np.repeat(s - np.concatenate(([0], np.cumsum(ln[:-1]))), ln)
+                pidx = plo + base + np.arange(total)
+                docs = self.docs[pidx].astype(np.int64)
+                freqs = self.freqs[pidx].astype(np.float32)
+                dl = self.doc_lens[docs].astype(np.float32)
+                tf = freqs * (k1 + 1.0) / (
+                    freqs + k1 * (1.0 - b + b * dl / self.avg_doc_len))
+                scores[docs] += idf * tf
+                batch_doc_chunks.append(docs)
+            block_sel[batch] = False
+            if not batch_doc_chunks:
+                continue
+            # docs live in exactly one block and blocks are batch-disjoint,
+            # so each doc's score is complete within its batch: merge into
+            # the running top-k and clear only the touched slots
+            bd = np.unique(np.concatenate(batch_doc_chunks))
+            bs = scores[bd].copy()
+            scores[bd] = 0.0
+            m_docs = np.concatenate([top_docs, bd])
+            m_scores = np.concatenate([top_scores, bs])
+            if m_docs.size > k:
+                # ties break by ascending doc id, matching the dense path
+                keep = np.lexsort((m_docs, -m_scores))[:k]
+                top_docs, top_scores = m_docs[keep], m_scores[keep]
+            else:
+                top_docs, top_scores = m_docs, m_scores
+        if top_docs.size == 0:
             return np.empty(0, np.uint64), np.empty(0, np.float32)
-        return self.doc_rowids[best], scores[best]
+        fin = np.lexsort((top_docs, -top_scores))[:k]
+        return self.doc_rowids[top_docs[fin]], top_scores[fin]
 
     def execute_query(self, q, k: int, row_mask: RowIdMask | None = None,
                       text_of=None) -> tuple[np.ndarray, np.ndarray]:

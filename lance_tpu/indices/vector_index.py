@@ -630,6 +630,21 @@ def _train_pq_for_build(vectors, km, metric, num_sub_vectors, num_bits,
     return pq, use_residual
 
 
+def _piece_batches(sorted_rowids, cols: tuple, step: int):
+    """Yield (rowids, *cols) write batches. `sorted_rowids` is either the
+    full array (sliced by `step`) or an ITERATOR of (rowids, *cols) pieces —
+    the mesh-sharded build streams per-owner pieces so the merged aux file
+    is concatenated at the file layer, never in host memory."""
+    if isinstance(sorted_rowids, np.ndarray):
+        n = sorted_rowids.shape[0]
+        for s in range(0, n, step):
+            yield (sorted_rowids[s:s + step],) + tuple(
+                c[s:s + step] for c in cols)
+    else:
+        for piece in sorted_rowids:
+            yield piece
+
+
 def _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes, metric,
                       use_residual, dim, extra_params: dict | None = None) -> dict:
     """Pack + write the IVF_PQ auxiliary file (shared build epilogue)."""
@@ -639,17 +654,19 @@ def _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes, metric,
     ivf_header, ivf_payload = ivf.to_parts()
     path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
     with span("build.pack_codes"):
-        stored = pack_codes(sorted_codes, pq.num_bits)
+        stored = (pack_codes(sorted_codes, pq.num_bits)
+                  if sorted_codes is not None else None)
+    code_width = (stored.shape[1] if stored is not None
+                  else (pq.num_sub_vectors * pq.num_bits + 7) // 8)
     schema = Schema.from_arrow(pa.schema([
         (ROWID_COL, pa.uint64()),
-        (PQ_CODE_COL, pa.list_(pa.uint8(), stored.shape[1])),
+        (PQ_CODE_COL, pa.list_(pa.uint8(), code_width)),
     ]))
     w = FileWriter(ds.store, path, schema, compression="none")
-    step = 1 << 18
-    n = sorted_rowids.shape[0]
-    for s in range(0, n, step):
-        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
-                       PQ_CODE_COL: stored[s:s + step]})
+    for rid, codes in _piece_batches(sorted_rowids, (stored,), 1 << 18):
+        if stored is None:  # streamed pieces carry raw codes: pack here
+            codes = pack_codes(codes, pq.num_bits)
+        w.write_batch({ROWID_COL: rid, PQ_CODE_COL: codes})
     w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
     w.add_global_buffer("ivf_data", ivf_payload)
     pq_h = pq.to_json()
@@ -674,11 +691,8 @@ def _write_ivf_flat_aux(ds, uuid, ivf, sorted_rowids, sorted_vectors, metric,
         (VECTOR_COL, pa.list_(pa.float32(), dim)),
     ]))
     w = FileWriter(ds.store, path, schema, compression="none")
-    step = 1 << 17
-    n = sorted_rowids.shape[0]
-    for s in range(0, n, step):
-        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
-                       VECTOR_COL: sorted_vectors[s:s + step]})
+    for rid, vecs in _piece_batches(sorted_rowids, (sorted_vectors,), 1 << 17):
+        w.write_batch({ROWID_COL: rid, VECTOR_COL: vecs})
     w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
     w.add_global_buffer("ivf_data", ivf_payload)
     w.finish()
@@ -697,11 +711,8 @@ def _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes, lo, scale,
         (SQ_CODE_COL, pa.list_(pa.uint8(), dim)),
     ]))
     w = FileWriter(ds.store, path, schema, compression="none")
-    step = 1 << 17
-    n = sorted_rowids.shape[0]
-    for s in range(0, n, step):
-        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
-                       SQ_CODE_COL: sorted_codes[s:s + step]})
+    for rid, sc in _piece_batches(sorted_rowids, (sorted_codes,), 1 << 17):
+        w.write_batch({ROWID_COL: rid, SQ_CODE_COL: sc})
     w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
     w.add_global_buffer("ivf_data", ivf_payload)
     w.add_global_buffer("sq_bounds", np.asarray(lo, "<f4").tobytes()
@@ -718,20 +729,19 @@ def _write_ivf_rq_aux(ds, uuid, ivf, sorted_rowids, codes, norm_sq, ip,
     mesh-sharded builds)."""
     ivf_header, ivf_payload = ivf.to_parts()
     path = f"{INDICES_DIR}/{uuid}/{AUX_FILE}"
+    code_width = (codes.shape[1] if codes is not None
+                  else dim * num_bits // 8)
     schema = Schema.from_arrow(pa.schema([
         (ROWID_COL, pa.uint64()),
-        (RQ_CODE_COL, pa.list_(pa.uint8(), codes.shape[1])),
+        (RQ_CODE_COL, pa.list_(pa.uint8(), code_width)),
         (RQ_NSQ_COL, pa.float32()),
         (RQ_IP_COL, pa.float32()),
     ]))
     w = FileWriter(ds.store, path, schema, compression="none")
-    step = 1 << 17
-    n = sorted_rowids.shape[0]
-    for s in range(0, n, step):
-        w.write_batch({ROWID_COL: sorted_rowids[s:s + step],
-                       RQ_CODE_COL: codes[s:s + step],
-                       RQ_NSQ_COL: norm_sq[s:s + step],
-                       RQ_IP_COL: ip[s:s + step]})
+    for rid, c, nsq, ipv in _piece_batches(sorted_rowids, (codes, norm_sq, ip),
+                                           1 << 17):
+        w.write_batch({ROWID_COL: rid, RQ_CODE_COL: c,
+                       RQ_NSQ_COL: nsq, RQ_IP_COL: ipv})
     w.add_global_buffer("ivf_header", json.dumps(ivf_header).encode())
     w.add_global_buffer("ivf_data", ivf_payload)
     w.add_global_buffer("rq_header", json.dumps(

@@ -321,79 +321,71 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
     # aux file with no global argsort (largest transient = one owner's shard)
     rowids_all = (np.concatenate(rowid_chunks) if rowid_chunks
                   else np.empty(0, np.uint64))
+    # partition lengths from piece-wise bincounts (no concatenation): the
+    # IVF header is known before any owner shard is materialized, so owner
+    # pieces can stream straight into the aux FileWriter below
     lengths = np.zeros(num_partitions, np.int64)
-    pieces_rowids = []
-    pieces_pay = [[] for _ in range(n_pay)]
-    graph_neighbors = graph_pentries = None
-    parts_per_owner = -(-num_partitions // ndev)  # == partition_owner blocks
-    if encode in ("hnsw_sq", "hnsw_pq"):
-        from ..models.hnsw import HnswParams
-        hnsw_deg = min(2 * HnswParams().m, max(2, n_total - 1))
-        graph_neighbors = np.empty((n_total, hnsw_deg), np.int32)
-        graph_pentries = np.zeros((num_partitions, 4), np.int32)
-    global_base = 0
-    with span("build.finalize_per_owner", ndev=ndev):
-        for d in range(ndev):
-            if not owner_pids[d]:
-                continue
-            pids_d = np.concatenate(owner_pids[d])
-            idx_d = np.concatenate(owner_idx[d])
-            pays_d = [np.concatenate(owner_pay[j][d]) for j in range(n_pay)]
-            owner_pids[d] = owner_idx[d] = None
-            for j in range(n_pay):
-                owner_pay[j][d] = None
-            order = np.argsort(pids_d, kind="stable")
-            own_lengths = np.bincount(pids_d, minlength=num_partitions)
-            lengths += own_lengths
-            pieces_rowids.append(rowids_all[idx_d[order]])
-            for j in range(n_pay):
-                pieces_pay[j].append(pays_d[j][order])
-            if graph_neighbors is not None:
-                # owner-local graph build: this owner's contiguous partition
-                # range, shard-local offsets, global row-id/seed bases
-                from ..models.hnsw import build_partition_graphs
-                p_lo = d * parts_per_owner
-                p_hi = min(p_lo + parts_per_owner, num_partitions)
-                own = own_lengths[p_lo:p_hi]
-                shard_off = np.concatenate([[0], np.cumsum(own)])
-                nb, pe = build_partition_graphs(
-                    pieces_pay[1][-1], shard_off, hnsw_deg, global_base,
-                    p_lo, "l2" if metric == "cosine" else metric)
-                graph_neighbors[global_base:global_base + nb.shape[0]] = nb
-                graph_pentries[p_lo:p_hi] = pe
-                # rows were only needed for this owner's graph build
-                pieces_pay[1][-1] = np.empty((0, dim), np.float32)
-            global_base += int(pids_d.shape[0])
+    for d in range(ndev):
+        for piece in owner_pids[d]:
+            lengths += np.bincount(piece, minlength=num_partitions)
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    sorted_rowids = (np.concatenate(pieces_rowids) if pieces_rowids
-                     else np.empty(0, np.uint64))
-    sorted_pays = [np.concatenate(p) if p else None for p in pieces_pay]
-    sorted_codes = sorted_pays[0]
-
     probe_centroids = np.where(
         pcounts[:, None] > 0, psums / np.maximum(pcounts, 1.0)[:, None],
         km.centroids).astype(np.float32)
     ivf = IvfModel(km.centroids, offsets, lengths, metric,
                    probe_centroids=probe_centroids)
     extra = {"sharded_build": True, "n_devices": int(ndev)}
-    if encode == "flat":
-        return _write_ivf_flat_aux(ds, uuid, ivf, sorted_rowids,
-                                   sorted_codes.astype(np.float32), metric,
-                                   dim, extra)
-    if encode == "sq":
-        return _write_ivf_sq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
-                                 sq_lo, sq_scale, metric, dim, extra)
-    if encode == "rq":
-        factors = sorted_pays[1]
-        return _write_ivf_rq_aux(ds, uuid, ivf, sorted_rowids, sorted_codes,
-                                 np.ascontiguousarray(factors[:, 0]),
-                                 np.ascontiguousarray(factors[:, 1]),
-                                 rq_seed, rq_num_bits, metric, dim, extra)
+    parts_per_owner = -(-num_partitions // ndev)  # == partition_owner blocks
+
+    def _finalize_owner(d: int):
+        """Concatenate + pid-sort owner d's shard, freeing the accumulators.
+        Owner order IS partition order (owners hold contiguous partition
+        ranges), so appending owner shards yields the globally
+        partition-sorted aux file with no global argsort."""
+        pids_d = np.concatenate(owner_pids[d])
+        idx_d = np.concatenate(owner_idx[d])
+        pays_d = [np.concatenate(owner_pay[j][d]) for j in range(n_pay)]
+        owner_pids[d] = owner_idx[d] = None
+        for j in range(n_pay):
+            owner_pay[j][d] = None
+        order = np.argsort(pids_d, kind="stable")
+        return pids_d, rowids_all[idx_d[order]], [p[order] for p in pays_d]
+
     if encode in ("hnsw_sq", "hnsw_pq"):
+        # graph modes materialize: the (N, deg) neighbor array exists in
+        # full regardless, and owners need their metric-space rows locally
+        # for the graph build (per-HOST memory = dataset/n_hosts on a pod)
         import json as _json
 
         from ..indices.vector_index import PQ_CODE_COL, SQ_CODE_COL
-        from ..models.hnsw import HnswGraph
+        from ..models.hnsw import (HnswGraph, HnswParams,
+                                   build_partition_graphs)
+        hnsw_deg = min(2 * HnswParams().m, max(2, n_total - 1))
+        graph_neighbors = np.empty((n_total, hnsw_deg), np.int32)
+        graph_pentries = np.zeros((num_partitions, 4), np.int32)
+        pieces_rowids, pieces_codes = [], []
+        global_base = 0
+        with span("build.finalize_per_owner", ndev=ndev):
+            for d in range(ndev):
+                if not owner_pids[d]:
+                    continue
+                pids_d, rid_sorted, pays_sorted = _finalize_owner(d)
+                pieces_rowids.append(rid_sorted)
+                pieces_codes.append(pays_sorted[0])
+                p_lo = d * parts_per_owner
+                p_hi = min(p_lo + parts_per_owner, num_partitions)
+                own = np.bincount(pids_d, minlength=num_partitions)[p_lo:p_hi]
+                shard_off = np.concatenate([[0], np.cumsum(own)])
+                nb, pe = build_partition_graphs(
+                    pays_sorted[1], shard_off, hnsw_deg, global_base,
+                    p_lo, "l2" if metric == "cosine" else metric)
+                graph_neighbors[global_base:global_base + nb.shape[0]] = nb
+                graph_pentries[p_lo:p_hi] = pe
+                global_base += int(pids_d.shape[0])
+        sorted_rowids = (np.concatenate(pieces_rowids) if pieces_rowids
+                         else np.empty(0, np.uint64))
+        sorted_codes = (np.concatenate(pieces_codes) if pieces_codes
+                        else np.empty((0, dim), np.uint8))
         graph = HnswGraph(graph_neighbors,
                           np.unique(graph_pentries.reshape(-1)), metric,
                           part_entries=graph_pentries)
@@ -413,7 +405,37 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
                                    sorted_codes, code_col, code_width,
                                    buffers, ivf, metric, dim, hdr_bits,
                                    num_partitions, extra)
-    return _write_ivf_pq_aux(ds, uuid, ivf, pq, sorted_rowids, sorted_codes,
+
+    def owner_pieces():
+        """Stream (rowids, *cols) write batches owner by owner — the merged
+        aux file is concatenated at the FILE layer; the largest host
+        transient is one owner's sorted shard (VERDICT r2 #2)."""
+        with span("build.finalize_per_owner", ndev=ndev):
+            for d in range(ndev):
+                if not owner_pids[d]:
+                    continue
+                _, rid_sorted, pays_sorted = _finalize_owner(d)
+                if encode == "rq":
+                    fac = pays_sorted[1]
+                    yield (rid_sorted, pays_sorted[0],
+                           np.ascontiguousarray(fac[:, 0]),
+                           np.ascontiguousarray(fac[:, 1]))
+                elif encode == "flat":
+                    yield rid_sorted, pays_sorted[0].astype(np.float32)
+                else:
+                    yield rid_sorted, pays_sorted[0]
+
+    pieces = owner_pieces()
+    if encode == "flat":
+        return _write_ivf_flat_aux(ds, uuid, ivf, pieces, None, metric,
+                                   dim, extra)
+    if encode == "sq":
+        return _write_ivf_sq_aux(ds, uuid, ivf, pieces, None, sq_lo,
+                                 sq_scale, metric, dim, extra)
+    if encode == "rq":
+        return _write_ivf_rq_aux(ds, uuid, ivf, pieces, None, None, None,
+                                 rq_seed, rq_num_bits, metric, dim, extra)
+    return _write_ivf_pq_aux(ds, uuid, ivf, pq, pieces, None,
                              metric, use_residual, dim, extra)
 
 
