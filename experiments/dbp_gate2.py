@@ -35,8 +35,27 @@ def main():
     import lance_tpu as lt
 
     K, NQ = 10, 256
-    gt = np.load("/root/repo/.dbp500k_gt.npy")
-    qh = np.load("/root/repo/.dbp500k_q.npy").astype(np.float32)
+    GT, Q = "/root/repo/.dbp500k_gt.npy", "/root/repo/.dbp500k_q.npy"
+    if not (os.path.exists(GT) and os.path.exists(URI[len("file://"):])):
+        # cache wiped between rounds: regenerate (same construction as
+        # dbpedia_qcap.py — seed-7 sift-like, unit-normalized, cosine gt)
+        from bench import generate_sift_like
+        from lance_tpu.ops.distance import topk_neighbors
+        N, D = 500_000, 1536
+        data, q = generate_sift_like(N, D, NQ, seed=7)
+        data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        _, gt = topk_neighbors(q, data, K, "cosine", chunk=65536)
+        np.save(GT, np.asarray(gt))
+        np.save(Q, np.asarray(q))
+        lt.write_dataset({"vec": np.asarray(data),
+                          "id": np.arange(N, dtype=np.int64)},
+                         URI, params=lt.WriteParams(max_rows_per_file=N,
+                                                    compression="none"))
+        del data, q
+        _log("regenerated dbp500k corpus + gt")
+    gt = np.load(GT)
+    qh = np.load(Q).astype(np.float32)
     qh /= np.linalg.norm(qh, axis=1, keepdims=True)
     ds = lt.dataset(URI)
 

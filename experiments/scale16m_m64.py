@@ -44,9 +44,40 @@ def main():
 
     N, DIM, NQ, K = 16_000_000, 128, 256, 10
     data, queries = host_sift_like(N, DIM, NQ)
+    gt_cache = f"/root/repo/.scale16m_gt_{N}.npy"
+    uri = "file:///root/repo/.scale16m.lance"
+    if not os.path.exists(gt_cache):
+        # cache wiped between rounds: exact gt on HOST (single-core OpenBLAS
+        # ~54 GFLOPS -> ~30 s of GEMM; vs ~4 GB of relay upload on-device).
+        # data is 0-255 integer-valued so bf16 device uploads are lossless
+        # and the f64 host gt is identical to scale16m.py's device gt.
+        t = time.time()
+        qn = np.sum(queries.astype(np.float64) ** 2, axis=1)[:, None]
+        best_d = np.full((NQ, 0), np.inf, np.float64)
+        best_i = np.zeros((NQ, 0), np.int64)
+        step = 1 << 20
+        for s in range(0, N, step):
+            x = data[s:s + step]
+            d = (qn + np.sum(x.astype(np.float64) ** 2, axis=1)[None, :]
+                 - 2.0 * (queries @ x.T).astype(np.float64))
+            part = np.argpartition(d, K - 1, axis=1)[:, :K]
+            best_d = np.concatenate(
+                [best_d, np.take_along_axis(d, part, axis=1)], axis=1)
+            best_i = np.concatenate([best_i, part.astype(np.int64) + s], axis=1)
+            keep = np.argsort(best_d, axis=1, kind="stable")[:, :K]
+            best_d = np.take_along_axis(best_d, keep, axis=1)
+            best_i = np.take_along_axis(best_i, keep, axis=1)
+        np.save(gt_cache, best_i)
+        _log(f"host gt {time.time() - t:.0f}s")
+    if not os.path.exists(uri[len("file://"):]):
+        t = time.time()
+        lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                         uri, params=lt.WriteParams(max_rows_per_file=N,
+                                                    compression="none"))
+        _log(f"dataset write {time.time() - t:.0f}s")
     del data
-    gt_i = np.load(f"/root/repo/.scale16m_gt_{N}.npy")
-    ds = lt.dataset("file:///root/repo/.scale16m.lance")
+    gt_i = np.load(gt_cache)
+    ds = lt.dataset(uri)
 
     t = time.time()
     ds = ds.create_index("vec", "IVF_PQ", num_partitions=8192,

@@ -248,6 +248,12 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
     remaining = np.full((ndev, num_partitions), local_cap, np.int32)
     psums = np.zeros((num_partitions, dim), np.float64)
     pcounts = np.zeros(num_partitions, np.float64)
+    # byte accounting for the 100M budget contract (docs/scale100m.md):
+    # host transients must be bounded by chunk + encoded accumulators, never
+    # the raw dataset. Measured here, asserted by tests/test_parallel.py,
+    # scaled analytically to 100M x 128 on v5e-64 in the doc.
+    acct = {"chunk_bytes": int(chunk_rows) * dim * 4,
+            "accum_bytes": 0, "finalize_peak_bytes": 0, "n_chunks": 0}
     # per-owner accumulators: owner d's pieces of (pid, *payloads, row idx)
     owner_pids = [[] for _ in range(ndev)]
     owner_pay = [[[] for _ in range(ndev)] for _ in range(n_pay)]
@@ -310,9 +316,14 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
             sl = slice(d * blk, (d + 1) * blk)
             owner_pids[d].append(pid_all[sl][ok])
             for j in range(n_pay):
-                owner_pay[j][d].append(pay_all[j][sl][ok])
+                piece = pay_all[j][sl][ok]
+                owner_pay[j][d].append(piece)
+                acct["accum_bytes"] += piece.nbytes
             owner_idx[d].append(idx_all[sl][ok])
+            acct["accum_bytes"] += (owner_pids[d][-1].nbytes
+                                    + owner_idx[d][-1].nbytes)
         seen += n_real
+        acct["n_chunks"] += 1
     if seen != n_total:
         raise IndexError_(f"sharded build saw {seen} rows, expected {n_total}")
 
@@ -334,7 +345,8 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
         km.centroids).astype(np.float32)
     ivf = IvfModel(km.centroids, offsets, lengths, metric,
                    probe_centroids=probe_centroids)
-    extra = {"sharded_build": True, "n_devices": int(ndev)}
+    extra = {"sharded_build": True, "n_devices": int(ndev),
+             "accounting": acct}  # finalized in place before the writer returns
     parts_per_owner = -(-num_partitions // ndev)  # == partition_owner blocks
 
     def _finalize_owner(d: int):
@@ -349,7 +361,14 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
         for j in range(n_pay):
             owner_pay[j][d] = None
         order = np.argsort(pids_d, kind="stable")
-        return pids_d, rowids_all[idx_d[order]], [p[order] for p in pays_d]
+        out = pids_d, rowids_all[idx_d[order]], [p[order] for p in pays_d]
+        # transient = concatenated shard + its sorted copy, live together
+        shard = (pids_d.nbytes + idx_d.nbytes + sum(p.nbytes for p in pays_d)
+                 + order.nbytes)
+        acct["finalize_peak_bytes"] = max(
+            acct["finalize_peak_bytes"],
+            2 * shard + out[1].nbytes)
+        return out
 
     if encode in ("hnsw_sq", "hnsw_pq"):
         # graph modes materialize: the (N, deg) neighbor array exists in

@@ -304,6 +304,46 @@ def test_sharded_dataset_streaming_build_parity(devices, rng, monkeypatch,
     np.testing.assert_array_equal(rid_s, rid_r)
 
 
+def test_sharded_dataset_build_accounting(devices, rng, monkeypatch,
+                                          tmp_path):
+    """The 100M budget contract at dryrun scale (docs/scale100m.md): host
+    transients of the streaming sharded build are bounded by the ENCODED
+    size (m+16 bytes/row), never the raw f32 dataset — the property that
+    makes 100M x 128 fit a v5e-64 controller host. Asserts the measured
+    accounting against the exact formulas the doc scales to 100M."""
+    import lance_tpu as lt
+
+    n, dim, nlist, m, ndev = 4096, 16, 12, 4, 8
+    chunk_rows = 512
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    monkeypatch.setenv("LANCE_TPU_BUILD_HOST_BYTES", "0")
+    monkeypatch.setenv("LANCE_TPU_SHARD_CHUNK_BYTES",
+                       str(chunk_rows * dim * 4))
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                          f"file://{tmp_path}/acct",
+                          params=lt.WriteParams(max_rows_per_file=1500))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=nlist,
+                         num_sub_vectors=m, max_iters=4,
+                         mesh=make_mesh(8, {"dp": 8}))
+    params = ds.manifest.index_by_name("vec_idx").params
+    acct = params["accounting"]
+    assert acct["n_chunks"] == n // chunk_rows
+    assert acct["chunk_bytes"] == chunk_rows * dim * 4
+    # codes m B/row + pid 4 + shuffle row idx 4 — exact, padding-free
+    assert acct["accum_bytes"] == n * (m + 8)
+    # finalize transient: per owner, 2x (pids+idx+codes+argsort) + rowids
+    lengths = np.asarray(ds._vector_index_for("vec").ivf.lengths)
+    parts_per_owner = -(-nlist // ndev)
+    owner_rows = np.add.reduceat(
+        np.pad(lengths, (0, parts_per_owner * ndev - nlist)),
+        np.arange(0, parts_per_owner * ndev, parts_per_owner))
+    expect_peak = int(owner_rows.max()) * (2 * (m + 4 + 4 + 8) + 8)
+    assert acct["finalize_peak_bytes"] == expect_peak
+    # the headline bound: every host transient << raw dataset bytes
+    raw = n * dim * 4
+    assert acct["accum_bytes"] + acct["finalize_peak_bytes"] < raw // 2
+
+
 def test_sharded_build_skew_capacity_bound(devices, rng):
     """Adversarial skew: every row nearest the same centroid. With top_t
     covering all partitions (nlist <= 8) no row takes the capacity-exempt
