@@ -346,13 +346,44 @@ def _parse_from(from_raw: str):
     return base, joins
 
 
+_ORDER_DIR_RE = re.compile(r"\s+(asc|desc)\s*$", re.IGNORECASE)
+
+
 def _parse_order(order_raw: str) -> list[tuple[str, bool]]:
+    """-> [(key, ascending)]. A key is a column/alias name or an arbitrary
+    expression over the filter grammar ('a + b', 'abs(x)', '-a'); expression
+    keys are evaluated to hidden sort columns by _sort_by_keys. Only a
+    TRAILING asc/desc token is a direction (previously 'a + b desc' silently
+    sorted by 'a' ascending)."""
     keys = []
     for part in _split_top_level(order_raw):
-        toks = part.split()
-        keys.append((toks[0].strip('`"'),
-                     len(toks) < 2 or toks[1].lower() != "desc"))
+        part = part.strip()
+        asc = True
+        m = _ORDER_DIR_RE.search(part)
+        if m:
+            asc = m.group(1).lower() == "asc"
+            part = part[:m.start()].strip()
+        keys.append((part.strip('`"'), asc))
     return keys
+
+
+def _sort_by_keys(table: pa.Table, order: list[tuple[str, bool]]) -> pa.Table:
+    """table.sort_by that accepts expression keys: a key that is not a
+    column of `table` is parsed with the filter grammar, evaluated to a
+    hidden column, and dropped after the sort."""
+    keys, tmp, views = [], table, None
+    for i, (key, asc) in enumerate(order):
+        direction = "ascending" if asc else "descending"
+        if key in table.column_names:
+            keys.append((key, direction))
+            continue
+        if views is None:
+            views = _views_of(table)
+        arr = _eval_to_arrow(parse_filter(key), views, table)
+        name = f"__sort_key_{i}"
+        tmp = tmp.append_column(name, arr)
+        keys.append((name, direction))
+    return tmp.sort_by(keys).select(table.column_names)
 
 
 # ---------------------------------------------------------------------------
@@ -1196,8 +1227,14 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         out_names = {it.out for it in items} if items else set()
         if order:
             # output aliases (e.g. ORDER BY an aggregate alias) are not
-            # table columns; only real columns join the scan set
-            nodes.extend(Col(c) for c, _asc in order if c not in out_names)
+            # table columns; only real columns/expressions join the scan set
+            for c, _asc in order:
+                if c in out_names:
+                    continue
+                try:
+                    nodes.append(parse_filter(c))
+                except Exception:
+                    nodes.append(Col(c))
         joined, bare_extra, _schemas = _exec_join(
             query_tables, base, joins, nodes, tables)
         table = _with_bare_aliases(joined, bare_extra)
@@ -1216,17 +1253,15 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         if distinct:
             out = _distinct(out)
         if order:
-            missing = [c for c, _asc in order if c not in out.column_names]
-            if missing and not has_aggs and items is not None:
-                # ORDER BY table columns outside the SELECT list: sort the
-                # pre-projection table, then re-project
-                table = table.sort_by(
-                    [(c, "ascending" if asc else "descending")
-                     for c, asc in order])
-                out = _project_items(table, items)
-            else:
-                out = out.sort_by([(c, "ascending" if asc else "descending")
-                                   for c, asc in order])
+            # keys may be output aliases, table columns outside the SELECT
+            # list, or expressions over either: augment the projected rows
+            # with the (row-aligned) pre-projection columns, sort, re-select
+            aug = out
+            if not distinct and not has_aggs and items is not None:
+                for name in table.column_names:
+                    if name not in aug.column_names:
+                        aug = aug.append_column(name, _col_array(table, name))
+            out = _sort_by_keys(aug, order).select(out.column_names)
         if offset:
             out = out.slice(offset)
         if limit is not None:
@@ -1254,7 +1289,15 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
             referenced |= it.referenced()
         referenced |= set(group_cols)
         if order and not has_aggs:
-            referenced |= {c for c, _asc in order if c in schema_names}
+            for c, _asc in order:
+                if c in schema_names:
+                    referenced.add(c)
+                else:  # expression key: scan the table columns it reads
+                    try:
+                        referenced |= (referenced_columns(parse_filter(c))
+                                       & schema_names)
+                    except Exception:
+                        pass
         if referenced:
             sc.project(sorted(referenced))
     if where_raw:
@@ -1273,8 +1316,7 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         if distinct:
             out = _distinct(out)
         if order:
-            out = out.sort_by([(c, "ascending" if asc else "descending")
-                               for c, asc in order])
+            out = _sort_by_keys(out, order)
         if offset:
             out = out.slice(offset)
         if limit is not None:
@@ -1294,14 +1336,14 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
         # windows compute over the full unordered input (limit cannot push
         # below a window fn); order on aliases applies post-projection
         if order:
-            keys = [(c, "ascending" if asc else "descending")
-                    for c, asc in order]
-            if all(c in out.column_names for c, _asc in order):
-                out = out.sort_by(keys)
-            else:
-                # ORDER BY table columns outside the SELECT list
-                table = table.sort_by(keys)
-                out = _project_items(table, items)
+            # aliases, unselected table columns, or expressions over either
+            # (out is row-aligned with table when not distinct)
+            aug = out
+            if not distinct and items is not None:
+                for name in table.column_names:
+                    if name not in aug.column_names:
+                        aug = aug.append_column(name, _col_array(table, name))
+            out = _sort_by_keys(aug, order).select(out.column_names)
         if offset:
             out = out.slice(offset)
         if limit is not None:

@@ -261,3 +261,42 @@ def test_shallow_clone_relative_path_survives_cwd_change(tmp_path):
     reopened = lt.dataset(str(tmp_path / "cl.lance"))
     assert reopened.count_rows() == 40
     assert np.asarray(reopened.to_table()["id"]).tolist() == vecs.tolist()
+
+
+def test_order_by_expressions():
+    """ORDER BY arbitrary expressions (reference gets these free from
+    DataFusion, rust/lance/src/dataset/sql.rs): unary minus, functions,
+    multi-key mixes, expressions over unselected columns, join-path and
+    alias keys. 'a + b DESC' previously mis-parsed as 'a' ascending."""
+    ds = lt.write_dataset(
+        {"a": np.array([3, 1, 2], dtype=np.int64),
+         "b": np.array([1.0, 10.0, 5.0])}, _uri("oexpr"))
+    cases = [
+        ("SELECT a FROM t ORDER BY a + b DESC", [1, 2, 3]),
+        ("SELECT a FROM t ORDER BY -a", [3, 2, 1]),
+        ("SELECT a FROM t ORDER BY abs(a - 2) ASC, a DESC", [2, 3, 1]),
+        ("SELECT a, a + b AS s FROM t ORDER BY s", [3, 2, 1]),
+        # expression over a column NOT in the SELECT list
+        ("SELECT a FROM t ORDER BY b * -1.0", [1, 2, 3]),
+        ("SELECT DISTINCT a FROM t ORDER BY a * -1", [3, 2, 1]),
+    ]
+    for q, want in cases:
+        got = np.asarray(ds.sql(q)["a"]).tolist()
+        assert got == want, (q, got, want)
+    # pyarrow oracle for a random mix (expression keys, both directions)
+    rng = np.random.default_rng(5)
+    big = lt.write_dataset(
+        {"u": rng.integers(0, 6, 200).astype(np.int64),
+         "v": rng.normal(size=200)}, _uri("oexpr2"))
+    t = big.sql("SELECT u, v FROM t ORDER BY u % 3 DESC, abs(v) ASC")
+    u = np.asarray(t["u"])
+    v = np.asarray(t["v"])
+    key = np.stack([-(u % 3), np.abs(v)], axis=1)
+    assert (np.lexsort((key[:, 1], key[:, 0])) == np.arange(200)).all()
+    # join path: expression over columns of both tables
+    other = lt.write_dataset(
+        {"k": np.array([1, 2, 3], dtype=np.int64),
+         "w": np.array([7, 8, 9], dtype=np.int64)}, _uri("oexpr3"))
+    res = ds.sql("SELECT t.a, u.w FROM t JOIN u ON t.a = u.k "
+                 "ORDER BY u.w * t.a DESC", tables={"u": other})
+    assert np.asarray(res["a"]).tolist() == [3, 2, 1]
