@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-3 chip gate chain (VERDICT #1). Runs after the 16M m=64 gate
+# (started separately) exits; keeps the chip serially busy.
+cd /root/repo
+S16M_PID=$(cat /tmp/s16m.pid)
+while kill -0 "$S16M_PID" 2>/dev/null; do sleep 20; done
+echo "=== 16M done, starting dbp_gate2 $(date +%H:%M:%S)"
+timeout 3300 python experiments/dbp_gate2.py > experiments/logs/dbp_gate2_r3.log 2>&1
+echo "=== dbp_gate2 rc=$? $(date +%H:%M:%S), starting bench"
+timeout 2400 python bench.py > experiments/logs/bench_r3.log 2>&1
+echo "=== bench rc=$? $(date +%H:%M:%S), starting wiki parity"
+PARITY_ONLY=4 timeout 2400 python experiments/parity_configs.py > experiments/logs/wiki_r3.log 2>&1
+echo "=== wiki rc=$? $(date +%H:%M:%S) all gates done"
