@@ -1,0 +1,364 @@
+"""Device-resident 16M m=64 gate: datagen, ground truth, build, and serving
+all stay on the TPU — no bulk relay transfer at any stage.
+
+Why this exists: the round-3 environment has a ~1-core heavily-throttled
+host and a ~2 MB/s relay day. scale16m_m64.py's host path (8 GB host gen +
+host gt + 4 GB of streamed build uploads) is environment-infeasible there
+(measured: one 1M-row numpy gen chunk > 120 s). Everything the gate needs
+is device-computable, so this harness keeps the dataset on the chip from
+birth:
+
+  gen (8 shards x 2M, shared mixture centers)      8.4 GB f32 shards
+  gt: per-tile exact top-k, host merge of (256,10) tiles
+  kmeans k=8192 on a 2M sample                     (device, prod op)
+  2 balanced-Lloyd rounds + final recenter         (prod semantics:
+      per-shard capacity carry == the streaming build's accept;
+      final recenter FOLLOWS the final assignment)
+  residual OPQ m=64 encode, per shard              codes 1 GB device
+  partition sort on device (argsort + takes)
+  refine vectors assembled by DONATED scatters     f16 4.1 GB (shards
+      freed progressively; peak ~13.5 GB)
+  blocks: padded code gather + slab decode         bf16 (no full f32
+      row array ever exists)
+  index object assembled in-process (same attrs the aux-file open
+      produces); search/QPS through the production _search_dense.
+
+The in-process assembly mirrors IvfIndex.__init__ (vector_index.py:968)
+field for field; parity with the production build path is pinned at small
+N on CPU by S16DEV_CHECK=1 (same data -> create_index recall within noise).
+
+Env: S16DEV_N / S16DEV_NLIST / S16DEV_M / S16DEV_SHARDS override scale;
+SCALE_DEV_CPU=1 forces the CPU backend (validation mode).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "0")   # f32 score tensors:
+# the 16M rank tail is the gate's whole story (diag16m_rank.py)
+os.environ.setdefault("LANCE_TPU_REFINE_F16", "1")
+os.environ.setdefault("LANCE_TPU_SCORE_BUDGET_GB", "4")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log  # noqa: E402
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def recall_of(rid, gt_i, nq, k):
+    hits = 0
+    for i in range(nq):
+        cand = rid[i][rid[i] != INV].astype(np.int64)
+        hits += len(set(cand.tolist()) & set(gt_i[i, :k].tolist()))
+    return hits / (nq * k)
+
+
+def main():
+    if os.environ.get("SCALE_DEV_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import functools
+
+    from lance_tpu.indices.vector_index import (IvfIndex, _train_pq_for_build,
+                                                _decode_pq_device,
+                                                _widen_codebook, _round_up)
+    from lance_tpu.models.ivf import IvfModel
+    from lance_tpu.ops.balanced import balanced_assign
+    from lance_tpu.ops.kmeans import train_kmeans
+    from lance_tpu.ops.pq import _encode_jit
+
+    N = int(os.environ.get("S16DEV_N", str(16_000_000)))
+    DIM, NQ, K = 128, 256, 10
+    NLIST = int(os.environ.get("S16DEV_NLIST", "8192"))
+    M = int(os.environ.get("S16DEV_M", "64"))
+    NSHARD = int(os.environ.get("S16DEV_SHARDS", "8"))
+    BF = float(os.environ.get("S16DEV_BF", "1.3"))
+    assert N % NSHARD == 0
+    ns = N // NSHARD
+    t0 = time.time()
+
+    # ---- sharded on-device generation (bench.generate_sift_like's mixture,
+    # split so transients stay ~3x one shard, not 3x the dataset) ----------
+    n_centers = 4096
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def gen_rows(key, centers, rows):
+        k2, k3, k4 = jax.random.split(key, 3)
+        assign = jax.random.randint(k2, (rows,), 0, n_centers)
+        radii = jnp.exp(jax.random.normal(k3, (rows, 1)) * 0.9)
+        noise = jax.random.normal(k4, (rows, DIM)) * 10.0
+        return jnp.clip(centers[assign] + radii * noise, 0, 255).astype(
+            jnp.float32)
+
+    key = jax.random.PRNGKey(0)
+    kc, kq, *ks = jax.random.split(key, 2 + NSHARD)
+    centers = jax.random.uniform(kc, (n_centers, DIM), minval=0.0,
+                                 maxval=128.0)
+    shards = [gen_rows(ks[s], centers, rows=ns) for s in range(NSHARD)]
+    queries = gen_rows(kq, centers, rows=NQ)
+    jax.block_until_ready(queries)
+    _log(f"gen {time.time() - t0:.0f}s")
+
+    # ---- exact gt: tile the shards, merge (256, K) winners on host -------
+    t = time.time()
+    tile = min(ns, 1 << 18)
+
+    @jax.jit
+    def tile_topk(q, x):
+        d = (jnp.sum(x * x, axis=1)[None, :]
+             - 2.0 * jnp.dot(q, x.T, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST))
+        neg, idx = jax.lax.top_k(-d, K)
+        return -neg, idx
+
+    best_d = np.full((NQ, 0), np.inf, np.float32)
+    best_i = np.zeros((NQ, 0), np.int64)
+    for s in range(NSHARD):
+        for off in range(0, ns, tile):
+            d, i = tile_topk(queries, jax.lax.slice_in_dim(
+                shards[s], off, off + tile, axis=0))
+            best_d = np.concatenate([best_d, np.asarray(d)], axis=1)
+            best_i = np.concatenate(
+                [best_i, np.asarray(i, np.int64) + s * ns + off], axis=1)
+            keep = np.argsort(best_d, axis=1, kind="stable")[:, :K]
+            best_d = np.take_along_axis(best_d, keep, axis=1)
+            best_i = np.take_along_axis(best_i, keep, axis=1)
+    gt_i = best_i
+    _log(f"gt {time.time() - t:.0f}s")
+
+    # ---- coarse quantizer: k-means on a sample, then balanced-Lloyd ------
+    t = time.time()
+    rng = np.random.default_rng(42)
+    n_sample = min(N, 256 * NLIST)
+    per = n_sample // NSHARD
+    sample = jnp.concatenate(
+        [jnp.take(shards[s],
+                  jnp.asarray(rng.choice(ns, size=per, replace=False)), axis=0)
+         for s in range(NSHARD)])
+    km = train_kmeans(sample, NLIST, max_iters=8, metric="l2")
+    del sample
+    _log(f"kmeans {time.time() - t:.0f}s")
+
+    @jax.jit
+    def seg_stats(x, pid):
+        sums = jax.ops.segment_sum(x, pid, num_segments=NLIST)
+        cnts = jax.ops.segment_sum(jnp.ones(x.shape[0], jnp.float32), pid,
+                                   num_segments=NLIST)
+        return sums, cnts
+
+    t = time.time()
+    pid_host = np.empty(N, np.int32)
+    for rnd in range(2):
+        cap = int(np.ceil(N / NLIST * BF))
+        remaining = np.full(NLIST, cap, np.int64)
+        sums = np.zeros((NLIST, DIM), np.float64)
+        cnts = np.zeros(NLIST, np.float64)
+        for s in range(NSHARD):
+            pid_host[s * ns:(s + 1) * ns] = balanced_assign(
+                shards[s], km.centroids, BF, metric="l2",
+                remaining=remaining)
+            sd, cd = seg_stats(shards[s],
+                               jnp.asarray(pid_host[s * ns:(s + 1) * ns]))
+            sums += np.asarray(sd, np.float64)
+            cnts += np.asarray(cd, np.float64)
+        # recenter AFTER each assignment (incl. the last): routing means
+        # always reflect the shipped assignment (vector_index.py:302-326)
+        nonempty = cnts > 0
+        cent = km.centroids.copy()
+        cent[nonempty] = (sums[nonempty] / cnts[nonempty, None]).astype(
+            np.float32)
+        km.centroids = cent
+    _log(f"balanced rounds {time.time() - t:.0f}s")
+
+    # ---- residual OPQ PQ, encode per shard (codes stay on device) --------
+    t = time.time()
+    sample_idx = rng.choice(ns, size=min(ns, 256 * 256 // NSHARD + 1),
+                            replace=False)
+    pq_sample = np.concatenate([np.asarray(jnp.take(
+        shards[s], jnp.asarray(sample_idx), axis=0)) for s in range(NSHARD)])
+    pq, use_residual = _train_pq_for_build(
+        pq_sample, km, "l2", M, 8, 8, 256, None, rng)
+    del pq_sample
+    cent_dev = jnp.asarray(km.centroids)
+    rot_dev = (jnp.asarray(pq.rotation) if pq.rotation is not None else None)
+    cb_dev = jnp.asarray(pq.codebook)
+
+    @jax.jit
+    def encode_shard(x, pid):
+        res = x - jnp.take(cent_dev, pid, axis=0)
+        if rot_dev is not None:
+            res = jnp.dot(res, rot_dev, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        return _encode_jit(res, cb_dev)
+
+    codes = jnp.concatenate([
+        encode_shard(shards[s], jnp.asarray(pid_host[s * ns:(s + 1) * ns]))
+        for s in range(NSHARD)])
+    _log(f"pq train+encode {time.time() - t:.0f}s")
+
+    # ---- partition sort on device ---------------------------------------
+    t = time.time()
+    pid_dev = jnp.asarray(pid_host)
+    order = jnp.argsort(pid_dev)
+    invperm = jnp.argsort(order).astype(jnp.int32)
+    # index row r holds original row order[r]: rowids in index order ARE the
+    # sort permutation (original ids = arange), cf. sorted_rowids=rowids[order]
+    rowids_sorted = np.asarray(order, np.int64).astype(np.uint64)
+    lengths = np.bincount(pid_host, minlength=NLIST).astype(np.int64)
+    offsets = np.zeros(NLIST, np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    codes_sorted = jnp.take(codes, order, axis=0)
+    del codes, pid_dev
+
+    # refine vectors (f16, partition-sorted) via donated in-place scatters;
+    # each f32 shard is freed right after its scatter. S16DEV_F32=1 keeps
+    # f32 blocks+refine (matches the production CPU open for parity runs)
+    f32_mode = bool(os.environ.get("S16DEV_F32"))
+    refine_dt = jnp.float32 if f32_mode else jnp.float16
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, rows, dst):
+        return buf.at[dst].set(rows.astype(refine_dt))
+
+    refine = jnp.zeros((N, DIM), refine_dt)
+    for s in range(NSHARD):
+        refine = fill(refine, shards[s],
+                      jax.lax.slice_in_dim(invperm, s * ns, (s + 1) * ns))
+        shards[s] = None
+    del shards, invperm, order
+    _log(f"sort+refine {time.time() - t:.0f}s")
+
+    # ---- padded blocks: code gather then slab decode (bf16) --------------
+    t = time.time()
+    L = _round_up(max(int(lengths.max()), 1), 128)
+    gpos_dev = (jnp.asarray(offsets.astype(np.int32))[:, None]
+                + jnp.arange(L, dtype=jnp.int32)[None, :])
+    valid_dev = jnp.arange(L, dtype=jnp.int32)[None, :] < jnp.asarray(
+        lengths.astype(np.int32))[:, None]
+    gpos_dev = jnp.where(valid_dev, gpos_dev, N)
+    codes_sent = jnp.concatenate(
+        [codes_sorted, jnp.zeros((1, M), jnp.uint8)])
+    del codes_sorted
+    codes_blocks = jnp.take(codes_sent, gpos_dev.reshape(-1),
+                            axis=0).reshape(NLIST, L, M)
+    del codes_sent
+    wide_dev = jnp.asarray(_widen_codebook(pq.codebook, pq.rotation))
+
+    slab = max(1, min(NLIST, (1 << 25) // max(L, 1)))  # ~32M rows of f32 tmp
+
+    @functools.partial(jax.jit, static_argnames=("p0",))
+    def decode_slab(cb_slab, vmask, p0):
+        rows = _decode_pq_device(cb_slab.reshape(-1, M), wide_dev)
+        pidx = p0 + jax.lax.broadcasted_iota(
+            jnp.int32, (cb_slab.shape[0], L), 0).reshape(-1)
+        rows = rows + jnp.take(cent_dev, pidx, axis=0)
+        sq = jnp.sum(rows * rows, axis=-1).reshape(cb_slab.shape[0], L)
+        sq = jnp.where(vmask, sq, jnp.inf)
+        rows = jnp.where(vmask.reshape(-1)[:, None], rows, 0.0)
+        blk_dt = jnp.float32 if f32_mode else jnp.bfloat16
+        return rows.astype(blk_dt).reshape(cb_slab.shape[0], L, DIM), sq
+
+    blk_parts, sq_parts = [], []
+    for p0 in range(0, NLIST, slab):
+        p1 = min(p0 + slab, NLIST)
+        b, q = decode_slab(codes_blocks[p0:p1], valid_dev[p0:p1], p0=p0)
+        blk_parts.append(b)
+        sq_parts.append(q)
+    blocks = jnp.concatenate(blk_parts)
+    block_sq = jnp.concatenate(sq_parts)
+    del blk_parts, sq_parts, codes_blocks, valid_dev
+    jax.block_until_ready(blocks)
+    _log(f"blocks {time.time() - t:.0f}s  L={L}")
+
+    # ---- assemble the serving index in-process ---------------------------
+    idx = IvfIndex.__new__(IvfIndex)
+    idx.ds = None
+    idx.meta = None
+    idx.ivf = IvfModel(km.centroids, offsets, lengths, "l2")
+    idx.metric = "l2"
+    idx.num_rows = N
+    idx.rowids = rowids_sorted
+    idx._centroids_dev = cent_dev
+    idx._offsets_dev = jnp.asarray(offsets.astype(np.int32))
+    idx._lengths_dev = jnp.asarray(lengths.astype(np.int32))
+    idx.max_part_len = int(lengths.max())
+    idx._pad = L
+    idx.is_pq, idx.is_sq, idx.is_rq = True, False, False
+    idx.is_quantized = True
+    idx.pq = pq
+    idx.residual = bool(use_residual)
+    idx._vectors_dev = refine
+    idx._blocks_dev = blocks
+    idx._block_sq_dev = block_sq
+    idx._block_scale_dev = None
+    idx._gpos_dev = gpos_dev
+    build_s = time.time() - t0
+    _log(f"build total {build_s:.0f}s")
+
+    # ---- gate sweep (same grid as scale16m_m64.py) -----------------------
+    qh = np.asarray(queries)
+    curve = []
+    grid = ((32, 16), (32, 32), (32, 64), (64, 64))
+    if N <= 1_000_000:
+        grid = ((16, 8), (16, 16), (32, 32))
+    for nprobes, rf in grid:
+        _, rid = idx.search(qh, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid, gt_i, NQ, K)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf,
+                                   q_cap=getattr(idx, "_last_qcap", None))
+        qd = jnp.asarray(np.tile(qh, (2, 1))[:512])
+        jax.block_until_ready(fn(qd))
+        t = time.time()
+        for _ in range(20):
+            o = fn(qd)
+        jax.block_until_ready(o)
+        qps = 20 * 512 / (time.time() - t)
+        curve.append({"nprobes": nprobes, "refine": rf,
+                      "recall_at_10": round(rec, 4), "qps": round(qps)})
+        _log(json.dumps(curve[-1]))
+        if rec >= 0.96:
+            break
+    best = max((c for c in curve if c["recall_at_10"] >= 0.95),
+               key=lambda c: c["qps"],
+               default=max(curve, key=lambda c: c["recall_at_10"]))
+    out = {"metric": "scale16m_ivfpq_m64_devres", "n": N, "m": M,
+           "recall_at_10": best["recall_at_10"], "qps": best["qps"],
+           "build_s": round(build_s, 1), "curve": curve}
+
+    # ---- optional small-N parity vs the production build -----------------
+    if os.environ.get("S16DEV_CHECK"):
+        import lance_tpu as lt
+        data_h = np.concatenate(
+            [np.asarray(refine[s:s + (1 << 16)], np.float32)
+             for s in range(0, N, 1 << 16)])
+        # un-sort back to original row order for the dataset write (device
+        # argsort is stable, so numpy's stable argsort reproduces it)
+        back = np.argsort(pid_host, kind="stable")
+        unsorted = np.empty_like(data_h)
+        unsorted[back] = data_h
+        ds = lt.write_dataset(
+            {"vec": unsorted, "id": np.arange(N, dtype=np.int64)},
+            f"memory://s16dev/{N}",
+            params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=NLIST,
+                             num_sub_vectors=M, num_bits=8, max_iters=8)
+        pidx = ds._vector_index_for("vec")
+        _, rid_p = pidx.search(qh, K, nprobes=grid[-1][0],
+                               refine_factor=grid[-1][1])
+        rec_p = recall_of(rid_p, gt_i, NQ, K)
+        out["prod_recall_same_cfg"] = round(rec_p, 4)
+        _log(f"production-path recall at {grid[-1]}: {rec_p:.4f}")
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
