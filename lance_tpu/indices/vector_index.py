@@ -1249,6 +1249,7 @@ class IvfIndex:
             n_real=jnp.asarray(b_real, jnp.int32),
             fused=_fused_kernel(),
             merge_group=_merge_group(),
+            slot_top2=_slot_top2(),
             refine_locality=_refine_locality(),
             approx_probe=_approx_probe(),
         )
@@ -1335,6 +1336,7 @@ class IvfIndex:
                 block_scale=self._block_scale_dev,
                 fused=_fused_kernel(),
                 merge_group=_merge_group(),
+                slot_top2=_slot_top2(),
                 refine_locality=_refine_locality(),
                 approx_probe=_approx_probe(),
             )
@@ -1376,6 +1378,7 @@ class IvfIndex:
                 part_offsets=offsets,
                 fused=_fused_kernel(),
                 merge_group=_merge_group(),
+                slot_top2=_slot_top2(),
                 refine_locality=_refine_locality(),
                 approx_probe=_approx_probe(),
             )
@@ -1477,6 +1480,20 @@ def _merge_group() -> int:
     return int(os.environ.get("LANCE_TPU_MERGE_GROUP", "8"))
 
 
+def _slot_top2() -> bool:
+    """Per-slot TOP-2 merge pre-reduction (LANCE_TPU_SLOT_TOP2=1, default
+    off). Keeps the best TWO candidates of each across-probe group instead
+    of one, doubling the survivor pool at a given group width — and because
+    a group of width 2*nprobes holds at most two members per partition,
+    eligibility extends to merge groups up to 2x nprobes (top-2 covers the
+    home partition's two slot members, the collision the top-1 reduction
+    must avoid by capping group <= nprobes). Candidate use: push narrow
+    refine factors ((16,6) sits at 0.9481) over the 0.95 gate at the
+    group=16 sort width. Costs a second masked min pass over the merge
+    tensor; chip A/B pending (see CLAUDE.md frontier note)."""
+    return os.environ.get("LANCE_TPU_SLOT_TOP2", "0") not in ("0", "false", "")
+
+
 def _dist_bf16() -> bool:
     """bf16 score tensors: +14% QPS at equal recall on 1M-scale benchmarks,
     but at 4M+ scale the shrunken neighbor gaps fall below bf16 resolution
@@ -1549,13 +1566,13 @@ _FUSED_GROUP = 16
 @functools.partial(
     jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k",
                               "dist_bf16", "fused", "merge_group",
-                              "refine_locality", "approx_probe")
+                              "refine_locality", "approx_probe", "slot_top2")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
                   part_offsets=None, dist_bf16=False, block_scale=None,
                   n_real=None, fused=False, merge_group=8,
-                  refine_locality=False, approx_probe=False):
+                  refine_locality=False, approx_probe=False, slot_top2=False):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -1744,8 +1761,13 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         # intra-partition offsets, where cross-partition group-mates collide
         # systematically (k > num_rows searches would drop existing rows);
         # tiny pools are cheap to top_k exactly anyway
+        # slot_top2 keeps the best TWO per group, so a group may span up to
+        # 2*nprobes before a partition contributes more slot members than
+        # survive the reduction (payload-sort path only)
+        probe_bound = (2 * nprobes if slot_top2 and part_offsets is not None
+                       else nprobes)
         return (refining and gw > 1 and W % gw == 0 and W >= gw * kk * 8
-                and nprobes >= gw and W >= 4096)
+                and probe_bound >= gw and W >= 4096)
 
     # graded fallback: large refine factors (kk = k*rf) shrink the safe
     # pool-to-fetch ratio, but a narrower group still beats group=1 — which
@@ -1770,6 +1792,17 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
         g = mine.reshape(b, group, ng)
         gmin = jnp.min(g, axis=1)
         garg = jnp.argmin(g, axis=1).astype(jnp.int32)
+        if slot_top2 and part_offsets is not None and group >= 2:
+            # second-best per slot: mask the winner, reduce again. Doubles
+            # the survivor pool at the same group width (the sort below
+            # widens to 2*ng); a group of <= 2*nprobes has at most two
+            # members per partition, both of which top-2 can keep.
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (b, group, ng), 1)
+            g2 = jnp.where(iota_g == garg[:, None, :],
+                           jnp.asarray(jnp.inf, g.dtype), g)
+            gmin = jnp.concatenate([gmin, jnp.min(g2, axis=1)], axis=1)
+            garg = jnp.concatenate(
+                [garg, jnp.argmin(g2, axis=1).astype(jnp.int32)], axis=1)
         if part_offsets is not None:
             # decode positions BEFORE the sort, densely: element-wise
             # take_along_axis AFTER top-k runs at ~0.1G elem/s on TPU and was
@@ -1777,17 +1810,18 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
             # Dense (b, ng) arithmetic + a static probe-select loop build the
             # position of every candidate with zero per-element gathers, then
             # ONE variadic sort carries (key, pos) together.
-            j_all = jax.lax.broadcasted_iota(jnp.int32, (b, ng), 1)
+            width = gmin.shape[1]  # ng, or 2*ng under slot_top2
+            j_all = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1) % ng
             flat_all = garg * ng + j_all
             probe_all = flat_all // L
             l_all = flat_all % L
             offs = part_offsets[pids]  # (B, P): tiny gather
-            pos_base = jnp.zeros((b, ng), jnp.int32)
+            pos_base = jnp.zeros((b, width), jnp.int32)
             for p in range(nprobes):  # static, vectorized selects
                 pos_base = jnp.where(probe_all == p, offs[:, p][:, None], pos_base)
             pos_all = pos_base + l_all
             skeys, spos = jax.lax.sort((gmin, pos_all), dimension=1, num_keys=1)
-            w = min(kk, ng)
+            w = min(kk, width)
             best_d = skeys[:, :w]
             pos = spos[:, :w]
         else:

@@ -608,3 +608,50 @@ def test_search_pipeline_matches_numpy_oracle(monkeypatch):
         overlaps.append(len(oracle_ids & got) / K)
     # distance ties / approx-probe off by default on CPU: demand near-exact
     assert np.mean(overlaps) >= 0.97, np.mean(overlaps)
+
+
+def test_slot_top2_merge_pre_reduction(monkeypatch):
+    """LANCE_TPU_SLOT_TOP2: per-slot top-2 keeps two survivors per merge
+    group, extending eligibility to group widths up to 2*nprobes. On a
+    clustered corpus where the home partition dominates, recall with
+    group=2*nprobes + top-2 must match the collision-free group<=nprobes
+    top-1 baseline (the whole point: the two home-partition slot members
+    both survive)."""
+    rng = np.random.default_rng(11)
+    N, DIM, NQ, K, NPROBES, RF = 20_000, 16, 32, 10, 8, 8
+    centers = rng.normal(size=(48, DIM)).astype(np.float32) * 6
+    a = rng.integers(0, 48, N + NQ)
+    x = (centers[a] + rng.normal(size=(N + NQ, DIM)).astype(np.float32))
+    data, q = x[:N], x[N:]
+    ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                          "memory://top2-slot/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=32,
+                         num_sub_vectors=4, max_iters=8)
+    idx = ds._vector_index_for("vec")
+
+    def recall(rid):
+        hits = 0
+        for i in range(NQ):
+            gt = set(_gt_topk(data, q[i], K).tolist())
+            got = set((rid[i][rid[i] != 0xFFFFFFFFFFFFFFFF].astype(np.int64)
+                       & 0xFFFFFFFF).tolist())
+            hits += len(gt & got)
+        return hits / (NQ * K)
+
+    monkeypatch.setenv("LANCE_TPU_MERGE_GROUP", "8")  # == nprobes: baseline
+    _, rid_base = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+    r_base = recall(rid_base)
+
+    monkeypatch.setenv("LANCE_TPU_MERGE_GROUP", "16")  # 2*nprobes
+    monkeypatch.setenv("LANCE_TPU_SLOT_TOP2", "1")
+    _, rid_t2 = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+    r_t2 = recall(rid_t2)
+
+    # sanity: flag off at group=16 must DEMOTE (nprobes bound) and equal
+    # the baseline exactly
+    monkeypatch.setenv("LANCE_TPU_SLOT_TOP2", "0")
+    _, rid_demoted = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+    assert np.array_equal(rid_demoted, rid_base)
+
+    assert r_base >= 0.84, r_base
+    assert r_t2 >= r_base - 0.02, (r_t2, r_base)
