@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-4 chip gate chain: keeps the chip serially busy after the 16M
+# device-resident gate (started separately; pid in /tmp/s16.pid).
+cd /root/repo
+S16_PID=$(cat /tmp/s16.pid)
+while kill -0 "$S16_PID" 2>/dev/null; do sleep 15; done
+echo "=== 16M done, starting dbp_gate2 $(date +%H:%M:%S)"
+timeout 2700 python experiments/dbp_gate2.py > experiments/logs/dbp_gate2_r4.log 2>&1
+echo "=== dbp_gate2 rc=$? $(date +%H:%M:%S), starting wiki parity"
+PARITY_ONLY=4 timeout 2400 python experiments/parity_configs.py > experiments/logs/wiki_r4.log 2>&1
+echo "=== wiki rc=$? $(date +%H:%M:%S), starting slot_ab"
+timeout 2400 python experiments/slot_ab.py > experiments/logs/slot_ab.log 2>&1
+echo "=== slot_ab rc=$? $(date +%H:%M:%S) all gates done"

@@ -109,7 +109,8 @@ def main():
 
     # ---- exact gt: tile the shards, merge (256, K) winners on host -------
     t = time.time()
-    tile = min(ns, 1 << 18)
+    # largest divisor of ns <= 2^18 so every tile shares one compiled shape
+    tile = next(d for d in range(min(ns, 1 << 18), 0, -1) if ns % d == 0)
 
     @jax.jit
     def tile_topk(q, x):

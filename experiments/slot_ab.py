@@ -1,0 +1,101 @@
+"""slot_top2 chip A/B at the bench headline config (m=64, 1024 parts).
+
+One SIFT1M build, then sweep LANCE_TPU_SLOT_TOP2 x (nprobes, refine)
+around the current headline rung. The hypothesis (ledger, round-3): rf<8
+is capped by merge-group collisions, not quantization — (16,6) 0.9481 and
+(16,4) 0.818 under plain group-min.  slot_top2 keeps the best TWO
+candidates per merge slot (vector_index.py:1795), doubling survivors at
+the same group width, so those rungs may clear the 0.95 gate at their
+higher QPS.  Each combo costs ~2 compiles (recall@B=512 + QPS@B=2048).
+
+Usage: nohup python experiments/slot_ab.py > experiments/logs/slot_ab.log 2>&1 &
+Env: SLOT_AB_CONFIGS="top2:np:rf,..." overrides the sweep list.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+
+from bench import _log, generate_sift_like, recall_of  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    N = int(os.environ.get("SLOT_AB_N", str(1_000_000)))
+    NQ = int(os.environ.get("SLOT_AB_NQ", "1024"))
+    DIM, K = 128, 10
+    nparts = max(4, min(1024, N // 1000))
+    t0 = time.time()
+    data, queries = generate_sift_like(N, DIM, NQ)
+    from lance_tpu.ops.distance import topk_neighbors
+
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    queries_h = np.asarray(queries)
+    _log(f"gen+gt {time.time()-t0:.0f}s")
+
+    import lance_tpu as lt
+
+    t = time.time()
+    ds = lt.write_dataset(
+        {"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+        "memory://slotab/sift1m",
+        params=lt.WriteParams(max_rows_per_file=N, compression="none"),
+    )
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=nparts,
+                         num_sub_vectors=64, num_bits=8, max_iters=12)
+    idx = ds._vector_index_for("vec")
+    _log(f"build {time.time()-t:.0f}s")
+
+    spec = os.environ.get(
+        "SLOT_AB_CONFIGS",
+        "1:16:4,1:16:5,1:16:6,1:16:7,0:16:7")
+    combos = [tuple(int(x) for x in c.split(":")) for c in spec.split(",")]
+
+    results = []
+    for top2, nprobes, rf in combos:
+        os.environ["LANCE_TPU_SLOT_TOP2"] = str(top2)
+        t = time.time()
+        hits = 0
+        for s in range(0, NQ, 512):
+            qb = queries_h[s:s + 512]
+            _, rid = idx.search(qb, K, nprobes=nprobes, refine_factor=rf)
+            hits += recall_of(rid, gt_i[s:s + 512], qb.shape[0], K) * qb.shape[0] * K
+        rec = hits / (NQ * K)
+        rec_s = time.time() - t
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        qb = np.tile(queries_h, (3, 1))[:2048]
+        q_dev = jnp.asarray(qb)
+        jax.block_until_ready(fn(q_dev))  # compile
+        t = time.time()
+        o = None
+        for _ in range(50):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = 50 * 2048 / (time.time() - t)
+        results.append((top2, nprobes, rf, rec, qps))
+        _log(f"top2={top2} ({nprobes},{rf}): recall={rec:.4f} "
+             f"qps@2048={qps:.0f} (recall pass {rec_s:.0f}s)")
+
+    _log("---- summary ----")
+    for top2, nprobes, rf, rec, qps in sorted(
+            results, key=lambda r: -r[4]):
+        gate = "PASS" if rec >= 0.95 else "    "
+        _log(f"{gate} top2={top2} ({nprobes},{rf}) recall={rec:.4f} "
+             f"qps={qps:.0f}")
+
+
+if __name__ == "__main__":
+    main()
