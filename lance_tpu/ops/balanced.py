@@ -110,16 +110,36 @@ def balanced_assign(
     remaining[:] = np.asarray(rem_dev, dtype=remaining.dtype)
     unassigned = np.flatnonzero(assign < 0)
     if unassigned.size:
-        # stragglers: nearest partition with room (host loop over leftovers)
-        straggler_rows = np.asarray(data[unassigned])  # one small fetch
-        centroids = np.asarray(centroids)
-        open_parts = np.flatnonzero(remaining > 0)
-        for i, row in enumerate(unassigned):
-            d = ((centroids[open_parts] - straggler_rows[i]) ** 2).sum(1)
-            j = int(np.argmin(d))
-            p = open_parts[j]
-            assign[row] = p
-            remaining[p] -= 1
-            if remaining[p] <= 0:
-                open_parts = np.flatnonzero(remaining > 0)
+        # stragglers: nearest partition with room. Greedy in row order, but
+        # vectorized: rank each chunk's rows against the open set with one
+        # BLAS matmul, then walk each row's top candidates skipping any
+        # partition that closed mid-chunk (remaining only decreases, so the
+        # first still-open candidate IS the nearest open partition at
+        # processing time — identical to the old per-row argmin loop, which
+        # was minutes of host time at 16M scale).
+        straggler_rows = np.asarray(data[unassigned], np.float32)
+        centroids_h = np.asarray(centroids, np.float32)
+        c_sq = (centroids_h ** 2).sum(1)
+        top_c, chunk_rows = 16, 8192
+        for c0 in range(0, unassigned.size, chunk_rows):
+            rows_i = unassigned[c0:c0 + chunk_rows]
+            X = straggler_rows[c0:c0 + chunk_rows]
+            open_parts = np.flatnonzero(remaining > 0)
+            d = c_sq[open_parts][None, :] - 2.0 * (X @ centroids_h[open_parts].T)
+            t2 = min(top_c, open_parts.size)
+            cand = np.argpartition(d, t2 - 1, axis=1)[:, :t2]
+            ordr = np.take_along_axis(d, cand, axis=1).argsort(axis=1)
+            cand_p = open_parts[np.take_along_axis(cand, ordr, axis=1)]
+            for i, row in enumerate(rows_i):
+                for p in cand_p[i]:
+                    if remaining[p] > 0:
+                        assign[row] = p
+                        remaining[p] -= 1
+                        break
+                else:  # every ranked candidate closed mid-chunk (rare)
+                    op = np.flatnonzero(remaining > 0)
+                    dd = c_sq[op] - 2.0 * (centroids_h[op] @ X[i])
+                    p = op[int(np.argmin(dd))]
+                    assign[row] = p
+                    remaining[p] -= 1
     return assign

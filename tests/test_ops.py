@@ -220,3 +220,41 @@ def test_binary_kmeans(rng):
     # rows from the same planted center land in the same partition
     probe = bkm.find_partitions(codes[:4], 3)
     assert probe.shape == (4, 3)
+
+
+def test_balanced_assign_straggler_fallback_matches_greedy():
+    """The vectorized straggler fallback (chunked BLAS ranking) must give
+    exactly the old per-row greedy result: each leftover row takes its
+    nearest partition that still has room at its processing time."""
+    from lance_tpu.ops.balanced import balanced_assign
+
+    rng = np.random.default_rng(7)
+    n, nlist, dim = 4000, 16, 8
+    # one hot blob so top-t choices all collide and capacity binds hard
+    data = np.where(rng.random((n, 1)) < 0.8,
+                    rng.normal(0.0, 0.05, (n, dim)),
+                    rng.normal(3.0, 1.0, (n, dim))).astype(np.float32)
+    cents = rng.normal(0.0, 1.0, (nlist, dim)).astype(np.float32)
+    cap = int(np.ceil(n / nlist * 1.0))  # bf=1.0: zero slack
+    assign = balanced_assign(data, cents, 1.0, top_t=2, metric="l2")
+    counts = np.bincount(assign, minlength=nlist)
+    assert assign.min() >= 0
+    assert counts.max() <= cap
+    assert counts.sum() == n
+
+    # oracle: replay the same device accept, then per-row greedy leftovers
+    from lance_tpu.ops.balanced import _balanced_accept_device
+    from lance_tpu.ops.distance import build_matmul_dtype
+    a_dev, rem_dev, _ = _balanced_accept_device(
+        jnp.asarray(data), jnp.asarray(cents),
+        jnp.asarray(np.full(nlist, cap, np.int32)), 2, nlist, "l2",
+        build_matmul_dtype())
+    oracle = np.asarray(a_dev).copy()
+    rem = np.asarray(rem_dev, np.int64).copy()
+    for row in np.flatnonzero(oracle < 0):
+        open_parts = np.flatnonzero(rem > 0)
+        d = ((cents[open_parts] - data[row]) ** 2).sum(1)
+        p = open_parts[int(np.argmin(d))]
+        oracle[row] = p
+        rem[p] -= 1
+    np.testing.assert_array_equal(assign, oracle)
