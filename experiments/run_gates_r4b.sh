@@ -1,0 +1,13 @@
+#!/bin/bash
+# Round-4 chain v2: wait for the running dbp_gate2 (pid in /tmp/dbp.pid),
+# then 16M (fixed slab decode), then wiki parity, then slot_top2 A/B.
+cd /root/repo
+DBP_PID=$(cat /tmp/dbp.pid)
+while kill -0 "$DBP_PID" 2>/dev/null; do sleep 15; done
+echo "=== dbp done $(date +%H:%M:%S), starting 16M"
+timeout 3000 python experiments/scale16m_dev.py > experiments/logs/s16dev_r4.log 2>&1
+echo "=== 16M rc=$? $(date +%H:%M:%S), starting wiki parity"
+PARITY_ONLY=4 timeout 1800 python experiments/parity_configs.py > experiments/logs/wiki_r4.log 2>&1
+echo "=== wiki rc=$? $(date +%H:%M:%S), starting slot_ab"
+timeout 2400 python experiments/slot_ab.py > experiments/logs/slot_ab.log 2>&1
+echo "=== slot_ab rc=$? $(date +%H:%M:%S) all done"

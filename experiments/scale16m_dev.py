@@ -253,10 +253,17 @@ def main():
     del codes_sent
     wide_dev = jnp.asarray(_widen_codebook(pq.codebook, pq.rotation))
 
-    slab = max(1, min(NLIST, (1 << 25) // max(L, 1)))  # ~32M rows of f32 tmp
+    # slab small enough that the f32 decode temp stays well under 1 GB
+    # (slab * L * DIM * 4B); a divisor of NLIST keeps one compiled shape,
+    # and donated dynamic_update_slice writes avoid a concatenate that
+    # would double the blocks array (the 16M compile OOM'd at slab=NLIST:
+    # a 10.7 GB HLO temp).
+    want = max(1, (1 << 21) // max(L, 1))
+    slab = next(d for d in range(min(want, NLIST), 0, -1) if NLIST % d == 0)
+    blk_dt = jnp.float32 if f32_mode else jnp.bfloat16
 
-    @functools.partial(jax.jit, static_argnames=("p0",))
-    def decode_slab(cb_slab, vmask, p0):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fill_slab(blocks_buf, sq_buf, cb_slab, vmask, p0):
         rows = _decode_pq_device(cb_slab.reshape(-1, M), wide_dev)
         pidx = p0 + jax.lax.broadcasted_iota(
             jnp.int32, (cb_slab.shape[0], L), 0).reshape(-1)
@@ -264,18 +271,19 @@ def main():
         sq = jnp.sum(rows * rows, axis=-1).reshape(cb_slab.shape[0], L)
         sq = jnp.where(vmask, sq, jnp.inf)
         rows = jnp.where(vmask.reshape(-1)[:, None], rows, 0.0)
-        blk_dt = jnp.float32 if f32_mode else jnp.bfloat16
-        return rows.astype(blk_dt).reshape(cb_slab.shape[0], L, DIM), sq
+        blk = rows.astype(blk_dt).reshape(cb_slab.shape[0], L, DIM)
+        blocks_buf = jax.lax.dynamic_update_slice(
+            blocks_buf, blk, (p0, jnp.int32(0), jnp.int32(0)))
+        sq_buf = jax.lax.dynamic_update_slice(sq_buf, sq, (p0, jnp.int32(0)))
+        return blocks_buf, sq_buf
 
-    blk_parts, sq_parts = [], []
+    blocks = jnp.zeros((NLIST, L, DIM), blk_dt)
+    block_sq = jnp.zeros((NLIST, L), jnp.float32)
     for p0 in range(0, NLIST, slab):
-        p1 = min(p0 + slab, NLIST)
-        b, q = decode_slab(codes_blocks[p0:p1], valid_dev[p0:p1], p0=p0)
-        blk_parts.append(b)
-        sq_parts.append(q)
-    blocks = jnp.concatenate(blk_parts)
-    block_sq = jnp.concatenate(sq_parts)
-    del blk_parts, sq_parts, codes_blocks, valid_dev
+        blocks, block_sq = fill_slab(
+            blocks, block_sq, codes_blocks[p0:p0 + slab],
+            valid_dev[p0:p0 + slab], jnp.int32(p0))
+    del codes_blocks, valid_dev
     jax.block_until_ready(blocks)
     _log(f"blocks {time.time() - t:.0f}s  L={L}")
 
