@@ -112,6 +112,12 @@ def main() -> None:
         os._exit(0)
     devs = init["devices"]
     _log(f"devices: {devs}")
+    # serialize chip access: never overlap another gate/experiment job
+    # (round-3 incident: a stale watcher chain ran during the bench)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+
+    if any(d.platform != "cpu" for d in devs):
+        acquire_chip_lock(log=_log)
     data, queries = generate_sift_like(N, DIM, NQ)  # device-resident
     _log(f"data generated in {time.time()-t0:.1f}s")
 

@@ -1,0 +1,98 @@
+"""AOT compile-check of _search_dense at the 16M gate shapes — no data.
+
+The round-3 16M gate died at COMPILE time (s16dev_r4.log: 16.32G needed vs
+15.75G HBM), after a 578 s build. This script validates the fix (honest
+HBM budget + tile-aligned q_cap) in minutes: jit-lower the exact search
+shapes with ShapeDtypeStructs and AOT-compile them on the backend. If
+every grid point compiles, the full scale16m_dev.py run cannot OOM at
+search compile.
+
+Prints per-config q_cap, compile wall time, and (when the backend reports
+it) the compiled memory analysis.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "0")
+os.environ.setdefault("LANCE_TPU_REFINE_F16", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=lambda m: print(m, flush=True))
+
+    from lance_tpu.indices.vector_index import (IvfIndex, _search_dense,
+                                                _dist_bf16, _merge_group,
+                                                _slot_top2, _approx_probe,
+                                                _refine_locality)
+    from lance_tpu.models.ivf import IvfModel
+
+    N, DIM, NLIST, L, B, K = 16_000_000, 128, 8192, 2560, 512, 10
+    sds = jax.ShapeDtypeStruct
+
+    # the same fake-index accounting the real harness will use for q_cap
+    idx = IvfIndex.__new__(IvfIndex)
+    idx.ivf = IvfModel(np.zeros((NLIST, DIM), np.float32),
+                       np.zeros(NLIST, np.int64), np.zeros(NLIST, np.int64),
+                       "l2")
+    idx.metric = "l2"
+    idx.num_rows = N
+    idx._pad = L
+    idx.is_quantized = True
+    idx._blocks_dev = sds((NLIST, L, DIM), jnp.bfloat16)
+    idx._block_sq_dev = sds((NLIST, L), jnp.float32)
+    idx._gpos_dev = sds((NLIST, L), jnp.int32)
+    idx._centroids_dev = sds((NLIST, DIM), jnp.float32)
+    idx._offsets_dev = sds((NLIST,), jnp.int32)
+    idx._lengths_dev = sds((NLIST,), jnp.int32)
+    idx._block_scale_dev = None
+    idx._vectors_dev = sds((N, DIM), jnp.float16)
+
+    for nprobes, rf in ((32, 16), (32, 32), (32, 64), (64, 64)):
+        os.environ["LANCE_TPU_QCAP_ADAPT"] = "0"  # cap math only, no device
+        q_cap = idx._adaptive_qcap(B, nprobes, NLIST, None, B)
+        # the adaptive path can only RAISE toward the same hbm cap; compile
+        # the cap itself (the worst case the harness can request)
+        budget = idx._score_budget_bytes(B, nprobes, 4)
+        hbm_cap = max(8, int(budget // (NLIST * L * 4)) // 8 * 8)
+        q_cap = max(q_cap, hbm_cap)
+        fetch = min(K * rf, N)
+        t0 = time.time()
+        lowered = _search_dense.lower(
+            idx._blocks_dev, idx._block_sq_dev, idx._gpos_dev,
+            idx._centroids_dev, sds((B, DIM), jnp.float32), None,
+            "l2", nprobes, fetch, q_cap,
+            refine_vectors=idx._vectors_dev, final_k=K,
+            part_offsets=idx._offsets_dev, dist_bf16=_dist_bf16(),
+            block_scale=None, n_real=sds((), jnp.int32),
+            fused=False, merge_group=_merge_group(),
+            slot_top2=_slot_top2(), refine_locality=_refine_locality(),
+            approx_probe=_approx_probe(),
+        )
+        compiled = lowered.compile()
+        dt = time.time() - t0
+        mem = None
+        try:
+            ma = compiled.memory_analysis()
+            if ma is not None:
+                mem = (f"temp={ma.temp_size_in_bytes/1e9:.2f}GB "
+                       f"args={ma.argument_size_in_bytes/1e9:.2f}GB")
+        except Exception:
+            pass
+        print(f"OK nprobes={nprobes} rf={rf} q_cap={q_cap} "
+              f"compile={dt:.0f}s {mem or ''}", flush=True)
+    print("ALL COMPILES GREEN", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,9 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=lambda m: print(m, flush=True))
     import lance_tpu as lt
     from lance_tpu.ops.distance import topk_neighbors
 

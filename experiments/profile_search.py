@@ -31,6 +31,9 @@ def top_ops(trace_dir, n=18):
 
 def main():
     import jax
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=lambda m: print(m, flush=True))
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

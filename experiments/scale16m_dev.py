@@ -40,7 +40,9 @@ import numpy as np
 os.environ.setdefault("LANCE_TPU_DIST_BF16", "0")   # f32 score tensors:
 # the 16M rank tail is the gate's whole story (diag16m_rank.py)
 os.environ.setdefault("LANCE_TPU_REFINE_F16", "1")
-os.environ.setdefault("LANCE_TPU_SCORE_BUDGET_GB", "4")
+# score budget: auto-derived from HBM minus resident bytes
+# (IvfIndex._score_budget_bytes) — the round-3 flat 4/6 GB defaults both
+# OOMed because they ignored the 8.9 GB of resident arguments
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _log  # noqa: E402
@@ -65,6 +67,9 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
     import functools
 
     from lance_tpu.indices.vector_index import (IvfIndex, _train_pq_for_build,
@@ -111,6 +116,10 @@ def main():
     t = time.time()
     # largest divisor of ns <= 2^18 so every tile shares one compiled shape
     tile = next(d for d in range(min(ns, 1 << 18), 0, -1) if ns % d == 0)
+    assert tile >= min(ns, 4096), (
+        f"gt tile degenerated to {tile} (ns={ns} is near-prime): pick "
+        f"S16DEV_N/S16DEV_SHARDS so the per-shard row count has a divisor "
+        f">= 4096, or the gt loop becomes per-row dispatch")
 
     @jax.jit
     def tile_topk(q, x):
@@ -253,13 +262,17 @@ def main():
     del codes_sent
     wide_dev = jnp.asarray(_widen_codebook(pq.codebook, pq.rotation))
 
-    # slab small enough that the f32 decode temp stays well under 1 GB
-    # (slab * L * DIM * 4B); a divisor of NLIST keeps one compiled shape,
-    # and donated dynamic_update_slice writes avoid a concatenate that
-    # would double the blocks array (the 16M compile OOM'd at slab=NLIST:
-    # a 10.7 GB HLO temp).
+    # slab small enough that the f32 decode temp stays at most 1 GiB
+    # (slab * L <= 2^21 elements x DIM(128) x 4B = 1 GiB exactly at the
+    # bound); a divisor of NLIST keeps one compiled shape, and donated
+    # dynamic_update_slice writes avoid a concatenate that would double the
+    # blocks array (the 16M compile OOM'd at slab=NLIST: a 10.7 GB temp).
     want = max(1, (1 << 21) // max(L, 1))
     slab = next(d for d in range(min(want, NLIST), 0, -1) if NLIST % d == 0)
+    assert slab >= max(1, min(want, NLIST) // 64), (
+        f"decode slab degenerated to {slab} (NLIST={NLIST} near-prime): "
+        f"use a power-of-two S16DEV_NLIST or the decode loop becomes "
+        f"per-partition dispatch")
     blk_dt = jnp.float32 if f32_mode else jnp.bfloat16
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -1282,23 +1282,70 @@ class IvfIndex:
         # anyway: the budget cap is per-slot FLOP ceiling, and the 16M
         # recall loss was measured to be pool ranking, not slot drops
         # (experiments/diag16m_slots.py: survival@q_cap=8 already 0.971).
+        # hbm_cap stays a multiple of 8 so the score-tensor merge reshape
+        # is layout-preserving (see _query_cap).
         acc_bytes = 2 if _dist_bf16() else 4
-        budget = float(os.environ.get("LANCE_TPU_SCORE_BUDGET_GB", "6")) * 1e9
+        budget = self._score_budget_bytes(bucket, nprobes, acc_bytes)
         slot_bytes = max(1, nlist * self._pad * acc_bytes)
-        hbm_cap = max(8, int(budget // slot_bytes))
+        hbm_cap = max(8, int(budget // slot_bytes) // 8 * 8)
         if not _qcap_adaptive() or base >= bucket:
-            self._last_qcap = min(base, max(hbm_cap, 8))
+            self._last_qcap = min(base, hbm_cap)
             return self._last_qcap
         demand = int(_probe_demand(self._centroids_dev, q_dev,
                                    jnp.asarray(b_real, jnp.int32),
                                    self.metric, nprobes, _approx_probe()))
         mean = max(1, (bucket * nprobes + nlist - 1) // nlist)
-        cap_max = min(bucket, max(base, 64 * mean), max(hbm_cap, base))
+        cap_max = min(bucket, _round_up(max(base, 64 * mean), 8),
+                      max(hbm_cap, base))
         cap = base
         while cap < demand and cap < cap_max:
             cap *= 2
         self._last_qcap = min(cap, cap_max)
         return self._last_qcap
+
+    def _score_budget_bytes(self, bucket: int, nprobes: int,
+                            acc_bytes: int) -> float:
+        """HBM byte budget for the (nlist, q_cap, L) score tensor.
+
+        LANCE_TPU_SCORE_BUDGET_GB overrides; otherwise derived from the
+        device's capacity minus everything that coexists with the tensor:
+        the index's RESIDENT device arrays (blocks + refine vectors +
+        metadata — 8.9 GB of the round-3 16M OOM that the old flat 6 GB
+        default ignored; s16dev_r4.log: 16.32G needed vs 15.75G HBM), the
+        per-query merge temps (~3 copies of the (B, P, L) gather output),
+        and a safety margin (LANCE_TPU_HBM_MARGIN_GB, default 1.5 — covers
+        the XLA reserved region, refine-gather temps, and sort scratch).
+        memory_stats() is unavailable over the axon relay, so capacity
+        comes from LANCE_TPU_HBM_GB (default 15.75 GiB = v5e)."""
+        env = os.environ.get("LANCE_TPU_SCORE_BUDGET_GB")
+        if env:
+            return float(env) * 1e9
+        limit = _hbm_bytes_limit()
+        if limit is None:
+            return 6e9
+        resident = 0
+        for a in (self._blocks_dev, self._block_sq_dev, self._gpos_dev,
+                  self._centroids_dev, self._offsets_dev,
+                  getattr(self, "_lengths_dev", None),
+                  self._block_scale_dev, self._vectors_dev):
+            if a is None:
+                continue
+            if hasattr(a, "nbytes"):
+                resident += int(a.nbytes)
+            elif hasattr(a, "shape") and hasattr(a, "dtype"):
+                # ShapeDtypeStruct (AOT compile checks) carries no nbytes
+                resident += int(np.prod(a.shape)) * np.dtype(a.dtype).itemsize
+        if self.is_quantized and self._vectors_dev is None:
+            # refine vectors upload lazily on the first refined search —
+            # account for them before they are resident
+            per = 2 if (_refine_bf16() or _refine_f16()) else 4
+            dim = int(self._centroids_dev.shape[1])
+            resident += self.num_rows * dim * per
+        merge_temps = 3 * bucket * nprobes * self._pad * acc_bytes
+        margin = float(os.environ.get("LANCE_TPU_HBM_MARGIN_GB", "1.5")) * 1e9
+        slot_bytes = self.ivf.num_partitions * self._pad * acc_bytes
+        floor = 8 * slot_bytes  # q_cap=8 minimum is always permitted
+        return max(floor, limit - resident - merge_temps - margin)
 
     def compiled_searcher(self, k: int, nprobes: int = 20,
                           refine_factor: int | None = None,
@@ -1502,15 +1549,41 @@ def _dist_bf16() -> bool:
     return os.environ.get("LANCE_TPU_DIST_BF16", "0") not in ("0", "false", "")
 
 
+def _hbm_bytes_limit() -> float | None:
+    """Device HBM capacity in bytes, or None when there is no HBM to budget
+    (CPU backend). LANCE_TPU_HBM_GB (GiB) overrides; jax memory_stats is
+    preferred when the backend reports it (the axon relay does not)."""
+    env = os.environ.get("LANCE_TPU_HBM_GB")
+    if env:
+        return float(env) * (1 << 30)
+    try:
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return None
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return float(stats["bytes_limit"])
+    except Exception:
+        return None
+    return 15.75 * (1 << 30)  # v5e default
+
+
 def _query_cap(b: int, nprobes: int, nlist: int, slack: int | None = None) -> int:
     """Static per-partition query-slot budget: slack x the mean occupancy.
     Lower slack shrinks the dominant (nlist, q_cap, L) score tensors but
     drops probes on partitions hotter than the budget (slight recall cost
-    on skewed query loads)."""
+    on skewed query loads).
+
+    q_cap is rounded up to a multiple of 8 (the TPU sublane tile): the
+    per-query merge reshapes (nlist, q_cap, L) -> (nlist*q_cap, L), which
+    is a free bitcast only when every partition fills whole sublane tiles.
+    A misaligned q_cap materializes a full extra copy of the score tensor
+    — the second 3.67 GB allocation in the round-3 16M compile OOM
+    (experiments/logs/s16dev_r4.log, q_cap=47)."""
     if slack is None:
         slack = int(os.environ.get("LANCE_TPU_QCAP_SLACK", "4"))
     mean = max(1, (b * nprobes + nlist - 1) // nlist)
-    return min(b, max(8, mean * slack))
+    return min(b, _round_up(max(8, mean * slack), 8))
 
 
 def _qcap_adaptive() -> bool:

@@ -117,8 +117,12 @@ def balanced_assign(
         # first still-open candidate IS the nearest open partition at
         # processing time — identical to the old per-row argmin loop, which
         # was minutes of host time at 16M scale).
-        straggler_rows = np.asarray(data[unassigned], np.float32)
-        centroids_h = np.asarray(centroids, np.float32)
+        # float64 ranking: the expanded form c_sq - 2 X.C^T cancels at
+        # SIFT-range magnitudes (~1.0 absolute error in f32 — can flip
+        # near-tied partitions vs the exact differencing form). Stragglers
+        # are a small remainder set, so the f64 BLAS cost is negligible.
+        straggler_rows = np.asarray(data[unassigned], np.float64)
+        centroids_h = np.asarray(centroids, np.float64)
         c_sq = (centroids_h ** 2).sum(1)
         top_c, chunk_rows = 16, 8192
         for c0 in range(0, unassigned.size, chunk_rows):

@@ -73,8 +73,32 @@ def train_kmeans_sharded(
     metric: Metric = "l2",
     seed: int = 42,
     dp_axes: tuple[str, ...] = ("dp",),
+    init_method: str = "kmeans++",
+    hierarchical_threshold: int | None = None,
 ) -> KMeans:
-    """Train k-means with rows sharded across the mesh."""
+    """Train k-means with rows sharded across the mesh.
+
+    Beyond `hierarchical_threshold` clusters (default 8192, same env knob
+    as the single-device path: LANCE_TPU_HIER_KMEANS_THRESHOLD) training
+    dispatches to a two-level build — the reference enables hierarchical
+    k-means for large k (kmeans.rs:88 hierarchical_k=16), and the
+    docs/scale100m.md nlist=32768 config requires it here: flat Lloyd at
+    k=32768 is MXU-feasible but the O(k)-sequential kmeans++ seeding scan
+    is not (32768 dependent device steps).
+
+    `init_method="random"`: batched sample init (reference kmeans.rs:149
+    random init) — used by the hierarchical children so no O(k) scan runs
+    at any level.
+    """
+    import os
+
+    if hierarchical_threshold is None:
+        hierarchical_threshold = int(os.environ.get(
+            "LANCE_TPU_HIER_KMEANS_THRESHOLD", 8192))
+    if k > max(2, hierarchical_threshold):
+        return _train_sharded_hierarchical(
+            data, k, mesh, max_iters=max_iters, metric=metric, seed=seed,
+            dp_axes=dp_axes, direct_k=hierarchical_threshold)
     data = np.asarray(data, dtype=np.float32)
     if metric == "cosine":
         data = data / np.maximum(np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
@@ -90,9 +114,18 @@ def train_kmeans_sharded(
     weights_sh = jax.device_put(weights, wsharding)
 
     rng = np.random.default_rng(seed)
-    sample = data[rng.choice(n_real, size=min(n_real, 64 * k), replace=False)]
-    init = _kmeanspp_init(jnp.asarray(sample), jax.random.PRNGKey(seed), k)
-    centroids = jax.device_put(np.asarray(init), NamedSharding(mesh, P(None, None)))
+    if init_method == "kmeans++" and n_real >= k:
+        sample = data[rng.choice(n_real, size=min(n_real, 64 * k), replace=False)]
+        init = np.asarray(
+            _kmeanspp_init(jnp.asarray(sample), jax.random.PRNGKey(seed), k))
+    else:
+        # batched init: k distinct sample rows (+ tiny jitter for any
+        # duplicates when n_real < k)
+        sel = rng.choice(n_real, size=k, replace=n_real < k)
+        init = data[sel].copy()
+        if n_real < k:
+            init += rng.normal(size=init.shape).astype(np.float32) * 1e-4
+    centroids = jax.device_put(init, NamedSharding(mesh, P(None, None)))
 
     step = make_sharded_train_step(mesh, dp_axes)
     prev_loss = np.inf
@@ -103,6 +136,111 @@ def train_kmeans_sharded(
             break
         prev_loss = cur
     return KMeans(np.asarray(centroids), metric)
+
+
+def make_sharded_assign_step(mesh: Mesh, dp_axes=("dp",)):
+    """jit'd fn(local rows P(dp), centroids replicated) -> partition ids
+    P(dp). The sharded analog of KMeans.compute_partitions."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(dp_axes, None), P(None, None)),
+        out_specs=P(dp_axes),
+    )
+    def assign(local_data, centroids):
+        prod = jnp.dot(local_data, centroids.T,
+                       preferred_element_type=jnp.float32)
+        dn = jnp.sum(local_data.astype(jnp.float32) ** 2, axis=1,
+                     keepdims=True)
+        cn = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1)
+        return jnp.argmin(dn + cn[None, :] - 2.0 * prod,
+                          axis=1).astype(jnp.int32)
+
+    return jax.jit(assign)
+
+
+def _train_sharded_hierarchical(
+    data: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    max_iters: int,
+    metric: Metric,
+    seed: int,
+    dp_axes: tuple[str, ...],
+    direct_k: int,
+    branch: int = 16,
+) -> KMeans:
+    """Two-level mesh-sharded k-means (reference train_hierarchical_kmeans,
+    kmeans.rs:741/hierarchical_k=16, re-derived for the mesh):
+
+      1. top level: `branch` clusters via the flat sharded trainer
+      2. one sharded assignment pass groups the (already-sampled) rows
+      3. child budgets apportioned by member count (largest remainder —
+         ops/kmeans._apportion, the one-shot equivalent of the reference's
+         largest-first splitting loop)
+      4. each parent's members train their child count with the flat
+         sharded trainer and BATCHED random init (kmeans.rs:149) — no
+         O(k)-sequential kmeans++ scan at any level
+
+    Parents train sequentially on the host loop but each sub-train is
+    fully mesh-parallel; total assignment FLOPs drop from O(N*k) flat to
+    O(N*branch + sum_c N_c * k_c) — the scale100m.md budget's "~45 s
+    train" line is computed from THIS path.
+    """
+    from ..ops.kmeans import _apportion
+
+    data = np.asarray(data, dtype=np.float32)
+    if metric == "cosine":
+        data = data / np.maximum(
+            np.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    n = data.shape[0]
+    if n <= k:  # degenerate: every row its own centroid (+ padding below)
+        parts = [data]
+    else:
+        top = train_kmeans_sharded(
+            data, branch, mesh, max_iters=max_iters, metric="l2", seed=seed,
+            dp_axes=dp_axes, hierarchical_threshold=1 << 30)
+        n_shards = int(np.prod([mesh.shape[a] for a in dp_axes]))
+        padded, _ = pad_rows_to_multiple(data, n_shards)
+        assign_fn = make_sharded_assign_step(mesh, dp_axes)
+        ids = np.asarray(assign_fn(
+            jax.device_put(padded, NamedSharding(mesh, P(dp_axes, None))),
+            jax.device_put(top.centroids, NamedSharding(mesh, P(None, None)))
+        ))[:n]
+        sizes = np.bincount(ids, minlength=branch)
+        alloc = _apportion(sizes, k)
+        parts = []
+        for c in range(branch):
+            kc = int(alloc[c])
+            if kc == 0:
+                continue
+            members = data[ids == c]
+            if kc == 1 or members.shape[0] <= 1:
+                parts.append(members.mean(axis=0, keepdims=True)
+                             if members.size else top.centroids[c:c + 1])
+                continue
+            if kc > direct_k:  # recurse (k/branch still above direct_k)
+                sub = _train_sharded_hierarchical(
+                    members, kc, mesh, max_iters, "l2", seed + c + 1,
+                    dp_axes, direct_k, branch)
+            else:
+                sub = train_kmeans_sharded(
+                    members, kc, mesh, max_iters=max_iters, metric="l2",
+                    seed=seed + c + 1, dp_axes=dp_axes,
+                    init_method="random", hierarchical_threshold=1 << 30)
+            parts.append(sub.centroids)
+    centroids = np.concatenate(parts, axis=0)
+    if centroids.shape[0] < k:  # saturated parents (k close to n)
+        rng = np.random.default_rng(seed)
+        base = centroids[rng.integers(0, centroids.shape[0],
+                                      k - centroids.shape[0])]
+        centroids = np.concatenate(
+            [centroids,
+             base * (1 + rng.normal(size=base.shape).astype(np.float32)
+                     * 1e-4)], axis=0)
+    return KMeans(centroids[:k], metric)
 
 
 def make_tp_assign_step(mesh: Mesh, tp_axis: str = "tp", dp_axis: str = "dp"):

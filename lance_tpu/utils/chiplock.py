@@ -1,0 +1,99 @@
+"""Cross-process chip mutex: at most ONE process touches the real TPU.
+
+Why: the dev chip is a single shared v5e behind the axon relay. Two
+concurrent jobs silently contend (round-3 incident: a stale gate-watcher
+chain ran a 16M build during the driver's bench and plausibly cost the
+official headline ~6k QPS — see VERDICT r3 weak #4). Every chip entry
+point (bench.py, experiments/*.py mains, gate chains) takes this lock
+before its first device op and holds it for the life of the process.
+
+Implementation: `flock(LOCK_EX)` on a well-known file. The kernel releases
+the lock when the fd closes — including on SIGKILL — so stale pid files
+can never wedge the queue (the failure mode of the old `kill -0` guards in
+run_gates_r4.sh). Lock holders write their pid + argv into the file for
+diagnostics only; correctness never reads it.
+
+CPU-only runs (tests, SCALE_DEV_CPU=1 validation) skip the lock: they
+never touch the chip. Set LANCE_TPU_CHIP_LOCK=0 to opt out explicitly,
+or LANCE_TPU_CHIP_LOCK_PATH to relocate the lock file.
+"""
+
+from __future__ import annotations
+
+import errno
+import fcntl
+import os
+import sys
+import time
+
+_DEFAULT_PATH = "/tmp/lance_tpu_chip.lock"
+_held: dict[str, object] = {}  # path -> open file (keeps fd alive / re-entrant)
+
+
+def _enabled() -> bool:
+    return os.environ.get("LANCE_TPU_CHIP_LOCK", "1") not in ("0", "false", "")
+
+
+def lock_path() -> str:
+    return os.environ.get("LANCE_TPU_CHIP_LOCK_PATH", _DEFAULT_PATH)
+
+
+def acquire_chip_lock(timeout_s: float | None = None,
+                      log=None) -> bool:
+    """Block until this process owns the chip (or `timeout_s` elapses).
+
+    Returns True when the lock is held (including re-entrant calls from the
+    same process), False only on timeout. The lock is held until process
+    exit or `release_chip_lock()`. `log` is an optional callable(str) used
+    to announce waits (so a queued gate run is visible in its log file).
+    """
+    if not _enabled():
+        return True
+    path = lock_path()
+    if path in _held:
+        return True
+    f = open(path, "a+")
+    t0 = time.time()
+    announced = False
+    while True:
+        try:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError as e:
+            if e.errno not in (errno.EAGAIN, errno.EACCES):
+                raise
+            if timeout_s is not None and time.time() - t0 >= timeout_s:
+                f.close()
+                return False
+            if not announced and log is not None:
+                try:
+                    f.seek(0)
+                    holder = f.read(256).strip()
+                except OSError:
+                    holder = "?"
+                log(f"chip lock busy (held by: {holder}); waiting...")
+                announced = True
+            time.sleep(2.0)
+    # diagnostics: record who holds it (correctness never reads this)
+    try:
+        f.seek(0)
+        f.truncate()
+        f.write(f"pid={os.getpid()} cmd={' '.join(sys.argv[:4])} "
+                f"t={time.strftime('%Y-%m-%dT%H:%M:%S')}\n")
+        f.flush()
+    except OSError:
+        pass
+    _held[path] = f
+    if announced and log is not None:
+        log(f"chip lock acquired after {time.time() - t0:.0f}s")
+    return True
+
+
+def release_chip_lock() -> None:
+    path = lock_path()
+    f = _held.pop(path, None)
+    if f is not None:
+        try:
+            fcntl.flock(f.fileno(), fcntl.LOCK_UN)
+        finally:
+            f.close()

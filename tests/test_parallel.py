@@ -458,3 +458,53 @@ def test_sharded_hnsw_build_parity(devices, rng, monkeypatch):
         d_m, rid_m = idx_m.search(q, 5, nprobes=nlist, refine_factor=4)
         np.testing.assert_array_equal(rid_m, rid_s)
         np.testing.assert_allclose(d_m, d_s, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_hierarchical_kmeans_k16k(devices, rng):
+    """k=16384 dispatches to the two-level sharded trainer (the
+    docs/scale100m.md nlist=32768 path, scaled for CPU): it must run with
+    no O(k)-sequential init, return k finite centroids, and quantize
+    better than its own top level (i.e. the children add real quality)."""
+    from lance_tpu.parallel.kmeans import _train_sharded_hierarchical
+
+    mesh = make_mesh(8, {"dp": 8})
+    k, n, dim = 16384, 32768, 4
+    data = rng.normal(size=(n, dim)).astype(np.float32) * 10.0
+    km = train_kmeans_sharded(data, k=k, mesh=mesh, max_iters=3, seed=0)
+    assert km.centroids.shape == (k, dim)
+    assert np.isfinite(km.centroids).all()
+
+    top = train_kmeans_sharded(data, k=16, mesh=mesh, max_iters=3, seed=0)
+    sample = data[rng.choice(n, size=2048, replace=False)]
+
+    def mean_q_err(cents):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return float(d.min(axis=1).mean())
+
+    # compare vs top level in chunks (16384 centroids: chunk the argmin)
+    best = np.full(sample.shape[0], np.inf, np.float32)
+    for c0 in range(0, k, 2048):
+        d = ((sample[:, None, :] - km.centroids[None, c0:c0 + 2048, :]) ** 2
+             ).sum(-1).min(axis=1)
+        best = np.minimum(best, d)
+    assert best.mean() < 0.25 * mean_q_err(top.centroids)
+
+
+def test_sharded_hierarchical_matches_flat_quality(devices, rng):
+    """At a k the flat path can also run, forcing the hierarchical path
+    (threshold override) must land within 1.35x of flat quantization
+    error — hierarchy trades a bounded quality epsilon for the O(k) init."""
+    mesh = make_mesh(8, {"dp": 8})
+    k, n, dim = 256, 8192, 8
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    flat = train_kmeans_sharded(data, k=k, mesh=mesh, max_iters=10, seed=1,
+                                hierarchical_threshold=1 << 30)
+    hier = train_kmeans_sharded(data, k=k, mesh=mesh, max_iters=10, seed=1,
+                                hierarchical_threshold=64)
+    assert hier.centroids.shape == flat.centroids.shape
+
+    def q_err(cents):
+        d = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        return float(d.min(axis=1).mean())
+
+    assert q_err(hier.centroids) < 1.35 * q_err(flat.centroids)

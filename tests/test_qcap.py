@@ -1,0 +1,109 @@
+"""q_cap sizing: tile alignment + HBM-honest score budget.
+
+Regression tests for the round-3 16M compile OOM (s16dev_r4.log): the
+score-budget guard ignored 8.9 GB of resident arguments, and a q_cap of
+47 (not a multiple of the 8-row sublane tile) made the merge reshape
+materialize a second full copy of the score tensor.
+"""
+import numpy as np
+import pytest
+
+from lance_tpu.indices.vector_index import IvfIndex, _query_cap
+from lance_tpu.models.ivf import IvfModel
+
+
+def test_query_cap_multiple_of_8():
+    for b in (8, 32, 128, 512, 2048):
+        for nprobes in (1, 3, 10, 16, 32, 50):
+            for nlist in (64, 1024, 8192):
+                cap = _query_cap(b, nprobes, nlist)
+                assert cap % 8 == 0, (b, nprobes, nlist, cap)
+                assert cap <= b
+    # bucket-1 searches keep q_cap=1 (tiny tensors; the copy is negligible)
+    assert _query_cap(1, 10, 64) == 1
+
+
+def _fake_index(nlist=8192, L=2560, dim=128, n=16_000_000,
+                blocks_dtype=np.float16, refine_uploaded=False):
+    idx = IvfIndex.__new__(IvfIndex)
+    idx.ivf = IvfModel(np.zeros((nlist, dim), np.float32),
+                       np.zeros(nlist, np.int64), np.zeros(nlist, np.int64),
+                       "l2")
+    idx.metric = "l2"
+    idx.num_rows = n
+    idx._pad = L
+    idx.is_quantized = True
+    # resident device arrays stand in as numpy (only .nbytes is read)
+    idx._blocks_dev = np.zeros((nlist, L, dim), blocks_dtype)
+    idx._block_sq_dev = np.zeros((nlist, L), np.float32)
+    idx._gpos_dev = np.zeros((nlist, L), np.int32)
+    idx._centroids_dev = np.zeros((nlist, dim), np.float32)
+    idx._offsets_dev = np.zeros(nlist, np.int32)
+    idx._lengths_dev = np.zeros(nlist, np.int32)
+    idx._block_scale_dev = None
+    idx._vectors_dev = (np.zeros((n, dim), np.float16)
+                        if refine_uploaded else None)
+    return idx
+
+
+def test_score_budget_subtracts_resident_bytes(monkeypatch):
+    monkeypatch.setenv("LANCE_TPU_HBM_GB", "15.75")
+    monkeypatch.delenv("LANCE_TPU_SCORE_BUDGET_GB", raising=False)
+    monkeypatch.setenv("LANCE_TPU_REFINE_F16", "1")
+    idx = _fake_index(refine_uploaded=True)
+    budget = idx._score_budget_bytes(512, 32, acc_bytes=4)
+    resident = sum(int(a.nbytes) for a in (
+        idx._blocks_dev, idx._block_sq_dev, idx._gpos_dev,
+        idx._centroids_dev, idx._offsets_dev, idx._lengths_dev,
+        idx._vectors_dev))
+    limit = 15.75 * (1 << 30)
+    assert budget < limit - resident  # margin + merge temps also subtracted
+    # the 16M f32 shape must now fit: q_cap * slot_bytes <= budget at
+    # q_cap >= 32 (diag16m_slots: recall survives q_cap=8 already)
+    slot_bytes = 8192 * 2560 * 4
+    assert budget // slot_bytes >= 32
+    # ... while the old flat 6 GB budget, doubled by the misaligned-q_cap
+    # reshape copy it permitted, would NOT have fit (the round-3 failure):
+    assert resident + 2 * 6e9 > limit
+
+
+def test_score_budget_counts_lazy_refine_vectors(monkeypatch):
+    monkeypatch.setenv("LANCE_TPU_HBM_GB", "15.75")
+    monkeypatch.delenv("LANCE_TPU_SCORE_BUDGET_GB", raising=False)
+    monkeypatch.setenv("LANCE_TPU_REFINE_F16", "1")
+    lazy = _fake_index(refine_uploaded=False)
+    eager = _fake_index(refine_uploaded=True)
+    b_lazy = lazy._score_budget_bytes(512, 32, 4)
+    b_eager = eager._score_budget_bytes(512, 32, 4)
+    assert b_lazy == pytest.approx(b_eager, rel=1e-6)
+
+
+def test_score_budget_env_override(monkeypatch):
+    monkeypatch.setenv("LANCE_TPU_SCORE_BUDGET_GB", "2")
+    idx = _fake_index()
+    assert idx._score_budget_bytes(512, 32, 4) == 2e9
+
+
+def test_adaptive_qcap_multiple_of_8(monkeypatch):
+    monkeypatch.setenv("LANCE_TPU_HBM_GB", "15.75")
+    monkeypatch.delenv("LANCE_TPU_SCORE_BUDGET_GB", raising=False)
+    monkeypatch.setenv("LANCE_TPU_QCAP_ADAPT", "0")
+    monkeypatch.setenv("LANCE_TPU_REFINE_F16", "1")
+    idx = _fake_index()
+    cap = idx._adaptive_qcap(512, 32, 8192, None, 512)
+    assert cap % 8 == 0 and cap >= 8
+    # the resulting f32 score tensor + resident arrays fit in the budget
+    tensor = 8192 * 2560 * cap * 4
+    resident = sum(int(a.nbytes) for a in (
+        idx._blocks_dev, idx._block_sq_dev, idx._gpos_dev,
+        idx._centroids_dev, idx._offsets_dev, idx._lengths_dev)) \
+        + idx.num_rows * 128 * 2
+    assert tensor + resident < 15.75 * (1 << 30)
+
+
+def test_hbm_limit_none_on_cpu(monkeypatch):
+    from lance_tpu.indices.vector_index import _hbm_bytes_limit
+
+    monkeypatch.delenv("LANCE_TPU_HBM_GB", raising=False)
+    # tests run on the CPU backend (conftest pins jax_platforms=cpu)
+    assert _hbm_bytes_limit() is None
