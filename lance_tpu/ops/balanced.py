@@ -117,12 +117,16 @@ def balanced_assign(
         # first still-open candidate IS the nearest open partition at
         # processing time — identical to the old per-row argmin loop, which
         # was minutes of host time at 16M scale).
-        # float64 ranking: the expanded form c_sq - 2 X.C^T cancels at
+        # ranking precision: the expanded form c_sq - 2 X.C^T cancels at
         # SIFT-range magnitudes (~1.0 absolute error in f32 — can flip
-        # near-tied partitions vs the exact differencing form). Stragglers
-        # are a small remainder set, so the f64 BLAS cost is negligible.
-        straggler_rows = np.asarray(data[unassigned], np.float64)
-        centroids_h = np.asarray(centroids, np.float64)
+        # near-tied partitions vs the exact differencing form). Coarse
+        # candidate selection stays in fast f32 BLAS; the top_c candidates
+        # per row are re-ranked with exact f64 differencing (tiny: rows x
+        # top_c x dim), so the walk below visits candidates in the exact
+        # nearest-first order at f32 cost. (Straight-f64 BLAS measured
+        # ~4x the wall clock at 16M-scale straggler volumes.)
+        straggler_rows = np.asarray(data[unassigned], np.float32)
+        centroids_h = np.asarray(centroids, np.float32)
         c_sq = (centroids_h ** 2).sum(1)
         top_c, chunk_rows = 16, 8192
         for c0 in range(0, unassigned.size, chunk_rows):
@@ -132,7 +136,10 @@ def balanced_assign(
             d = c_sq[open_parts][None, :] - 2.0 * (X @ centroids_h[open_parts].T)
             t2 = min(top_c, open_parts.size)
             cand = np.argpartition(d, t2 - 1, axis=1)[:, :t2]
-            ordr = np.take_along_axis(d, cand, axis=1).argsort(axis=1)
+            diff = (X[:, None, :].astype(np.float64)
+                    - centroids_h[open_parts[cand]].astype(np.float64))
+            d_exact = np.einsum("rcd,rcd->rc", diff, diff)
+            ordr = d_exact.argsort(axis=1, kind="stable")
             cand_p = open_parts[np.take_along_axis(cand, ordr, axis=1)]
             for i, row in enumerate(rows_i):
                 for p in cand_p[i]:
@@ -142,7 +149,8 @@ def balanced_assign(
                         break
                 else:  # every ranked candidate closed mid-chunk (rare)
                     op = np.flatnonzero(remaining > 0)
-                    dd = c_sq[op] - 2.0 * (centroids_h[op] @ X[i])
+                    dd = ((centroids_h[op].astype(np.float64) - X[i]) ** 2
+                          ).sum(1)  # exact differencing: one row, cheap
                     p = op[int(np.argmin(dd))]
                     assign[row] = p
                     remaining[p] -= 1

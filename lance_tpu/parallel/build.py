@@ -252,18 +252,38 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
     # host transients must be bounded by chunk + encoded accumulators, never
     # the raw dataset. Measured here, asserted by tests/test_parallel.py,
     # scaled analytically to 100M x 128 on v5e-64 in the doc.
+    # host_peak_bytes is the PER-HOST residency bound: on a multi-host pod
+    # each process consumes only its devices' addressable shards, so peak
+    # host memory = one chunk + that host's owners' accumulators + the
+    # largest single-owner finalize transient.
     acct = {"chunk_bytes": int(chunk_rows) * dim * 4,
-            "accum_bytes": 0, "finalize_peak_bytes": 0, "n_chunks": 0}
-    # per-owner accumulators: owner d's pieces of (pid, *payloads, row idx)
+            "accum_bytes": 0, "finalize_peak_bytes": 0, "n_chunks": 0,
+            "owner_accum_bytes_max": 0, "host_peak_bytes": 0}
+    # per-owner accumulators: owner d's pieces of (pid, *payloads, rowid).
+    # Rowids ride the shuffle as two i32 bit-halves instead of living in a
+    # controller-resident (n_total,) array — each owner receives exactly
+    # its rows' ids (multi-host: a host only ever holds its owners' rows;
+    # reference protocol parity: shuffler.rs staged runs are never all
+    # resident in one memory).
     owner_pids = [[] for _ in range(ndev)]
     owner_pay = [[[] for _ in range(ndev)] for _ in range(n_pay)]
-    owner_idx = [[] for _ in range(ndev)]
-    rowid_chunks = []
+    owner_rid = [[] for _ in range(ndev)]
+    owner_bytes = np.zeros(ndev, np.int64)
+    dev_owner = {d: i for i, d in enumerate(flat.devices.flat)}
+
+    def host_blocks(arr, cap):
+        """owner-index -> host copy of that owner's (cap, ...) shard block.
+        Consumes addressable_shards only: on a multi-host mesh each process
+        sees (and pays for) just its local owners' rows."""
+        out = {}
+        for sh in arr.addressable_shards:
+            out[dev_owner[sh.device]] = np.asarray(sh.data)
+        return out
+
     shuffles: dict[int, object] = {}
     seen = 0
     for ci, (vecs, rids) in enumerate(_rechunk(chunk_iter, chunk_rows)):
         n_real = vecs.shape[0]
-        rowid_chunks.append(rids)
         padded, _ = pad_rows_to_multiple(
             np.ascontiguousarray(vecs, np.float32), ndev)
         if padded.shape[0] < chunk_rows:  # tail chunk: pad to the fixed shape
@@ -292,46 +312,57 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
         cap = _next_pow2(int(bucket.max()))
         if cap not in shuffles:
             shuffles[cap] = make_payload_shuffle(flat, "bdp", cap,
-                                                 num_partitions, n_pay + 1)
-        row_idx = np.zeros(chunk_rows, np.int32)
-        row_idx[:n_real] = np.arange(seen, seen + n_real, dtype=np.int32)
+                                                 num_partitions, n_pay + 2)
+        rid_pad = np.zeros(chunk_rows, np.uint64)
+        rid_pad[:n_real] = rids
+        rid_halves = rid_pad.view(np.int32).reshape(chunk_rows, 2)
+        rid_lo = np.ascontiguousarray(rid_halves[:, 0])
+        rid_hi = np.ascontiguousarray(rid_halves[:, 1])
         with span("build.shuffle_sharded", chunk=ci, cap=cap):
             shuffled = shuffles[cap](
                 pids_dev, valid_dev, *pay_devs,
-                jax.device_put(row_idx, rows_sh))
+                jax.device_put(rid_lo, rows_sh),
+                jax.device_put(rid_hi, rows_sh))
         out_pids, out_valid = shuffled[0], shuffled[1]
-        out_pays, out_idx = shuffled[2:2 + n_pay], shuffled[2 + n_pay]
-        blk = ndev * cap
-        ok_all = np.asarray(out_valid) > 0
-        pid_all, idx_all = np.asarray(out_pids), np.asarray(out_idx)
-        pay_all = [np.asarray(p) for p in out_pays]
-        got = int(ok_all.sum())
-        if got != n_real:
+        out_pays = shuffled[2:2 + n_pay]
+        out_lo, out_hi = shuffled[2 + n_pay], shuffled[3 + n_pay]
+        valid_blocks = host_blocks(out_valid, cap)
+        pid_blocks = host_blocks(out_pids, cap)
+        lo_blocks, hi_blocks = host_blocks(out_lo, cap), host_blocks(out_hi, cap)
+        pay_blocks = [host_blocks(p, cap) for p in out_pays]
+        got = sum(int((v > 0).sum()) for v in valid_blocks.values())
+        if len(valid_blocks) == ndev and got != n_real:
+            # single-process meshes see every shard; multi-host processes
+            # see a subset and validate the global count via `seen` below
             raise IndexError_(
                 f"sharded shuffle lost rows in chunk {ci}: {got} != {n_real}")
-        for d in range(ndev):
-            ok = ok_all[d * blk:(d + 1) * blk]
+        for d, v in valid_blocks.items():
+            ok = v > 0
             if not ok.any():
                 continue
-            sl = slice(d * blk, (d + 1) * blk)
-            owner_pids[d].append(pid_all[sl][ok])
+            owner_pids[d].append(pid_blocks[d][ok])
+            owner_bytes[d] += owner_pids[d][-1].nbytes
             for j in range(n_pay):
-                piece = pay_all[j][sl][ok]
+                piece = pay_blocks[j][d][ok]
                 owner_pay[j][d].append(piece)
                 acct["accum_bytes"] += piece.nbytes
-            owner_idx[d].append(idx_all[sl][ok])
+                owner_bytes[d] += piece.nbytes
+            rid = np.empty((int(ok.sum()), 2), np.int32)
+            rid[:, 0] = lo_blocks[d][ok]
+            rid[:, 1] = hi_blocks[d][ok]
+            owner_rid[d].append(rid.view(np.uint64).reshape(-1))
             acct["accum_bytes"] += (owner_pids[d][-1].nbytes
-                                    + owner_idx[d][-1].nbytes)
+                                    + owner_rid[d][-1].nbytes)
+            owner_bytes[d] += owner_rid[d][-1].nbytes
         seen += n_real
         acct["n_chunks"] += 1
     if seen != n_total:
         raise IndexError_(f"sharded build saw {seen} rows, expected {n_total}")
+    acct["owner_accum_bytes_max"] = int(owner_bytes.max(initial=0))
 
     # finalize per owner: local stable sort by pid; owner order IS partition
     # order, so appending owner pieces yields the globally partition-sorted
     # aux file with no global argsort (largest transient = one owner's shard)
-    rowids_all = (np.concatenate(rowid_chunks) if rowid_chunks
-                  else np.empty(0, np.uint64))
     # partition lengths from piece-wise bincounts (no concatenation): the
     # IVF header is known before any owner shard is materialized, so owner
     # pieces can stream straight into the aux FileWriter below
@@ -353,21 +384,27 @@ def _build_sharded_core(ds, uuid, flat: Mesh, chunk_iter, n_total: int, km,
         """Concatenate + pid-sort owner d's shard, freeing the accumulators.
         Owner order IS partition order (owners hold contiguous partition
         ranges), so appending owner shards yields the globally
-        partition-sorted aux file with no global argsort."""
+        partition-sorted aux file with no global argsort. Consumes only
+        owner d's locally-accumulated pieces — no full-dataset array is
+        ever indexed (multi-host: each host finalizes its own owners)."""
         pids_d = np.concatenate(owner_pids[d])
-        idx_d = np.concatenate(owner_idx[d])
+        rid_d = np.concatenate(owner_rid[d])
         pays_d = [np.concatenate(owner_pay[j][d]) for j in range(n_pay)]
-        owner_pids[d] = owner_idx[d] = None
+        owner_pids[d] = owner_rid[d] = None
         for j in range(n_pay):
             owner_pay[j][d] = None
         order = np.argsort(pids_d, kind="stable")
-        out = pids_d, rowids_all[idx_d[order]], [p[order] for p in pays_d]
+        out = pids_d, rid_d[order], [p[order] for p in pays_d]
         # transient = concatenated shard + its sorted copy, live together
-        shard = (pids_d.nbytes + idx_d.nbytes + sum(p.nbytes for p in pays_d)
+        shard = (pids_d.nbytes + rid_d.nbytes + sum(p.nbytes for p in pays_d)
                  + order.nbytes)
         acct["finalize_peak_bytes"] = max(
             acct["finalize_peak_bytes"],
             2 * shard + out[1].nbytes)
+        acct["host_peak_bytes"] = max(
+            acct["host_peak_bytes"],
+            acct["chunk_bytes"] + int(owner_bytes.max(initial=0))
+            + acct["finalize_peak_bytes"])
         return out
 
     if encode in ("hnsw_sq", "hnsw_pq"):

@@ -329,16 +329,24 @@ def test_sharded_dataset_build_accounting(devices, rng, monkeypatch,
     acct = params["accounting"]
     assert acct["n_chunks"] == n // chunk_rows
     assert acct["chunk_bytes"] == chunk_rows * dim * 4
-    # codes m B/row + pid 4 + shuffle row idx 4 — exact, padding-free
-    assert acct["accum_bytes"] == n * (m + 8)
-    # finalize transient: per owner, 2x (pids+idx+codes+argsort) + rowids
+    # codes m B/row + pid 4 + rowid 8 (rides the shuffle as two i32
+    # halves; no controller-resident rowid array) — exact, padding-free
+    assert acct["accum_bytes"] == n * (m + 12)
+    # finalize transient: per owner, 2x (pids+rowids+codes+argsort order)
+    # + the sorted rowid copy
     lengths = np.asarray(ds._vector_index_for("vec").ivf.lengths)
     parts_per_owner = -(-nlist // ndev)
     owner_rows = np.add.reduceat(
         np.pad(lengths, (0, parts_per_owner * ndev - nlist)),
         np.arange(0, parts_per_owner * ndev, parts_per_owner))
-    expect_peak = int(owner_rows.max()) * (2 * (m + 4 + 4 + 8) + 8)
+    expect_peak = int(owner_rows.max()) * (2 * (m + 4 + 8 + 8) + 8)
     assert acct["finalize_peak_bytes"] == expect_peak
+    # per-host bound (multi-host contract): chunk + largest owner's
+    # accumulators + finalize transient; owner accumulators are exact
+    assert acct["owner_accum_bytes_max"] == int(owner_rows.max()) * (m + 12)
+    assert acct["host_peak_bytes"] == (acct["chunk_bytes"]
+                                       + acct["owner_accum_bytes_max"]
+                                       + acct["finalize_peak_bytes"])
     # the headline bound: every host transient << raw dataset bytes
     raw = n * dim * 4
     assert acct["accum_bytes"] + acct["finalize_peak_bytes"] < raw // 2
