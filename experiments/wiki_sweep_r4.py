@@ -1,0 +1,102 @@
+"""VERDICT r3 #5: find a >=0.95 recall operating point for the wiki-like
+graph config (IVF_HNSW_SQ, 200k x 384), whatever its QPS — then the docs
+recommend dense (IVF_PQ 0.9918 @ 169,201 same data, wiki_r4.log) with the
+graph as API parity, and the item closes permanently.
+
+Sweeps search-side (nprobes / ef / refine) on the default build, then
+rebuilds with a denser graph (hnsw_m=32, more entries/partition) if the
+bar isn't reached. Reference knobs: HnswBuildParams{m, ef_construction}
+(rust/lance-index/src/vector/hnsw/builder.rs:49-93).
+
+Run: nohup timeout 3600 python experiments/wiki_sweep_r4.py > experiments/logs/wiki_sweep_r4.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    K = 10
+    N4, D4, NQ = 200_000, 384, 256
+    data4, q4 = generate_sift_like(N4, D4, NQ, seed=11)
+    _, gt4 = topk_neighbors(q4, data4, K, "l2", chunk=65536)
+    gt4 = np.asarray(gt4)
+    q4h = np.asarray(q4)
+    host4 = np.asarray(data4)
+
+    def build(tag, **kw):
+        ds = lt.write_dataset(
+            {"vec": host4, "id": np.arange(N4, dtype=np.int64)},
+            f"memory://wikisweep/{tag}",
+            params=lt.WriteParams(max_rows_per_file=N4, compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_HNSW_SQ", num_partitions=64,
+                             max_iters=8, **kw)
+        _log(f"build[{tag}] {time.time() - t:.0f}s {kw}")
+        return ds._vector_index_for("vec"), time.time() - t
+
+    def arm(idx, nprobes, ef, rf):
+        t = time.time()
+        _, rid = idx.search(q4h, K, nprobes=nprobes, refine_factor=rf, ef=ef)
+        rec = recall_of(rid, gt4, NQ, K)
+        # steady-state QPS through search() (graphs have no device-resident
+        # compiled_searcher; this matches the committed wiki numbers)
+        qb = np.tile(q4h, (2, 1))[:512]
+        idx.search(qb, K, nprobes=nprobes, refine_factor=rf, ef=ef)  # warm
+        tt = time.time()
+        iters = 8
+        for _ in range(iters):
+            idx.search(qb, K, nprobes=nprobes, refine_factor=rf, ef=ef)
+        qps = iters * 512 / (time.time() - tt)
+        r = {"nprobes": nprobes, "ef": ef, "rf": rf,
+             "recall_at_10": round(rec, 4), "qps": round(qps)}
+        _log(f"{json.dumps(r)} ({time.time() - t:.0f}s)")
+        return r
+
+    results = {"config": "wiki_like_384d_ivf_hnsw_sq_sweep", "arms": []}
+    idxA, bA = build("deg32")
+    for nprobes, ef, rf in ((32, 192, 8), (48, 768, 16), (64, 2048, 16),
+                            (64, 4096, 32)):
+        r = arm(idxA, nprobes, ef, rf)
+        r["build"] = "deg32"
+        results["arms"].append(r)
+        if r["recall_at_10"] >= 0.97:
+            break
+    best = max(results["arms"], key=lambda r: r["recall_at_10"])
+    if best["recall_at_10"] < 0.95:
+        idxB, bB = build("deg64e8", hnsw_m=32, num_entry_points=8)
+        for nprobes, ef, rf in ((48, 768, 16), (64, 2048, 32),
+                                (64, 6144, 32)):
+            r = arm(idxB, nprobes, ef, rf)
+            r["build"] = "deg64e8"
+            results["arms"].append(r)
+            if r["recall_at_10"] >= 0.96:
+                break
+    passing = [r for r in results["arms"] if r["recall_at_10"] >= 0.95]
+    results["best"] = (max(passing, key=lambda r: r["qps"]) if passing
+                       else max(results["arms"],
+                                key=lambda r: r["recall_at_10"]))
+    results["gate"] = bool(passing)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

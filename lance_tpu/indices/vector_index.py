@@ -191,8 +191,16 @@ def build_ivf_index(
     balance_factor: float = 1.5,
     mesh=None,
     n_devices: int | None = None,
+    hnsw_m: int | None = None,
+    ef_construction: int | None = None,
+    num_entry_points: int | None = None,
 ) -> dict:
-    """Train + encode + write the index file; returns index params for metadata."""
+    """Train + encode + write the index file; returns index params for metadata.
+
+    hnsw_m / ef_construction / num_entry_points tune graph builds
+    (IVF_HNSW_*, HNSW) — the reference's HnswBuildParams surface
+    (rust/lance-index/src/vector/hnsw/builder.rs:49-93); ignored by
+    non-graph index types."""
     from ..ops.balanced import balanced_assign
     from ..ops.kmeans import KMeans, train_kmeans
     from ..ops.pq import PQParams, ProductQuantizer, pq_encode, train_pq
@@ -536,6 +544,11 @@ def build_ivf_index(
         from ..models.hnsw import HnswParams, build_hnsw, build_partitioned_hnsw
         from ..ops.distance import normalize as _normalize
 
+        defaults = HnswParams()
+        hparams = HnswParams(
+            m=hnsw_m or defaults.m,
+            ef_construction=ef_construction or defaults.ef_construction,
+            num_entry_points=num_entry_points or defaults.num_entry_points)
         base = vectors
         if metric == "cosine":
             base = np.asarray(_normalize(dev_vectors))
@@ -549,9 +562,11 @@ def build_ivf_index(
             boundaries = np.append(offsets, n)
             base = base[order]
             rowids = sorted_rowids
-            graph = build_partitioned_hnsw(base, boundaries, HnswParams(), metric)
+            graph = build_partitioned_hnsw(
+                base, boundaries, hparams, metric,
+                entries_per_partition=num_entry_points or 4)
         else:
-            graph = build_hnsw(base, HnswParams(), metric)
+            graph = build_hnsw(base, hparams, metric)
         g_header, g_payload = graph.to_buffers()
         if index_type == "IVF_HNSW_PQ":
             from ..ops.pq import default_opq_rounds
