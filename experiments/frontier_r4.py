@@ -1,0 +1,101 @@
+"""VERDICT r3 #6: attack the refine gather — the measured #1 search cost
+(prof_b2048.log: 3.23 ms of 9.8 ms device time is the exact-refine row
+gather). refine_locality measured neutral (refine_sweep.log) and byte
+halving measured neutral (REFINE_BF16, round 1), so the lever is refine
+ROW COUNT and probe count — and the balanced-Lloyd recall lift (0.9823 at
+the (16,8) headline) bought headroom to spend.
+
+Arms (official bench corpus + config machinery, B=2048):
+  A (16,8)  baseline re-measure
+  B (16,7)  fewer refine rows           (CLAUDE.md frontier note)
+  C (16,6)  fewer refine rows           (ledger: 0.9481 pre-lift @ 308k)
+  D (12,8)  fewer probes, MERGE_GROUP=12 (score tensor + sort both shrink)
+  E (10,8)  fewer probes, MERGE_GROUP=10
+  F (16,8)  + REFINE_BF16=1 re-check at today's bottleneck mix
+Pass = recall >= 0.95; winner = max QPS among passes, adopted by bench.py
+only if >= +3% over A.
+
+Run: nohup timeout 3600 python experiments/frontier_r4.py > experiments/logs/frontier_r4.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K, B = 1_000_000, 128, 1024, 10, 2048
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    qh = np.asarray(queries)
+    ds = lt.write_dataset(
+        {"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+        "memory://frontier_r4/d",
+        params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024,
+                         num_sub_vectors=64, num_bits=8, max_iters=12)
+    _log(f"build {time.time() - t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    qb = jnp.asarray(np.tile(qh, (B // NQ + 2, 1))[:B])
+
+    def arm(tag, nprobes, rf, group, refine_bf16=False):
+        os.environ["LANCE_TPU_MERGE_GROUP"] = str(group)
+        os.environ["LANCE_TPU_REFINE_BF16"] = "1" if refine_bf16 else "0"
+        if refine_bf16:
+            idx._vectors_dev = None  # force re-upload in the new dtype
+        t = time.time()
+        _, rid = idx.search(qh, K, nprobes=nprobes, refine_factor=rf)
+        rec = recall_of(rid, gt_i, NQ, K)
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf,
+                                   q_cap=getattr(idx, "_last_qcap", None))
+        jax.block_until_ready(fn(qb))
+        iters = 40
+        tt = time.time()
+        o = None
+        for _ in range(iters):
+            o = fn(qb)
+        jax.block_until_ready(o)
+        qps = iters * B / (time.time() - tt)
+        r = {"arm": tag, "nprobes": nprobes, "rf": rf, "group": group,
+             "refine_bf16": refine_bf16, "recall_at_10": round(rec, 4),
+             "qps": round(qps)}
+        _log(f"{json.dumps(r)} ({time.time() - t:.0f}s)")
+        if refine_bf16:
+            idx._vectors_dev = None  # don't leak bf16 table into next arm
+        return r
+
+    arms = [arm("A", 16, 8, 16), arm("B", 16, 7, 16), arm("C", 16, 6, 16),
+            arm("D", 12, 8, 12), arm("E", 10, 8, 10),
+            arm("F", 16, 8, 16, refine_bf16=True)]
+    passing = [r for r in arms if r["recall_at_10"] >= 0.95]
+    base = arms[0]
+    best = max(passing, key=lambda r: r["qps"]) if passing else base
+    print(json.dumps({
+        "config": "sift1m_frontier_r4", "baseline": base, "best": best,
+        "gain_pct": round(100 * (best["qps"] / max(base["qps"], 1) - 1), 1),
+        "arms": arms}))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,7 +125,21 @@ def balanced_assign(
         # top_c x dim), so the walk below visits candidates in the exact
         # nearest-first order at f32 cost. (Straight-f64 BLAS measured
         # ~4x the wall clock at 16M-scale straggler volumes.)
-        straggler_rows = np.asarray(data[unassigned], np.float32)
+        if isinstance(data, jnp.ndarray):
+            # device gather with the index COUNT padded to a power of two:
+            # a raw data[unassigned] compiles one remote XLA gather per
+            # unique straggler count (16 distinct sizes = 16 remote
+            # compiles in the 16M build — tens of minutes on a slow
+            # compile day); pow2 bucketing bounds it at O(log n) programs
+            m_u = int(unassigned.size)
+            cap_u = 1 << (m_u - 1).bit_length()
+            idx_pad = np.zeros(cap_u, np.int64)
+            idx_pad[:m_u] = unassigned
+            straggler_rows = np.asarray(
+                jnp.take(data, jnp.asarray(idx_pad), axis=0),
+                np.float32)[:m_u]
+        else:
+            straggler_rows = np.asarray(data[unassigned], np.float32)
         centroids_h = np.asarray(centroids, np.float32)
         c_sq = (centroids_h ** 2).sum(1)
         top_c, chunk_rows = 16, 8192
