@@ -1,0 +1,87 @@
+"""VERDICT r3 #5 follow-up: wiki_sweep_r4 found the >=0.95 point
+(nprobes=64, ef=4096 -> per-partition beam 64, rf=32: 0.9773 @ 65 QPS) —
+the recall lever is the PER-PARTITION beam width (ef // nprobes), which the
+r4 grid accidentally floored at 32 for its first three arms.
+
+This sweep (a) re-measures with the device-cached neighbor table
+(models/hnsw.py neighbors_dev — the r4 numbers paid a 25.6 MB host->device
+upload per batch) and (b) walks the beam=64 frontier to find the fastest
+>=0.95 arm. ef is passed as beam * nprobes so the search() mapping
+(ef // nprobes) yields the intended beam exactly.
+
+Run: nohup timeout 3600 python experiments/wiki_sweep_r4b.py > experiments/logs/wiki_sweep_r4b.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    K = 10
+    N4, D4, NQ = 200_000, 384, 256
+    data4, q4 = generate_sift_like(N4, D4, NQ, seed=11)
+    _, gt4 = topk_neighbors(q4, data4, K, "l2", chunk=65536)
+    gt4 = np.asarray(gt4)
+    q4h = np.asarray(q4)
+    host4 = np.asarray(data4)
+
+    ds = lt.write_dataset(
+        {"vec": host4, "id": np.arange(N4, dtype=np.int64)},
+        "memory://wikisweep/deg32",
+        params=lt.WriteParams(max_rows_per_file=N4, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_HNSW_SQ", num_partitions=64, max_iters=8)
+    _log(f"build[deg32] {time.time() - t:.0f}s")
+    idx = ds._vector_index_for("vec")
+
+    def arm(nprobes, beam, rf):
+        t = time.time()
+        ef = beam * nprobes
+        _, rid = idx.search(q4h, K, nprobes=nprobes, refine_factor=rf, ef=ef)
+        rec = recall_of(rid, gt4, NQ, K)
+        qb = np.tile(q4h, (2, 1))[:512]
+        idx.search(qb, K, nprobes=nprobes, refine_factor=rf, ef=ef)  # warm
+        tt = time.time()
+        iters = 8
+        for _ in range(iters):
+            idx.search(qb, K, nprobes=nprobes, refine_factor=rf, ef=ef)
+        qps = iters * 512 / (time.time() - tt)
+        r = {"nprobes": nprobes, "beam": beam, "rf": rf,
+             "recall_at_10": round(rec, 4), "qps": round(qps)}
+        _log(f"{json.dumps(r)} ({time.time() - t:.0f}s)")
+        return r
+
+    results = {"config": "wiki_like_384d_ivf_hnsw_sq_sweep_r4b", "arms": []}
+    # green arm re-measure first (upload fix A/B), then walk np/rf down
+    for nprobes, beam, rf in ((64, 64, 32), (32, 64, 32), (32, 64, 16),
+                              (16, 64, 16), (32, 48, 16), (48, 64, 16)):
+        r = arm(nprobes, beam, rf)
+        results["arms"].append(r)
+    passing = [r for r in results["arms"] if r["recall_at_10"] >= 0.95]
+    results["best"] = (max(passing, key=lambda r: r["qps"]) if passing
+                       else max(results["arms"],
+                                key=lambda r: r["recall_at_10"]))
+    results["gate"] = bool(passing)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -2092,7 +2092,7 @@ class HnswIndex:
             np_eff = min(nprobes, self._centroids_dev.shape[0])
             _, probed = topk_neighbors(jnp.asarray(q), self._centroids_dev,
                                        np_eff, self.metric)
-            probed_entries = np.asarray(jnp.take(self._part_entries, probed, axis=0))
+            probed_entries = jnp.take(self._part_entries, probed, axis=0)
             pef = max(32, (ef or 0) // np_eff, min(k, 64))
             d, pos = hnsw_search_partitioned(
                 self.graph, self._rows_dev, q, fetch, probed_entries,
