@@ -148,6 +148,25 @@ def test_hnsw_sq_recall():
     assert recall / 10 >= 0.85, recall / 10
 
 
+def test_hnsw_neighbor_table_cached_on_device():
+    # the graph beam search must upload the (N, deg) neighbor table ONCE
+    # per opened index — a per-batch upload measured as the wiki-config
+    # QPS ceiling (25.6 MB/batch over the dev relay)
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(2000, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(2000, dtype=np.int64)},
+                          _uri("hnswcache"))
+    ds = ds.create_index("vec", "IVF_HNSW_SQ", num_partitions=4, max_iters=4)
+    idx = ds._vector_index_for("vec")
+    q = vecs[rng.choice(2000, 8)]
+    _, r1 = idx.search(q, 5, nprobes=4, refine_factor=4)
+    dev = idx.graph._neighbors_dev
+    assert dev is not None
+    _, r2 = idx.search(q, 5, nprobes=4, refine_factor=4)
+    assert idx.graph._neighbors_dev is dev  # no re-upload
+    assert np.array_equal(r1, r2)
+
+
 def test_hnsw_pq_and_deletes():
     rng = np.random.default_rng(4)
     vecs = rng.normal(size=(1500, 16)).astype(np.float32)
