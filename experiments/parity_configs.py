@@ -5,6 +5,7 @@
    recall@10 0.975 @ 2.80 ms/query single-query CPU)
 3. dbpedia-like 1536D cosine IVF_PQ               (benchmarks/dbpedia-openai)
 4. wiki-like HNSW_SQ                              (benchmarks/wiki)
+5. GIST1M-like 960D L2 IVF_PQ                     (lance_gist1m_stats.csv grid)
 
 Synthetic data (same generator as bench.py); recall vs on-device exact GT.
 """
@@ -177,6 +178,47 @@ def main():
         out.append({"config": "wiki_like_384d_ivfpq_contrast",
                     "recall_at_10": round(rec5, 4), "qps": round(qps5),
                     "build_s": round(b5, 1)})
+        _log(json.dumps(out[-1]))
+
+    if _want(5):
+        # 5. GIST1M-like: 1M x 960 L2 (reference lance_gist1m_stats.csv).
+        # Decoded bf16 blocks 1.92 GB + f32 refine 3.84 GB fit one chip.
+        N5, D5 = 1_000_000, 960
+        data5, q5 = generate_sift_like(N5, D5, 256, seed=13)
+        _, gt5 = topk_neighbors(q5, data5, K, "l2", chunk=32768)
+        gt5 = np.asarray(gt5)
+        q5h = np.asarray(q5)
+        ds6 = lt.write_dataset({"vec": np.asarray(data5),
+                                "id": np.arange(N5, dtype=np.int64)},
+                               "memory://parity/gist",
+                               params=lt.WriteParams(max_rows_per_file=N5,
+                                                     compression="none"))
+        t = time.time()
+        ds6 = ds6.create_index("vec", "IVF_PQ", num_partitions=1024,
+                               num_sub_vectors=96, num_bits=8, max_iters=10)
+        b6 = time.time() - t
+        idx6 = ds6._vector_index_for("vec")
+        best6 = None
+        for nprobes, rf in ((16, 16), (24, 32), (48, 64)):
+            _, rid6 = idx6.search(q5h, K, nprobes=nprobes, refine_factor=rf)
+            rec6 = recall_of(rid6, gt5, 256, K)
+            _log(f"gist np={nprobes} rf={rf} recall={rec6:.4f}")
+            best6 = (nprobes, rf, rec6)
+            if rec6 >= 0.95:
+                break
+        nprobes, rf, rec6 = best6
+        fn6 = idx6.compiled_searcher(K, nprobes=nprobes, refine_factor=rf)
+        qd6 = jnp.asarray(np.tile(q5h, (2, 1))[:512])
+        jax.block_until_ready(fn6(qd6))
+        t = time.time()
+        for _ in range(20):
+            o = fn6(qd6)
+        jax.block_until_ready(o)
+        qps6 = 20 * 512 / (time.time() - t)
+        out.append({"config": "gist1m_like_960d_ivfpq_1024x96",
+                    "recall_at_10": round(rec6, 4), "qps": round(qps6),
+                    "nprobes": nprobes, "refine_factor": rf,
+                    "build_s": round(b6, 1)})
         _log(json.dumps(out[-1]))
 
     print(json.dumps(out))
