@@ -172,12 +172,12 @@ def main() -> None:
     # kernel compiles once; each nprobes value compiles one search program)
     chosen = None
     rec = 0.0
-    # ladder starts at the shallow-refine end: refine rows are the serving
-    # whale, and m=64+OPQ candidate ranking lets smaller rf clear the gate
-    # (each rung costs one compile; the first passing rung wins). nprobes
-    # stays >= merge_group=16 — narrower probing demotes the merge group
-    # and measured SLOWER (12,8) 260k vs (16,8) 294k.
-    for nprobes, refine in [(16, 6), (16, 8), (16, 12), (16, 16), (24, 16), (48, 16)]:
+    # ladder starts at the shallow-probe end: probes are the remaining
+    # serving slack once rf=8 is fixed (frontier_r4.log: (10,8) 0.9789 @
+    # 333.6k, (12,8) 0.9804 @ 325.2k, (16,8) 0.9821 @ 313.4k; rf=6 fails
+    # the gate at 0.9479). The engine now auto-selects merge group
+    # min(merge_group, nprobes), so narrow probing keeps the narrow sort.
+    for nprobes, refine in [(10, 8), (12, 8), (16, 8), (16, 12), (24, 16), (48, 16)]:
         t = time.time()
         rec = run_recall(nprobes, refine)
         _log(f"nprobes={nprobes} refine={refine} recall@10={rec:.4f} ({time.time()-t:.1f}s incl compile)")

@@ -1861,8 +1861,13 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
     # pool-to-fetch ratio, but a narrower group still beats group=1 — which
     # pays both the wide exact top_k (~3G elem/s) AND the element-gather
     # position decode (~0.1G elem/s) that the payload sort otherwise avoids
+    # min(merge_group, nprobes) rides between the configured width and the
+    # power-of-two rungs: at nprobes=10 the old ladder demoted 16 -> 8, but
+    # group == nprobes keeps the home partition collision-free at the
+    # narrowest eligible sort (frontier_r4.log: (10,8) group=10 333.6k QPS
+    # vs the demoted-group measurement 260k at (12,8))
     group = 1
-    for gw in (merge_group, 8, 4, 2):
+    for gw in (merge_group, min(merge_group, nprobes), 8, 4, 2):
         if _eligible(gw):
             group = gw
             break
