@@ -171,3 +171,31 @@ def test_blockmax_matches_dense():
     r_bm, s_bm = idx._bm25_blockmax([i for i in tids if i >= 0], 10, 1.2, 0.75)
     np.testing.assert_array_equal(r_dense, r_bm)
     np.testing.assert_allclose(s_dense, s_bm, rtol=1e-5)
+
+
+def test_phrase_blockmax_matches_exhaustive():
+    """Block-max pruned phrase top-k == the exhaustive positional path
+    (same docs, same scores) across rare and common phrases."""
+    rng = np.random.default_rng(1)
+    vocab = [f"w{i}" for i in range(200)]  # small vocab: common bigrams
+    docs = [" ".join(rng.choice(vocab, size=10)) for _ in range(3000)]
+    docs[42] = "alpha beta gamma"
+    docs[999] = "alpha beta beta"
+    ds = _ds(docs)
+    from lance_tpu.indices.scalar.build import open_scalar_index
+    from lance_tpu.indices.scalar.fts_query import PhraseQuery
+
+    idx = open_scalar_index(ds, ds.list_indices()[0])
+    assert idx.bm_off is not None and idx.positions is not None
+    phrases = ["alpha beta", "w3 w7", "w1 w1", "alpha beta gamma"]
+    # add a guaranteed-common bigram straight from a document
+    phrases.append(" ".join(docs[5].split()[2:4]))
+    for p in phrases:
+        q = PhraseQuery(p, "text")
+        r_ex, s_ex = idx.execute_query(q, 10)  # small corpus: exhaustive
+        tids = [idx._term_index(t) for t in p.split()]
+        if any(t < 0 for t in tids):
+            continue
+        r_bm, s_bm = idx._phrase_blockmax(tids, 10)
+        np.testing.assert_array_equal(r_ex, r_bm, err_msg=p)
+        np.testing.assert_allclose(s_ex, s_bm, rtol=1e-5, err_msg=p)
