@@ -188,7 +188,13 @@ def main():
         _, gt5 = topk_neighbors(q5, data5, K, "l2", chunk=32768)
         gt5 = np.asarray(gt5)
         q5h = np.asarray(q5)
-        ds6 = lt.write_dataset({"vec": np.asarray(data5),
+        data5_h = np.asarray(data5)
+        # Free the 3.84 GB device copy BEFORE build+open: the opened index
+        # holds bf16 blocks (1.92 GB) + f32 refine (3.84 GB); with data5
+        # still resident the r4 run OOMed at the centroids upload
+        # (logs/gist_r4.log RESOURCE_EXHAUSTED).
+        del data5, q5
+        ds6 = lt.write_dataset({"vec": data5_h,
                                 "id": np.arange(N5, dtype=np.int64)},
                                "memory://parity/gist",
                                params=lt.WriteParams(max_rows_per_file=N5,
