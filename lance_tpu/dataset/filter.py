@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
+import pyarrow as pa
 
 from ..errors import InvalidInputError
 
@@ -600,6 +601,15 @@ def _eval(node, cols) -> tuple[np.ndarray, np.ndarray | None]:
             if rvalid is not None:
                 rb = rb & rvalid
             return lb | rb, None
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            # SQL-standard date/timestamp literals arrive as strings
+            # ("l_shipdate <= '1998-09-02'"): coerce the string side to the
+            # temporal side's dtype (numpy has no M8<->str comparison loop)
+            la, ra = np.asarray(lv), np.asarray(rv)
+            if la.dtype.kind == "M" and ra.dtype.kind in "US":
+                rv = ra.astype(la.dtype)
+            elif ra.dtype.kind == "M" and la.dtype.kind in "US":
+                lv = la.astype(ra.dtype)
         if op == "=":
             return lv == rv, valid
         if op == "!=":
@@ -633,13 +643,20 @@ def column_views_from_data(data: dict) -> dict[str, _ColumnView]:
             out[name] = _ColumnView(np.empty(col.num_rows, object), col.validity, col)
             continue
         if col.kind == "varbin":
-            # materialize strings as object array for comparisons
-            raw = col.values.tobytes()
-            vals = np.array(
-                [raw[col.offsets[i] : col.offsets[i + 1]].decode("utf-8", "replace")
-                 for i in range(col.num_rows)],
-                dtype=object,
-            )
+            # materialize strings as an object array for comparisons via
+            # Arrow's C++ converter (a per-row slice+decode loop here
+            # measured ~80 ms per 200k-row batch set on TPCH)
+            arr = col.to_arrow()
+            if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+                try:
+                    arr = arr.cast(pa.large_string() if pa.types.is_large_binary(
+                        arr.type) else pa.string())
+                except pa.ArrowInvalid:  # non-UTF8 bytes: lossy-decode per row
+                    raw = col.values.tobytes()
+                    arr = pa.array(
+                        [raw[col.offsets[i]:col.offsets[i + 1]].decode(
+                            "utf-8", "replace") for i in range(col.num_rows)])
+            vals = arr.to_numpy(zero_copy_only=False)
             out[name] = _ColumnView(vals, col.validity, col)
             continue
         else:

@@ -398,14 +398,34 @@ def _col_array(table: pa.Table, name: str) -> pa.Array:
     return col
 
 
-def _views_of(table: pa.Table, names=None) -> dict:
-    from ..encoding.pages import ColumnData
-    from .filter import column_views_from_data
+class _LazyViews(dict):
+    """Column eval views materialized on first access: SELECT lists touch a
+    few expression columns while passing group keys / plain columns through
+    as Arrow; building object-array views for 200k-row string columns nobody
+    evaluates measured as the top cost of TPCH Q1 aggregation."""
 
-    data = {}
-    for name in (names if names is not None else table.column_names):
-        data[name] = ColumnData.from_arrow(_col_array(table, name))
-    return column_views_from_data(data)
+    def __init__(self, table: pa.Table, names):
+        super().__init__()
+        self._table = table
+        self._names = set(names)
+
+    def __missing__(self, name):
+        if name not in self._names:
+            raise KeyError(name)
+        from ..encoding.pages import ColumnData
+        from .filter import column_views_from_data
+
+        v = column_views_from_data(
+            {name: ColumnData.from_arrow(_col_array(self._table, name))})[name]
+        self[name] = v
+        return v
+
+    def __contains__(self, name):
+        return name in self._names or dict.__contains__(self, name)
+
+
+def _views_of(table: pa.Table, names=None) -> dict:
+    return _LazyViews(table, names if names is not None else table.column_names)
 
 
 def _np_to_arrow(vals, valid) -> pa.Array:

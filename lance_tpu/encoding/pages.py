@@ -260,18 +260,19 @@ class ColumnData:
             return out
         if self.kind == "varbin":
             t = t or pa.binary()
-            lens = np.diff(self.offsets)
-            py = []
-            valid = self.validity
-            vb = self.values.tobytes()
-            is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
-            for i in range(self.num_rows):
-                if valid is not None and not valid[i]:
-                    py.append(None)
-                else:
-                    b = vb[self.offsets[i] : self.offsets[i] + lens[i]]
-                    py.append(b.decode() if is_str else b)
-            return pa.array(py, type=t)
+            # zero-copy Arrow assembly (a per-row bytes.decode loop here was
+            # the top cost of dense string scans): wrap the flat byte buffer
+            # + offsets directly; only the int64->int32 offset cast copies
+            large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+            offs = np.ascontiguousarray(self.offsets, np.int64 if large else np.int32)
+            valbuf = (None if self.validity is None
+                      else pa.array(self.validity).buffers()[1])
+            return pa.Array.from_buffers(
+                t, self.num_rows,
+                [valbuf, pa.py_buffer(offs), pa.py_buffer(
+                    np.ascontiguousarray(self.values, np.uint8))],
+                null_count=(0 if self.validity is None
+                            else int((~self.validity).sum())))
         if self.fsl_dim > 1 or (t is not None and pa.types.is_fixed_size_list(t)):
             from ..bf16 import is_bfloat16
 
@@ -668,10 +669,15 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         lens = (doffs[codes + 1] - doffs[codes]).astype(np.int64)
         offsets = np.zeros(rows + 1, np.int64)
         np.cumsum(lens, out=offsets[1:])
-        out = np.empty(int(offsets[-1]), np.uint8)
-        for i in range(rows):  # host assembly; pages are bounded
-            s = doffs[codes[i]]
-            out[offsets[i]:offsets[i + 1]] = dbytes[s : s + lens[i]]
+        total = int(offsets[-1])
+        # vectorized byte gather (a per-row Python loop here measured 92 ms
+        # per page on TPCH Q1's dict-encoded flag columns): output byte i of
+        # row r maps to dbytes[start_r + (i - offsets_r)]
+        starts = doffs[codes]
+        rep_off = np.repeat(offsets[:-1], lens)
+        rep_start = np.repeat(starts, lens)
+        src = rep_start + (np.arange(total, dtype=np.int64) - rep_off)
+        out = dbytes[src] if total else np.empty(0, np.uint8)
         return ColumnData("varbin", rows, out, offsets, validity, 1, arrow_type)
 
     if layout == "varbin":

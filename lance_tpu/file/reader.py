@@ -12,6 +12,8 @@ transfer for TPU feeds.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -26,6 +28,68 @@ _TAKE_FULL_PAGE_FRACTION = 0.25  # read whole page when taking >25% of its rows
 
 _pool = None
 _pool_lock = None
+
+_pagecache = None
+_store_tokens = 0
+
+
+def _page_cache():
+    """Process-wide decoded-page LRU (LANCE_PAGE_CACHE_BYTES, default 128 MB;
+    0 disables). Data files are immutable — commits write NEW files — so
+    entries never go stale; keyed by (store token, path, first-buffer offset,
+    length). The store token is a per-ObjectStore-instance counter: two
+    stores (e.g. two memory:// datasets) can hold different bytes at the
+    same relative path, so path alone is not identity."""
+    global _pagecache
+    if _pagecache is None:
+        import os
+
+        from ..cache import CapacityCache
+
+        cap = int(os.environ.get("LANCE_PAGE_CACHE_BYTES", 128 << 20))
+        _pagecache = CapacityCache(cap) if cap > 0 else False
+    return _pagecache if _pagecache is not False else None
+
+
+_local_tokens: dict = {}
+
+
+def _store_token(store):
+    """Cache-identity token for a store. LocalStore gets a DURABLE token
+    keyed by its filesystem root so reopening a dataset keeps its warm
+    pages (data/index file names are uuid-unique, so a deleted-and-
+    recreated dataset at the same root can never alias old entries).
+    Every other store — memory, cloud, wrappers like TrackingStore — gets
+    a per-instance token: two instances may hold different bytes at the
+    same relative path."""
+    global _store_tokens
+    tok = store.__dict__.get("_page_cache_token")
+    if tok is None:
+        root = getattr(store, "root", None)
+        if root is not None and type(store).__name__ == "LocalStore":
+            tok = _local_tokens.setdefault(
+                os.path.realpath(root), f"local:{len(_local_tokens)}")
+        else:
+            _store_tokens += 1
+            tok = _store_tokens
+        store.__dict__["_page_cache_token"] = tok
+    return tok
+
+
+def _page_key(store, path, desc, arrow_type):
+    """Full-identity cache key: decode output is a pure function of
+    (file bytes at desc['buffers'], the rest of desc, arrow_type), so the
+    key serializes the whole descriptor — byte ranges alone collide (every
+    zero-length first buffer is (0,0), and constant/all_null pages carry
+    their payload in desc, not in buffers). Memoized on the desc dict."""
+    k = desc.get("_cache_key")
+    if k is None:
+        import json
+
+        k = desc["_cache_key"] = json.dumps(
+            {x: y for x, y in desc.items() if x != "_cache_key"},
+            sort_keys=True, default=str)
+    return (_store_token(store), path, k, str(arrow_type))
 
 
 def _decode_pool():
@@ -152,6 +216,17 @@ class FileReader:
     def _read_page(self, desc: dict, arrow_type: pa.DataType | None,
                    fut=None) -> ColumnData:
         ranges = [(b["off"], b["len"]) for b in desc["buffers"]]
+        # decoded-page LRU: batched scans re-enter the same page once per
+        # output batch (read_column slices the overlap), which measured as a
+        # ~20x redundant-decode tax on TPCH Q1. Keyed by (file, first buffer
+        # offset) — unique per page within a file. Reference analog: the
+        # session LanceCache in front of page decoding (lance-core cache.rs).
+        cache = _page_cache()
+        key = _page_key(self.store, self.path, desc, arrow_type) if ranges else None
+        if key is not None and cache is not None:
+            hit = cache.get("page", key)
+            if hit is not None:
+                return hit  # a pre-submitted fut is dropped (prefetch pattern)
         if not ranges:
             bufs = []
         elif fut is not None:
@@ -160,7 +235,10 @@ class FileReader:
             bufs = self._file_sched.submit_request(ranges).result()
         else:
             bufs = self.store.get_ranges(self.path, ranges)
-        return decode_page(desc, bufs, arrow_type)
+        col = decode_page(desc, bufs, arrow_type)
+        if key is not None and cache is not None:
+            cache.put("page", key, col)
+        return col
 
     def _pages_in_range(self, name: str, row_start: int, row_end: int):
         pages = self._columns[name]["pages"]
@@ -185,7 +263,11 @@ class FileReader:
                 continue
             for _s, _e, p in self._pages_in_range(c, row_start, row_end):
                 ranges = [(b["off"], b["len"]) for b in p["buffers"]]
-                if ranges:
+                cache = _page_cache()
+                if ranges and (cache is None or cache.get(
+                        "page", _page_key(self.store, self.path, p,
+                                          arrow_type=self.schema.field(
+                                              c).type)) is None):
                     futs[id(p)] = self._file_sched.submit_request(ranges)
         return futs
 

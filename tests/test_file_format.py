@@ -441,3 +441,40 @@ def test_fuzz_deep_nesting_roundtrip_and_take():
             exp = t[name].combine_chunks().take(pa.array(sel)).to_pylist()
             assert exp == tk[name].combine_chunks().to_pylist(), \
                 f"take {trial}/{name}"
+
+
+def test_page_cache_identity():
+    """The decoded-page LRU must key on store identity AND full page
+    descriptor: two stores can hold different bytes at the same relative
+    path, and two pages in one file can share byte ranges (every
+    zero-length first buffer is (0, 0); constant/all_null pages carry
+    their payload in the descriptor, not in buffers)."""
+    import lance_tpu as lt
+
+    # (a) same relative paths, different stores -> no cross-contamination
+    t1 = {"x": np.arange(100, dtype=np.int64)}
+    t2 = {"x": np.arange(100, 200, dtype=np.int64)}
+    ds1 = lt.write_dataset(t1, "memory://pcache-a/d")
+    ds2 = lt.write_dataset(t2, "memory://pcache-b/d")
+    # scans interleaved so the second dataset's reads follow cache fills
+    # from the first
+    assert np.asarray(ds1.to_table()["x"]).tolist() == list(range(100))
+    assert np.asarray(ds2.to_table()["x"]).tolist() == list(range(100, 200))
+    assert np.asarray(ds1.to_table()["x"]).tolist() == list(range(100))
+
+    # (b) pages whose buffers are empty/identical must not collide: two
+    # constant columns (payload lives in the page descriptor) plus nulls
+    n = 50
+    ds3 = lt.write_dataset(
+        {"c1": np.full(n, 7, dtype=np.int64),
+         "c2": np.full(n, 9, dtype=np.int64),
+         "nul": pa.array([None] * n, type=pa.float64()),
+         "nul2": pa.array([None] * n, type=pa.int32())},
+        "memory://pcache-c/d")
+    out = ds3.to_table()
+    assert np.asarray(out["c1"]).tolist() == [7] * n
+    assert np.asarray(out["c2"]).tolist() == [9] * n
+    assert out["nul"].null_count == n and out["nul2"].null_count == n
+    # repeat reads served from cache stay correct
+    out2 = ds3.to_table()
+    assert np.asarray(out2["c2"]).tolist() == [9] * n

@@ -60,10 +60,14 @@ def test_zonemap_io_savings():
 
     n = 40_000
     uri = _uri("zmio")
+    # multiple files so pruning has page-granular IO to skip: reads are
+    # page-granular, and a single 40k-row page can't be partially skipped
+    # (the decoded-page cache also de-duplicates the full scan's re-reads,
+    # so savings must come from skipped pages, not skipped re-reads)
     ds = lt.write_dataset(
         {"id": np.arange(n, dtype=np.int64),
          "payload": pa.array(["x" * 50] * n)},
-        uri,
+        uri, params=lt.WriteParams(max_rows_per_file=8192),
     )
     ds_no = lt.dataset(uri)
     ds_zm = ds.create_index("id", "ZONEMAP")

@@ -300,3 +300,27 @@ def test_order_by_expressions():
     res = ds.sql("SELECT t.a, u.w FROM t JOIN u ON t.a = u.k "
                  "ORDER BY u.w * t.a DESC", tables={"u": other})
     assert np.asarray(res["a"]).tolist() == [3, 2, 1]
+
+
+def test_date_literal_comparisons():
+    # SQL-standard string literals compared against date columns (the TPCH
+    # Q1/Q6 shape: l_shipdate <= '1998-09-02'); numpy has no M8<->str loop
+    # so filter eval coerces the string side (dataset/filter.py BinOp)
+    import datetime
+
+    days = [datetime.date(1994, 1, 1) + datetime.timedelta(days=30 * i)
+            for i in range(20)]
+    ds = lt.write_dataset(
+        {"d": pa.array(days), "v": np.arange(20, dtype=np.float64)},
+        _uri("dates"))
+    t = ds.sql("SELECT v FROM t WHERE d >= '1994-06-01' AND d < '1995-01-01'")
+    want = [float(i) for i, dd in enumerate(days)
+            if datetime.date(1994, 6, 1) <= dd < datetime.date(1995, 1, 1)]
+    assert sorted(np.asarray(t["v"]).tolist()) == want
+    # equality + aggregate over a date-filtered group
+    t2 = ds.sql("SELECT count(*) FROM t WHERE d = '1994-01-01'")
+    assert t2["count"][0].as_py() == 1
+    # scanner filter path (not just SQL) takes the same evaluator
+    out = ds.to_table(filter="d > '1995-06-01'")
+    want_n = sum(dd > datetime.date(1995, 6, 1) for dd in days)
+    assert out.num_rows == want_n
