@@ -1303,6 +1303,12 @@ def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
     order_on_alias = bool(order) and not has_aggs and any(
         c not in schema_names for c, _asc in order)
     sc = ds.scanner()
+    # analytic scans want wide batches: per-batch Python overhead (views,
+    # filter eval, materialize) measured ~35% of TPCH Q1 at the default
+    # 8192; page-granular IO is unchanged either way. (_TableScanner —
+    # derived tables / UDTFs — has no batching to tune.)
+    if hasattr(sc, "batch_size"):
+        sc.batch_size(65536)
     if items is not None:
         referenced = set()
         for it in items:

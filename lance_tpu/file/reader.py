@@ -46,7 +46,7 @@ def _page_cache():
 
         from ..cache import CapacityCache
 
-        cap = int(os.environ.get("LANCE_PAGE_CACHE_BYTES", 128 << 20))
+        cap = int(os.environ.get("LANCE_PAGE_CACHE_BYTES", 512 << 20))
         _pagecache = CapacityCache(cap) if cap > 0 else False
     return _pagecache if _pagecache is not False else None
 
