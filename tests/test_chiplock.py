@@ -10,55 +10,62 @@ import os
 import time
 
 
-def _holder(path, hold_s, q):
+def _holder(path, hold_s, q, contender_ready):
     os.environ["LANCE_TPU_CHIP_LOCK_PATH"] = path
     os.environ["LANCE_TPU_CHIP_LOCK"] = "1"
     from lance_tpu.utils.chiplock import acquire_chip_lock, release_chip_lock
 
     assert acquire_chip_lock(timeout_s=10)
     q.put(("held", time.time()))
+    # Only start the hold timer once the contender is about to call acquire;
+    # on a loaded 1-vCPU host a spawn can take longer than the hold window,
+    # which made the original fixed-sleep version flaky.
+    assert contender_ready.wait(timeout=60)
     time.sleep(hold_s)
     release_chip_lock()
     q.put(("released", time.time()))
 
 
-def _contender(path, q):
+def _contender(path, q, contender_ready):
     os.environ["LANCE_TPU_CHIP_LOCK_PATH"] = path
     os.environ["LANCE_TPU_CHIP_LOCK"] = "1"
     from lance_tpu.utils.chiplock import acquire_chip_lock
 
+    contender_ready.set()
     t0 = time.time()
-    ok = acquire_chip_lock(timeout_s=30)
-    q.put(("acquired", ok, time.time() - t0))
+    ok = acquire_chip_lock(timeout_s=60)
+    q.put(("acquired", ok, time.time()))
 
 
 def test_second_job_waits(tmp_path):
     path = str(tmp_path / "chip.lock")
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
+    ready = ctx.Event()
     hold_s = 4.0
-    h = ctx.Process(target=_holder, args=(path, hold_s, q))
+    h = ctx.Process(target=_holder, args=(path, hold_s, q, ready))
     h.start()
     tag, t_held = q.get(timeout=30)
     assert tag == "held"
-    c = ctx.Process(target=_contender, args=(path, q))
+    c = ctx.Process(target=_contender, args=(path, q, ready))
     c.start()
-    msgs = [q.get(timeout=60), q.get(timeout=60)]
+    msgs = [q.get(timeout=120), q.get(timeout=120)]
     h.join(timeout=30)
     c.join(timeout=30)
     rel = next(m for m in msgs if m[0] == "released")
     acq = next(m for m in msgs if m[0] == "acquired")
     assert acq[1] is True
     # the contender could not get the lock before the holder released it
-    assert acq[2] >= (rel[1] - t_held) - 1.0, (acq, rel, t_held)
-    assert acq[2] >= hold_s - 1.5
+    assert acq[2] >= rel[1] - 0.25, (acq, rel, t_held)
 
 
 def test_timeout_returns_false(tmp_path):
     path = str(tmp_path / "chip.lock")
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    h = ctx.Process(target=_holder, args=(path, 8.0, q))
+    ready = ctx.Event()
+    ready.set()  # no contender in this test; let the holder run immediately
+    h = ctx.Process(target=_holder, args=(path, 8.0, q, ready))
     h.start()
     assert q.get(timeout=30)[0] == "held"
     os.environ["LANCE_TPU_CHIP_LOCK_PATH"] = path
