@@ -153,13 +153,16 @@ def main():
             res = lt.sql(query, tables={"lineitem": ds})
             lat.append(time.time() - t0)
         lance_s = min(lat)
+        # pyarrow gets the same min-of-3 treatment (symmetric warm caches)
         if name == "q1":
-            ref, pq_s = parquet_q1(pq_path)
+            runs = [parquet_q1(pq_path) for _ in range(3)]
+            ref, pq_s = runs[0][0], min(r[1] for r in runs)
             check = abs(res.column("sum_disc_price").to_pylist()[0]
                         - ref.column("disc_price_sum").to_pylist()[0]) < 1.0
             rows = res.num_rows
         else:
-            ref_rev, pq_s = parquet_q6(pq_path)
+            runs6 = [parquet_q6(pq_path) for _ in range(3)]
+            ref_rev, pq_s = runs6[0][0], min(r[1] for r in runs6)
             got = res.column("revenue").to_pylist()[0]
             check = abs(got - ref_rev) < 1.0
             rows = 1

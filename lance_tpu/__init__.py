@@ -8,6 +8,13 @@ JAX/XLA/Pallas over device meshes; the storage/commit engine is host-side.
 
 __version__ = "0.1.0"
 
+# Apply before anything allocates: glibc's default mmap threshold makes
+# every large numpy temp pay first-touch page faults (~0.5 s per 47 MB on
+# the target VMs) — see utils/malloc_tune.py for the measurements.
+from .utils.malloc_tune import tune_malloc as _tune_malloc  # noqa: E402
+
+_tune_malloc()
+
 from .errors import (  # noqa: F401
     CommitConflictError,
     InvalidInputError,

@@ -1,0 +1,25 @@
+"""malloc tuning: applied at import on Linux, idempotent, opt-out honored."""
+import subprocess
+import sys
+
+
+def test_applied_and_idempotent():
+    from lance_tpu.utils import malloc_tune
+
+    if not sys.platform.startswith("linux"):
+        assert malloc_tune.tune_malloc() is False
+        return
+    # lance_tpu's import already applied it (conftest imports the package)
+    assert malloc_tune.tune_malloc() is True
+    assert malloc_tune.tune_malloc() is True  # second call: cached, no-op
+
+
+def test_opt_out_env():
+    code = (
+        "import os; os.environ['LANCE_TPU_MALLOC_TUNE']='0';"
+        "from lance_tpu.utils.malloc_tune import tune_malloc, _applied;"
+        "assert tune_malloc() is False; assert _applied is False; print('ok')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo")
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
