@@ -56,3 +56,31 @@ from .indices import (  # noqa: F401,E402
     register_index_extension,
     unregister_index_extension,
 )
+
+# -- reference-parity aliases and helpers (python/python/lance/__init__.py) --
+
+from .dataset.scanner import Scanner as LanceScanner  # noqa: F401,E402
+from .dataset.fragment import FileFragment as LanceFragment  # noqa: F401,E402
+from .dataset.blob import BlobFile  # noqa: F401,E402
+from .dataset.merge_insert import MergeInsertBuilder  # noqa: F401,E402
+from .table.manifest import Fragment as FragmentMetadata  # noqa: F401,E402
+from .table.manifest import IndexMetadata as Index  # noqa: F401,E402
+from .table.transaction import Transaction  # noqa: F401,E402
+from .io.object_store import (  # noqa: F401,E402
+    bytes_read_counter,
+    iops_counter,
+)
+from .utils.log import set_logger  # noqa: F401,E402
+
+
+def schema_to_json(schema) -> dict:
+    """Serialize a pyarrow (or lance_tpu) Schema to the JSON manifest form
+    (reference: lance.schema_to_json)."""
+    if not isinstance(schema, Schema):
+        schema = Schema.from_arrow(schema)
+    return schema.to_json()
+
+
+def json_to_schema(j: dict):
+    """Inverse of schema_to_json; returns a pyarrow Schema."""
+    return Schema.from_json(j).to_arrow()

@@ -630,6 +630,157 @@ class LanceDataset:
                 if not self.store.exists(df.path):
                     raise InvalidInputError(f"missing data file {df.path}")
 
+    # -- reference-parity API (python/python/lance/dataset.py LanceDataset) ---------
+
+    def to_batches(self, columns: list[str] | None = None,
+                   filter: str | None = None, limit: int | None = None,
+                   offset: int = 0, batch_size: int | None = None, **kwargs):
+        """Stream the dataset as record batches (reference
+        LanceDataset.to_batches)."""
+        sc = self.scanner()
+        if columns:
+            sc.project(columns)
+        if filter:
+            sc.filter(filter)
+        if limit is not None or offset:
+            sc.limit(limit, offset)
+        if batch_size is not None:
+            sc.batch_size(batch_size)
+        return sc.to_batches()
+
+    def sample(self, num_rows: int, columns: list[str] | None = None,
+               randomize_order: bool = True, seed: int | None = None) -> pa.Table:
+        """Random sample of `num_rows` logical rows (reference
+        LanceDataset.sample: random take over the row-count domain)."""
+        n = self.manifest.num_rows
+        num_rows = min(num_rows, n)
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(n, size=num_rows, replace=False)
+        if not randomize_order:
+            idx = np.sort(idx)
+        return self.take(idx, columns)
+
+    def checkout_latest(self) -> "LanceDataset":
+        """Re-open at the newest version of the current branch."""
+        return self.checkout_version(self.latest_version())
+
+    def get_transactions(self, recent_transactions: int = 10) -> list[Transaction]:
+        """The most recent committed transactions, newest first (reference
+        LanceDataset.get_transactions; each manifest records its
+        transaction_file under _transactions/)."""
+        out: list[Transaction] = []
+        v = self.version
+        while v >= 1 and len(out) < recent_transactions:
+            try:
+                m = read_manifest(self.store, v)
+            except Exception:
+                break  # cleaned-up history
+            if m.transaction_file and self.store.exists(m.transaction_file):
+                out.append(Transaction.from_bytes(self.store.get(m.transaction_file)))
+            v -= 1
+        return out
+
+    def data_stats(self, fields: list[str] | None = None) -> dict:
+        return self.stats.data_stats(fields)
+
+    def delete_config_keys(self, keys: list[str]) -> "LanceDataset":
+        return self.update_config(deletes=list(keys))
+
+    def prewarm_index(self, name: str) -> None:
+        """Load an index fully into memory/device ahead of the first query
+        (reference LanceDataset.prewarm_index)."""
+        meta = self.manifest.index_by_name(name)
+        if meta is None:
+            raise NotFoundError(f"index {name}")
+        fid = meta.fields[0] if meta.fields else None
+        col = self.schema.field_by_id(fid).name if fid is not None else None
+        if meta.index_type.startswith(("IVF", "HNSW", "FLAT")) and col:
+            idx = self._vector_index_for(col)
+            if idx is not None:
+                warm = getattr(idx, "prewarm", None)
+                if warm is not None:
+                    warm()
+                else:  # one tiny search forces device upload + compile
+                    dim = self.schema.field(col).type.list_size
+                    idx.search(np.zeros((1, dim), np.float32), 1, nprobes=1)
+            return
+        from ..indices.scalar.build import open_scalar_index
+
+        open_scalar_index(self, meta)  # loads pages into the session cache
+
+    def shallow_clone(self, target_path: str, version: int | None = None) -> "LanceDataset":
+        """Metadata-only clone: the new dataset references this one's data
+        files via manifest base_paths (reference LanceDataset.shallow_clone)."""
+        return self.clone_to(target_path, version, shallow=True)
+
+    def add_bases(self, new_bases: list[str]) -> "LanceDataset":
+        """Register extra storage locations whose files this dataset may
+        reference (reference LanceDataset.add_bases / DatasetBasePath)."""
+        uris = [b if isinstance(b, str) else getattr(b, "uri", str(b))
+                for b in new_bases]
+        return self._commit(Operation("add_bases", new_base_paths=uris))
+
+    @property
+    def has_index(self) -> bool:
+        return bool(self.manifest.indices)
+
+    def get_version(self, tag: str) -> int:
+        """Version a tag points at (reference LanceDataset.get_version)."""
+        return self.tags.get_version(tag)
+
+    @property
+    def optimize(self):
+        """Maintenance namespace (reference DatasetOptimizer:
+        ds.optimize.compact_files() / ds.optimize.optimize_indices())."""
+        ds = self
+
+        class _Optimizer:
+            def compact_files(self, target_rows_per_fragment: int = 1024 * 1024,
+                              materialize_deletions: bool = True,
+                              **kwargs) -> "LanceDataset":
+                return ds.optimize_compact(target_rows_per_fragment,
+                                           materialize_deletions, **kwargs)
+
+            def optimize_indices(self, names: list[str] | None = None,
+                                 **_kw) -> "LanceDataset":
+                return ds.optimize_indices(names)
+
+        return _Optimizer()
+
+    # schema / field metadata (reference update_schema_metadata,
+    # update_field_metadata and the deprecated replace_* spellings; persisted
+    # in the manifest schema via a metadata-only `project` operation)
+
+    @property
+    def schema_metadata(self) -> dict[str, str]:
+        return dict(self.schema.metadata)
+
+    def update_schema_metadata(self, values: dict[str, str],
+                               replace: bool = False) -> "LanceDataset":
+        new_schema = self.schema.copy()
+        if replace:
+            new_schema.metadata = dict(values)
+        else:
+            new_schema.metadata.update(values)
+        return self._commit(Operation("project", schema=new_schema))
+
+    def replace_schema_metadata(self, new_metadata: dict[str, str]) -> "LanceDataset":
+        return self.update_schema_metadata(new_metadata, replace=True)
+
+    def update_field_metadata(self, field_name: str, values: dict[str, str],
+                              replace: bool = False) -> "LanceDataset":
+        new_schema = self.schema.copy()
+        f = new_schema.field(field_name)
+        if replace:
+            f.metadata = dict(values)
+        else:
+            f.metadata.update(values)
+        return self._commit(Operation("project", schema=new_schema))
+
+    def replace_field_metadata(self, field_name: str,
+                               new_metadata: dict[str, str]) -> "LanceDataset":
+        return self.update_field_metadata(field_name, new_metadata, replace=True)
+
 
 # -------------------------------------------------------------------------------
 # module-level API

@@ -163,6 +163,9 @@ class NativeScanScheduler:
         n = len(ranges)
         offs = np.fromiter((r[0] for r in ranges), dtype=np.int64, count=n)
         lens = np.fromiter((r[1] for r in ranges), dtype=np.int64, count=n)
+        from .object_store import record_read
+
+        record_read(n, int(lens.sum()))  # preads bypass the store layer
         i64p = ctypes.POINTER(ctypes.c_int64)
         if detached:
             _lib.iosched_submit(

@@ -17,6 +17,7 @@ e2e-tested against an in-process mock endpoint (tests/mock_*.py).
 
 from __future__ import annotations
 
+import functools
 import os
 import threading
 import uuid as uuid_mod
@@ -33,10 +34,59 @@ class ObjectMeta:
     size: int
 
 
+# process-wide read metrics (reference python: lance.bytes_read_counter()
+# and lance.iops_counter() over the global ObjectStore stats). Counted once
+# per PHYSICAL read: wrapper stores (Prefixed/Branch/Fallback/Tracking) set
+# _count_io = False so delegated calls aren't double-counted.
+_IO_COUNTERS = {"iops": 0, "bytes_read": 0}
+_IO_COUNTER_LOCK = threading.Lock()
+
+
+def record_read(iops: int, nbytes: int) -> None:
+    """Credit physical reads done outside the store layer (native scheduler)."""
+    with _IO_COUNTER_LOCK:
+        _IO_COUNTERS["iops"] += iops
+        _IO_COUNTERS["bytes_read"] += nbytes
+
+
+def iops_counter() -> int:
+    """Number of physical read operations issued by this process."""
+    return _IO_COUNTERS["iops"]
+
+
+def bytes_read_counter() -> int:
+    """Total bytes physically read by this process."""
+    return _IO_COUNTERS["bytes_read"]
+
+
+def _counted_read(fn):
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        out = fn(self, *args, **kwargs)
+        n = (sum(len(b) for b in out) if isinstance(out, list)
+             else len(out) if isinstance(out, (bytes, bytearray, memoryview))
+             else 0)
+        record_read(len(out) if isinstance(out, list) else 1, n)
+        return out
+
+    wrapper._io_counted = True
+    return wrapper
+
+
 class ObjectStore:
     """Abstract object store. Paths are '/'-separated keys relative to root."""
 
     scheme: str = "?"
+    _count_io = True  # wrapper/delegating stores opt out (no double count)
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if not cls._count_io:
+            return
+        for name in ("get", "get_range", "get_ranges"):
+            fn = cls.__dict__.get(name)
+            if fn is not None and not getattr(fn, "_io_counted", False):
+                setattr(cls, name, _counted_read(fn))
 
     # -- reads ---------------------------------------------------------------
 
@@ -337,6 +387,7 @@ class BranchStore(ObjectStore):
     shared at the dataset root, so branching is O(1) and branches reference
     the main tree's files directly (our analogue of the reference's
     base-path redirection)."""
+    _count_io = False  # delegates to an inner store (counted there)
 
     _REDIRECT = ("_versions/", "_transactions/")
 
@@ -454,6 +505,7 @@ def store_for_uri(uri: str) -> tuple[ObjectStore, str]:
 
 class PrefixedStore(ObjectStore):
     """View of a store under a path prefix (dataset root)."""
+    _count_io = False  # delegates to an inner store (counted there)
 
     def __init__(self, inner: ObjectStore, prefix: str):
         self.inner = inner
@@ -507,6 +559,7 @@ class FallbackStore(ObjectStore):
     resolve to the source until the clone rewrites them (compaction,
     updates), at which point new files shadow nothing (uuid paths never
     collide)."""
+    _count_io = False  # delegates to an inner store (counted there)
 
     _LOCAL_ONLY = ("_versions/", "_refs/", "_transactions/", "tree/")
 

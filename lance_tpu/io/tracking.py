@@ -32,6 +32,7 @@ class IoStats:
 
 
 class TrackingStore(ObjectStore):
+    _count_io = False  # delegates to an inner store (counted there)
     def __init__(self, inner: ObjectStore):
         self.inner = inner
         self.stats = IoStats()

@@ -252,6 +252,10 @@ class Schema:
     def loads(cls, s: str) -> "Schema":
         return cls.from_json(json.loads(s))
 
+    def copy(self) -> "Schema":
+        """Deep copy (fields and metadata are independently mutable)."""
+        return Schema([f.copy() for f in self.fields], dict(self.metadata))
+
     # -- field ids ----------------------------------------------------------
 
     def assign_field_ids(self, start: int = 0) -> int:

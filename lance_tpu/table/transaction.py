@@ -45,6 +45,7 @@ class Operation:
     num_fragments: int = 0  # ReserveFragments
     restore_version: int | None = None  # Restore
     restored: Manifest | None = None  # Restore payload (target version content)
+    new_base_paths: list[str] = dc_field(default_factory=list)  # AddBases
 
     # -- serialization --------------------------------------------------------
 
@@ -64,6 +65,7 @@ class Operation:
             "num_fragments": self.num_fragments,
             "restore_version": self.restore_version,
             "restored": self.restored.to_json() if self.restored else None,
+            "new_base_paths": self.new_base_paths,
         }
 
     @classmethod
@@ -83,6 +85,7 @@ class Operation:
             num_fragments=j.get("num_fragments", 0),
             restore_version=j.get("restore_version"),
             restored=Manifest.from_json(j["restored"]) if j.get("restored") else None,
+            new_base_paths=j.get("new_base_paths", []),
         )
 
     # -- helpers ----------------------------------------------------------------
@@ -189,6 +192,11 @@ def check_conflict(mine: Operation, committed: Operation) -> str:
         # schema-changing ops conflict with everything that changed rows/schema
         if b in ("merge", "project", "delete", "update", "rewrite"):
             return FAIL
+        return RETRYABLE
+
+    if a == "add_bases" or b == "add_bases":
+        # base ids are assigned at manifest-build time, so concurrent
+        # registrations merge cleanly; base paths don't touch rows or schema
         return RETRYABLE
 
     return FAIL
@@ -354,6 +362,17 @@ def build_manifest(base: Manifest | None, txn: Transaction, new_version: int) ->
     elif kind == "data_replacement":
         updated = {f.id: f for f in op.updated_fragments}
         m.fragments = [updated.get(f.id, f).copy() for f in m.fragments]
+    elif kind == "add_bases":
+        # register extra storage locations (reference Operation::UpdateBases /
+        # dataset.add_bases); ids continue from the highest existing base id
+        next_id = 1 + max((int(k) for k in m.base_paths), default=0)
+        existing = set(m.base_paths.values())
+        for uri in op.new_base_paths:
+            if uri in existing:
+                continue
+            m.base_paths[str(next_id)] = uri
+            existing.add(uri)
+            next_id += 1
     else:
         raise NotSupportedError(f"operation kind {kind}")
 

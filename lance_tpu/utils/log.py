@@ -1,0 +1,17 @@
+"""Process-wide logger hook (reference python: lance.set_logger /
+python/python/lance/log.py — callers swap in their own logging.Logger)."""
+from __future__ import annotations
+
+import logging
+
+LOGGER = logging.getLogger("lance_tpu")
+
+
+def get_logger() -> logging.Logger:
+    return LOGGER
+
+
+def set_logger(logger: logging.Logger) -> None:
+    """Replace the logger lance_tpu emits diagnostics through."""
+    global LOGGER
+    LOGGER = logger
