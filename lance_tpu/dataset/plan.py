@@ -1,0 +1,223 @@
+"""Query plan tree + optimizer passes.
+
+Re-design of the reference's plan machinery (rust/lance/src/dataset/
+scanner.rs create_plan :1782-1944 builds a DataFusion plan; rust/lance/src/
+io/exec/optimizer.rs:1-178 then runs small rewrite passes over it). Our
+engine has one compiled pipeline instead of a general exec-node graph, so
+the plan is a linear stage list; the optimizer is the same idea — named
+passes that rewrite the plan — and execution consumes the optimized plan's
+decisions rather than re-deriving them inline.
+
+Stages (in execution order):
+    source: AnnIndexScan | FlatKnn | FtsIndexScan | FilteredRead
+    ScalarIndexFilter   exact RowIdMask from a scalar index (replaces the
+                        row-by-row filter when the index covers the expr)
+    IndexPruning        at-most masks (zonemap/bloom/ngram) skip batches
+    LateMaterialization filter columns read first; output columns after
+    LimitPushdown       limit/offset stop the scan early (no ORDER BY only)
+    Sort / Limit / Projection
+
+Passes (optimize_plan):
+    use_scalar_index, index_pruning, late_materialization, limit_pushdown,
+    knn_index_selection (ANN index vs flat + pre/postfilter placement)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from .filter import referenced_columns
+
+
+@dataclass
+class Stage:
+    """One plan node: a name plus display/decision attributes."""
+
+    name: str
+    props: dict = dc_field(default_factory=dict)
+
+    def render(self) -> str:
+        if not self.props:
+            return self.name
+        inner = ", ".join(f"{k}={v}" for k, v in self.props.items())
+        return f"{self.name}({inner})"
+
+
+@dataclass
+class ScanPlan:
+    """Optimized physical plan: ordered stages + the decisions execution
+    consumes (each decision is attached by exactly one optimizer pass)."""
+
+    stages: list[Stage]
+    # decisions
+    filter_cols: list[str] = dc_field(default_factory=list)
+    exact_mask: object | None = None  # RowIdMask: index answers the filter
+    prune_mask: object | None = None  # at-most mask: batch skipping
+    pushdown_limit: int | None = None  # scan stops early at this many rows
+    pushdown_offset: int = 0
+
+    def render(self) -> str:
+        return " -> ".join(s.render() for s in self.stages)
+
+
+def build_plan(sc) -> ScanPlan:
+    """Logical plan straight from the scanner's builder state (pre-optimizer:
+    every filter is a row-by-row Filter, every read materializes fully)."""
+    stages: list[Stage] = []
+    if sc._nearest is not None:
+        q = sc._nearest
+        stages.append(Stage("KnnSearch", {"column": q.column, "k": q.k}))
+        if sc._filter is not None:
+            stages.append(Stage("Filter", {"expr": sc._filter_str}))
+    elif sc._fts is not None:
+        stages.append(Stage("FtsSearch", {"k": sc._fts.k}))
+        if sc._filter is not None:
+            stages.append(Stage("Filter", {"expr": sc._filter_str}))
+    else:
+        stages.append(Stage("Scan"))
+        if sc._filter is not None:
+            stages.append(Stage("Filter", {"expr": sc._filter_str}))
+    if sc._order_by:
+        stages.append(Stage("Sort", {"keys": sc._order_by}))
+    if sc._limit is not None or sc._offset:
+        stages.append(Stage("Limit", {"limit": sc._limit, "offset": sc._offset}))
+    stages.append(Stage("Projection", {"columns": sc._output_columns()}))
+    return ScanPlan(stages)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer passes (reference io/exec/optimizer.rs style: each pass takes the
+# plan and rewrites it; order matters and is fixed in optimize_plan)
+# ---------------------------------------------------------------------------
+
+
+def use_scalar_index(plan: ScanPlan, sc) -> None:
+    """Filter -> ScalarIndexFilter when a scalar index answers the expression
+    EXACTLY (reference ScalarIndexExec + MaterializeIndexExec): the scan then
+    selects rows by index mask without reading filter columns at all."""
+    if sc._filter is None or sc._nearest is not None or sc._fts is not None:
+        return
+    if sc._fragments is not None:  # fragment-restricted: masks address all
+        return
+    from ..indices.scalar.expression import try_scalar_index_filter
+
+    mask = try_scalar_index_filter(sc.ds, sc._filter)
+    if mask is None or mask.allow is None:
+        return
+    plan.exact_mask = mask
+    for i, st in enumerate(plan.stages):
+        if st.name == "Filter":
+            plan.stages[i] = Stage("ScalarIndexFilter", {"expr": sc._filter_str})
+            break
+
+
+def index_pruning(plan: ScanPlan, sc) -> None:
+    """Attach at-most masks (ZONEMAP/BLOOMFILTER/NGRAM): whole batches that
+    cannot contain matches are skipped before any page read. The row-by-row
+    Filter stays (at-most = false positives possible)."""
+    if sc._filter is None or plan.exact_mask is not None:
+        return
+    if sc._nearest is not None or sc._fts is not None:
+        return
+    from ..indices.scalar.expression import try_index_pruning
+
+    mask = try_index_pruning(sc.ds, sc._filter)
+    if mask is None:
+        return
+    plan.prune_mask = mask
+    for i, st in enumerate(plan.stages):
+        if st.name == "Filter":
+            plan.stages.insert(i, Stage("IndexPruning", {"kind": "at-most"}))
+            break
+
+
+def late_materialization(plan: ScanPlan, sc) -> None:
+    """Split reads: filter columns decode first, output columns only for
+    surviving rows (reference MaterializationStyle / FilteredReadExec).
+    With an exact index mask there is nothing to read pre-filter."""
+    if sc._filter is None or plan.exact_mask is not None:
+        return
+    if sc._nearest is not None or sc._fts is not None:
+        return
+    plan.filter_cols = sorted(referenced_columns(sc._filter))
+    out = set(sc._output_columns())
+    deferred = [c for c in out if c not in plan.filter_cols]
+    if deferred:
+        for i, st in enumerate(plan.stages):
+            if st.name in ("Filter", "ScalarIndexFilter"):
+                st.props["early_columns"] = plan.filter_cols
+                plan.stages.insert(
+                    i + 1, Stage("LateMaterialize", {"columns": sorted(deferred)}))
+                break
+
+
+def limit_pushdown(plan: ScanPlan, sc) -> None:
+    """Push limit/offset into the scan so it stops early — legal only when
+    no Sort reorders rows afterwards (SQL semantics: LIMIT applies to the
+    sorted output)."""
+    if sc._order_by is not None:
+        return
+    if sc._limit is None and not sc._offset:
+        return
+    if sc._nearest is not None or sc._fts is not None:
+        return  # search sources produce k rows; slicing is trivial
+    plan.pushdown_limit = sc._limit
+    plan.pushdown_offset = sc._offset
+    for st in plan.stages:
+        if st.name == "Scan":
+            st.props["limit"] = sc._limit
+            if sc._offset:
+                st.props["offset"] = sc._offset
+            break
+    plan.stages = [s for s in plan.stages if s.name != "Limit"]
+
+
+def knn_index_selection(plan: ScanPlan, sc) -> None:
+    """KnnSearch -> AnnIndexScan when a vector index covers the column, else
+    FlatKnn (reference ANNIvfPartitionExec vs KNNVectorDistanceExec); place
+    the filter as Prefilter (RowIdMask into the index search) or Postfilter."""
+    if sc._nearest is None:
+        return
+    q = sc._nearest
+    idx = sc.ds._vector_index_for(q.column) if q.use_index else None
+    for i, st in enumerate(plan.stages):
+        if st.name == "KnnSearch":
+            if idx is not None:
+                props = {"index": idx.meta.name, "k": q.k, "nprobes": q.nprobes}
+                if q.refine_factor:
+                    props["refine_factor"] = q.refine_factor
+                plan.stages[i] = Stage("AnnIndexScan", props)
+            else:
+                plan.stages[i] = Stage("FlatKnn", {"column": q.column, "k": q.k})
+        elif st.name == "Filter":
+            st.name = "Prefilter" if sc._prefilter else "Postfilter"
+
+
+def fts_index_selection(plan: ScanPlan, sc) -> None:
+    """FtsSearch -> FtsIndexScan (inverted index w/ Block-WAND) or dense
+    BM25 fallback; filter placement as in KNN."""
+    if sc._fts is None:
+        return
+    for st in plan.stages:
+        if st.name == "FtsSearch":
+            st.name = "FtsIndexScan"
+        elif st.name == "Filter":
+            st.name = "Prefilter" if sc._prefilter else "Postfilter"
+
+
+_PASSES = [
+    use_scalar_index,
+    index_pruning,
+    late_materialization,
+    limit_pushdown,
+    knn_index_selection,
+    fts_index_selection,
+]
+
+
+def plan_scan(sc) -> ScanPlan:
+    """Build + optimize the plan for a scanner's current state."""
+    plan = build_plan(sc)
+    for p in _PASSES:
+        p(plan, sc)
+    return plan

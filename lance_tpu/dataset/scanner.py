@@ -198,22 +198,22 @@ class Scanner:
     def count_rows(self) -> int:
         if self._filter is None:
             return sum(f.num_rows for f in self._iter_fragments())
-        # exact scalar-index masks answer counts without any scan
-        if self._fragments is None:
-            from ..indices.scalar.expression import try_scalar_index_filter
+        # exact scalar-index masks (optimizer pass use_scalar_index) answer
+        # counts without any scan
+        from .plan import plan_scan
 
-            mask = try_scalar_index_filter(self.ds, self._filter)
-            if mask is not None and mask.allow is not None:
-                total = 0
-                for frag in self._iter_fragments():
-                    offs = mask.allow.fragment_offsets(frag.id, frag.physical_rows)
-                    if offs is None:
-                        continue
-                    dv = frag.deletion_vector()
-                    if dv is not None and not dv.is_empty():
-                        offs = offs[~dv.mask(frag.physical_rows)[offs]]
-                    total += int(offs.size)
-                return total
+        mask = plan_scan(self).exact_mask
+        if mask is not None:
+            total = 0
+            for frag in self._iter_fragments():
+                offs = mask.allow.fragment_offsets(frag.id, frag.physical_rows)
+                if offs is None:
+                    continue
+                dv = frag.deletion_vector()
+                if dv is not None and not dv.is_empty():
+                    offs = offs[~dv.mask(frag.physical_rows)[offs]]
+                total += int(offs.size)
+            return total
         total = 0
         for batch in self._execute_scan(count_only=True):
             total += batch
@@ -236,15 +236,20 @@ class Scanner:
         return self.ds.schema.names
 
     def _execute_scan(self, count_only: bool = False):
+        # the optimizer (dataset/plan.py, reference io/exec/optimizer.rs)
+        # decides: exact index masks, at-most pruning, late-materialization
+        # column split, and limit pushdown. Execution consumes its decisions.
+        from .plan import plan_scan
+
+        plan = plan_scan(self)
         out_cols = self._output_columns()
-        filter_cols = sorted(referenced_columns(self._filter)) if self._filter is not None else []
-        for c in filter_cols + out_cols:
+        for c in plan.filter_cols + out_cols:
             if c not in (ROW_ID_COL, ROW_ADDR_COL):
                 self.ds.schema.field(c)  # validate
         # ORDER BY: limit/offset apply to the *sorted* output (SQL semantics),
-        # so the scan itself runs unbounded and the sorter handles memory.
-        remaining = self._limit if self._order_by is None else None
-        to_skip = self._offset if self._order_by is None else 0
+        # so the optimizer withholds pushdown and the sorter handles memory.
+        remaining = plan.pushdown_limit
+        to_skip = plan.pushdown_offset
 
         # per-scan IO scheduler: page reads flow through the priority +
         # backpressure queue (reference ScanScheduler; parallelizes reads on
@@ -254,19 +259,19 @@ class Scanner:
         scheduler = make_scheduler(self.ds.store)
         try:
             yield from self._scan_with_scheduler(
-                scheduler, out_cols, filter_cols, remaining, to_skip, count_only)
+                scheduler, plan, out_cols, remaining, to_skip, count_only)
         finally:
             scheduler.close()
 
-    def _scan_with_scheduler(self, scheduler, out_cols, filter_cols, remaining,
+    def _scan_with_scheduler(self, scheduler, plan, out_cols, remaining,
                              to_skip, count_only):
+        filter_cols = plan.filter_cols
         # at-most pruning from zonemap/bloom/ngram indices: skip whole
         # batches (and their reads) that cannot contain matches
-        prune_mask = None
-        if self._filter is not None:
-            from ..indices.scalar.expression import try_index_pruning
-
-            prune_mask = try_index_pruning(self.ds, self._filter)
+        prune_mask = plan.prune_mask
+        # exact scalar-index mask: the index answers the filter; no filter
+        # columns are read and no row-by-row evaluation runs
+        exact_mask = plan.exact_mask
 
         sorter = None
         if self._order_by is not None and not count_only:
@@ -278,9 +283,22 @@ class Scanner:
             n_phys = frag.physical_rows
             dv = frag.deletion_vector()
             del_mask = dv.mask(n_phys) if dv is not None and not dv.is_empty() else None
+            frag_allow = None
+            if exact_mask is not None:
+                # index-materialized selection: fragments without matches are
+                # skipped before any page read (reference MaterializeIndexExec)
+                offs = exact_mask.allow.fragment_offsets(frag.id, n_phys)
+                if offs is None or offs.size == 0:
+                    continue
+                frag_allow = np.zeros(n_phys, dtype=bool)
+                frag_allow[offs] = True
             for start in range(0, n_phys, self._batch_size):
                 count = min(self._batch_size, n_phys - start)
                 keep = np.ones(count, dtype=bool)
+                if frag_allow is not None:
+                    keep &= frag_allow[start : start + count]
+                    if not keep.any():
+                        continue
                 if prune_mask is not None:
                     addrs = (np.uint64(frag.id) << np.uint64(32)) | (
                         np.arange(start, start + count, dtype=np.uint64)
@@ -298,7 +316,7 @@ class Scanner:
                 # read scale with surviving zones, not batch size)
                 fdata = None
                 lo, hi = 0, count
-                if self._filter is not None:
+                if self._filter is not None and exact_mask is None:
                     if prune_mask is not None:
                         nz = np.flatnonzero(keep)
                         lo, hi = int(nz[0]), int(nz[-1]) + 1
@@ -470,20 +488,8 @@ class Scanner:
                 f"read_bytes={tracked.stats.read_bytes}")
 
     def explain_plan(self, verbose: bool = False) -> str:
-        stages = []
-        if self._nearest is not None:
-            idx = self.ds._vector_index_for(self._nearest.column) if self._nearest.use_index else None
-            if idx is not None:
-                stages.append(f"ANNIndexScan(index={idx.meta.name}, nprobes={self._nearest.nprobes})")
-            else:
-                stages.append("FlatKNN")
-            if self._filter is not None:
-                stages.append(f"{'Prefilter' if self._prefilter else 'Postfilter'}({self._filter_str})")
-        else:
-            stages.append("FilteredScan" + (f"({self._filter_str})" if self._filter_str else ""))
-        if self._order_by:
-            stages.append(f"Sort({self._order_by})")
-        if self._limit is not None:
-            stages.append(f"Limit({self._limit}, offset={self._offset})")
-        stages.append(f"Projection({self._output_columns()})")
-        return " -> ".join(stages)
+        """Render the OPTIMIZED plan (dataset/plan.py): the exact stages and
+        decisions _execute_scan consumes (reference Scanner::explain_plan)."""
+        from .plan import plan_scan
+
+        return plan_scan(self).render()

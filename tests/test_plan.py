@@ -1,0 +1,142 @@
+"""Plan optimizer (dataset/plan.py): pass effects and execution agreement.
+
+Reference analogue: rust/lance/src/io/exec/optimizer.rs passes over the
+DataFusion plan; here each pass rewrites the linear stage list and leaves a
+decision _execute_scan consumes."""
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.dataset.plan import plan_scan
+
+
+@pytest.fixture()
+def ds(tmp_path):
+    n = 5000
+    return lt.write_dataset(
+        {"id": np.arange(n, dtype=np.int64),
+         "cat": (np.arange(n) % 7).astype(np.int32),
+         "val": np.linspace(0.0, 1.0, n)},
+        f"{tmp_path}/plan.lance",
+        params=lt.WriteParams(max_rows_per_file=1000))
+
+
+def test_plain_scan_plan(ds):
+    plan = plan_scan(ds.scanner().project(["id"]))
+    names = [s.name for s in plan.stages]
+    assert names == ["Scan", "Projection"]
+
+
+def test_limit_pushdown_without_sort(ds):
+    sc = ds.scanner().limit(10, offset=5)
+    plan = plan_scan(sc)
+    assert plan.pushdown_limit == 10 and plan.pushdown_offset == 5
+    assert all(s.name != "Limit" for s in plan.stages)  # folded into Scan
+    scan = next(s for s in plan.stages if s.name == "Scan")
+    assert scan.props["limit"] == 10
+    t = sc.to_table()
+    assert t.column("id").to_pylist() == list(range(5, 15))
+
+
+def test_limit_not_pushed_under_sort(ds):
+    sc = ds.scanner().order_by([("val", True)]).limit(3)
+    plan = plan_scan(sc)
+    assert plan.pushdown_limit is None  # LIMIT applies to sorted output
+    names = [s.name for s in plan.stages]
+    assert "Sort" in names and "Limit" in names
+    assert names.index("Sort") < names.index("Limit")
+    got = sc.to_table().column("val").to_pylist()
+    assert got == sorted(got) and len(got) == 3
+
+
+def test_late_materialization_split(ds):
+    sc = ds.scanner().project(["id", "val"]).filter("cat = 3")
+    plan = plan_scan(sc)
+    assert plan.filter_cols == ["cat"]
+    names = [s.name for s in plan.stages]
+    assert "LateMaterialize" in names
+    late = next(s for s in plan.stages if s.name == "LateMaterialize")
+    assert late.props["columns"] == ["id", "val"]
+    assert sc.to_table().num_rows == ds.to_table(filter="cat = 3").num_rows
+
+
+def test_scalar_index_replaces_filter(ds):
+    ds2 = ds.create_index("id", "BTREE")
+    sc = ds2.scanner().filter("id >= 4990")
+    plan = plan_scan(sc)
+    names = [s.name for s in plan.stages]
+    assert "ScalarIndexFilter" in names and "Filter" not in names
+    assert plan.exact_mask is not None
+    # execution agrees with the unindexed answer
+    t = sc.to_table()
+    assert t.column("id").to_pylist() == list(range(4990, 5000))
+    assert sc.count_rows() == 10
+
+
+def test_scalar_index_scan_reads_no_filter_pages(ds, tmp_path):
+    """With an exact index mask, fragments without matches are skipped and
+    filter columns are never decoded: IOPS must be far below a full scan."""
+    from lance_tpu.io.tracking import TrackingStore
+
+    ds2 = ds.create_index("id", "BTREE")
+    tracked = TrackingStore(ds2.store)
+    probe = type(ds2)(tracked, ds2.uri, ds2.manifest, ds2.session)
+    full_iops_store = TrackingStore(ds2.store)
+    probe_full = type(ds2)(full_iops_store, ds2.uri, ds2.manifest, ds2.session)
+    probe_full.to_table(columns=["val"])  # full scan baseline
+    t = probe.to_table(columns=["val"], filter="id = 123")
+    assert t.num_rows == 1
+
+    def data_bytes(stats):
+        return sum(n for kind, path, n in stats.requests
+                   if kind == "read" and path.startswith("data/"))
+
+    # only the single matching fragment's val pages were decoded; the id
+    # (filter) column was never read — the index answered it
+    assert data_bytes(tracked.stats) < data_bytes(full_iops_store.stats) / 2
+
+
+def test_index_pruning_stage(ds):
+    ds2 = ds.create_index("val", "ZONEMAP", zone_size=500)
+    sc = ds2.scanner().filter("val < 0.01")
+    plan = plan_scan(sc)
+    names = [s.name for s in plan.stages]
+    assert "IndexPruning" in names and "Filter" in names  # at-most keeps Filter
+    assert names.index("IndexPruning") < names.index("Filter")
+    assert sc.to_table().num_rows == ds.to_table(filter="val < 0.01").num_rows
+
+
+def test_knn_plans(ds, tmp_path):
+    n = 300
+    vds = lt.write_dataset(
+        {"vec": np.random.default_rng(0).normal(size=(n, 8)).astype(np.float32),
+         "id": np.arange(n, dtype=np.int64)},
+        f"{tmp_path}/v.lance")
+    q = np.zeros(8, np.float32)
+    flat = plan_scan(vds.scanner().nearest("vec", q, k=5))
+    assert flat.stages[0].name == "FlatKnn"
+    vds2 = vds.create_index("vec", "IVF_PQ", num_partitions=4,
+                            num_sub_vectors=4, max_iters=2)
+    ann = plan_scan(vds2.scanner().nearest("vec", q, k=5, nprobes=4))
+    assert ann.stages[0].name == "AnnIndexScan"
+    assert ann.stages[0].props["nprobes"] == 4
+    pre = plan_scan(vds2.scanner().nearest("vec", q, k=5).filter("id > 3").prefilter())
+    assert [s.name for s in pre.stages][1] == "Prefilter"
+    post = plan_scan(vds2.scanner().nearest("vec", q, k=5).filter("id > 3"))
+    assert [s.name for s in post.stages][1] == "Postfilter"
+
+
+def test_explain_matches_plan(ds):
+    sc = ds.scanner().filter("cat = 1").limit(4)
+    assert sc.explain_plan() == plan_scan(sc).render()
+    assert "LateMaterialize" in sc.explain_plan()
+
+
+def test_deletes_respected_with_exact_mask(ds):
+    ds2 = ds.create_index("id", "BTREE").delete("id = 4995")
+    sc = ds2.scanner().filter("id >= 4990")
+    # mask comes from the (stale-coverage-aware) index; deleted row must not
+    # resurface
+    ids = sc.to_table().column("id").to_pylist()
+    assert 4995 not in ids and len(ids) == 9
+    assert sc.count_rows() == 9
