@@ -73,6 +73,12 @@ def main() -> None:
     os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
     os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
     os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+    # second-stage top-2-of-8 pre-reduction: payload sort shrinks 4x.
+    # Measured same-run at (10,8) B=2048: 345.1k -> 406.4k QPS (+17.8%) at
+    # 0.9789 -> 0.9756 recall (logs/frontier_r5.log); stage2=4 is the
+    # recall-neutral rung (0.9796 @ 384.1k). Deep-refine configs (rf>=16)
+    # are ineligible by the 4x pool-to-fetch guard and unaffected.
+    os.environ.setdefault("LANCE_TPU_MERGE_STAGE2", "8")
     import jax
 
     # persistent compile cache: axon remote-compiles are slow and variable;

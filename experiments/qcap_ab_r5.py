@@ -1,0 +1,99 @@
+"""Pin down the 338k (bench) vs 406k (frontier_r5 sweep) gap at the same
+(10,8,stage2=8) config. Only known difference: the sweep pinned
+q_cap=idx._last_qcap (adaptive, measured on the B=1024 recall batch) while
+bench's compiled_searcher uses the static _query_cap(2048,10,1024)=80.
+
+Matrix at B=2048, 40 iters each: stage2 {0,8} x q_cap {static(None), last,
+32, 48, 64, 96} -> qps. Plus recall at B=2048 THROUGH THE SAME PINNED CAP
+(pad queries to 2048 and score against gt) so any QPS win is recall-honest.
+
+Run: nohup timeout 4500 python experiments/qcap_ab_r5.py > experiments/logs/qcap_ab_r5.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K, B = 1_000_000, 128, 1024, 10, 2048
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    qh = np.asarray(queries)
+    ds = lt.write_dataset(
+        {"vec": np.asarray(data), "id": np.arange(N, dtype=np.int64)},
+        "memory://qcap_ab/d",
+        params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024,
+                         num_sub_vectors=64, num_bits=8, max_iters=12)
+    _log(f"build {time.time() - t:.0f}s")
+    idx = ds._vector_index_for("vec")
+    # adaptive cap as the sweep produced it (search on the NQ batch)
+    idx.search(qh, K, nprobes=10, refine_factor=8)
+    last_cap = getattr(idx, "_last_qcap", None)
+    _log(f"last_qcap from B={NQ} search: {last_cap}")
+
+    qb2048 = np.tile(qh, (B // NQ + 2, 1))[:B]
+    q_dev = jnp.asarray(qb2048)
+
+    def point(stage2, cap_name, cap):
+        os.environ["LANCE_TPU_MERGE_STAGE2"] = str(stage2)
+        fn = idx.compiled_searcher(K, nprobes=10, refine_factor=8, q_cap=cap)
+        t = time.time()
+        d, pos = fn(q_dev)
+        jax.block_until_ready((d, pos))
+        compile_s = time.time() - t
+        # recall THROUGH this exact program: first NQ rows are the real queries
+        pos_h = np.asarray(pos)[:NQ]
+        rid = np.where(pos_h >= 0,
+                       idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                       np.uint64(0xFFFFFFFFFFFFFFFF))
+        rec = recall_of(rid, gt_i, NQ, K)
+        iters = 40
+        tt = time.time()
+        o = None
+        for _ in range(iters):
+            o = fn(q_dev)
+        jax.block_until_ready(o)
+        qps = iters * B / (time.time() - tt)
+        r = {"stage2": stage2, "cap": cap_name, "q_cap": cap,
+             "recall_at_10_b2048": round(rec, 4), "qps": round(qps),
+             "compile_s": round(compile_s, 1)}
+        _log(json.dumps(r))
+        return r
+
+    rows = []
+    for s2 in (0, 8):
+        rows.append(point(s2, "static80", None))
+        if last_cap:
+            rows.append(point(s2, "last", int(last_cap)))
+        for cap in (32, 48, 64, 96):
+            rows.append(point(s2, str(cap), cap))
+    print(json.dumps({"config": "qcap_ab_r5", "last_qcap": last_cap,
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

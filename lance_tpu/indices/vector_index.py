@@ -1264,6 +1264,7 @@ class IvfIndex:
             n_real=jnp.asarray(b_real, jnp.int32),
             fused=_fused_kernel(),
             merge_group=_merge_group(),
+            merge_stage2=_merge_stage2(),
             slot_top2=_slot_top2(),
             refine_locality=_refine_locality(),
             approx_probe=_approx_probe(),
@@ -1398,6 +1399,7 @@ class IvfIndex:
                 block_scale=self._block_scale_dev,
                 fused=_fused_kernel(),
                 merge_group=_merge_group(),
+                merge_stage2=_merge_stage2(),
                 slot_top2=_slot_top2(),
                 refine_locality=_refine_locality(),
                 approx_probe=_approx_probe(),
@@ -1440,6 +1442,7 @@ class IvfIndex:
                 part_offsets=offsets,
                 fused=_fused_kernel(),
                 merge_group=_merge_group(),
+                merge_stage2=_merge_stage2(),
                 slot_top2=_slot_top2(),
                 refine_locality=_refine_locality(),
                 approx_probe=_approx_probe(),
@@ -1540,6 +1543,18 @@ def _merge_group() -> int:
     <= nprobes keeps the home partition collision-free (its L candidates
     land in distinct slots whenever ng >= L). Larger group = narrower sort."""
     return int(os.environ.get("LANCE_TPU_MERGE_GROUP", "8"))
+
+
+def _merge_stage2() -> int:
+    """Second-stage merge pre-reduction width (LANCE_TPU_MERGE_STAGE2,
+    default 0 = off). After the across-probe group-min shrinks the candidate
+    matrix to (B, ng), a second top-2-of-`stage2` reduction shrinks the
+    payload sort another stage2/2 x. The r5 profile (logs/prof_r5.log) puts
+    the sort at ~119 us of 556 us device time at the (10,8) headline; groups
+    at this stage mix intra-partition offsets spaced ng/stage2 apart, so
+    losses are pseudo-random pairs and top-2 keeps them rare (the fetch pool
+    is >= 4x the fetch width by eligibility). Chip A/B decides the default."""
+    return int(os.environ.get("LANCE_TPU_MERGE_STAGE2", "0"))
 
 
 def _slot_top2() -> bool:
@@ -1654,13 +1669,15 @@ _FUSED_GROUP = 16
 @functools.partial(
     jax.jit, static_argnames=("metric", "nprobes", "k", "q_cap", "final_k",
                               "dist_bf16", "fused", "merge_group",
-                              "refine_locality", "approx_probe", "slot_top2")
+                              "refine_locality", "approx_probe", "slot_top2",
+                              "merge_stage2")
 )
 def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
                   metric, nprobes, k, q_cap, refine_vectors=None, final_k=None,
                   part_offsets=None, dist_bf16=False, block_scale=None,
                   n_real=None, fused=False, merge_group=8,
-                  refine_locality=False, approx_probe=False, slot_top2=False):
+                  refine_locality=False, approx_probe=False, slot_top2=False,
+                  merge_stage2=0):
     """Dense partition-major IVF scoring — the TPU-native ADC replacement.
 
     Storage is (nlist, L, D) partition blocks (decoded-PQ bf16 / raw f32).
@@ -1913,6 +1930,33 @@ def _search_dense(blocks, block_sq, gpos, centroids, q, selection,
             for p in range(nprobes):  # static, vectorized selects
                 pos_base = jnp.where(probe_all == p, offs[:, p][:, None], pos_base)
             pos_all = pos_base + l_all
+            # second-stage pre-reduction: shrink the payload sort another
+            # stage2/2 x by keeping the best TWO of each `stage2`-wide
+            # strided group (profile: the sort is ~21% of device time at the
+            # (10,8) headline). Stage-2 group-mates are intra-partition
+            # offsets spaced width/stage2 apart — pseudo-random in distance —
+            # and top-2 makes a loss need THREE pool members in one group.
+            s2 = merge_stage2
+            if (s2 > 1 and not slot_top2 and width % s2 == 0
+                    and 2 * (width // s2) >= 4 * kk):
+                ng2 = width // s2
+                g2 = gmin.reshape(b, s2, ng2)
+                p2 = pos_all.reshape(b, s2, ng2)
+                inf2 = jnp.asarray(jnp.inf, g2.dtype)
+                a1 = jnp.argmin(g2, axis=1).astype(jnp.int32)
+                m1 = jnp.min(g2, axis=1)
+                iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, s2, ng2), 1)
+                g2m = jnp.where(iota2 == a1[:, None, :], inf2, g2)
+                a2 = jnp.argmin(g2m, axis=1).astype(jnp.int32)
+                m2 = jnp.min(g2m, axis=1)
+                pos1 = jnp.zeros((b, ng2), jnp.int32)
+                pos2 = jnp.zeros((b, ng2), jnp.int32)
+                for p in range(s2):  # static, vectorized selects (no gathers)
+                    pos1 = jnp.where(a1 == p, p2[:, p, :], pos1)
+                    pos2 = jnp.where(a2 == p, p2[:, p, :], pos2)
+                gmin = jnp.concatenate([m1, m2], axis=1)
+                pos_all = jnp.concatenate([pos1, pos2], axis=1)
+                width = 2 * ng2
             skeys, spos = jax.lax.sort((gmin, pos_all), dimension=1, num_keys=1)
             w = min(kk, width)
             best_d = skeys[:, :w]

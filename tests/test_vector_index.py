@@ -655,3 +655,51 @@ def test_slot_top2_merge_pre_reduction(monkeypatch):
 
     assert r_base >= 0.84, r_base
     assert r_t2 >= r_base - 0.02, (r_t2, r_base)
+
+
+def test_merge_stage2_pre_reduction(monkeypatch):
+    """LANCE_TPU_MERGE_STAGE2: the second-stage top-2-of-s2 reduction halves
+    the payload-sort width per s2/2. Losses need three fetch-pool members in
+    one strided group, so recall must stay within a couple points of the
+    single-stage baseline; results must stay valid (no duplicates, no
+    fabricated row ids)."""
+    rng = np.random.default_rng(13)
+    N, DIM, NQ, K, NPROBES, RF = 40_000, 16, 32, 10, 8, 8
+    centers = rng.normal(size=(48, DIM)).astype(np.float32) * 6
+    a = rng.integers(0, 48, N + NQ)
+    x = (centers[a] + rng.normal(size=(N + NQ, DIM)).astype(np.float32))
+    data, q = x[:N], x[N:]
+    ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                          "memory://stage2/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=32,
+                         num_sub_vectors=4, max_iters=8)
+    idx = ds._vector_index_for("vec")
+
+    def recall(rid):
+        hits = 0
+        for i in range(NQ):
+            gt = set(_gt_topk(data, q[i], K).tolist())
+            got = set((rid[i][rid[i] != 0xFFFFFFFFFFFFFFFF].astype(np.int64)
+                       & 0xFFFFFFFF).tolist())
+            hits += len(gt & got)
+        return hits / (NQ * K)
+
+    monkeypatch.setenv("LANCE_TPU_MERGE_GROUP", "8")
+    _, rid_base = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+    r_base = recall(rid_base)
+
+    monkeypatch.setenv("LANCE_TPU_MERGE_STAGE2", "4")
+    _, rid_s2 = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+    r_s2 = recall(rid_s2)
+    for i in range(NQ):
+        real = rid_s2[i][rid_s2[i] != 0xFFFFFFFFFFFFFFFF]
+        assert len(set(real.tolist())) == real.size  # no duplicates
+
+    # ineligible widths fall back to single-stage exactly
+    monkeypatch.setenv("LANCE_TPU_MERGE_STAGE2", "7")  # does not divide width
+    _, rid_fb = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
+    assert np.array_equal(rid_fb, rid_base)
+    monkeypatch.setenv("LANCE_TPU_MERGE_STAGE2", "0")
+
+    assert r_base >= 0.78, r_base
+    assert r_s2 >= r_base - 0.03, (r_s2, r_base)
