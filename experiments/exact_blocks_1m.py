@@ -1,0 +1,119 @@
+"""Exact-blocks A/B at the SIFT1M bench scale (chip).
+
+Thesis (vector_index._exact_blocks): the dense scan reads full-dim blocks
+whether they hold PQ-decoded or exact rows, so at identical HBM bytes the
+exact bf16 vectors strictly dominate the m=64 decode in pool-ranking
+fidelity. Near-exact pool ranking should (a) lift recall at the bench
+config and (b) unlock refine factors below 8 — previously capped by
+merge-group collisions, which only exist because APPROXIMATE group-mates
+can spuriously beat true neighbors; under exact scores the true rank-1
+can never lose its group.
+
+Same corpus/build as bench.py (1M x 128, IVF_PQ 1024 x m=64 + OPQ).
+Measurement matches bench.py exactly: demand-pinned q_cap at B=2048,
+recall THROUGH the pinned program, stage2=8.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log, generate_sift_like, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_STAGE2", "8")
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 1024, 10
+    t0 = time.time()
+    data, queries = generate_sift_like(N, DIM, NQ)
+    gt_d, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    qh = np.asarray(queries)
+    data_h = np.asarray(data)
+    del data, queries
+    _log(f"gen+gt+download {time.time()-t0:.0f}s")
+
+    uri = "memory://exb/sift1m"
+    ds = lt.write_dataset({"vec": data_h, "id": np.arange(N, dtype=np.int64)},
+                          uri, params=lt.WriteParams(max_rows_per_file=N,
+                                                     compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=1024,
+                         num_sub_vectors=64, num_bits=8, max_iters=12)
+    _log(f"build {time.time()-t:.0f}s")
+
+    def measure(idx, np_, rf, B=2048):
+        qb = np.tile(qh, ((B + NQ - 1) // NQ, 1))[:B]
+        idx.search(qb, K, nprobes=np_, refine_factor=rf)
+        cap = getattr(idx, "_last_qcap", None)
+        fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=rf, q_cap=cap)
+        qd = jnp.asarray(qb)
+        d, pos = fn(qd)
+        jax.block_until_ready((d, pos))
+        n_eval = min(B, NQ)
+        pos_h = np.asarray(pos)[:n_eval]
+        rid = np.where(pos_h >= 0,
+                       idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                       np.uint64(INV))
+        rec = recall_of(rid, gt_i, n_eval, K)
+        t = time.time()
+        iters = 50
+        for _ in range(iters):
+            o = fn(qd)
+        jax.block_until_ready(o)
+        return {"nprobes": np_, "rf": rf, "q_cap": cap,
+                "recall_at_10": round(rec, 4),
+                "qps": round(iters * B / (time.time() - t))}
+
+    rows = []
+    # baseline: decoded blocks at the official headline config
+    idx = ds._vector_index_for("vec")
+    r = measure(idx, 10, 8)
+    r["blocks"] = "decoded"
+    rows.append(r)
+    _log(json.dumps(r))
+
+    # exact blocks: fresh open under the env flag. A NEW Session is
+    # required — open_vector_index caches the opened index per session, so
+    # the default session would return the decoded index. Both block
+    # stores coexist briefly (~1.7 GB at 1M — fine).
+    del idx
+    os.environ["LANCE_TPU_EXACT_BLOCKS"] = "1"
+    from lance_tpu.dataset import Session
+    ds2 = lt.dataset(uri, session=Session())
+    idx2 = ds2._vector_index_for("vec")
+    for np_, rf in ((10, 8), (10, 4), (10, 2), (8, 4), (12, 4), (16, 4),
+                    (10, 1)):
+        r = measure(idx2, np_, rf)
+        r["blocks"] = "exact"
+        rows.append(r)
+        _log(json.dumps(r))
+
+    ok = [r for r in rows if r["recall_at_10"] >= 0.95]
+    best = max(ok, key=lambda r: r["qps"]) if ok else None
+    print(json.dumps({"config": "exact_blocks_1m", "rows": rows,
+                      "best": best}))
+
+
+if __name__ == "__main__":
+    main()

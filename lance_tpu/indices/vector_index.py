@@ -1042,10 +1042,25 @@ class IvfIndex:
             part_of_row = (np.repeat(np.arange(self.ivf.num_partitions),
                                      self.ivf.lengths).astype(np.int32)
                            if self.residual else None)
-            rows, sq_rows = _decode_pq_rows(
-                codes, _widen_codebook(self.pq.codebook, self.pq.rotation),
-                self.ivf.centroids if self.residual else None, part_of_row,
-                row_dtype)
+            if _exact_blocks():
+                # EXACT serving blocks: the dense scan reads full-dim blocks
+                # whether they hold PQ-decoded or exact rows (decode
+                # up-projects codes to (N, D) anyway), so at identical HBM
+                # bytes exact storage strictly dominates decoded storage in
+                # pool-ranking fidelity. Near-exact ranking lets
+                # refine_factor drop ~8x (the refine row gather is the
+                # measured #1 serving cost, logs/prof_b2048.log) and fixes
+                # merge-group collision losses: under exact scores the true
+                # rank-1 can never be spuriously beaten by a group-mate.
+                # PQ codes remain the DISK format; cost is a raw-column
+                # read at open (D*4 vs m bytes/row). Opt-in
+                # (LANCE_TPU_EXACT_BLOCKS=1) pending chip A/Bs.
+                rows, sq_rows = self._exact_rows(row_dtype)
+            else:
+                rows, sq_rows = _decode_pq_rows(
+                    codes, _widen_codebook(self.pq.codebook, self.pq.rotation),
+                    self.ivf.centroids if self.residual else None, part_of_row,
+                    row_dtype)
             self._vectors_dev = None  # lazy, for refine
         elif "rq_header" in gbufs:
             self.pq = None
@@ -1452,6 +1467,36 @@ class IvfIndex:
 
     # -- refine (exact re-rank) ---------------------------------------------------------
 
+    def _exact_rows(self, row_dtype):
+        """Exact vectors in index-row order for exact-blocks serving
+        (LANCE_TPU_EXACT_BLOCKS): host f32 read via the refine-vector cache
+        (so the later refine upload reuses it), exact f32 norms computed
+        host-side BEFORE the storage cast, chunked device upload at the
+        scoring dtype."""
+        column = self.ds.schema.field_by_id(self.meta.fields[0]).name
+        key = (self.meta.uuid, "refine_vectors")
+        host = self.ds.session.index_cache.get("ivf_vec", key)
+        if host is None:
+            vecs, rowids_col = read_vector_column(
+                self.ds, column, self.meta.fragment_ids or None)
+            order = np.argsort(rowids_col, kind="stable")
+            pos = np.searchsorted(rowids_col[order], self.rowids)
+            host = np.ascontiguousarray(vecs[order][pos])
+            if self.metric == "cosine":
+                norms = np.maximum(
+                    np.linalg.norm(host, axis=1, keepdims=True), 1e-12)
+                host = host / norms
+            self.ds.session.index_cache.put("ivf_vec", key, host)
+        sq_rows = jnp.asarray(
+            np.einsum("ij,ij->i", host.astype(np.float32),
+                      host.astype(np.float32), optimize=True))
+        cast = host.astype(np.dtype(row_dtype)) if np.dtype(row_dtype) != host.dtype else host
+        step = max(1, (1 << 30) // max(cast.strides[0], 1))
+        parts = [jax.device_put(cast[s:s + step])
+                 for s in range(0, cast.shape[0], step)]
+        rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return rows, sq_rows
+
     def _ensure_vectors(self):
         if self._vectors_dev is None:
             column = self.ds.schema.field_by_id(self.meta.fields[0]).name
@@ -1504,6 +1549,16 @@ class IvfIndex:
 # ---------------------------------------------------------------------------
 
 
+def _exact_blocks() -> bool:
+    """Exact serving blocks for quantized indices (LANCE_TPU_EXACT_BLOCKS=1,
+    default off): materialize the dense-scan blocks from the EXACT vectors
+    instead of the PQ decode. Identical HBM bytes (blocks are full-dim
+    either way), strictly better pool ranking — lets refine_factor drop
+    ~8x on deep-refine configs (the refine gather is the measured #1
+    serving cost) at the price of a raw-column read at index open."""
+    return os.environ.get("LANCE_TPU_EXACT_BLOCKS", "0") not in ("0", "false", "")
+
+
 def _score_int8() -> bool:
     """int8 coarse scoring (quantized indices only). Experimental; opt in
     with LANCE_TPU_SCORE_INT8=1."""
@@ -1553,8 +1608,13 @@ def _merge_stage2() -> int:
     the sort at ~119 us of 556 us device time at the (10,8) headline; groups
     at this stage mix intra-partition offsets spaced ng/stage2 apart, so
     losses are pseudo-random pairs and top-2 keeps them rare (the fetch pool
-    is >= 4x the fetch width by eligibility). Chip A/B decides the default."""
-    return int(os.environ.get("LANCE_TPU_MERGE_STAGE2", "0"))
+    is >= 4x the fetch width by eligibility). Chip A/B (logs/frontier_r5.log,
+    same-run at the (10,8) SIFT1M headline): stage2=4 is recall-NEUTRAL at
+    +11% QPS (0.9796 @ 384.1k vs 0.9789 @ 345.1k), stage2=8 is +17.8% at
+    -0.3pt (0.9756 @ 406.4k) — so 4 is the default and bench.py opts into
+    8. The eligibility guard (pool >= 4x fetch, width divisible) turns it
+    off for deep-refine configs and tiny shapes."""
+    return int(os.environ.get("LANCE_TPU_MERGE_STAGE2", "4"))
 
 
 def _slot_top2() -> bool:

@@ -685,6 +685,8 @@ def test_merge_stage2_pre_reduction(monkeypatch):
         return hits / (NQ * K)
 
     monkeypatch.setenv("LANCE_TPU_MERGE_GROUP", "8")
+    # default is stage2=4 — pin the single-stage baseline explicitly
+    monkeypatch.setenv("LANCE_TPU_MERGE_STAGE2", "0")
     _, rid_base = idx.search(q, K, nprobes=NPROBES, refine_factor=RF)
     r_base = recall(rid_base)
 
@@ -703,3 +705,52 @@ def test_merge_stage2_pre_reduction(monkeypatch):
 
     assert r_base >= 0.78, r_base
     assert r_s2 >= r_base - 0.03, (r_s2, r_base)
+
+
+def test_exact_blocks_mode(monkeypatch):
+    """LANCE_TPU_EXACT_BLOCKS: serving blocks hold the exact vectors instead
+    of the PQ decode — same HBM bytes (blocks are full-dim either way),
+    strictly better pool ranking. On CPU the scan dtype is f32, so the
+    exact-blocks pool ranking is EXACT: shallow refine must match or beat
+    the decoded-blocks recall, and deep coverage must reach brute force."""
+    rng = np.random.default_rng(29)
+    N, DIM, NQ, K = 30_000, 24, 24, 10
+    centers = rng.normal(size=(40, DIM)).astype(np.float32) * 5
+    a = rng.integers(0, 40, N + NQ)
+    x = centers[a] + rng.normal(size=(N + NQ, DIM)).astype(np.float32)
+    data, q = x[:N], x[N:]
+    ds = lt.write_dataset({"vec": data, "id": np.arange(N, dtype=np.int64)},
+                          "memory://exactblocks/d")
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=32,
+                         num_sub_vectors=4, max_iters=8)
+
+    def recall(rid):
+        hits = 0
+        for i in range(NQ):
+            gt = set(_gt_topk(data, q[i], K).tolist())
+            got = set((rid[i][rid[i] != 0xFFFFFFFFFFFFFFFF].astype(np.int64)
+                       & 0xFFFFFFFF).tolist())
+            hits += len(gt & got)
+        return hits / (NQ * K)
+
+    idx = ds._vector_index_for("vec")
+    _, rid_dec = idx.search(q, K, nprobes=16, refine_factor=2)
+    r_dec = recall(rid_dec)
+
+    monkeypatch.setenv("LANCE_TPU_EXACT_BLOCKS", "1")
+    # fresh SESSION: open_vector_index caches the opened index per session,
+    # so the default session would return the decoded index
+    from lance_tpu.dataset import Session
+    ds2 = lt.dataset(ds.uri, session=Session())
+    idx2 = ds2._vector_index_for("vec")
+    _, rid_ex = idx2.search(q, K, nprobes=16, refine_factor=2)
+    r_ex = recall(rid_ex)
+    assert r_ex >= r_dec - 1e-9, (r_ex, r_dec)
+
+    # full coverage + exact scan: brute-force parity even WITHOUT refine
+    _, rid_full = idx2.search(q, K, nprobes=32)
+    assert recall(rid_full) == 1.0
+
+    # refine through exact blocks still returns valid unique rowids
+    real = rid_ex[0][rid_ex[0] != 0xFFFFFFFFFFFFFFFF]
+    assert len(set(real.tolist())) == real.size
