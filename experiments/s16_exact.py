@@ -1,0 +1,152 @@
+"""16M exact-blocks A/B (chip, from the scale16m_dev cache).
+
+Serving blocks rebuilt from the EXACT f16 refine vectors instead of the
+PQ decode (engine analogue: LANCE_TPU_EXACT_BLOCKS). Same HBM bytes; pool
+ranking becomes f16-exact, so the deep refine (rf=64 = 640 gathered
+rows/query, the dominant serving cost at 16M) should collapse to rf~8 at
+equal-or-better recall.
+
+The cache's decoded blocks.npy is never uploaded: exact blocks gather
+from the refine array on device (slab loop, donated buffers — peak HBM
+~11 GB vs 15.75). Honest serving measure: demand-pinned q_cap, recall
+through the exact pinned program (see scale16m_dev.run_point).
+
+Env: S16EXACT_CACHE (default /root/repo/.scale16m_r4).
+"""
+import functools
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench import _log
+from scale16m_dev import _assemble_idx, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "0")
+os.environ.setdefault("LANCE_TPU_REFINE_F16", "1")
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+
+    cdir = os.environ.get("S16EXACT_CACHE", "/root/repo/.scale16m_r4")
+    t = time.time()
+    with open(os.path.join(cdir, "pq.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    refine = jax.device_put(np.load(os.path.join(cdir, "refine.npy"),
+                                    mmap_mode="r"))
+    cent = np.load(os.path.join(cdir, "cent.npy"))
+    offsets = np.load(os.path.join(cdir, "offsets.npy"))
+    lengths = np.load(os.path.join(cdir, "lengths.npy"))
+    rowids_sorted = np.load(os.path.join(cdir, "rowids.npy"))
+    gt_i = np.load(os.path.join(cdir, "gt.npy"))
+    qh = np.load(os.path.join(cdir, "queries.npy"))
+    L = meta["L"]
+    N, DIM = refine.shape
+    NLIST = offsets.shape[0]
+    gpos = (jnp.asarray(offsets.astype(np.int32))[:, None]
+            + jnp.arange(L, dtype=jnp.int32)[None, :])
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < jnp.asarray(
+        lengths.astype(np.int32))[:, None]
+    gpos = jnp.where(valid, gpos, N)
+    jax.block_until_ready(refine)
+    _log(f"cache loaded (no decoded blocks) {time.time()-t:.0f}s "
+         f"N={N} L={L} NLIST={NLIST}")
+
+    # exact blocks: slab gather from refine, f32 norms, donated buffers
+    t = time.time()
+    slab = 512
+    assert NLIST % slab == 0
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def eslab(bbuf, sbuf, gp, p0):
+        idxs = jnp.minimum(gp, N - 1)
+        g = jnp.take(refine, idxs.reshape(-1), axis=0).reshape(
+            gp.shape[0], L, DIM)
+        gf = g.astype(jnp.float32)
+        sq = jnp.sum(gf * gf, axis=-1)
+        ok = gp < N
+        sq = jnp.where(ok, sq, jnp.inf)
+        blk = jnp.where(ok[..., None], gf, 0.0).astype(jnp.bfloat16)
+        bbuf = jax.lax.dynamic_update_slice(
+            bbuf, blk, (p0, jnp.int32(0), jnp.int32(0)))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, sq, (p0, jnp.int32(0)))
+        return bbuf, sbuf
+
+    blocks = jnp.zeros((NLIST, L, DIM), jnp.bfloat16)
+    block_sq = jnp.zeros((NLIST, L), jnp.float32)
+    for p0 in range(0, NLIST, slab):
+        blocks, block_sq = eslab(blocks, block_sq,
+                                 jax.lax.slice_in_dim(gpos, p0, p0 + slab),
+                                 jnp.int32(p0))
+    jax.block_until_ready(blocks)
+    _log(f"exact blocks {time.time()-t:.0f}s")
+
+    idx = _assemble_idx(jnp, cent, offsets, lengths, rowids_sorted, refine,
+                        blocks, block_sq, gpos, meta["pq"],
+                        meta["use_residual"], N, L)
+    del blocks, block_sq, gpos
+    NQ, K = qh.shape[0], 10
+
+    def run_point(np_, rf, bs):
+        row = {"blocks": "exact_f16", "nprobes": np_, "refine": rf}
+        recs = []
+        for B in bs:
+            reps = (B + NQ - 1) // NQ
+            qb = np.tile(qh, (reps, 1))[:B]
+            idx.search(qb, K, nprobes=np_, refine_factor=rf)
+            cap = getattr(idx, "_last_qcap", None)
+            fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=rf,
+                                       q_cap=cap)
+            qd = jnp.asarray(qb)
+            d, pos = fn(qd)
+            jax.block_until_ready((d, pos))
+            n_eval = min(B, NQ)
+            pos_h = np.asarray(pos)[:n_eval]
+            rid = np.where(pos_h >= 0,
+                           idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                           np.uint64(INV))
+            rec = recall_of(rid, gt_i, n_eval, K)
+            recs.append(rec)
+            t = time.time()
+            iters = 20
+            for _ in range(iters):
+                o = fn(qd)
+            jax.block_until_ready(o)
+            row[f"qps_b{B}"] = round(iters * B / (time.time() - t))
+            row[f"q_cap_b{B}"] = cap
+            row[f"recall_b{B}"] = round(rec, 4)
+        row["recall_at_10"] = round(min(recs), 4)
+        _log(json.dumps(row))
+        return row
+
+    rows = [run_point(32, 8, (2048,)),
+            run_point(32, 4, (2048,)),
+            run_point(32, 16, (2048,)),
+            run_point(24, 8, (2048,)),
+            run_point(32, 64, (2048,))]
+    ok = [r for r in rows if r["recall_at_10"] >= 0.95]
+    best = max(ok, key=lambda r: r["qps_b2048"]) if ok else None
+    if best is not None:
+        # B=512 point for the gate-style comparison on the winner
+        rows.append(run_point(best["nprobes"], best["refine"], (512,)))
+    print(json.dumps({"config": "s16_exact_blocks", "n": N, "rows": rows,
+                      "best": best}))
+
+
+if __name__ == "__main__":
+    main()
