@@ -233,29 +233,74 @@ def main() -> None:
             rec_here = recall
             jax.block_until_ready(fn(q_dev))
         search_fn = fn
-        t = time.time()
-        outs = None
-        for _ in range(iters):
-            outs = fn(q_dev)
-        jax.block_until_ready(outs)
-        return iters * batch / (time.time() - t), rec_here
+        # median-of-3 with spread: run-to-run QPS varied 7% across round-4
+        # runs (VERDICT r4 weak #5); one rep is not a stable headline
+        reps = []
+        for _ in range(3):
+            t = time.time()
+            outs = None
+            for _ in range(iters):
+                outs = fn(q_dev)
+            jax.block_until_ready(outs)
+            reps.append(iters * batch / (time.time() - t))
+        reps.sort()
+        spread = (reps[-1] - reps[0]) / reps[1] * 100 if reps[1] else 0.0
+        _log(f"B={batch}: qps reps {[f'{r:.0f}' for r in reps]} "
+             f"median={reps[1]:.0f} spread={spread:.1f}%")
+        return reps[1], rec_here, spread
 
-    qps512, rec512 = measure(512, 100)
+    qps512, rec512, spread = measure(512, 100)
     qps, recall = qps512, rec512
     batch = 512
     # larger batches amortize per-dispatch overhead; skip if out of budget
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
     if time.time() - t0 < budget_s * 0.7:
-        qps2048, rec2048 = measure(2048, 50)
+        qps2048, rec2048, spread2048 = measure(2048, 50)
         _log(f"qps @B=512: {qps512:.0f}  @B=2048: {qps2048:.0f}")
         if qps2048 > qps:
-            qps, batch, recall = qps2048, 2048, rec2048
+            qps, batch, recall, spread = qps2048, 2048, rec2048, spread2048
     q_dev = jnp.asarray(queries[:512])
     t = time.time()
     jax.block_until_ready(search_fn(q_dev))
     lat_ms = (time.time() - t) * 1000
     _log(f"QPS={qps:.0f} lat={lat_ms:.1f}ms at recall@10={recall:.4f} "
          f"(nprobes={nprobes}, refine={refine})")
+
+    # online-serving latency (VERDICT r4 weak #6): synchronous per-call p50/
+    # p99 at small batches through the SAME index + config as the headline.
+    # The dev-chip relay adds a per-dispatch round trip a production host
+    # does not have, so the relay RTT floor (a 1-element no-op dispatch) is
+    # measured and reported alongside.
+    latency = {}
+    rtt_ms = None
+    if (time.time() - t0 < budget_s * 0.9
+            and os.environ.get("LANCE_TPU_BENCH_LATENCY", "1") != "0"):
+        one = jnp.zeros((1,), jnp.float32)
+        noop = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(noop(one))
+        ts = []
+        for _ in range(30):
+            t = time.time()
+            jax.block_until_ready(noop(one))
+            ts.append((time.time() - t) * 1000)
+        rtt_ms = float(np.median(ts))
+        _log(f"relay RTT floor: {rtt_ms:.2f}ms")
+        for bsz in (1, 8, 32):
+            qb = queries[:bsz]
+            fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=refine)
+            q_dev_b = jnp.asarray(qb)
+            jax.block_until_ready(fn(q_dev_b))  # compile + warm
+            ts = []
+            for _ in range(50):
+                t = time.time()
+                jax.block_until_ready(fn(q_dev_b))
+                ts.append((time.time() - t) * 1000)
+            ts.sort()
+            p50, p99 = ts[len(ts) // 2], ts[int(len(ts) * 0.99)]
+            latency[str(bsz)] = {"p50_ms": round(p50, 2), "p99_ms": round(p99, 2),
+                                 "p50_net_ms": round(max(p50 - rtt_ms, 0.0), 2)}
+            _log(f"B={bsz}: sync p50={p50:.2f}ms p99={p99:.2f}ms "
+                 f"(minus RTT: {max(p50 - rtt_ms, 0):.2f}ms)")
 
     baseline = 50_000.0
     print(json.dumps({
@@ -268,6 +313,9 @@ def main() -> None:
         "refine_factor": refine,
         "index_build_seconds": round(build_s, 1),
         "batch_latency_ms": round(lat_ms, 2),
+        "qps_spread_pct": round(spread, 1),
+        **({"online_latency": latency, "relay_rtt_ms": round(rtt_ms, 2)}
+           if latency else {}),
     }))
 
 

@@ -264,6 +264,11 @@ class ColumnData:
             # the top cost of dense string scans): wrap the flat byte buffer
             # + offsets directly; only the int64->int32 offset cast copies
             large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+            if not large and self.num_rows and int(self.offsets[-1]) > np.iinfo(np.int32).max:
+                # >2 GiB of values in one page: int32 offsets would silently
+                # wrap — promote to the large_ type instead of truncating
+                t = pa.large_string() if pa.types.is_string(t) else pa.large_binary()
+                large = True
             offs = np.ascontiguousarray(self.offsets, np.int64 if large else np.int32)
             valbuf = (None if self.validity is None
                       else pa.array(self.validity).buffers()[1])

@@ -34,7 +34,7 @@ _store_tokens = 0
 
 
 def _page_cache():
-    """Process-wide decoded-page LRU (LANCE_PAGE_CACHE_BYTES, default 128 MB;
+    """Process-wide decoded-page LRU (LANCE_PAGE_CACHE_BYTES, default 512 MB;
     0 disables). Data files are immutable — commits write NEW files — so
     entries never go stale; keyed by (store token, path, first-buffer offset,
     length). The store token is a per-ObjectStore-instance counter: two

@@ -1472,7 +1472,8 @@ class IvfIndex:
         (LANCE_TPU_EXACT_BLOCKS): host f32 read via the refine-vector cache
         (so the later refine upload reuses it), exact f32 norms computed
         host-side BEFORE the storage cast, chunked device upload at the
-        scoring dtype."""
+        scoring dtype. Cached rows are metric-canonical (see
+        _ensure_vectors): cosine entries are already unit-normalized."""
         column = self.ds.schema.field_by_id(self.meta.fields[0]).name
         key = (self.meta.uuid, "refine_vectors")
         host = self.ds.session.index_cache.get("ivf_vec", key)
@@ -1487,6 +1488,15 @@ class IvfIndex:
                     np.linalg.norm(host, axis=1, keepdims=True), 1e-12)
                 host = host / norms
             self.ds.session.index_cache.put("ivf_vec", key, host)
+        if not isinstance(host, np.ndarray):
+            # build-time seeding caches the DEVICE copy (jnp array): norms
+            # and the dtype cast both happen on device, no re-upload needed
+            hf = host.astype(jnp.float32)
+            sq_rows = jnp.einsum("ij,ij->i", hf, hf,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+            rows = host if host.dtype == jnp.dtype(row_dtype) else host.astype(row_dtype)
+            return rows, sq_rows
         sq_rows = jnp.asarray(
             np.einsum("ij,ij->i", host.astype(np.float32),
                       host.astype(np.float32), optimize=True))
@@ -1498,6 +1508,12 @@ class IvfIndex:
         return rows, sq_rows
 
     def _ensure_vectors(self):
+        # Cache invariant: (uuid, "refine_vectors") holds METRIC-CANONICAL
+        # rows in index-row order — unit-normalized for cosine, raw
+        # otherwise. Build-time seeding and _exact_rows both follow this;
+        # the jit'd dense-refine kernel scores these rows WITHOUT
+        # re-normalizing (cosine = 0.5 * l2^2 on unit rows), so a raw
+        # cosine entry would silently mis-rank.
         if self._vectors_dev is None:
             column = self.ds.schema.field_by_id(self.meta.fields[0]).name
             key = (self.meta.uuid, "refine_vectors")
@@ -1508,6 +1524,10 @@ class IvfIndex:
                 order = np.argsort(rowids, kind="stable")
                 pos = np.searchsorted(rowids[order], self.rowids)
                 cached = np.ascontiguousarray(vecs[order][pos])
+                if self.metric == "cosine":
+                    norms = np.maximum(
+                        np.linalg.norm(cached, axis=1, keepdims=True), 1e-12)
+                    cached = cached / norms
                 self.ds.session.index_cache.put("ivf_vec", key, cached)
             dt = (jnp.bfloat16 if _refine_bf16() else
                   jnp.float16 if _refine_f16() else jnp.float32)

@@ -210,7 +210,14 @@ class MemoryStore(ObjectStore):
                 raise NotFoundError(path) from None
 
     def get_range(self, path: str, start: int, length: int) -> bytes:
-        data = self.get(path)
+        # read _objects directly (not via self.get): get is wrapped by the
+        # IO counters, so delegating would credit the FULL object size plus
+        # the range and 2 iops for every ranged read on memory://
+        with self._lock:
+            try:
+                data = self._objects[path]
+            except KeyError:
+                raise NotFoundError(path) from None
         return data[start : start + length]
 
     def head(self, path: str) -> ObjectMeta:

@@ -166,6 +166,19 @@ def test_object_store_basics(kind, tmp_path):
     assert not store.exists("c")
 
 
+def test_memory_store_ranged_read_counts_once():
+    """A ranged read on memory:// credits exactly the range bytes and 1 iop
+    (MemoryStore.get_range must not delegate to the counter-wrapped get)."""
+    from lance_tpu.io.object_store import bytes_read_counter, iops_counter
+
+    store = MemoryStore()
+    store.put("f", bytes(1000))
+    i0, b0 = iops_counter(), bytes_read_counter()
+    assert store.get_range("f", 100, 64) == bytes(64)
+    assert iops_counter() - i0 == 1
+    assert bytes_read_counter() - b0 == 64
+
+
 def test_store_for_uri(tmp_path):
     s1, base = store_for_uri("memory://bucket1/ds1")
     s2, _ = store_for_uri("memory://bucket1/other")

@@ -441,6 +441,33 @@ def test_streaming_probe_centroids(monkeypatch):
     assert all(rid[i, 0] == i for i in range(16))
 
 
+def test_cosine_refine_cache_is_metric_canonical(tmp_path):
+    """The (uuid, 'refine_vectors') cache holds unit-normalized rows for
+    cosine regardless of which consumer populates it first: the jit'd
+    dense-refine kernel scores cached rows WITHOUT re-normalizing, so a raw
+    entry (old _ensure_vectors miss path) silently mis-ranked cosine."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n, dim = 1500, 32
+    # widely varying norms so raw-l2 and cosine disagree
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs *= (0.2 + 5.0 * rng.random((n, 1)).astype(np.float32))
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(n, dtype=np.int64)},
+                          str(tmp_path / "ds"))
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=8, num_sub_vectors=8,
+                         metric="cosine", max_iters=4)
+    # fresh open -> cold index cache -> _ensure_vectors miss path
+    ds2 = lt.dataset(str(tmp_path / "ds"))
+    idx = ds2._vector_index_for("vec")
+    rows = np.asarray(idx._ensure_vectors(), np.float32)
+    norms = np.linalg.norm(rows, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-2), "cache-miss rows must be unit-normalized"
+    # _exact_rows sees the entry _ensure_vectors cached: still canonical
+    exact, sq = idx._exact_rows(jnp.float32)
+    assert np.allclose(np.asarray(sq), 1.0, atol=1e-2)
+
+
 def test_cosine_quantizer_reuse_on_optimize_indices():
     """Regression: a reopened PQ carries the user-facing metric ('cosine')
     in its header; the delta-merge rebuild must coerce it back to the
