@@ -1,0 +1,837 @@
+// lance_tpu native full-text-search engine: tokenizing index build +
+// Block-WAND BM25 / positional-phrase top-k scoring.
+//
+// Native counterpart of the reference's inverted-index engine
+// (reference: rust/lance-index/src/scalar/inverted/ — builder.rs tokenizing
+// build, wand.rs:302 Block-WAND scoring, encoding.rs posting layout). The
+// Python engine (lance_tpu/indices/scalar/build.py) remains the
+// spec and the fallback: every kernel here replicates its algorithm AND its
+// numpy float32/float64 op ordering exactly, so results are bit-identical —
+// verified by tests/test_native_fts.py equivalence suite.
+//
+// C ABI only (loaded via ctypes, lance_tpu/indices/scalar/native_fts.py).
+// Compile with -ffp-contract=off: FMA contraction would change roundings
+// vs numpy.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Porter stemmer — exact port of tokenizer.py porter_stem (the classic 1980
+// definition as implemented there, quirks included; that implementation is
+// the compatibility spec for indexes built by either path).
+// ---------------------------------------------------------------------------
+
+inline bool is_vowel_ch(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u';
+}
+
+static bool is_cons(const char* w, int i) {
+  char c = w[i];
+  if (is_vowel_ch(c)) return false;
+  if (c == 'y') return i == 0 || !is_cons(w, i - 1);
+  return true;
+}
+
+// Porter's m over the first n chars (prefix evaluation equals python's
+// _measure(w[:n]) because is_cons only looks backwards)
+static int measure_n(const char* w, int n) {
+  int m = 0;
+  bool prev_v = false;
+  for (int i = 0; i < n; i++) {
+    bool v = !is_cons(w, i);
+    if (prev_v && !v) m++;
+    prev_v = v;
+  }
+  return m;
+}
+
+static bool has_vowel_n(const char* w, int n) {
+  for (int i = 0; i < n; i++)
+    if (!is_cons(w, i)) return true;
+  return false;
+}
+
+static bool ends_double_cons_n(const char* w, int n) {
+  return n >= 2 && w[n - 1] == w[n - 2] && is_cons(w, n - 1);
+}
+
+static bool cvc_n(const char* w, int n) {
+  if (n < 3) return false;
+  char last = w[n - 1];
+  return is_cons(w, n - 3) && !is_cons(w, n - 2) && is_cons(w, n - 1) &&
+         last != 'w' && last != 'x' && last != 'y';
+}
+
+inline bool ends_with(const std::string& w, const char* suf, int sl) {
+  int n = (int)w.size();
+  return n >= sl && std::memcmp(w.data() + n - sl, suf, sl) == 0;
+}
+
+struct SufRep { const char* suf; int sl; const char* rep; int rl; };
+
+static const SufRep kStep2[] = {
+    {"ational", 7, "ate", 3}, {"tional", 6, "tion", 4}, {"enci", 4, "ence", 4},
+    {"anci", 4, "ance", 4},   {"izer", 4, "ize", 3},    {"abli", 4, "able", 4},
+    {"alli", 4, "al", 2},     {"entli", 5, "ent", 3},   {"eli", 3, "e", 1},
+    {"ousli", 5, "ous", 3},   {"ization", 7, "ize", 3}, {"ation", 5, "ate", 3},
+    {"ator", 4, "ate", 3},    {"alism", 5, "al", 2},    {"iveness", 7, "ive", 3},
+    {"fulness", 7, "ful", 3}, {"ousness", 7, "ous", 3}, {"aliti", 5, "al", 2},
+    {"iviti", 5, "ive", 3},   {"biliti", 6, "ble", 3}};
+
+static const SufRep kStep3[] = {{"icate", 5, "ic", 2}, {"ative", 5, "", 0},
+                                {"alize", 5, "al", 2}, {"iciti", 5, "ic", 2},
+                                {"ical", 4, "ic", 2},  {"ful", 3, "", 0},
+                                {"ness", 4, "", 0}};
+
+static const SufRep kStep4[] = {
+    {"al", 2, nullptr, 0},   {"ance", 4, nullptr, 0}, {"ence", 4, nullptr, 0},
+    {"er", 2, nullptr, 0},   {"ic", 2, nullptr, 0},   {"able", 4, nullptr, 0},
+    {"ible", 4, nullptr, 0}, {"ant", 3, nullptr, 0},  {"ement", 5, nullptr, 0},
+    {"ment", 4, nullptr, 0}, {"ent", 3, nullptr, 0},  {"ou", 2, nullptr, 0},
+    {"ism", 3, nullptr, 0},  {"ate", 3, nullptr, 0},  {"iti", 3, nullptr, 0},
+    {"ous", 3, nullptr, 0},  {"ive", 3, nullptr, 0},  {"ize", 3, nullptr, 0}};
+
+static void porter_stem(std::string& w) {
+  if (w.size() <= 2) return;
+  // step 1a
+  if (ends_with(w, "sses", 4)) {
+    w.resize(w.size() - 2);
+  } else if (ends_with(w, "ies", 3)) {
+    w.resize(w.size() - 2);
+  } else if (!ends_with(w, "ss", 2) && ends_with(w, "s", 1)) {
+    w.resize(w.size() - 1);
+  }
+  // step 1b
+  if (ends_with(w, "eed", 3)) {
+    if (measure_n(w.data(), (int)w.size() - 3) > 0) w.resize(w.size() - 1);
+  } else if ((ends_with(w, "ed", 2) && has_vowel_n(w.data(), (int)w.size() - 2)) ||
+             (ends_with(w, "ing", 3) && has_vowel_n(w.data(), (int)w.size() - 3))) {
+    w.resize(w.size() - (ends_with(w, "ed", 2) ? 2 : 3));
+    if (ends_with(w, "at", 2) || ends_with(w, "bl", 2) || ends_with(w, "iz", 2)) {
+      w += 'e';
+    } else if (ends_double_cons_n(w.data(), (int)w.size()) &&
+               w.back() != 'l' && w.back() != 's' && w.back() != 'z') {
+      w.resize(w.size() - 1);
+    } else if (measure_n(w.data(), (int)w.size()) == 1 &&
+               cvc_n(w.data(), (int)w.size())) {
+      w += 'e';
+    }
+  }
+  // step 1c
+  if (ends_with(w, "y", 1) && has_vowel_n(w.data(), (int)w.size() - 1)) {
+    w.back() = 'i';
+  }
+  // step 2
+  for (const auto& sr : kStep2) {
+    if (ends_with(w, sr.suf, sr.sl)) {
+      int stem_n = (int)w.size() - sr.sl;
+      if (measure_n(w.data(), stem_n) > 0) {
+        w.resize(stem_n);
+        w.append(sr.rep, sr.rl);
+      }
+      break;
+    }
+  }
+  // step 3
+  for (const auto& sr : kStep3) {
+    if (ends_with(w, sr.suf, sr.sl)) {
+      int stem_n = (int)w.size() - sr.sl;
+      if (measure_n(w.data(), stem_n) > 0) {
+        w.resize(stem_n);
+        w.append(sr.rep, sr.rl);
+      }
+      break;
+    }
+  }
+  // step 4 (python's "ion" continue-branch is unreachable — no "ion" in the
+  // table — so the for-else ion handling below is the only ion path)
+  bool matched4 = false;
+  for (const auto& sr : kStep4) {
+    if (ends_with(w, sr.suf, sr.sl)) {
+      int stem_n = (int)w.size() - sr.sl;
+      if (measure_n(w.data(), stem_n) > 1) w.resize(stem_n);
+      matched4 = true;
+      break;
+    }
+  }
+  if (!matched4) {
+    int n = (int)w.size();
+    if (ends_with(w, "ion", 3) && n > 3 &&
+        (w[n - 4] == 's' || w[n - 4] == 't') &&
+        measure_n(w.data(), n - 3) > 1) {
+      w.resize(n - 3);
+    }
+  }
+  // step 5a
+  if (ends_with(w, "e", 1)) {
+    int stem_n = (int)w.size() - 1;
+    int m = measure_n(w.data(), stem_n);
+    if (m > 1 || (m == 1 && !cvc_n(w.data(), stem_n))) w.resize(stem_n);
+  }
+  // step 5b
+  if (measure_n(w.data(), (int)w.size()) > 1 &&
+      ends_double_cons_n(w.data(), (int)w.size()) && w.back() == 'l') {
+    w.resize(w.size() - 1);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// stop words (tokenizer.py ENGLISH_STOP_WORDS — the tantivy/lucene list)
+// ---------------------------------------------------------------------------
+
+static const char* kStopWords[] = {
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with"};
+
+static bool is_stop_word_lower(const char* s, int n) {
+  for (const char* sw : kStopWords) {
+    int l = (int)std::strlen(sw);
+    if (l == n && std::memcmp(sw, s, n) == 0) return true;
+  }
+  return false;
+}
+
+// ---------------------------------------------------------------------------
+// tokenizer (byte-level; callers guarantee the corpus constraints that make
+// this equal the Python unicode path — see native_fts.py eligibility check)
+// ---------------------------------------------------------------------------
+
+inline bool is_word_byte(uint8_t c) {
+  return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+         (c >= 'A' && c <= 'Z') || c == '_';
+}
+
+// python str.split() whitespace, ASCII subset: \t \n \v \f \r space and the
+// C0 separators \x1c-\x1f (all .isspace() in python)
+inline bool is_space_byte(uint8_t c) {
+  return c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f);
+}
+
+inline char lower_ascii(char c) {
+  return (c >= 'A' && c <= 'Z') ? (char)(c + 32) : c;
+}
+
+enum Flags {
+  kFlagLower = 1,       // lowercase A-Z
+  kFlagStopWords = 2,   // remove English stop words
+  kFlagStem = 4,        // Porter stem
+  kFlagWhitespace = 8,  // whitespace base tokenizer (else simple)
+};
+
+// ---------------------------------------------------------------------------
+// term hash map: open addressing, FNV-1a, terms in an arena
+// ---------------------------------------------------------------------------
+
+struct TermMap {
+  std::vector<int64_t> slot_tid;   // -1 = empty
+  std::vector<uint64_t> slot_hash;
+  std::vector<uint8_t> arena;                 // term bytes, concatenated
+  std::vector<std::pair<int64_t, int32_t>> term_loc;  // (arena off, len) per tid
+  uint64_t mask = 0;
+  int64_t count = 0;
+
+  TermMap() { rehash(1 << 16); }
+
+  static uint64_t hash_bytes(const char* s, int n) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int i = 0; i < n; i++) {
+      h ^= (uint8_t)s[i];
+      h *= 1099511628211ULL;
+    }
+    return h;
+  }
+
+  void rehash(size_t cap) {
+    std::vector<int64_t> nt(cap, -1);
+    std::vector<uint64_t> nh(cap, 0);
+    uint64_t nmask = cap - 1;
+    for (size_t i = 0; i < slot_tid.size(); i++) {
+      if (slot_tid[i] < 0) continue;
+      uint64_t p = slot_hash[i] & nmask;
+      while (nt[p] >= 0) p = (p + 1) & nmask;
+      nt[p] = slot_tid[i];
+      nh[p] = slot_hash[i];
+    }
+    slot_tid.swap(nt);
+    slot_hash.swap(nh);
+    mask = nmask;
+  }
+
+  int64_t get_or_add(const char* s, int n) {
+    uint64_t h = hash_bytes(s, n);
+    uint64_t p = h & mask;
+    while (slot_tid[p] >= 0) {
+      if (slot_hash[p] == h) {
+        auto& loc = term_loc[slot_tid[p]];
+        if (loc.second == n &&
+            std::memcmp(arena.data() + loc.first, s, n) == 0)
+          return slot_tid[p];
+      }
+      p = (p + 1) & mask;
+    }
+    int64_t tid = count++;
+    slot_tid[p] = tid;
+    slot_hash[p] = h;
+    term_loc.emplace_back((int64_t)arena.size(), n);
+    arena.insert(arena.end(), s, s + n);
+    if ((uint64_t)count * 10 > (mask + 1) * 7) rehash((mask + 1) * 2);
+    return tid;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// build result
+// ---------------------------------------------------------------------------
+
+struct FtsBuild {
+  std::vector<uint8_t> terms_concat;  // lex-sorted
+  std::vector<int64_t> term_offs;     // n_terms + 1
+  std::vector<int64_t> post_offs;     // n_terms + 1
+  std::vector<int32_t> post_docs, post_freqs, positions;
+  std::vector<int32_t> doc_lens;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize + build postings. text: concatenated UTF-8 doc bytes; doc_offs:
+// n_docs+1 byte offsets. Returns an opaque handle (fts_build_free releases).
+void* fts_build(const uint8_t* text, const int64_t* doc_offs, int64_t n_docs,
+                int flags, int max_token_len) {
+  TermMap tm;
+  std::vector<uint32_t> tok_tid;  // token stream, doc-major
+  auto* out = new FtsBuild();
+  out->doc_lens.resize(n_docs);
+  std::string tok, lowered;
+  const bool f_lower = flags & kFlagLower, f_stop = flags & kFlagStopWords;
+  const bool f_stem = flags & kFlagStem, f_ws = flags & kFlagWhitespace;
+
+  for (int64_t d = 0; d < n_docs; d++) {
+    const uint8_t* p = text + doc_offs[d];
+    const uint8_t* end = text + doc_offs[d + 1];
+    int32_t n_tok = 0;
+    while (p < end) {
+      // find next token run
+      if (f_ws) {
+        while (p < end && is_space_byte(*p)) p++;
+        if (p >= end) break;
+        const uint8_t* s = p;
+        while (p < end && !is_space_byte(*p)) p++;
+        tok.assign((const char*)s, (size_t)(p - s));
+      } else {
+        while (p < end && !is_word_byte(*p)) p++;
+        if (p >= end) break;
+        const uint8_t* s = p;
+        while (p < end && is_word_byte(*p)) p++;
+        tok.assign((const char*)s, (size_t)(p - s));
+      }
+      if (f_lower)
+        for (auto& c : tok) c = lower_ascii(c);
+      if (max_token_len >= 0 && (int)tok.size() > max_token_len) continue;
+      if (f_stop) {
+        if (f_lower) {
+          if (is_stop_word_lower(tok.data(), (int)tok.size())) continue;
+        } else {
+          lowered = tok;
+          for (auto& c : lowered) c = lower_ascii(c);
+          if (is_stop_word_lower(lowered.data(), (int)lowered.size())) continue;
+        }
+      }
+      if (f_stem) porter_stem(tok);
+      tok_tid.push_back((uint32_t)tm.get_or_add(tok.data(), (int)tok.size()));
+      n_tok++;
+    }
+    out->doc_lens[d] = n_tok;
+  }
+
+  // lexicographic term order (byte-wise < == python str< for ASCII terms)
+  int64_t n_terms = tm.count;
+  std::vector<int64_t> by_lex(n_terms);
+  for (int64_t i = 0; i < n_terms; i++) by_lex[i] = i;
+  const uint8_t* arena = tm.arena.data();
+  std::sort(by_lex.begin(), by_lex.end(), [&](int64_t a, int64_t b) {
+    auto& la = tm.term_loc[a];
+    auto& lb = tm.term_loc[b];
+    int n = std::min(la.second, lb.second);
+    int c = std::memcmp(arena + la.first, arena + lb.first, n);
+    if (c) return c < 0;
+    return la.second < lb.second;
+  });
+  std::vector<int64_t> rank(n_terms);
+  for (int64_t i = 0; i < n_terms; i++) rank[by_lex[i]] = i;
+
+  out->term_offs.resize(n_terms + 1);
+  out->term_offs[0] = 0;
+  for (int64_t i = 0; i < n_terms; i++) {
+    auto& loc = tm.term_loc[by_lex[i]];
+    out->terms_concat.insert(out->terms_concat.end(), arena + loc.first,
+                             arena + loc.first + loc.second);
+    out->term_offs[i + 1] = (int64_t)out->terms_concat.size();
+  }
+
+  // counting sort of the token stream by lex rank: occurrences land sorted
+  // by (term, doc, position) because the stream is doc-major/pos-ascending
+  int64_t n_tok_total = (int64_t)tok_tid.size();
+  std::vector<int64_t> cnt(n_terms + 1, 0);
+  for (int64_t t = 0; t < n_tok_total; t++) cnt[rank[tok_tid[t]] + 1]++;
+  for (int64_t i = 0; i < n_terms; i++) cnt[i + 1] += cnt[i];
+  std::vector<int32_t> occ_doc(n_tok_total), occ_pos(n_tok_total);
+  {
+    std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+    int64_t t = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+      for (int32_t p = 0; p < out->doc_lens[d]; p++, t++) {
+        int64_t slot = cur[rank[tok_tid[t]]]++;
+        occ_doc[slot] = (int32_t)d;
+        occ_pos[slot] = p;
+      }
+    }
+  }
+
+  // collapse occurrence runs into (doc, freq) postings; positions stay flat
+  out->post_offs.resize(n_terms + 1);
+  out->post_offs[0] = 0;
+  out->post_docs.reserve(n_tok_total / 2);
+  out->post_freqs.reserve(n_tok_total / 2);
+  out->positions = std::move(occ_pos);  // already in posting order
+  for (int64_t i = 0; i < n_terms; i++) {
+    int64_t lo = cnt[i], hi = cnt[i + 1];
+    int64_t j = lo;
+    while (j < hi) {
+      int32_t d = occ_doc[j];
+      int64_t s = j;
+      while (j < hi && occ_doc[j] == d) j++;
+      out->post_docs.push_back(d);
+      out->post_freqs.push_back((int32_t)(j - s));
+    }
+    out->post_offs[i + 1] = (int64_t)out->post_docs.size();
+  }
+  return out;
+}
+
+void fts_build_sizes(void* h, int64_t* out4) {
+  auto* b = (FtsBuild*)h;
+  out4[0] = (int64_t)b->post_offs.size() - 1;  // n_terms
+  out4[1] = (int64_t)b->post_docs.size();      // n_postings
+  out4[2] = (int64_t)b->positions.size();      // n_positions
+  out4[3] = (int64_t)b->terms_concat.size();   // terms bytes
+}
+
+void fts_build_export(void* h, uint8_t* terms, int64_t* term_offs,
+                      int64_t* post_offs, int32_t* docs, int32_t* freqs,
+                      int32_t* pos, int32_t* dlens) {
+  auto* b = (FtsBuild*)h;
+  std::memcpy(terms, b->terms_concat.data(), b->terms_concat.size());
+  std::memcpy(term_offs, b->term_offs.data(),
+              b->term_offs.size() * sizeof(int64_t));
+  std::memcpy(post_offs, b->post_offs.data(),
+              b->post_offs.size() * sizeof(int64_t));
+  std::memcpy(docs, b->post_docs.data(), b->post_docs.size() * sizeof(int32_t));
+  std::memcpy(freqs, b->post_freqs.data(),
+              b->post_freqs.size() * sizeof(int32_t));
+  std::memcpy(pos, b->positions.data(), b->positions.size() * sizeof(int32_t));
+  std::memcpy(dlens, b->doc_lens.data(), b->doc_lens.size() * sizeof(int32_t));
+}
+
+void fts_build_free(void* h) { delete (FtsBuild*)h; }
+
+// ---------------------------------------------------------------------------
+// block-max metadata (build.py _build_inverted blockmax loop). Python
+// computes per-posting scores as f64 (np.float64 idf promotes) with an
+// f32-stepped denominator, block maxima in f64, stored f32 — replicated.
+// Two-phase: count pass fills bm_off; export pass fills blocks/scores.
+// ---------------------------------------------------------------------------
+
+int64_t fts_blockmax(const int64_t* post_offs, const int32_t* docs,
+                     const int32_t* freqs, const int32_t* doc_lens,
+                     int64_t n_terms, int64_t n_docs, double avg_dl, int block,
+                     double k1, double b, int64_t* bm_off,
+                     int32_t* bm_blocks_out, float* bm_scores_out) {
+  const float k1f = (float)k1, bf = (float)b;
+  const float one_minus_b = (float)(1.0 - b);
+  const float avgf = (float)avg_dl;
+  int64_t total = 0;
+  bm_off[0] = 0;
+  for (int64_t i = 0; i < n_terms; i++) {
+    int64_t lo = post_offs[i], hi = post_offs[i + 1];
+    int64_t df = hi - lo;
+    double idf = std::log(1.0 + ((double)n_docs - (double)df + 0.5) /
+                                    ((double)df + 0.5));
+    int32_t cur_blk = -1;
+    double cur_max = 0.0;
+    for (int64_t j = lo; j < hi; j++) {
+      float f = (float)freqs[j];
+      float dl = (float)doc_lens[docs[j]];
+      // denominator in f32 steps exactly as numpy evaluates it
+      float dn = f + k1f * (one_minus_b + bf * dl / avgf);
+      double sc = idf * (double)f * (k1 + 1.0) / (double)dn;
+      int32_t blk = docs[j] / block;
+      if (blk != cur_blk) {
+        if (cur_blk >= 0) {
+          bm_blocks_out[total] = cur_blk;
+          bm_scores_out[total++] = (float)cur_max;
+        }
+        cur_blk = blk;
+        cur_max = sc;
+      } else if (sc > cur_max) {
+        cur_max = sc;
+      }
+    }
+    if (cur_blk >= 0) {
+      bm_blocks_out[total] = cur_blk;
+      bm_scores_out[total++] = (float)cur_max;
+    }
+    bm_off[i + 1] = total;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Block-WAND BM25 top-k (build.py _bm25_blockmax replicated: same batch
+// schedule, same f32 accumulation order, same (score desc, doc asc)
+// tie-break, same >= stop rule). `scores_ws` is a caller-owned f32 workspace
+// of n_docs zeros; it is returned zeroed.
+// Returns the result count (<= k).
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+
+struct TopMerge {
+  // running top-k under lexsort((docs, -scores)) semantics
+  std::vector<std::pair<float, int32_t>> items;  // (score, doc)
+  int64_t k;
+  explicit TopMerge(int64_t kk) : k(kk) {}
+  static bool better(const std::pair<float, int32_t>& a,
+                     const std::pair<float, int32_t>& b) {
+    if (a.first != b.first) return a.first > b.first;
+    return a.second < b.second;
+  }
+  void merge(std::vector<std::pair<float, int32_t>>& cand) {
+    items.insert(items.end(), cand.begin(), cand.end());
+    std::sort(items.begin(), items.end(), better);
+    if ((int64_t)items.size() > k) items.resize(k);
+  }
+  bool full() const { return (int64_t)items.size() >= k; }
+  float min_score() const { return items.back().first; }
+};
+
+// stable argsort of -ub (descending ub, ties by index)
+static std::vector<int64_t> argsort_desc_stable(const std::vector<float>& ub) {
+  std::vector<int64_t> order(ub.size());
+  for (size_t i = 0; i < ub.size(); i++) order[i] = (int64_t)i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return ub[a] > ub[b]; });
+  return order;
+}
+
+}  // namespace
+
+extern "C" int64_t fts_bm25_topk(const int64_t* post_offs, const int32_t* docs,
+                      const int32_t* freqs, const int32_t* doc_lens,
+                      int64_t n_docs, double avg_dl, const int64_t* bm_off,
+                      const int32_t* bm_blocks, const float* bm_scores,
+                      int block, const int64_t* tids, int64_t n_tids,
+                      double k1, double b, int64_t k, float* scores_ws,
+                      int32_t* out_docs, float* out_scores) {
+  const int64_t nblocks = (n_docs + block - 1) / block;
+  const float k1f = (float)k1, bf = (float)b;
+  const float one_minus_b = (float)(1.0 - b);
+  const float k1p1 = (float)(k1 + 1.0);  // numpy: f64 add, weak-cast to f32
+  const float avgf = (float)avg_dl;
+
+  // block upper bounds: f32 adds in tids order (duplicates add twice)
+  std::vector<float> ub(nblocks, 0.0f);
+  std::vector<float> idf_f(n_tids);
+  for (int64_t t = 0; t < n_tids; t++) {
+    int64_t i = tids[t];
+    for (int64_t j = bm_off[i]; j < bm_off[i + 1]; j++)
+      ub[bm_blocks[j]] += bm_scores[j];
+    int64_t df = post_offs[i + 1] - post_offs[i];
+    idf_f[t] = (float)std::log(1.0 + ((double)n_docs - (double)df + 0.5) /
+                                         ((double)df + 0.5));
+  }
+  std::vector<int64_t> order = argsort_desc_stable(ub);
+  while (!order.empty() && ub[order.back()] <= 0.0f) order.pop_back();
+  if (order.empty()) return 0;
+
+  const int64_t step = std::max<int64_t>(64, (4 * k) / block + 1);
+  std::vector<uint8_t> block_sel(nblocks, 0);
+  std::vector<int32_t> batch_docs;
+  std::vector<std::pair<float, int32_t>> cand;
+  TopMerge top(k);
+  int64_t pos = 0;
+  while (pos < (int64_t)order.size()) {
+    if (top.full() && top.min_score() >= ub[order[pos]]) break;
+    int64_t bend = std::min(pos + step, (int64_t)order.size());
+    for (int64_t x = pos; x < bend; x++) block_sel[order[x]] = 1;
+    batch_docs.clear();
+    for (int64_t t = 0; t < n_tids; t++) {
+      int64_t i = tids[t];
+      const float idf = idf_f[t];
+      const int32_t* d0 = docs + post_offs[i];
+      const int32_t* f0 = freqs + post_offs[i];
+      int64_t df = post_offs[i + 1] - post_offs[i];
+      // iterate this term's blocks in ITS ascending block order (python:
+      // sel = block_sel[blocks_i]); selected runs located by binary search
+      for (int64_t j = bm_off[i]; j < bm_off[i + 1]; j++) {
+        int32_t blk = bm_blocks[j];
+        if (!block_sel[blk]) continue;
+        const int32_t* s =
+            std::lower_bound(d0, d0 + df, (int32_t)((int64_t)blk * block));
+        const int32_t* e = std::lower_bound(
+            s, d0 + df, (int32_t)((int64_t)(blk + 1) * block));
+        for (const int32_t* q = s; q < e; q++) {
+          int32_t dd = *q;
+          float f = (float)f0[q - d0];
+          float dl = (float)doc_lens[dd];
+          float tf =
+              f * k1p1 / (f + k1f * (one_minus_b + bf * dl / avgf));
+          scores_ws[dd] += idf * tf;
+          batch_docs.push_back(dd);
+        }
+      }
+    }
+    for (int64_t x = pos; x < bend; x++) block_sel[order[x]] = 0;
+    pos = bend;
+    if (batch_docs.empty()) continue;
+    std::sort(batch_docs.begin(), batch_docs.end());
+    batch_docs.erase(std::unique(batch_docs.begin(), batch_docs.end()),
+                     batch_docs.end());
+    cand.clear();
+    cand.reserve(batch_docs.size());
+    for (int32_t dd : batch_docs) {
+      cand.emplace_back(scores_ws[dd], dd);
+      scores_ws[dd] = 0.0f;
+    }
+    top.merge(cand);
+  }
+  int64_t n_out = (int64_t)top.items.size();
+  for (int64_t i = 0; i < n_out; i++) {
+    out_docs[i] = top.items[i].second;
+    out_scores[i] = top.items[i].first;
+  }
+  return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// exact positional phrase top-k (build.py _phrase_blockmax + _phrase_verify
+// + _bm25_for_docs replicated, incl. the f64 contribution accumulation into
+// f32 of _bm25_for_docs and the geometric 16,64,256… batch growth).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// intersect sorted unique arrays (build.py _intersect_sorted semantics)
+template <typename T>
+static void intersect_sorted(std::vector<T>& a, const T* b, int64_t bn) {
+  if ((int64_t)a.size() == 0) return;
+  if (bn == 0) {
+    a.clear();
+    return;
+  }
+  size_t w = 0;
+  const T* bp = b;
+  const T* bend = b + bn;
+  for (size_t i = 0; i < a.size(); i++) {
+    bp = std::lower_bound(bp, bend, a[i]);
+    if (bp == bend) break;
+    if (*bp == a[i]) a[w++] = a[i];
+  }
+  a.resize(w);
+}
+
+// BM25 for docs known to contain every tid, in tids order; python computes
+// each term's contribution in f64 (np.float64 idf) with an f32 denominator,
+// then `scores += contrib` rounds through f32 per term.
+static void bm25_for_docs(const int64_t* post_offs, const int32_t* docs,
+                          const int32_t* freqs, const int32_t* doc_lens,
+                          int64_t n_docs, double avg_dl, const int64_t* tids,
+                          int64_t n_tids, double k1, double b,
+                          const std::vector<int32_t>& cand,
+                          std::vector<float>& out) {
+  const float k1f = (float)k1, bf = (float)b;
+  const float one_minus_b = (float)(1.0 - b);
+  const float avgf = (float)avg_dl;
+  out.assign(cand.size(), 0.0f);
+  for (int64_t t = 0; t < n_tids; t++) {
+    int64_t i = tids[t];
+    const int32_t* d0 = docs + post_offs[i];
+    const int32_t* dend = docs + post_offs[i + 1];
+    const int32_t* f0 = freqs + post_offs[i];
+    int64_t df = post_offs[i + 1] - post_offs[i];
+    double idf = std::log(1.0 + ((double)n_docs - (double)df + 0.5) /
+                                    ((double)df + 0.5));
+    const int32_t* p = d0;
+    for (size_t c = 0; c < cand.size(); c++) {
+      p = std::lower_bound(p, dend, cand[c]);
+      float f = (float)f0[p - d0];
+      float dl = (float)doc_lens[cand[c]];
+      float denom_dl = k1f * (one_minus_b + bf * dl / avgf);
+      float fd = f + denom_dl;  // f32 add, as numpy does
+      double contrib = idf * (double)f * (k1 + 1.0) / (double)fd;
+      out[c] = (float)((double)out[c] + contrib);
+    }
+  }
+}
+
+// exact-adjacency check (_phrase_verify): keys = doc<<32 | (pos - j + bias),
+// intersected across phrase slots in ascending-posting-length order
+static void phrase_verify(const int64_t* post_offs, const int32_t* docs,
+                          const int64_t* pos_offs, const int32_t* positions,
+                          const int64_t* tids, int64_t n_tids,
+                          std::vector<int32_t>& cand) {
+  std::vector<int64_t> order_t(n_tids);
+  for (int64_t j = 0; j < n_tids; j++) order_t[j] = j;
+  std::stable_sort(order_t.begin(), order_t.end(), [&](int64_t a, int64_t b) {
+    return (post_offs[tids[a] + 1] - post_offs[tids[a]]) <
+           (post_offs[tids[b] + 1] - post_offs[tids[b]]);
+  });
+  const int64_t bias = n_tids;
+  std::vector<uint64_t> keys, kk;
+  bool first = true;
+  for (int64_t oj = 0; oj < n_tids; oj++) {
+    int64_t j = order_t[oj];
+    int64_t ti = tids[j];
+    const int32_t* d0 = docs + post_offs[ti];
+    const int32_t* dend = docs + post_offs[ti + 1];
+    kk.clear();
+    const int32_t* p = d0;
+    for (int32_t dd : cand) {
+      p = std::lower_bound(p, dend, dd);
+      int64_t pi = post_offs[ti] + (p - d0);
+      for (int64_t x = pos_offs[pi]; x < pos_offs[pi + 1]; x++) {
+        kk.push_back(((uint64_t)(uint32_t)dd << 32) |
+                     (uint64_t)(int64_t)(positions[x] - j + bias));
+      }
+    }
+    if (kk.empty()) {
+      cand.clear();
+      return;
+    }
+    if (first) {
+      keys.swap(kk);
+      first = false;
+    } else {
+      intersect_sorted(keys, kk.data(), (int64_t)kk.size());
+    }
+    if (keys.empty()) {
+      cand.clear();
+      return;
+    }
+    cand.clear();
+    uint32_t prev = 0xFFFFFFFFu;
+    for (uint64_t kv : keys) {
+      uint32_t dd = (uint32_t)(kv >> 32);
+      if (dd != prev) {
+        cand.push_back((int32_t)dd);
+        prev = dd;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int64_t fts_phrase_topk(const int64_t* post_offs, const int32_t* docs,
+                        const int32_t* freqs, const int64_t* pos_offs,
+                        const int32_t* positions, const int32_t* doc_lens,
+                        int64_t n_docs, double avg_dl, const int64_t* bm_off,
+                        const int32_t* bm_blocks, const float* bm_scores,
+                        int block, const int64_t* tids, int64_t n_tids,
+                        double k1, double b, int64_t k, int32_t* out_docs,
+                        float* out_scores) {
+  // uniq tids by ascending df (ties by tid — matches result set regardless)
+  std::vector<int64_t> uniq(tids, tids + n_tids);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  std::stable_sort(uniq.begin(), uniq.end(), [&](int64_t a, int64_t b2) {
+    return (post_offs[a + 1] - post_offs[a]) < (post_offs[b2 + 1] - post_offs[b2]);
+  });
+  // common blocks = intersection of every term's block list
+  std::vector<int32_t> common;
+  {
+    int64_t i0 = uniq[0];
+    common.assign(bm_blocks + bm_off[i0], bm_blocks + bm_off[i0 + 1]);
+    for (size_t u = 1; u < uniq.size(); u++) {
+      int64_t i = uniq[u];
+      intersect_sorted(common, bm_blocks + bm_off[i],
+                       bm_off[i + 1] - bm_off[i]);
+      if (common.empty()) return 0;
+    }
+  }
+  // upper bounds over common blocks, f32 adds in tids order (dups twice)
+  std::vector<float> ub(common.size(), 0.0f);
+  for (int64_t t = 0; t < n_tids; t++) {
+    int64_t i = tids[t];
+    const int32_t* b0 = bm_blocks + bm_off[i];
+    const int32_t* bend = bm_blocks + bm_off[i + 1];
+    const float* s0 = bm_scores + bm_off[i];
+    const int32_t* p = b0;
+    for (size_t c = 0; c < common.size(); c++) {
+      p = std::lower_bound(p, bend, common[c]);
+      ub[c] += s0[p - b0];
+    }
+  }
+  std::vector<int64_t> order = argsort_desc_stable(ub);
+
+  int64_t rarest = uniq[0];
+  const int32_t* dr0 = docs + post_offs[rarest];
+  const int32_t* drend = docs + post_offs[rarest + 1];
+
+  TopMerge top(k);
+  std::vector<int32_t> batch, cand;
+  std::vector<float> ms;
+  std::vector<std::pair<float, int32_t>> cpairs;
+  int64_t step = 16;
+  int64_t pos = 0;
+  while (pos < (int64_t)order.size()) {
+    if (top.full() && top.min_score() >= ub[order[pos]]) break;
+    int64_t bend = std::min(pos + step, (int64_t)order.size());
+    batch.clear();
+    for (int64_t x = pos; x < bend; x++) batch.push_back(common[order[x]]);
+    pos = bend;
+    step *= 4;
+    std::sort(batch.begin(), batch.end());
+    // candidates: rarest term's docs inside the batch blocks
+    cand.clear();
+    for (int32_t blk : batch) {
+      const int32_t* s =
+          std::lower_bound(dr0, drend, (int32_t)((int64_t)blk * block));
+      const int32_t* e =
+          std::lower_bound(s, drend, (int32_t)((int64_t)(blk + 1) * block));
+      cand.insert(cand.end(), s, e);
+    }
+    if (cand.empty()) continue;
+    for (size_t u = 1; u < uniq.size() && !cand.empty(); u++) {
+      int64_t i = uniq[u];
+      intersect_sorted(cand, docs + post_offs[i],
+                       post_offs[i + 1] - post_offs[i]);
+    }
+    if (cand.empty()) continue;
+    phrase_verify(post_offs, docs, pos_offs, positions, tids, n_tids, cand);
+    if (cand.empty()) continue;
+    bm25_for_docs(post_offs, docs, freqs, doc_lens, n_docs, avg_dl, tids,
+                  n_tids, k1, b, cand, ms);
+    cpairs.clear();
+    for (size_t c = 0; c < cand.size(); c++) cpairs.emplace_back(ms[c], cand[c]);
+    top.merge(cpairs);
+  }
+  int64_t n_out = (int64_t)top.items.size();
+  for (int64_t i = 0; i < n_out; i++) {
+    out_docs[i] = top.items[i].second;
+    out_scores[i] = top.items[i].first;
+  }
+  return n_out;
+}

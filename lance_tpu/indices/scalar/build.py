@@ -77,12 +77,22 @@ def _to_numpy_values(col: ColumnData):
 
 def build_scalar_index(ds, column: str, index_type: str, uuid: str, **params) -> dict:
     col, rowids = _read_column_with_rowids(ds, column)
+    store = ds.store
+    path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
+    if index_type == "INVERTED" and col.kind == "varbin":
+        # route the raw byte buffers to the inverted build BEFORE the
+        # per-row python str decode (the decode loop alone was a large
+        # slice of the 1M-doc build time); nulls index as empty docs'
+        # absence (validity-filtered, like every other scalar index)
+        if col.validity is not None:
+            rowids_v = rowids[col.validity]
+        else:
+            rowids_v = rowids
+        return _build_inverted_raw(ds, store, path, col, rowids_v, params)
     if col.kind == "list":
         values, validity = np.empty(col.num_rows, object), col.validity
     else:
         values, validity = _to_numpy_values(col)
-    store = ds.store
-    path = f"{INDICES_DIR}/{uuid}/{SCALAR_FILE}"
     field = ds.schema.field(column)
 
     null_rowids = rowids[~validity] if validity is not None else np.empty(0, np.uint64)
@@ -208,6 +218,43 @@ def build_scalar_index_dispatch(ds, column, index_type, uuid, **params):
 from .tokenizer import TokenizerConfig, tokenize  # noqa: E402
 
 
+def _build_inverted_raw(ds, store, path, col, rowids, params) -> dict:
+    """Inverted build from the raw varbin buffers. When the native engine
+    can reproduce the tokenizer pipeline exactly (native_fts.build_eligible)
+    the whole tokenize+postings pass runs in C++ (reference: the native
+    builder rust/lance-index/src/scalar/inverted/builder.rs); otherwise the
+    column decodes to python strings and takes the python loop."""
+    from . import native_fts
+
+    tok_cfg = TokenizerConfig.from_params(params)
+    values_u8 = np.asarray(col.values, np.uint8)
+    offsets = np.asarray(col.offsets, np.int64)
+    if col.validity is not None and not col.validity.all():
+        # compact to valid docs only: gather the live byte ranges
+        from ...native import gather_ranges as _gather
+
+        valid = col.validity
+        starts = offsets[:-1][valid]
+        lens = (offsets[1:] - offsets[:-1])[valid]
+        values_u8 = _gather(values_u8, starts, lens)
+        offsets = np.zeros(lens.size + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+    n = offsets.size - 1
+    if native_fts.available() and native_fts.build_eligible(tok_cfg, values_u8):
+        built = native_fts.build_postings(values_u8, offsets, tok_cfg)
+        if built is not None:
+            terms, post_offs, docs, freqs, positions, doc_lens = built
+            return _write_inverted_file(
+                store, path, terms, post_offs, docs, freqs, positions,
+                doc_lens, rowids, tok_cfg, n)
+    # python fallback: decode rows to str and run the tokenizer pipeline
+    raw = values_u8.tobytes()
+    values = np.array(
+        [raw[offsets[i]:offsets[i + 1]].decode("utf-8", "replace")
+         for i in range(n)], dtype=object)
+    return _build_inverted(ds, store, path, values, rowids, params)
+
+
 def _build_inverted(ds, store, path, values, rowids, params) -> dict:
     tok_cfg = TokenizerConfig.from_params(params)
     n = len(values)
@@ -243,13 +290,23 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
     counts = np.bincount(arr[:, 0], minlength=len(terms)) if len(arr) else np.zeros(len(terms), np.int64)
     offsets = np.zeros(len(terms) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
+    return _write_inverted_file(store, path, terms, offsets,
+                                arr[:, 1].astype(np.int32),
+                                arr[:, 2].astype(np.int32),
+                                positions_flat, doc_lens, rowids, tok_cfg, n)
 
+
+def _write_inverted_file(store, path, terms, offsets, docs, freqs,
+                         positions_flat, doc_lens, rowids, tok_cfg, n) -> dict:
+    """Serialize the inverted index (terms + postings + positions + block-max
+    metadata). Shared by the native and python build paths — both produce
+    the exact same arrays, so the on-disk artifact is path-independent."""
     schema = Schema.from_arrow(pa.schema([("term", pa.string())]))
     w = FileWriter(store, path, schema)
     w.write_batch({"term": pa.array(terms, type=pa.string())})
     w.add_global_buffer("posting_offsets", offsets.astype("<i8").tobytes())
-    w.add_global_buffer("posting_docs", arr[:, 1].astype("<i4").tobytes())
-    w.add_global_buffer("posting_freqs", arr[:, 2].astype("<i4").tobytes())
+    w.add_global_buffer("posting_docs", docs.astype("<i4").tobytes())
+    w.add_global_buffer("posting_freqs", freqs.astype("<i4").tobytes())
     # flat token positions per posting; per-posting extents are cumsum(freqs)
     # so no separate offsets buffer is needed
     w.add_global_buffer("posting_positions", positions_flat.astype("<i4").tobytes())
@@ -261,31 +318,40 @@ def _build_inverted(ds, store, path, values, rowids, params) -> dict:
     BLOCK = 512
     k1, b = 1.2, 0.75
     avg_dl = max(float(doc_lens.mean()) if n else 0.0, 1e-9)
-    bm_off = np.zeros(len(terms) + 1, dtype=np.int64)
-    bm_blocks: list[np.ndarray] = []
-    bm_max: list[np.ndarray] = []
-    for i in range(len(terms)):
-        lo, hi = offsets[i], offsets[i + 1]
-        docs_i = arr[lo:hi, 1]
-        f = arr[lo:hi, 2].astype(np.float32)
-        df = hi - lo
-        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
-        dl = doc_lens[docs_i].astype(np.float32)
-        sc = idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avg_dl))
-        blk = (docs_i // BLOCK).astype(np.int32)
-        # postings are doc-sorted, so blocks are non-decreasing
-        uniq, starts = np.unique(blk, return_index=True)
-        mx = np.maximum.reduceat(sc, starts) if sc.size else np.empty(0, np.float32)
-        bm_blocks.append(uniq)
-        bm_max.append(mx.astype(np.float32))
-        bm_off[i + 1] = bm_off[i] + uniq.size
+    from . import native_fts
+
+    native_bm = (native_fts.blockmax(offsets, docs, freqs, doc_lens, n,
+                                     avg_dl, BLOCK, k1, b)
+                 if native_fts.available() else None)
+    if native_bm is not None:
+        bm_off, bm_blocks_arr, bm_scores_arr = native_bm
+    else:
+        bm_off = np.zeros(len(terms) + 1, dtype=np.int64)
+        bm_blocks: list[np.ndarray] = []
+        bm_max: list[np.ndarray] = []
+        dl_f = doc_lens.astype(np.float32)
+        for i in range(len(terms)):
+            lo, hi = offsets[i], offsets[i + 1]
+            docs_i = docs[lo:hi]
+            f = freqs[lo:hi].astype(np.float32)
+            df = hi - lo
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dl = dl_f[docs_i]
+            sc = idf * f * (k1 + 1.0) / (f + k1 * (1.0 - b + b * dl / avg_dl))
+            blk = (docs_i // BLOCK).astype(np.int32)
+            # postings are doc-sorted, so blocks are non-decreasing
+            uniq, starts = np.unique(blk, return_index=True)
+            mx = np.maximum.reduceat(sc, starts) if sc.size else np.empty(0, np.float32)
+            bm_blocks.append(uniq)
+            bm_max.append(mx.astype(np.float32))
+            bm_off[i + 1] = bm_off[i] + uniq.size
+        bm_blocks_arr = (np.concatenate(bm_blocks) if bm_blocks
+                         else np.empty(0, np.int32))
+        bm_scores_arr = (np.concatenate(bm_max) if bm_max
+                         else np.empty(0, np.float32))
     w.add_global_buffer("blockmax_offsets", bm_off.astype("<i8").tobytes())
-    w.add_global_buffer("blockmax_blocks", (
-        np.concatenate(bm_blocks) if bm_blocks else np.empty(0, np.int32)
-    ).astype("<i4").tobytes())
-    w.add_global_buffer("blockmax_scores", (
-        np.concatenate(bm_max) if bm_max else np.empty(0, np.float32)
-    ).astype("<f4").tobytes())
+    w.add_global_buffer("blockmax_blocks", bm_blocks_arr.astype("<i4").tobytes())
+    w.add_global_buffer("blockmax_scores", bm_scores_arr.astype("<f4").tobytes())
     w.add_global_buffer("stats", json.dumps({
         "num_docs": n, "avg_doc_len": float(doc_lens.mean()) if n else 0.0,
         "block": BLOCK,
@@ -485,6 +551,19 @@ class InvertedIndex:
             # stored-text recheck (see _eval_node)
             self.positions = None
             self.pos_offsets = None
+
+    # -- native scorer ---------------------------------------------------------
+
+    def _native(self):
+        """Lazy native Block-WAND scorer (cpp/fts.cpp); None when the native
+        library is unavailable or the index predates block-max metadata."""
+        ns = getattr(self, "_native_scorer", None)
+        if ns is None and self.bm_off is not None:
+            from . import native_fts
+
+            if native_fts.available():
+                ns = self._native_scorer = native_fts.NativeScorer(self)
+        return ns
 
     # -- term machinery -------------------------------------------------------
 
@@ -745,6 +824,10 @@ class InvertedIndex:
         tids = [i for i in (self._term_index(t) for t in toks) if i >= 0]
         if (self.bm_off is not None and row_mask is None
                 and self.num_docs >= 65536 and tids):
+            ns = self._native()
+            if ns is not None:
+                d, s = ns.bm25_topk(tids, k, k1, b)
+                return self.doc_rowids[d], s
             return self._bm25_blockmax(tids, k, k1, b)
         scores = np.zeros(self.num_docs, dtype=np.float32)
         hits = np.zeros(self.num_docs, dtype=np.int32)
@@ -857,6 +940,10 @@ class InvertedIndex:
             toks = tokenize(q.query, self.tok_cfg)
             tids = [self._term_index(t) for t in toks]
             if len(toks) > 1 and all(i >= 0 for i in tids):
+                ns = self._native()
+                if ns is not None and ns.pos_offsets is not None:
+                    d, s = ns.phrase_topk(tids, k)
+                    return self.doc_rowids[d], s
                 return self._phrase_blockmax(tids, k)
         scores, mask = self._eval_node(q, text_of)
         cand = np.flatnonzero(mask)

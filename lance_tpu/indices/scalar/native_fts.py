@@ -1,0 +1,253 @@
+"""ctypes loader for the native FTS engine (cpp/fts.cpp).
+
+Native counterpart of the reference's inverted-index engine
+(reference: rust/lance-index/src/scalar/inverted/wand.rs:302 Block-WAND,
+builder.rs tokenizing build). The Python engine in build.py is the spec and
+the fallback; the native kernels replicate its algorithms and float-op
+ordering exactly (tests/test_native_fts.py asserts identical output), so an
+index built or queried by either path is interchangeable.
+
+Eligibility for the native TOKENIZER path (build) is decided here:
+- base_tokenizer 'simple' or 'whitespace' (ngram/cjk/jieba/lindera/raw fall
+  back to Python)
+- no ascii_folding (unicodedata semantics stay in Python)
+- for 'simple': corpus must not contain the three uppercase code points
+  whose str.lower() expansion introduces ASCII letters (U+0130, U+212A,
+  U+017F) — any other non-ASCII byte is a separator in both paths, so
+  byte-level tokenization is exact; for 'whitespace' the corpus must be
+  pure ASCII (tokens may contain non-ASCII bytes whose char-length and
+  lowercasing differ byte-wise).
+
+Scoring kernels (BM25 Block-WAND / phrase) have no corpus constraints —
+they operate on the already-built posting arrays.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+_CPP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))),
+    "cpp")
+_SRC = os.path.join(_CPP_DIR, "fts.cpp")
+_SO = os.path.join(_CPP_DIR, "libfts.so")
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LANCE_TPU_NATIVE_FTS", "1") in ("0", "false"):
+            return None
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                # -ffp-contract=off: FMA contraction would change float
+                # roundings vs the numpy reference path
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                     "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                    check=True, capture_output=True, timeout=180,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.fts_build.argtypes = [_u8p, _i64p, ctypes.c_int64,
+                                      ctypes.c_int, ctypes.c_int]
+            lib.fts_build.restype = ctypes.c_void_p
+            lib.fts_build_sizes.argtypes = [ctypes.c_void_p, _i64p]
+            lib.fts_build_export.argtypes = [ctypes.c_void_p, _u8p, _i64p,
+                                             _i64p, _i32p, _i32p, _i32p, _i32p]
+            lib.fts_build_free.argtypes = [ctypes.c_void_p]
+            lib.fts_blockmax.argtypes = [
+                _i64p, _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_int, ctypes.c_double,
+                ctypes.c_double, _i64p, _i32p, _f32p]
+            lib.fts_blockmax.restype = ctypes.c_int64
+            lib.fts_bm25_topk.argtypes = [
+                _i64p, _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_double,
+                _i64p, _i32p, _f32p, ctypes.c_int, _i64p, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int64, _f32p,
+                _i32p, _f32p]
+            lib.fts_bm25_topk.restype = ctypes.c_int64
+            lib.fts_phrase_topk.argtypes = [
+                _i64p, _i32p, _i32p, _i64p, _i32p, _i32p, ctypes.c_int64,
+                ctypes.c_double, _i64p, _i32p, _f32p, ctypes.c_int, _i64p,
+                ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int64, _i32p, _f32p]
+            lib.fts_phrase_topk.restype = ctypes.c_int64
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p(arr: np.ndarray, ptr_t):
+    return arr.ctypes.data_as(ptr_t)
+
+
+# the three uppercase code points whose str.lower() introduces ASCII letters
+_LOWER_TO_ASCII = (b"\xc4\xb0", b"\xe2\x84\xaa", b"\xc5\xbf")  # İ K ſ
+
+
+def build_eligible(tok_cfg, text_u8: np.ndarray) -> bool:
+    """Can the native tokenizer reproduce the Python pipeline exactly?
+    text_u8: the corpus as a uint8 array (concatenated UTF-8 doc bytes)."""
+    if tok_cfg.base_tokenizer not in ("simple", "whitespace"):
+        return False
+    if tok_cfg.ascii_folding:
+        return False
+    ascii_only = text_u8.size == 0 or bool(text_u8.max() < 128)
+    if tok_cfg.base_tokenizer == "whitespace":
+        return ascii_only
+    if ascii_only:
+        return True
+    if not tok_cfg.lower_case:
+        return True  # non-ASCII bytes are separators in both paths
+    blob = text_u8.tobytes()
+    return not any(seq in blob for seq in _LOWER_TO_ASCII)
+
+
+def build_postings(text_u8: np.ndarray, doc_offsets: np.ndarray, tok_cfg):
+    """Tokenize + build postings natively.
+
+    Returns (terms list[str], post_offs i64, docs i32, freqs i32,
+    positions i32, doc_lens i32) — the exact arrays the Python build
+    produces, or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    flags = 0
+    if tok_cfg.lower_case:
+        flags |= 1
+    if tok_cfg.remove_stop_words:
+        flags |= 2
+    if tok_cfg.stem:
+        flags |= 4
+    if tok_cfg.base_tokenizer == "whitespace":
+        flags |= 8
+    max_len = -1 if tok_cfg.max_token_length is None else int(tok_cfg.max_token_length)
+    text = np.ascontiguousarray(text_u8, dtype=np.uint8)
+    if text.size == 0:
+        text = np.zeros(1, np.uint8)
+    offs = np.ascontiguousarray(doc_offsets, dtype=np.int64)
+    n_docs = offs.size - 1
+    h = lib.fts_build(_p(text, _u8p), _p(offs, _i64p), n_docs, flags, max_len)
+    try:
+        sizes = np.zeros(4, np.int64)
+        lib.fts_build_sizes(h, _p(sizes, _i64p))
+        n_terms, n_post, n_pos, terms_bytes = (int(x) for x in sizes)
+        terms_concat = np.empty(max(terms_bytes, 1), np.uint8)
+        term_offs = np.empty(n_terms + 1, np.int64)
+        post_offs = np.empty(n_terms + 1, np.int64)
+        docs = np.empty(max(n_post, 1), np.int32)
+        freqs = np.empty(max(n_post, 1), np.int32)
+        positions = np.empty(max(n_pos, 1), np.int32)
+        doc_lens = np.empty(max(n_docs, 1), np.int32)
+        lib.fts_build_export(h, _p(terms_concat, _u8p), _p(term_offs, _i64p),
+                             _p(post_offs, _i64p), _p(docs, _i32p),
+                             _p(freqs, _i32p), _p(positions, _i32p),
+                             _p(doc_lens, _i32p))
+    finally:
+        lib.fts_build_free(h)
+    raw = terms_concat.tobytes()
+    terms = [raw[term_offs[i]:term_offs[i + 1]].decode("utf-8")
+             for i in range(n_terms)]
+    return (terms, post_offs, docs[:n_post], freqs[:n_post],
+            positions[:n_pos], doc_lens[:n_docs])
+
+
+def blockmax(post_offs, docs, freqs, doc_lens, n_docs, avg_dl, block,
+             k1=1.2, b=0.75):
+    """Per-term per-block BM25 maxima; returns (bm_off i64, blocks i32,
+    scores f32) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    post_offs = np.ascontiguousarray(post_offs, np.int64)
+    docs = np.ascontiguousarray(docs, np.int32)
+    freqs = np.ascontiguousarray(freqs, np.int32)
+    doc_lens = np.ascontiguousarray(doc_lens, np.int32)
+    n_terms = post_offs.size - 1
+    n_post = docs.size
+    bm_off = np.empty(n_terms + 1, np.int64)
+    blocks = np.empty(max(n_post, 1), np.int32)
+    scores = np.empty(max(n_post, 1), np.float32)
+    total = lib.fts_blockmax(_p(post_offs, _i64p), _p(docs, _i32p),
+                             _p(freqs, _i32p), _p(doc_lens, _i32p), n_terms,
+                             int(n_docs), float(avg_dl), int(block),
+                             float(k1), float(b), _p(bm_off, _i64p),
+                             _p(blocks, _i32p), _p(scores, _f32p))
+    return bm_off, blocks[:total].copy(), scores[:total].copy()
+
+
+class NativeScorer:
+    """Per-index handle holding C-contiguous posting arrays + the score
+    workspace, ready for repeated top-k calls."""
+
+    def __init__(self, idx) -> None:
+        self.offsets = np.ascontiguousarray(idx.offsets, np.int64)
+        self.docs = np.ascontiguousarray(idx.docs, np.int32)
+        self.freqs = np.ascontiguousarray(idx.freqs, np.int32)
+        self.doc_lens = np.ascontiguousarray(idx.doc_lens, np.int32)
+        self.bm_off = np.ascontiguousarray(idx.bm_off, np.int64)
+        self.bm_blocks = np.ascontiguousarray(idx.bm_blocks, np.int32)
+        self.bm_scores = np.ascontiguousarray(idx.bm_scores, np.float32)
+        self.num_docs = int(idx.num_docs)
+        self.avg_dl = float(idx.avg_doc_len)
+        self.block = int(idx.block)
+        self._ws = np.zeros(self.num_docs, np.float32)
+        if idx.pos_offsets is not None:
+            self.pos_offsets = np.ascontiguousarray(idx.pos_offsets, np.int64)
+            self.positions = np.ascontiguousarray(idx.positions, np.int32)
+        else:
+            self.pos_offsets = None
+            self.positions = None
+
+    def bm25_topk(self, tids: list[int], k: int, k1: float = 1.2, b: float = 0.75):
+        lib = _load()
+        t = np.asarray(tids, np.int64)
+        out_d = np.empty(k, np.int32)
+        out_s = np.empty(k, np.float32)
+        n = lib.fts_bm25_topk(
+            _p(self.offsets, _i64p), _p(self.docs, _i32p),
+            _p(self.freqs, _i32p), _p(self.doc_lens, _i32p), self.num_docs,
+            self.avg_dl, _p(self.bm_off, _i64p), _p(self.bm_blocks, _i32p),
+            _p(self.bm_scores, _f32p), self.block, _p(t, _i64p), t.size,
+            float(k1), float(b), int(k), _p(self._ws, _f32p),
+            _p(out_d, _i32p), _p(out_s, _f32p))
+        return out_d[:n], out_s[:n]
+
+    def phrase_topk(self, tids: list[int], k: int, k1: float = 1.2, b: float = 0.75):
+        lib = _load()
+        t = np.asarray(tids, np.int64)
+        out_d = np.empty(k, np.int32)
+        out_s = np.empty(k, np.float32)
+        n = lib.fts_phrase_topk(
+            _p(self.offsets, _i64p), _p(self.docs, _i32p),
+            _p(self.freqs, _i32p), _p(self.pos_offsets, _i64p),
+            _p(self.positions, _i32p), _p(self.doc_lens, _i32p),
+            self.num_docs, self.avg_dl, _p(self.bm_off, _i64p),
+            _p(self.bm_blocks, _i32p), _p(self.bm_scores, _f32p), self.block,
+            _p(t, _i64p), t.size, float(k1), float(b), int(k),
+            _p(out_d, _i32p), _p(out_s, _f32p))
+        return out_d[:n], out_s[:n]

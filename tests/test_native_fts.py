@@ -1,0 +1,233 @@
+"""Native FTS engine (cpp/fts.cpp) equivalence suite.
+
+The Python engine in indices/scalar/build.py is the spec; the native build
+tokenizer, block-max builder, Block-WAND BM25 scorer and phrase scorer must
+produce IDENTICAL output (terms, postings, positions, block maxima bits,
+top-k docs AND f32 scores) on every corpus/config. Reference engine:
+rust/lance-index/src/scalar/inverted/{builder,wand}.rs.
+"""
+
+import numpy as np
+import pytest
+
+import lance_tpu as lt
+from lance_tpu.indices.scalar import native_fts
+from lance_tpu.indices.scalar.build import (InvertedIndex, _build_inverted,
+                                            open_scalar_index)
+from lance_tpu.indices.scalar.tokenizer import TokenizerConfig, tokenize
+
+pytestmark = pytest.mark.skipif(not native_fts.available(),
+                                reason="native FTS library unavailable")
+
+
+def _corpus(n_docs=400, vocab=300, seed=0, suffix_rich=False):
+    rng = np.random.default_rng(seed)
+    if suffix_rich:
+        stems = ["relate", "conflate", "operate", "rational", "conditional",
+                 "happy", "sky", "agreed", "feed", "plaster", "motoring",
+                 "sing", "conflated", "troubled", "sized", "hopping",
+                 "tanned", "falling", "hissing", "fizzed", "failing",
+                 "filing", "revival", "allowance", "inference", "airliner",
+                 "gyroscopic", "adjustable", "defensible", "irritant",
+                 "replacement", "adjustment", "dependent", "adoption",
+                 "homologou", "communism", "activate", "angulariti",
+                 "homologies", "ties", "caresses", "ponies", "caress",
+                 "cats", "probabilities", "controlling", "rolled"]
+        words = np.array(stems)
+    else:
+        words = np.array([f"w{i:04d}" for i in range(vocab)])
+    lens = rng.integers(3, 25, size=n_docs)
+    docs = [" ".join(words[rng.integers(0, len(words), size=l)])
+            for l in lens]
+    return docs
+
+
+def _build_both(docs, **params):
+    """Build the SAME corpus through the python loop and the native path;
+    return both artifacts' raw arrays for comparison."""
+    from lance_tpu.io.object_store import MemoryStore
+    from lance_tpu.file.reader import FileReader
+
+    tok_cfg = TokenizerConfig.from_params(params)
+    store = MemoryStore()
+    rowids = np.arange(len(docs), dtype=np.uint64)
+
+    # python path
+    values = np.array(docs, dtype=object)
+    _build_inverted(None, store, "py.idx", values, rowids, dict(params))
+
+    # native path
+    enc = [d.encode() for d in docs]
+    offsets = np.zeros(len(docs) + 1, np.int64)
+    np.cumsum([len(e) for e in enc], out=offsets[1:])
+    text = np.frombuffer(b"".join(enc), np.uint8)
+    assert native_fts.build_eligible(tok_cfg, text)
+    terms, post_offs, docsf, freqs, positions, doc_lens = \
+        native_fts.build_postings(text, offsets, tok_cfg)
+    from lance_tpu.indices.scalar.build import _write_inverted_file
+    _write_inverted_file(store, "nat.idx", terms, post_offs, docsf, freqs,
+                         positions, doc_lens, rowids, tok_cfg, len(docs))
+
+    out = []
+    for path in ("py.idx", "nat.idx"):
+        r = FileReader(store, path)
+        from lance_tpu.indices.scalar.build import _to_numpy_values
+        t, _ = _to_numpy_values(r.read_column("term"))
+        out.append({
+            "terms": list(t),
+            "offsets": np.frombuffer(r.read_global_buffer("posting_offsets"), "<i8"),
+            "docs": np.frombuffer(r.read_global_buffer("posting_docs"), "<i4"),
+            "freqs": np.frombuffer(r.read_global_buffer("posting_freqs"), "<i4"),
+            "positions": np.frombuffer(r.read_global_buffer("posting_positions"), "<i4"),
+            "doc_lens": np.frombuffer(r.read_global_buffer("doc_lens"), "<i4"),
+            "bm_off": np.frombuffer(r.read_global_buffer("blockmax_offsets"), "<i8"),
+            "bm_blocks": np.frombuffer(r.read_global_buffer("blockmax_blocks"), "<i4"),
+            "bm_scores": np.frombuffer(r.read_global_buffer("blockmax_scores"), "<f4"),
+        })
+    return out
+
+
+@pytest.mark.parametrize("params", [
+    {},
+    {"stem": True},
+    {"remove_stop_words": True, "stem": True},
+    {"base_tokenizer": "whitespace"},
+    {"max_token_length": 6},
+    {"lower_case": False},
+])
+def test_native_build_equals_python(params):
+    docs = _corpus(300, seed=3)
+    docs += ["The QUICK brown-fox; jumped_over 123 the lazy dog's BACK!!",
+             "", "   ", "a an and are tabs\tand\nnewlines",
+             "x" * 100 + " normal words here"]
+    py, nat = _build_both(docs, **params)
+    assert py["terms"] == nat["terms"]
+    for key in ("offsets", "docs", "freqs", "positions", "doc_lens",
+                "bm_off", "bm_blocks"):
+        np.testing.assert_array_equal(py[key], nat[key], err_msg=key)
+    # block maxima must be BIT-identical (same float op order)
+    np.testing.assert_array_equal(
+        py["bm_scores"].view(np.uint32), nat["bm_scores"].view(np.uint32))
+
+
+def test_native_build_porter_suffix_rich():
+    docs = _corpus(400, seed=7, suffix_rich=True)
+    py, nat = _build_both(docs, stem=True, remove_stop_words=True)
+    assert py["terms"] == nat["terms"]
+    np.testing.assert_array_equal(py["docs"], nat["docs"])
+    np.testing.assert_array_equal(py["positions"], nat["positions"])
+
+
+def test_porter_stem_exhaustive_ascii():
+    """Native porter == python porter over a broad generated word list."""
+    import ctypes
+    from lance_tpu.indices.scalar.tokenizer import porter_stem
+
+    rng = np.random.default_rng(11)
+    sufs = ["", "s", "es", "ies", "sses", "ss", "eed", "ed", "ing", "y",
+            "ational", "tional", "enci", "anci", "izer", "abli", "alli",
+            "entli", "eli", "ousli", "ization", "ation", "ator", "alism",
+            "iveness", "fulness", "ousness", "aliti", "iviti", "biliti",
+            "icate", "ative", "alize", "iciti", "ical", "ful", "ness",
+            "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+            "ement", "ment", "ent", "sion", "tion", "ou", "ism", "ate",
+            "iti", "ous", "ive", "ize", "e", "l", "ll"]
+    bases = ["r", "re", "rel", "rela", "relat", "xy", "sky", "tr", "tre",
+             "happ", "feed", "conflat", "troubl", "siz", "hop", "tan",
+             "fall", "hiss", "fizz", "fail", "fil", "controll", "roll"]
+    words = sorted({b + s for b in bases for s in sufs})
+    words += ["".join(rng.choice(list("abcdefgyz"), size=rng.integers(1, 12)))
+              for _ in range(500)]
+    # drive the native stemmer through a build of 1-word docs
+    docs = words
+    py, nat = _build_both(docs, stem=True)
+    assert py["terms"] == nat["terms"]
+    # sanity: the python porter actually did something
+    assert porter_stem("relational") == "relat"
+
+
+def _open_idx(docs, **params):
+    import uuid
+
+    ds = lt.write_dataset({"text": np.array(docs, object),
+                           "id": np.arange(len(docs), dtype=np.int64)},
+                          f"memory://natfts/{uuid.uuid4().hex[:8]}")
+    ds = ds.create_index("text", "INVERTED", **params)
+    meta = next(m for m in ds.manifest.indices)
+    return ds, open_scalar_index(ds, meta)
+
+
+def test_native_bm25_topk_equals_python():
+    docs = _corpus(3000, vocab=120, seed=5)
+    _, idx = _open_idx(docs)
+    ns = native_fts.NativeScorer(idx)
+    rng = np.random.default_rng(9)
+    words = sorted({t for d in docs[:50] for t in d.split()})
+    for trial in range(40):
+        q = [words[rng.integers(0, len(words))]
+             for _ in range(rng.integers(1, 4))]
+        tids = [idx._term_index(t) for t in q]
+        tids = [t for t in tids if t >= 0]
+        if not tids:
+            continue
+        pd, ps = idx._bm25_blockmax(tids, 10, 1.2, 0.75)
+        nd, nscore = ns.bm25_topk(tids, 10)
+        np.testing.assert_array_equal(np.asarray(pd),
+                                      idx.doc_rowids[nd], err_msg=str(q))
+        np.testing.assert_array_equal(
+            np.asarray(ps).view(np.uint32), nscore.view(np.uint32))
+
+
+def test_native_phrase_topk_equals_python():
+    docs = _corpus(2500, vocab=60, seed=6)
+    _, idx = _open_idx(docs)
+    ns = native_fts.NativeScorer(idx)
+    rng = np.random.default_rng(10)
+    for trial in range(40):
+        d = docs[int(rng.integers(0, len(docs)))].split()
+        if len(d) < 3:
+            continue
+        s = int(rng.integers(0, len(d) - 2))
+        ln = int(rng.integers(2, 4))
+        toks = d[s:s + ln]
+        tids = [idx._term_index(t) for t in toks]
+        if any(t < 0 for t in tids):
+            continue
+        pd, ps = idx._phrase_blockmax(tids, 10)
+        nd, nscore = ns.phrase_topk(tids, 10)
+        np.testing.assert_array_equal(np.asarray(pd), idx.doc_rowids[nd],
+                                      err_msg=str(toks))
+        np.testing.assert_array_equal(
+            np.asarray(ps).view(np.uint32), nscore.view(np.uint32))
+
+
+def test_end_to_end_search_uses_native(monkeypatch):
+    """Public FTS path returns the same results with native on and off."""
+    docs = _corpus(1200, vocab=80, seed=12)
+    ds, idx = _open_idx(docs)
+    from lance_tpu.indices.scalar.fts_query import MatchQuery, PhraseQuery
+
+    q = docs[17].split()[0] + " " + docs[23].split()[-1]
+    r_native = idx.bm25_search(q, 10)
+    # force python (blockmax threshold not met at this size anyway —
+    # exercise through execute_query to cover the phrase branch too)
+    ph = " ".join(docs[31].split()[:2])
+    a = idx.execute_query(PhraseQuery(ph, "text"), 10)
+    idx._native_scorer = None
+    import lance_tpu.indices.scalar.native_fts as nf
+    monkeypatch.setattr(nf, "available", lambda: False)
+    b = idx.execute_query(PhraseQuery(ph, "text"), 10)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    assert r_native is not None
+
+
+def test_non_eligible_config_falls_back():
+    docs = ["機械学習 deep learning", "深層学習 neural nets", "学習 rates"]
+    ds = lt.write_dataset({"text": np.array(docs, object)},
+                          "memory://natfts/cjk")
+    ds = ds.create_index("text", "INVERTED", base_tokenizer="cjk")
+    meta = next(m for m in ds.manifest.indices)
+    idx = open_scalar_index(ds, meta)
+    rid, sc = idx.bm25_search("学習", 3)
+    assert rid.size >= 1
