@@ -835,3 +835,446 @@ extern "C" int64_t fts_phrase_topk(const int64_t* post_offs, const int32_t* docs
   }
   return n_out;
 }
+
+// ---------------------------------------------------------------------------
+// Doc-at-a-time Block-Max WAND (reference wand.rs:302; Ding & Suel BMW).
+//
+// The batch kernels above replicate build.py's block-batch schedule
+// bit-exactly; these kernels are the serving-speed engine. Scores are still
+// bit-identical per doc (same f32 accumulation order over the query's tids),
+// and the returned top-k score vector equals the spec's — only WHICH doc id
+// is returned among docs tying exactly at the k-th score boundary may differ
+// (both paths break ties by ascending doc id over the docs they scored; WAND
+// scores every potential tie, the batch path stops at the block bound).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// cursor over one term's doc-sorted postings + its sparse block-max list
+struct TermCur {
+  const int32_t* docs;
+  const int32_t* freqs;
+  int64_t n;     // postings for this term
+  int64_t pos;   // current posting
+  const int32_t* blks;  // this term's sorted unique block ids
+  const float* bmax;    // per-block BM25 maxima (build-time k1/b)
+  int64_t nb;
+  int64_t bpos;  // block cursor: blks[bpos] == docs[pos] / block
+  float idf;
+  double gmax;   // global max block score (x multiplicity for dup terms)
+  int64_t pos_base;  // global posting index base (for position lookup)
+  int block;
+  int mult;  // multiplicity of this term in the query
+
+  int32_t cur() const { return pos < n ? docs[pos] : INT32_MAX; }
+  bool done() const { return pos >= n; }
+
+  // block cursor sync is LAZY: bounds are consulted far less often than the
+  // posting cursor moves, and bpos only ever gallops forward
+  void sync_block() {
+    if (pos >= n) return;
+    int32_t blk = (int32_t)((int64_t)docs[pos] / block);
+    int64_t step = 1;
+    while (bpos + step < nb && blks[bpos + step] <= blk) {
+      bpos += step;
+      step <<= 1;
+    }
+    while (bpos + 1 < nb && blks[bpos + 1] <= blk) bpos++;
+  }
+
+  void next() { pos++; }
+
+  // advance to the first posting with doc >= target (galloping)
+  void seek(int32_t target) {
+    if (pos >= n || docs[pos] >= target) return;
+    int64_t step = 1;
+    int64_t lo = pos;
+    while (lo + step < n && docs[lo + step] < target) {
+      lo += step;
+      step <<= 1;
+    }
+    const int32_t* first = docs + lo;
+    const int32_t* last = docs + std::min(lo + step + 1, n);
+    pos = std::lower_bound(first, last, target) - docs;
+  }
+
+  double block_max() {
+    sync_block();
+    return (double)bmax[bpos] * mult;
+  }
+  // first doc id past the current block (where this term's bound changes)
+  int32_t block_end() {
+    sync_block();
+    int64_t e = ((int64_t)blks[bpos] + 1) * block;
+    return e > INT32_MAX ? INT32_MAX : (int32_t)e;
+  }
+};
+
+struct TopK {
+  // top-k under (score desc, doc asc); insertion-sorted vector, k is small
+  std::vector<std::pair<float, int32_t>> items;
+  int64_t k;
+  explicit TopK(int64_t kk) : k(kk) { items.reserve(kk); }
+  bool full() const { return (int64_t)items.size() >= k; }
+  float thr() const { return items.back().first; }
+  void insert(float score, int32_t doc) {
+    if (full()) {
+      const auto& w = items.back();
+      if (!(score > w.first || (score == w.first && doc < w.second))) return;
+      items.pop_back();
+    }
+    std::pair<float, int32_t> v(score, doc);
+    auto it = std::upper_bound(items.begin(), items.end(), v,
+                               TopMerge::better);
+    items.insert(it, v);
+  }
+};
+
+// build per-unique-term cursors; returns false if any term is required but
+// empty (conjunctive mode). umap maps each tids slot to its cursor index.
+static void make_cursors(const int64_t* post_offs, const int32_t* docs,
+                         const int32_t* freqs, const int64_t* bm_off,
+                         const int32_t* bm_blocks, const float* bm_scores,
+                         int block, const int64_t* tids, int64_t n_tids,
+                         int64_t n_docs, bool with_idf,
+                         std::vector<TermCur>& cs, std::vector<int>& umap) {
+  std::vector<int64_t> uniq;
+  umap.assign(n_tids, -1);
+  for (int64_t t = 0; t < n_tids; t++) {
+    int64_t i = tids[t];
+    int64_t u = -1;
+    for (size_t x = 0; x < uniq.size(); x++)
+      if (uniq[x] == i) { u = (int64_t)x; break; }
+    if (u < 0) {
+      u = (int64_t)uniq.size();
+      uniq.push_back(i);
+      TermCur c;
+      c.docs = docs + post_offs[i];
+      c.freqs = freqs + post_offs[i];
+      c.n = post_offs[i + 1] - post_offs[i];
+      c.pos = 0;
+      c.blks = bm_blocks + bm_off[i];
+      c.bmax = bm_scores + bm_off[i];
+      c.nb = bm_off[i + 1] - bm_off[i];
+      c.bpos = 0;
+      int64_t df = c.n;
+      c.idf = with_idf && df > 0
+                  ? (float)std::log(1.0 + ((double)n_docs - (double)df + 0.5) /
+                                              ((double)df + 0.5))
+                  : 0.0f;
+      c.pos_base = post_offs[i];
+      c.block = block;
+      c.mult = 0;
+      c.gmax = 0.0;
+      cs.push_back(c);
+    }
+    umap[t] = (int)u;
+    cs[u].mult++;
+  }
+  for (auto& c : cs) {
+    if (c.n == 0 || c.nb == 0) continue;
+    float m = 0.0f;
+    for (int64_t j = 0; j < c.nb; j++) m = std::max(m, c.bmax[j]);
+    c.gmax = (double)m * c.mult;
+    c.sync_block();
+  }
+}
+
+}  // namespace
+
+extern "C" int64_t fts_bm25_wand(
+    const int64_t* post_offs, const int32_t* docs, const int32_t* freqs,
+    const int32_t* doc_lens, int64_t n_docs, double avg_dl,
+    const int64_t* bm_off, const int32_t* bm_blocks, const float* bm_scores,
+    int block, const int64_t* tids, int64_t n_tids, double k1, double b,
+    int64_t k, int32_t* out_docs, float* out_scores) {
+  const float k1f = (float)k1, bf = (float)b;
+  const float one_minus_b = (float)(1.0 - b);
+  const float k1p1 = (float)(k1 + 1.0);
+  const float avgf = (float)avg_dl;
+
+  std::vector<TermCur> cs;
+  std::vector<int> umap;
+  make_cursors(post_offs, docs, freqs, bm_off, bm_blocks, bm_scores, block,
+               tids, n_tids, n_docs, /*with_idf=*/true, cs, umap);
+  // drop empty terms (keep umap pointing at live cursors or -1)
+  {
+    std::vector<int> remap(cs.size(), -1);
+    size_t w = 0;
+    for (size_t x = 0; x < cs.size(); x++) {
+      if (cs[x].n > 0) {
+        remap[x] = (int)w;
+        cs[w] = cs[x];
+        w++;
+      }
+    }
+    cs.resize(w);
+    for (int64_t t = 0; t < n_tids; t++)
+      umap[t] = umap[t] >= 0 ? remap[umap[t]] : -1;
+  }
+  if (cs.empty()) return 0;
+
+  const size_t n = cs.size();
+  std::vector<int> ord(n);
+  for (size_t i = 0; i < n; i++) ord[i] = (int)i;
+
+  TopK top(k);
+  std::vector<float> contrib(n);
+
+  while (true) {
+    // keep cursors sorted by current doc (n is tiny; insertion sort)
+    for (size_t i = 1; i < n; i++) {
+      int v = ord[i];
+      size_t j = i;
+      while (j > 0 && cs[ord[j - 1]].cur() > cs[v].cur()) {
+        ord[j] = ord[j - 1];
+        j--;
+      }
+      ord[j] = v;
+    }
+    if (cs[ord[0]].done()) break;
+    const double thr = top.full() ? (double)top.thr() : -1.0;
+    // pivot: first prefix whose summed global maxima can reach thr
+    // (>= admits exact ties — the spec tie-breaks equal scores by doc id)
+    double acc = 0.0;
+    int64_t pivot = -1;
+    for (size_t i = 0; i < n; i++) {
+      acc += cs[ord[i]].gmax;
+      if (acc >= thr) {
+        pivot = (int64_t)i;
+        break;
+      }
+    }
+    if (pivot < 0) break;
+    int32_t pivot_doc = cs[ord[pivot]].cur();
+    if (pivot_doc == INT32_MAX) break;
+    if (cs[ord[0]].cur() == pivot_doc) {
+      // lists 0..pivot all sit at pivot_doc; extend to every aligned list
+      int64_t p2 = pivot;
+      while (p2 + 1 < (int64_t)n && cs[ord[p2 + 1]].cur() == pivot_doc) p2++;
+      double bub = 0.0;
+      for (int64_t i = 0; i <= p2; i++) bub += cs[ord[i]].block_max();
+      if (!top.full() || bub >= thr) {
+        // score pivot_doc: f32 adds in original tids order (spec order)
+        for (size_t i = 0; i < n; i++) contrib[i] = 0.0f;
+        for (int64_t i = 0; i <= p2; i++) {
+          TermCur& c = cs[ord[i]];
+          float f = (float)c.freqs[c.pos];
+          float dl = (float)doc_lens[pivot_doc];
+          float tf = f * k1p1 / (f + k1f * (one_minus_b + bf * dl / avgf));
+          contrib[ord[i]] = c.idf * tf;
+        }
+        float score = 0.0f;
+        for (int64_t t = 0; t < n_tids; t++) {
+          int u = umap[t];
+          if (u >= 0 && cs[u].cur() == pivot_doc) score += contrib[u];
+        }
+        top.insert(score, pivot_doc);
+        for (int64_t i = 0; i <= p2; i++) cs[ord[i]].next();
+      } else {
+        // block-max skip: bound is constant until some list's block ends
+        int32_t target = INT32_MAX;
+        for (int64_t i = 0; i <= p2; i++)
+          target = std::min(target, cs[ord[i]].block_end());
+        if (p2 + 1 < (int64_t)n)
+          target = std::min(target, cs[ord[p2 + 1]].cur());
+        if (target <= pivot_doc) target = pivot_doc + 1;  // progress guard
+        for (int64_t i = 0; i <= p2; i++) cs[ord[i]].seek(target);
+      }
+    } else {
+      // not aligned: advance the longest list still before pivot_doc
+      int64_t sel = 0;
+      for (int64_t i = 1; i < pivot; i++)
+        if (cs[ord[i]].cur() < pivot_doc && cs[ord[i]].n > cs[ord[sel]].n)
+          sel = i;
+      cs[ord[sel]].seek(pivot_doc);
+    }
+  }
+  int64_t n_out = (int64_t)top.items.size();
+  for (int64_t i = 0; i < n_out; i++) {
+    out_docs[i] = top.items[i].second;
+    out_scores[i] = top.items[i].first;
+  }
+  return n_out;
+}
+
+// conjunctive BMW + positional adjacency for exact phrase top-k
+extern "C" int64_t fts_phrase_wand(
+    const int64_t* post_offs, const int32_t* docs, const int32_t* freqs,
+    const int64_t* pos_offs, const int32_t* positions,
+    const int32_t* doc_lens, int64_t n_docs, double avg_dl,
+    const int64_t* bm_off, const int32_t* bm_blocks, const float* bm_scores,
+    int block, const int64_t* tids, int64_t n_tids, double k1, double b,
+    int64_t k, int32_t* out_docs, float* out_scores) {
+  std::vector<TermCur> cs;
+  std::vector<int> umap;
+  make_cursors(post_offs, docs, freqs, bm_off, bm_blocks, bm_scores, block,
+               tids, n_tids, n_docs, /*with_idf=*/false, cs, umap);
+  const size_t n = cs.size();
+  for (auto& c : cs)
+    if (c.n == 0) return 0;  // phrase needs every term
+
+  TopK top(k);
+
+  // per-slot f64 idf (bm25_for_docs semantics); scoring reads freqs straight
+  // from the aligned cursors — no per-hit binary search over posting lists
+  const float k1f = (float)k1, bf = (float)b;
+  const float one_minus_b = (float)(1.0 - b);
+  const float avgf = (float)avg_dl;
+  const double k1p1d = k1 + 1.0;
+  std::vector<double> idf64(n_tids);
+  for (int64_t t = 0; t < n_tids; t++) {
+    double df = (double)cs[umap[t]].n;
+    idf64[t] = std::log(1.0 + ((double)n_docs - df + 0.5) / (df + 0.5));
+  }
+  // exact replica of bm25_for_docs float sequencing for one doc whose
+  // cursors are all aligned at it
+  auto score_aligned = [&](int32_t dd) -> float {
+    float out = 0.0f;
+    float dlf = (float)doc_lens[dd];
+    float denom_dl = k1f * (one_minus_b + bf * dlf / avgf);
+    for (int64_t t = 0; t < n_tids; t++) {
+      const TermCur& c = cs[umap[t]];
+      float f = (float)c.freqs[c.pos];
+      float fd = f + denom_dl;  // f32 add, as numpy does
+      double contrib = idf64[t] * (double)f * k1p1d / (double)fd;
+      out = (float)((double)out + contrib);
+    }
+    return out;
+  };
+
+  if (n == 2 && n_tids == 2) {
+    // bigram fast path (the overwhelmingly common phrase shape): tight
+    // two-pointer gallop intersection, inline adjacency, same scoring
+    TermCur& ca = cs[umap[0]];
+    TermCur& cb = cs[umap[1]];
+    while (!ca.done() && !cb.done()) {
+      int32_t da = ca.cur(), db = cb.cur();
+      if (da < db) {
+        ca.seek(db);
+        continue;
+      }
+      if (db < da) {
+        cb.seek(da);
+        continue;
+      }
+      int32_t d2 = da;
+      if (top.full()) {
+        double bub = ca.block_max() + cb.block_max();
+        if (bub < (double)top.thr()) {
+          int32_t target = std::min(ca.block_end(), cb.block_end());
+          if (target <= d2) target = d2 + 1;
+          ca.seek(target);
+          cb.seek(target);
+          continue;
+        }
+      }
+      // adjacency: exists p in A with p+1 in B; drive from the smaller list
+      int64_t pa = ca.pos_base + ca.pos, pb = cb.pos_base + cb.pos;
+      const int32_t* a0 = positions + pos_offs[pa];
+      const int32_t* a1 = positions + pos_offs[pa + 1];
+      const int32_t* b0 = positions + pos_offs[pb];
+      const int32_t* b1 = positions + pos_offs[pb + 1];
+      bool hit = false;
+      // linear merge: both lists are sorted and tiny
+      while (a0 < a1 && b0 < b1) {
+        int64_t want = (int64_t)*a0 + 1;
+        if ((int64_t)*b0 < want) {
+          b0++;
+        } else if ((int64_t)*b0 == want) {
+          hit = true;
+          break;
+        } else {
+          a0++;
+        }
+      }
+      if (hit) top.insert(score_aligned(d2), d2);
+      ca.next();
+      cb.next();
+    }
+    int64_t n_out = (int64_t)top.items.size();
+    for (int64_t i = 0; i < n_out; i++) {
+      out_docs[i] = top.items[i].second;
+      out_scores[i] = top.items[i].first;
+    }
+    return n_out;
+  }
+
+  int32_t d = 0;  // candidate doc
+  while (true) {
+    // leapfrog align all cursors to a common doc >= d
+    bool done = false;
+    while (true) {
+      int32_t mx = 0;
+      bool aligned = true;
+      for (size_t i = 0; i < n; i++) {
+        int32_t c = cs[i].cur();
+        if (c == INT32_MAX) { done = true; break; }
+        if (c > mx) mx = c;
+      }
+      if (done) break;
+      for (size_t i = 0; i < n; i++) {
+        if (cs[i].cur() < mx) {
+          cs[i].seek(mx);
+          aligned = false;
+        }
+      }
+      if (aligned) { d = mx; break; }
+    }
+    if (done) break;
+    // block-max pruning once the heap is full: sum of the aligned blocks'
+    // BM25 maxima (x multiplicity) bounds the phrase's BM25 score
+    if (top.full()) {
+      double bub = 0.0;
+      for (size_t i = 0; i < n; i++) bub += cs[i].block_max();
+      if (bub < (double)top.thr()) {
+        int32_t target = INT32_MAX;
+        for (size_t i = 0; i < n; i++)
+          target = std::min(target, cs[i].block_end());
+        if (target <= d) target = d + 1;
+        for (size_t i = 0; i < n; i++) cs[i].seek(target);
+        continue;
+      }
+    }
+    // positional adjacency: exists s with (s + j) in positions_j for all j.
+    // drive from the slot with the fewest positions in this doc
+    {
+      int best = 0;
+      int64_t best_cnt = INT64_MAX;
+      for (int64_t j = 0; j < n_tids; j++) {
+        const TermCur& c = cs[umap[j]];
+        int64_t pi = c.pos_base + c.pos;
+        int64_t cnt = pos_offs[pi + 1] - pos_offs[pi];
+        if (cnt < best_cnt) { best_cnt = cnt; best = (int)j; }
+      }
+      const TermCur& cb = cs[umap[best]];
+      int64_t pb = cb.pos_base + cb.pos;
+      bool hit = false;
+      for (int64_t x = pos_offs[pb]; x < pos_offs[pb + 1] && !hit; x++) {
+        int64_t s = (int64_t)positions[x] - best;  // candidate phrase start
+        bool ok = true;
+        for (int64_t j = 0; j < n_tids && ok; j++) {
+          if (j == best) continue;
+          const TermCur& c = cs[umap[j]];
+          int64_t pi = c.pos_base + c.pos;
+          const int32_t* p0 = positions + pos_offs[pi];
+          const int32_t* p1 = positions + pos_offs[pi + 1];
+          int64_t want = s + j;
+          if (want < 0 || want > INT32_MAX) { ok = false; continue; }
+          ok = std::binary_search(p0, p1, (int32_t)want);
+        }
+        hit = ok;
+      }
+      // score like _bm25_for_docs: f64 contributions, f32 accumulation,
+      // in tids order (duplicate slots contribute twice)
+      if (hit) top.insert(score_aligned(d), d);
+    }
+    for (size_t i = 0; i < n; i++) cs[i].next();
+  }
+  int64_t n_out = (int64_t)top.items.size();
+  for (int64_t i = 0; i < n_out; i++) {
+    out_docs[i] = top.items[i].second;
+    out_scores[i] = top.items[i].first;
+  }
+  return n_out;
+}

@@ -1,0 +1,148 @@
+"""Correctness + speed check: WAND kernels vs the batch-replica kernels.
+
+Asserts on randomized corpora that fts_bm25_wand / fts_phrase_wand return
+the SAME top-k score vector (bitwise) as the Python-spec batch kernels, and
+the same doc ids wherever scores are unique. Then times both at scale.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import lance_tpu as lt  # noqa: E402
+from lance_tpu.indices.scalar import native_fts  # noqa: E402
+from lance_tpu.indices.scalar.build import open_scalar_index  # noqa: E402
+
+
+def corpus(n_docs, vocab, seed, zipf=1.07):
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(3, 30, size=n_docs)
+    total = int(lens.sum())
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    w = 1.0 / ranks**zipf
+    cdf = np.cumsum(w) / w.sum()
+    tok_ids = np.searchsorted(cdf, rng.random(total))
+    words = np.array([f"w{i:05d}" for i in range(vocab)])
+    toks = words[tok_ids]
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    docs = [" ".join(toks[bounds[i]:bounds[i + 1]]) for i in range(n_docs)]
+    return docs, words
+
+
+def open_idx(docs, tag):
+    ds = lt.write_dataset({"text": np.array(docs, object)},
+                          f"memory://wandchk/{tag}")
+    ds = ds.create_index("text", "INVERTED")
+    meta = next(m for m in ds.manifest.indices)
+    return open_scalar_index(ds, meta)
+
+
+def check_equal(tag, pd, ps, nd, nscore, idx):
+    ps = np.asarray(ps)
+    np.testing.assert_array_equal(
+        ps.view(np.uint32), np.asarray(nscore).view(np.uint32),
+        err_msg=f"{tag}: score vectors differ")
+    # docs must agree wherever the score is unique within the list
+    uniq_mask = np.ones(len(ps), bool)
+    for i in range(len(ps)):
+        uniq_mask[i] = (ps == ps[i]).sum() == 1
+    np.testing.assert_array_equal(
+        np.asarray(pd)[uniq_mask], idx.doc_rowids[nd][uniq_mask],
+        err_msg=f"{tag}: unique-score docs differ")
+
+
+def main():
+    # --- correctness at small scale, many trials --------------------------
+    for seed, vocab in [(1, 80), (2, 200), (3, 40)]:
+        docs, words = corpus(4000, vocab, seed)
+        idx = open_idx(docs, f"c{seed}")
+        ns = native_fts.NativeScorer(idx)
+        rng = np.random.default_rng(seed + 100)
+        n_bad = 0
+        for trial in range(120):
+            nt = int(rng.integers(1, 5))
+            q = [str(words[rng.integers(0, vocab)]) for _ in range(nt)]
+            tids = [idx._term_index(t) for t in q]
+            tids = [t for t in tids if t >= 0]
+            if not tids:
+                continue
+            pd, ps = idx._bm25_blockmax(tids, 10, 1.2, 0.75)
+            nd, nscore = ns.bm25_wand(tids, 10)
+            check_equal(f"bm25 seed={seed} q={q}", pd, ps, nd, nscore, idx)
+        for trial in range(120):
+            d = docs[int(rng.integers(0, len(docs)))].split()
+            if len(d) < 3:
+                continue
+            s = int(rng.integers(0, len(d) - 2))
+            ln = int(rng.integers(2, 4))
+            toks = d[s:s + ln]
+            tids = [idx._term_index(t) for t in toks]
+            if any(t < 0 for t in tids):
+                continue
+            pd, ps = idx._phrase_blockmax(tids, 10)
+            nd, nscore = ns.phrase_wand(tids, 10)
+            check_equal(f"phrase seed={seed} q={toks}", pd, ps, nd, nscore, idx)
+        print(f"seed {seed}: correctness OK ({n_bad} mismatches)")
+
+    # --- speed at 1M ------------------------------------------------------
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    docs, words = corpus(n_docs, 50_000, 0, zipf=1.07)
+    t0 = time.time()
+    idx = open_idx(docs, "big")
+    print(f"build {time.time()-t0:.1f}s")
+    ns = native_fts.NativeScorer(idx)
+    rng = np.random.default_rng(1)
+
+    def draw_terms(n):
+        band = rng.integers(0, 3, size=n)
+        hi = np.where(band == 0, 100, np.where(band == 1, 5000, len(words)))
+        return [str(words[int(rng.integers(0, h))]) for h in hi]
+
+    n_q = 200
+    qs = []
+    for _ in range(n_q):
+        q = draw_terms(3)
+        tids = [t for t in (idx._term_index(w) for w in q) if t >= 0]
+        qs.append(tids)
+    phrases = []
+    for _ in range(n_q):
+        d = docs[int(rng.integers(0, n_docs))].split()
+        s = int(rng.integers(0, max(1, len(d) - 2)))
+        toks = d[s:s + 2]
+        phrases.append([idx._term_index(t) for t in toks])
+
+    for name, fn in [("bm25_batch", ns.bm25_topk), ("bm25_wand", ns.bm25_wand)]:
+        t = time.time()
+        for tids in qs:
+            if tids:
+                fn(tids, 10)
+        print(f"{name}: {n_q/(time.time()-t):.1f} qps")
+    for name, fn in [("phrase_batch", ns.phrase_topk),
+                     ("phrase_wand", ns.phrase_wand)]:
+        t = time.time()
+        for tids in phrases:
+            if all(x >= 0 for x in tids):
+                fn(tids, 10)
+        print(f"{name}: {n_q/(time.time()-t):.1f} qps")
+    # spot-check agreement at scale too (scores only)
+    for tids in qs[:40]:
+        if not tids:
+            continue
+        _, s1 = ns.bm25_topk(tids, 10)
+        _, s2 = ns.bm25_wand(tids, 10)
+        np.testing.assert_array_equal(s1.view(np.uint32), s2.view(np.uint32))
+    for tids in phrases[:40]:
+        if any(x < 0 for x in tids):
+            continue
+        _, s1 = ns.phrase_topk(tids, 10)
+        _, s2 = ns.phrase_wand(tids, 10)
+        np.testing.assert_array_equal(s1.view(np.uint32), s2.view(np.uint32))
+    print("scale agreement OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,7 @@ def _page_key(store, path, desc, arrow_type):
         import json
 
         k = desc["_cache_key"] = json.dumps(
-            {x: y for x, y in desc.items() if x != "_cache_key"},
+            {x: y for x, y in desc.items() if not x.startswith("_")},
             sort_keys=True, default=str)
     return (_store_token(store), path, k, str(arrow_type))
 
@@ -436,6 +436,20 @@ class FileReader:
         rows = desc["rows"]
         if local.size > rows * _TAKE_FULL_PAGE_FRACTION or layout in ("all_null", "bitmap"):
             return self._read_page(desc, arrow_type).take(local)
+        # adaptive promotion for repeated small takes (KNN/FTS serving): the
+        # surgical path never warms the decoded-page LRU, so a hot page pays
+        # per-row offset reads forever. After a few takes of the same page,
+        # decode it whole once; later takes become pure array gathers.
+        cache = _page_cache()
+        if cache is not None:
+            key = _page_key(self.store, self.path, desc, arrow_type)
+            hit = cache.get("page", key)
+            if hit is not None:
+                return hit.take(local)
+            hits = desc.get("_take_hits", 0) + 1
+            desc["_take_hits"] = hits
+            if hits >= 4:
+                return self._read_page(desc, arrow_type).take(local)
 
         validity = self._read_page_validity(desc)
 
@@ -541,14 +555,25 @@ class FileReader:
 
                 from ..native import fsst_decompress
 
-                table = _b64.b64decode(desc["fsst_table"])
+                table = desc.get("_fsst_table_raw")
+                if table is None:
+                    table = desc["_fsst_table_raw"] = _b64.b64decode(desc["fsst_table"])
                 chunks = [x for x in desc["buffers"] if x["role"] == "bytes_chunk"]
                 row_starts = np.asarray([c["row_start"] for c in chunks], dtype=np.int64)
                 ci_of = np.searchsorted(row_starts, local, side="right") - 1
+                cache = _page_cache()
+                tok = _store_token(self.store) if cache is not None else None
                 for ci in np.unique(ci_of):
                     c = chunks[ci]
-                    blob = self.store.get_range(self.path, c["off"], c["len"])
-                    raw = fsst_decompress(table, blob, c["desc"]["raw_len"])
+                    # decoded-chunk LRU: repeated takes (FTS/KNN serving)
+                    # re-hit hot chunks; decompression dominates small takes
+                    ckey = (tok, self.path, c["off"], c["len"])
+                    raw = cache.get("fsst_chunk", ckey) if cache is not None else None
+                    if raw is None:
+                        blob = self.store.get_range(self.path, c["off"], c["len"])
+                        raw = fsst_decompress(table, blob, c["desc"]["raw_len"])
+                        if cache is not None:
+                            cache.put("fsst_chunk", ckey, raw)
                     sel = np.flatnonzero(ci_of == ci)
                     for j in sel:
                         s = int(pairs[j, 0] - c["raw_start"])

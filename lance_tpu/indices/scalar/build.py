@@ -18,6 +18,7 @@ RowIdMask allow-lists, which compose with ANN prefiltering and scans.
 from __future__ import annotations
 
 import json
+import os
 import re
 
 import numpy as np
@@ -568,10 +569,12 @@ class InvertedIndex:
     # -- term machinery -------------------------------------------------------
 
     def _term_index(self, t: str) -> int:
-        i = np.searchsorted(self.terms, t)
-        if i >= len(self.terms) or self.terms[i] != t:
-            return -1
-        return int(i)
+        # dict lookup beats searchsorted on a str array at serving QPS;
+        # built lazily once (~50k terms -> a few ms)
+        tm = getattr(self, "_term_map", None)
+        if tm is None:
+            tm = self._term_map = {s: i for i, s in enumerate(self.terms)}
+        return tm.get(t, -1)
 
     def expand_fuzzy(self, term: str, maxd: int, max_expansions: int = 50) -> list[int]:
         """Dictionary terms within edit distance maxd (reference query.rs
@@ -826,7 +829,10 @@ class InvertedIndex:
                 and self.num_docs >= 65536 and tids):
             ns = self._native()
             if ns is not None:
-                d, s = ns.bm25_topk(tids, k, k1, b)
+                if os.environ.get("LANCE_TPU_FTS_WAND", "1") not in ("0", "false"):
+                    d, s = ns.bm25_wand(tids, k, k1, b)
+                else:
+                    d, s = ns.bm25_topk(tids, k, k1, b)
                 return self.doc_rowids[d], s
             return self._bm25_blockmax(tids, k, k1, b)
         scores = np.zeros(self.num_docs, dtype=np.float32)
@@ -942,7 +948,10 @@ class InvertedIndex:
             if len(toks) > 1 and all(i >= 0 for i in tids):
                 ns = self._native()
                 if ns is not None and ns.pos_offsets is not None:
-                    d, s = ns.phrase_topk(tids, k)
+                    if os.environ.get("LANCE_TPU_FTS_WAND", "1") not in ("0", "false"):
+                        d, s = ns.phrase_wand(tids, k)
+                    else:
+                        d, s = ns.phrase_topk(tids, k)
                     return self.doc_rowids[d], s
                 return self._phrase_blockmax(tids, k)
         scores, mask = self._eval_node(q, text_of)

@@ -59,12 +59,16 @@ def _load() -> ctypes.CDLL | None:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 # -ffp-contract=off: FMA contraction would change float
-                # roundings vs the numpy reference path
+                # roundings vs the numpy reference path.
+                # Compile to a temp + atomic rename: truncating the .so in
+                # place segfaults any process that already mapped it.
+                tmp = f"{_SO}.tmp.{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                     "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                     "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
                     check=True, capture_output=True, timeout=180,
                 )
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             lib.fts_build.argtypes = [_u8p, _i64p, ctypes.c_int64,
                                       ctypes.c_int, ctypes.c_int]
@@ -90,6 +94,18 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int64, ctypes.c_double, ctypes.c_double,
                 ctypes.c_int64, _i32p, _f32p]
             lib.fts_phrase_topk.restype = ctypes.c_int64
+            lib.fts_bm25_wand.argtypes = [
+                _i64p, _i32p, _i32p, _i32p, ctypes.c_int64, ctypes.c_double,
+                _i64p, _i32p, _f32p, ctypes.c_int, _i64p, ctypes.c_int64,
+                ctypes.c_double, ctypes.c_double, ctypes.c_int64, _i32p,
+                _f32p]
+            lib.fts_bm25_wand.restype = ctypes.c_int64
+            lib.fts_phrase_wand.argtypes = [
+                _i64p, _i32p, _i32p, _i64p, _i32p, _i32p, ctypes.c_int64,
+                ctypes.c_double, _i64p, _i32p, _f32p, ctypes.c_int, _i64p,
+                ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int64, _i32p, _f32p]
+            lib.fts_phrase_wand.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -234,6 +250,37 @@ class NativeScorer:
             self.avg_dl, _p(self.bm_off, _i64p), _p(self.bm_blocks, _i32p),
             _p(self.bm_scores, _f32p), self.block, _p(t, _i64p), t.size,
             float(k1), float(b), int(k), _p(self._ws, _f32p),
+            _p(out_d, _i32p), _p(out_s, _f32p))
+        return out_d[:n], out_s[:n]
+
+    def bm25_wand(self, tids: list[int], k: int, k1: float = 1.2, b: float = 0.75):
+        """Doc-at-a-time Block-Max WAND (the serving-speed kernel; same
+        per-doc f32 scores as bm25_topk, ties at the k-th boundary may pick
+        a different doc id — see cpp/fts.cpp)."""
+        lib = _load()
+        t = np.asarray(tids, np.int64)
+        out_d = np.empty(k, np.int32)
+        out_s = np.empty(k, np.float32)
+        n = lib.fts_bm25_wand(
+            _p(self.offsets, _i64p), _p(self.docs, _i32p),
+            _p(self.freqs, _i32p), _p(self.doc_lens, _i32p), self.num_docs,
+            self.avg_dl, _p(self.bm_off, _i64p), _p(self.bm_blocks, _i32p),
+            _p(self.bm_scores, _f32p), self.block, _p(t, _i64p), t.size,
+            float(k1), float(b), int(k), _p(out_d, _i32p), _p(out_s, _f32p))
+        return out_d[:n], out_s[:n]
+
+    def phrase_wand(self, tids: list[int], k: int, k1: float = 1.2, b: float = 0.75):
+        lib = _load()
+        t = np.asarray(tids, np.int64)
+        out_d = np.empty(k, np.int32)
+        out_s = np.empty(k, np.float32)
+        n = lib.fts_phrase_wand(
+            _p(self.offsets, _i64p), _p(self.docs, _i32p),
+            _p(self.freqs, _i32p), _p(self.pos_offsets, _i64p),
+            _p(self.positions, _i32p), _p(self.doc_lens, _i32p),
+            self.num_docs, self.avg_dl, _p(self.bm_off, _i64p),
+            _p(self.bm_blocks, _i32p), _p(self.bm_scores, _f32p), self.block,
+            _p(t, _i64p), t.size, float(k1), float(b), int(k),
             _p(out_d, _i32p), _p(out_s, _f32p))
         return out_d[:n], out_s[:n]
 

@@ -40,11 +40,15 @@ def _load() -> ctypes.CDLL | None:
         _tried = True
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                # temp + atomic rename: truncating a mapped .so segfaults
+                # any process that already loaded it
+                tmp = f"{_SO}.tmp.{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                     _SRC, "-o", _SO],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True, timeout=120,
                 )
+                os.replace(tmp, _SO)
             lib = ctypes.CDLL(_SO)
             i64p = ctypes.POINTER(ctypes.c_int64)
             u8p = ctypes.POINTER(ctypes.c_uint8)
