@@ -75,13 +75,19 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
+def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None,
+                       include_deleted: bool = False):
     """Load (vectors, row_addresses) for live rows of the given fragments.
 
     Multivector columns (list<fixed_size_list>) are flattened to their child
     vectors with the PARENT row address repeated per child (reference:
     multivector indexing stores one index row per sub-vector, all pointing
-    at the parent row)."""
+    at the parent row).
+
+    include_deleted=True also returns rows masked by deletion vectors — index
+    files built before a delete still reference those row addresses (deletion
+    is a search-time mask, not a rewrite), so refine/exact serving must align
+    vectors against ALL physical rows the index may cite."""
     field = ds.schema.field(column)
     multi = pa.types.is_list(field.type) and pa.types.is_fixed_size_list(
         field.type.value_type)
@@ -91,7 +97,8 @@ def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
         frags = [f for f in frags if f.id in fset]
     mats, addrs = [], []
     for frag in frags:
-        alive = frag.alive_offsets()
+        alive = (np.arange(frag.physical_rows, dtype=np.int64)
+                 if include_deleted else frag.alive_offsets())
         if alive.size == 0:
             continue
         frag_addrs = (np.uint64(frag.id) << np.uint64(32)) | alive.astype(np.uint64)
@@ -112,6 +119,50 @@ def read_vector_column(ds, column: str, fragment_ids: list[int] | None = None):
                else field.type.list_size)
         return np.empty((0, dim), np.float32), np.empty(0, np.uint64)
     return np.concatenate(mats), np.concatenate(addrs)
+
+
+def _align_rows_to_index(ds, vecs: np.ndarray, rowids_col: np.ndarray,
+                         index_rowids: np.ndarray) -> np.ndarray:
+    """Reorder column rows (vecs, keyed by rowids_col) into index-row order.
+
+    Index rowids that no longer resolve to a physical row (their row was
+    deleted and the fragment later compacted away, so there is nothing left
+    to read) get ZERO vectors: deleted_mask() inf-keys those slots before
+    any top-k, so the filler can never surface. A LIVE index rowid that
+    fails to resolve is real corruption and raises."""
+    order = np.argsort(rowids_col, kind="stable")
+    sorted_ids = rowids_col[order]
+    if sorted_ids.size == 0:
+        missing = np.ones(index_rowids.size, dtype=bool)
+        pos = np.zeros(index_rowids.size, dtype=np.int64)
+    else:
+        pos = np.searchsorted(sorted_ids, index_rowids)
+        pos = np.minimum(pos, sorted_ids.size - 1)
+        missing = sorted_ids[pos] != index_rowids
+    if missing.any():
+        from ..rowids import split_addresses
+
+        frag_ids, offsets = split_addresses(index_rowids[missing])
+        live = {f.id: f for f in ds.get_fragments()}
+        for fid in np.unique(frag_ids):
+            frag = live.get(int(fid))
+            if frag is None:
+                continue  # whole fragment gone -> masked at search
+            offs = offsets[frag_ids == fid]
+            dv = frag.deletion_vector()
+            dead = (np.zeros(frag.physical_rows, bool) if dv is None or dv.is_empty()
+                    else dv.mask(frag.physical_rows))
+            in_range = offs < frag.physical_rows
+            if not in_range.all() or not dead[offs[in_range]].all():
+                from ..errors import IndexError_
+
+                raise IndexError_(
+                    "vector index references live row addresses absent from "
+                    "its covered fragments (stale coverage?)")
+    out = np.ascontiguousarray(vecs[order][pos])
+    if missing.any():
+        out[missing] = 0
+    return out
 
 
 def _live_frags(ds, column: str, fragment_ids: list[int] | None):
@@ -1479,10 +1530,9 @@ class IvfIndex:
         host = self.ds.session.index_cache.get("ivf_vec", key)
         if host is None:
             vecs, rowids_col = read_vector_column(
-                self.ds, column, self.meta.fragment_ids or None)
-            order = np.argsort(rowids_col, kind="stable")
-            pos = np.searchsorted(rowids_col[order], self.rowids)
-            host = np.ascontiguousarray(vecs[order][pos])
+                self.ds, column, self.meta.fragment_ids or None,
+                include_deleted=True)
+            host = _align_rows_to_index(self.ds, vecs, rowids_col, self.rowids)
             if self.metric == "cosine":
                 norms = np.maximum(
                     np.linalg.norm(host, axis=1, keepdims=True), 1e-12)
@@ -1519,11 +1569,10 @@ class IvfIndex:
             key = (self.meta.uuid, "refine_vectors")
             cached = self.ds.session.index_cache.get("ivf_vec", key)
             if cached is None:
-                vecs, rowids = read_vector_column(self.ds, column, self.meta.fragment_ids or None)
-                # align to index row order via rowid mapping
-                order = np.argsort(rowids, kind="stable")
-                pos = np.searchsorted(rowids[order], self.rowids)
-                cached = np.ascontiguousarray(vecs[order][pos])
+                vecs, rowids = read_vector_column(
+                    self.ds, column, self.meta.fragment_ids or None,
+                    include_deleted=True)
+                cached = _align_rows_to_index(self.ds, vecs, rowids, self.rowids)
                 if self.metric == "cosine":
                     norms = np.maximum(
                         np.linalg.norm(cached, axis=1, keepdims=True), 1e-12)

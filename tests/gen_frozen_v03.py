@@ -1,0 +1,91 @@
+"""One-shot generator for tests/frozen/v0_3.lance (run once, commit binaries).
+
+v0_3 pins the layouts/codecs/index formats NOT covered by v0_1/v0_2
+(reference: test_data/* + python/python/tests/test_backwards_compatibility.py):
+packed_struct, dict, chunked-FSST varbin, list/struct, IVF_RQ vector index,
+BTREE/BITMAP/NGRAM scalar index files. Regenerating an existing frozen
+corpus is a FORMAT BREAK — bump to v0_4 instead.
+
+Usage: python tests/gen_frozen_v03.py
+"""
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import lance_tpu as lt  # noqa: E402
+from lance_tpu.schema import Schema  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "frozen", "v0_3.lance")
+
+
+def main() -> None:
+    if os.path.exists(OUT):
+        raise SystemExit(f"{OUT} exists — frozen corpora are immutable; "
+                         "create v0_4 instead")
+    rng = np.random.default_rng(303)
+    n = 400
+    cats = np.array(["alpha", "beta", "gamma", "delta"])
+    # long, repetitive strings: engages the chunked-FSST varbin path
+    phrases = np.array([
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs every single day",
+        "sphinx of black quartz judge my vow for all time to come",
+    ])
+    text = np.array([" ".join(phrases[rng.integers(0, 3, size=6)]) + f" row{i}"
+                     for i in range(n)], object)
+    vec = rng.standard_normal((n, 64)).astype(np.float32)
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "cat": pa.array(cats[rng.integers(0, 4, size=n)]),  # dict layout
+        "text": pa.array(text),                             # FSST varbin
+        "pos": pa.StructArray.from_arrays(                  # packed_struct
+            [pa.array(rng.integers(0, 1000, n).astype(np.int32)),
+             pa.array(rng.standard_normal(n)),
+             pa.array(rng.integers(0, 100, n).astype(np.int16))],
+            names=["x", "y", "z"]),
+        "tags": pa.array([[f"t{j}" for j in range(i % 3 + 1)] for i in range(n)]),
+        "meta": pa.array([{"k": int(i % 7), "s": f"m{i % 5}"} for i in range(n)]),
+        "vec": pa.FixedSizeListArray.from_arrays(
+            pa.array(vec.reshape(-1)), 64),
+    })
+    sch = pa.schema([
+        tbl.schema.field("id"),
+        tbl.schema.field("cat"),
+        tbl.schema.field("text"),
+        pa.field("pos", tbl.schema.field("pos").type, metadata={b"packed": b"true"}),
+        tbl.schema.field("tags"),
+        tbl.schema.field("meta"),
+        tbl.schema.field("vec"),
+    ])
+    ds = lt.write_dataset(tbl.cast(sch), OUT)
+    ds = ds.create_index("vec", "IVF_RQ", num_partitions=4)
+    ds = ds.create_scalar_index("id", "BTREE")
+    ds = ds.create_scalar_index("cat", "BITMAP")
+    ds = ds.create_scalar_index("text", "NGRAM")
+    ds = ds.delete("id >= 390")
+    ds.tags.create("frozen", ds.latest_version())
+    print("rows:", ds.count_rows(), "version:", ds.latest_version())
+    # prove the layouts actually materialized before freezing
+    from lance_tpu.file.reader import FileReader
+
+    frag = ds.get_fragments()[0]
+    r = frag._reader_for(frag._file_for_field("pos"))
+    import json
+
+    layouts = {c["name"]: sorted({p["layout"] for p in c["pages"]})
+               for c in r.metadata["columns"]}
+    print(json.dumps(layouts))
+    assert "packed_struct" in layouts["pos"], layouts
+    assert "dict" in layouts["cat"], layouts
+    assert any("fsst_table" in p for c in r.metadata["columns"]
+               if c["name"] == "text" for p in c["pages"]), "FSST not engaged"
+    print("frozen at", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,63 @@ def test_v02_branch_and_fts(frozen_v02):
     t = ds.scanner().full_text_search("quick item", k=3).to_table()
     assert t.num_rows == 3
     assert ds.tags.get_version("frozen") == ds.version
+
+
+# ---- v0.3 corpus: packed_struct, dict, FSST, list/struct, IVF_RQ,
+# ---- BTREE/BITMAP/NGRAM index files (generator: tests/gen_frozen_v03.py) ----
+
+FROZEN_V03 = os.path.join(os.path.dirname(__file__), "frozen", "v0_3.lance")
+
+
+@pytest.fixture
+def frozen_v03():
+    if not os.path.exists(FROZEN_V03):
+        pytest.skip("frozen v0.3 corpus missing")
+    return lt.dataset(FROZEN_V03)
+
+
+def test_v03_layouts_roundtrip(frozen_v03):
+    ds = frozen_v03
+    assert ds.count_rows() == 390  # 400 - 10 deleted
+    t = ds.to_table(columns=["id", "cat", "text", "pos", "tags", "meta"],
+                    filter="id < 3")
+    assert np.asarray(t["id"]).tolist() == [0, 1, 2]
+    assert t["pos"][0].as_py().keys() == {"x", "y", "z"}
+    assert t["tags"][2].as_py() == ["t0", "t1", "t2"]
+    assert t["text"][0].as_py().endswith("row0")
+    # random access through every layout (packed_struct take = 1 ranged read)
+    got = ds.take_rows([7, 123], ["pos", "cat", "text", "meta"])
+    assert got["meta"][0].as_py() == {"k": 0, "s": "m2"}
+
+
+def test_v03_rq_index_and_scalar_indices(frozen_v03):
+    ds = frozen_v03
+    kinds = {m.index_type for m in ds.manifest.indices}
+    assert {"IVF_RQ", "BTREE", "BITMAP", "NGRAM"} <= kinds
+    t = ds.to_table(columns=["vec"], filter="id = 42")
+    q = np.asarray(t["vec"][0].as_py(), dtype=np.float32)
+    hit = ds.scanner().nearest("vec", q, k=1, nprobes=4, refine_factor=10).to_table()
+    assert np.asarray(hit["id"])[0] == 42
+    assert ds.count_rows("cat = 'beta'") > 0          # bitmap
+    assert ds.count_rows("id >= 100 and id < 110") == 10   # btree
+    assert ds.count_rows("text LIKE '%row123 %' or text LIKE '%row123'") == 1  # ngram
+
+
+def test_frozen_future_flags_refused(frozen_v03, tmp_path):
+    """Forward-compat: an old reader must refuse a dataset whose manifest
+    carries unknown reader feature flags (reference feature_flags.rs)."""
+    import shutil
+
+    from lance_tpu.errors import LanceError
+
+    dst = str(tmp_path / "future.lance")
+    shutil.copytree(FROZEN_V03, dst)
+    ds = lt.dataset(dst)
+    m = ds.manifest
+    m.reader_feature_flags |= 1 << 25  # a flag this build does not know
+    m.version = ds.latest_version() + 1
+    from lance_tpu.table.manifest import manifest_path
+
+    ds.store.put(manifest_path(m.version), m.to_bytes())
+    with pytest.raises(LanceError):
+        lt.dataset(dst)
