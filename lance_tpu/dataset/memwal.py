@@ -11,10 +11,20 @@ Region state lives in the manifest config under the `memwal:` key-prefix and
 advances via UpdateConfig transactions — the config conflict rule (same-key
 writes conflict) gives single-writer semantics per region for free.
 
+Lifecycle (reference mem_wal.rs:21-26 Open/Sealed/Flushed/Merged):
+
     wal = MemWal(ds, "ingest-1")
-    wal.append(batch)          # low-latency, durable, unindexed
-    wal.read()                 # everything in the WAL (search-before-flush)
-    ds = wal.seal().flush()    # fold into fragments, mark region Flushed
+    wal.append(batch)            # low-latency, durable, unindexed
+    wal.read()                   # everything in the WAL (search-before-flush)
+    wal.knn("vec", q, k)         # merged index + WAL search, any state
+    ds = wal.seal().flush()      # fold into fragments; WAL kept (Flushed)
+    ds = wal.merge()             # indices extended over the flushed
+                                 # fragments; WAL dropped (Merged)
+    wal.reopen()                 # next generation accepts appends again
+
+`flush(keep_wal=False)` collapses Flushed+Merged into one step (no index
+work, WAL dropped immediately) for ingest paths that do not serve searches
+during the transition.
 """
 
 from __future__ import annotations
@@ -29,7 +39,7 @@ from ..file.reader import FileReader
 from ..file.writer import FileWriter
 
 WAL_DIR = "_wal"
-OPEN, SEALED, FLUSHED = "open", "sealed", "flushed"
+OPEN, SEALED, FLUSHED, MERGED = "open", "sealed", "flushed", "merged"
 
 
 def _key(region: str) -> str:
@@ -62,7 +72,10 @@ class MemWal:
         if st["state"] != OPEN:
             raise InvalidInputError(f"region {self.region} is {st['state']}")
         if isinstance(batch, dict):
-            batch = pa.table(batch)
+            from .write import _normalize_batches
+
+            batches, _ = _normalize_batches(batch, None)
+            batch = pa.Table.from_batches(list(batches))
         if isinstance(batch, pa.RecordBatch):
             batch = pa.Table.from_batches([batch])
         from ..schema import Schema
@@ -103,24 +116,121 @@ class MemWal:
         self._put_state(st)
         return self
 
-    def flush(self):
-        """Fold WAL entries into regular fragments (one Append transaction),
-        mark the region Flushed, reset for reuse. Returns the new dataset."""
+    def flush(self, keep_wal: bool = False):
+        """Fold WAL entries into regular fragments (one Append transaction).
+
+        keep_wal=True follows the reference lifecycle: the region moves to
+        Flushed with its WAL files RETAINED (readers mid-transition keep a
+        consistent view; the flushed data is in fragments but not yet in any
+        index) and the new fragment ids recorded; `merge()` then extends the
+        indices and drops the WAL. keep_wal=False (default) collapses
+        Flushed+Merged: WAL dropped immediately, region reset for reuse."""
         st = self.state()
         if st["state"] not in (OPEN, SEALED):
             raise InvalidInputError(f"region {self.region} is {st['state']}")
+        new_frags: list[int] = []
         if st["entries"]:
             table = self.read()
+            before = {f.id for f in self.ds.get_fragments()}
             ds = self.ds.insert(table, mode="append")
-            # delete consumed WAL files (they are folded into fragments now)
-            for e in st["entries"]:
-                ds.store.delete(e["path"])
+            new_frags = sorted(f.id for f in ds.get_fragments()
+                               if f.id not in before)
         else:
             ds = self.ds
         self.ds = ds
+        if keep_wal and st["entries"]:
+            self._put_state({"state": FLUSHED, "entries": st["entries"],
+                             "fragments": new_frags,
+                             "generation": st.get("generation", 0)})
+            return self.ds
+        for e in st["entries"]:
+            ds.store.delete(e["path"])
         self._put_state({"state": OPEN, "entries": [],
                          "generation": st.get("generation", 0) + 1})
         return self.ds
+
+    def merge(self, optimize_indices: bool = True):
+        """Flushed -> Merged: extend the dataset's indices over the flushed
+        fragments (optimize_indices delta-merges new rows into existing
+        index coverage), then drop the WAL copy. Returns the new dataset."""
+        st = self.state()
+        if st["state"] != FLUSHED:
+            raise InvalidInputError(f"region {self.region} is {st['state']}")
+        ds = self.ds
+        if optimize_indices and ds.manifest.indices:
+            ds = ds.optimize_indices()
+        for e in st["entries"]:
+            ds.store.delete(e["path"])
+        self.ds = ds
+        self._put_state({"state": MERGED, "entries": [],
+                         "fragments": st.get("fragments", []),
+                         "generation": st.get("generation", 0)})
+        return self.ds
+
+    def reopen(self) -> "MemWal":
+        """Start the next generation: Flushed/Merged -> Open. A Flushed
+        region keeps its WAL files on disk until merge(); reopening from
+        Flushed drops them (the data is already in fragments)."""
+        st = self.state()
+        if st["state"] not in (FLUSHED, MERGED):
+            raise InvalidInputError(f"region {self.region} is {st['state']}")
+        for e in st.get("entries", []):
+            self.ds.store.delete(e["path"])
+        self._put_state({"state": OPEN, "entries": [],
+                         "generation": st.get("generation", 0) + 1})
+        return self
+
+    # -- search-before-flush over index + WAL ----------------------------------
+
+    def knn(self, column: str, q, k: int, **search_kwargs):
+        """Merged nearest-neighbor results over the indexed dataset AND the
+        unflushed/unmerged WAL rows (reference: MemWAL keeps streamed rows
+        searchable in every state until Merged). WAL rows are scored with an
+        exact flat scan (they are small by construction); results merge by
+        distance. Returns a pyarrow table with the dataset's columns of the
+        indexed hits plus WAL hits, and a `_distance` column; WAL rows carry
+        no _rowid (they have no address yet) so their _rowid is null."""
+        import numpy as np
+
+        q = np.asarray(q, dtype=np.float32)
+        base = self.ds.scanner().nearest(column, q, k=k, **search_kwargs).to_table()
+        st = self.state()
+        if not st["entries"] or st["state"] == MERGED:
+            return base
+        wal_tbl = self.read()
+        if wal_tbl.num_rows == 0 or column not in wal_tbl.column_names:
+            return base
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in wal_tbl[column].to_pylist()])
+        metric = search_kwargs.get("metric", "l2")
+        if metric == "cosine":
+            qn = q / max(np.linalg.norm(q), 1e-12)
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            dist = 1.0 - mn @ qn
+        elif metric == "dot":
+            dist = -(mat @ q)
+        else:
+            d = mat - q[None, :]
+            dist = np.einsum("ij,ij->i", d, d)
+        order = np.argsort(dist, kind="stable")[:k]
+        wal_hits = wal_tbl.take(order)
+        cols = {}
+        for name in base.column_names:
+            if name == "_distance":
+                cols[name] = pa.concat_arrays([
+                    base["_distance"].combine_chunks(),
+                    pa.array(dist[order], pa.float32())])
+            elif name in wal_hits.column_names:
+                cols[name] = pa.concat_arrays([
+                    base[name].combine_chunks().cast(wal_hits[name].type),
+                    wal_hits[name].combine_chunks()])
+            else:  # _rowid etc.: WAL rows have no address yet
+                cols[name] = pa.concat_arrays([
+                    base[name].combine_chunks(),
+                    pa.nulls(len(order), base[name].type)])
+        merged = pa.table(cols)
+        final = np.argsort(np.asarray(merged["_distance"]), kind="stable")[:k]
+        return merged.take(final)
 
 
 def list_regions(ds) -> list[dict]:

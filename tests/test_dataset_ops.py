@@ -285,6 +285,50 @@ def test_compaction_with_frag_reuse_remap():
     assert np.asarray(t2["id"])[0] != 7
 
 
+def test_memwal_flushed_merged_lifecycle():
+    """Open -> Sealed -> Flushed (WAL retained, searchable) -> Merged
+    (indices extended, WAL dropped) -> reopen next generation
+    (reference rust/lance/src/index/mem_wal.rs states + merge)."""
+    from lance_tpu.dataset.memwal import list_regions
+
+    uri = _uri("memwal-merge")
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = lt.write_dataset({"vec": vecs, "id": np.arange(300, dtype=np.int64)}, uri)
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=4, num_sub_vectors=4,
+                         max_iters=3)
+    wal = ds.memwal("stream")
+    new_vecs = rng.standard_normal((5, 16)).astype(np.float32)
+    wal.append({"vec": new_vecs, "id": np.arange(1000, 1005, dtype=np.int64)})
+    # search-before-flush: WAL row wins for its own vector
+    t = wal.knn("vec", new_vecs[2], k=3, nprobes=4)
+    assert np.asarray(t["id"])[0] == 1002
+    ds2 = wal.seal().flush(keep_wal=True)
+    st = wal.state()
+    assert st["state"] == "flushed" and len(st["fragments"]) == 1
+    # WAL retained through Flushed; data is also in fragments now
+    assert any(m.path.endswith(".ltpf") for m in ds2.store.list("_wal/"))
+    assert ds2.count_rows() == 305
+    # knn still merges (flushed rows are in fragments but not in the index;
+    # the WAL side still covers them)
+    t2 = wal.knn("vec", new_vecs[2], k=3, nprobes=4)
+    assert 1002 in np.asarray(t2["id"]).tolist()
+    ds3 = wal.merge()
+    assert wal.state()["state"] == "merged"
+    assert not any(m.path.endswith(".ltpf") for m in ds3.store.list("_wal/"))
+    # index now covers the flushed fragment: plain index search finds it
+    hit = ds3.scanner().nearest("vec", new_vecs[2], k=1, nprobes=4,
+                                refine_factor=4).to_table()
+    assert np.asarray(hit["id"])[0] == 1002
+    wal.reopen()
+    assert wal.state() == {"state": "open", "entries": [], "generation": 1}
+    wal.append(_table(2, offset=2000).append_column(
+        "vec", pa.FixedSizeListArray.from_arrays(
+            pa.array(rng.standard_normal(32).astype(np.float32)), 16)
+    ).select(["vec", "id"]))
+    assert wal.num_rows() == 2
+
+
 def test_memwal_streaming_ingest():
     from lance_tpu.dataset.memwal import list_regions
 
