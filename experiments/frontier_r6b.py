@@ -1,0 +1,129 @@
+"""frontier_r6 follow-up: nlist=2048 with EXACT demand-pinned q_cap.
+
+r6 found nlist=2048 (16,6) = 0.9521 @ 367.6k but with the adaptive cap's
+pow2 step overshooting to 128 (base 64 -> 128 covers a demand of ~70). The
+score tensor scales linearly with q_cap, so pin to round8(measured demand)
+and also probe BELOW demand (slot drops cost recall only on the hottest
+partitions; diag16m_slots showed survival is shallow).
+
+Matrix: nlist=2048, (np, rf) in {(16,6),(14,6),(12,6),(16,8),(14,8)} at
+cap = round8(demand), plus (16,6) at caps {48, 64} and nlist=1024 (10,8)
+re-run for the same-run baseline.
+
+Run: nohup timeout 5400 python experiments/frontier_r6b.py > experiments/logs/frontier_r6b.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_MERGE_STAGE2", "8")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.indices.vector_index import _probe_demand, _approx_probe
+    from lance_tpu.ops.distance import topk_neighbors
+
+    N, DIM, NQ, K = 1_000_000, 128, 2048, 10
+    data, queries = generate_sift_like(N, DIM, NQ)
+    t = time.time()
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt_i = np.asarray(gt_i)
+    _log(f"gt in {time.time()-t:.0f}s")
+    qh = np.asarray(queries)
+    q_dev = jnp.asarray(qh)
+    data_host = np.asarray(data)
+
+    def build(nlist):
+        ds = lt.write_dataset(
+            {"vec": data_host, "id": np.arange(N, dtype=np.int64)},
+            f"memory://frontier_r6b/n{nlist}",
+            params=lt.WriteParams(max_rows_per_file=N, compression="none"))
+        t = time.time()
+        ds = ds.create_index("vec", "IVF_PQ", num_partitions=nlist,
+                             num_sub_vectors=64, num_bits=8, max_iters=12)
+        _log(f"build nlist={nlist}: {time.time() - t:.0f}s")
+        return ds, ds._vector_index_for("vec")
+
+    def demand_of(idx, nprobes):
+        d = int(_probe_demand(idx._centroids_dev, q_dev,
+                              jnp.asarray(NQ, jnp.int32), idx.metric,
+                              nprobes, _approx_probe()))
+        return d
+
+    def point(idx, nlist, nprobes, rf, cap):
+        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=rf,
+                                   q_cap=cap)
+        t = time.time()
+        d, pos = fn(q_dev)
+        jax.block_until_ready((d, pos))
+        compile_s = time.time() - t
+        pos_h = np.asarray(pos)
+        rid = np.where(pos_h >= 0,
+                       idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                       np.uint64(0xFFFFFFFFFFFFFFFF))
+        rec = recall_of(rid, gt_i, NQ, K)
+        reps = []
+        for _ in range(3):
+            tt = time.time()
+            o = None
+            for _ in range(60):
+                o = fn(q_dev)
+            jax.block_until_ready(o)
+            reps.append(60 * NQ / (time.time() - tt))
+        reps.sort()
+        r = {"nlist": nlist, "np": nprobes, "rf": rf, "q_cap": cap,
+             "recall": round(rec, 4), "qps": round(reps[1]),
+             "spread_pct": round((reps[-1] - reps[0]) / reps[1] * 100, 1),
+             "compile_s": round(compile_s, 1)}
+        _log(json.dumps(r))
+        return r
+
+    def r8(x):
+        return max(8, (x + 7) // 8 * 8)
+
+    rows = []
+    ds2, idx2 = build(2048)
+    for npx in (12, 14, 16):
+        dem = demand_of(idx2, npx)
+        _log(f"nlist=2048 np={npx}: measured demand={dem}")
+    dem16 = r8(demand_of(idx2, 16))
+    dem14 = r8(demand_of(idx2, 14))
+    dem12 = r8(demand_of(idx2, 12))
+    rows.append(point(idx2, 2048, 16, 6, dem16))
+    rows.append(point(idx2, 2048, 14, 6, dem14))
+    rows.append(point(idx2, 2048, 12, 6, dem12))
+    rows.append(point(idx2, 2048, 16, 6, 48))
+    rows.append(point(idx2, 2048, 16, 8, dem16))
+    rows.append(point(idx2, 2048, 14, 8, dem14))
+    del ds2, idx2
+
+    ds1, idx1 = build(1024)
+    dem10 = r8(demand_of(idx1, 10))
+    _log(f"nlist=1024 np=10: measured demand={dem10}")
+    rows.append(point(idx1, 1024, 10, 8, dem10))
+
+    best = max((r for r in rows if r["recall"] >= 0.95),
+               key=lambda r: r["qps"], default=None)
+    print(json.dumps({"config": "frontier_r6b", "best": best, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

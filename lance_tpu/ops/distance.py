@@ -171,6 +171,102 @@ def topk_neighbors(
     return best_d, best_i
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk", "group",
+                                              "pool"))
+def topk_neighbors_fast(
+    q: jnp.ndarray, data: jnp.ndarray, k: int, metric: Metric = "l2",
+    chunk: int = 131072, group: int = 128, pool: int = 64,
+    data_sq: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact flat KNN at serving speed: (B, D) x (N, D) -> (B, k).
+
+    topk_neighbors() pays a full-width lax.top_k per chunk (TPU top-k runs
+    at a few Gelem/s — it dominates the scan 10:1 over the einsum). This
+    version routes the flat scan through the tuned dense-scan shape
+    (reference flat index rust/lance-index/src/vector/flat/index.rs:37,
+    benchmarks/flat/):
+
+      1. coarse distances in ONE bf16 MXU einsum per chunk (f32 accumulate,
+         ||q||^2 deferred — ordering is unaffected),
+      2. top-2-of-`group` pre-reduction (two masked min passes; a group
+         would need >=3 of the true top-k inside one 64-row window to lose
+         one — vanishing for non-pathological row orders),
+      3. one narrow top_k over the (B, 2*N/group) carries -> `pool`
+         candidates,
+      4. exact f32 Precision.HIGHEST rescore of the gathered pool, final
+         variadic (dist, id) sort.
+
+    Exactness is two-layer: the pool rescore makes step 1's bf16 rounding
+    harmless unless it pushes a true neighbor below the pool boundary
+    (pool >= 6x k default), and step 2's loss needs 3+ true neighbors
+    physically adjacent. tests assert equality against topk_neighbors on
+    clustered data; callers with adversarial row order should pre-shuffle.
+    """
+    b, d_dim = q.shape
+    n = data.shape[0]
+    qm = preprocess_for_metric(q, metric)
+    dm = preprocess_for_metric(data, metric) if metric == "cosine" else data
+    if metric == "l2" and data_sq is None:
+        data_sq = jnp.sum(data.astype(jnp.float32) ** 2, axis=-1)
+    pad = (-n) % chunk
+    dp = jnp.pad(dm, ((0, pad), (0, 0)))
+    nchunks = dp.shape[0] // chunk
+    dc = dp.reshape(nchunks, chunk, d_dim)
+    if metric == "l2":
+        sq = jnp.pad(data_sq, (0, pad), constant_values=jnp.inf)
+        sqc = sq.reshape(nchunks, chunk)
+    qb = qm.astype(jnp.bfloat16)
+    ng = chunk // group  # group=128 keeps the reshape lane-aligned (no
+    # padded tiled layout; CLAUDE.md: never make the minor dim < 128)
+
+    def body(ci):
+        blk = dc[ci].astype(jnp.bfloat16)
+        prod = jnp.dot(qb, blk.T, preferred_element_type=jnp.float32)
+        if metric == "l2":
+            coarse = sqc[ci][None, :] - 2.0 * prod  # + |q|^2 deferred
+        else:  # dot / cosine-on-normalized: mask padded zero rows
+            coarse = jnp.where(
+                (ci * chunk + jnp.arange(chunk))[None, :] < n, -prod, jnp.inf)
+        g = coarse.reshape(b, ng, group)
+        base = (ci * chunk
+                + jnp.arange(ng, dtype=jnp.int32) * group)  # group start ids
+        m1 = jnp.min(g, axis=2)
+        a1 = jnp.argmin(g, axis=2).astype(jnp.int32)
+        g2 = jnp.where(
+            jnp.arange(group, dtype=jnp.int32)[None, None, :] == a1[..., None],
+            jnp.inf, g)
+        m2 = jnp.min(g2, axis=2)
+        a2 = jnp.argmin(g2, axis=2).astype(jnp.int32)
+        return (jnp.concatenate([m1, m2], axis=1),
+                jnp.concatenate([base[None, :] + a1, base[None, :] + a2],
+                                axis=1))
+
+    carries_d, carries_i = jax.lax.map(body, jnp.arange(nchunks))
+    # (nchunks, B, 2*ng) -> (B, nchunks*2*ng)
+    all_d = jnp.moveaxis(carries_d, 0, 1).reshape(b, -1)
+    all_i = jnp.moveaxis(carries_i, 0, 1).reshape(b, -1)
+    p = min(pool, all_d.shape[1])
+    neg, sel = jax.lax.top_k(-all_d, p)
+    cand = jnp.take_along_axis(all_i, sel, axis=1)  # (B, P) row ids
+    cand_safe = jnp.clip(cand, 0, n - 1)
+    rows = jnp.take(dm, cand_safe.reshape(-1), axis=0).reshape(b, p, d_dim)
+    rf = rows.astype(jnp.float32)
+    qf = qm.astype(jnp.float32)
+    if metric == "l2":
+        prod = jnp.einsum("bd,bpd->bp", qf, rf,
+                          precision=jax.lax.Precision.HIGHEST)
+        rsq = jnp.take(data_sq, cand_safe.reshape(-1)).reshape(b, p)
+        exact = jnp.maximum(
+            jnp.sum(qf * qf, axis=1, keepdims=True) + rsq - 2.0 * prod, 0.0)
+    else:
+        sim = jnp.einsum("bd,bpd->bp", qf, rf,
+                         precision=jax.lax.Precision.HIGHEST)
+        exact = (1.0 - sim) if metric == "cosine" else -sim
+    exact = jnp.where(-neg == jnp.inf, jnp.inf, exact)  # padded carries
+    sd, si = jax.lax.sort([exact, cand], num_keys=2)  # ties by ascending id
+    return sd[:, :k], si[:, :k]
+
+
 def l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Pairwise row-wise squared L2 between equal-shaped batches."""
     d = x.astype(jnp.float32) - y.astype(jnp.float32)

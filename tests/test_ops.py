@@ -90,6 +90,32 @@ def test_topk_neighbors_exact(rng):
         assert set(np.asarray(i)[r].tolist()) == set(want_i[r].tolist())
 
 
+def test_topk_neighbors_fast_matches_exact():
+    """The pre-reduced flat scan (bf16 coarse + top-2-of-group + exact f32
+    pool rescore) returns the same top-k SET as the streaming exact path on
+    clustered data (order may differ on float near-ties)."""
+    from lance_tpu.ops.distance import topk_neighbors_fast
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(0, 128, (64, 16)).astype(np.float32)
+    assign = rng.integers(0, 64, 65536)
+    data = np.clip(centers[assign] + rng.standard_normal((65536, 16)) * 8,
+                   0, 255).astype(np.float32)
+    q = np.clip(centers[rng.integers(0, 64, 40)]
+                + rng.standard_normal((40, 16)) * 8, 0, 255).astype(np.float32)
+    for metric in ("l2", "cosine"):
+        d0, i0 = topk_neighbors(jnp.asarray(q), jnp.asarray(data), k=5,
+                                metric=metric, chunk=16384)
+        d1, i1 = topk_neighbors_fast(jnp.asarray(q), jnp.asarray(data), k=5,
+                                     metric=metric, chunk=32768)
+        i0, i1 = np.asarray(i0), np.asarray(i1)
+        for r in range(q.shape[0]):
+            assert set(i0[r].tolist()) == set(i1[r].tolist()), (metric, r)
+        np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                                   np.sort(np.asarray(d0), 1),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_kmeans_separated_clusters(rng):
     # 4 well-separated blobs -> kmeans must find them
     centers = np.array([[10, 0], [-10, 0], [0, 10], [0, -10]], dtype=np.float32)
