@@ -1143,6 +1143,104 @@ extern "C" int64_t fts_phrase_wand(
     return out;
   };
 
+  if (n == 2 && n_tids == 2 &&
+      std::min(cs[0].n, cs[1].n) >= (int64_t)block * 64) {
+    // best-first block path for common-common bigrams: merge the two terms'
+    // block lists, order pair blocks by score bound DESCENDING, and process
+    // best blocks first. The top-k threshold rises immediately, so once the
+    // next bound cannot beat it every remaining block is skipped — exact,
+    // and turns a full 2x ~1M-posting scan into a few hundred block visits.
+    TermCur& A = cs[umap[0]];
+    TermCur& B = cs[umap[1]];
+    struct BB {
+      float bound;
+      int32_t blk;
+    };
+    std::vector<BB> pairs;
+    pairs.reserve((size_t)std::min(A.nb, B.nb));
+    for (int64_t i = 0, j = 0; i < A.nb && j < B.nb;) {
+      if (A.blks[i] < B.blks[j]) {
+        i++;
+      } else if (A.blks[i] > B.blks[j]) {
+        j++;
+      } else {
+        pairs.push_back({A.bmax[i] + B.bmax[j], A.blks[i]});
+        i++;
+        j++;
+      }
+    }
+    std::sort(pairs.begin(), pairs.end(),
+              [](const BB& x, const BB& y) { return x.bound > y.bound; });
+    for (const BB& p : pairs) {
+      if (top.full() && (double)p.bound < (double)top.thr()) break;
+      int64_t lo_doc = (int64_t)p.blk * block;
+      int64_t hi_doc = lo_doc + block;
+      const int32_t* a0 = std::lower_bound(A.docs, A.docs + A.n,
+                                           (int32_t)lo_doc);
+      const int32_t* a1 =
+          std::lower_bound(a0, A.docs + A.n,
+                           (int32_t)std::min(hi_doc, (int64_t)INT32_MAX));
+      const int32_t* b0 = std::lower_bound(B.docs, B.docs + B.n,
+                                           (int32_t)lo_doc);
+      const int32_t* b1 =
+          std::lower_bound(b0, B.docs + B.n,
+                           (int32_t)std::min(hi_doc, (int64_t)INT32_MAX));
+      while (a0 < a1 && b0 < b1) {
+        if (*a0 < *b0) {
+          a0++;
+          continue;
+        }
+        if (*b0 < *a0) {
+          b0++;
+          continue;
+        }
+        int32_t d2 = *a0;
+        int64_t ia = a0 - A.docs, ib = b0 - B.docs;
+        // score first (bm25_for_docs float sequencing, slots in tids order)
+        float dlf = (float)doc_lens[d2];
+        float denom_dl = k1f * (one_minus_b + bf * dlf / avgf);
+        float fa = (float)A.freqs[ia], fb = (float)B.freqs[ib];
+        float sc = (float)(idf64[0] * (double)fa * k1p1d /
+                           (double)(fa + denom_dl));
+        sc = (float)((double)sc + idf64[1] * (double)fb * k1p1d /
+                                      (double)(fb + denom_dl));
+        bool consider = true;
+        if (top.full()) {
+          const auto& w = top.items.back();
+          consider = sc > w.first || (sc == w.first && d2 < w.second);
+        }
+        if (consider) {
+          int64_t pa = A.pos_base + ia, pb = B.pos_base + ib;
+          const int32_t* x0 = positions + pos_offs[pa];
+          const int32_t* x1 = positions + pos_offs[pa + 1];
+          const int32_t* y0 = positions + pos_offs[pb];
+          const int32_t* y1 = positions + pos_offs[pb + 1];
+          bool hit = false;
+          while (x0 < x1 && y0 < y1) {
+            int64_t want = (int64_t)*x0 + 1;
+            if ((int64_t)*y0 < want) {
+              y0++;
+            } else if ((int64_t)*y0 == want) {
+              hit = true;
+              break;
+            } else {
+              x0++;
+            }
+          }
+          if (hit) top.insert(sc, d2);
+        }
+        a0++;
+        b0++;
+      }
+    }
+    int64_t n_out = (int64_t)top.items.size();
+    for (int64_t i = 0; i < n_out; i++) {
+      out_docs[i] = top.items[i].second;
+      out_scores[i] = top.items[i].first;
+    }
+    return n_out;
+  }
+
   if (n == 2 && n_tids == 2) {
     // bigram fast path (the overwhelmingly common phrase shape): tight
     // two-pointer gallop intersection, inline adjacency, same scoring
@@ -1169,6 +1267,18 @@ extern "C" int64_t fts_phrase_wand(
           continue;
         }
       }
+      // score FIRST (freqs are warm sequential reads), adjacency second:
+      // the phrase score IS the aligned BM25, so a doc that cannot beat the
+      // current worst can skip the cold position-list reads entirely.
+      float sc = score_aligned(d2);
+      if (top.full()) {
+        const auto& w = top.items.back();
+        if (!(sc > w.first || (sc == w.first && d2 < w.second))) {
+          ca.next();
+          cb.next();
+          continue;
+        }
+      }
       // adjacency: exists p in A with p+1 in B; drive from the smaller list
       int64_t pa = ca.pos_base + ca.pos, pb = cb.pos_base + cb.pos;
       const int32_t* a0 = positions + pos_offs[pa];
@@ -1188,7 +1298,7 @@ extern "C" int64_t fts_phrase_wand(
           a0++;
         }
       }
-      if (hit) top.insert(score_aligned(d2), d2);
+      if (hit) top.insert(sc, d2);
       ca.next();
       cb.next();
     }
@@ -1236,6 +1346,16 @@ extern "C" int64_t fts_phrase_wand(
         continue;
       }
     }
+    // score FIRST (same reasoning as the bigram path): a doc whose aligned
+    // BM25 cannot enter the top-k never needs its position lists touched
+    float sc = score_aligned(d);
+    if (top.full()) {
+      const auto& w = top.items.back();
+      if (!(sc > w.first || (sc == w.first && d < w.second))) {
+        for (size_t i = 0; i < n; i++) cs[i].next();
+        continue;
+      }
+    }
     // positional adjacency: exists s with (s + j) in positions_j for all j.
     // drive from the slot with the fewest positions in this doc
     {
@@ -1267,7 +1387,7 @@ extern "C" int64_t fts_phrase_wand(
       }
       // score like _bm25_for_docs: f64 contributions, f32 accumulation,
       // in tids order (duplicate slots contribute twice)
-      if (hit) top.insert(score_aligned(d), d);
+      if (hit) top.insert(sc, d);
     }
     for (size_t i = 0; i < n; i++) cs[i].next();
   }

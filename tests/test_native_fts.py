@@ -201,6 +201,35 @@ def test_native_phrase_topk_equals_python():
             np.asarray(ps).view(np.uint32), nscore.view(np.uint32))
 
 
+def test_phrase_wand_bestfirst_block_path_parity():
+    """Directed coverage of the best-first block bigram path in
+    fts_phrase_wand (engaged only when both terms' df >= 64 blocks): common-
+    common bigrams over a tiny vocabulary so every query crosses the gate.
+    Results must equal the batch-replica kernel (same docs AND f32 scores)."""
+    rng = np.random.default_rng(21)
+    vocab = np.array(["alpha", "beta", "gamma", "delta"])
+    # ~40k docs x ~12 tokens from 4 words -> every df >> 64*block? block
+    # scales with corpus; read it from the built index below and assert.
+    docs = [" ".join(vocab[rng.integers(0, 4, size=rng.integers(4, 20))])
+            for _ in range(40_000)]
+    _, idx = _open_idx(docs)
+    ns = native_fts.NativeScorer(idx)
+    min_df = min(
+        int(idx.offsets[t + 1] - idx.offsets[t]) for t in range(4))
+    assert min_df >= idx.block * 64, "test corpus must engage the path"
+    for a in vocab:
+        for b in vocab:
+            tids = [idx._term_index(a), idx._term_index(b)]
+            wd, ws = ns.phrase_wand(tids, 10)
+            rd, rs = ns.phrase_topk(tids, 10)
+            np.testing.assert_array_equal(
+                ws.view(np.uint32), rs.view(np.uint32), err_msg=f"{a} {b}")
+            # doc sets must match except spec-allowed k-th-boundary score
+            # ties; with equal score vectors assert exact doc equality up to
+            # per-score reordering
+            assert sorted(zip(ws, wd)) == sorted(zip(rs, rd)), f"{a} {b}"
+
+
 def test_end_to_end_search_uses_native(monkeypatch):
     """Public FTS path returns the same results with native on and off."""
     docs = _corpus(1200, vocab=80, seed=12)
