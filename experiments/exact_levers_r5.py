@@ -1,0 +1,70 @@
+"""Exact flat 1Mx128 top-10 lever matrix (VERDICT r4 #2: >=100k QPS @ recall 1.0).
+
+Measures topk_neighbors_fast QPS/recall at B=2048 across
+{coarse_bf16} x {stage2} x {pool} to pick the default:
+  - coarse_bf16 halves the dominant (B, chunk) HBM stream (centered l2);
+  - stage2 top-2-of-8 cuts the final top_k width 4x (TPU top_k ~3 Gelem/s);
+  - pool is the exact-rescore safety margin (only absorbs top_k-boundary
+    losses, NOT stage2 group losses -- measured in tests/test_ops.py).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import generate_sift_like, _log
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=lambda m: print(m, flush=True))
+    from lance_tpu.ops.distance import topk_neighbors, topk_neighbors_fast
+
+    K, N, DIM, NQ, B = 10, 1_000_000, 128, 1024, 2048
+    t = time.time()
+    data, queries = generate_sift_like(N, DIM, NQ)
+    _log(f"gen {time.time()-t:.0f}s")
+    t = time.time()
+    _, gt_i = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt = np.asarray(gt_i)
+    _log(f"gt {time.time()-t:.0f}s")
+    queries_h = np.asarray(queries)
+    qb = jnp.asarray(np.ascontiguousarray(np.tile(queries_h, (2, 1))[:B]))
+    data_sq = jnp.sum(data.astype(jnp.float32) ** 2, axis=-1)
+
+    rows = []
+    for bf, s2, pool in [(False, 1, 64), (False, 8, 64), (True, 1, 64),
+                         (True, 8, 64), (True, 8, 128), (True, 16, 128)]:
+        tc = time.time()
+        d1, i1 = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq,
+                                     coarse_bf16=bf, stage2=s2, pool=pool)
+        jax.block_until_ready((d1, i1))
+        compile_s = time.time() - tc
+        i1h = np.asarray(i1)[:NQ]
+        hits = sum(len(set(i1h[r].tolist()) & set(gt[r].tolist()))
+                   for r in range(NQ))
+        rec = hits / (NQ * K)
+        iters = 10
+        t = time.time()
+        for _ in range(iters):
+            o = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq,
+                                    coarse_bf16=bf, stage2=s2, pool=pool)
+        jax.block_until_ready(o)
+        qps = iters * B / (time.time() - t)
+        rows.append({"bf16": bf, "stage2": s2, "pool": pool,
+                     "recall_at_10": round(rec, 5), "qps": round(qps),
+                     "compile_s": round(compile_s, 1)})
+        _log(json.dumps(rows[-1]))
+    print(json.dumps({"config": "exact_levers_r5", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,8 @@ Env vars (all optional):
 | LANCE_TPU_MERGE_GROUP        | 8      | across-probe group-min width (<= nprobes; 16 = +25% QPS, ~-0.3pt) |
 | LANCE_TPU_MERGE_STAGE2       | 4      | second-stage top-2-of-N merge pre-reduction (4 = recall-neutral +11% QPS; 8 = +17.8%, ~-0.3pt; guarded off when pool < 4x fetch) |
 | LANCE_TPU_EXACT_BLOCKS       | 0      | serving blocks hold EXACT vectors instead of the PQ decode (same HBM bytes, near-exact pool ranking -> refine_factor can drop ~8x; raw-column read at open) |
+| LANCE_TPU_EXACT_STRICT       | 0      | flat/exact search uses the streaming full-width merge at any size (guaranteed exact; ~10x slower at 1M) instead of the pre-reduced scan |
+| LANCE_TPU_EXACT_BF16         | 1      | flat-scan coarse stream in bf16 (per-query-centered; 41.2k vs 27.4k QPS @ 1M x 128, recall@10 0.9998 vs 0.9999; pool rescore stays exact f32) |
 | LANCE_TPU_SLOT_TOP2          | 0      | keep top-2 per merge slot: doubles survivors, allows group <= 2*nprobes (measured 21% slower at equal recall — off) |
 | LANCE_TPU_QCAP_SLACK         | 4      | per-partition query-slot budget multiplier |
 | LANCE_TPU_QCAP_ADAPT         | 1      | host search() raises q_cap to the batch's measured max partition demand (pow2 steps) |

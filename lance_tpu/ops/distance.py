@@ -172,11 +172,12 @@ def topk_neighbors(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk", "group",
-                                              "pool"))
+                                              "pool", "coarse_bf16", "stage2"))
 def topk_neighbors_fast(
     q: jnp.ndarray, data: jnp.ndarray, k: int, metric: Metric = "l2",
     chunk: int = 131072, group: int = 128, pool: int = 64,
-    data_sq: jnp.ndarray | None = None,
+    data_sq: jnp.ndarray | None = None, coarse_bf16: bool = True,
+    stage2: int = 8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact flat KNN at serving speed: (B, D) x (N, D) -> (B, k).
 
@@ -201,6 +202,16 @@ def topk_neighbors_fast(
     (pool >= 6x k default), and step 2's loss needs 3+ true neighbors
     physically adjacent. tests assert equality against topk_neighbors on
     clustered data; callers with adversarial row order should pre-shuffle.
+
+    Round-5 traffic levers (the r4 measurement was 26k QPS B=2048 = 5x off
+    the HBM roofline; logs/parity_exact_r5.log):
+      - coarse_bf16: the (B, chunk) coarse tensor is stored bf16 (the cast
+        fuses into the matmul epilogue), halving the dominant HBM stream;
+        carry ordering errors are absorbed by the exact pool rescore.
+      - stage2: top-2-of-`stage2` strided pre-reduction of the (B,
+        2*N/group) carries before the pool top_k (TPU top_k ~3 Gelem/s —
+        at width 16k it costs more than the whole einsum). Same trick as
+        the IVF path's LANCE_TPU_MERGE_STAGE2.
     """
     b, d_dim = q.shape
     n = data.shape[0]
@@ -208,12 +219,26 @@ def topk_neighbors_fast(
     dm = preprocess_for_metric(data, metric) if metric == "cosine" else data
     if metric == "l2" and data_sq is None:
         data_sq = jnp.sum(data.astype(jnp.float32) ** 2, axis=-1)
+    # bf16 coarse storage is only safe for l2 WITH per-query centering:
+    # raw ||x||^2 - 2xq magnitudes (~|x|^2) swamp bf16's 2^-8 relative
+    # precision; subtracting the per-query constant 2 q.c - ||c||^2 (c =
+    # data mean; l2 ordering is shift-invariant) rewrites coarse as
+    # ||x-c||^2 - 2(x-c).(q-c) — data-SPREAD magnitude. Cosine gaps live
+    # at ~1e-3 near 1.0 (below bf16 eps) so cosine/dot keep f32 coarse.
+    coarse_bf16 = coarse_bf16 and metric == "l2"
     pad = (-n) % chunk
     dp = jnp.pad(dm, ((0, pad), (0, 0)))
     nchunks = dp.shape[0] // chunk
     dc = dp.reshape(nchunks, chunk, d_dim)
     if metric == "l2":
-        sq = jnp.pad(data_sq, (0, pad), constant_values=jnp.inf)
+        if coarse_bf16:
+            c_vec = jnp.mean(data.astype(jnp.float32), axis=0)
+            row_term = data_sq - jnp.sum(c_vec * c_vec)
+            q_shift = 2.0 * (qm.astype(jnp.float32) @ c_vec)  # (B,)
+        else:
+            row_term = data_sq
+            q_shift = None
+        sq = jnp.pad(row_term, (0, pad), constant_values=jnp.inf)
         sqc = sq.reshape(nchunks, chunk)
     qb = qm.astype(jnp.bfloat16)
     ng = chunk // group  # group=128 keeps the reshape lane-aligned (no
@@ -224,6 +249,12 @@ def topk_neighbors_fast(
         prod = jnp.dot(qb, blk.T, preferred_element_type=jnp.float32)
         if metric == "l2":
             coarse = sqc[ci][None, :] - 2.0 * prod  # + |q|^2 deferred
+            if coarse_bf16:
+                # store-fused into the matmul epilogue: the coarse stream
+                # is the dominant HBM traffic of the whole scan; the exact
+                # pool rescore absorbs the centered-bf16 rounding (ordering
+                # only matters at the pool boundary, pool >= 6x k).
+                coarse = (coarse + q_shift[:, None]).astype(jnp.bfloat16)
         else:  # dot / cosine-on-normalized: mask padded zero rows
             coarse = jnp.where(
                 (ci * chunk + jnp.arange(chunk))[None, :] < n, -prod, jnp.inf)
@@ -245,6 +276,29 @@ def topk_neighbors_fast(
     # (nchunks, B, 2*ng) -> (B, nchunks*2*ng)
     all_d = jnp.moveaxis(carries_d, 0, 1).reshape(b, -1)
     all_i = jnp.moveaxis(carries_i, 0, 1).reshape(b, -1)
+    width = all_d.shape[1]
+    if stage2 > 1 and width % stage2 == 0 and 2 * (width // stage2) >= 2 * pool:
+        # top-2-of-stage2 strided pre-reduction: group-mates are spaced
+        # width/stage2 apart (different chunks — pseudo-random in distance);
+        # a loss needs 3+ pool members in one group. Cuts the top_k width
+        # stage2/2 x; ids ride static vectorized selects, zero gathers.
+        ng2 = width // stage2
+        g2 = all_d.reshape(b, stage2, ng2)
+        i2 = all_i.reshape(b, stage2, ng2)
+        inf2 = jnp.asarray(jnp.inf, g2.dtype)
+        a1 = jnp.argmin(g2, axis=1).astype(jnp.int32)
+        m1 = jnp.min(g2, axis=1)
+        iota2 = jax.lax.broadcasted_iota(jnp.int32, (b, stage2, ng2), 1)
+        g2m = jnp.where(iota2 == a1[:, None, :], inf2, g2)
+        a2 = jnp.argmin(g2m, axis=1).astype(jnp.int32)
+        m2 = jnp.min(g2m, axis=1)
+        id1 = jnp.zeros((b, ng2), jnp.int32)
+        id2 = jnp.zeros((b, ng2), jnp.int32)
+        for s in range(stage2):
+            id1 = jnp.where(a1 == s, i2[:, s, :], id1)
+            id2 = jnp.where(a2 == s, i2[:, s, :], id2)
+        all_d = jnp.concatenate([m1, m2], axis=1)
+        all_i = jnp.concatenate([id1, id2], axis=1)
     p = min(pool, all_d.shape[1])
     neg, sel = jax.lax.top_k(-all_d, p)
     cand = jnp.take_along_axis(all_i, sel, axis=1)  # (B, P) row ids

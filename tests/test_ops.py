@@ -106,14 +106,32 @@ def test_topk_neighbors_fast_matches_exact():
     for metric in ("l2", "cosine"):
         d0, i0 = topk_neighbors(jnp.asarray(q), jnp.asarray(data), k=5,
                                 metric=metric, chunk=16384)
+        # f32 coarse: exact top-k SET on clustered data
         d1, i1 = topk_neighbors_fast(jnp.asarray(q), jnp.asarray(data), k=5,
-                                     metric=metric, chunk=32768)
+                                     metric=metric, chunk=32768,
+                                     coarse_bf16=False)
         i0, i1 = np.asarray(i0), np.asarray(i1)
         for r in range(q.shape[0]):
             assert set(i0[r].tolist()) == set(i1[r].tolist()), (metric, r)
         np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
                                    np.sort(np.asarray(d0), 1),
                                    rtol=1e-3, atol=1e-3)
+        # default bf16 coarse: near-exact — bf16 rounding at a stage-2
+        # group boundary may drop ONE near-tie below the pool (measured
+        # recall@10 0.9998 at 1M; logs/exact_levers_r5.log). Distances of
+        # whatever it returns are exact f32 (pool rescore).
+        d2, i2 = topk_neighbors_fast(jnp.asarray(q), jnp.asarray(data), k=5,
+                                     metric=metric, chunk=32768)
+        i2 = np.asarray(i2)
+        for r in range(q.shape[0]):
+            assert len(set(i0[r].tolist()) & set(i2[r].tolist())) >= 4, (
+                metric, r)
+        # returned distances can never beat the true ones (pool rescore is
+        # exact f32), and a dropped near-tie's replacement is within bf16
+        # rounding of the true kth.
+        s0, s2 = np.sort(np.asarray(d0), 1), np.sort(np.asarray(d2), 1)
+        assert np.all(s2 >= s0 - 1e-2 - 1e-3 * np.abs(s0))
+        np.testing.assert_allclose(s2[:, 0], s0[:, 0], rtol=1e-3, atol=1e-3)
 
 
 def test_kmeans_separated_clusters(rng):
