@@ -43,7 +43,7 @@ def main():
     if any(d.platform != "cpu" for d in jax.devices()):
         acquire_chip_lock(log=_log)
 
-    cdir = os.environ.get("S16EXACT_CACHE", "/root/repo/.scale16m_r4")
+    cdir = os.environ.get("S16EXACT_CACHE", "/root/repo/.scale16m_cache")
     t = time.time()
     with open(os.path.join(cdir, "pq.pkl"), "rb") as f:
         meta = pickle.load(f)
@@ -73,9 +73,13 @@ def main():
     assert NLIST % slab == 0
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def eslab(bbuf, sbuf, gp, p0):
+    def eslab(bbuf, sbuf, ref, gp, p0):
+        # `ref` MUST be an explicit argument: closure-capturing the 4.1GB
+        # refine array embeds it in the program as a captured constant
+        # (r4 failure: broken pipe uploading the lowered program;
+        # logs/s16_exact_r4.log)
         idxs = jnp.minimum(gp, N - 1)
-        g = jnp.take(refine, idxs.reshape(-1), axis=0).reshape(
+        g = jnp.take(ref, idxs.reshape(-1), axis=0).reshape(
             gp.shape[0], L, DIM)
         gf = g.astype(jnp.float32)
         sq = jnp.sum(gf * gf, axis=-1)
@@ -90,7 +94,7 @@ def main():
     blocks = jnp.zeros((NLIST, L, DIM), jnp.bfloat16)
     block_sq = jnp.zeros((NLIST, L), jnp.float32)
     for p0 in range(0, NLIST, slab):
-        blocks, block_sq = eslab(blocks, block_sq,
+        blocks, block_sq = eslab(blocks, block_sq, refine,
                                  jax.lax.slice_in_dim(gpos, p0, p0 + slab),
                                  jnp.int32(p0))
     jax.block_until_ready(blocks)

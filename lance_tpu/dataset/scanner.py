@@ -23,7 +23,9 @@ import numpy as np
 import pyarrow as pa
 
 from ..errors import InvalidInputError
-from .filter import column_views_from_data, evaluate_filter, parse_filter, referenced_columns
+from .filter import (column_views_from_data, evaluate_filter,
+                     evaluate_filter_cascade, parse_filter,
+                     referenced_columns)
 
 ROW_ID_COL = "_rowid"
 ROW_ADDR_COL = "_rowaddr"
@@ -324,7 +326,7 @@ class Scanner:
                         [c for c in filter_cols], start + lo, hi - lo
                     )
                     views = column_views_from_data(fdata)
-                    ok = evaluate_filter(self._filter, views)
+                    ok = evaluate_filter_cascade(self._filter, views)
                     if lo or hi != count:
                         w = np.zeros(count, dtype=bool)
                         w[lo:hi] = ok
@@ -404,7 +406,12 @@ class Scanner:
                         arr = pre_read[c].to_arrow()
                         arrow_done[c] = arr if all_rows else arr.take(rel_idx)
             missing = [c for c in real_cols if c not in arrow_done]
-            if missing and rel.size * 8 >= batch_count:
+            # dense-vs-take break-even depends on the store: on local/memory
+            # stores a contiguous range decode is nearly free (OS page cache,
+            # no per-range RPC), so dense wins down to ~1.5% selectivity
+            # (TPCH Q6); on object stores sparse takes save real GETs.
+            dense_mult = 64 if getattr(self.ds.store, "is_local", False) else 8
+            if missing and rel.size * dense_mult >= batch_count:
                 got = frag.read_columns_physical(missing, batch_start, batch_count)
                 for c in missing:
                     arr = got[c].to_arrow()

@@ -78,6 +78,9 @@ class ObjectStore:
 
     scheme: str = "?"
     _count_io = True  # wrapper/delegating stores opt out (no double count)
+    # local stores (memory / filesystem) serve ranged reads at page-cache
+    # speed; scan heuristics (dense-vs-take materialization) key off this
+    is_local = False
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
@@ -197,6 +200,7 @@ class MemoryStore(ObjectStore):
     ObjectStore::memory(), rust/lance-io/src/object_store.rs:438)."""
 
     scheme = "memory"
+    is_local = True
 
     def __init__(self) -> None:
         self._objects: dict[str, bytes] = {}
@@ -256,6 +260,7 @@ class LocalStore(ObjectStore):
     """Local filesystem store rooted at a directory."""
 
     scheme = "file"
+    is_local = True
 
     def __init__(self, root: str) -> None:
         self.root = os.path.abspath(root)
@@ -398,6 +403,10 @@ class BranchStore(ObjectStore):
 
     _REDIRECT = ("_versions/", "_transactions/")
 
+    @property
+    def is_local(self):
+        return self.inner.is_local
+
     def __init__(self, inner: ObjectStore, branch: str):
         self.inner = inner
         self.branch = branch
@@ -517,6 +526,10 @@ class PrefixedStore(ObjectStore):
     def __init__(self, inner: ObjectStore, prefix: str):
         self.inner = inner
         self.prefix = prefix.strip("/")
+
+    @property
+    def is_local(self):
+        return self.inner.is_local
 
     def _p(self, path: str) -> str:
         return f"{self.prefix}/{path}" if self.prefix else path

@@ -251,20 +251,28 @@ def build_partitioned_hnsw(vectors_sorted: np.ndarray, offsets: np.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "ef", "iters", "expand"))
 def _beam_search(vectors, neighbors, entries, q, selection,
-                 metric, k, ef, iters, expand):
+                 metric, k, ef, iters, expand,
+                 inline_codes=None, sq_lo=None, sq_step=None):
     """Batched best-first beam search. vectors (N, D); neighbors (N, deg);
     q (B, D); entries (S,) shared seeds or (B, S) per-query seeds (IVF
     probing). `expand` = frontier width (nodes expanded per step); `iters`
     is a CAP — the while_loop exits early once every query's nearest
     unexpanded candidate is farther than the worst member of its full
     ef-wide candidate set (HNSW stop rule, reference hnsw/builder.rs:204
-    search_basic)."""
+    search_basic).
+
+    inline_codes (N, deg, D) uint8 + sq_lo/sq_step (D,): each node's row
+    carries its neighbors' SQ codes INLINE with the edge list, so expanding
+    a node is ONE fused row fetch instead of 1 + deg vector-row gathers.
+    TPU gathers are row-latency-bound (~8ns/row regardless of row bytes;
+    CLAUDE.md graph ledger), so this cuts the dominant serving cost ~deg x.
+    Decode (lo + code * step) happens in-register and the scores are
+    IDENTICAL to gathering the same SQ-decoded rows from `vectors`."""
     b, dim = q.shape
     n, deg = neighbors.shape
     qm = preprocess_for_metric(q, metric)
 
-    def dists_to(ids):  # ids (B, C) -> (B, C) distances
-        vec = jnp.take(vectors, jnp.maximum(ids, 0), axis=0)
+    def score_rows(vec, ids):  # vec (B, C, D), ids (B, C) -> (B, C) dists
         vm = preprocess_for_metric(vec, metric) if metric == "cosine" else vec
         prod = jnp.einsum("bcd,bd->bc", vm, qm, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -277,6 +285,10 @@ def _beam_search(vectors, neighbors, entries, q, selection,
             qn = jnp.sum(qm.astype(jnp.float32) ** 2, -1, keepdims=True)
             d = vn + qn - 2.0 * prod
         return jnp.where(ids >= 0, d, jnp.inf)
+
+    def dists_to(ids):  # ids (B, C) -> (B, C) distances
+        vec = jnp.take(vectors, jnp.maximum(ids, 0), axis=0)
+        return score_rows(vec, ids)
 
     if entries.ndim == 2:
         init_ids = entries.astype(jnp.int32)
@@ -313,7 +325,15 @@ def _beam_search(vectors, neighbors, entries, q, selection,
         nbrs = jnp.take(neighbors, jnp.maximum(f_ids, 0), axis=0)  # (B, width, deg)
         nbrs = jnp.where((f_ids[:, :, None] >= 0) & f_valid[:, :, None],
                          nbrs, -1).reshape(b, width * deg)
-        nd = dists_to(nbrs)
+        if inline_codes is not None:
+            # one fused row per expanded node: the (deg, D) code block rides
+            # the same fetch as the edge list; decode fuses into the einsum
+            cds = jnp.take(inline_codes, jnp.maximum(f_ids, 0), axis=0)
+            vec = (sq_lo + cds.astype(jnp.float32) * sq_step).astype(
+                vectors.dtype).reshape(b, width * deg, dim)
+            nd = score_rows(vec, nbrs)
+        else:
+            nd = dists_to(nbrs)
         cat_ids = jnp.concatenate([ids, nbrs], axis=1)
         cat_d = jnp.concatenate([d, nd], axis=1)
         cat_exp = jnp.concatenate([exp, jnp.zeros_like(nbrs, dtype=jnp.bool_)], axis=1)
@@ -364,6 +384,7 @@ def hnsw_search_partitioned(graph: HnswGraph, vectors, q: np.ndarray, k: int,
                             ef: int = 32, iters: int | None = None,
                             selection: np.ndarray | None = None,
                             expand: int | None = None,
+                            inline=None,
                             ) -> tuple[np.ndarray, np.ndarray]:
     """IVF × HNSW search as independent per-partition beams (the reference
     architecture: ANNIvfSubIndexExec searches each probed partition's
@@ -389,9 +410,11 @@ def hnsw_search_partitioned(graph: HnswGraph, vectors, q: np.ndarray, k: int,
     seeds = jnp.asarray(probed_entries).reshape(b * p, e)
     q_rep = jnp.repeat(jnp.asarray(q), p, axis=0)
     sel_dev = jnp.asarray(selection) if selection is not None else None
+    ic, lo, stp = inline if inline is not None else (None, None, None)
     d, ids = _beam_search(
         jnp.asarray(vectors), graph.neighbors_dev, seeds,
         q_rep, sel_dev, graph.metric, kk, ef, iters, expand,
+        inline_codes=ic, sq_lo=lo, sq_step=stp,
     )
     d, ids = _merge_partition_topk(d, ids, b, p, kk, min(k, p * kk))
     return np.asarray(d), np.asarray(ids)
@@ -412,7 +435,8 @@ def hnsw_search(graph: HnswGraph, vectors, q: np.ndarray, k: int,
                 ef: int = 64, iters: int | None = None,
                 selection: np.ndarray | None = None,
                 entries: np.ndarray | None = None,
-                expand: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+                expand: int | None = None,
+                inline=None) -> tuple[np.ndarray, np.ndarray]:
     """`entries` (B, S) overrides the graph's shared seeds — used by the IVF
     composition to seed each query with its probed partitions' entries.
     `iters` caps the adaptive loop (default scales with ef/expand so the
@@ -425,8 +449,10 @@ def hnsw_search(graph: HnswGraph, vectors, q: np.ndarray, k: int,
         HnswParams().search_iters, 3 * ef // expand)
     sel_dev = jnp.asarray(selection) if selection is not None else None
     seeds = jnp.asarray(entries) if entries is not None else jnp.asarray(graph.entries)
+    ic, lo, stp = inline if inline is not None else (None, None, None)
     d, ids = _beam_search(
         jnp.asarray(vectors), graph.neighbors_dev, seeds,
         jnp.asarray(q), sel_dev, graph.metric, k, ef, iters, expand,
+        inline_codes=ic, sq_lo=lo, sq_step=stp,
     )
     return np.asarray(d), np.asarray(ids)
