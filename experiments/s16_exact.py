@@ -138,11 +138,12 @@ def main():
         _log(json.dumps(row))
         return row
 
-    rows = [run_point(32, 8, (2048,)),
-            run_point(32, 4, (2048,)),
-            run_point(32, 16, (2048,)),
-            run_point(24, 8, (2048,)),
-            run_point(32, 64, (2048,))]
+    grid_env = os.environ.get("S16EXACT_GRID")
+    if grid_env:
+        grid = [tuple(int(x) for x in p.split(",")) for p in grid_env.split(";")]
+    else:
+        grid = [(32, 8), (32, 4), (32, 16), (24, 8), (32, 64)]
+    rows = [run_point(np_, rf, (2048,)) for np_, rf in grid]
     ok = [r for r in rows if r["recall_at_10"] >= 0.95]
     best = max(ok, key=lambda r: r["qps_b2048"]) if ok else None
     if best is not None:

@@ -191,8 +191,26 @@ class ColumnData:
             children = [cls.from_arrow(arr.field(i)) for i in range(t.num_fields)]
             return cls("struct", len(arr), np.empty(0, np.uint8), None, validity,
                        1, t, None, children)
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
-            off_dt = np.int32 if pa.types.is_list(t) else np.int64
+        if pa.types.is_decimal(t) or pa.types.is_fixed_size_binary(t) \
+                or pa.types.is_interval(t):
+            # fixed-width byte rows (decimal128/256, FSB, month_day_nano):
+            # stored as numpy void rows ("V<w>") — opaque to stats/bitpack,
+            # plain/compressed codecs see raw bytes. Null slots keep
+            # whatever bytes Arrow had; validity masks them.
+            w = t.byte_width
+            raw = np.frombuffer(arr.buffers()[1], np.uint8,
+                                count=(arr.offset + len(arr)) * w)
+            vals = raw[arr.offset * w:].view(np.dtype(f"V{w}"))
+            return cls("fixed", len(arr), vals, None, validity, 1, t)
+        if pa.types.is_time(t):
+            # time32/time64 numpy-convert to object arrays; ride the int
+            # storage instead (unit restored by arrow_type at to_arrow)
+            storage = arr.view(pa.int64() if t.bit_width == 64 else pa.int32())
+            np_arr = np.asarray(storage.fill_null(0) if storage.null_count
+                                else storage)
+            return cls("fixed", len(arr), np_arr, None, validity, 1, t)
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+            off_dt = np.int64 if pa.types.is_large_list(t) else np.int32
             buf_offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)
             offsets = buf_offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
             child_arr = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
@@ -248,6 +266,17 @@ class ColumnData:
                     out = pa.array(
                         [None if m else v for m, v in zip(mask, out.to_pylist())],
                         type=t)
+                return out
+            if t is not None and pa.types.is_map(t):
+                out = pa.MapArray.from_arrays(
+                    pa.array(self.offsets.astype(np.int32)),
+                    child_arr.field(0), child_arr.field(1))
+                if mask is not None:
+                    out = pa.array(
+                        [None if m else v for m, v in zip(mask, out.to_pylist())],
+                        type=t)
+                elif out.type != t:
+                    out = out.cast(t)
                 return out
             out = pa.ListArray.from_arrays(
                 pa.array(self.offsets.astype(np.int32)), child_arr)
@@ -307,6 +336,19 @@ class ColumnData:
             storage = pa.array(self.values.view(np.uint16), type=pa.uint16(),
                                mask=mask)
             return pa.ExtensionArray.from_storage(t, storage)
+        if self.values.dtype.kind == "V" and t is not None:
+            # fixed-width byte rows (decimal/FSB/interval): rebuild from the
+            # raw buffer; numpy void rows can't go through pa.array()
+            valbuf = (None if self.validity is None
+                      else pa.array(self.validity).buffers()[1])
+            return pa.Array.from_buffers(
+                t, self.num_rows,
+                [valbuf, pa.py_buffer(np.ascontiguousarray(self.values))],
+                null_count=(0 if self.validity is None
+                            else int((~self.validity).sum())))
+        if t is not None and pa.types.is_time(t):
+            ints = pa.array(self.values, mask=mask)
+            return ints.cast(t)
         return pa.array(self.values, type=t, mask=mask)
 
     def to_numpy_matrix(self) -> np.ndarray:
@@ -660,6 +702,11 @@ def decode_page(desc: dict, buffers: list[bytes], arrow_type: pa.DataType | None
         child_type = arrow_type.value_type if arrow_type is not None and (
             pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type)
             or pa.types.is_fixed_size_list(arrow_type)) else None
+        if arrow_type is not None and pa.types.is_map(arrow_type):
+            # map rides the list layout; its child is the entries struct
+            child_type = pa.struct([pa.field("key", arrow_type.key_type,
+                                             nullable=False),
+                                    pa.field("value", arrow_type.item_type)])
         child = decode_page(desc["child"], child_bufs, child_type)
         return ColumnData("list", rows, np.empty(0, np.uint8), offsets, validity, 1,
                           arrow_type, child)

@@ -96,7 +96,14 @@ def _type_to_json(t: pa.DataType) -> dict | str:
     if pa.types.is_duration(t):
         return {"type": "duration", "unit": t.unit}
     if pa.types.is_decimal(t):
-        return {"type": "decimal128", "precision": t.precision, "scale": t.scale}
+        kind = "decimal256" if t.byte_width == 32 else "decimal128"
+        return {"type": kind, "precision": t.precision, "scale": t.scale}
+    if pa.types.is_interval(t):
+        return {"type": "month_day_nano_interval"}
+    if pa.types.is_map(t):
+        return {"type": "map", "key": _type_to_json(t.key_type),
+                "item": _type_to_json(t.item_type),
+                "keys_sorted": bool(t.keys_sorted)}
     raise SchemaError(f"unsupported arrow type: {t}")
 
 
@@ -135,6 +142,13 @@ def _type_from_json(j: dict | str, children: list[pa.Field] | None = None) -> pa
         return pa.duration(j["unit"])
     if kind == "decimal128":
         return pa.decimal128(j["precision"], j["scale"])
+    if kind == "decimal256":
+        return pa.decimal256(j["precision"], j["scale"])
+    if kind == "month_day_nano_interval":
+        return pa.month_day_nano_interval()
+    if kind == "map":
+        return pa.map_(_type_from_json(j["key"]), _type_from_json(j["item"]),
+                       keys_sorted=j.get("keys_sorted", False))
     raise SchemaError(f"unsupported type json: {j!r}")
 
 

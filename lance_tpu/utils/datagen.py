@@ -243,6 +243,28 @@ class RandForType(ArrayGen):
             vals = [None if m else {name: c[i].as_py() for name, c in children}
                     for i, m in enumerate(nulls)]
             return pa.array(vals, type=t)
+        if pa.types.is_map(t):
+            lens = rng.integers(0, 4, n)
+            keys = RandomString(2, 8)(rng, int(lens.sum())).to_pylist()
+            items = RandForType(t.item_type)(rng, int(lens.sum())).to_pylist()
+            vals, off = [], 0
+            for ln, m in zip(lens, nulls):
+                if m:
+                    vals.append(None)
+                else:
+                    # map keys must be unique per row
+                    row, seen = [], set()
+                    for j in range(off, off + int(ln)):
+                        if keys[j] not in seen:
+                            seen.add(keys[j])
+                            row.append((keys[j], items[j]))
+                    vals.append(row)
+                off += int(ln)
+            return pa.array(vals, type=t)
+        if pa.types.is_interval(t):
+            return mask([pa.scalar(
+                (int(rng.integers(0, 24)), int(rng.integers(0, 31)),
+                 int(rng.integers(0, 10**9))), t).as_py() for _ in range(n)])
         raise NotImplementedError(f"no generator for {t}")
 
 
@@ -253,6 +275,9 @@ _FLAT_TYPES = [
     pa.string(), pa.large_string(), pa.binary(),
     pa.timestamp("us"), pa.date32(), pa.duration("ms"),
     pa.dictionary(pa.int32(), pa.string()),
+    pa.float16(), pa.decimal128(18, 4), pa.decimal256(40, 6),
+    pa.time32("ms"), pa.time64("us"), pa.binary(8),
+    pa.month_day_nano_interval(),
 ]
 
 
@@ -260,12 +285,14 @@ def random_type(rng: np.random.Generator, max_depth: int = 2) -> pa.DataType:
     """Draw a random (possibly nested) arrow type — schema fuzzing like the
     reference's arbitrary-schema generator feeding fuzz_tests.rs."""
     if max_depth > 0 and rng.random() < 0.35:
-        kind = rng.integers(0, 3)
+        kind = rng.integers(0, 4)
         if kind == 0:
             return pa.list_(random_type(rng, max_depth - 1))
         if kind == 1:
             return pa.struct([pa.field(f"f{i}", random_type(rng, max_depth - 1))
                               for i in range(int(rng.integers(1, 4)))])
+        if kind == 2:
+            return pa.map_(pa.string(), random_type(rng, max_depth - 1))
         return pa.list_(random_type(rng, 0), int(rng.integers(1, 8)))
     return _FLAT_TYPES[int(rng.integers(0, len(_FLAT_TYPES)))]
 
