@@ -211,27 +211,37 @@ def main() -> None:
         nonlocal search_fn
         qb = np.tile(queries, (max(1, batch // NQ + 1), 1))[:batch]
         idx.search(qb, K, nprobes=nprobes, refine_factor=refine)  # demand probe
-        cap = getattr(idx, "_last_qcap", None)
-        fn = idx.compiled_searcher(K, nprobes=nprobes, refine_factor=refine,
-                                   q_cap=cap)
-        q_dev = jnp.asarray(qb)
-        d, pos = fn(q_dev)  # warmup/compile
-        jax.block_until_ready((d, pos))
-        # recall through the pinned-cap program (the first min(batch, NQ)
-        # rows are distinct real queries; beyond that the tile repeats)
+        demand = getattr(idx, "_last_qcap", None)
+        # q_cap is a serving knob, not just a provisioning bound: capping
+        # below measured demand drops the FARTHEST overflow probes (slot
+        # priority is probe-rank-ordered), trading a controlled sliver of
+        # recall for score-tensor traffic — cap=32 under demand=48 measured
+        # +17% QPS at -1.5pt (logs/qcap_ab_r5.log, recall measured THROUGH
+        # the capped program). Walk tight caps first (QPS is monotone in
+        # cap) and keep the first whose own program clears the gate.
+        caps = [demand]
+        if demand is not None:
+            caps = sorted({c for c in (24, 32, demand) if c <= demand}) + [None]
+        fn, rec_here, cap = search_fn, recall, None
         n_eval = min(batch, NQ)
-        pos_h = np.asarray(pos)[:n_eval]
-        rid = np.where(pos_h >= 0,
-                       idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
-                       np.uint64(0xFFFFFFFFFFFFFFFF))
-        rec_here = recall_of(rid, gt_i, n_eval, K)
-        _log(f"B={batch}: demand q_cap={cap} recall@10={rec_here:.4f}")
-        if rec_here < 0.95:
-            # demand cap under-delivers on this distribution: fall back to
-            # the static slack-4 cap so the gate pair stays honest
-            fn = search_fn
-            rec_here = recall
-            jax.block_until_ready(fn(q_dev))
+        q_dev = jnp.asarray(qb)
+        for c in caps:
+            cand = (search_fn if c is None else idx.compiled_searcher(
+                K, nprobes=nprobes, refine_factor=refine, q_cap=c))
+            d, pos = cand(q_dev)  # warmup/compile
+            jax.block_until_ready((d, pos))
+            # recall through the pinned-cap program (the first min(batch,
+            # NQ) rows are distinct real queries; beyond that the tile
+            # repeats)
+            pos_h = np.asarray(pos)[:n_eval]
+            rid = np.where(pos_h >= 0,
+                           idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                           np.uint64(0xFFFFFFFFFFFFFFFF))
+            r = recall_of(rid, gt_i, n_eval, K)
+            _log(f"B={batch}: q_cap={c} (demand {demand}) recall@10={r:.4f}")
+            fn, rec_here, cap = cand, r, c
+            if r >= 0.95:
+                break
         search_fn = fn
         # median-of-3 with spread: run-to-run QPS varied 7% across round-4
         # runs (VERDICT r4 weak #5); one rep is not a stable headline

@@ -1,0 +1,101 @@
+"""Wiki-shaped graph serving with INLINE NEIGHBOR CODES (VERDICT r4 #8).
+
+Round-4 ceiling: 331 QPS @ 0.9742 (np=16, beam=64, rf=16) — serving was
+gather-row-latency-bound at B*np*iters*expand*deg vector rows per batch
+(~8ns/row). models/hnsw.py now carries each node's neighbors' SQ codes
+inline with the edge list ((N, deg, D) u8), so one expansion = ONE fused
+row fetch; scores are bit-identical to the gathered path. Target: >=1k QPS
+at >=0.97 on the same wiki-like config (200k x 384, IVF_HNSW_SQ).
+
+A/B: first arm re-measures the r4b winner with inline OFF (control), then
+the same arm inline ON, then walks the frontier at B in {512, 1024}.
+
+Run: nohup timeout 5400 python experiments/wiki_sweep_r5.py > experiments/logs/wiki_sweep_r5.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    import lance_tpu as lt
+    from lance_tpu.ops.distance import topk_neighbors
+
+    K = 10
+    N4, D4, NQ = 200_000, 384, 256
+    data4, q4 = generate_sift_like(N4, D4, NQ, seed=11)
+    _, gt4 = topk_neighbors(q4, data4, K, "l2", chunk=65536)
+    gt4 = np.asarray(gt4)
+    q4h = np.asarray(q4)
+    host4 = np.asarray(data4)
+
+    ds = lt.write_dataset(
+        {"vec": host4, "id": np.arange(N4, dtype=np.int64)},
+        "memory://wikisweep/deg32",
+        params=lt.WriteParams(max_rows_per_file=N4, compression="none"))
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_HNSW_SQ", num_partitions=64, max_iters=8)
+    _log(f"build[deg32] {time.time() - t:.0f}s")
+
+    def open_idx():
+        # bypass the session index cache so the inline flag re-applies
+        from lance_tpu.indices.vector_index import HnswIndex
+        fid = ds.schema.field("vec").id
+        meta = [m for m in ds.manifest.indices if fid in m.fields][0]
+        return HnswIndex(ds, meta)
+
+    def arm(idx, tag, nprobes, beam, rf, B=512):
+        t = time.time()
+        ef = beam * nprobes
+        _, rid = idx.search(q4h, K, nprobes=nprobes, refine_factor=rf, ef=ef)
+        rec = recall_of(rid, gt4, NQ, K)
+        reps = (B + NQ - 1) // NQ
+        qb = np.tile(q4h, (reps, 1))[:B]
+        idx.search(qb, K, nprobes=nprobes, refine_factor=rf, ef=ef)  # warm
+        tt = time.time()
+        iters = 8
+        for _ in range(iters):
+            idx.search(qb, K, nprobes=nprobes, refine_factor=rf, ef=ef)
+        qps = iters * B / (time.time() - tt)
+        r = {"inline": tag, "nprobes": nprobes, "beam": beam, "rf": rf,
+             "batch": B, "recall_at_10": round(rec, 4), "qps": round(qps)}
+        _log(f"{json.dumps(r)} ({time.time() - t:.0f}s)")
+        return r
+
+    results = {"config": "wiki_384d_ivf_hnsw_sq_inline_r5", "arms": []}
+    os.environ["LANCE_TPU_HNSW_INLINE"] = "0"
+    idx0 = open_idx()
+    results["arms"].append(arm(idx0, "off", 16, 64, 16))  # r4b winner control
+    del idx0
+    os.environ["LANCE_TPU_HNSW_INLINE"] = "1"
+    idx = open_idx()
+    assert idx._inline is not None, "inline table missing"
+    for nprobes, beam, rf, B in ((16, 64, 16, 512), (16, 64, 16, 1024),
+                                 (32, 64, 16, 1024), (16, 48, 16, 1024),
+                                 (8, 64, 16, 1024), (16, 64, 8, 1024)):
+        results["arms"].append(arm(idx, "on", nprobes, beam, rf, B))
+    passing = [r for r in results["arms"]
+               if r["recall_at_10"] >= 0.97 and r["inline"] == "on"]
+    results["best"] = (max(passing, key=lambda r: r["qps"]) if passing
+                       else max(results["arms"], key=lambda r: r["recall_at_10"]))
+    results["gate_1k_097"] = bool(passing and results["best"]["qps"] >= 1000)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
