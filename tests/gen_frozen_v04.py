@@ -1,0 +1,74 @@
+"""One-shot generator for tests/frozen/v0_4.lance (run once, commit binaries).
+
+v0_4 pins the fixed-width-bytes + map layouts added in round 5
+(reference: test_data/* breadth, python/python/tests/
+test_backwards_compatibility.py): decimal128, decimal256,
+fixed_size_binary, month_day_nano interval, time32/time64, and map
+columns. Regenerating an existing frozen corpus is a FORMAT BREAK — bump
+to v0_5 instead.
+
+Usage: python tests/gen_frozen_v04.py
+"""
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import lance_tpu as lt  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "frozen", "v0_4.lance")
+
+
+def main() -> None:
+    if os.path.exists(OUT):
+        raise SystemExit(f"{OUT} exists — frozen corpora are immutable; "
+                         "create v0_5 instead")
+    rng = np.random.default_rng(404)
+    n = 300
+    import decimal
+
+    nulls = rng.random(n) < 0.1
+    dec128 = pa.array([None if m else decimal.Decimal(int(x)) / 100
+                       for x, m in zip(rng.integers(-(10**9), 10**9, n), nulls)],
+                      pa.decimal128(18, 2))
+    dec256 = pa.array([None if m else decimal.Decimal(int(x)) / 10**6
+                       for x, m in zip(rng.integers(-(10**15), 10**15, n), nulls)],
+                      pa.decimal256(40, 6))
+    fsb = pa.array([None if m else bytes(rng.integers(0, 256, 8).tolist())
+                    for m in nulls], pa.binary(8))
+    mdn = pa.array([None if m else pa.scalar(
+        (int(rng.integers(0, 24)), int(rng.integers(0, 31)),
+         int(rng.integers(0, 10**9))), pa.month_day_nano_interval()).as_py()
+        for m in nulls], pa.month_day_nano_interval())
+    t32 = pa.array([int(x) for x in rng.integers(0, 86_000_000, n)],
+                   pa.time32("ms"))
+    t64 = pa.array([int(x) for x in rng.integers(0, 86_000_000_000, n)],
+                   pa.time64("us"))
+    mp = pa.array([None if m else
+                   [(f"k{j}", int(rng.integers(0, 100))) for j in range(i % 3)]
+                   for i, m in enumerate(nulls)],
+                  pa.map_(pa.string(), pa.int64()))
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "dec128": dec128, "dec256": dec256, "fsb": fsb, "mdn": mdn,
+        "t32": t32, "t64": t64, "mp": mp,
+    })
+    ds = lt.write_dataset(tbl, OUT)
+    ds = ds.delete("id >= 290")
+    ds.tags.create("frozen", ds.latest_version())
+    print("rows:", ds.count_rows(), "version:", ds.latest_version())
+    back = lt.dataset(OUT).to_table()
+    for c in tbl.column_names:
+        got = back.column(c).combine_chunks()
+        want = tbl.column(c).combine_chunks().filter(
+            pa.array(np.arange(n) < 290))
+        assert got.to_pylist() == want.to_pylist(), c
+        assert got.type == want.type, c
+    print("frozen at", OUT)
+
+
+if __name__ == "__main__":
+    main()

@@ -154,3 +154,38 @@ def test_frozen_future_flags_refused(frozen_v03, tmp_path):
     ds.store.put(manifest_path(m.version), m.to_bytes())
     with pytest.raises(LanceError):
         lt.dataset(dst)
+
+
+# ---- v0.4 corpus: decimal128/256, fixed_size_binary, month_day_nano
+# ---- interval, time32/64, map (generator: tests/gen_frozen_v04.py) ----
+
+FROZEN_V04 = os.path.join(os.path.dirname(__file__), "frozen", "v0_4.lance")
+
+
+@pytest.fixture
+def frozen_v04():
+    if not os.path.exists(FROZEN_V04):
+        pytest.skip("frozen v0.4 corpus missing")
+    return lt.dataset(FROZEN_V04)
+
+
+def test_v04_fixed_width_bytes_types(frozen_v04):
+    ds = frozen_v04
+    assert ds.count_rows() == 290  # 300 - 10 deleted
+    t = ds.to_table(filter="id < 5")
+    import pyarrow as pa
+
+    assert t["dec128"].type == pa.decimal128(18, 2)
+    assert t["dec256"].type == pa.decimal256(40, 6)
+    assert t["fsb"].type == pa.binary(8)
+    assert t["mdn"].type == pa.month_day_nano_interval()
+    assert t["t32"].type == pa.time32("ms")
+    assert t["t64"].type == pa.time64("us")
+    assert t["mp"].type == pa.map_(pa.string(), pa.int64())
+    # seeded generator: row 1 of the map column has exactly one entry k0
+    mp1 = t["mp"][1].as_py()
+    assert mp1 is None or all(k.startswith("k") for k, _ in mp1)
+    # random access across the new layouts
+    got = ds.take_rows([7, 200], ["dec128", "fsb", "mp", "t64"])
+    assert got.num_rows == 2
+    assert got["fsb"][0].as_py() is None or len(got["fsb"][0].as_py()) == 8
