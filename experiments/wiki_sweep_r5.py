@@ -78,16 +78,20 @@ def main():
         return r
 
     results = {"config": "wiki_384d_ivf_hnsw_sq_inline_r5", "arms": []}
-    os.environ["LANCE_TPU_HNSW_INLINE"] = "0"
-    idx0 = open_idx()
-    results["arms"].append(arm(idx0, "off", 16, 64, 16))  # r4b winner control
-    del idx0
+    arms_env = os.environ.get("WIKI_ARMS")
+    if not arms_env:
+        os.environ["LANCE_TPU_HNSW_INLINE"] = "0"
+        idx0 = open_idx()
+        results["arms"].append(arm(idx0, "off", 16, 64, 16))  # r4b control
+        del idx0
     os.environ["LANCE_TPU_HNSW_INLINE"] = "1"
     idx = open_idx()
     assert idx._inline is not None, "inline table missing"
-    for nprobes, beam, rf, B in ((16, 64, 16, 512), (16, 64, 16, 1024),
-                                 (32, 64, 16, 1024), (16, 48, 16, 1024),
-                                 (8, 64, 16, 1024), (16, 64, 8, 1024)):
+    arms = ((16, 64, 16, 512), (16, 64, 16, 1024), (32, 64, 16, 1024),
+            (16, 48, 16, 1024), (8, 64, 16, 1024), (16, 64, 8, 1024))
+    if arms_env:
+        arms = [tuple(int(x) for x in a.split(",")) for a in arms_env.split(";")]
+    for nprobes, beam, rf, B in arms:
         results["arms"].append(arm(idx, "on", nprobes, beam, rf, B))
     passing = [r for r in results["arms"]
                if r["recall_at_10"] >= 0.97 and r["inline"] == "on"]
