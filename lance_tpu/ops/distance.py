@@ -172,12 +172,13 @@ def topk_neighbors(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk", "group",
-                                              "pool", "coarse_bf16", "stage2"))
+                                              "pool", "coarse_bf16", "stage2",
+                                              "fused"))
 def topk_neighbors_fast(
     q: jnp.ndarray, data: jnp.ndarray, k: int, metric: Metric = "l2",
     chunk: int = 131072, group: int = 128, pool: int = 64,
     data_sq: jnp.ndarray | None = None, coarse_bf16: bool = True,
-    stage2: int = 8,
+    stage2: int = 8, fused: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact flat KNN at serving speed: (B, D) x (N, D) -> (B, k).
 
@@ -240,6 +241,37 @@ def topk_neighbors_fast(
             q_shift = None
         sq = jnp.pad(row_term, (0, pad), constant_values=jnp.inf)
         sqc = sq.reshape(nchunks, chunk)
+    if fused:
+        # Pallas fused scan (LANCE_TPU_EXACT_FUSED): the (B, chunk) coarse
+        # tensor never exists in HBM — per-tile MXU scoring + strided
+        # top-2 reduction happen in VMEM, so the scan's traffic drops from
+        # 2x (B, N) f32/bf16 streams to one dataset read plus the (B,
+        # 2*N/64) carries. Coarse is f32 exact (no centered-bf16 trade).
+        from .pallas_kernels import (_EXSCAN_GROUP, _EXSCAN_TL, _EXSCAN_TQ,
+                                     exact_scan_grouptop2)
+
+        tq, tl, grp = _EXSCAN_TQ, _EXSCAN_TL, _EXSCAN_GROUP
+        padb = (-b) % tq
+        padn = (-n) % tl
+        qp = jnp.pad(qm, ((0, padb), (0, 0))).astype(jnp.bfloat16)
+        dpad = jnp.pad(dm, ((0, padn), (0, 0))).astype(jnp.bfloat16)
+        if metric == "l2":
+            sqp = jnp.pad(data_sq, (0, padn), constant_values=jnp.inf)
+        else:  # dot / cosine-on-normalized: 0 real, +inf pad sentinel
+            sqp = jnp.pad(jnp.zeros(n, jnp.float32), (0, padn),
+                          constant_values=jnp.inf)
+        m1, a1, m2, a2 = exact_scan_grouptop2(qp, dpad, sqp, metric)
+        bp, npad = qp.shape[0], n + padn
+        n_tiles, ngl = npad // tl, tl // grp
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bp, n_tiles, ngl), 2)
+        tile = jax.lax.broadcasted_iota(jnp.int32, (bp, n_tiles, ngl), 1)
+        base = tile * tl + lane  # data row = tile*TL + a*NGL + lane
+        pos1 = (base + a1.reshape(bp, n_tiles, ngl) * ngl).reshape(bp, -1)
+        pos2 = (base + a2.reshape(bp, n_tiles, ngl) * ngl).reshape(bp, -1)
+        all_d = jnp.concatenate([m1, m2], axis=1)[:b]
+        all_i = jnp.concatenate([pos1, pos2], axis=1)[:b]
+        return _fast_tail(qm, dm, all_d, all_i, data_sq, b, n, d_dim, k,
+                          metric, pool, stage2)
     qb = qm.astype(jnp.bfloat16)
     ng = chunk // group  # group=128 keeps the reshape lane-aligned (no
     # padded tiled layout; CLAUDE.md: never make the minor dim < 128)
@@ -276,6 +308,15 @@ def topk_neighbors_fast(
     # (nchunks, B, 2*ng) -> (B, nchunks*2*ng)
     all_d = jnp.moveaxis(carries_d, 0, 1).reshape(b, -1)
     all_i = jnp.moveaxis(carries_i, 0, 1).reshape(b, -1)
+    return _fast_tail(qm, dm, all_d, all_i, data_sq, b, n, d_dim, k, metric,
+                      pool, stage2)
+
+
+def _fast_tail(qm, dm, all_d, all_i, data_sq, b, n, d_dim, k, metric, pool,
+               stage2):
+    """Shared carry merge for the pre-reduced flat scans: stage-2 top-2
+    pre-reduction -> pool top_k -> exact f32 pool rescore -> (dist, id)
+    sort. all_d carries may hold +inf (padding); all_i are data row ids."""
     width = all_d.shape[1]
     if stage2 > 1 and width % stage2 == 0 and 2 * (width // stage2) >= 2 * pool:
         # top-2-of-stage2 strided pre-reduction: group-mates are spaced

@@ -226,3 +226,135 @@ def score_groupmin(blocks, block_sq, qg, qn_sel, group, sel_blocks=None):
         except Exception:
             pass  # Mosaic unavailable on this backend/toolchain: fall through
     return _xla_score_groupmin(blocks, block_sq, qg, qn_sel, group, sel_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Fused exact flat scan (ops/distance.topk_neighbors_fast hot loop)
+# ---------------------------------------------------------------------------
+
+_EXSCAN_TQ = 128     # query tile (f32 d-matrix rows)
+_EXSCAN_TL = 8192    # data rows per tile (d-matrix lanes; 2 MB bf16 block)
+_EXSCAN_GROUP = 64   # strided top-2 groups per tile -> 128-lane outputs
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _xla_exact_scan(q, data, sq, metric):
+    b, d_dim = q.shape
+    n = data.shape[0]
+    tl, grp = _EXSCAN_TL, _EXSCAN_GROUP
+    ngl = tl // grp
+    prod = jnp.einsum("bd,nd->bn", q, data, preferred_element_type=jnp.float32)
+    d = (sq[None, :] - 2.0 * prod) if metric == "l2" else (sq[None, :] - prod)
+    d4 = d.reshape(b, n // tl, grp, ngl)
+    m1 = jnp.min(d4, axis=2)
+    a1 = jnp.argmin(d4, axis=2).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, d4.shape, 2)
+    d4m = jnp.where(iota == a1[:, :, None, :], jnp.inf, d4)
+    m2 = jnp.min(d4m, axis=2)
+    a2 = jnp.argmin(d4m, axis=2).astype(jnp.int32)
+    flat = lambda x: x.reshape(b, -1)
+    return flat(m1), flat(a1), flat(m2), flat(a2)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def _pallas_exact_scan(q, data, sq, metric, interpret=False):
+    """Fused flat-scan scoring + strided per-group top-2.
+
+    The (B, N) coarse-distance matrix never exists in HBM (it is the
+    dominant traffic of the XLA exact scan: 2x 4 GB per B=2048 batch at
+    1M x 128). Each grid step scores one (TQ=128 queries, TL=8192 rows)
+    tile on the MXU, keeps the (TQ, TL) f32 tile in VMEM, and reduces each
+    of the 128 strided groups (group-mates share a lane across the 64
+    segments) to its best-two (value, segment) pairs on the VPU. Only the
+    (B, 2*N/64) carries are written. Data tiles persist in VMEM across the
+    query-tile sweep (the data index map ignores the fast grid axis).
+
+    l2 scores carry the deferred ||q||^2 (constant per query; callers
+    rescore the pool exactly). dot/cosine pass sq = 0 with +inf padding
+    sentinels so padded zero rows can never win."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d_dim = q.shape
+    n = data.shape[0]
+    tq, tl, grp = _EXSCAN_TQ, _EXSCAN_TL, _EXSCAN_GROUP
+    ngl = tl // grp  # 128 lanes of output per tile
+    assert b % tq == 0 and n % tl == 0
+
+    def kernel(q_ref, sq_ref, data_ref, m1_ref, a1_ref, m2_ref, a2_ref):
+        prod = jnp.dot(q_ref[:], data_ref[:].T,
+                       preferred_element_type=jnp.float32)  # (TQ, TL) MXU
+        if metric == "l2":
+            dist = sq_ref[0][None, :] - 2.0 * prod
+        else:
+            dist = sq_ref[0][None, :] - prod
+        min1 = dist[:, 0:ngl]
+        arg1 = jnp.zeros((tq, ngl), jnp.int32)
+        min2 = jnp.full((tq, ngl), jnp.inf, jnp.float32)
+        arg2 = jnp.zeros((tq, ngl), jnp.int32)
+        for g in range(1, grp):
+            seg = dist[:, g * ngl:(g + 1) * ngl]
+            b1 = seg < min1
+            b2 = jnp.logical_and(jnp.logical_not(b1), seg < min2)
+            arg2 = jnp.where(b1, arg1, jnp.where(b2, g, arg2))
+            min2 = jnp.where(b1, min1, jnp.where(b2, seg, min2))
+            arg1 = jnp.where(b1, g, arg1)
+            min1 = jnp.where(b1, seg, min1)
+        m1_ref[:, 0, :] = min1
+        a1_ref[:, 0, :] = arg1
+        m2_ref[:, 0, :] = min2
+        a2_ref[:, 0, :] = arg2
+
+    n_tiles = n // tl
+    qtiles = b // tq
+    m1, a1, m2, a2 = pl.pallas_call(
+        kernel,
+        # data-tile outer, query-tile inner: the fast axis sweep reuses the
+        # resident data block (index map constant in j), so the dataset is
+        # read from HBM exactly once per batch
+        grid=(n_tiles, qtiles),
+        in_specs=[
+            pl.BlockSpec((tq, d_dim), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tl), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tl, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tq, 1, ngl), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.int32),
+            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d_dim,
+            bytes_accessed=int(n * d_dim * data.dtype.itemsize
+                               + qtiles * n_tiles * tq * ngl * 16),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, sq.reshape(n_tiles, tl), data)
+    flat = lambda x: x.reshape(b, -1)
+    return flat(m1), flat(a1), flat(m2), flat(a2)
+
+
+def exact_scan_grouptop2(q, data, sq, metric, interpret=False):
+    """(m1, a1, m2, a2) each (B, N/GROUP): strided top-2 flat-scan carries.
+
+    Group-mates of output column c (global group g = tile*128 + c%... see
+    decode in ops/distance) live at data row tile*TL + a*NGL + lane, where
+    a is the stored segment argument. q/data must be pre-padded: B to a
+    multiple of 128, N to a multiple of 8192 (sq = +inf on padded rows for
+    l2; for dot/cosine pass sq = 0 real / +inf pad)."""
+    if pallas_available():
+        try:
+            return _pallas_exact_scan(q, data, sq, metric)
+        except Exception:
+            pass  # Mosaic unavailable: fall through
+    return _xla_exact_scan(q, data, sq, metric)
