@@ -1,0 +1,67 @@
+"""Chip A/B: fused pallas exact scan vs the bf16 pre-reduced XLA scan.
+
+1M x 128 top-10 at B=2048 (the VERDICT r4 weak-#2 config; target >=100k).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import generate_sift_like, _log, recall_of  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+    from lance_tpu.ops.distance import topk_neighbors, topk_neighbors_fast
+
+    N, D, NQ, K, B = 1_000_000, 128, 1024, 10, 2048
+    data, queries = generate_sift_like(N, D, NQ, seed=5)
+    t = time.time()
+    _, gt = topk_neighbors(queries, data, K, "l2", chunk=131072)
+    gt = np.asarray(gt)
+    _log(f"gt {time.time()-t:.0f}s")
+    data_sq = jnp.sum(data.astype(jnp.float32) ** 2, axis=-1)
+    qb = jnp.concatenate([queries, queries])  # (2048, D)
+
+    rows = []
+    def run(tag, **kw):
+        t = time.time()
+        d, i = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq, **kw)
+        jax.block_until_ready((d, i))
+        compile_s = time.time() - t
+        ih = np.asarray(i)[:NQ]
+        rec = recall_of_ids(ih, gt)
+        t = time.time()
+        iters = 30
+        for _ in range(iters):
+            out = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq, **kw)
+        jax.block_until_ready(out)
+        qps = iters * B / (time.time() - t)
+        r = {"tag": tag, "recall_at_10": round(rec, 4), "qps": round(qps),
+             "compile_s": round(compile_s, 1)}
+        rows.append(r)
+        _log(json.dumps(r))
+
+    def recall_of_ids(ih, gt):
+        hits = 0
+        for r in range(NQ):
+            hits += len(set(ih[r].tolist()) & set(gt[r, :K].tolist()))
+        return hits / (NQ * K)
+
+    run("xla_bf16_stage2", coarse_bf16=True, stage2=8)
+    run("fused_pallas", fused=True)
+    run("fused_pallas_pool128", fused=True, pool=128)
+    print(json.dumps({"config": "exact_fused_r5", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -316,12 +316,22 @@ def _flat_knn(ds, frags, column: str, qs: np.ndarray, k: int, metric: str,
         # f32 at recall@10 0.9998 vs 0.9999 — logs/exact_levers_r5.log);
         # LANCE_TPU_EXACT_BF16=0 keeps the scan but restores f32 coarse.
         from ..ops.distance import topk_neighbors_fast
+        from ..ops.pallas_kernels import pallas_available
 
         cbf16 = os.environ.get("LANCE_TPU_EXACT_BF16", "1") not in (
             "0", "false", "")
+        # LANCE_TPU_EXACT_FUSED (default on, TPU only): the pallas fused
+        # scan keeps the (B, chunk) coarse tensor in VMEM — one dataset
+        # read per batch instead of two (B, N)-wide HBM streams. Measured
+        # 100,968 QPS vs 42,930 XLA bf16 at 1M x 128 B=2048, recall@10
+        # 0.9998 both (logs/exact_fused_r5b.log). Off-TPU keeps the
+        # chunked XLA scan (the fused fallback is unchunked).
+        fused = pallas_available() and os.environ.get(
+            "LANCE_TPU_EXACT_FUSED", "1") not in ("0", "false", "")
         pool = max(64, 8 * kk)
         d, i = topk_neighbors_fast(jnp.asarray(qs), jnp.asarray(vecs), kk,
-                                   metric, pool=pool, coarse_bf16=cbf16)
+                                   metric, pool=pool, coarse_bf16=cbf16,
+                                   fused=fused)
     else:
         chunk = min(65536, max(1024, ((vecs.shape[0] + 127) // 128) * 128))
         d, i = topk_neighbors(jnp.asarray(qs), jnp.asarray(vecs), kk, metric,

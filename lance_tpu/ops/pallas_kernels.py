@@ -16,13 +16,21 @@ less traffic). Mosaic double-buffers the (L, D) block DMA across grid steps.
 The XLA fallback (same math, materialized) runs on CPU and whenever a
 prefilter selection mask must be applied inside the scoring.
 
-STATUS: parity-verified against the XLA fallback on TPU (exact gmin match,
-argmin agreement 1.0) but NOT wired as the default search path: in-kernel
-grouping is necessarily within-partition, and true neighbors concentrate in
-the query's home partition, so group-slot collisions cost ~9 recall points
-vs the across-candidate-array grouping used by _search_dense (measured on
-the SIFT1M bench: 0.965 -> 0.87). Re-enabling requires a collision-free
-in-kernel reduction (e.g. per-slot top-2) — tracked for the next round.
+STATUS (IVF kernels): parity-verified against the XLA fallback on TPU
+(exact gmin match, argmin agreement 1.0) but NOT wired as the default IVF
+search path: in-kernel grouping is necessarily within-partition, and true
+neighbors concentrate in the query's home partition, so group-slot
+collisions cost ~9 recall points vs the across-candidate-array grouping
+used by _search_dense (measured on the SIFT1M bench: 0.965 -> 0.87).
+Re-enabling requires a collision-free in-kernel reduction.
+
+STATUS (exact flat scan): `exact_scan_grouptop2` IS the default exact
+path on TPU (LANCE_TPU_EXACT_FUSED, indices/search.py): the flat scan has
+no home-partition concentration, so strided top-2-of-64 grouping plus the
+exact pool rescore loses ~2e-4 recall while cutting HBM traffic to one
+dataset read per batch. Measured 100,968 QPS @ 0.9998 recall@10 at
+1M x 128 B=2048 vs 42,930 for the XLA bf16 chunked scan
+(experiments/logs/exact_fused_r5b.log).
 """
 
 from __future__ import annotations
@@ -285,9 +293,9 @@ def _pallas_exact_scan(q, data, sq, metric, interpret=False):
         prod = jnp.dot(q_ref[:], data_ref[:].T,
                        preferred_element_type=jnp.float32)  # (TQ, TL) MXU
         if metric == "l2":
-            dist = sq_ref[0][None, :] - 2.0 * prod
+            dist = sq_ref[0, 0][None, :] - 2.0 * prod
         else:
-            dist = sq_ref[0][None, :] - prod
+            dist = sq_ref[0, 0][None, :] - prod
         min1 = dist[:, 0:ngl]
         arg1 = jnp.zeros((tq, ngl), jnp.int32)
         min2 = jnp.full((tq, ngl), jnp.inf, jnp.float32)
@@ -300,10 +308,10 @@ def _pallas_exact_scan(q, data, sq, metric, interpret=False):
             min2 = jnp.where(b1, min1, jnp.where(b2, seg, min2))
             arg1 = jnp.where(b1, g, arg1)
             min1 = jnp.where(b1, seg, min1)
-        m1_ref[:, 0, :] = min1
-        a1_ref[:, 0, :] = arg1
-        m2_ref[:, 0, :] = min2
-        a2_ref[:, 0, :] = arg2
+        m1_ref[0] = min1
+        a1_ref[0] = arg1
+        m2_ref[0] = min2
+        a2_ref[0] = arg2
 
     n_tiles = n // tl
     qtiles = b // tq
@@ -316,21 +324,23 @@ def _pallas_exact_scan(q, data, sq, metric, interpret=False):
         in_specs=[
             pl.BlockSpec((tq, d_dim), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tl), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, tl), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tl, d_dim), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, 1, ngl), lambda i, j: (j, i, 0),
+            # tile-major output: block (1, TQ, NGL) keeps the last two dims
+            # (128, 128) tile-aligned; callers moveaxis back to query-major
+            pl.BlockSpec((1, tq, ngl), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(4)
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.int32),
-            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_tiles, ngl), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, b, ngl), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b, ngl), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, b, ngl), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, b, ngl), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d_dim,
@@ -339,8 +349,8 @@ def _pallas_exact_scan(q, data, sq, metric, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, sq.reshape(n_tiles, tl), data)
-    flat = lambda x: x.reshape(b, -1)
+    )(q, sq.reshape(n_tiles, 1, tl), data)
+    flat = lambda x: jnp.moveaxis(x, 0, 1).reshape(b, -1)
     return flat(m1), flat(a1), flat(m2), flat(a2)
 
 

@@ -302,3 +302,54 @@ def test_balanced_assign_straggler_fallback_matches_greedy():
         oracle[row] = p
         rem[p] -= 1
     np.testing.assert_array_equal(assign, oracle)
+
+
+def test_pallas_exact_scan_interpret_matches_xla():
+    """The fused pallas flat-scan kernel (interpret mode, CPU) produces the
+    identical strided group-top-2 carries as the XLA reference path —
+    values, arguments, and the second-best lane."""
+    from lance_tpu.ops.pallas_kernels import (_pallas_exact_scan,
+                                              _xla_exact_scan)
+
+    rng = np.random.default_rng(0)
+    b, n, d = 128, 16384, 128
+    q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    data = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    sq = jnp.sum(data * data, axis=1)
+    for metric in ("l2", "dot"):
+        got = _pallas_exact_scan(q, data, sq, metric, interpret=True)
+        want = _xla_exact_scan(q, data, sq, metric)
+        for name, x, y in zip(("m1", "a1", "m2", "a2"), got, want):
+            x, y = np.asarray(x), np.asarray(y)
+            if x.dtype == np.float32:
+                np.testing.assert_allclose(x, y, atol=1e-3, err_msg=name)
+            else:
+                # argument ties may break differently only where the two
+                # candidate values are exactly equal; random data has none
+                np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_topk_neighbors_fast_fused_path():
+    """fused=True (pallas on TPU, XLA fallback here) decodes tile/segment/
+    lane carries back to the right data rows: same top-k SET as the
+    streaming exact scan."""
+    from lance_tpu.ops.distance import topk_neighbors_fast
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(0, 128, (64, 16)).astype(np.float32)
+    assign = rng.integers(0, 64, 20000)
+    data = np.clip(centers[assign] + rng.standard_normal((20000, 16)) * 8,
+                   0, 255).astype(np.float32)
+    q = np.clip(centers[rng.integers(0, 64, 24)]
+                + rng.standard_normal((24, 16)) * 8, 0, 255).astype(np.float32)
+    for metric in ("l2", "cosine"):
+        d0, i0 = topk_neighbors(jnp.asarray(q), jnp.asarray(data), k=5,
+                                metric=metric, chunk=16384)
+        d1, i1 = topk_neighbors_fast(jnp.asarray(q), jnp.asarray(data), k=5,
+                                     metric=metric, fused=True)
+        i0, i1 = np.asarray(i0), np.asarray(i1)
+        for r in range(q.shape[0]):
+            assert set(i0[r].tolist()) == set(i1[r].tolist()), (metric, r)
+        np.testing.assert_allclose(np.sort(np.asarray(d1), 1),
+                                   np.sort(np.asarray(d0), 1),
+                                   rtol=1e-2, atol=1e-2)
