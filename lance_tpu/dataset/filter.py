@@ -412,23 +412,44 @@ def evaluate_filter_cascade(node, columns: dict[str, "_ColumnView"]) -> np.ndarr
         return evaluate_filter(node, columns)
     mask = evaluate_filter(terms[0], columns)
     n = mask.size
+    # survivor positions carried ACROSS terms: one compress when the mask
+    # first goes sparse, then each later term gathers only the still-alive
+    # rows (shrinking), instead of a full-width flatnonzero + scatter per
+    # term (measured ~half of TPCH Q6 filter time at 64k batches).
+    sel = None
     for t in terms[1:]:
-        sel = np.flatnonzero(mask)
-        if sel.size == 0:
-            return mask
-        if sel.size * 4 <= n and _subset_safe(t):
-            refs = referenced_columns(t)
-            sub = {
-                c: _ColumnView(
-                    cv.values[sel],
-                    cv.validity[sel] if cv.validity is not None else None,
-                    None,
-                )
-                for c, cv in columns.items() if c in refs
-            }
-            mask[sel] = evaluate_filter(t, sub)
-        else:
+        if sel is None:
+            alive = int(np.count_nonzero(mask))
+            if alive == 0:
+                return mask
+            if alive * 4 <= n and _subset_safe(t):
+                sel = np.flatnonzero(mask)
+            else:
+                mask &= evaluate_filter(t, columns)
+                continue
+        elif not _subset_safe(t):
+            # full-width term mid-cascade: materialize the mask and drop
+            # back to full evaluation for this term
+            mask = np.zeros(n, dtype=bool)
+            mask[sel] = True
+            sel = None
             mask &= evaluate_filter(t, columns)
+            continue
+        refs = referenced_columns(t)
+        sub = {
+            c: _ColumnView(
+                cv.values[sel],
+                cv.validity[sel] if cv.validity is not None else None,
+                None,
+            )
+            for c, cv in columns.items() if c in refs
+        }
+        sel = sel[evaluate_filter(t, sub)]
+        if sel.size == 0:
+            break
+    if sel is not None:
+        mask = np.zeros(n, dtype=bool)
+        mask[sel] = True
     return mask
 
 

@@ -221,6 +221,8 @@ class FileReader:
         # ~20x redundant-decode tax on TPCH Q1. Keyed by (file, first buffer
         # offset) — unique per page within a file. Reference analog: the
         # session LanceCache in front of page decoding (lance-core cache.rs).
+        if isinstance(fut, ColumnData):
+            return fut  # cache hit forwarded by _schedule_range
         cache = _page_cache()
         key = _page_key(self.store, self.path, desc, arrow_type) if ranges else None
         if key is not None and cache is not None:
@@ -258,16 +260,25 @@ class FileReader:
         if self._file_sched is None:
             return {}
         futs: dict[int, object] = {}
+        cache = _page_cache()
         for c in columns:
             if c not in self._columns:
                 continue
             for _s, _e, p in self._pages_in_range(c, row_start, row_end):
                 ranges = [(b["off"], b["len"]) for b in p["buffers"]]
-                cache = _page_cache()
-                if ranges and (cache is None or cache.get(
-                        "page", _page_key(self.store, self.path, p,
-                                          arrow_type=self.schema.field(
-                                              c).type)) is None):
+                if not ranges:
+                    continue
+                hit = None
+                if cache is not None:
+                    hit = cache.get("page", _page_key(
+                        self.store, self.path, p,
+                        arrow_type=self.schema.field(c).type))
+                if hit is not None:
+                    # forward the decoded page so _read_page skips its own
+                    # key-build + cache probe (warm analytic scans re-enter
+                    # every page once per 64k batch)
+                    futs[id(p)] = hit
+                else:
                     futs[id(p)] = self._file_sched.submit_request(ranges)
         return futs
 
