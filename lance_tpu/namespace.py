@@ -1,20 +1,47 @@
 """Namespace / catalog: named tables above datasets.
 
 Re-design of the reference namespace spec + dir implementation
-(rust/lance-namespace/src/namespace.rs LanceNamespace trait;
+(rust/lance-namespace/src/namespace.rs LanceNamespace trait — 22
+operations: namespace CRUD, table CRUD/register, data plane
+insert/merge/update/delete/query, index ops, transaction introspection;
 rust/lance-namespace-impls/src/dir.rs — a directory of `{table}.lance`
 datasets). REST-backed catalogs implement the same protocol class.
+
+Namespace hierarchy: one level of child namespaces, each a subdirectory
+holding its own `{table}.lance` datasets (created with a
+`.lance-namespace` marker object so empty namespaces survive listing).
+Table ids may address into a child namespace as `{namespace}.{table}`
+(the reference REST spec's delimited object id, default delimiter `.`).
+
+`alter_transaction` is deliberately NOT supported: transactions here are
+the storage-committed manifest history — immutable by design (the
+reference's mutable transaction status lives in catalog-side state that
+a storage-coordinated namespace does not have).
 """
 
 from __future__ import annotations
 
 from typing import Protocol
 
-from .errors import InvalidInputError, NotFoundError
+from .errors import InvalidInputError, NotFoundError, NotSupportedError
 from .io.object_store import store_for_uri
+
+NS_MARKER = ".lance-namespace"
 
 
 class LanceNamespace(Protocol):
+    # namespace ops
+    def list_namespaces(self) -> list[str]: ...
+
+    def create_namespace(self, name: str) -> None: ...
+
+    def drop_namespace(self, name: str) -> None: ...
+
+    def namespace_exists(self, name: str) -> bool: ...
+
+    def describe_namespace(self, name: str) -> dict: ...
+
+    # table ops
     def list_tables(self) -> list[str]: ...
 
     def table_uri(self, name: str) -> str: ...
@@ -26,6 +53,15 @@ class LanceNamespace(Protocol):
     def drop_table(self, name: str) -> None: ...
 
 
+def _split_id(name: str) -> tuple[str | None, str]:
+    """`ns.table` -> (ns, table); plain `table` -> (None, table)."""
+    if "." in name:
+        ns, rest = name.split(".", 1)
+        if ns and rest:
+            return ns, rest
+    return None, name
+
+
 class DirectoryNamespace:
     """Tables are `{root}/{name}.lance` datasets (reference dir.rs)."""
 
@@ -34,7 +70,74 @@ class DirectoryNamespace:
     def __init__(self, root_uri: str):
         self.root = root_uri.rstrip("/")
 
+    # -- id resolution ----------------------------------------------------
+
+    def _resolve(self, name: str) -> tuple["DirectoryNamespace", str]:
+        ns, table = _split_id(name)
+        if ns is None:
+            return self, table
+        if not self.namespace_exists(ns):
+            raise NotFoundError(f"namespace {ns}")
+        return self.child(ns), table
+
+    def child(self, name: str) -> "DirectoryNamespace":
+        if "/" in name or not name or name.endswith(self.SUFFIX):
+            raise InvalidInputError(f"bad namespace name {name!r}")
+        return DirectoryNamespace(f"{self.root}/{name}")
+
+    # -- namespace ops ----------------------------------------------------
+
+    def list_namespaces(self) -> list[str]:
+        store, base = store_for_uri(self.root)
+        prefix = f"{base}/" if base else ""
+        names = set()
+        for meta in store.list(prefix):
+            rel = meta.path[len(prefix):]
+            parts = rel.split("/")
+            head = parts[0]
+            if head.endswith(self.SUFFIX) or len(parts) == 1:
+                continue  # a table dir or a root-level object
+            # anything else one level down (the marker, a child table's
+            # files, ...) makes `head` a child namespace
+            names.add(head)
+        return sorted(names)
+
+    def create_namespace(self, name: str) -> None:
+        if "/" in name or not name or name.endswith(self.SUFFIX):
+            raise InvalidInputError(f"bad namespace name {name!r}")
+        if self.namespace_exists(name):
+            raise InvalidInputError(f"namespace {name} exists")
+        store, base = store_for_uri(self.root)
+        prefix = f"{base}/" if base else ""
+        store.put(f"{prefix}{name}/{NS_MARKER}", b"")
+
+    def namespace_exists(self, name: str) -> bool:
+        return name in self.list_namespaces()
+
+    def describe_namespace(self, name: str) -> dict:
+        if not self.namespace_exists(name):
+            raise NotFoundError(f"namespace {name}")
+        return {"name": name, "location": f"{self.root}/{name}",
+                "tables": self.child(name).list_tables()}
+
+    def drop_namespace(self, name: str) -> None:
+        if not self.namespace_exists(name):
+            raise NotFoundError(f"namespace {name}")
+        tables = self.child(name).list_tables()
+        if tables:
+            raise InvalidInputError(
+                f"namespace {name} is not empty (tables: {tables})")
+        store, base = store_for_uri(self.root)
+        prefix = f"{base}/" if base else ""
+        for m in store.list(f"{prefix}{name}/"):
+            store.delete(m.path)
+
+    # -- table ops --------------------------------------------------------
+
     def table_uri(self, name: str) -> str:
+        ns, table = _split_id(name)
+        if ns is not None:
+            return self.child(ns).table_uri(table)
         if "/" in name or not name:
             raise InvalidInputError(f"bad table name {name!r}")
         return f"{self.root}/{name}{self.SUFFIX}"
@@ -51,12 +154,27 @@ class DirectoryNamespace:
         return sorted(names)
 
     def table_exists(self, name: str) -> bool:
-        return name in self.list_tables()
+        sub, table = self._resolve(name)
+        return table in sub.list_tables()
 
     def create_table(self, name: str, data, mode: str = "create", **kwargs):
         import lance_tpu
 
-        return lance_tpu.write_dataset(data, self.table_uri(name), mode=mode, **kwargs)
+        return lance_tpu.write_dataset(data, self.table_uri(name), mode=mode,
+                                       **kwargs)
+
+    def create_empty_table(self, name: str, schema):
+        """Schema-only table (reference create_empty_table)."""
+        import pyarrow as pa
+
+        import lance_tpu
+
+        if not isinstance(schema, pa.Schema):
+            raise InvalidInputError("create_empty_table takes a pyarrow Schema")
+        empty = pa.table({f.name: pa.array([], type=f.type)
+                          for f in schema})
+        return lance_tpu.write_dataset(empty, self.table_uri(name),
+                                       mode="create")
 
     def open_table(self, name: str, version: int | None = None):
         import lance_tpu
@@ -73,6 +191,93 @@ class DirectoryNamespace:
             raise NotFoundError(f"table {name}")
         for m in metas:
             store.delete(m.path)
+
+    # -- data plane (delegates to the dataset; reference namespace.rs
+    #    insert_into_table/merge_insert_into_table/update_table/
+    #    delete_from_table/query_table/count_table_rows) ------------------
+
+    def count_table_rows(self, name: str, filter: str | None = None) -> int:
+        return self.open_table(name).count_rows(filter=filter)
+
+    def insert_into_table(self, name: str, data, mode: str = "append"):
+        import lance_tpu
+
+        if mode not in ("append", "overwrite"):
+            raise InvalidInputError(f"insert mode {mode!r}")
+        return lance_tpu.write_dataset(data, self.table_uri(name), mode=mode)
+
+    def merge_insert_into_table(self, name: str, data, on: str) -> dict:
+        ds = self.open_table(name)
+        _ds, stats = ds.merge_insert(on).when_matched_update_all() \
+            .when_not_matched_insert_all().execute(data)
+        return stats
+
+    def update_table(self, name: str, updates: dict[str, str],
+                     where: str | None = None) -> dict:
+        ds = self.open_table(name)
+        before = ds.count_rows(filter=where) if where else ds.count_rows()
+        ds.update(updates, where=where)
+        return {"updated_rows": before}
+
+    def delete_from_table(self, name: str, predicate: str) -> dict:
+        ds = self.open_table(name)
+        matched = ds.count_rows(filter=predicate)
+        ds.delete(predicate)
+        return {"deleted_rows": matched}
+
+    def query_table(self, name: str, columns: list[str] | None = None,
+                    filter: str | None = None, limit: int | None = None,
+                    vector=None, vector_column: str | None = None,
+                    k: int = 10, nprobes: int = 20):
+        ds = self.open_table(name)
+        sc = ds.scanner()
+        if columns:
+            sc.project(columns)
+        if filter:
+            sc.filter(filter)
+        if vector is not None:
+            import numpy as np
+
+            sc.nearest(vector_column or "vector",
+                       np.asarray(vector, dtype=np.float32), k=k,
+                       nprobes=nprobes)
+        elif limit is not None:
+            sc.limit(limit)
+        return sc.to_table()
+
+    # -- index ops --------------------------------------------------------
+
+    def create_table_index(self, name: str, column: str, index_type: str,
+                           **params) -> dict:
+        ds = self.open_table(name).create_index(column, index_type, **params)
+        return {"indices": [m.name for m in ds.list_indices()]}
+
+    def list_table_indices(self, name: str) -> list[dict]:
+        ds = self.open_table(name)
+        return [{"name": m.name, "index_type": m.index_type,
+                 "columns": [ds.schema.field_by_id(f).name
+                             for f in m.fields]} for m in ds.list_indices()]
+
+    def describe_table_index_stats(self, name: str, index_name: str) -> dict:
+        return self.open_table(name).index_statistics(index_name)
+
+    # -- transaction introspection ---------------------------------------
+
+    def describe_transaction(self, name: str, version: int) -> dict:
+        from .table.transaction import Transaction
+
+        ds = self.open_table(name, version=version)
+        tf = ds.manifest.transaction_file
+        if not tf or not ds.store.exists(tf):
+            raise NotFoundError(f"transaction for version {version}")
+        tx = Transaction.from_bytes(ds.store.get(tf))
+        return {"version": version, "operation": tx.operation.kind,
+                "uuid": tx.uuid, "read_version": tx.read_version}
+
+    def alter_transaction(self, *a, **kw):
+        raise NotSupportedError(
+            "alter_transaction: storage-committed transactions are "
+            "immutable history in this namespace design")
 
 
 def connect(uri: str):

@@ -1,19 +1,38 @@
 """REST namespace: HTTP catalog implementing the LanceNamespace protocol.
 
 Re-design of the reference REST namespace (lance-namespace spec: the
-`rust/lance-namespace` trait's REST binding — ListTables / DescribeTable /
-RegisterTable / DeregisterTable / CreateTable / DropTable). The catalog
-holds *locations*; data IO always goes directly to object storage — the
-server never proxies table bytes except for the optional create-with-data
-convenience endpoint (Arrow IPC request body).
+`rust/lance-namespace/src/namespace.rs` trait's REST binding — the full
+22-operation surface: namespace CRUD, ListTables / DescribeTable /
+RegisterTable / DeregisterTable / CreateTable / CreateEmptyTable /
+DropTable, data plane Insert / MergeInsert / Update / Delete / Query /
+CountRows, index Create / List / Stats, DescribeTransaction). The
+catalog holds *locations*; bulk data IO goes directly to object storage
+— the server only moves bytes for the data-plane convenience endpoints
+(Arrow IPC request/response bodies), matching the reference REST
+adapter's table-operations routes.
 
-Endpoints (JSON unless noted):
-    GET    /v1/namespaces                  -> {"namespaces": [...]}
-    GET    /v1/tables                      -> {"tables": [...]}
-    GET    /v1/table/{name}                -> {"name", "location", "version"}
-    POST   /v1/table/{name}/register       <- {"location": uri}
-    DELETE /v1/table/{name}                (deregister; drops dir-backed data)
-    POST   /v1/table/{name}/create         <- Arrow IPC stream body
+Endpoints (JSON unless noted; table ids may be `ns.table` — one child
+namespace level, the spec's delimited object id):
+    GET    /v1/namespaces                    -> {"namespaces": [...]}
+    GET    /v1/namespace/{name}              -> describe (404 = not exists)
+    POST   /v1/namespace/{name}/create
+    DELETE /v1/namespace/{name}              (refuses non-empty)
+    GET    /v1/tables                        -> {"tables": [...]}
+    GET    /v1/table/{id}                    -> {"name","location","version"}
+    GET    /v1/table/{id}/count[?filter=]    -> {"rows": N}
+    POST   /v1/table/{id}/register           <- {"location": uri}
+    DELETE /v1/table/{id}                    (deregister; drops dir-backed data)
+    POST   /v1/table/{id}/create             <- Arrow IPC stream body
+    POST   /v1/table/{id}/create_empty       <- {"schema": schema_json}
+    POST   /v1/table/{id}/insert[?mode=]     <- Arrow IPC stream body
+    POST   /v1/table/{id}/merge_insert?on=c  <- Arrow IPC -> merge stats
+    POST   /v1/table/{id}/update             <- {"updates": {...}, "where": ...}
+    POST   /v1/table/{id}/delete             <- {"predicate": ...}
+    POST   /v1/table/{id}/query              <- query JSON -> Arrow IPC stream
+    POST   /v1/table/{id}/create_index       <- {"column","index_type",...}
+    GET    /v1/table/{id}/indices            -> {"indices": [...]}
+    GET    /v1/table/{id}/index/{name}/stats -> index statistics JSON
+    GET    /v1/table/{id}/transaction/{ver}  -> {"version","operation","uuid"}
 
 Server is stdlib http.server (threaded) — suitable for tests and
 single-cluster catalogs; the client is stdlib urllib (zero-egress safe:
@@ -27,12 +46,25 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib import error as urlerror
+from urllib import parse as urlparse
 from urllib import request as urlrequest
 
 import pyarrow as pa
 
-from .errors import InvalidInputError, NotFoundError
+from .errors import InvalidInputError, NotFoundError, NotSupportedError
 from .namespace import DirectoryNamespace
+
+
+def _ipc_bytes(table: pa.Table) -> bytes:
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, table.schema) as w:
+        w.write_table(table)
+    return buf.getvalue()
+
+
+def _ipc_table(body: bytes) -> pa.Table:
+    with pa.ipc.open_stream(io.BytesIO(body)) as rd:
+        return rd.read_all()
 
 
 class RestNamespaceServer:
@@ -55,71 +87,194 @@ class RestNamespaceServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _ipc(self, table: pa.Table) -> None:
+                body = _ipc_bytes(table)
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "application/vnd.apache.arrow.stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def _body(self) -> bytes:
                 n = int(self.headers.get("Content-Length", "0"))
                 return self.rfile.read(n)
 
-            def do_GET(self):
-                if self.path == "/v1/namespaces":
-                    return self._json(200, {"namespaces": ["default"]})
-                if self.path == "/v1/tables":
-                    names = sorted(set(ns.backing.list_tables()) | set(ns.registry))
-                    return self._json(200, {"tables": names})
-                if self.path.startswith("/v1/table/"):
-                    name = self.path.split("/")[3]
-                    try:
-                        loc = ns._location(name)
-                        import lance_tpu
+            def _route(self):
+                parsed = urlparse.urlsplit(self.path)
+                parts = [urlparse.unquote(p)
+                         for p in parsed.path.split("/") if p]
+                query = dict(urlparse.parse_qsl(parsed.query))
+                return parts, query
 
+            def _guarded(self, fn):
+                try:
+                    return fn()
+                except NotFoundError as e:
+                    return self._json(404, {"error": str(e)})
+                except NotSupportedError as e:
+                    return self._json(501, {"error": str(e)})
+                except InvalidInputError as e:
+                    return self._json(409, {"error": str(e)})
+                except Exception as e:  # surfaced, not swallowed
+                    return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_GET(self):
+                parts, query = self._route()
+                return self._guarded(lambda: self._get(parts, query))
+
+            def _get(self, parts, query):
+                if parts == ["v1", "namespaces"]:
+                    return self._json(
+                        200, {"namespaces": ns.backing.list_namespaces()})
+                if len(parts) == 3 and parts[:2] == ["v1", "namespace"]:
+                    return self._json(
+                        200, ns.backing.describe_namespace(parts[2]))
+                if parts == ["v1", "tables"]:
+                    sub = (ns.backing.child(query["namespace"])
+                           if query.get("namespace") else ns.backing)
+                    names = sorted(set(sub.list_tables())
+                                   | (set(ns.registry)
+                                      if sub is ns.backing else set()))
+                    return self._json(200, {"tables": names})
+                if len(parts) >= 3 and parts[:2] == ["v1", "table"]:
+                    name = parts[2]
+                    if len(parts) == 3:
+                        loc = ns._location(name)
                         try:
-                            v = lance_tpu.dataset(loc).version
+                            v = ns._open(name).version
                         except Exception:
                             v = None
                         return self._json(200, {"name": name, "location": loc,
                                                 "version": v})
-                    except NotFoundError:
-                        return self._json(404, {"error": f"table {name} not found"})
+                    if parts[3] == "count" and len(parts) == 4:
+                        n = ns._open(name).count_rows(
+                            filter=query.get("filter"))
+                        return self._json(200, {"rows": n})
+                    if parts[3] == "indices" and len(parts) == 4:
+                        ds = ns._open(name)
+                        idx = [{"name": m.name, "index_type": m.index_type,
+                                "columns": [ds.schema.field_by_id(f).name
+                                            for f in m.fields]}
+                               for m in ds.list_indices()]
+                        return self._json(200, {"indices": idx})
+                    if parts[3] == "index" and len(parts) == 6 \
+                            and parts[5] == "stats":
+                        return self._json(
+                            200, ns._open(name).index_statistics(parts[4]))
+                    if parts[3] == "transaction" and len(parts) == 5:
+                        return self._json(200, ns._describe_transaction(
+                            name, int(parts[4])))
                 return self._json(404, {"error": "unknown endpoint"})
 
             def do_POST(self):
-                parts = self.path.split("/")
-                if len(parts) == 5 and parts[1] == "v1" and parts[2] == "table":
-                    name, action = parts[3], parts[4]
-                    if action == "register":
-                        req = json.loads(self._body() or b"{}")
-                        loc = req.get("location")
-                        if not loc:
-                            return self._json(400, {"error": "location required"})
-                        if name in ns.registry or name in ns.backing.list_tables():
-                            return self._json(409, {"error": f"table {name} exists"})
-                        ns.registry[name] = loc
-                        return self._json(200, {"name": name, "location": loc})
-                    if action == "create":
-                        mode = self.headers.get("X-Lance-Mode", "create")
-                        try:
-                            with pa.ipc.open_stream(io.BytesIO(self._body())) as rd:
-                                table = rd.read_all()
-                            ds = ns.backing.create_table(name, table, mode=mode)
-                            return self._json(200, {
-                                "name": name,
-                                "location": ns.backing.table_uri(name),
-                                "version": ds.version,
-                            })
-                        except InvalidInputError as e:
-                            return self._json(409, {"error": str(e)})
+                parts, query = self._route()
+                return self._guarded(lambda: self._post(parts, query))
+
+            def _post(self, parts, query):
+                if len(parts) == 4 and parts[:2] == ["v1", "namespace"] \
+                        and parts[3] == "create":
+                    ns.backing.create_namespace(parts[2])
+                    return self._json(200, {"created": parts[2]})
+                if len(parts) != 4 or parts[:2] != ["v1", "table"]:
+                    return self._json(404, {"error": "unknown endpoint"})
+                name, action = parts[2], parts[3]
+                if action == "register":
+                    req = json.loads(self._body() or b"{}")
+                    loc = req.get("location")
+                    if not loc:
+                        return self._json(400, {"error": "location required"})
+                    if name in ns.registry or ns.backing.table_exists(name):
+                        return self._json(409, {"error": f"table {name} exists"})
+                    ns.registry[name] = loc
+                    return self._json(200, {"name": name, "location": loc})
+                if action == "create":
+                    mode = self.headers.get("X-Lance-Mode", "create")
+                    ds = ns.backing.create_table(name, _ipc_table(self._body()),
+                                                 mode=mode)
+                    return self._json(200, {
+                        "name": name,
+                        "location": ns.backing.table_uri(name),
+                        "version": ds.version,
+                    })
+                if action == "create_empty":
+                    from lance_tpu import json_to_schema
+
+                    req = json.loads(self._body())
+                    ds = ns.backing.create_empty_table(
+                        name, json_to_schema(req["schema"]))
+                    return self._json(200, {"name": name, "version": ds.version})
+                if action == "insert":
+                    mode = query.get("mode", "append")
+                    import lance_tpu
+
+                    ds = lance_tpu.write_dataset(_ipc_table(self._body()),
+                                                 ns._location(name), mode=mode)
+                    return self._json(200, {"version": ds.version})
+                if action == "merge_insert":
+                    on = query.get("on")
+                    if not on:
+                        return self._json(400, {"error": "on= required"})
+                    _ds, stats = ns._open(name).merge_insert(on) \
+                        .when_matched_update_all() \
+                        .when_not_matched_insert_all() \
+                        .execute(_ipc_table(self._body()))
+                    return self._json(200, stats)
+                if action == "update":
+                    req = json.loads(self._body())
+                    ds = ns._open(name)
+                    where = req.get("where")
+                    n = ds.count_rows(filter=where) if where else ds.count_rows()
+                    ds.update(req["updates"], where=where)
+                    return self._json(200, {"updated_rows": n})
+                if action == "delete":
+                    req = json.loads(self._body())
+                    ds = ns._open(name)
+                    n = ds.count_rows(filter=req["predicate"])
+                    ds.delete(req["predicate"])
+                    return self._json(200, {"deleted_rows": n})
+                if action == "query":
+                    req = json.loads(self._body())
+                    ds = ns._open(name)
+                    sc = ds.scanner()
+                    if req.get("columns"):
+                        sc.project(req["columns"])
+                    if req.get("filter"):
+                        sc.filter(req["filter"])
+                    if req.get("vector") is not None:
+                        import numpy as np
+
+                        sc.nearest(req.get("vector_column", "vector"),
+                                   np.asarray(req["vector"], np.float32),
+                                   k=int(req.get("k", 10)),
+                                   nprobes=int(req.get("nprobes", 20)))
+                    elif req.get("limit") is not None:
+                        sc.limit(int(req["limit"]))
+                    return self._ipc(sc.to_table())
+                if action == "create_index":
+                    req = json.loads(self._body())
+                    column = req.pop("column")
+                    index_type = req.pop("index_type")
+                    ds = ns._open(name).create_index(column, index_type, **req)
+                    return self._json(200, {
+                        "indices": [m.name for m in ds.list_indices()]})
                 return self._json(404, {"error": "unknown endpoint"})
 
             def do_DELETE(self):
-                if self.path.startswith("/v1/table/"):
-                    name = self.path.split("/")[3]
+                parts, _query = self._route()
+                return self._guarded(lambda: self._delete(parts))
+
+            def _delete(self, parts):
+                if len(parts) == 3 and parts[:2] == ["v1", "namespace"]:
+                    ns.backing.drop_namespace(parts[2])
+                    return self._json(200, {"dropped": parts[2]})
+                if len(parts) == 3 and parts[:2] == ["v1", "table"]:
+                    name = parts[2]
                     if name in ns.registry:
                         del ns.registry[name]
                         return self._json(200, {"deregistered": name})
-                    try:
-                        ns.backing.drop_table(name)
-                        return self._json(200, {"dropped": name})
-                    except NotFoundError:
-                        return self._json(404, {"error": f"table {name} not found"})
+                    ns.backing.drop_table(name)
+                    return self._json(200, {"dropped": name})
                 return self._json(404, {"error": "unknown endpoint"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
@@ -130,9 +285,27 @@ class RestNamespaceServer:
     def _location(self, name: str) -> str:
         if name in self.registry:
             return self.registry[name]
-        if name in self.backing.list_tables():
+        if self.backing.table_exists(name):
             return self.backing.table_uri(name)
-        raise NotFoundError(name)
+        raise NotFoundError(f"table {name}")
+
+    def _open(self, name: str):
+        import lance_tpu
+
+        return lance_tpu.dataset(self._location(name))
+
+    def _describe_transaction(self, name: str, version: int) -> dict:
+        from .table.transaction import Transaction
+
+        import lance_tpu
+
+        ds = lance_tpu.dataset(self._location(name), version=version)
+        tf = ds.manifest.transaction_file
+        if not tf or not ds.store.exists(tf):
+            raise NotFoundError(f"transaction for version {version}")
+        tx = Transaction.from_bytes(ds.store.get(tf))
+        return {"version": version, "operation": tx.operation.kind,
+                "uuid": tx.uuid, "read_version": tx.read_version}
 
     def start(self) -> "RestNamespaceServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
@@ -152,12 +325,13 @@ class RestNamespace:
         self.base = base_url.rstrip("/")
 
     def _call(self, method: str, path: str, body: bytes | None = None,
-              headers: dict | None = None) -> dict:
+              headers: dict | None = None, raw: bool = False):
         req = urlrequest.Request(f"{self.base}{path}", data=body, method=method,
                                  headers=headers or {})
         try:
-            with urlrequest.urlopen(req, timeout=30) as resp:
-                return json.loads(resp.read())
+            with urlrequest.urlopen(req, timeout=60) as resp:
+                data = resp.read()
+                return data if raw else json.loads(data)
         except urlerror.HTTPError as e:
             payload = {}
             try:
@@ -167,39 +341,72 @@ class RestNamespace:
             msg = payload.get("error", str(e))
             if e.code == 404:
                 raise NotFoundError(msg) from None
+            if e.code == 501:
+                raise NotSupportedError(msg) from None
             raise InvalidInputError(msg) from None
 
-    def list_tables(self) -> list[str]:
-        return self._call("GET", "/v1/tables")["tables"]
+    # -- namespace ops ----------------------------------------------------
+
+    def list_namespaces(self) -> list[str]:
+        return self._call("GET", "/v1/namespaces")["namespaces"]
+
+    def create_namespace(self, name: str) -> None:
+        self._call("POST", f"/v1/namespace/{name}/create")
+
+    def drop_namespace(self, name: str) -> None:
+        self._call("DELETE", f"/v1/namespace/{name}")
+
+    def namespace_exists(self, name: str) -> bool:
+        try:
+            self._call("GET", f"/v1/namespace/{name}")
+            return True
+        except NotFoundError:
+            return False
+
+    def describe_namespace(self, name: str) -> dict:
+        return self._call("GET", f"/v1/namespace/{name}")
+
+    # -- table catalog ops ------------------------------------------------
+
+    def list_tables(self, namespace: str | None = None) -> list[str]:
+        q = f"?namespace={urlparse.quote(namespace)}" if namespace else ""
+        return self._call("GET", f"/v1/tables{q}")["tables"]
 
     def table_exists(self, name: str) -> bool:
-        return name in self.list_tables()
+        try:
+            self._call("GET", f"/v1/table/{urlparse.quote(name)}")
+            return True
+        except NotFoundError:
+            return False
 
     def table_uri(self, name: str) -> str:
-        return self._call("GET", f"/v1/table/{name}")["location"]
+        return self._call("GET", f"/v1/table/{urlparse.quote(name)}")["location"]
 
     def describe_table(self, name: str) -> dict:
-        return self._call("GET", f"/v1/table/{name}")
+        return self._call("GET", f"/v1/table/{urlparse.quote(name)}")
 
     def register_table(self, name: str, location: str) -> dict:
-        return self._call("POST", f"/v1/table/{name}/register",
+        return self._call("POST", f"/v1/table/{urlparse.quote(name)}/register",
                           json.dumps({"location": location}).encode())
 
     def deregister_table(self, name: str) -> dict:
-        return self._call("DELETE", f"/v1/table/{name}")
+        return self._call("DELETE", f"/v1/table/{urlparse.quote(name)}")
 
     def create_table(self, name: str, data, mode: str = "create", **kwargs):
         if not isinstance(data, pa.Table):
-            import lance_tpu
             from .dataset.write import _normalize_batches
 
             batches, _schema = _normalize_batches(data, None)
             data = pa.Table.from_batches(list(batches))
-        buf = io.BytesIO()
-        with pa.ipc.new_stream(buf, data.schema) as w:
-            w.write_table(data)
-        self._call("POST", f"/v1/table/{name}/create", buf.getvalue(),
-                   {"X-Lance-Mode": mode})
+        self._call("POST", f"/v1/table/{urlparse.quote(name)}/create",
+                   _ipc_bytes(data), {"X-Lance-Mode": mode})
+        return self.open_table(name)
+
+    def create_empty_table(self, name: str, schema: pa.Schema):
+        from lance_tpu import schema_to_json
+
+        self._call("POST", f"/v1/table/{urlparse.quote(name)}/create_empty",
+                   json.dumps({"schema": schema_to_json(schema)}).encode())
         return self.open_table(name)
 
     def open_table(self, name: str, version: int | None = None):
@@ -208,4 +415,79 @@ class RestNamespace:
         return lance_tpu.dataset(self.table_uri(name), version=version)
 
     def drop_table(self, name: str) -> None:
-        self._call("DELETE", f"/v1/table/{name}")
+        self._call("DELETE", f"/v1/table/{urlparse.quote(name)}")
+
+    # -- data plane -------------------------------------------------------
+
+    def count_table_rows(self, name: str, filter: str | None = None) -> int:
+        q = f"?filter={urlparse.quote(filter)}" if filter else ""
+        return self._call(
+            "GET", f"/v1/table/{urlparse.quote(name)}/count{q}")["rows"]
+
+    def insert_into_table(self, name: str, data, mode: str = "append") -> dict:
+        if not isinstance(data, pa.Table):
+            data = pa.table(data)
+        return self._call(
+            "POST", f"/v1/table/{urlparse.quote(name)}/insert?mode={mode}",
+            _ipc_bytes(data))
+
+    def merge_insert_into_table(self, name: str, data, on: str) -> dict:
+        if not isinstance(data, pa.Table):
+            data = pa.table(data)
+        return self._call(
+            "POST",
+            f"/v1/table/{urlparse.quote(name)}/merge_insert?on="
+            f"{urlparse.quote(on)}", _ipc_bytes(data))
+
+    def update_table(self, name: str, updates: dict[str, str],
+                     where: str | None = None) -> dict:
+        return self._call(
+            "POST", f"/v1/table/{urlparse.quote(name)}/update",
+            json.dumps({"updates": updates, "where": where}).encode())
+
+    def delete_from_table(self, name: str, predicate: str) -> dict:
+        return self._call(
+            "POST", f"/v1/table/{urlparse.quote(name)}/delete",
+            json.dumps({"predicate": predicate}).encode())
+
+    def query_table(self, name: str, columns: list[str] | None = None,
+                    filter: str | None = None, limit: int | None = None,
+                    vector=None, vector_column: str | None = None,
+                    k: int = 10, nprobes: int = 20) -> pa.Table:
+        req = {"columns": columns, "filter": filter, "limit": limit,
+               "k": k, "nprobes": nprobes}
+        if vector is not None:
+            req["vector"] = [float(x) for x in vector]
+            req["vector_column"] = vector_column or "vector"
+        body = self._call("POST", f"/v1/table/{urlparse.quote(name)}/query",
+                          json.dumps(req).encode(), raw=True)
+        return _ipc_table(body)
+
+    # -- index ops --------------------------------------------------------
+
+    def create_table_index(self, name: str, column: str, index_type: str,
+                           **params) -> dict:
+        req = {"column": column, "index_type": index_type, **params}
+        return self._call(
+            "POST", f"/v1/table/{urlparse.quote(name)}/create_index",
+            json.dumps(req).encode())
+
+    def list_table_indices(self, name: str) -> list[dict]:
+        return self._call(
+            "GET", f"/v1/table/{urlparse.quote(name)}/indices")["indices"]
+
+    def describe_table_index_stats(self, name: str, index_name: str) -> dict:
+        return self._call(
+            "GET", f"/v1/table/{urlparse.quote(name)}/index/"
+            f"{urlparse.quote(index_name)}/stats")
+
+    # -- transactions -----------------------------------------------------
+
+    def describe_transaction(self, name: str, version: int) -> dict:
+        return self._call(
+            "GET", f"/v1/table/{urlparse.quote(name)}/transaction/{version}")
+
+    def alter_transaction(self, *a, **kw):
+        raise NotSupportedError(
+            "alter_transaction: storage-committed transactions are "
+            "immutable history in this namespace design")

@@ -56,3 +56,125 @@ def test_rest_register_external_table(server):
     assert "external" not in ns.list_tables()
     # deregistering does NOT delete the data
     assert len(lt.dataset(ext_uri)) == 5
+
+
+def test_rest_namespace_crud(server):
+    ns = lt.connect(server.url)
+    assert ns.list_namespaces() == []
+    ns.create_namespace("prod")
+    assert ns.namespace_exists("prod")
+    assert ns.list_namespaces() == ["prod"]
+    with pytest.raises(InvalidInputError):
+        ns.create_namespace("prod")  # duplicate
+    info = ns.describe_namespace("prod")
+    assert info["name"] == "prod" and info["tables"] == []
+    # table inside the child namespace via the dotted object id
+    ns.create_table("prod.events", {"id": np.arange(4, dtype=np.int64)})
+    assert ns.list_tables(namespace="prod") == ["events"]
+    assert "events" not in ns.list_tables()  # root list unchanged
+    assert ns.count_table_rows("prod.events") == 4
+    with pytest.raises(InvalidInputError):
+        ns.drop_namespace("prod")  # not empty
+    ns.drop_table("prod.events")
+    ns.drop_namespace("prod")
+    assert not ns.namespace_exists("prod")
+    with pytest.raises(NotFoundError):
+        ns.describe_namespace("prod")
+
+
+def test_rest_data_plane(server):
+    ns = lt.connect(server.url)
+    ns.create_table("t", {"id": np.arange(10, dtype=np.int64),
+                          "val": np.arange(10, dtype=np.float64)})
+    assert ns.count_table_rows("t") == 10
+    assert ns.count_table_rows("t", filter="id >= 5") == 5
+    r = ns.insert_into_table("t", {"id": np.arange(10, 15, dtype=np.int64),
+                                   "val": np.zeros(5)})
+    assert r["version"] == 2
+    assert ns.count_table_rows("t") == 15
+    # merge_insert: one matched update + one insert
+    stats = ns.merge_insert_into_table(
+        "t", {"id": np.array([3, 99], dtype=np.int64),
+              "val": np.array([30.0, 99.0])}, on="id")
+    assert stats["num_updated_rows"] == 1 and stats["num_inserted_rows"] == 1
+    upd = ns.update_table("t", {"val": "val + 1"}, where="id = 0")
+    assert upd["updated_rows"] == 1
+    dele = ns.delete_from_table("t", "id >= 10 and id < 15")
+    assert dele["deleted_rows"] == 5
+    out = ns.query_table("t", columns=["id", "val"], filter="id in (0, 3, 99)")
+    got = dict(zip(out.column("id").to_pylist(), out.column("val").to_pylist()))
+    assert got == {0: 1.0, 3: 30.0, 99: 99.0}
+    lim = ns.query_table("t", columns=["id"], limit=3)
+    assert lim.num_rows == 3
+
+
+def test_rest_create_empty_and_schema(server):
+    import pyarrow as pa
+
+    ns = lt.connect(server.url)
+    schema = pa.schema([("id", pa.int64()), ("name", pa.string())])
+    t = ns.create_empty_table("empty", schema)
+    assert t.count_rows() == 0
+    assert t.schema.to_arrow().names == ["id", "name"]
+    ns.insert_into_table("empty", {"id": np.array([1], dtype=np.int64),
+                                   "name": pa.array(["a"])})
+    assert ns.count_table_rows("empty") == 1
+
+
+def test_rest_vector_query_and_index(server):
+    ns = lt.connect(server.url)
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(256, 8)).astype(np.float32)
+    ns.create_table("vt", {"vector": vecs,
+                           "id": np.arange(256, dtype=np.int64)})
+    q = vecs[7]
+    out = ns.query_table("vt", columns=["id"], vector=q, k=3)
+    assert out.column("id").to_pylist()[0] == 7
+    # scalar index over REST
+    ns.create_table_index("vt", "id", "BTREE")
+    idx = ns.list_table_indices("vt")
+    assert len(idx) == 1 and idx[0]["columns"] == ["id"]
+    stats = ns.describe_table_index_stats("vt", idx[0]["name"])
+    assert stats  # non-empty statistics payload
+
+
+def test_rest_transactions(server):
+    from lance_tpu.errors import NotSupportedError
+
+    ns = lt.connect(server.url)
+    ns.create_table("tx", {"id": np.arange(3, dtype=np.int64)})
+    ns.delete_from_table("tx", "id = 0")
+    t1 = ns.describe_transaction("tx", 1)
+    t2 = ns.describe_transaction("tx", 2)
+    assert t1["version"] == 1 and t2["version"] == 2
+    assert t1["operation"] != t2["operation"]  # create vs delete kinds
+    with pytest.raises(NotFoundError):
+        ns.describe_transaction("tx", 99)
+    with pytest.raises(NotSupportedError):
+        ns.alter_transaction()
+
+
+def test_directory_namespace_full_surface(tmp_path):
+    """The same 22-op surface straight on the directory implementation."""
+    ns = DirectoryNamespace(str(tmp_path))
+    ns.create_namespace("a")
+    ns.create_table("a.t", {"x": np.arange(6, dtype=np.int64)})
+    assert ns.table_exists("a.t") and not ns.table_exists("t")
+    assert ns.count_table_rows("a.t", filter="x < 3") == 3
+    ns.insert_into_table("a.t", {"x": np.array([6], dtype=np.int64)})
+    ns.update_table("a.t", {"x": "x * 10"}, where="x = 6")
+    ns.delete_from_table("a.t", "x = 0")
+    out = ns.query_table("a.t", columns=["x"])
+    assert sorted(out.column("x").to_pylist()) == [1, 2, 3, 4, 5, 60]
+    stats = ns.merge_insert_into_table(
+        "a.t", {"x": np.array([1, 100], dtype=np.int64)}, on="x")
+    assert stats["num_inserted_rows"] == 1
+    ns.create_table_index("a.t", "x", "BTREE")
+    assert ns.list_table_indices("a.t")[0]["columns"] == ["x"]
+    tx = ns.describe_transaction("a.t", 2)
+    assert tx["version"] == 2
+    with pytest.raises(InvalidInputError):
+        ns.drop_namespace("a")
+    ns.drop_table("a.t")
+    ns.drop_namespace("a")
+    assert ns.list_namespaces() == []
