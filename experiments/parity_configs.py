@@ -54,12 +54,15 @@ def main():
     # roofline). Recall measured against the streaming exact path's gt.
     if _want(1):
         from lance_tpu.ops.distance import topk_neighbors_fast
+        from lance_tpu.ops.pallas_kernels import pallas_available
 
+        fused = pallas_available()  # the serving default (indices/search.py)
         qb2048 = np.tile(queries_h, (2, 1))[:2048]
         data_sq = jnp.sum(data.astype(jnp.float32) ** 2, axis=-1)
         for B in (256, 2048):
             qb = jnp.asarray(np.ascontiguousarray(qb2048[:B]))
-            d1, i1 = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq)
+            d1, i1 = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq,
+                                         fused=fused)
             jax.block_until_ready((d1, i1))
             n_eval = min(B, NQ)
             i1h = np.asarray(i1)[:n_eval]
@@ -69,7 +72,8 @@ def main():
             iters = 20 if B == 256 else 10
             t = time.time()
             for _ in range(iters):
-                o = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq)
+                o = topk_neighbors_fast(qb, data, K, "l2", data_sq=data_sq,
+                                        fused=fused)
             jax.block_until_ready(o)
             flat_qps = iters * B / (time.time() - t)
             out.append({"config": f"sift1m_flat_exact_top10_b{B}",

@@ -54,9 +54,47 @@ _JOIN_RE = re.compile(
 # ---------------------------------------------------------------------------
 
 
+def _strip_comments(s: str) -> str:
+    """Remove `-- ...` line comments and `/* ... */` block comments outside
+    string literals / quoted identifiers (standard SQL lexical rules; the
+    reference rides DataFusion's sqlparser which does the same). Block
+    comments do not nest; an unterminated block comment raises."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and s[i:i + 2] == "--":
+            j = s.find("\n", i)
+            i = n if j < 0 else j  # keep the newline as separator
+            continue
+        if ch == "/" and s[i:i + 2] == "/*":
+            j = s.find("*/", i + 2)
+            if j < 0:
+                raise InvalidInputError("unterminated /* comment in SQL")
+            out.append(" ")  # comment acts as whitespace
+            i = j + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _mask_literals(s: str) -> str:
     """Length-preserving copy of s with the CONTENTS of single-quoted string
-    literals and double-quoted identifiers replaced by 'x' (quotes kept).
+    literals and double/backtick-quoted identifiers replaced by 'x'
+    (quotes kept).
 
     Every clause/join/conjunct splitter matches against the masked text and
     slices the ORIGINAL with the match spans, so a literal containing
@@ -67,7 +105,7 @@ def _mask_literals(s: str) -> str:
     i, n = 0, len(s)
     while i < n:
         q = s[i]
-        if q in ("'", '"'):
+        if q in ("'", '"', "`"):
             i += 1
             while i < n:
                 if s[i] == q:
@@ -1151,6 +1189,12 @@ def _parse_ctes(query: str, ds, tables: dict | None):
 
 
 def sql(ds, query: str, tables: dict | None = None) -> pa.Table:
+    query = _strip_comments(query)
+    # one statement per call: a mid-query semicolon would otherwise be
+    # swallowed by a clause regex and silently mis-parse
+    if ";" in _mask_literals(query).rstrip().rstrip(";"):
+        raise NotSupportedError(
+            "multiple SQL statements in one call are not supported")
     query, tables = _parse_ctes(query, ds, tables)
     parts, setops = _split_setops(query)
     if len(parts) > 1:

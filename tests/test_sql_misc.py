@@ -324,3 +324,42 @@ def test_date_literal_comparisons():
     out = ds.to_table(filter="d > '1995-06-01'")
     want_n = sum(dd > datetime.date(1995, 6, 1) for dd in days)
     assert out.num_rows == want_n
+
+
+def test_sql_comments_and_lexical_robustness():
+    """Standard SQL lexical rules at the entry point: line/block comments
+    strip outside literals, comment markers INSIDE literals survive,
+    mid-query semicolons are refused (silent mis-parse guard)."""
+    from lance_tpu.errors import InvalidInputError, NotSupportedError
+
+    ds = _ds()
+    t = ds.sql("""
+        -- leading line comment with keywords: from t where join
+        SELECT id /* block comment WHERE id < 0 */, x
+        FROM t            -- trailing comment
+        WHERE id >= 96 /* and id < 0 */
+        ORDER BY id""")
+    assert np.asarray(t["id"]).tolist() == [96, 97, 98, 99]
+    # '--' and '/*' inside a string literal are DATA, not comments
+    t2 = ds.sql("SELECT count(*) FROM t WHERE cat != '-- /* not a comment'")
+    assert t2["count"][0].as_py() == 100
+    # trailing semicolon fine; embedded statement separator refused
+    assert ds.sql("SELECT count(*) FROM t;")["count"][0].as_py() == 100
+    with pytest.raises(NotSupportedError):
+        ds.sql("SELECT 1 FROM t; SELECT 2 FROM t")
+    # literal semicolons are data
+    t3 = ds.sql("SELECT count(*) FROM t WHERE cat = 'a;b'")
+    assert t3["count"][0].as_py() == 0
+    with pytest.raises(InvalidInputError):
+        ds.sql("SELECT id FROM t /* unterminated")
+
+
+def test_sql_quoted_identifier_with_keywords():
+    """Backtick/double-quoted identifiers containing keywords or spaces
+    must not confuse the clause splitters."""
+    uri = _uri("kw")
+    ds = lt.write_dataset(
+        {"from": np.arange(5, dtype=np.int64),
+         "group by": np.arange(5, dtype=np.float64)}, uri)
+    t = ds.sql('SELECT "from" FROM t WHERE "from" >= 3 ORDER BY "from"')
+    assert np.asarray(t.column(0)).tolist() == [3, 4]
