@@ -1,0 +1,155 @@
+"""Model-checked operation fuzzing: random op sequences vs a numpy oracle.
+
+Reference analog: the rust test strategy's randomized dataset tests
+(python/python/tests/test_dataset.py interleavings + proptest-style
+coverage in rust/lance/src/dataset.rs inline tests). A plain dict keyed
+by `id` is the oracle; every committed operation mutates both, and after
+each step the full scan, count_rows, filtered counts, and version history
+must agree with the oracle.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import lance_tpu as lt
+
+
+def _uri(seed):
+    import uuid
+
+    return f"memory://fuzz-{seed}-{uuid.uuid4().hex[:6]}/t"
+
+
+def _table(ids, vals, cats):
+    return pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "val": pa.array(vals, type=pa.float64()),
+        "cat": pa.array(cats, type=pa.string()),
+    })
+
+
+def _check(ds, model: dict):
+    assert ds.count_rows() == len(model)
+    t = ds.to_table(columns=["id", "val", "cat"])
+    got = {i: (v, c) for i, v, c in zip(t.column("id").to_pylist(),
+                                        t.column("val").to_pylist(),
+                                        t.column("cat").to_pylist())}
+    assert got == model, (
+        f"mismatch: extra={set(got) - set(model)} "
+        f"missing={set(model) - set(got)} "
+        f"diff={[k for k in got if k in model and got[k] != model[k]][:5]}")
+    # a random filter evaluated both ways
+    thresh = (len(model) and sorted(v for v, _c in model.values())[len(model) // 2])
+    want = sum(1 for v, _c in model.values() if v >= thresh)
+    assert ds.count_rows(filter=f"val >= {thresh}") == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_fuzz_operation_sequences(seed):
+    rng = np.random.default_rng(seed)
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        vals = [float(x) for x in rng.normal(size=n) * 100]
+        cats = [f"c{int(x)}" for x in rng.integers(0, 5, n)]
+        return ids, vals, cats
+
+    ids, vals, cats = fresh_rows(int(rng.integers(20, 60)))
+    ds = lt.write_dataset(_table(ids, vals, cats), _uri(seed))
+    model = {i: (v, c) for i, v, c in zip(ids, vals, cats)}
+    versions = [(ds.version, dict(model))]
+
+    for _step in range(24):
+        op = rng.choice(["append", "delete", "update", "merge", "compact",
+                         "overwrite_none", "delete_all_cat"])
+        if op == "append":
+            ids, vals, cats = fresh_rows(int(rng.integers(1, 40)))
+            ds = lt.write_dataset(_table(ids, vals, cats), ds.uri,
+                                  mode="append")
+            model.update({i: (v, c) for i, v, c in zip(ids, vals, cats)})
+        elif op == "delete":
+            k, r = int(rng.integers(2, 7)), int(rng.integers(0, 2))
+            ds = ds.delete(f"id % {k} = {r}")
+            model = {i: vc for i, vc in model.items() if i % k != r}
+        elif op == "delete_all_cat":
+            c = f"c{int(rng.integers(0, 5))}"
+            ds = ds.delete(f"cat = '{c}'")
+            model = {i: vc for i, vc in model.items() if vc[1] != c}
+        elif op == "update":
+            cut = int(rng.integers(0, max(next_id, 1)))
+            ds.update({"val": "val + 1000"}, where=f"id >= {cut}")
+            ds = lt.dataset(ds.uri)
+            model = {i: ((v + 1000, c) if i >= cut else (v, c))
+                     for i, (v, c) in model.items()}
+        elif op == "merge":
+            # half existing ids updated, half brand new inserted
+            exist = list(model)
+            picks = (list(rng.choice(exist, min(5, len(exist)), replace=False))
+                     if exist else [])
+            nids, nvals, ncats = fresh_rows(3)
+            mids = [int(p) for p in picks] + nids
+            mvals = [-1.0] * len(picks) + nvals
+            mcats = ["merged"] * len(picks) + ncats
+            ds, _stats = ds.merge_insert("id") \
+                .when_matched_update_all() \
+                .when_not_matched_insert_all() \
+                .execute(_table(mids, mvals, mcats))
+            for i, v, c in zip(mids, mvals, mcats):
+                model[i] = (v, c)
+        elif op == "compact":
+            ds = ds.optimize.compact_files(target_rows_per_fragment=64) or ds
+            ds = lt.dataset(ds.uri)
+        elif op == "overwrite_none":
+            # no-op step keeps sequence lengths comparable across seeds
+            pass
+        _check(ds, model)
+        versions.append((ds.version, dict(model)))
+
+    # time travel: every recorded version still replays its oracle
+    for v, snap in versions[:: max(1, len(versions) // 6)]:
+        old = lt.dataset(ds.uri, version=v)
+        t = old.to_table(columns=["id", "val"])
+        got = dict(zip(t.column("id").to_pylist(),
+                       t.column("val").to_pylist()))
+        assert got == {i: v2 for i, (v2, _c) in snap.items()}
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_fuzz_with_schema_evolution(seed):
+    """Evolution interleaved with data ops: add a backfilled column, rename
+    it, and keep scans oracle-consistent."""
+    rng = np.random.default_rng(seed)
+    ids = list(range(30))
+    vals = [float(i) for i in ids]
+    ds = lt.write_dataset(
+        pa.table({"id": pa.array(ids, type=pa.int64()),
+                  "val": pa.array(vals, type=pa.float64())}), _uri("evo"))
+    model = dict(zip(ids, vals))
+
+    ds = ds.add_columns({"doubled": "val * 2"})
+    t = ds.to_table(columns=["id", "doubled"])
+    assert dict(zip(t.column("id").to_pylist(),
+                    t.column("doubled").to_pylist())) == \
+        {i: v * 2 for i, v in model.items()}
+
+    ds = ds.alter_columns({"path": "doubled", "name": "val2"})
+    ds = ds.delete("id >= 20")
+    model = {i: v for i, v in model.items() if i < 20}
+    t = ds.to_table(columns=["id", "val2"])
+    assert dict(zip(t.column("id").to_pylist(),
+                    t.column("val2").to_pylist())) == \
+        {i: v * 2 for i, v in model.items()}
+
+    # appended batches must carry the evolved schema
+    ds = lt.write_dataset(
+        pa.table({"id": pa.array([100], type=pa.int64()),
+                  "val": pa.array([1.5], type=pa.float64()),
+                  "val2": pa.array([3.0], type=pa.float64())}),
+        ds.uri, mode="append")
+    assert ds.count_rows() == 21
+    assert ds.to_table(columns=["val2"], filter="id = 100") \
+        .column("val2").to_pylist() == [3.0]
