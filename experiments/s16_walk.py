@@ -1,0 +1,145 @@
+"""16M exact-blocks q_cap WALK (chip, scale16m cache).
+
+The round-5 1M bench lever applied at 16M: instead of pinning q_cap to
+the adaptive path's measured demand (64 at B=2048 for np=20), walk caps
+BELOW demand and keep the fastest point whose OWN pinned program clears
+the 0.95 gate — unused slots are pure score-tensor HBM traffic, and the
+(20,16) point has 2.5pts of recall headroom to spend
+(logs/s16_exact_r5b.log: 53,425 @ 0.9750, cap=64).
+
+Caps stay multiples of 8 (sublane tile; a ragged cap re-materializes the
+merge reshape). Recall is measured THROUGH each pinned program.
+"""
+import functools
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench import _log
+from scale16m_dev import _assemble_idx, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "0")
+os.environ.setdefault("LANCE_TPU_REFINE_F16", "1")
+
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+
+    cdir = os.environ.get("S16EXACT_CACHE", "/root/repo/.scale16m_cache")
+    t = time.time()
+    with open(os.path.join(cdir, "pq.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    refine = jax.device_put(np.load(os.path.join(cdir, "refine.npy"),
+                                    mmap_mode="r"))
+    cent = np.load(os.path.join(cdir, "cent.npy"))
+    offsets = np.load(os.path.join(cdir, "offsets.npy"))
+    lengths = np.load(os.path.join(cdir, "lengths.npy"))
+    rowids_sorted = np.load(os.path.join(cdir, "rowids.npy"))
+    gt_i = np.load(os.path.join(cdir, "gt.npy"))
+    qh = np.load(os.path.join(cdir, "queries.npy"))
+    L = meta["L"]
+    N, DIM = refine.shape
+    NLIST = offsets.shape[0]
+    gpos = (jnp.asarray(offsets.astype(np.int32))[:, None]
+            + jnp.arange(L, dtype=jnp.int32)[None, :])
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < jnp.asarray(
+        lengths.astype(np.int32))[:, None]
+    gpos = jnp.where(valid, gpos, N)
+    jax.block_until_ready(refine)
+    _log(f"cache loaded {time.time()-t:.0f}s N={N} L={L} NLIST={NLIST}")
+
+    t = time.time()
+    slab = 512
+    assert NLIST % slab == 0
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def eslab(bbuf, sbuf, ref, gp, p0):
+        idxs = jnp.minimum(gp, N - 1)
+        g = jnp.take(ref, idxs.reshape(-1), axis=0).reshape(
+            gp.shape[0], L, DIM)
+        gf = g.astype(jnp.float32)
+        sq = jnp.sum(gf * gf, axis=-1)
+        ok = gp < N
+        sq = jnp.where(ok, sq, jnp.inf)
+        blk = jnp.where(ok[..., None], gf, 0.0).astype(jnp.bfloat16)
+        bbuf = jax.lax.dynamic_update_slice(
+            bbuf, blk, (p0, jnp.int32(0), jnp.int32(0)))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, sq, (p0, jnp.int32(0)))
+        return bbuf, sbuf
+
+    blocks = jnp.zeros((NLIST, L, DIM), jnp.bfloat16)
+    block_sq = jnp.zeros((NLIST, L), jnp.float32)
+    for p0 in range(0, NLIST, slab):
+        blocks, block_sq = eslab(blocks, block_sq, refine,
+                                 jax.lax.slice_in_dim(gpos, p0, p0 + slab),
+                                 jnp.int32(p0))
+    jax.block_until_ready(blocks)
+    _log(f"exact blocks {time.time()-t:.0f}s")
+
+    idx = _assemble_idx(jnp, cent, offsets, lengths, rowids_sorted, refine,
+                        blocks, block_sq, gpos, meta["pq"],
+                        meta["use_residual"], N, L)
+    del blocks, block_sq, gpos
+    NQ, K, B = qh.shape[0], 10, 2048
+    reps = (B + NQ - 1) // NQ
+    qb = np.tile(qh, (reps, 1))[:B]
+    qd = jnp.asarray(qb)
+
+    rows = []
+
+    def point(np_, rf, cap):
+        fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=rf,
+                                   q_cap=cap)
+        d, pos = fn(qd)
+        jax.block_until_ready((d, pos))
+        n_eval = min(B, NQ)
+        pos_h = np.asarray(pos)[:n_eval]
+        rid = np.where(pos_h >= 0,
+                       idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                       np.uint64(INV))
+        rec = recall_of(rid, gt_i, n_eval, K)
+        t = time.time()
+        iters = 20
+        for _ in range(iters):
+            o = fn(qd)
+        jax.block_until_ready(o)
+        row = {"nprobes": np_, "refine": rf, "q_cap": cap,
+               "recall_at_10": round(rec, 4),
+               "qps_b2048": round(iters * B / (time.time() - t))}
+        rows.append(row)
+        _log(json.dumps(row))
+        return row
+
+    # demand at (20,16) measured 64 in r5b; walk below it, and probe a
+    # shallower nprobes rung with its own walk
+    grid_env = os.environ.get("S16WALK_GRID")
+    if grid_env:
+        grid = [tuple(int(x) for x in p.split(",")) for p in grid_env.split(";")]
+    else:
+        grid = [(20, 16, 40), (20, 16, 48), (16, 16, 48), (16, 16, 40),
+                (20, 12, 48)]
+    for np_, rf, cap in grid:
+        point(np_, rf, cap)
+    ok = [r for r in rows if r["recall_at_10"] >= 0.95]
+    best = max(ok, key=lambda r: r["qps_b2048"]) if ok else None
+    print(json.dumps({"config": "s16_walk", "n": N, "rows": rows,
+                      "best": best}))
+
+
+if __name__ == "__main__":
+    main()
