@@ -1,0 +1,111 @@
+"""dbpedia-like 1536-D cosine q_cap WALK (round 5).
+
+The bench.py lever applied to the dbp gate config (m=96, nprobes=8,
+rf=8; round-4 point 0.9641 @ 149,525 QPS with demand q_cap=128,
+logs/dbp_serve_r4.log): walk caps BELOW measured demand and keep the
+fastest point whose OWN pinned program clears 0.95 — recall is measured
+THROUGH each pinned program. stage2=8 fixed (the r4 winner).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _log, recall_of
+
+os.environ.setdefault("LANCE_TPU_DIST_BF16", "1")
+os.environ.setdefault("LANCE_TPU_MERGE_GROUP", "16")
+os.environ.setdefault("LANCE_TPU_APPROX_PROBE", "1")
+
+URI = "file:///root/repo/.dbp500k.lance"
+INV = 0xFFFFFFFFFFFFFFFF
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import lance_tpu as lt
+    from lance_tpu.utils.chiplock import acquire_chip_lock
+
+    if any(d.platform != "cpu" for d in jax.devices()):
+        acquire_chip_lock(log=_log)
+
+    K, NQ = 10, 256
+    GT, Q = "/root/repo/.dbp500k_gt.npy", "/root/repo/.dbp500k_q.npy"
+    if not (os.path.exists(GT) and os.path.exists(URI[len("file://"):])):
+        from bench import generate_sift_like
+        from lance_tpu.ops.distance import topk_neighbors
+        N, D = 500_000, 1536
+        data, q = generate_sift_like(N, D, NQ, seed=7)
+        data = data / jnp.linalg.norm(data, axis=1, keepdims=True)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        _, gt = topk_neighbors(q, data, K, "cosine", chunk=65536)
+        np.save(GT, np.asarray(gt))
+        np.save(Q, np.asarray(q))
+        lt.write_dataset({"vec": np.asarray(data),
+                          "id": np.arange(N, dtype=np.int64)},
+                         URI, params=lt.WriteParams(max_rows_per_file=N,
+                                                    compression="none"))
+        del data, q
+        _log("regenerated dbp500k corpus + gt")
+    gt = np.load(GT)
+    qh = np.load(Q).astype(np.float32)
+    qh /= np.linalg.norm(qh, axis=1, keepdims=True)
+    ds = lt.dataset(URI)
+
+    t = time.time()
+    ds = ds.create_index("vec", "IVF_PQ", num_partitions=512,
+                         num_sub_vectors=96, num_bits=8, metric="cosine",
+                         max_iters=10)
+    build_s = time.time() - t
+    _log(f"build {build_s:.0f}s")
+    idx = ds._vector_index_for("vec")
+
+    np_, rf = 8, 8
+    rows = []
+    os.environ["LANCE_TPU_MERGE_STAGE2"] = "8"
+    B = 2048
+    reps = (B + NQ - 1) // NQ
+    qb = np.tile(qh, (reps, 1))[:B]
+    idx.search(qb, K, nprobes=np_, refine_factor=rf)  # demand probe
+    demand = getattr(idx, "_last_qcap", None)
+    _log(f"measured demand q_cap={demand}")
+    caps = [c for c in (48, 64, 80, 96) if demand is None or c < demand]
+    caps.append(demand)
+    for cap in caps:
+        if True:
+            fn = idx.compiled_searcher(K, nprobes=np_, refine_factor=rf,
+                                       q_cap=cap)
+            qd = jnp.asarray(qb)
+            d, pos = fn(qd)
+            jax.block_until_ready((d, pos))
+            n_eval = min(B, NQ)
+            pos_h = np.asarray(pos)[:n_eval]
+            rid = np.where(pos_h >= 0,
+                           idx.rowids[np.clip(pos_h, 0, idx.num_rows - 1)],
+                           np.uint64(INV))
+            rec = recall_of(rid, gt, n_eval, K)
+            t = time.time()
+            iters = 20
+            for _ in range(iters):
+                o = fn(qd)
+            jax.block_until_ready(o)
+            rows.append({"B": B, "q_cap": cap,
+                         "recall_at_10": round(rec, 4),
+                         "qps": round(iters * B / (time.time() - t))})
+            _log(json.dumps(rows[-1]))
+    ok = [r for r in rows if r["recall_at_10"] >= 0.95]
+    best = max(ok, key=lambda r: r["qps"]) if ok else None
+    print(json.dumps({"metric": "dbpedia_like_1536_walk", "m": 96,
+                      "nprobes": np_, "rf": rf, "build_s": round(build_s, 1),
+                      "rows": rows, "best": best,
+                      "GATE": bool(best)}))
+
+
+if __name__ == "__main__":
+    main()
